@@ -1,0 +1,143 @@
+"""Ingest path unit tests: canal decode fallback, transform semantics,
+Kafka source config mapping (SURVEY.md §2.1-2.2)."""
+
+import json
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import (
+    BINLOG_EVENT_SCHEMA,
+    canal_entries_view,
+    load_table,
+)
+from use_clickhouse_2_analyze_mysql_binlog_spark.sources import canal, kafka, transform
+from tests.conftest import SF_DIR
+
+
+def _header(**kw):
+    base = dict(
+        schemaName="db1",
+        tableName="t1",
+        logfileName="mysql-bin.000001",
+        logfileOffset=100,
+        serverenCode="UTF-8",
+        executeTime=1704067200000,
+        eventLength=593,
+        gtid="uuid:1-1",
+        eventType=1,
+    )
+    base.update(kw)
+    return base
+
+
+def test_transform_drops_begin_and_maps_fields(spark):
+    entries = spark.createDataFrame(
+        [
+            Row(entryType="TRANSACTIONBEGIN", header=_header(), isDdl=False,
+                rowDatas=[]),
+            Row(entryType="ROWDATA", header=_header(eventType=2, logfileOffset=171),
+                isDdl=False, rowDatas=[{"dummy": 0}, {"dummy": 0}]),
+            Row(entryType="ROWDATA", header=_header(eventType=5, logfileOffset=242),
+                isDdl=True, rowDatas=[]),
+        ],
+        schema=canal.CANAL_ENTRY_SCHEMA,
+    )
+    out = transform.canal_entries_to_binlog(
+        entries, ctime=F.to_timestamp(F.lit("2024-02-01 00:00:00"))
+    )
+    # names+types match the declared fact schema (nullability is not
+    # preserved through expressions; the sink enforces it)
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in BINLOG_EVENT_SCHEMA.fields
+    ]
+    rows = {r.binlog_pos: r for r in out.collect()}
+    assert set(rows) == {171, 242}  # BEGIN dropped (P1)
+    assert rows[171].event_type == "UPDATE"  # P6 enum decode
+    assert rows[171].single_statement_affected_rows == 2  # P5 len(rowDatas)
+    assert rows[171].is_ddl == 0 and rows[242].is_ddl == 1  # P4
+    assert str(rows[171].execute_time) == "2024-01-01 00:00:00"  # F8 epoch ms
+
+
+def test_transform_unknown_enum(spark):
+    entries = spark.createDataFrame(
+        [Row(entryType="ROWDATA", header=_header(eventType=99), isDdl=False,
+             rowDatas=[])],
+        schema=canal.CANAL_ENTRY_SCHEMA,
+    )
+    out = transform.canal_entries_to_binlog(entries).collect()
+    assert out[0].event_type == "UNKNOWN_99"
+
+
+def test_decode_packets_with_fake_parser(spark):
+    """S5/S6 via the mapInPandas fallback with an injected parser."""
+
+    def parser(raw: bytes):
+        # self-contained: runs on executors, must not reference test module
+        n = int(raw.decode())
+        return [
+            {
+                "entryType": "ROWDATA",
+                "header": {
+                    "schemaName": "db1",
+                    "tableName": "t1",
+                    "logfileName": "mysql-bin.000001",
+                    "logfileOffset": i,
+                    "serverenCode": "UTF-8",
+                    "executeTime": 1704067200000,
+                    "eventLength": 593,
+                    "gtid": f"uuid:1-{n}",
+                    "eventType": 1,
+                },
+                "isDdl": False,
+                "rowDatas": [{"dummy": 0}] * (i + 1),
+            }
+            for i in range(n)
+        ]
+
+    raw = spark.createDataFrame(
+        [(b"2",), (b"3",)], "value binary"
+    )
+    decoded = canal.decode_packets_with(raw, parser)
+    assert decoded.schema == canal.CANAL_ENTRY_SCHEMA
+    assert decoded.count() == 5
+    out = transform.canal_entries_to_binlog(decoded)
+    assert out.groupBy("gtid").count().count() == 2
+
+
+def test_decode_packets_requires_pb2():
+    try:
+        canal.decode_packets(None)
+    except NotImplementedError as e:
+        assert "canal protobuf" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("expected NotImplementedError without pb2 modules")
+
+
+def test_canal_entries_view_matches_schema(spark):
+    entries = canal_entries_view(load_table(spark, SF_DIR, "events"))
+    assert entries.schema.simpleString() == canal.CANAL_ENTRY_SCHEMA.simpleString()
+    kinds = {r.entryType for r in entries.select("entryType").distinct().collect()}
+    assert kinds == {"ROWDATA", "TRANSACTIONBEGIN"}
+
+
+def test_kafka_reader_options():
+    cfg = kafka.KafkaSourceConfig(
+        bootstrap_servers="h1:9092,h2:9092",
+        topic="binlog",
+        partition=0,
+        offset_mode="beginning",
+        sasl_username="user",
+        sasl_password="pw",
+    )
+    opts = cfg.reader_options()
+    assert json.loads(opts["assign"]) == {"binlog": [0]}  # S2 manual assign
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "5000"  # W4 batch bound
+    assert opts["kafka.sasl.mechanism"] == "SCRAM-SHA-256"  # S3
+    # stored mode resumes from checkpoint: no startingOffsets override
+    stored = kafka.KafkaSourceConfig(
+        bootstrap_servers="h", topic="t", offset_mode="stored", partition=None
+    ).reader_options()
+    assert "startingOffsets" not in stored
+    assert stored["subscribe"] == "t"

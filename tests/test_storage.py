@@ -1,0 +1,46 @@
+"""Physical layout tests: day partitioning, pruning, clustering, TTL sweep
+(SURVEY.md §1.4)."""
+
+import datetime as dt
+
+from use_clickhouse_2_analyze_mysql_binlog_spark.plans import storage
+from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import binlog_view, load_table
+from tests.conftest import SF_DIR
+
+
+def test_write_layout_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "fact")
+    binlog = binlog_view(load_table(spark, SF_DIR, "events"))
+    storage.write_fact_table(binlog, path, files_per_day=2, mode="overwrite")
+
+    parts = sorted(p.name for p in (tmp_path / "fact").glob("day=*"))
+    assert len(parts) >= 25 and parts[0].startswith("day=2024-01-")
+
+    back = storage.read_fact_table(spark, path)
+    assert back.count() == binlog.count()
+
+    # partition pruning: a day predicate must reach the scan as a
+    # partition filter, not a post-scan filter
+    plan = back.filter("day = DATE'2024-01-05'")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-05" in plan
+
+
+def test_retention_cutoff_and_sweep(spark, tmp_path):
+    assert storage.retention_cutoff(dt.date(2024, 3, 31), months=1) == dt.date(
+        2024, 2, 29
+    )
+    assert storage.retention_cutoff(dt.date(2026, 8, 13), months=30) == dt.date(
+        2024, 2, 13
+    )
+
+    path = str(tmp_path / "fact")
+    binlog = binlog_view(load_table(spark, SF_DIR, "events"))
+    storage.write_fact_table(binlog, path, files_per_day=1, mode="overwrite")
+    before = len(list((tmp_path / "fact").glob("day=*")))
+    # cutoff lands mid-January 2024 -> early-January partitions drop
+    dropped = storage.retention_sweep(path, today=dt.date(2026, 7, 10), months=30)
+    after = len(list((tmp_path / "fact").glob("day=*")))
+    assert dropped and after == before - len(dropped)
+    assert all(d < "day=2024-01-10" for d in dropped)
+    surviving = storage.read_fact_table(spark, path)
+    assert surviving.filter("day < DATE'2024-01-10'").count() == 0

@@ -1,0 +1,81 @@
+"""Fact-table physical layout (SURVEY.md §1.4).
+
+Reproduces the reference's MergeTree layout semantics on parquet:
+
+- ``PARTITION BY toDate(execute_time)``  (README.md:115) -> ``partitionBy("day")``
+  => partition pruning for every time-range predicate.
+- ``ORDER BY (execute_time, gtid, table, schema)`` sparse index
+  (README.md:116-118) -> ``sortWithinPartitions`` => parquet row-group
+  min/max stats give the data-skipping effect.
+- ``TTL execute_time + toIntervalMonth(30)`` (README.md:117) -> a retention
+  sweep dropping whole day-partitions (cheap metadata-only deletes — never
+  row-level at 100 TB).
+- ``Distributed(..., rand())`` sharding (README.md:137) -> ``repartition(n)``
+  before write to balance file sizes.
+
+At 100 TB: one day ~ hundreds of GB -> files_per_day sized so single files
+land near 512 MB-1 GB; day partitions keep both pruning and retention O(1)
+per day.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SORT_KEY = ("execute_time", "gtid", "table", "schema")
+
+
+def write_fact_table(
+    binlog: DataFrame,
+    path: str,
+    files_per_day: int = 4,
+    mode: str = "append",
+) -> None:
+    """Write binlog events day-partitioned + clustered by the sort key."""
+    (
+        binlog.withColumn("day", F.to_date("execute_time"))
+        .repartition(files_per_day, "day")  # rand()-sharding analogue, bounded files
+        .sortWithinPartitions(*SORT_KEY)
+        .write.mode(mode)
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def read_fact_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def retention_cutoff(today: dt.date, months: int = 30) -> dt.date:
+    """``TTL execute_time + toIntervalMonth(months)`` cutoff date."""
+    total = today.year * 12 + (today.month - 1) - months
+    year, month = divmod(total, 12)
+    day = min(
+        today.day,
+        [31, 29 if year % 4 == 0 and (year % 100 != 0 or year % 400 == 0) else 28,
+         31, 30, 31, 30, 31, 31, 30, 31, 30, 31][month],
+    )
+    return dt.date(year, month + 1, day)
+
+
+def retention_sweep(
+    path: str, today: dt.date | None = None, months: int = 30
+) -> list[str]:
+    """Drop expired ``day=`` partition directories; returns dropped names.
+
+    Metadata-only partition drops — the Spark-side analogue of ClickHouse's
+    TTL partition deletes; never rewrites surviving data.
+    """
+    cutoff = retention_cutoff(today or dt.date.today(), months)
+    dropped: list[str] = []
+    for part in sorted(Path(path).glob("day=*")):
+        day = dt.date.fromisoformat(part.name.split("=", 1)[1])
+        if day < cutoff:
+            shutil.rmtree(part)
+            dropped.append(part.name)
+    return dropped

@@ -12,8 +12,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
-from use_clickhouse_2_analyze_mysql_binlog_spark.operators import transactions
+from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
+    dims,
+    rollups,
+    transactions,
+)
+from use_clickhouse_2_analyze_mysql_binlog_spark.sources import transform
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -93,6 +100,224 @@ def _register_top(metric: str) -> None:
 
 for _metric in transactions.METRICS:
     _register_top(_metric)
+
+
+# ---------------------------------------------------------------------------
+# Rollups (A5/A6/A8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "daily_event_counts",
+    f"""
+WITH binlog AS ({schemas.BINLOG_VIEW_SQL})
+SELECT strftime(execute_time, '%Y-%m-%d') AS day, event_type,
+       count(*) AS event_count
+FROM binlog GROUP BY 1, 2
+""",
+)
+def daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — MV rollup: daily event-type counts (README.md:174-184)."""
+    return rollups.daily_event_counts(_binlog(spark, sf_dir))
+
+
+@register(
+    "daily_event_counts_by_table",
+    f"""
+WITH binlog AS ({schemas.BINLOG_VIEW_SQL})
+SELECT strftime(execute_time, '%Y-%m-%d') AS day, "schema", "table",
+       event_type, count(*) AS event_count
+FROM binlog GROUP BY 1, 2, 3, 4
+""",
+)
+def daily_event_counts_by_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — 4-key MV rollup (README.md:229-245)."""
+    return rollups.daily_event_counts_by_table(_binlog(spark, sf_dir))
+
+
+@register(
+    "summing_rollup_reaggregate",
+    f"""
+WITH binlog AS ({schemas.BINLOG_VIEW_SQL})
+SELECT strftime(execute_time, '%Y-%m-%d') AS day, event_type,
+       count(*) AS event_count
+FROM binlog GROUP BY 1, 2
+""",
+)
+def summing_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — SummingMergeTree semantics: per-insert-block partial aggregates
+    re-merged by summing must equal the direct rollup (README.md:143-145);
+    the oracle is therefore the direct daily rollup."""
+    partials = rollups.simulate_mv_partials(_binlog(spark, sf_dir))
+    return rollups.summing_merge(
+        partials, keys=("day", "event_type"), metrics=("event_count",)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-shaped operators (P6 broadcast dim join, S11 anti join)
+# ---------------------------------------------------------------------------
+
+_DIM_VALUES_SQL = "VALUES " + ", ".join(
+    f"({i}, '{n}', {1 if n in schemas.DDL_EVENT_TYPES else 0})"
+    for i, n in sorted(schemas.EVENT_TYPE_NAMES.items())
+)
+
+
+@register(
+    "event_type_decode_dim_join",
+    f"""
+WITH dim(event_type_id, event_type_name, is_ddl) AS ({_DIM_VALUES_SQL})
+SELECT d.event_type_name, d.is_ddl, count(*) AS event_count
+FROM events e JOIN dim d ON d.event_type_id = CAST(e.event_id % 15 + 1 AS INT)
+GROUP BY 1, 2
+""",
+)
+def event_type_decode_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — enum id -> name decode as a broadcast hash join against the
+    15-row canal EventType dim (mon_mysql_dml.py:313-314)."""
+    src = schemas.load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 15 + 1).cast("int").alias("event_type_id")
+    )
+    joined = dims.decode_event_types(src, dims.event_type_dim(spark), "event_type_id")
+    return joined.groupBy("event_type_name", "is_ddl").agg(
+        F.count(F.lit(1)).alias("event_count")
+    )
+
+
+@register(
+    "idempotent_window_antijoin",
+    _STATS_CTE
+    + """
+, computed AS (
+  SELECT DISTINCT end_time FROM stats
+  WHERE (CAST(epoch(CAST(window_start AS TIMESTAMP)) AS BIGINT) // 300) % 2 = 0
+)
+SELECT s.* FROM stats s ANTI JOIN computed c USING (end_time)
+""",
+)
+def idempotent_window_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 — idempotence guard as a left-anti join: recompute only windows
+    whose end_time is not yet in the result table
+    (compute_transaction_info.py:132-142). 'Already computed' here = the
+    deterministic half of windows with even epoch//300."""
+    stats = transactions.transaction_stats(_binlog(spark, sf_dir))
+    computed = stats.filter(
+        (F.unix_timestamp(F.to_timestamp("window_start")) / 300 % 2).cast("int") == 0
+    )
+    return dims.anti_join_new_windows(stats, computed, key="end_time")
+
+
+# ---------------------------------------------------------------------------
+# Ingest transform (P1-P6, F8) + scalar function suite (F1-F10) + TTL
+# ---------------------------------------------------------------------------
+
+@register(
+    "ingest_transform",
+    f"""
+WITH dim(event_type_id, event_type_name, dim_is_ddl) AS ({_DIM_VALUES_SQL})
+SELECT
+  'appdb' AS "schema",
+  concat('t_', CAST(user_id % 4 AS VARCHAR)) AS "table",
+  d.event_type_name AS event_type,
+  d.dim_is_ddl AS is_ddl,
+  concat('mysql-bin.', CAST(user_id % 3 AS VARCHAR)) AS binlog_file,
+  event_id AS binlog_pos,
+  'UTF-8' AS characterset,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS execute_time,
+  concat('txn-', CAST(user_id AS VARCHAR)) AS gtid,
+  CAST(event_id % 5 + 1 AS BIGINT) AS single_statement_affected_rows,
+  CAST(floor(value * 100) AS BIGINT) AS single_statement_size,
+  '2024-02-01 00:00:00' AS ctime
+FROM events e JOIN dim d ON d.event_type_id = CAST(e.event_id % 15 + 1 AS INT)
+WHERE event_id % 50 <> 0
+""",
+)
+def ingest_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 ingest projection: canal entries -> binlog fact rows
+    (mon_mysql_dml.py:244-330), on the deterministic canal fixture."""
+    entries = schemas.canal_entries_view(schemas.load_table(spark, sf_dir, "events"))
+    out = transform.canal_entries_to_binlog(
+        entries, ctime=F.to_timestamp(F.lit("2024-02-01 00:00:00"))
+    )
+    return out.select(
+        "schema",
+        "table",
+        "event_type",
+        "is_ddl",
+        "binlog_file",
+        "binlog_pos",
+        "characterset",
+        F.date_format("execute_time", transactions.TS_FMT).alias("execute_time"),
+        "gtid",
+        "single_statement_affected_rows",
+        "single_statement_size",
+        F.date_format("ctime", transactions.TS_FMT).alias("ctime"),
+    )
+
+
+@register(
+    "scalar_functions",
+    """
+SELECT
+  event_id,
+  strftime(ts, '%Y-%m-%d') AS day_str,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+  CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS pos_roundtrip,
+  CAST(floor(epoch(ts)) AS BIGINT) AS ts_unix,
+  epoch_ms(ts) AS ts_ms,
+  strftime(ts + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S') AS ts_plus_30d,
+  CAST(floor(epoch(ts)) AS BIGINT)
+    - CAST(floor(epoch(TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT) AS secs_since_anchor
+FROM events
+""",
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F10 scalar surface: date/timestamp casts & formats, string<->int
+    casts, epoch conversions, interval arithmetic, datetime subtraction
+    (SURVEY.md §2.7)."""
+    e = schemas.load_table(spark, sf_dir, "events")
+    anchor = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),  # F1 toDate
+        F.date_format("ts", transactions.TS_FMT).alias("ts_str"),  # F2/F10
+        F.col("event_id").cast("string").cast("long").alias("pos_roundtrip"),  # F3/F9
+        F.unix_timestamp("ts").alias("ts_unix"),  # F7
+        F.unix_millis("ts").alias("ts_ms"),  # F8
+        F.date_format(
+            F.col("ts") + F.expr("INTERVAL 30 DAYS"), transactions.TS_FMT
+        ).alias("ts_plus_30d"),  # F4 interval arithmetic
+        (F.unix_timestamp("ts") - F.unix_timestamp(anchor)).alias(
+            "secs_since_anchor"
+        ),  # F7 DateTime - DateTime
+    )
+
+
+@register(
+    "retention_filter",
+    f"""
+WITH binlog AS ({schemas.BINLOG_VIEW_SQL}),
+mx AS (SELECT max(execute_time) AS m FROM binlog)
+SELECT binlog_pos, strftime(execute_time, '%Y-%m-%d %H:%M:%S') AS execute_time
+FROM binlog, mx
+WHERE execute_time >= m - INTERVAL 14 DAY
+""",
+)
+def retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/TTL — retention predicate ``execute_time >= max - INTERVAL``
+    (README.md:117; the 30-month TTL scaled to the fixture's one-month
+    span). The scalar max broadcasts; the filter prunes day partitions on a
+    partitioned fact table."""
+    b = _binlog(spark, sf_dir)
+    mx = b.agg(F.max("execute_time").alias("m"))
+    return (
+        b.crossJoin(F.broadcast(mx))
+        .filter(F.col("execute_time") >= F.col("m") - F.expr("INTERVAL 14 DAYS"))
+        .select(
+            "binlog_pos",
+            F.date_format("execute_time", transactions.TS_FMT).alias("execute_time"),
+        )
+    )
 
 
 @register(

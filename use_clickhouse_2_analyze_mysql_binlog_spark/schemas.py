@@ -173,6 +173,45 @@ def binlog_view(events: DataFrame) -> DataFrame:
     )
 
 
+def canal_entries_view(events: DataFrame) -> DataFrame:
+    """Deterministic CANAL_ENTRY_SCHEMA rows derived from ``events``.
+
+    Stands in for decoded canal protobuf (FIXTURES.md §2) so the ingest
+    transform (sources/transform.py) can be oracle-checked on driver
+    testdata. Every derivation is plain arithmetic on event columns and is
+    mirrored in SQL by the oracle (queries_registry).
+
+    ~2% of rows become TRANSACTIONBEGIN entries (dropped by the transform,
+    P1); eventType cycles through the full canal enum domain 1..15.
+    """
+    event_type_id = (F.col("event_id") % 15 + 1).cast("int")
+    ddl_ids = [i for i, n in EVENT_TYPE_NAMES.items() if n in DDL_EVENT_TYPES]
+    return events.select(
+        F.when(F.col("event_id") % 50 == 0, "TRANSACTIONBEGIN")
+        .otherwise("ROWDATA")
+        .alias("entryType"),
+        F.struct(
+            F.lit("appdb").alias("schemaName"),
+            F.concat(F.lit("t_"), (F.col("user_id") % 4).cast("string")).alias(
+                "tableName"
+            ),
+            F.concat(F.lit("mysql-bin."), (F.col("user_id") % 3).cast("string")).alias(
+                "logfileName"
+            ),
+            F.col("event_id").alias("logfileOffset"),
+            F.lit("UTF-8").alias("serverenCode"),
+            F.unix_millis(F.col("ts")).alias("executeTime"),
+            F.floor(F.col("value") * 100).cast("long").alias("eventLength"),
+            F.concat(F.lit("txn-"), F.col("user_id").cast("string")).alias("gtid"),
+            event_type_id.alias("eventType"),
+        ).alias("header"),
+        event_type_id.isin(ddl_ids).alias("isDdl"),
+        F.array_repeat(
+            F.struct(F.lit(0).alias("dummy")), (F.col("event_id") % 5 + 1).cast("int")
+        ).alias("rowDatas"),
+    )
+
+
 # The same mapping as ANSI SQL, for composing DuckDB oracle queries.
 BINLOG_VIEW_SQL = """
 SELECT

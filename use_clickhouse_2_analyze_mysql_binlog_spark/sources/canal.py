@@ -1,0 +1,109 @@
+"""Canal protobuf decode (S5/S6, SURVEY.md §2.1).
+
+The wire format is alibaba/canal's public protocol: a Kafka message value is
+a ``Packet`` whose ``body`` holds ``Messages`` (repeated ``Entry`` bytes);
+each ``Entry`` has a ``Header`` and a ``storeValue`` that decodes to a
+``RowChange`` (``/root/reference/mon_mysql_dml.py:150-169, 254-255``).
+
+Preferred decode path on Spark >= 3.4 is ``from_protobuf`` with a compiled
+canal descriptor set — fully JVM-side. The canal ``*_pb2`` modules and
+descriptor are not available in this environment, so the production entry
+point (:func:`decode_packets`) gates on their presence, and
+:func:`decode_packets_with` provides the Arrow-batched ``mapInPandas``
+fallback given any packet-parsing callable. Tests inject a deterministic
+fake parser; the downstream transform (sources/transform.py) is identical
+either way — decode yields CANAL_ENTRY_SCHEMA rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import CANAL_ENTRY_SCHEMA
+
+#: entry dict keys produced by a packet parser, matching CANAL_ENTRY_SCHEMA
+PacketParser = Callable[[bytes], list[dict[str, Any]]]
+
+
+def _try_import_canal():
+    try:
+        import CanalProtocol_pb2  # type: ignore  # noqa: F401
+        import EntryProtocol_pb2  # type: ignore
+
+        return EntryProtocol_pb2
+    except ImportError:
+        return None
+
+
+def parse_packet_canal(raw: bytes) -> list[dict[str, Any]]:
+    """Parse one canal Packet into entry dicts using the real pb2 modules.
+
+    Mirrors the nesting walked at mon_mysql_dml.py:150-169 (Packet ->
+    Messages -> Entry) and :254-316 (Header fields + RowChange.storeValue).
+    Raises ImportError when the canal protobuf modules are absent.
+    """
+    import CanalProtocol_pb2  # type: ignore
+    import EntryProtocol_pb2  # type: ignore
+
+    packet = CanalProtocol_pb2.Packet()
+    packet.MergeFromString(raw)
+    messages = CanalProtocol_pb2.Messages()
+    messages.MergeFromString(packet.body)
+    out: list[dict[str, Any]] = []
+    for raw_entry in messages.messages:
+        entry = EntryProtocol_pb2.Entry()
+        entry.MergeFromString(raw_entry)
+        row_change = EntryProtocol_pb2.RowChange()
+        row_change.MergeFromString(entry.storeValue)
+        h = entry.header
+        out.append(
+            {
+                "entryType": EntryProtocol_pb2.EntryType.Name(entry.entryType),
+                "header": {
+                    "schemaName": h.schemaName,
+                    "tableName": h.tableName,
+                    "logfileName": h.logfileName,
+                    "logfileOffset": h.logfileOffset,
+                    "serverenCode": h.serverenCode,
+                    "executeTime": h.executeTime,
+                    "eventLength": h.eventLength,
+                    "gtid": h.gtid,
+                    "eventType": h.eventType,
+                },
+                "isDdl": bool(row_change.isDdl),
+                "rowDatas": [{"dummy": 0} for _ in row_change.rowDatas],
+            }
+        )
+    return out
+
+
+def decode_packets_with(raw_df: DataFrame, parser: PacketParser) -> DataFrame:
+    """Decode a ``value: binary`` DataFrame into canal entries via
+    ``mapInPandas`` (Arrow-batched; one python worker per input partition —
+    scales with Kafka partition count, no shuffle)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [e for raw in pdf["value"] for e in parser(bytes(raw))]
+            yield pd.DataFrame(
+                rows, columns=["entryType", "header", "isDdl", "rowDatas"]
+            )
+
+    return raw_df.select("value").mapInPandas(decode, schema=CANAL_ENTRY_SCHEMA)
+
+
+def decode_packets(raw_df: DataFrame) -> DataFrame:
+    """Production decode path: canal pb2 modules required."""
+    if _try_import_canal() is None:
+        raise NotImplementedError(
+            "canal protobuf modules (CanalProtocol_pb2/EntryProtocol_pb2) are "
+            "not installed in this environment; use decode_packets_with(df, "
+            "parser) with an injected parser, or compile the public canal "
+            "EntryProtocol.proto/CanalProtocol.proto and use from_protobuf"
+        )
+    return decode_packets_with(raw_df, parse_packet_canal)
