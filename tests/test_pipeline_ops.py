@@ -1,0 +1,129 @@
+"""Semantic tests for the training-data-pipeline operators: planted
+duplicates must be found; signatures must behave like the algorithms say."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the window and the birds sing in the morning light over the hills"
+    )
+    near = base.replace("morning light", "evening glow")  # small edit
+    other = (
+        "completely different content about spark query engines and columnar "
+        "execution with vectorized readers and shuffle partitioning strategies"
+    )
+    return spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),  # exact dup of 0
+            (2, near),  # near dup of 0
+            (3, other),
+            (4, "tiny doc"),  # < 3 tokens -> whole-text shingle fallback
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_finds_planted(planted_docs):
+    groups = dedup.exact_dedup_groups(planted_docs)
+    assert groups.count() == 4  # 5 docs, one exact dup pair
+    dup = groups.filter(F.col("dup_count") == 2).collect()
+    assert len(dup) == 1 and dup[0].keep_doc_id == 0
+
+
+def test_ngram_jaccard_finds_planted(planted_docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(planted_docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert 0.5 <= pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_minhash_lsh_finds_planted(planted_docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(planted_docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs  # near dup caught by LSH bands
+    assert (0, 3) not in pairs
+
+
+def test_minhash_signature_properties(planted_docs):
+    sigs = {r.doc_id: r.sig for r in dedup.minhash_signatures(planted_docs).collect()}
+    assert all(len(s) == dedup.NUM_HASHES for s in sigs.values())
+    assert sigs[0] == sigs[1]  # identical text -> identical signature
+    agree = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert agree > dedup.NUM_HASHES // 2  # near dup -> mostly agreeing slots
+    disagree = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert disagree < dedup.NUM_HASHES // 2
+
+
+def test_simhash_hamming_ordering(planted_docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_pairs(planted_docs, max_hamming=60).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    near = pairs.get((0, 2), 99)
+    far = pairs.get((0, 3), 99)
+    assert near < far  # closer text -> smaller hamming distance
+
+
+def test_brute_force_vs_ivf_topk(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = similarity.brute_force_topk(emb, query_vec_id=0, k=5).collect()
+    assert len(brute) == 5
+    assert all(
+        brute[i].cos_sim >= brute[i + 1].cos_sim for i in range(len(brute) - 1)
+    )
+    ivf = similarity.ivf_topk(emb, query_vec_id=0, k=5).collect()
+    assert len(ivf) == 5
+    # IVF searches a subset -> its best can't beat brute force's best
+    assert ivf[0].cos_sim <= brute[0].cos_sim
+
+
+def test_ivf_buckets_partition_corpus(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned = similarity.assign_ivf_buckets(emb, num_centroids=8)
+    assert assigned.count() == emb.count()  # every vector in exactly 1 bucket
+    n_buckets = assigned.select("centroid_id").distinct().count()
+    assert 2 <= n_buckets <= 8
+    # centroids must land in their own bucket (cos(self)=1)
+    own = assigned.filter(
+        (F.col("vec_id") < 8) & (F.col("vec_id") == F.col("centroid_id"))
+    )
+    assert own.count() == 8
+
+
+def test_multimodal_feature_extraction(spark, planted_docs):
+    media = multimodal.documents_as_media(planted_docs)
+    feats = multimodal.extract_media_features(
+        media, decoder=multimodal.stub_decoder
+    )
+    rows = {r.doc_id: r for r in feats.collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    assert all(64 <= r.width < 128 and 64 <= r.height < 128 for r in rows.values())
+    assert rows[0].checksum == rows[1].checksum  # same payload, same checksum
+    meta = {r.doc_id: r for r in multimodal.media_metadata(media).collect()}
+    assert meta[0].payload_bytes == rows[0].payload_bytes
+
+
+def test_real_decoder_is_stubbed(spark, planted_docs):
+    media = multimodal.documents_as_media(planted_docs)
+    feats = multimodal.extract_media_features(media)  # default: real_decoder
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        feats.collect()

@@ -1,0 +1,128 @@
+"""Structured Streaming job tests (SURVEY.md §5.3): ingest exactly-once,
+incremental rollup equivalence, watermarked window job + late data.
+
+Sources are file streams of pre-decoded canal entries / binlog rows
+(no Kafka in this environment); the jobs are source-agnostic.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+from use_clickhouse_2_analyze_mysql_binlog_spark.operators import rollups, transactions
+from use_clickhouse_2_analyze_mysql_binlog_spark.sources.transform import (
+    canal_entries_to_binlog,
+)
+from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import (
+    ingest_job,
+    rollup_job,
+    window_job,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def entries_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("canal") / "entries")
+    schemas.canal_entries_view(
+        schemas.load_table(spark, SF_DIR, "events")
+    ).write.parquet(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def binlog_df(spark):
+    return schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+
+
+def _stream_entries(spark, entries_dir):
+    return (
+        spark.readStream.schema(schemas.CANAL_ENTRY_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(entries_dir)
+    )
+
+
+def test_ingest_stream_exactly_once(spark, entries_dir, tmp_path):
+    sink = str(tmp_path / "fact")
+    ckpt = str(tmp_path / "ckpt")
+    q = ingest_job.run_ingest_stream(
+        _stream_entries(spark, entries_dir), sink, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+
+    expected = canal_entries_to_binlog(spark.read.parquet(entries_dir)).count()
+    got = spark.read.parquet(sink)
+    assert got.count() == expected
+    assert "day" in got.columns
+
+    # restart from checkpoint with no new data -> no duplicates (the
+    # reference's at-most-once gap, fixed)
+    q2 = ingest_job.run_ingest_stream(
+        _stream_entries(spark, entries_dir), sink, ckpt, available_now=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == expected
+
+
+def test_rollup_stream_matches_batch(spark, tmp_path, binlog_df):
+    src = str(tmp_path / "binlog_src")
+    binlog_df.write.parquet(src)
+    stream = (
+        spark.readStream.schema(binlog_df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    rollup_path = str(tmp_path / "rollup")
+    q = rollup_job.run_daily_rollup_stream(
+        stream, rollup_path, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(180)
+
+    got = rollup_job.read_rollup(spark, rollup_path)
+    want = rollups.daily_event_counts(binlog_df)
+    assert got.count() == want.count()
+    assert (
+        got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    ), "incremental streaming rollup must equal the batch rollup"
+
+
+def test_window_job_matches_batch_and_drops_late(spark, tmp_path, binlog_df):
+    src = str(tmp_path / "binlog_src")
+    binlog_df.write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(binlog_df.schema).parquet(src)
+        q = window_job.run_window_job(
+            stream, results, str(tmp_path / "ckpt"), available_now=True
+        )
+        q.awaitTermination(180)
+
+    results = str(tmp_path / "results")
+    run()  # pass 1: full data -> finalized windows emitted, watermark saved
+
+    # pass 2: stale duplicates of the earliest window arrive after the
+    # watermark (restored from checkpoint) has long passed -> dropped; the
+    # reference would silently double-insert these (SURVEY.md §2.8 W3)
+    binlog_df.orderBy("execute_time").limit(5).write.mode("append").parquet(src)
+    run()
+
+    # windows not yet passed by the final watermark (max event time - 5 min)
+    # stay in state and are not emitted — exclude them from the expectation
+    import datetime as dt
+
+    max_ts = binlog_df.agg(F.max("execute_time")).collect()[0][0]
+    cutoff = (max_ts - dt.timedelta(minutes=5)).strftime("%Y-%m-%d %H:%M:%S")
+
+    batch_stats = transactions.transaction_stats(binlog_df)
+    for metric, stem in transactions.METRICS.items():
+        got = spark.read.parquet(f"{results}/{stem}")
+        want = transactions.transaction_result_table(batch_stats, metric).filter(
+            F.col("end_time") <= F.lit(cutoff)
+        )
+        # every finalized window emitted exactly once, values match the
+        # batch result (late duplicates contributed nothing)
+        assert got.count() == want.count(), stem
+        w = want.select(*got.columns)
+        assert got.exceptAll(w).count() == 0 and w.exceptAll(got).count() == 0, stem

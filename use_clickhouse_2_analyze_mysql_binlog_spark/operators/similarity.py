@@ -1,0 +1,221 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Training-data-pipeline extension (not in the reference): approximate-
+nearest-neighbor building blocks —
+
+- brute-force cosine top-k: the exactness baseline. One pass over the
+  corpus with a broadcast query vector; Catalyst plans the rank-k as
+  TakeOrderedAndProject (no global sort).
+- IVF (inverted-file) variant: vectors are bucketed by nearest coarse
+  centroid; search only touches the query's bucket. This is the 100 TB
+  path — the centroid assignment is a broadcast join (centroid set is
+  tiny), bucketing prunes the scan to ~1/K of the corpus, and the bucket
+  can be a partition key on disk for true partition pruning.
+- embedding near-dup pairs: cosine >= threshold within IVF buckets (the
+  embedding-space analogue of MinHash dedup).
+
+Dot products run as sequential array folds (``aggregate``) in double
+precision — deterministic, codegen'd, no Python. Cosines are rounded to 6
+decimals before ranking/filtering so Spark and the DuckDB oracle (whose
+accumulation order may differ in the last bits) agree bit-exactly; ranking
+ties break by vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+COS_DECIMALS = 6
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(
+        F.aggregate(F.col(a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+
+
+def with_double_embedding(embeddings: DataFrame) -> DataFrame:
+    """Cast array<float> -> array<double> once (both engines then do all
+    arithmetic in double; float32 accumulation differs between engines)."""
+    return embeddings.withColumn(
+        "emb", F.transform("embedding", lambda x: x.cast("double"))
+    )
+
+
+_EMB_SQL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _cosine(a: str, b: str) -> F.Column:
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), COS_DECIMALS)
+
+
+def COSINE_SQL(a: str, b: str) -> str:
+    dot = f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+    na = f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x * x)))"
+    return f"round({dot} / ({na} * {nb}), {COS_DECIMALS})"
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k against the vector with ``query_vec_id``."""
+    emb = with_double_embedding(embeddings)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("emb").alias("q_emb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", _cosine("emb", "q_emb").alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def BRUTE_FORCE_TOPK_SQL(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, {_EMB_SQL} AS emb FROM embeddings),
+q AS (SELECT emb AS q_emb FROM e WHERE vec_id = {query_vec_id})
+SELECT vec_id, label, {COSINE_SQL('emb', 'q_emb')} AS cos_sim
+FROM e, q
+WHERE vec_id <> {query_vec_id}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def assign_ivf_buckets(embeddings: DataFrame, num_centroids: int = 16) -> DataFrame:
+    """Assign each vector to its nearest coarse centroid (by cosine).
+
+    Deterministic coarse codebook: the embeddings with
+    ``vec_id < num_centroids`` act as centroids (a real pipeline would
+    k-means these; the IVF *structure* is identical). Assignment is a
+    broadcast join + per-row argmax — no shuffle of the big side.
+    """
+    emb = with_double_embedding(embeddings)
+    cents = (
+        emb.filter(F.col("vec_id") < num_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "emb",
+        "centroid_id",
+        _cosine("emb", "c_emb").alias("c_cos"),
+    )
+    w = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(
+            F.col("c_cos").desc(), F.col("centroid_id").asc()
+        )
+    )
+    return scored.withColumn("rn", w).filter(F.col("rn") == 1).select(
+        "vec_id", "label", "emb", "centroid_id"
+    )
+
+
+def _ASSIGN_SQL(num_centroids: int) -> str:
+    return f"""
+e AS (SELECT vec_id, label, {_EMB_SQL} AS emb FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+          WHERE vec_id < {num_centroids}),
+scored AS (
+  SELECT e.vec_id, e.label, e.emb, cents.centroid_id,
+         {COSINE_SQL('emb', 'c_emb')} AS c_cos
+  FROM e, cents
+),
+assigned AS (
+  SELECT vec_id, label, emb, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+"""
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    num_centroids: int = 16,
+) -> DataFrame:
+    """IVF top-k: rank only vectors sharing the query's coarse bucket."""
+    assigned = assign_ivf_buckets(embeddings, num_centroids)
+    q = assigned.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("emb").alias("q_emb"), F.col("centroid_id").alias("q_centroid")
+    )
+    return (
+        assigned.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("centroid_id") == F.col("q_centroid"))
+            & (F.col("vec_id") != query_vec_id)
+        )
+        .select("vec_id", "label", _cosine("emb", "q_emb").alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def IVF_TOPK_SQL(query_vec_id: int = 0, k: int = 10, num_centroids: int = 16) -> str:
+    return f"""
+WITH {_ASSIGN_SQL(num_centroids)},
+q AS (SELECT emb AS q_emb, centroid_id AS q_centroid FROM assigned
+      WHERE vec_id = {query_vec_id})
+SELECT vec_id, label, {COSINE_SQL('emb', 'q_emb')} AS cos_sim
+FROM assigned, q
+WHERE centroid_id = q_centroid AND vec_id <> {query_vec_id}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.99, num_centroids: int = 16
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within IVF buckets.
+
+    Bucketing bounds the pair blowup to sum over buckets of |bucket|^2 —
+    the embedding analogue of LSH banding. Cross-bucket near-dups are
+    missed by design (recall/cost tradeoff, same as IVF search).
+    """
+    assigned = assign_ivf_buckets(embeddings, num_centroids)
+    a = assigned.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+    )
+    b = assigned.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", _cosine("emb_a", "emb_b").alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def EMBEDDING_NEAR_DUP_SQL(threshold: float = 0.99, num_centroids: int = 16) -> str:
+    return f"""
+WITH {_ASSIGN_SQL(num_centroids)}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {COSINE_SQL('a.emb', 'b.emb')} AS cos_sim
+FROM assigned a JOIN assigned b
+  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+WHERE {COSINE_SQL('a.emb', 'b.emb')} >= {threshold}
+"""

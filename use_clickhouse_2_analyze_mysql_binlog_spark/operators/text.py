@@ -1,0 +1,273 @@
+"""Text analysis for training-data pipelines: tokenization, quality scoring,
+language ID, document fingerprinting.
+
+These extend the reference's surface (it has none of this — SURVEY.md §2.7
+F11) with the operators a 100 TB text-corpus pipeline needs. Everything is
+pure Spark SQL expressions (array higher-order functions, no Python UDFs):
+per-row work with zero shuffer — the scan parallelism is the parallelism.
+
+Each operator has a ``*_SQL`` twin rendering the identical computation for
+the DuckDB oracle; the two are kept adjacent so they evolve in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
+    HASH60_SQL,
+    hash60,
+)
+
+# ---------------------------------------------------------------------------
+# Tokenization (whitespace; lowercased) — shared by all text operators
+# ---------------------------------------------------------------------------
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def TOKENS_SQL(expr: str) -> str:
+    return f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+#: language -> marker stopwords (heuristic n-gram-free language ID; the
+#: point is the distributed argmax shape, not linguistic accuracy)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "los", "de", "que", "una"),
+    "fr": ("le", "les", "des", "et", "une"),
+}
+
+
+def _in_list_sql(items: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in items)
+
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (ceil of
+    chars/4, the common ~4-chars-per-token heuristic)."""
+    toks = tokens("text")
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.ceil(F.length("text") / 4).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len({TOKENS_SQL('text')}) AS n_tokens,
+       length(text) AS n_chars,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length/stopword/uniqueness signals + a composite score in [0,1].
+
+    All ratios are exact integer divisions done in double precision and
+    rounded identically in both engines.
+    """
+    d = documents.withColumn("toks", tokens("text"))
+    n = F.size("toks")
+    distinct_n = F.size(F.array_distinct("toks"))
+    stop_hits = F.size(
+        F.expr(f"filter(toks, t -> t IN ({_in_list_sql(STOPWORDS)}))")
+    )
+    sum_len = F.expr("aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x)")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n.alias("n_tokens"),
+        F.round(distinct_n / n, 4).alias("uniq_ratio"),
+        F.round(stop_hits / n, 4).alias("stop_ratio"),
+        F.round(sum_len / n, 4).alias("avg_token_len"),
+        # floor, not round: Spark rounds HALF_UP, DuckDB half-even — on an
+        # exact .xxxx5 boundary they disagree; floor of the same double is
+        # deterministic in both engines.
+        (
+            F.floor(
+                (
+                    0.5 * (distinct_n / n)
+                    + 0.3 * (1 - stop_hits / n)
+                    + 0.2 * F.least(F.lit(1.0), (sum_len / n) / 8)
+                )
+                * 10000
+            )
+            / 10000
+        ).alias("quality_score"),
+    )
+
+
+QUALITY_SCORE_SQL = f"""
+WITH t AS (SELECT *, {TOKENS_SQL('text')} AS toks FROM documents),
+m AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks, t -> t IN ({_in_list_sql(STOPWORDS)}))) AS stop_hits,
+         list_sum(list_transform(toks, t -> length(t))) AS sum_len
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS uniq_ratio,
+       round(stop_hits / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+       round(sum_len / CAST(n_tokens AS DOUBLE), 4) AS avg_token_len,
+       floor((0.5 * (n_distinct / CAST(n_tokens AS DOUBLE))
+           + 0.3 * (1 - stop_hits / CAST(n_tokens AS DOUBLE))
+           + 0.2 * least(1.0, (sum_len / CAST(n_tokens AS DOUBLE)) / 8)) * 10000)
+         / 10000 AS quality_score
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language ID (marker-word argmax)
+# ---------------------------------------------------------------------------
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Predict language as the marker set with the most token hits
+    (deterministic tie-break: hit count desc, language asc; zero hits ->
+    'und'). Pure per-row array expressions — no shuffle, no dim join."""
+    d = documents.withColumn("toks", tokens("text"))
+    hit_cols = [
+        F.size(F.expr(f"filter(toks, t -> t IN ({_in_list_sql(markers)}))")).alias(
+            f"hits_{lang}"
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    labeled = (
+        F.col("lang") if "lang" in documents.columns else F.lit(None).cast("string")
+    )
+    d = d.select("doc_id", labeled.alias("labeled_lang"), *hit_cols)
+    # argmax via a greatest+case chain keeps it row-local (languages are
+    # few and fixed; a dim-join argmax would shuffle for nothing)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((best > 0) & (F.col(f"hits_{lang}") == best), lang).otherwise(
+            pred
+        )
+    return d.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("predicted_lang"),
+        best.cast("long").alias("marker_hits"),
+    )
+
+
+def _lang_hits_sql() -> str:
+    cols = ",\n         ".join(
+        f"len(list_filter(toks, t -> t IN ({_in_list_sql(markers)}))) AS hits_{lang}"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    )
+    return cols
+
+
+def _lang_case_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"hits_{la}" for la in langs) + ")"
+    whens = "\n         ".join(
+        f"WHEN hits_{la} = {greatest} THEN '{la}'" for la in langs
+    )
+    return f"CASE WHEN {greatest} = 0 THEN 'und'\n         {whens} ELSE 'und' END"
+
+
+LANGUAGE_ID_SQL = f"""
+WITH t AS (SELECT *, {TOKENS_SQL('text')} AS toks FROM documents),
+m AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_lang_hits_sql()}
+  FROM t
+)
+SELECT doc_id, labeled_lang,
+       {_lang_case_sql()} AS predicted_lang,
+       CAST(greatest(hits_de, hits_en, hits_es, hits_fr) AS BIGINT) AS marker_hits
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Content fingerprints: whole-document hash of whitespace-normalized
+    text, a 64-char-prefix hash, and a 1-permutation minhash over word
+    3-gram shingles (the min shingle hash — a winnowing-style content
+    signature robust to reordering of later content)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    d = documents.withColumn("norm", norm).withColumn(
+        "shingles", shingles_expr("norm")
+    )
+    return d.select(
+        "doc_id",
+        hash60(F.col("norm")).alias("content_fp"),
+        hash60(F.substring("norm", 1, 64)).alias("prefix_fp"),
+        F.array_min(F.expr(
+            f"transform(shingles, s -> {_hash60_expr_sql('s')})"
+        )).alias("min_shingle_fp"),
+    )
+
+
+def _hash60_expr_sql(expr: str) -> str:
+    """hash60 as a Spark SQL-expression string (for use inside lambdas)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def shingles_expr(col_name: str) -> Column:
+    """Distinct word-3-gram shingles of a normalized text column; documents
+    with <3 tokens fall back to the whole text as a single shingle."""
+    return F.expr(
+        f"""
+        CASE WHEN size(split({col_name}, ' ')) >= 3 THEN
+          array_distinct(transform(
+            sequence(0, size(split({col_name}, ' ')) - 3),
+            i -> concat_ws(' ', split({col_name}, ' ')[i],
+                 split({col_name}, ' ')[i+1], split({col_name}, ' ')[i+2])))
+        ELSE array({col_name}) END
+        """
+    )
+
+
+def SHINGLES_SQL(expr: str) -> str:
+    """DuckDB: distinct word-3-gram shingles of pre-normalized text
+    (1-based list indexing)."""
+    return f"""
+    CASE WHEN len(string_split({expr}, ' ')) >= 3 THEN
+      list_distinct(list_transform(
+        generate_series(1, len(string_split({expr}, ' ')) - 2),
+        i -> concat_ws(' ', string_split({expr}, ' ')[i],
+             string_split({expr}, ' ')[i+1], string_split({expr}, ' ')[i+2])))
+    ELSE [{expr}] END
+    """
+
+
+NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+FINGERPRINT_SQL = f"""
+WITH t AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+s AS (SELECT *, {SHINGLES_SQL('norm')} AS shingles FROM t)
+SELECT doc_id,
+       {HASH60_SQL('norm')} AS content_fp,
+       {HASH60_SQL('substr(norm, 1, 64)')} AS prefix_fp,
+       list_min(list_transform(shingles, s -> {HASH60_SQL('s')}))
+         AS min_shingle_fp
+FROM s
+"""

@@ -16,8 +16,12 @@ from pyspark.sql import functions as F
 
 from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
 from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
+    dedup,
     dims,
+    multimodal,
     rollups,
+    similarity,
+    text,
     transactions,
 )
 from use_clickhouse_2_analyze_mysql_binlog_spark.sources import transform
@@ -340,3 +344,119 @@ def transaction_result_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transactions.transaction_result_table(
         transactions.transaction_stats(_binlog(spark, sf_dir)), "transaction_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline extensions: text analysis
+# ---------------------------------------------------------------------------
+
+@register("text_token_count", text.TOKEN_COUNT_SQL)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting over documents."""
+    return text.token_count(schemas.load_table(spark, sf_dir, "documents"))
+
+
+@register("text_quality_score", text.QUALITY_SCORE_SQL)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/uniqueness quality signals + composite score."""
+    return text.quality_score(schemas.load_table(spark, sf_dir, "documents"))
+
+
+@register("text_language_id", text.LANGUAGE_ID_SQL)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with deterministic argmax."""
+    return text.language_id(schemas.load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_fingerprint", text.FINGERPRINT_SQL)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content / prefix / min-shingle fingerprints (portable 60-bit hash)."""
+    return text.fingerprint(schemas.load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline extensions: dedup
+# ---------------------------------------------------------------------------
+
+@register("dedup_exact", dedup.EXACT_DEDUP_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy."""
+    return dedup.exact_dedup_groups(schemas.load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", dedup.NGRAM_JACCARD_SQL(threshold=0.5))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (shared-shingle candidates)."""
+    return dedup.ngram_jaccard_pairs(
+        schemas.load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register("dedup_minhash_lsh", dedup.MINHASH_LSH_SQL(threshold=0.5))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8x4) candidates, exact-Jaccard verified."""
+    return dedup.minhash_lsh_pairs(
+        schemas.load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register("dedup_simhash", dedup.SIMHASH_SIG_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signatures over tokens."""
+    return dedup.simhash_signatures(schemas.load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash_pairs", dedup.SIMHASH_PAIRS_SQL(max_hamming=3))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 15-bit chunk buckets + exact hamming verify."""
+    return dedup.simhash_pairs(
+        schemas.load_table(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+@register("dedup_embedding_cosine", similarity.EMBEDDING_NEAR_DUP_SQL(threshold=0.4))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within IVF buckets."""
+    return similarity.embedding_near_dup_pairs(
+        schemas.load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline extensions: similarity search
+# ---------------------------------------------------------------------------
+
+@register("similarity_topk_bruteforce", similarity.BRUTE_FORCE_TOPK_SQL())
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the vec_id=0 query vector."""
+    return similarity.brute_force_topk(
+        schemas.load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register("similarity_ivf_topk", similarity.IVF_TOPK_SQL())
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed cosine top-10 (scale path: search 1/K of the corpus)."""
+    return similarity.ivf_topk(schemas.load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline extensions: multimodal columns
+# ---------------------------------------------------------------------------
+
+@register("multimodal_metadata", multimodal.MEDIA_METADATA_SQL)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata pass (JVM-side only; payload never decoded)."""
+    return multimodal.media_metadata(
+        multimodal.documents_as_media(schemas.load_table(spark, sf_dir, "documents"))
+    )
+
+
+@register("multimodal_features")  # rows-only: exercises the mapInPandas path
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction with the deterministic stub decoder
+    (real codecs are stubbed — not available in this container)."""
+    media = multimodal.documents_as_media(
+        schemas.load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.extract_media_features(media, decoder=multimodal.stub_decoder)

@@ -1,0 +1,118 @@
+"""Watermarked 5-minute window job: streaming transaction analytics (W1-W3).
+
+Replaces the reference's driver clock loop (``compute_transaction_info.py:
+153-179``: sleep until ``end < now()``, run three GROUP BY queries, guard
+with a count() existence check) with event-time streaming:
+
+- W1 tumbling window  -> ``window(execute_time, "5 minutes")``
+- W2 completeness gate -> ``withWatermark`` (a window emits once the
+  watermark passes its end — the reference's wall-clock wait, but driven
+  by event time and safe under backfill/catch-up)
+- W3 late data        -> events later than the allowed lateness are
+  dropped *by policy* (the reference silently loses them; here the bound
+  is explicit and configurable)
+- S11 idempotence     -> exactly-once per window from the checkpoint; the
+  count-guard disappears.
+
+The aggregation emits in ``append`` mode (only finalized windows), and
+foreachBatch ranks top-1 per window per metric (T2) before appending to
+the three result tables — ranking happens on finalized window stats, a few
+rows per window, so the per-epoch work is trivial regardless of fact
+volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from use_clickhouse_2_analyze_mysql_binlog_spark.operators.transactions import (
+    METRICS,
+    TS_FMT,
+    top_transactions,
+)
+
+
+def windowed_stats_stream(
+    binlog_stream: DataFrame,
+    window_duration: str = "5 minutes",
+    allowed_lateness: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked per-(window, gtid) transaction stats (streaming A1-A4)."""
+    return (
+        binlog_stream.withWatermark("execute_time", allowed_lateness)
+        .groupBy(
+            F.window("execute_time", window_duration).alias("win"),
+            F.col("gtid"),
+        )
+        .agg(
+            (
+                F.unix_millis(F.max("execute_time"))
+                - F.unix_millis(F.min("execute_time"))
+            ).alias("transaction_spend_ms"),
+            (
+                F.max("binlog_pos")
+                - F.min("binlog_pos")
+                + F.max_by("single_statement_size", "binlog_pos")
+            ).alias("transaction_size"),
+            F.sum("single_statement_affected_rows").alias(
+                "transaction_affected_rows"
+            ),
+            F.count(F.lit(1)).alias("statement_count"),
+        )
+        .select(
+            F.date_format("win.start", TS_FMT).alias("window_start"),
+            F.date_format("win.end", TS_FMT).alias("end_time"),
+            "gtid",
+            F.floor(F.col("transaction_spend_ms") / 1000)
+            .cast("long")
+            .alias("transaction_spend_time"),
+            "transaction_size",
+            "transaction_affected_rows",
+            "statement_count",
+        )
+    )
+
+
+def run_window_job(
+    binlog_stream: DataFrame,
+    results_path: str,
+    checkpoint_path: str,
+    window_duration: str = "5 minutes",
+    allowed_lateness: str = "5 minutes",
+    interval_seconds: int = 300,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Start the streaming window job; one result dir per metric
+    (``{results_path}/{result_table_stem}`` — README.md:268-345 tables)."""
+    stats = windowed_stats_stream(binlog_stream, window_duration, allowed_lateness)
+
+    def publish_batch(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.persist()
+        try:
+            for metric, stem in METRICS.items():
+                top = top_transactions(batch, metric).select(
+                    "end_time",
+                    F.lit(str(interval_seconds)).alias("invertal"),
+                    "gtid",
+                    "transaction_spend_time",
+                    "transaction_size",
+                    F.col("transaction_affected_rows").alias(
+                        "single_statement_affected_rows"
+                    ),
+                )
+                top.write.mode("append").parquet(f"{results_path}/{stem}")
+        finally:
+            batch.unpersist()
+
+    writer = (
+        stats.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(publish_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
