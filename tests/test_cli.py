@@ -1,0 +1,48 @@
+"""CLI surface tests: parser mapping (reference docopt flags — SURVEY.md
+§2.10) and an end-to-end window run through the real entrypoint."""
+
+import pytest
+
+from use_clickhouse_2_analyze_mysql_binlog_spark import cli, schemas
+from tests.conftest import SF_DIR
+
+
+def test_parser_maps_reference_flags():
+    args = cli.build_parser().parse_args(
+        [
+            "ingest",
+            "--bootstrap-servers", "h1:9092",
+            "--topic", "binlog",
+            "--partition", "0",
+            "--from-beginning",
+            "--sync", "1000",
+            "--sink", "/tmp/fact",
+            "--checkpoint", "/tmp/ckpt",
+        ]
+    )
+    assert args.offset == "beginning" and args.sync == 1000
+
+    with pytest.raises(SystemExit):  # mutually exclusive offset modes
+        cli.build_parser().parse_args(
+            ["ingest", "--bootstrap-servers", "h", "--topic", "t",
+             "--from-beginning", "--from-end", "--sink", "s",
+             "--checkpoint", "c"]
+        )
+
+
+def test_cli_window_job_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "fact")
+    schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events")).write.parquet(src)
+    rc = cli.main(
+        [
+            "window",
+            "--source", src,
+            "--results", str(tmp_path / "results"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--available-now",
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "results" / "largest_transaction"))
+    assert out.count() > 0
+    assert "invertal" in out.columns  # [sic] reference column name

@@ -1,0 +1,143 @@
+"""CLI for the long-running streaming services (SURVEY.md §2.10).
+
+The reference runs two systemd services driven by a docopt CLI
+(``/root/reference/mon_mysql_dml.py:6-35``: topic, bootstrap servers, target
+table, sync batch size, offset mode, partition, group, SASL user; and the
+periodic ``compute_transaction_info.py`` loop). Here one parameterized
+entrypoint covers both, plus the rollup MV job:
+
+    python -m use_clickhouse_2_analyze_mysql_binlog_spark.cli ingest \\
+        --bootstrap-servers h1:9092 --topic binlog --partition 0 \\
+        --from-end --sync 5000 --sink /data/fact --checkpoint /ckpt/ingest
+
+    python -m use_clickhouse_2_analyze_mysql_binlog_spark.cli window \\
+        --source /data/fact --results /data/results --checkpoint /ckpt/win \\
+        --interval 300
+
+    python -m use_clickhouse_2_analyze_mysql_binlog_spark.cli rollup \\
+        --source /data/fact --rollup /data/rollup --checkpoint /ckpt/rollup
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from use_clickhouse_2_analyze_mysql_binlog_spark.session import get_spark
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--checkpoint", required=True, help="checkpoint location")
+    p.add_argument(
+        "--available-now",
+        action="store_true",
+        help="drain available input and stop (backfill mode)",
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="use_clickhouse_2_analyze_mysql_binlog_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="Kafka canal stream -> fact table")
+    ing.add_argument("--bootstrap-servers", required=True)
+    ing.add_argument("--topic", required=True)
+    ing.add_argument("--partition", type=int, default=None)
+    ing.add_argument("--group", default="binlog_spark")
+    # reference offset flags (mon_mysql_dml.py:65-68)
+    mode = ing.add_mutually_exclusive_group()
+    mode.add_argument("--from-beginning", dest="offset", action="store_const",
+                      const="beginning")
+    mode.add_argument("--from-end", dest="offset", action="store_const",
+                      const="end")
+    mode.add_argument("--from-stored", dest="offset", action="store_const",
+                      const="stored")
+    ing.set_defaults(offset="end")
+    ing.add_argument("--sasl-username")
+    ing.add_argument("--sasl-password")
+    ing.add_argument("--sync", type=int, default=5000,
+                     help="max events per micro-batch (reference --sync)")
+    ing.add_argument("--sink", required=True, help="fact-table parquet path")
+    _add_common(ing)
+
+    win = sub.add_parser("window", help="watermarked 5-min window job")
+    win.add_argument("--source", required=True, help="fact-table parquet path")
+    win.add_argument("--results", required=True)
+    win.add_argument("--interval", type=int, default=300)
+    win.add_argument("--lateness", default="5 minutes")
+    _add_common(win)
+
+    rol = sub.add_parser("rollup", help="incremental daily rollup MV")
+    rol.add_argument("--source", required=True)
+    rol.add_argument("--rollup", required=True)
+    rol.add_argument("--by-table", action="store_true",
+                     help="4-key rollup (day, schema, table, event_type)")
+    _add_common(rol)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark(app_name=f"binlog-{args.cmd}")
+
+    if args.cmd == "ingest":
+        from use_clickhouse_2_analyze_mysql_binlog_spark.sources import canal, kafka
+        from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import ingest_job
+
+        cfg = kafka.KafkaSourceConfig(
+            bootstrap_servers=args.bootstrap_servers,
+            topic=args.topic,
+            partition=args.partition,
+            offset_mode=args.offset,
+            group_id=args.group,
+            sasl_username=args.sasl_username,
+            sasl_password=args.sasl_password,
+            max_offsets_per_trigger=args.sync,
+        )
+        raw = kafka.read_stream(spark, cfg)
+        entries = canal.decode_packets(raw)  # requires canal pb2 modules
+        q = ingest_job.run_ingest_stream(
+            entries, args.sink, args.checkpoint, available_now=args.available_now
+        )
+    elif args.cmd == "window":
+        from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import (
+            BINLOG_EVENT_SCHEMA,
+        )
+        from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import window_job
+
+        stream = spark.readStream.schema(BINLOG_EVENT_SCHEMA).parquet(args.source)
+        q = window_job.run_window_job(
+            stream,
+            args.results,
+            args.checkpoint,
+            window_duration=f"{args.interval} seconds",
+            allowed_lateness=args.lateness,
+            interval_seconds=args.interval,
+            available_now=args.available_now,
+        )
+    else:
+        from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import (
+            BINLOG_EVENT_SCHEMA,
+        )
+        from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import rollup_job
+
+        stream = spark.readStream.schema(BINLOG_EVENT_SCHEMA).parquet(args.source)
+        keys = (
+            ("day", "schema", "table", "event_type")
+            if args.by_table
+            else ("day", "event_type")
+        )
+        q = rollup_job.run_daily_rollup_stream(
+            stream,
+            args.rollup,
+            args.checkpoint,
+            keys=keys,
+            available_now=args.available_now,
+        )
+
+    q.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,213 @@
+"""General analytical queries over the star schema (joins + wide aggs).
+
+The reference contains no joins (SURVEY.md §2.3); these TPC-H-shaped
+queries exercise the engine paths a general analytics workload needs —
+multi-way joins, semi-joins, wide aggregations, top-k over joins — and
+anchor the benchmark beyond the binlog surface.
+
+Scale design notes:
+- money math is done in DECIMAL(18,2/4): decimal sums are exact and
+  order-independent, so results are deterministic across engines and
+  across any degree of parallelism (double sums are neither).
+- dimension joins (region/nation, and customer at small SF) broadcast;
+  fact-fact joins (orders-lineitem) shuffle on the join key — at 100 TB
+  both sides would be bucketed by orderkey to make this a zero-shuffle
+  sort-merge join.
+- top-k over aggregates compiles to TakeOrderedAndProject (no global
+  sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAY_FMT = "yyyy-MM-dd"
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: wide aggregate over lineitem below a ship-date
+    cutoff. Fully map-side-combinable: 4-ish groups."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    # scale 6: the true product has exactly 6 decimal digits (2+2+2), so
+    # the cast never rounds — scale 4 hit HALF_UP-vs-half-even boundary
+    # divergence between Spark and the oracle on ~1% of rows
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(dec("l_quantity")) / F.count(F.lit(1)), 4)
+            .cast("double")
+            .alias("avg_qty"),
+            F.round(F.sum(dec("l_extendedprice")) / F.count(F.lit(1)), 4)
+            .cast("double")
+            .alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def PRICING_SUMMARY_SQL(cutoff: str = "1998-09-02") -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))) / count(*), 4)
+            AS DOUBLE) AS avg_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / count(*), 4)
+            AS DOUBLE) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def top_revenue_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, revenue per order, top-k.
+
+    Customer (filtered) broadcasts at test SF; orders-lineitem shuffles on
+    orderkey. Deterministic ordering: revenue desc then orderkey asc.
+    """
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    cut = F.lit(cutoff).cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == segment)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cut)
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > cut)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", DAY_FMT).alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+    )
+
+
+def TOP_REVENUE_ORDERS_SQL(
+    segment: str = "BUILDING", cutoff: str = "1998-01-01", k: int = 10
+) -> str:
+    return f"""
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{segment}'
+  AND o_orderdate < TIMESTAMP '{cutoff} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{cutoff} 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT {k}
+"""
+
+
+def nation_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    year: int = 1997,
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join, revenue by nation within a region for
+    one year. The dim chain (region->nation->supplier) broadcasts."""
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    dims = F.broadcast(
+        region.filter(F.col("r_name") == region_name)
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.year("o_orderdate") == year)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        # TPC-H Q5's local-supplier condition: both parties in the region,
+        # same nation
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+def NATION_REVENUE_SQL(region_name: str = "EUROPE", year: int = 1997) -> str:
+    return f"""
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{region_name}'
+  AND year(o_orderdate) = {year}
+  AND c_nationkey = s_nationkey
+GROUP BY 1
+"""
+
+
+def order_priority_counts(
+    orders: DataFrame, lineitem: DataFrame, year: int = 1997
+) -> DataFrame:
+    """TPC-H Q4 shape: semi-join (EXISTS) — orders with at least one line
+    shipped after the order date, counted by priority."""
+    late_lines = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        orders.filter(F.year("o_orderdate") == year)
+        .join(
+            late_lines,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def ORDER_PRIORITY_COUNTS_SQL(year: int = 1997) -> str:
+    return f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE year(o_orderdate) = {year}
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1
+"""

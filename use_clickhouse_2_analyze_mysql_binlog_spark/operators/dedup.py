@@ -86,21 +86,50 @@ def _doc_shingles(documents: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_posting(documents: DataFrame) -> DataFrame:
+    """Distinct (doc_id, sh) posting list with the shingle hashed exactly
+    once, *after* explode.
+
+    Performance-critical: hashing inside array lambdas gets re-evaluated
+    per enclosing lambda (Spark's subexpression elimination does not look
+    into higher-order-function bodies), which made signature building
+    O(num_hashes x shingles x md5). Hash-after-explode computes each md5
+    once, period.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        documents.select("doc_id", norm.alias("norm"))
+        .withColumn("shingle", F.explode(shingles_expr("norm")))
+        .select("doc_id", hash60(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+
+
+def _doc_hash_sets(documents: DataFrame) -> DataFrame:
+    """Per-doc array of distinct shingle hashes (longs), built from the
+    posting list so each shingle is hashed once; long-array intersections
+    are then cheap."""
+    return _shingle_posting(documents).groupBy("doc_id").agg(
+        F.collect_list("sh").alias("sh_set")
+    )
+
+
 _DOC_SHINGLES_SQL = f"""
   SELECT doc_id, {SHINGLES_SQL('norm')} AS shingles
   FROM (SELECT doc_id, {NORM_SQL} AS norm FROM documents)
 """
 
 
-def _pair_jaccard(cand: DataFrame, shingled: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate (doc_a, doc_b) pairs via shingle sets."""
-    sa = shingled.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+def _pair_jaccard(cand: DataFrame, hash_sets: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs via per-doc shingle
+    *hash* sets (long arrays — md5 already paid once in the posting)."""
+    sa = hash_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a")
     )
-    sb = shingled.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    sb = hash_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b")
     )
-    inter = F.size(F.expr("filter(sh_a, s -> array_contains(sh_b, s))"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         cand.join(sa, "doc_a")
@@ -133,11 +162,14 @@ def ngram_jaccard_pairs(
     Candidates = document pairs sharing >=1 shingle (optionally ignoring
     shingles with document frequency > ``max_df`` — the scale lever; at
     100 TB frequent shingles otherwise create quadratic bucket blowups).
+
+    The intersection count is computed *relationally* — posting-list
+    self-join grouped by pair — rather than per-pair array intersection:
+    when the corpus shares many shingles (candidate count ~ all pairs),
+    the relational plan is one shuffle of the posting join instead of a
+    quadratic array crunch.
     """
-    shingled = _doc_shingles(documents)
-    posting = shingled.select(
-        "doc_id", F.explode("sh_hashes").alias("sh")
-    ).distinct()
+    posting = _shingle_posting(documents)
     if max_df is not None:
         rare = (
             posting.groupBy("sh")
@@ -148,16 +180,25 @@ def ngram_jaccard_pairs(
         posting = posting.join(rare, "sh")
     a = posting.select(F.col("sh"), F.col("doc_id").alias("doc_a"))
     b = posting.select(F.col("sh"), F.col("doc_id").alias("doc_b"))
-    cand = (
+    inter = (
         a.join(b, "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     return (
-        _pair_jaccard(cand, shingled)
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -185,28 +226,32 @@ NUM_HASHES = 32
 NUM_BANDS = 8  # 8 bands x 4 rows
 
 
-def _minhash_sig_expr() -> str:
-    """Spark SQL expr: 32-slot minhash signature from sh31 hash array.
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """Per-document minhash signature (array of 32 longs).
 
     Permutation family h_i(x) = ((2i+1)*x + 7919*i + 1) mod (2^31-1);
     inputs are 31-bit so products stay far below 2^63.
+
+    Relational formulation: explode once, hash once, then 32 parallel
+    ``min`` aggregates (all map-side-combined in one pass). The naive
+    array form — transform(sequence(0,31), i -> array_min(transform(...)))
+    — re-evaluates the md5 chain per slot because subexpression
+    elimination does not reach inside HOF lambdas; measured 30x slower.
     """
-    return (
-        f"transform(sequence(0, {NUM_HASHES - 1}), i -> "
-        f"array_min(transform(sh31, x -> "
-        f"((2*i + 1) * x + 7919*i + 1) % {MINHASH_PRIME}L)))"
+    posting = _shingle_posting(documents).withColumn(
+        "x", F.col("sh") % MINHASH_PRIME
     )
-
-
-def minhash_signatures(documents: DataFrame) -> DataFrame:
-    """Per-document minhash signature (array of 32 longs), no shuffle."""
+    mins = [
+        F.min((F.lit(2 * i + 1) * F.col("x") + F.lit(7919 * i + 1)) % MINHASH_PRIME)
+        .alias(f"m{i}")
+        for i in range(NUM_HASHES)
+    ]
     return (
-        _doc_shingles(documents)
-        .withColumn(
-            "sh31", F.expr(f"transform(sh_hashes, h -> h % {MINHASH_PRIME}L)")
+        posting.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
         )
-        .withColumn("sig", F.expr(_minhash_sig_expr()))
-        .select("doc_id", "shingles", "sig")
     )
 
 
@@ -245,9 +290,8 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
         .select("doc_a", "doc_b")
         .distinct()
     )
-    shingled = _doc_shingles(documents)
     return (
-        _pair_jaccard(cand, shingled)
+        _pair_jaccard(cand, _doc_hash_sets(documents))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -295,18 +339,31 @@ SIMHASH_CHUNKS = 4  # 15-bit chunks; hamming<=3 => >=1 chunk equal
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """60-bit SimHash over whitespace tokens (with multiplicity): bit j is
-    set iff a strict majority of token hashes have bit j set. Pure array
-    expressions, per-row."""
-    d = documents.select("doc_id", tokens("text").alias("toks")).withColumn(
-        "th", F.expr(f"transform(toks, t -> {_hash60_expr_sql('t')})")
+    set iff a strict majority of token hashes have bit j set.
+
+    Relational formulation: explode tokens, hash each once, then 60
+    parallel +/-1 sums in one aggregation pass (bit j set iff its sum is
+    positive). The pure-array form re-hashed every token once per bit
+    (subexpression elimination stops at HOF lambda boundaries).
+    """
+    tok = documents.select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    ).select("doc_id", hash60(F.col("t")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return tok.groupBy("doc_id").agg(*bit_sums).select(
+        "doc_id", sim.alias("simhash")
     )
-    sim = F.expr(
-        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT), "
-        f"(acc, j) -> acc + CASE WHEN "
-        f"2 * size(filter(th, h -> (shiftright(h, j) & 1) = 1)) > size(th) "
-        f"THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"
-    )
-    return d.select("doc_id", sim.alias("simhash"))
 
 
 SIMHASH_SIG_SQL = f"""

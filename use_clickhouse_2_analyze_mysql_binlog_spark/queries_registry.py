@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
 from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
+    analytics,
     dedup,
     dims,
     multimodal,
@@ -460,3 +461,45 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schemas.load_table(spark, sf_dir, "documents")
     )
     return multimodal.extract_media_features(media, decoder=multimodal.stub_decoder)
+
+
+# ---------------------------------------------------------------------------
+# General analytical queries (joins + wide aggs; TPC-H-shaped)
+# ---------------------------------------------------------------------------
+
+@register("pricing_summary", analytics.PRICING_SUMMARY_SQL())
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 shape: wide decimal aggregate over lineitem."""
+    return analytics.pricing_summary(schemas.load_table(spark, sf_dir, "lineitem"))
+
+
+@register("top_revenue_orders", analytics.TOP_REVENUE_ORDERS_SQL())
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: customer x orders x lineitem, revenue top-10."""
+    return analytics.top_revenue_orders(
+        schemas.load_table(spark, sf_dir, "customer"),
+        schemas.load_table(spark, sf_dir, "orders"),
+        schemas.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("nation_revenue", analytics.NATION_REVENUE_SQL())
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 6-table join, revenue by nation in one region/year."""
+    return analytics.nation_revenue(
+        schemas.load_table(spark, sf_dir, "customer"),
+        schemas.load_table(spark, sf_dir, "orders"),
+        schemas.load_table(spark, sf_dir, "lineitem"),
+        schemas.load_table(spark, sf_dir, "supplier"),
+        schemas.load_table(spark, sf_dir, "nation"),
+        schemas.load_table(spark, sf_dir, "region"),
+    )
+
+
+@register("order_priority_counts", analytics.ORDER_PRIORITY_COUNTS_SQL())
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS semi-join counted by order priority."""
+    return analytics.order_priority_counts(
+        schemas.load_table(spark, sf_dir, "orders"),
+        schemas.load_table(spark, sf_dir, "lineitem"),
+    )
