@@ -70,6 +70,17 @@ GROUP BY 1
 """
 
 
+def apply_dedup(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Materialize a deduplicated corpus: drop the larger doc_id of every
+    near-dup pair (keep-first policy; pairs are oriented doc_a < doc_b).
+
+    One left-anti join against the distinct drop set — at 100 TB the drop
+    set is small relative to the corpus and broadcasts.
+    """
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return documents.join(F.broadcast(drops), "doc_id", "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Shared: per-document shingle hash arrays
 # ---------------------------------------------------------------------------

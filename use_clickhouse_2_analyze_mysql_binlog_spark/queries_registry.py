@@ -24,6 +24,7 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
     similarity,
     text,
     transactions,
+    windows,
 )
 from use_clickhouse_2_analyze_mysql_binlog_spark.sources import transform
 
@@ -502,4 +503,77 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.order_priority_counts(
         schemas.load_table(spark, sf_dir, "orders"),
         schemas.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic windows, session windows, cube, multi-cluster fan-out (§2.5, W6/W7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "windowed_running_size",
+    windows.RUNNING_TRANSACTION_SIZE_SQL(schemas.BINLOG_VIEW_SQL),
+)
+def windowed_running_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference author's wished-for analytic window query
+    (README.md:376-380): trailing range-window sum per gtid + lag deltas."""
+    return windows.running_transaction_size(_binlog(spark, sf_dir))
+
+
+@register("session_windows", windows.SESSION_WINDOWS_SQL(gap_minutes=30))
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — per-user session windows (30-min inactivity gap) via Spark's
+    native session_window; oracle uses gaps-and-islands SQL."""
+    return windows.session_windows(schemas.load_table(spark, sf_dir, "events"))
+
+
+@register("event_count_cube", windows.EVENT_COUNT_CUBE_SQL(schemas.BINLOG_VIEW_SQL))
+def event_count_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — CUBE grouping sets with count + exact distinct-gtid count."""
+    return windows.event_count_cube(_binlog(spark, sf_dir))
+
+
+@register(
+    "multi_cluster_daily_counts",
+    f"""
+WITH binlog AS ({schemas.BINLOG_VIEW_SQL}),
+tagged AS (
+  SELECT 'cluster1' AS cluster, * FROM binlog WHERE binlog_pos % 3 = 0
+  UNION ALL
+  SELECT 'cluster2' AS cluster, * FROM binlog WHERE binlog_pos % 3 = 1
+  UNION ALL
+  SELECT 'cluster3' AS cluster, * FROM binlog WHERE binlog_pos % 3 = 2
+)
+SELECT cluster, strftime(execute_time, '%Y-%m-%d') AS day, event_type,
+       count(*) AS event_count
+FROM tagged GROUP BY 1, 2, 3
+""",
+)
+def multi_cluster_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 — per-source fan-out: 3 simulated source clusters unioned with a
+    cluster tag (the reference loops its SQL over 3 ClickHouse clusters,
+    compute_transaction_info.py:166-172); one Spark job covers all."""
+    b = _binlog(spark, sf_dir)
+    clusters = {
+        f"cluster{i + 1}": b.filter(F.col("binlog_pos") % 3 == i) for i in range(3)
+    }
+    return windows.multi_cluster_daily_counts(clusters)
+
+
+@register(
+    "dedup_apply_minhash",
+    dedup.MINHASH_LSH_SQL(threshold=0.5).replace(
+        "SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5",
+        """SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+ANTI JOIN (SELECT DISTINCT doc_b FROM pairs WHERE jaccard >= 0.5) x
+ON d.doc_id = x.doc_b""",
+    ),
+)
+def dedup_apply_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized dedup: corpus minus the larger side of every MinHash
+    near-dup pair (keep-first policy)."""
+    docs = schemas.load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup.apply_dedup(docs, pairs).select(
+        "doc_id", "lang", "source", "n_chars"
     )
