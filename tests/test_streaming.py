@@ -126,3 +126,104 @@ def test_window_job_matches_batch_and_drops_late(spark, tmp_path, binlog_df):
         assert got.count() == want.count(), stem
         w = want.select(*got.columns)
         assert got.exceptAll(w).count() == 0 and w.exceptAll(got).count() == 0, stem
+
+
+def test_stateful_sessionizer_matches_batch(spark, tmp_path, binlog_df):
+    """applyInPandasWithState sessionizer: emitted sessions must equal the
+    batch gaps-and-islands computation for every session the watermark had
+    finalized (end + gap <= final watermark)."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import stateful_job
+
+    gap_s, delay_ms = 1800, 300_000
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    binlog_df.repartition(4).write.parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(binlog_df.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = stateful_job.run_sessionizer_job(
+            stream, out, ckpt, gap_seconds=gap_s, available_now=True
+        )
+        q.awaitTermination(180)
+
+    run()  # pass 1: real data; watermark ends at gmax - 5 min
+
+    # pass 2: one future "flush" row per gtid invokes every key once more
+    # with the fully-advanced watermark, finalizing all eligible sessions
+    gmax = binlog_df.agg(F.max("execute_time")).collect()[0][0]
+    flush = binlog_df.select("gtid").distinct().select(
+        F.lit("appdb").alias("schema"),
+        F.lit("t_0").alias("table"),
+        F.lit("INSERT").alias("event_type"),
+        F.lit(0).alias("is_ddl"),
+        F.lit("mysql-bin.0").alias("binlog_file"),
+        F.lit(0).cast("long").alias("binlog_pos"),
+        F.lit("utf8mb4").alias("characterset"),
+        (F.lit(gmax) + F.expr("INTERVAL 2 DAYS")).alias("execute_time"),
+        "gtid",
+        F.lit(0).cast("long").alias("single_statement_affected_rows"),
+        F.lit(0).cast("long").alias("single_statement_size"),
+        (F.lit(gmax) + F.expr("INTERVAL 2 DAYS")).alias("ctime"),
+    )
+    flush.select(*binlog_df.columns).coalesce(1).write.mode("append").parquet(src)
+    run()  # pass 2: flush batch, watermark = gmax - delay
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select(
+            "gtid",
+            "session_start",
+            "session_end",
+            "statement_count",
+            "transaction_size",
+            "affected_rows",
+        )
+        .collect()
+    }
+
+    # batch expectation (pure python gaps-and-islands, same ms math)
+    import pandas as pd
+
+    pdf = binlog_df.select(
+        "gtid", "execute_time", "binlog_pos",
+        "single_statement_size", "single_statement_affected_rows",
+    ).toPandas()
+    pdf["ms"] = pdf["execute_time"].astype("int64") // 1_000_000
+    wm_ms = int(pd.Timestamp(gmax).value // 1_000_000) - delay_ms
+    gap_ms = gap_s * 1000
+    want = set()
+    for gtid, g in pdf.groupby("gtid"):
+        rows = sorted(
+            zip(g["ms"], g["binlog_pos"], g["single_statement_size"],
+                g["single_statement_affected_rows"])
+        )
+        sessions, cur = [], [rows[0]]
+        for r in rows[1:]:
+            if r[0] - cur[-1][0] < gap_ms:
+                cur.append(r)
+            else:
+                sessions.append(cur)
+                cur = [r]
+        sessions.append(cur)
+        for s in sessions:
+            if s[-1][0] + gap_ms > wm_ms:
+                continue
+            mx = max(s, key=lambda r: r[1])
+            want.add(
+                (
+                    gtid,
+                    pd.Timestamp(s[0][0], unit="ms").strftime("%Y-%m-%d %H:%M:%S"),
+                    pd.Timestamp(s[-1][0], unit="ms").strftime("%Y-%m-%d %H:%M:%S"),
+                    len(s),
+                    int(mx[1]) - min(r[1] for r in s) + int(mx[2]),
+                    int(sum(r[3] for r in s)),
+                )
+            )
+    assert got == want
+    assert len(got) > 0

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
 from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
     analytics,
+    asof,
     dedup,
     dims,
     multimodal,
@@ -577,3 +578,24 @@ def dedup_apply_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.apply_dedup(docs, pairs).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join + range join (operators Spark lacks natively; operators/asof.py)
+# ---------------------------------------------------------------------------
+
+@register("asof_trade_quote", asof.TRADE_QUOTE_ASOF_SQL(schemas.BINLOG_VIEW_SQL))
+def asof_trade_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (union + last-value window; one shuffle, no
+    theta-join blow-up) — oracle is DuckDB's native ASOF JOIN."""
+    return asof.trade_quote_asof(_binlog(spark, sf_dir))
+
+
+@register(
+    "range_join_maintenance_windows",
+    asof.MAINTENANCE_WINDOW_COUNTS_SQL(schemas.BINLOG_VIEW_SQL),
+)
+def range_join_maintenance_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment via time-binned equi-join — oracle is a plain
+    inequality join."""
+    return asof.maintenance_window_counts(_binlog(spark, sf_dir))
