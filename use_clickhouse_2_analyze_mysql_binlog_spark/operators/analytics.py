@@ -211,3 +211,84 @@ WHERE year(o_orderdate) = {year}
               WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
 GROUP BY 1
 """
+
+
+def promo_revenue(
+    lineitem: DataFrame, part: DataFrame, month: str = "1997-06-01"
+) -> DataFrame:
+    """TPC-H Q14 shape: promo-part revenue share for one month. The part
+    dim joins on partkey (broadcast under the threshold, shuffle-hash
+    above); the month filter prunes the fact scan first."""
+    m0 = F.lit(month).cast("timestamp")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= m0)
+            & (F.col("l_shipdate") < m0 + F.expr("INTERVAL 1 MONTH"))
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double"),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.sum(disc_price).cast("double").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def PROMO_REVENUE_SQL(month: str = "1997-06-01") -> str:
+    return f"""
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE), 6)
+         AS promo_revenue_pct,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS total_revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{month} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{month} 00:00:00' + INTERVAL 1 MONTH
+"""
+
+
+def size_quantiles(binlog: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of statement size per
+    event type — `percentile` is exact (sort-based within groups), matching
+    SQL `quantile_cont`; for sketch-sized state at 100 TB swap in
+    `percentile_approx` (t-digest) at the cost of oracle exactness."""
+    pct = lambda p: F.round(  # noqa: E731
+        F.expr(f"percentile(single_statement_size, {p})"), 4
+    ).cast("double")
+    return binlog.groupBy("event_type").agg(
+        pct(0.5).alias("p50_size"),
+        pct(0.9).alias("p90_size"),
+        pct(0.99).alias("p99_size"),
+        F.max("single_statement_size").alias("max_size"),
+    )
+
+
+def SIZE_QUANTILES_SQL(binlog_sql: str) -> str:
+    return f"""
+WITH binlog AS ({binlog_sql})
+SELECT event_type,
+       CAST(round(quantile_cont(single_statement_size, 0.5), 4) AS DOUBLE)
+         AS p50_size,
+       CAST(round(quantile_cont(single_statement_size, 0.9), 4) AS DOUBLE)
+         AS p90_size,
+       CAST(round(quantile_cont(single_statement_size, 0.99), 4) AS DOUBLE)
+         AS p99_size,
+       max(single_statement_size) AS max_size
+FROM binlog
+GROUP BY 1
+"""

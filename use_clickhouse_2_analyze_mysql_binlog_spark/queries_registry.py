@@ -599,3 +599,18 @@ def range_join_maintenance_windows(spark: SparkSession, sf_dir: str) -> DataFram
     """Interval containment via time-binned equi-join — oracle is a plain
     inequality join."""
     return asof.maintenance_window_counts(_binlog(spark, sf_dir))
+
+
+@register("promo_revenue", analytics.PROMO_REVENUE_SQL())
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: lineitem x part join, promo revenue share."""
+    return analytics.promo_revenue(
+        schemas.load_table(spark, sf_dir, "lineitem"),
+        schemas.load_table(spark, sf_dir, "part"),
+    )
+
+
+@register("size_quantiles", analytics.SIZE_QUANTILES_SQL(schemas.BINLOG_VIEW_SQL))
+def size_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p90/p99 statement sizes per event type."""
+    return analytics.size_quantiles(_binlog(spark, sf_dir))
