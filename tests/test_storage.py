@@ -44,3 +44,51 @@ def test_retention_cutoff_and_sweep(spark, tmp_path):
     assert all(d < "day=2024-01-10" for d in dropped)
     surviving = storage.read_fact_table(spark, path)
     assert surviving.filter("day < DATE'2024-01-10'").count() == 0
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with zero
+    Exchange and zero Sort — the scan satisfies distribution + ordering
+    (the 100 TB co-location strategy for repeated fact-fact joins)."""
+    from pyspark.sql import functions as F
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+    from use_clickhouse_2_analyze_mysql_binlog_spark.plans import storage
+    from tests.conftest import SF_DIR
+
+    orders = schemas.load_table(spark, SF_DIR, "orders")
+    lineitem = schemas.load_table(spark, SF_DIR, "lineitem")
+    storage.write_bucketed(
+        orders, "orders_b", str(tmp_path / "orders_b"), "o_orderkey", 4
+    )
+    storage.write_bucketed(
+        lineitem, "lineitem_b", str(tmp_path / "lineitem_b"), "l_orderkey", 4
+    )
+    try:
+        # bucket-sorted scan ordering is opt-in since Spark 3 (it requires
+        # one file per bucket, which write_bucketed guarantees)
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        # hint forces SMJ (at test SF the tables fit the broadcast
+        # threshold; at the scale bucketing targets, SMJ is the default)
+        joined = (
+            spark.table("orders_b")
+            .hint("merge")
+            .join(
+                spark.table("lineitem_b").hint("merge"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .select("o_orderkey", "o_orderpriority", "l_extendedprice")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "Sort " not in plan.replace("SortMergeJoin", "SMJ"), plan
+        expected = (
+            orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

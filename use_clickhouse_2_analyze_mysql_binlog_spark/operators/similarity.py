@@ -219,3 +219,124 @@ FROM assigned a JOIN assigned b
   ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
 WHERE {COSINE_SQL('a.emb', 'b.emb')} >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (the bucketed ANN alternative to IVF)
+# ---------------------------------------------------------------------------
+
+LSH_TABLES = 4
+LSH_BITS = 8
+EMB_DIM = 64
+
+
+def _hyperplanes(
+    num_tables: int = LSH_TABLES, num_bits: int = LSH_BITS, dim: int = EMB_DIM
+) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1), derived from md5
+    so Spark and the oracle share the exact same literals (components are
+    inlined as constants into both plans — nothing is engine-evaluated)."""
+    import hashlib
+
+    def comp(t: int, j: int, i: int) -> float:
+        h = hashlib.md5(f"hp_{t}_{j}_{i}".encode()).hexdigest()
+        return (int(h[:15], 16) % 2_000_001 - 1_000_000) / 1_000_000.0
+
+    return [
+        [[comp(t, j, i) for i in range(dim)] for j in range(num_bits)]
+        for t in range(num_tables)
+    ]
+
+
+def _sig_bucket(emb_col: str, planes: list[list[float]]) -> F.Column:
+    """Bucket id in one LSH table: sign bits of ``num_bits`` hyperplane
+    dot products packed into an int."""
+    bucket = F.lit(0)
+    for j, hp in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.array(*[F.lit(v) for v in hp]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_buckets(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, label, emb, table_id, bucket) — one row per LSH table.
+
+    Scale shape: bucket computation is per-row (no shuffle); candidate
+    generation is an equi-join on (table_id, bucket). Collision probability
+    per table is cos-similarity^num_bits-ish; more tables raise recall,
+    more bits shrink buckets.
+    """
+    emb = with_double_embedding(embeddings)
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _sig_bucket("emb", planes).alias("bucket"),
+            )
+            for t, planes in enumerate(_hyperplanes())
+        ]
+    )
+    return emb.select(
+        "vec_id", "label", "emb", F.explode(tables).alias("tb")
+    ).select("vec_id", "label", "emb", "tb.table_id", "tb.bucket")
+
+
+def lsh_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """LSH top-k: exact-cosine rank over vectors sharing >=1 LSH bucket
+    with the query (vs IVF's single coarse bucket)."""
+    b = lsh_buckets(embeddings)
+    q = b.filter(F.col("vec_id") == query_vec_id).select(
+        "table_id", "bucket", F.col("emb").alias("q_emb")
+    )
+    cand = (
+        b.filter(F.col("vec_id") != query_vec_id)
+        .join(q, ["table_id", "bucket"])
+        .select("vec_id", "label", "emb", "q_emb")
+        .dropDuplicates(["vec_id"])
+    )
+    return (
+        cand.select("vec_id", "label", _cosine("emb", "q_emb").alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _SQL_DOT_LIT(emb: str, hp: list[float]) -> str:
+    lit = "[" + ", ".join(repr(v) for v in hp) + "]"
+    return (
+        f"list_sum(list_transform(generate_series(1, {len(hp)}), "
+        f"i -> {emb}[i] * ({lit}::DOUBLE[])[i]))"
+    )
+
+
+def LSH_TOPK_SQL(query_vec_id: int = 0, k: int = 10) -> str:
+    per_table = []
+    for t, planes in enumerate(_hyperplanes()):
+        bits = " + ".join(
+            f"(CASE WHEN {_SQL_DOT_LIT('emb', hp)} >= 0 THEN {1 << j} ELSE 0 END)"
+            for j, hp in enumerate(planes)
+        )
+        per_table.append(f"SELECT vec_id, label, emb, {t} AS table_id, {bits} AS bucket FROM e")
+    buckets = " UNION ALL ".join(per_table)
+    return f"""
+WITH e AS (SELECT vec_id, label, {_EMB_SQL} AS emb FROM embeddings),
+b AS ({buckets}),
+q AS (SELECT table_id, bucket, emb AS q_emb FROM b WHERE vec_id = {query_vec_id}),
+cand AS (
+  SELECT DISTINCT ON (b.vec_id) b.vec_id, b.label, b.emb, q.q_emb
+  FROM b JOIN q ON b.table_id = q.table_id AND b.bucket = q.bucket
+  WHERE b.vec_id <> {query_vec_id}
+)
+SELECT vec_id, label, {COSINE_SQL('emb', 'q_emb')} AS cos_sim
+FROM cand
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""

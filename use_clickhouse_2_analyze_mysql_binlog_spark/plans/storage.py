@@ -79,3 +79,35 @@ def retention_sweep(
             shutil.rmtree(part)
             dropped.append(part.name)
     return dropped
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_key: str,
+    num_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write a table bucketed (hash-clustered) + sorted by ``bucket_key``.
+
+    This is the 100 TB co-location strategy for repeated fact-fact joins
+    (orders⋈lineitem on orderkey, SURVEY.md §2.3 scale note): two tables
+    bucketed the same way join with **zero shuffle and zero sort** — the
+    scan itself satisfies the join's distribution and ordering requirement.
+    Bucket metadata needs a catalog, hence ``saveAsTable`` (external, at
+    ``path``) rather than a bare parquet write.
+    """
+    # Pre-partition by the bucket hash so each bucket is exactly ONE file:
+    # otherwise every writer task emits a file per bucket (tasks × buckets
+    # small files), and Spark only trusts sortBy order — eliding the
+    # join-side Sort — when a bucket is a single file.
+    (
+        df.repartition(num_buckets, F.col(bucket_key))
+        .write.mode(mode)
+        .option("path", path)
+        .bucketBy(num_buckets, bucket_key)
+        .sortBy(bucket_key)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

@@ -23,6 +23,7 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
     multimodal,
     rollups,
     similarity,
+    skew,
     text,
     transactions,
     windows,
@@ -614,3 +615,19 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def size_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated p50/p90/p99 statement sizes per event type."""
     return analytics.size_quantiles(_binlog(spark, sf_dir))
+
+
+@register(
+    "skew_salted_table_profile",
+    skew.TABLE_PROFILE_SALTED_SQL(schemas.BINLOG_VIEW_SQL),
+)
+def skew_salted_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on the maximally-skewed 4-value table key; oracle is the
+    plain join (salting never changes semantics)."""
+    return skew.table_profile_salted(_binlog(spark, sf_dir))
+
+
+@register("similarity_lsh_topk", similarity.LSH_TOPK_SQL())
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-10 (bucketed ANN, multi-table OR)."""
+    return similarity.lsh_topk(schemas.load_table(spark, sf_dir, "embeddings"))
