@@ -46,3 +46,33 @@ def test_cli_window_job_end_to_end(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "results" / "largest_transaction"))
     assert out.count() > 0
     assert "invertal" in out.columns  # [sic] reference column name
+
+
+def test_cli_sessions_and_maintain(spark, tmp_path, capsys):
+    src = str(tmp_path / "fact")
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    binlog.write.parquet(src)
+    rc = cli.main(
+        [
+            "sessions",
+            "--source", src,
+            "--output", str(tmp_path / "sessions"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--gap", "1800",
+            "--available-now",
+        ]
+    )
+    assert rc == 0
+    # schema materialized even when no session is watermark-finalized yet
+    out = spark.read.parquet(str(tmp_path / "sessions"))
+    assert "transaction_size" in out.columns
+
+    # maintenance: fragment a partitioned copy, then sweep+compact
+    from use_clickhouse_2_analyze_mysql_binlog_spark.plans import storage
+
+    fact = str(tmp_path / "fact_part")
+    for i in range(3):
+        storage.write_fact_table(binlog.filter(f"binlog_pos % 3 = {i}"), fact)
+    rc = cli.main(["maintain", "--path", fact, "--retention-months", "1"])
+    assert rc == 0
+    assert "compacted=" in capsys.readouterr().out

@@ -1,0 +1,64 @@
+"""Property-based tests (hypothesis) for pure operator logic.
+
+Spark-free: these pin down the algebraic properties the distributed
+operators rely on, at a per-function granularity the oracle-parity tests
+can't isolate.
+"""
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from use_clickhouse_2_analyze_mysql_binlog_spark.plans.storage import retention_cutoff
+from use_clickhouse_2_analyze_mysql_binlog_spark.streaming.stateful_job import (
+    _sessionize,
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(0, 10**9),  # ts_ms
+        st.integers(0, 10**6),  # pos
+        st.integers(0, 10**4),  # size
+        st.integers(0, 10**3),  # affected
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows, st.integers(1, 10**6))
+@settings(max_examples=200, deadline=None)
+def test_sessionize_partitions_input(rs, gap_ms):
+    sessions = _sessionize(rs, gap_ms)
+    # partition: every row appears exactly once, sorted within sessions
+    flat = [r for s in sessions for r in s]
+    assert sorted(flat) == sorted(rs)
+    for s in sessions:
+        assert s == sorted(s)
+        # intra-session gaps < gap_ms
+        assert all(b[0] - a[0] < gap_ms for a, b in zip(s, s[1:]))
+    # inter-session gaps >= gap_ms (sessions are maximal)
+    for s1, s2 in zip(sessions, sessions[1:]):
+        assert s2[0][0] - s1[-1][0] >= gap_ms
+
+
+@given(rows, st.integers(1, 10**6))
+@settings(max_examples=100, deadline=None)
+def test_sessionize_order_invariant(rs, gap_ms):
+    assert _sessionize(rs, gap_ms) == _sessionize(list(reversed(rs)), gap_ms)
+
+
+@given(
+    st.dates(dt.date(2000, 1, 31), dt.date(2030, 12, 31)),
+    st.integers(0, 120),
+)
+@settings(max_examples=200, deadline=None)
+def test_retention_cutoff_properties(today, months):
+    cut = retention_cutoff(today, months)
+    # exactly `months` calendar months back
+    assert (today.year * 12 + today.month) - (cut.year * 12 + cut.month) == months
+    # day clamped, never past today's day-of-month
+    assert cut.day <= today.day
+    # monotone: longer retention -> earlier (or equal) cutoff
+    assert retention_cutoff(today, months + 1) <= cut

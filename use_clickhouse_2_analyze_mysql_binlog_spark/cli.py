@@ -73,6 +73,24 @@ def build_parser() -> argparse.ArgumentParser:
     rol.add_argument("--by-table", action="store_true",
                      help="4-key rollup (day, schema, table, event_type)")
     _add_common(rol)
+
+    ses = sub.add_parser(
+        "sessions", help="stateful per-gtid gap-delimited transaction sessionizer"
+    )
+    ses.add_argument("--source", required=True, help="fact-table parquet path")
+    ses.add_argument("--output", required=True)
+    ses.add_argument("--gap", type=int, default=1800,
+                     help="session gap seconds")
+    ses.add_argument("--lateness", default="5 minutes")
+    _add_common(ses)
+
+    mnt = sub.add_parser(
+        "maintain", help="batch maintenance: TTL retention sweep + compaction"
+    )
+    mnt.add_argument("--path", required=True, help="fact-table parquet path")
+    mnt.add_argument("--retention-months", type=int, default=30)
+    mnt.add_argument("--target-file-mb", type=int, default=512)
+    mnt.add_argument("--skip-compaction", action="store_true")
     return ap
 
 
@@ -115,6 +133,34 @@ def main(argv: list[str] | None = None) -> int:
             interval_seconds=args.interval,
             available_now=args.available_now,
         )
+    elif args.cmd == "sessions":
+        from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import (
+            BINLOG_EVENT_SCHEMA,
+        )
+        from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import stateful_job
+
+        stream = spark.readStream.schema(BINLOG_EVENT_SCHEMA).parquet(args.source)
+        q = stateful_job.run_sessionizer_job(
+            stream,
+            args.output,
+            args.checkpoint,
+            gap_seconds=args.gap,
+            allowed_lateness=args.lateness,
+            available_now=args.available_now,
+        )
+    elif args.cmd == "maintain":
+        from use_clickhouse_2_analyze_mysql_binlog_spark.plans import storage
+
+        dropped = storage.retention_sweep(args.path, months=args.retention_months)
+        compacted = (
+            []
+            if args.skip_compaction
+            else storage.compact_day_partitions(
+                spark, args.path, target_file_bytes=args.target_file_mb << 20
+            )
+        )
+        print(f"dropped={len(dropped)} compacted={len(compacted)}")
+        return 0
     else:
         from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import (
             BINLOG_EVENT_SCHEMA,
