@@ -23,7 +23,7 @@ ties break by vec_id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 COS_DECIMALS = 6
@@ -100,7 +100,13 @@ def assign_ivf_buckets(embeddings: DataFrame, num_centroids: int = 16) -> DataFr
     Deterministic coarse codebook: the embeddings with
     ``vec_id < num_centroids`` act as centroids (a real pipeline would
     k-means these; the IVF *structure* is identical). Assignment is a
-    broadcast join + per-row argmax — no shuffle of the big side.
+    broadcast join + ``max_by`` argmax aggregation: unlike a
+    ``row_number`` window (which shuffles AND sorts all num_centroids × N
+    scored rows), the groupBy gets map-side partial aggregation — each
+    scan partition reduces its num_centroids candidates per vector to one
+    before anything shuffles. Ties break toward the lower centroid_id via
+    the (cos, -id) ordering struct; label/emb are constant per vec_id so
+    ``first`` is deterministic in value.
     """
     emb = with_double_embedding(embeddings)
     cents = (
@@ -114,14 +120,13 @@ def assign_ivf_buckets(embeddings: DataFrame, num_centroids: int = 16) -> DataFr
         "centroid_id",
         _cosine("emb", "c_emb").alias("c_cos"),
     )
-    w = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy(
-            F.col("c_cos").desc(), F.col("centroid_id").asc()
-        )
-    )
-    return scored.withColumn("rn", w).filter(F.col("rn") == 1).select(
-        "vec_id", "label", "emb", "centroid_id"
-    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("c_cos"), (-F.col("centroid_id")).alias("nc"))
+        ).alias("centroid_id"),
+        F.first("label").alias("label"),
+        F.first("emb").alias("emb"),
+    ).select("vec_id", "label", "emb", "centroid_id")
 
 
 def _ASSIGN_SQL(num_centroids: int) -> str:
