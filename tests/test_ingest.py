@@ -3,6 +3,8 @@ Kafka source config mapping (SURVEY.md §2.1-2.2)."""
 
 import json
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -141,3 +143,56 @@ def test_kafka_reader_options():
     ).reader_options()
     assert "startingOffsets" not in stored
     assert stored["subscribe"] == "t"
+
+
+def test_decode_packets_protobuf_requires_descriptor(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.sources import canal
+
+    raw = spark.createDataFrame([(b"x",)], "value binary")
+    with pytest.raises(FileNotFoundError, match="descriptor"):
+        canal.decode_packets_protobuf(raw, "/nonexistent/canal.desc")
+
+
+def test_jdbc_sink_config_and_idempotent_writer(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.sinks import (
+        JdbcSinkConfig,
+        foreach_batch_writer,
+    )
+
+    cfg = JdbcSinkConfig(
+        url="jdbc:clickhouse://h1:8123,h2:8123/mysql_monitor",
+        table="largest_transaction_local",
+        user="writer",
+        batch_size=5000,
+    )
+    assert cfg.properties()["batchsize"] == "5000"
+    assert cfg.properties()["user"] == "writer"
+
+    written = []
+
+    def fake_writer(df, _cfg):
+        written.extend(sorted(r["end_time"] for r in df.collect()))
+
+    batch = spark.createDataFrame(
+        [("t1", 1), ("t2", 2), ("t3", 3)], "end_time string, v int"
+    )
+    # sink already holds t1/t3 -> only t2 may be written (S11 guard)
+    existing = spark.createDataFrame([("t1",), ("t3",)], "end_time string")
+    publish = foreach_batch_writer(
+        cfg,
+        dedup_keys=["end_time"],
+        existing_keys=lambda b: existing,
+        writer=fake_writer,
+    )
+    publish(batch, 0)
+    assert written == ["t2"]
+    # replayed epoch against a sink now containing everything -> no write
+    written.clear()
+    publish2 = foreach_batch_writer(
+        cfg,
+        dedup_keys=["end_time"],
+        existing_keys=lambda b: batch.select("end_time"),
+        writer=fake_writer,
+    )
+    publish2(batch, 0)
+    assert written == []

@@ -107,3 +107,50 @@ def decode_packets(raw_df: DataFrame) -> DataFrame:
             "EntryProtocol.proto/CanalProtocol.proto and use from_protobuf"
         )
     return decode_packets_with(raw_df, parse_packet_canal)
+
+
+def decode_packets_protobuf(raw_df: DataFrame, descriptor_path: str) -> DataFrame:
+    """Fully JVM-side decode via ``from_protobuf`` (Spark >= 3.4) — the
+    production path when a compiled canal descriptor set is available
+    (``protoc --descriptor_set_out --include_imports CanalProtocol.proto
+    EntryProtocol.proto`` from the public alibaba/canal protocol).
+
+    Unwraps Packet.body -> Messages.messages -> Entry and re-decodes each
+    entry's storeValue as RowChange, mirroring mon_mysql_dml.py:150-169 and
+    :254-255 without any Python in the hot path. Requires the
+    spark-protobuf package on the classpath (bundled with Spark distros).
+    """
+    import os
+
+    if not os.path.exists(descriptor_path):
+        raise FileNotFoundError(
+            f"canal descriptor set not found at {descriptor_path}; compile "
+            "the public canal protos with protoc --descriptor_set_out, or "
+            "use decode_packets_with(df, parser) (Arrow fallback)"
+        )
+    from pyspark.sql import functions as F
+    from pyspark.sql.protobuf.functions import from_protobuf
+
+    packets = raw_df.select(
+        from_protobuf("value", "Packet", descFilePath=descriptor_path).alias("p")
+    )
+    entries = packets.select(
+        F.explode(
+            from_protobuf("p.body", "Messages", descFilePath=descriptor_path)[
+                "messages"
+            ]
+        ).alias("raw_entry")
+    ).select(
+        from_protobuf("raw_entry", "Entry", descFilePath=descriptor_path).alias("e")
+    )
+    return entries.select(
+        F.col("e.entryType").cast("string").alias("entryType"),
+        F.col("e.header").alias("header"),
+        from_protobuf("e.storeValue", "RowChange", descFilePath=descriptor_path)
+        .alias("rc"),
+    ).select(
+        "entryType",
+        "header",
+        F.col("rc.isDdl").alias("isDdl"),
+        F.col("rc.rowDatas").alias("rowDatas"),
+    )
