@@ -127,3 +127,50 @@ def test_real_decoder_is_stubbed(spark, planted_docs):
     feats = multimodal.extract_media_features(media)  # default: real_decoder
     with pytest.raises(Exception, match="NotImplementedError|media decoding"):
         feats.collect()
+
+
+def test_reference_worked_example_transaction_size(spark):
+    """Golden fixture: the reference's manually-verified transaction
+    (mon_mysql_dml.py:264-310) — six statements of one gtid, positions
+    451044141..451045845, where sum(size)=1587 undercounts (Table_map
+    events invisible to canal) and the position formula gives
+    max(pos)-min(pos) + size_at_max_pos = 1704 + 116 = 1820."""
+    import datetime as dt
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import transactions
+
+    ts = dt.datetime(2020, 8, 30, 15, 32, 26)
+    rows = [
+        ("", "f_file_info", "QUERY", 451044141, 593),
+        ("yos", "f_file_info", "INSERT", 451044825, 284),
+        ("", "f_file_storage", "QUERY", 451045109, 239),
+        ("yos", "f_file_storage", "INSERT", 451045419, 116),
+        ("", "f_file_storage", "QUERY", 451045535, 239),
+        ("yos", "f_file_storage", "INSERT", 451045845, 116),
+    ]
+    binlog = spark.createDataFrame(
+        [
+            (s, t, e, 0, "mysql-bin.004775", p, "utf8mb4", ts, "xxx:1", 1, sz, ts)
+            for s, t, e, p, sz in rows
+        ],
+        schema=schemas.BINLOG_EVENT_SCHEMA,
+    )
+    got = transactions.transaction_stats(binlog).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.transaction_size == 1820  # = 1704 + 116, NOT sum(size) = 1587
+    assert r.statement_count == 6
+    assert r.transaction_spend_time == 0
+    assert r.gtid == "xxx:1"
+
+    # the same formula through the stateful sessionizer's finalize path
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming.stateful_job import (
+        _finalize,
+        _sessionize,
+    )
+
+    ms = int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    sess = _sessionize([(ms, p, sz, 1) for _, _, _, p, sz in rows], 60_000)
+    assert len(sess) == 1
+    assert _finalize("xxx:1", sess[0])["transaction_size"] == 1820
