@@ -174,3 +174,58 @@ def test_reference_worked_example_transaction_size(spark):
     sess = _sessionize([(ms, p, sz, 1) for _, _, _, p, sz in rows], 60_000)
     assert len(sess) == 1
     assert _finalize("xxx:1", sess[0])["transaction_size"] == 1820
+
+
+def test_approx_sketches_bounded_error(spark):
+    """The rows-only sketch queries must track their exact counterparts:
+    percentile_approx within rank-accuracy bounds, HLL within ~3*rsd."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import analytics
+    from tests.conftest import SF_DIR
+
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+
+    # percentile_approx guarantees RANK accuracy: the returned element's
+    # rank must fall in [p - d, p + d]; assert by value-bracketing with the
+    # exact percentiles at the widened ranks
+    d = 0.02
+    brackets = binlog.groupBy("event_type").agg(
+        *[
+            F.expr(
+                f"percentile(single_statement_size, {max(p - d, 0.0)})"
+            ).alias(f"lo_{name}")
+            for name, p in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+        ],
+        *[
+            F.expr(
+                f"percentile(single_statement_size, {min(p + d, 1.0)})"
+            ).alias(f"hi_{name}")
+            for name, p in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+        ],
+    )
+    bounds = {r.event_type: r for r in brackets.collect()}
+    approx = {
+        r.event_type: r for r in analytics.size_quantiles_approx(binlog).collect()
+    }
+    assert set(bounds) == set(approx)
+    for et, a in approx.items():
+        b = bounds[et]
+        for name in ("p50", "p90", "p99"):
+            v = getattr(a, f"{name}_size")
+            assert getattr(b, f"lo_{name}") <= v <= getattr(b, f"hi_{name}"), (
+                et, name, v)
+
+    exact_d = {
+        (r.day, r.event_count): r.distinct_gtids
+        for r in binlog.groupBy(
+            F.date_format("execute_time", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.countDistinct("gtid").alias("distinct_gtids"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+        .collect()
+    }
+    for r in analytics.daily_distinct_gtids_approx(binlog).collect():
+        truth = exact_d[(r.day, r.event_count)]
+        assert abs(r.approx_gtids - truth) <= max(3, 0.03 * truth), (r.day, truth)

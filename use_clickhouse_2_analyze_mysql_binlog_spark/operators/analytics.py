@@ -292,3 +292,31 @@ SELECT event_type,
 FROM binlog
 GROUP BY 1
 """
+
+
+def size_quantiles_approx(binlog: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """Sketch-based percentiles (`percentile_approx`, t-digest-style
+    bounded state) — the 100 TB path where exact per-group sorts are not
+    worth it. No SQL oracle (sketch results are engine-specific);
+    correctness is bounded-error vs the exact percentiles in tests."""
+    pct = lambda p: F.expr(  # noqa: E731
+        f"percentile_approx(single_statement_size, {p}, {accuracy})"
+    ).cast("double")
+    return binlog.groupBy("event_type").agg(
+        pct(0.5).alias("p50_size"),
+        pct(0.9).alias("p90_size"),
+        pct(0.99).alias("p99_size"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def daily_distinct_gtids_approx(binlog: DataFrame, rsd: float = 0.01) -> DataFrame:
+    """HyperLogLog++ distinct transactions per day (`approx_count_distinct`,
+    fixed 2^p registers vs the exact count's per-key state). No SQL oracle
+    (HLL estimates are engine-specific); bounded-error tested locally."""
+    return binlog.groupBy(
+        F.date_format("execute_time", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.approx_count_distinct("gtid", rsd).alias("approx_gtids"),
+        F.count(F.lit(1)).alias("event_count"),
+    )

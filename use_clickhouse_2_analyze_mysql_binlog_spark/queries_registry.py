@@ -631,3 +631,16 @@ def skew_salted_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH top-10 (bucketed ANN, multi-table OR)."""
     return similarity.lsh_topk(schemas.load_table(spark, sf_dir, "embeddings"))
+
+
+@register("size_quantiles_approx")  # rows-only: sketch, engine-specific values
+def size_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest-style approximate percentiles (bounded-error tested in
+    tests/test_pipeline_ops.py against the exact size_quantiles)."""
+    return analytics.size_quantiles_approx(_binlog(spark, sf_dir))
+
+
+@register("daily_distinct_gtids_approx")  # rows-only: HLL sketch
+def daily_distinct_gtids_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct transactions per day (bounded-error tested locally)."""
+    return analytics.daily_distinct_gtids_approx(_binlog(spark, sf_dir))
