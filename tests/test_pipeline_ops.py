@@ -229,3 +229,49 @@ def test_approx_sketches_bounded_error(spark):
     for r in analytics.daily_distinct_gtids_approx(binlog).collect():
         truth = exact_d[(r.day, r.event_count)]
         assert abs(r.approx_gtids - truth) <= max(3, 0.03 * truth), (r.day, truth)
+
+
+def test_connected_components_chains(spark):
+    """a~b, b~c (a~c never emitted) must collapse into one cluster with
+    min-id canonical — the chain case pairwise dropping gets wrong."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (10, 11), (3, 4)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7, 10: 10, 11: 10}
+
+
+def test_asof_join_tolerance_and_semantics(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:10:00", 1), ("k", "2024-01-01 02:00:00", 2),
+         ("k", "2024-01-01 00:00:30", 3), ("x", "2024-01-01 00:05:00", 4)],
+        "k string, lt string, lid int",
+    ).selectExpr("k", "CAST(lt AS TIMESTAMP) AS lt", "lid")
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:01:00", 100), ("k", "2024-01-01 00:30:00", 200)],
+        "k string, rt string, payload int",
+    ).selectExpr("k", "CAST(rt AS TIMESTAMP) AS rt", "payload")
+
+    out = {
+        r.lid: r.payload
+        for r in asof_join(left, right, "k", "lt", "rt", ["payload"]).collect()
+    }
+    # lid=3 precedes every quote -> dropped (inner); lid=4: key with no
+    # quotes -> dropped; lid=1 -> 00:01 quote; lid=2 -> 00:30 quote
+    assert out == {1: 100, 2: 200}
+
+    tol = {
+        r.lid: r.payload
+        for r in asof_join(
+            left, right, "k", "lt", "rt", ["payload"], tolerance_seconds=900
+        ).collect()
+    }
+    # lid=2 is 90 min after its latest quote -> outside the 15-min tolerance
+    assert tol == {1: 100}

@@ -444,3 +444,89 @@ FROM chunks a JOIN chunks b
  AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# Connected components (duplicate-cluster canonicalization)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: each doc labeled with the
+    minimum doc_id reachable through the pair graph (a~b, b~c => one
+    cluster even when a~c was never emitted — keep-first over *chains*,
+    which pairwise dropping gets wrong).
+
+    Iterative min-label propagation: per round, every node takes the min
+    of its own and its neighbors' labels — one equi-join + groupBy-min per
+    round, converging in graph-diameter rounds (near-dup components are
+    shallow; ``max_iters`` is a guard, and convergence is detected by a
+    changed-count action). This is the DataFrame-native iterative
+    algorithm shape at 100 TB: labels persist per round, the edge list
+    never mutates, and each round is one shuffle.
+    """
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(
+                labels.withColumnsRenamed(
+                    {"doc_id": "doc_b", "cluster_id": "nbr_label"}
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def CONNECTED_COMPONENTS_SQL(pairs_sql: str) -> str:
+    """Oracle: transitive closure via recursive CTE (fine at oracle scale;
+    the Spark side uses label propagation instead because closure size is
+    quadratic in component size)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a
+"""

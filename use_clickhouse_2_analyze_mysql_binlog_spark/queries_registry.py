@@ -644,3 +644,16 @@ def size_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def daily_distinct_gtids_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct transactions per day (bounded-error tested locally)."""
     return analytics.daily_distinct_gtids_approx(_binlog(spark, sf_dir))
+
+
+@register(
+    "dedup_connected_components",
+    dedup.CONNECTED_COMPONENTS_SQL(
+        f"SELECT doc_a, doc_b FROM ({dedup.MINHASH_LSH_SQL(threshold=0.5)})"
+    ),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative min-label propagation clustering of MinHash near-dup
+    pairs; oracle is the recursive-CTE transitive closure."""
+    docs = schemas.load_table(spark, sf_dir, "documents")
+    return dedup.connected_components(dedup.minhash_lsh_pairs(docs, threshold=0.5))
