@@ -4,7 +4,7 @@ language ID, document fingerprinting.
 These extend the reference's surface (it has none of this — SURVEY.md §2.7
 F11) with the operators a 100 TB text-corpus pipeline needs. Everything is
 pure Spark SQL expressions (array higher-order functions, no Python UDFs):
-per-row work with zero shuffer — the scan parallelism is the parallelism.
+per-row work with zero shuffle — the scan parallelism is the parallelism.
 
 Each operator has a ``*_SQL`` twin rendering the identical computation for
 the DuckDB oracle; the two are kept adjacent so they evolve in lockstep.
