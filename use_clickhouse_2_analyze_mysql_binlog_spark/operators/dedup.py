@@ -464,7 +464,12 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     algorithm shape at 100 TB: labels persist per round, the edge list
     never mutates, and each round is one shuffle.
     """
-    edges = pairs.select("doc_a", "doc_b")
+    # materialize the edge list BEFORE the symmetric union: both union
+    # branches and every propagation round re-join it, and without the
+    # persist each consumer would recompute the (possibly expensive)
+    # pair-generation pipeline upstream of it
+    edges = pairs.select("doc_a", "doc_b").persist()
+    edges.count()  # materialize once, before the union's branches race
     sym = edges.unionByName(
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -508,6 +513,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 
