@@ -25,13 +25,19 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import (
 
 
 def event_type_dim(spark: SparkSession) -> DataFrame:
-    """The canal EventType enum as a 15-row dim (id, name, ddl flag)."""
-    rows = [
-        (i, name, 1 if name in DDL_EVENT_TYPES else 0)
+    """The canal EventType enum as a 15-row dim (id, name, ddl flag).
+
+    Built as a SQL VALUES literal (LocalRelation) rather than
+    ``createDataFrame``: the latter wraps a Python RDD, which costs a
+    driver job + serialization round just to broadcast 15 rows, and its
+    ExistingRDD plan blocks constant folding into the broadcast."""
+    rows = ", ".join(
+        f"({i}, '{name}', {1 if name in DDL_EVENT_TYPES else 0})"
         for i, name in sorted(EVENT_TYPE_NAMES.items())
-    ]
-    return spark.createDataFrame(
-        rows, "event_type_id int, event_type_name string, is_ddl int"
+    )
+    return spark.sql(
+        f"SELECT * FROM (VALUES {rows}) "
+        "AS t(event_type_id, event_type_name, is_ddl)"
     )
 
 
