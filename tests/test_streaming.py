@@ -227,3 +227,32 @@ def test_stateful_sessionizer_matches_batch(spark, tmp_path, binlog_df):
             )
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_dedup_drops_replayed_rows(spark, tmp_path, binlog_df):
+    """dropDuplicatesWithinWatermark: a replayed copy of recent rows must
+    vanish; every original row survives exactly once."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import dedup_job
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt")
+    base = binlog_df.repartition(2)
+    base.write.parquet(src)
+    # a replay: duplicate the 50 latest statements (inside any watermark)
+    base.orderBy(F.col("execute_time").desc()).limit(50).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(binlog_df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = dedup_job.run_dedup_stream(stream, out, ckpt, available_now=True)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    n_expected = binlog_df.count()
+    assert got.count() == n_expected
+    assert got.select("binlog_file", "binlog_pos").distinct().count() == n_expected
