@@ -74,11 +74,14 @@ def apply_dedup(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     """Materialize a deduplicated corpus: drop the larger doc_id of every
     near-dup pair (keep-first policy; pairs are oriented doc_a < doc_b).
 
-    One left-anti join against the distinct drop set — at 100 TB the drop
-    set is small relative to the corpus and broadcasts.
+    One left-anti join against the distinct drop set. Deliberately NOT
+    broadcast-hinted: the drop set scales with the corpus duplication rate
+    (a web-scale crawl can shed 30%+), so forcing a broadcast is a
+    scale hazard — AQE broadcasts it at runtime whenever it is actually
+    small, and falls back to a shuffled anti-join when it isn't.
     """
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    return documents.join(F.broadcast(drops), "doc_id", "left_anti")
+    return documents.join(drops, "doc_id", "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -70,6 +70,12 @@ def retention_sweep(
 
     Metadata-only partition drops — the Spark-side analogue of ClickHouse's
     TTL partition deletes; never rewrites surviving data.
+
+    Filesystem note: this and :func:`compact_day_partitions` walk a local/
+    mounted path (``pathlib``); on HDFS/S3 swap the directory operations
+    for the Hadoop FileSystem API (``spark._jvm.org.apache.hadoop.fs``) or
+    a table format's (Delta/Iceberg) retention commands — the partition
+    semantics are identical.
     """
     cutoff = retention_cutoff(today or dt.date.today(), months)
     dropped: list[str] = []
