@@ -275,3 +275,48 @@ def test_asof_join_tolerance_and_semantics(spark):
     }
     # lid=2 is 90 min after its latest quote -> outside the 15-min tolerance
     assert tol == {1: 100}
+
+
+def test_operators_on_empty_inputs(spark):
+    """Every core operator must return an empty, correctly-schemed result
+    on empty input — the empty-window case the reference special-cases in
+    Python (compute_transaction_info.py:126-128 skips None results)."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
+        dedup as dd,
+        rollups,
+        transactions,
+    )
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators.asof import (
+        asof_join,
+        range_join_binned,
+    )
+
+    empty_binlog = spark.createDataFrame([], schemas.BINLOG_EVENT_SCHEMA)
+    stats = transactions.transaction_stats(empty_binlog)
+    assert stats.count() == 0
+    assert transactions.top_transactions(stats, "transaction_size").count() == 0
+    assert rollups.daily_event_counts(empty_binlog).count() == 0
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    assert dd.exact_dedup_groups(empty_docs).count() == 0
+    assert dd.minhash_lsh_pairs(empty_docs).count() == 0
+    assert dd.connected_components(
+        spark.createDataFrame([], "doc_a long, doc_b long")
+    ).count() == 0
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 1)], "k string, lt string, lid int"
+    ).selectExpr("k", "CAST(lt AS TIMESTAMP) AS lt", "lid")
+    no_right = spark.createDataFrame(
+        [], "k string, rt timestamp, payload int"
+    )
+    assert asof_join(left, no_right, "k", "lt", "rt", ["payload"]).count() == 0
+
+    facts = left.selectExpr("lt AS t", "lid")
+    no_intervals = spark.createDataFrame(
+        [], "name string, s timestamp, e timestamp"
+    )
+    assert range_join_binned(facts, no_intervals, "t", "s", "e").count() == 0
