@@ -1,0 +1,54 @@
+"""Physical-plan regression tests: the scale properties PLANS.md documents
+must hold structurally, not just anecdotally — a change that reintroduces
+a shuffle or loses a broadcast should fail here, at any data size."""
+
+from use_clickhouse_2_analyze_mysql_binlog_spark import queries_registry as R
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = R.QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_transaction_stats_single_shuffle(spark):
+    plan = _plan(spark, "transaction_stats")
+    # partial + final HashAggregate around exactly one shuffle exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan
+
+
+def test_top1_uses_window_group_limit(spark):
+    plan = _plan(spark, "top_transaction_by_size")
+    # rank<=1 pushed as WindowGroupLimit on both shuffle sides — the
+    # distributed top-k; a full sort of all stats would lose this node
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _plan(spark, "event_type_decode_dim_join")
+    assert "BroadcastHashJoin" in plan, plan
+    # the only hash shuffle is the post-join aggregate — the fact side
+    # reaches the join straight off the scan; the dim is a LocalTableScan
+    # (VALUES literal) under a BroadcastExchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "LocalTableScan" in plan and "BroadcastExchange" in plan, plan
+
+
+def test_antijoin_broadcasts(spark):
+    plan = _plan(spark, "idempotent_window_antijoin")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_asof_join_single_key_shuffle(spark):
+    plan = _plan(spark, "asof_trade_quote")
+    # union + window: one hash shuffle on gtid for the as-of itself, one
+    # for the quote pre-aggregation — and crucially no join node at all
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_scans_are_pruned(spark):
+    # column pruning must reach the parquet scan of the fact table
+    plan = _plan(spark, "daily_event_counts")
+    assert "ReadSchema: struct<ts:bigint,event_type:string>" in plan, plan
