@@ -127,3 +127,36 @@ def test_compact_day_partitions(spark, tmp_path):
     ) == 1
     # identical content, not just counts
     assert sorted(map(str, after.select(cols).collect())) == before_rows
+
+
+def test_analytics_over_partitioned_layout(spark, tmp_path):
+    """End-to-end on the production layout: write day-partitioned sorted
+    parquet, query through it with a day filter, and match the same
+    computation on the in-memory view — with partition pruning active."""
+    from pyspark.sql import functions as F
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import transactions
+    from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import (
+        binlog_view,
+        load_table,
+    )
+
+    binlog = binlog_view(load_table(spark, SF_DIR, "events"))
+    path = str(tmp_path / "fact")
+    storage.write_fact_table(binlog, path, files_per_day=2, mode="overwrite")
+
+    stored = storage.read_fact_table(spark, path).filter(
+        "day BETWEEN DATE'2024-01-05' AND DATE'2024-01-09'"
+    )
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+
+    got = transactions.transaction_stats(stored.drop("day"))
+    want = transactions.transaction_stats(
+        binlog.filter(
+            (F.to_date("execute_time") >= "2024-01-05")
+            & (F.to_date("execute_time") <= "2024-01-09")
+        )
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

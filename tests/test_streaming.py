@@ -256,3 +256,73 @@ def test_streaming_dedup_drops_replayed_rows(spark, tmp_path, binlog_df):
     n_expected = binlog_df.count()
     assert got.count() == n_expected
     assert got.select("binlog_file", "binlog_pos").distinct().count() == n_expected
+
+
+def test_sessionizer_event_time_timeout_path(spark, tmp_path, binlog_df):
+    """Keys receiving no new data must still emit once the watermark passes
+    their open session + gap — the hasTimedOut branch, exercised by
+    advancing the watermark through a single other key."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import stateful_job
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    small = binlog_df.filter(F.col("gtid").isin([r.gtid for r in
+        binlog_df.select("gtid").distinct().limit(6).collect()]))
+    small.write.parquet(src)
+    gtids = [r.gtid for r in small.select("gtid").distinct().collect()]
+
+    def run():
+        stream = spark.readStream.schema(binlog_df.schema).parquet(src)
+        q = stateful_job.run_sessionizer_job(
+            stream, out, ckpt, gap_seconds=1800, available_now=True
+        )
+        q.awaitTermination(180)
+
+    def row_at(gtid, ts_expr):
+        return small.limit(1).select(
+            F.lit("appdb").alias("schema"), F.lit("t_0").alias("table"),
+            F.lit("INSERT").alias("event_type"), F.lit(0).alias("is_ddl"),
+            F.lit("f").alias("binlog_file"), F.lit(0).cast("long").alias("binlog_pos"),
+            F.lit("utf8mb4").alias("characterset"),
+            F.expr(ts_expr).alias("execute_time"), F.lit(gtid).alias("gtid"),
+            F.lit(0).cast("long").alias("single_statement_affected_rows"),
+            F.lit(0).cast("long").alias("single_statement_size"),
+            F.expr(ts_expr).alias("ctime"),
+        ).select(*small.columns)
+
+    gmax = small.agg(F.max("execute_time")).collect()[0][0]
+    run()  # pass 1: real data
+    n1 = spark.read.parquet(out).count()
+
+    # pass 2: +2d row for EVERY key -> all real sessions finalize eagerly;
+    # each key keeps one open singleton session (the +2d row)
+    import functools
+    flush = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [row_at(g, f"timestamp'{gmax}' + INTERVAL 2 DAYS") for g in gtids],
+    )
+    flush.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    # pass 3: +6d row for ONE key -> watermark jumps past every other
+    # key's (+2d session + gap) timeout; those keys see NO data this pass,
+    # so only the hasTimedOut branch can emit their singleton sessions
+    row_at(gtids[0], f"timestamp'{gmax}' + INTERVAL 6 DAYS").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    sessions = spark.read.parquet(out)
+    fmt = "%Y-%m-%d %H:%M:%S"
+    import datetime as dt
+
+    flush_start = (gmax + dt.timedelta(days=2)).strftime(fmt)
+    late = sessions.filter(F.col("session_start") == flush_start)
+    # the five quiet keys' +2d singletons emitted purely via the
+    # hasTimedOut branch (they saw no data in pass 3). gtids[0] received
+    # the +6d row, and its eager check ran against the start-of-batch
+    # watermark (+2d - lateness), which had not yet passed its session's
+    # end+gap — so it correctly stays in state until a later epoch.
+    assert sorted(r.gtid for r in late.collect()) == sorted(gtids[1:])
+    assert late.filter(F.col("statement_count") != 1).count() == 0
