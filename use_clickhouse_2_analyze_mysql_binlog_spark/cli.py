@@ -16,6 +16,12 @@ entrypoint covers both, plus the rollup MV job:
 
     python -m use_clickhouse_2_analyze_mysql_binlog_spark.cli rollup \\
         --source /data/fact --rollup /data/rollup --checkpoint /ckpt/rollup
+
+    python -m use_clickhouse_2_analyze_mysql_binlog_spark.cli sessions \\
+        --source /data/fact --output /data/sessions --checkpoint /ckpt/sess
+
+    python -m use_clickhouse_2_analyze_mysql_binlog_spark.cli maintain \\
+        --path /data/fact --retention-months 30
 """
 
 from __future__ import annotations

@@ -657,3 +657,41 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; oracle is the recursive-CTE transitive closure."""
     docs = schemas.load_table(spark, sf_dir, "documents")
     return dedup.connected_components(dedup.minhash_lsh_pairs(docs, threshold=0.5))
+
+
+@register(
+    "dedup_apply_connected_components",
+    f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({dedup.MINHASH_LSH_SQL(threshold=0.5)})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL OR l.cluster_id = d.doc_id
+""",
+)
+def dedup_apply_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus materialization with CLUSTER-level keep-first: one canonical
+    doc per duplicate cluster (pairwise dropping keeps chain middles;
+    cluster canonicalization does not)."""
+    docs = schemas.load_table(spark, sf_dir, "documents")
+    labels = dedup.connected_components(
+        dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    )
+    keep = docs.join(labels, "doc_id", "left").filter(
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    )
+    return keep.select("doc_id", "lang", "source", "n_chars")
