@@ -695,3 +695,44 @@ def dedup_apply_connected_components(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
     )
     return keep.select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "gtid_set_operations",
+    f"""
+WITH binlog AS ({schemas.BINLOG_VIEW_SQL}),
+h1 AS (SELECT DISTINCT gtid FROM binlog
+       WHERE execute_time <  TIMESTAMP '2024-01-15 00:00:00'
+         AND single_statement_size >= 9000),
+h2 AS (SELECT DISTINCT gtid FROM binlog
+       WHERE execute_time >= TIMESTAMP '2024-01-15 00:00:00'
+         AND single_statement_size >= 9000)
+SELECT 'both_halves' AS cohort, count(*) AS n_gtids
+  FROM (SELECT gtid FROM h1 INTERSECT SELECT gtid FROM h2)
+UNION ALL
+SELECT 'first_only', count(*) FROM (SELECT gtid FROM h1 EXCEPT SELECT gtid FROM h2)
+UNION ALL
+SELECT 'second_only', count(*) FROM (SELECT gtid FROM h2 EXCEPT SELECT gtid FROM h1)
+""",
+)
+def gtid_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (absent from the reference, SURVEY §2.3): transaction
+    cohorts across month halves via INTERSECT / EXCEPT — distributed as
+    shuffle semi/anti set-ops on the distinct gtid sets."""
+    b = _binlog(spark, sf_dir)
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    big = F.col("single_statement_size") >= 9000
+    h1 = b.filter((F.col("execute_time") < cut) & big).select("gtid").distinct()
+    h2 = b.filter((F.col("execute_time") >= cut) & big).select("gtid").distinct()
+    counts = [
+        ("both_halves", h1.intersect(h2)),
+        ("first_only", h1.exceptAll(h2)),
+        ("second_only", h2.exceptAll(h1)),
+    ]
+    rows = None
+    for name, df in counts:
+        one = df.agg(F.count(F.lit(1)).alias("n_gtids")).select(
+            F.lit(name).alias("cohort"), "n_gtids"
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows
