@@ -118,7 +118,15 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver-generated parquet table (TESTDATA.md)."""
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    Works on ANY SparkSession, not just the session.get_spark factory: the
+    driver testdata stores ``events.ts`` as parquet TIMESTAMP(NANOS), which
+    vanilla Spark rejects with PARQUET_TYPE_ILLEGAL. The legacy nanos-as-long
+    conf is runtime-settable, so it is applied here on the caller's session
+    (idempotent) rather than relying on factory-time configuration.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
