@@ -52,6 +52,40 @@ def test_ngram_jaccard_finds_planted(planted_docs):
     assert (0, 3) not in pairs and (1, 3) not in pairs
 
 
+def test_ngram_jaccard_max_df_caps_boilerplate(spark):
+    """A shingle shared by every document (boilerplate) must NOT generate
+    quadratic candidates under the default df cap: 150 docs x one common
+    3-gram would otherwise emit 150*149/2 pairs from that single shingle."""
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"{boiler} unique content number {i} entry") for i in range(150)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # default cap (DEFAULT_MAX_DF=100 < 150): boilerplate shingles dropped,
+    # remaining shingles are unique per doc -> no candidate pairs at all
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.1).count() == 0
+    # cap off: the same corpus pairs every doc with every other through the
+    # boilerplate shingles (the quadratic blowup the default prevents)
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.1, max_df=None)
+    assert uncapped.count() == 150 * 149 // 2
+
+
+def test_minhash_bucket_cap_skips_mega_cluster(spark):
+    """An exact-dup mega-cluster lands its identical signatures in one
+    bucket per band; with max_bucket below the cluster size LSH skips it
+    (exact dedup's job), while distinct near-dup pairs still surface."""
+    same = "identical boilerplate page body repeated across the mega cluster"
+    near_a = "the quick brown fox jumps over the lazy dog in the field today"
+    near_b = "the quick brown fox jumps over the lazy dog in the field now"
+    rows = [(i, same) for i in range(50)] + [(100, near_a), (101, near_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5, max_bucket=10)
+        .collect()
+    }
+    assert (100, 101) in pairs  # small-bucket near dup still found
+    assert not any(a < 50 and b < 50 for a, b in pairs)  # mega-cluster skipped
+
+
 def test_minhash_lsh_finds_planted(planted_docs):
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard

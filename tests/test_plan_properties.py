@@ -48,6 +48,17 @@ def test_asof_join_single_key_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
+def test_gtid_set_operations_single_pass(spark):
+    plan = _plan(spark, "gtid_set_operations")
+    # cohort membership computed in ONE pass: a single gtid hash shuffle
+    # (partial+final max-flag aggregate), then a single-partition count —
+    # not the naive 6-scan intersect/except plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "gtid" in plan.split("Exchange hashpartitioning")[1][:80], plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_scans_are_pruned(spark):
     # column pruning must reach the parquet scan of the fact table
     plan = _plan(spark, "daily_event_counts")

@@ -168,14 +168,34 @@ _PAIR_JACCARD_SQL = """
 # n-gram Jaccard dedup (exact candidate generation via shared shingles)
 # ---------------------------------------------------------------------------
 
+#: Default document-frequency cap for shingle posting lists. The posting
+#: self-join is quadratic in per-shingle df (df=N -> N*(N-1)/2 pairs from
+#: that one shingle), so one boilerplate shingle ("all rights reserved...")
+#: at web scale otherwise produces billions of pairs. 100 bounds any single
+#: shingle's contribution to <=4950 pairs while being far above the df of
+#: any discriminative shingle. Near-dup semantics are preserved: pairs that
+#: ONLY share boilerplate are exactly the pairs dedup must not report.
+DEFAULT_MAX_DF = 100
+
+_LOG = __import__("logging").getLogger(__name__)
+
+
 def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = 0.5, max_df: int | None = None
+    documents: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = DEFAULT_MAX_DF,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-3-gram Jaccard similarity.
 
-    Candidates = document pairs sharing >=1 shingle (optionally ignoring
-    shingles with document frequency > ``max_df`` — the scale lever; at
-    100 TB frequent shingles otherwise create quadratic bucket blowups).
+    Candidates = document pairs sharing >=1 shingle, ignoring shingles with
+    document frequency > ``max_df`` (ON by default — the quadratic-blowup
+    lever; pass ``max_df=None`` for exhaustive pairing at small scale).
+    Jaccard is computed over the df-filtered shingle space on both engines.
+
+    ``log_dropped=True`` counts and logs the capped shingles (one extra
+    map-side-combined aggregation job — off by default so the hot path
+    stays single-pass; turn on when tuning ``max_df`` for a new corpus).
 
     The intersection count is computed *relationally* — posting-list
     self-join grouped by pair — rather than per-pair array intersection:
@@ -185,12 +205,15 @@ def ngram_jaccard_pairs(
     """
     posting = _shingle_posting(documents)
     if max_df is not None:
-        rare = (
-            posting.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("sh")
-        )
+        dfs = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        if log_dropped:
+            dropped = dfs.filter(F.col("df") > max_df).count()
+            _LOG.info(
+                "ngram_jaccard_pairs: dropping %d shingles with df > %d",
+                dropped,
+                max_df,
+            )
+        rare = dfs.filter(F.col("df") <= max_df).select("sh")
         posting = posting.join(rare, "sh")
     a = posting.select(F.col("sh"), F.col("doc_id").alias("doc_a"))
     b = posting.select(F.col("sh"), F.col("doc_id").alias("doc_b"))
@@ -216,19 +239,39 @@ def ngram_jaccard_pairs(
     )
 
 
-def NGRAM_JACCARD_SQL(threshold: float = 0.5) -> str:
+def NGRAM_JACCARD_SQL(
+    threshold: float = 0.5, max_df: int | None = DEFAULT_MAX_DF
+) -> str:
+    """DuckDB twin of ngram_jaccard_pairs: same df-filtered posting list,
+    same relational intersection/size computation, bit-identical rounding."""
+    df_filter = (
+        f"""
+posting AS (
+  SELECT p.doc_id, p.sh FROM posting0 p
+  JOIN (SELECT sh FROM posting0 GROUP BY sh
+        HAVING count(*) <= {max_df}) rare USING (sh)
+),"""
+        if max_df is not None
+        else "posting AS (SELECT * FROM posting0),"
+    )
     return f"""
 WITH shingled AS ({_DOC_SHINGLES_SQL}),
-posting AS (
+posting0 AS (
   SELECT DISTINCT doc_id, {HASH60_SQL('sh.s')} AS sh
   FROM shingled, unnest(shingles) AS sh(s)
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+{df_filter}
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM posting a JOIN posting b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 ),
-pairs AS ({_PAIR_JACCARD_SQL})
-SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM posting GROUP BY 1)
+SELECT doc_a, doc_b,
+       round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+           JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) >= {threshold}
 """
 
 
@@ -269,12 +312,27 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+#: Band-bucket size cap: a bucket of N docs emits N*(N-1)/2 candidates, so
+#: one hot bucket (e.g. a 100k-copy boilerplate page — identical signatures
+#: land in identical buckets in EVERY band) otherwise dominates the join.
+#: 1000 bounds any bucket to <=500k pairs; such mega-clusters belong to
+#: exact dedup (hash-groupBy), not LSH.
+DEFAULT_MAX_BUCKET = 1000
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified by exact Jaccard.
 
     Pipeline: shingle -> minhash signature -> band hashes -> bucket
     equi-join -> distinct candidate pairs -> exact Jaccard >= threshold.
-    Only band buckets shuffle; signatures never leave their row.
+    Only band buckets shuffle; signatures never leave their row. Buckets
+    larger than ``max_bucket`` are skipped entirely (ON by default): they
+    are exact-dup mega-clusters whose pair explosion belongs to the
+    hash-groupBy exact pass, not the near-dup join.
     """
     sigs = minhash_signatures(documents)
     rows_per_band = NUM_HASHES // NUM_BANDS
@@ -296,6 +354,14 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     bands = sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
+    if max_bucket is not None:
+        small = (
+            bands.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .filter(F.col("bucket_n") <= max_bucket)
+            .select("band_id", "band_hash")
+        )
+        bands = bands.join(small, ["band_id", "band_hash"])
     a = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
     b = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
     cand = (
@@ -311,8 +377,20 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     )
 
 
-def MINHASH_LSH_SQL(threshold: float = 0.5) -> str:
+def MINHASH_LSH_SQL(
+    threshold: float = 0.5, max_bucket: int | None = DEFAULT_MAX_BUCKET
+) -> str:
     rows_per_band = NUM_HASHES // NUM_BANDS
+    bucket_filter = (
+        f"""
+bands AS (
+  SELECT x.doc_id, x.band_id, x.band_hash FROM bands0 x
+  JOIN (SELECT band_id, band_hash FROM bands0 GROUP BY 1, 2
+        HAVING count(*) <= {max_bucket}) ok USING (band_id, band_hash)
+),"""
+        if max_bucket is not None
+        else "bands AS (SELECT * FROM bands0),"
+    )
     return f"""
 WITH shingled AS ({_DOC_SHINGLES_SQL}),
 hashed AS (
@@ -327,11 +405,12 @@ sigs AS (
              ((2*i + 1) * x + 7919*i + 1) % {MINHASH_PRIME}))) AS sig
   FROM hashed
 ),
-bands AS (
+bands0 AS (
   SELECT doc_id, b AS band_id,
          {HASH60_SQL(f"array_to_string(list_slice(sig, b*{rows_per_band} + 1, b*{rows_per_band} + {rows_per_band}), '_')")} AS band_hash
   FROM sigs, generate_series(0, {NUM_BANDS - 1}) AS t(b)
 ),
+{bucket_filter}
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b

@@ -108,6 +108,38 @@ def extract_media_features(
     return media.mapInPandas(extract, schema=MEDIA_FEATURES_SCHEMA)
 
 
+# DuckDB twin of extract_media_features under stub_decoder. DuckDB has no
+# byte-indexing on BLOB, so bytes come out of hex(encode(text)): byte i is
+# the value of hex digits 2i-1..2i (substr on the all-ASCII hex string is an
+# O(1) offset). width/height mirror stub_decoder's (64 + first%64,
+# 64 + last%64); checksum is the byte-sum mod 1e9+7.
+_HEXDIG = "strpos('0123456789ABCDEF', substr(h, {pos}, 1)) - 1"
+_BYTE_AT = f"(16 * ({_HEXDIG.format(pos='{p1}')}) + ({_HEXDIG.format(pos='{p2}')}))"
+
+MEDIA_FEATURES_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT doc_id,
+       media_type,
+       CAST(n AS BIGINT) AS payload_bytes,
+       CAST(CASE WHEN n = 0 THEN 0
+            ELSE 64 + {_BYTE_AT.format(p1='1', p2='2')} % 64 END
+            AS INTEGER) AS width,
+       CAST(CASE WHEN n = 0 THEN 0
+            ELSE 64 + {_BYTE_AT.format(p1='2*n-1', p2='2*n')} % 64 END
+            AS INTEGER) AS height,
+       CAST(COALESCE(list_sum(list_transform(generate_series(1, n),
+            i -> {_BYTE_AT.format(p1='2*i-1', p2='2*i')})), 0) % 1000000007
+            AS BIGINT) AS checksum
+FROM m
+"""
+
 MEDIA_METADATA_SQL = """
 SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -456,10 +456,11 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # rows-only: exercises the mapInPandas path
+@register("multimodal_features", multimodal.MEDIA_FEATURES_SQL)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction with the deterministic stub decoder
-    (real codecs are stubbed — not available in this container)."""
+    (real codecs are stubbed — not available in this container). The stub is
+    pure byte arithmetic, so the mapInPandas path is fully oracle-checked."""
     media = multimodal.documents_as_media(
         schemas.load_table(spark, sf_dir, "documents")
     )
@@ -717,22 +718,29 @@ SELECT 'second_only', count(*) FROM (SELECT gtid FROM h2 EXCEPT SELECT gtid FROM
 )
 def gtid_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (absent from the reference, SURVEY §2.3): transaction
-    cohorts across month halves via INTERSECT / EXCEPT — distributed as
-    shuffle semi/anti set-ops on the distinct gtid sets."""
+    cohorts across month halves. The oracle keeps the INTERSECT / EXCEPT
+    spelling as the semantic spec; the Spark plan computes all three cohorts
+    in ONE pass — per-gtid membership flags (partial+final max on the gtid
+    shuffle) then three conditional counts — instead of the naive plan's
+    ~6 fact-table scans + 6 shuffles for intersect/except consumed twice.
+    The final stack() unpivot runs on a single 1-row partition."""
     b = _binlog(spark, sf_dir)
     cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    big = F.col("single_statement_size") >= 9000
-    h1 = b.filter((F.col("execute_time") < cut) & big).select("gtid").distinct()
-    h2 = b.filter((F.col("execute_time") >= cut) & big).select("gtid").distinct()
-    counts = [
-        ("both_halves", h1.intersect(h2)),
-        ("first_only", h1.exceptAll(h2)),
-        ("second_only", h2.exceptAll(h1)),
-    ]
-    rows = None
-    for name, df in counts:
-        one = df.agg(F.count(F.lit(1)).alias("n_gtids")).select(
-            F.lit(name).alias("cohort"), "n_gtids"
-        )
-        rows = one if rows is None else rows.unionByName(one)
-    return rows
+    flags = b.filter(F.col("single_statement_size") >= 9000).select(
+        "gtid", (F.col("execute_time") < cut).alias("in_h1")
+    )
+    membership = flags.groupBy("gtid").agg(
+        F.max("in_h1").alias("in_h1"),
+        F.max(~F.col("in_h1")).alias("in_h2"),
+    )
+    totals = membership.agg(
+        F.count_if(F.col("in_h1") & F.col("in_h2")).alias("both_halves"),
+        F.count_if(F.col("in_h1") & ~F.col("in_h2")).alias("first_only"),
+        F.count_if(F.col("in_h2") & ~F.col("in_h1")).alias("second_only"),
+    )
+    return totals.select(
+        F.expr(
+            "stack(3, 'both_halves', both_halves, 'first_only', first_only,"
+            " 'second_only', second_only)"
+        ).alias("cohort", "n_gtids")
+    )
