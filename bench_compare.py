@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Bench regression gate: compare two bench.py JSON outputs per query.
+
+Usage: python3 bench_compare.py BENCH_r01.json new_bench.json [threshold]
+
+Prints a per-query comparison table and exits non-zero if any HEADLINE
+query (bench.py's reference-core set) is slower than baseline by more than
+``threshold`` (default 1.2x). Non-headline queries are reported but do not
+gate — their membership changes round to round.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from bench import BENCH_QUERIES
+
+
+def main() -> int:
+    base_path, new_path = sys.argv[1], sys.argv[2]
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
+    with open(base_path) as fh:
+        base = json.load(fh)
+    with open(new_path) as fh:
+        new = json.load(fh)
+
+    failures: list[str] = []
+    rows = []
+    for name in sorted(set(base["queries"]) | set(new["queries"])):
+        b, n = base["queries"].get(name), new["queries"].get(name)
+        if b is None or n is None:
+            rows.append((name, b, n, None, "added" if b is None else "removed"))
+            continue
+        ratio = n / b if b else float("inf")
+        gated = name in BENCH_QUERIES
+        status = "ok"
+        if ratio > threshold:
+            status = "REGRESSED" if gated else "slower (ungated)"
+            if gated:
+                failures.append(f"{name}: {b:.3f}s -> {n:.3f}s ({ratio:.2f}x)")
+        rows.append((name, b, n, ratio, status))
+
+    w = max(len(r[0]) for r in rows)
+    print(f"{'query':<{w}}  {'base':>8}  {'new':>8}  {'ratio':>6}  status")
+    for name, b, n, ratio, status in rows:
+        bs = f"{b:.3f}" if b is not None else "-"
+        ns = f"{n:.3f}" if n is not None else "-"
+        rs = f"{ratio:.2f}x" if ratio is not None else "-"
+        print(f"{name:<{w}}  {bs:>8}  {ns:>8}  {rs:>6}  {status}")
+    print(
+        f"headline total: {base.get('value')}s -> {new.get('value')}s; "
+        f"all-query total: {base.get('total_all_queries')}s -> "
+        f"{new.get('total_all_queries')}s"
+    )
+    if failures:
+        print("FAIL: headline regressions over "
+              f"{threshold}x:\n  " + "\n  ".join(failures))
+        return 1
+    print("PASS: no headline regression over", threshold, "x")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

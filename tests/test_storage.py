@@ -11,10 +11,24 @@ from tests.conftest import SF_DIR
 def test_write_layout_and_pruning(spark, tmp_path):
     path = str(tmp_path / "fact")
     binlog = binlog_view(load_table(spark, SF_DIR, "events"))
-    storage.write_fact_table(binlog, path, files_per_day=2, mode="overwrite")
+    storage.write_fact_table(
+        binlog, path, files_per_day=2, mode="overwrite", shuffle_partitions=16
+    )
 
     parts = sorted(p.name for p in (tmp_path / "fact").glob("day=*"))
     assert len(parts) >= 25 and parts[0].startswith("day=2024-01-")
+
+    # files_per_day=2 must actually split days into (up to) 2 files — the
+    # salt keeps write parallelism at days x files_per_day tasks, not a
+    # single file per day (ADVICE r01: the old repartition put each day
+    # wholly in one of files_per_day TOTAL partitions). Explicit partition
+    # count so AQE cannot coalesce the tiny test shuffle into one writer.
+    files = {
+        p.name: len(list(p.glob("*.parquet")))
+        for p in (tmp_path / "fact").glob("day=*")
+    }
+    assert max(files.values()) == 2
+    assert sum(1 for v in files.values() if v == 2) > len(files) // 2
 
     back = storage.read_fact_table(spark, path)
     assert back.count() == binlog.count()

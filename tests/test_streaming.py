@@ -117,7 +117,7 @@ def test_window_job_matches_batch_and_drops_late(spark, tmp_path, binlog_df):
 
     batch_stats = transactions.transaction_stats(binlog_df)
     for metric, stem in transactions.METRICS.items():
-        got = spark.read.parquet(f"{results}/{stem}")
+        got = window_job.read_results(spark, results, stem)
         want = transactions.transaction_result_table(batch_stats, metric).filter(
             F.col("end_time") <= F.lit(cutoff)
         )
@@ -126,6 +126,60 @@ def test_window_job_matches_batch_and_drops_late(spark, tmp_path, binlog_df):
         assert got.count() == want.count(), stem
         w = want.select(*got.columns)
         assert got.exceptAll(w).count() == 0 and w.exceptAll(got).count() == 0, stem
+
+
+def test_foreachbatch_bodies_are_replay_idempotent(spark, tmp_path, binlog_df):
+    """A crash between sink write and checkpoint commit replays the epoch
+    with the same id; every foreachBatch body must make that a no-op
+    (ADVICE r01: the bodies used to double-append / double-sum)."""
+    small = binlog_df.limit(200)
+
+    # ingest: marker-guarded append
+    sink = str(tmp_path / "fact")
+    append = ingest_job.make_append_batch(sink)
+    batch = small.withColumn("day", F.to_date("execute_time"))
+    append(batch, 0)
+    n = spark.read.parquet(sink).count()
+    append(batch, 0)  # replayed epoch -> skipped
+    assert spark.read.parquet(sink).count() == n == 200
+
+    # rollup: manifest-guarded snapshot merge
+    roll = str(tmp_path / "rollup")
+    merge = rollup_job.make_merge_batch(spark, roll, ("day", "event_type"))
+    merge(small, 0)
+    want = {tuple(r) for r in rollup_job.read_rollup(spark, roll).collect()}
+    merge(small, 0)  # replay -> skipped, not double-summed
+    assert {tuple(r) for r in rollup_job.read_rollup(spark, roll).collect()} == want
+    merge(small, 1)  # genuinely new epoch still merges
+    got2 = {r["event_count"] for r in rollup_job.read_rollup(spark, roll).collect()}
+    assert got2 == {2 * r["event_count"] for r in
+                    rollups.daily_event_counts(small).collect()}
+
+    # window results: epoch-dir overwrite
+    results = str(tmp_path / "results")
+    publish = window_job.make_publish_batch(results)
+    stats = transactions.transaction_stats(small)
+    publish(stats, 0)
+    stem = next(iter(transactions.METRICS.values()))
+    n = window_job.read_results(spark, results, stem).count()
+    publish(stats, 0)  # replay -> same epoch dir overwritten
+    assert window_job.read_results(spark, results, stem).count() == n
+
+
+def test_rollup_publish_keeps_previous_snapshot(spark, tmp_path, binlog_df):
+    """The manifest flip is atomic and the previous snapshot survives the
+    next publish (readers resolving the old manifest keep a valid dir)."""
+    import os
+
+    roll = str(tmp_path / "rollup")
+    merge = rollup_job.make_merge_batch(spark, roll, ("day", "event_type"))
+    merge(binlog_df.limit(100), 0)
+    merge(binlog_df.limit(100), 1)
+    snaps = sorted(os.listdir(os.path.join(roll, "snapshots")))
+    assert snaps == ["epoch=0", "epoch=1"]
+    merge(binlog_df.limit(100), 2)  # epoch=0 GC'd, 1 and 2 kept
+    snaps = sorted(os.listdir(os.path.join(roll, "snapshots")))
+    assert snaps == ["epoch=1", "epoch=2"]
 
 
 def test_stateful_sessionizer_matches_batch(spark, tmp_path, binlog_df):

@@ -532,7 +532,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 # Connected components (duplicate-cluster canonicalization)
 # ---------------------------------------------------------------------------
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20, checkpoint_every: int = 5
+) -> DataFrame:
     """Duplicate clusters from near-dup pairs: each doc labeled with the
     minimum doc_id reachable through the pair graph (a~b, b~c => one
     cluster even when a~c was never emitted — keep-first over *chains*,
@@ -545,6 +547,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     changed-count action). This is the DataFrame-native iterative
     algorithm shape at 100 TB: labels persist per round, the edge list
     never mutates, and each round is one shuffle.
+
+    Every ``checkpoint_every`` rounds the label DataFrame is
+    ``localCheckpoint``-ed: persist caches *data* but the logical plan
+    still grows by one join per round, so at real component depths the
+    optimizer re-analyzes an ever-deeper tree (and Spark's plan-size
+    limits eventually bite). Checkpointing truncates lineage to the
+    materialized result, keeping per-round planning cost constant.
     """
     # materialize the edge list BEFORE the symmetric union: both union
     # branches and every propagation round re-join it, and without the
@@ -552,20 +561,32 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # pair-generation pipeline upstream of it
     edges = pairs.select("doc_a", "doc_b").persist()
     edges.count()  # materialize once, before the union's branches race
-    sym = edges.unionByName(
-        edges.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    )
-    labels = (
-        sym.select(F.col("doc_a").alias("doc_id"))
+    nodes = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
         .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    # symmetric edges + self-loops: min-over-neighbors then INCLUDES the
+    # node's own label, so each round is a single join + groupBy-min with
+    # `labels` referenced exactly once — plan text grows linearly per
+    # round (a labels-join-labels formulation doubles it per round)
+    sym = (
+        edges.unionByName(
+            edges.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .unionByName(
+            nodes.select(
+                F.col("doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            )
+        )
         .persist()
     )
+    labels = nodes.withColumn("cluster_id", F.col("doc_id")).persist()
     labels.count()
-    for _ in range(max_iters):
-        nbr_min = (
+    for it in range(max_iters):
+        new_labels = (
             sym.join(
                 labels.withColumnsRenamed(
                     {"doc_id": "doc_b", "cluster_id": "nbr_label"}
@@ -573,16 +594,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 "doc_b",
             )
             .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("nbr_label").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "cluster_id", F.coalesce("nbr_min", "cluster_id")
-                ).alias("cluster_id"),
-            )
+            .agg(F.min("nbr_label").alias("cluster_id"))
             .persist()
         )
         changed = (
@@ -592,9 +604,14 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .count()
         )
         labels.unpersist()
+        if (it + 1) % checkpoint_every == 0:
+            truncated = new_labels.localCheckpoint(eager=True)
+            new_labels.unpersist()
+            new_labels = truncated
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()
     edges.unpersist()
     return labels
 

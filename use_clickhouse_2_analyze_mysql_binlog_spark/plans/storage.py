@@ -35,12 +35,35 @@ def write_fact_table(
     path: str,
     files_per_day: int = 4,
     mode: str = "append",
+    shuffle_partitions: int | None = None,
 ) -> None:
-    """Write binlog events day-partitioned + clustered by the sort key."""
+    """Write binlog events day-partitioned + clustered by the sort key.
+
+    Shuffles on ``(day, salt)`` where salt = pmod(xxhash64(sort key),
+    files_per_day): every day splits into up to ``files_per_day`` writer
+    groups, so each day partition gets ~``files_per_day`` similar-sized
+    files and the write parallelism scales with days x files_per_day.
+    (A bare ``repartition(files_per_day, "day")`` would instead hash each
+    day wholly into one of ``files_per_day`` TOTAL partitions — exactly one
+    file per day and a parallelism ceiling of ``files_per_day`` tasks,
+    regardless of data volume.)
+
+    ``shuffle_partitions=None`` leaves the partition count to
+    ``spark.sql.shuffle.partitions`` + AQE, which coalesces toward the
+    advisory partition size — good default file sizing at scale, but on
+    tiny inputs it merges a day's salt groups back into one writer. Pass an
+    explicit count (e.g. expected_days x files_per_day) when the layout
+    must be deterministic (AQE never overrides a user-specified count).
+    """
+    salt = F.pmod(F.xxhash64(*SORT_KEY), F.lit(files_per_day))
+    df = binlog.withColumn("day", F.to_date("execute_time"))
+    # rand()-sharding analogue with bounded per-day file counts
+    if shuffle_partitions is not None:
+        df = df.repartition(shuffle_partitions, F.col("day"), salt)
+    else:
+        df = df.repartition(F.col("day"), salt)
     (
-        binlog.withColumn("day", F.to_date("execute_time"))
-        .repartition(files_per_day, "day")  # rand()-sharding analogue, bounded files
-        .sortWithinPartitions(*SORT_KEY)
+        df.sortWithinPartitions(*SORT_KEY)
         .write.mode(mode)
         .partitionBy("day")
         .parquet(path)

@@ -25,6 +25,32 @@ from pyspark.sql.streaming import StreamingQuery
 from use_clickhouse_2_analyze_mysql_binlog_spark.sources.transform import (
     canal_entries_to_binlog,
 )
+from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import epochs
+
+
+def make_append_batch(sink_path: str, files_per_batch_day: int = 1):
+    """The per-epoch append body (module-level so replay behavior is
+    unit-testable). foreachBatch (vs direct file sink) so the write can
+    coalesce and sort within partitions like the batch layout writer.
+    Replay protection: a committed-epoch marker written after the append
+    makes a replayed epoch a no-op (the marker is only absent if the data
+    write itself did not complete, in which case re-appending is the
+    at-least-once recovery; swap the sink for a transactional table format
+    to close that last window at production scale)."""
+
+    def append_batch(batch: DataFrame, epoch: int) -> None:
+        if epochs.epoch_committed(sink_path, epoch):
+            return
+        (
+            batch.repartition(files_per_batch_day, "day")
+            .sortWithinPartitions("execute_time", "gtid", "table", "schema")
+            .write.mode("append")
+            .partitionBy("day")
+            .parquet(sink_path)
+        )
+        epochs.mark_epoch_committed(sink_path, epoch)
+
+    return append_batch
 
 
 def run_ingest_stream(
@@ -42,19 +68,7 @@ def run_ingest_stream(
     binlog = canal_entries_to_binlog(entries_stream).withColumn(
         "day", F.to_date("execute_time")
     )
-
-    def append_batch(batch: DataFrame, _epoch: int) -> None:
-        # foreachBatch (vs direct file sink) so the write can coalesce and
-        # sort within partitions like the batch layout writer; exactly-once
-        # comes from the checkpointed epoch + idempotent task commits.
-        (
-            batch.repartition(files_per_batch_day, "day")
-            .sortWithinPartitions("execute_time", "gtid", "table", "schema")
-            .write.mode("append")
-            .partitionBy("day")
-            .parquet(sink_path)
-        )
-
+    append_batch = make_append_batch(sink_path, files_per_batch_day)
     writer = (
         binlog.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_path)

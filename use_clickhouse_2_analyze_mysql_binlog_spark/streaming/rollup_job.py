@@ -15,8 +15,6 @@ volume — this is what makes the pattern safe at 100 TB/day ingest.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -25,6 +23,35 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.operators.rollups import (
     DAY_FMT,
     summing_merge,
 )
+from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import epochs
+
+
+def make_merge_batch(
+    spark: SparkSession, rollup_path: str, keys: tuple[str, ...]
+):
+    """The per-epoch MERGE body (module-level so replay behavior is unit-
+    testable): merge this epoch's partial counts into the previous manifest
+    snapshot, write a new versioned snapshot, flip the manifest."""
+
+    def merge_batch(batch: DataFrame, epoch: int) -> None:
+        latest = epochs.read_manifest(rollup_path)
+        if latest is not None and epoch <= latest["epoch"]:
+            return  # replay of an already-published epoch
+        partial = batch.groupBy(
+            F.date_format("execute_time", DAY_FMT).alias("day"),
+            *[c for c in keys if c != "day"],
+        ).agg(F.count(F.lit(1)).alias("event_count"))
+        merged = partial
+        if latest is not None:
+            existing = spark.read.parquet(latest["dir"])
+            merged = summing_merge(
+                existing.unionByName(partial), keys=keys, metrics=("event_count",)
+            )
+        snapshot_dir = f"{rollup_path}/snapshots/epoch={epoch}"
+        merged.coalesce(1).write.mode("overwrite").parquet(snapshot_dir)
+        epochs.publish_snapshot(rollup_path, epoch, snapshot_dir)
+
+    return merge_batch
 
 
 def run_daily_rollup_stream(
@@ -39,26 +66,16 @@ def run_daily_rollup_stream(
     Each micro-batch contributes partial counts (map-side-combined by the
     batch aggregation); the foreachBatch MERGE re-sums partials into the
     published rollup — the SummingMergeTree merge, done eagerly.
+
+    Replay-safe and atomic: each epoch merges the partials into the
+    *previous manifest snapshot* and writes a NEW versioned snapshot dir,
+    then flips the manifest (atomic rename). A replayed epoch is either
+    skipped (manifest already advanced past it — it was fully published) or
+    recomputed from the untouched previous snapshot (crash mid-write), so
+    partial counts are never double-summed and readers never observe a
+    missing or half-written rollup.
     """
-    spark = binlog_stream.sparkSession
-
-    def merge_batch(batch: DataFrame, _epoch: int) -> None:
-        partial = batch.groupBy(
-            F.date_format("execute_time", DAY_FMT).alias("day"),
-            *[c for c in keys if c != "day"],
-        ).agg(F.count(F.lit(1)).alias("event_count"))
-        merged = partial
-        if os.path.exists(rollup_path):
-            existing = spark.read.parquet(rollup_path)
-            merged = summing_merge(
-                existing.unionByName(partial), keys=keys, metrics=("event_count",)
-            )
-        # publish atomically: write new snapshot, then swap
-        tmp = rollup_path + "._new"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(rollup_path)
-
+    merge_batch = make_merge_batch(binlog_stream.sparkSession, rollup_path, keys)
     writer = (
         binlog_stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_path)
@@ -70,6 +87,11 @@ def run_daily_rollup_stream(
 
 
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
-    """Read the published rollup — already fully merged (no read-side
-    re-aggregation needed, unlike the reference's SummingMergeTree)."""
-    return spark.read.parquet(rollup_path)
+    """Read the latest published rollup snapshot — already fully merged (no
+    read-side re-aggregation needed, unlike the reference's
+    SummingMergeTree). The manifest indirection means a concurrent publish
+    never affects a reader: it keeps the snapshot dir it resolved."""
+    latest = epochs.read_manifest(rollup_path)
+    if latest is None:
+        raise FileNotFoundError(f"no published rollup under {rollup_path}")
+    return spark.read.parquet(latest["dir"])

@@ -75,20 +75,13 @@ def windowed_stats_stream(
     )
 
 
-def run_window_job(
-    binlog_stream: DataFrame,
-    results_path: str,
-    checkpoint_path: str,
-    window_duration: str = "5 minutes",
-    allowed_lateness: str = "5 minutes",
-    interval_seconds: int = 300,
-    available_now: bool = False,
-) -> StreamingQuery:
-    """Start the streaming window job; one result dir per metric
-    (``{results_path}/{result_table_stem}`` — README.md:268-345 tables)."""
-    stats = windowed_stats_stream(binlog_stream, window_duration, allowed_lateness)
+def make_publish_batch(results_path: str, interval_seconds: int = 300):
+    """The per-epoch publish body (module-level so replay behavior is
+    unit-testable). Replay-safe: each epoch owns an epoch=<id> partition
+    dir and overwrites it, so a replayed micro-batch rewrites the same
+    rows instead of appending duplicates (the append-mode replay hazard)."""
 
-    def publish_batch(batch: DataFrame, _epoch: int) -> None:
+    def publish_batch(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return
         batch.persist()
@@ -104,10 +97,28 @@ def run_window_job(
                         "single_statement_affected_rows"
                     ),
                 )
-                top.write.mode("append").parquet(f"{results_path}/{stem}")
+                top.write.mode("overwrite").parquet(
+                    f"{results_path}/{stem}/epoch={epoch}"
+                )
         finally:
             batch.unpersist()
 
+    return publish_batch
+
+
+def run_window_job(
+    binlog_stream: DataFrame,
+    results_path: str,
+    checkpoint_path: str,
+    window_duration: str = "5 minutes",
+    allowed_lateness: str = "5 minutes",
+    interval_seconds: int = 300,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Start the streaming window job; one result dir per metric
+    (``{results_path}/{result_table_stem}`` — README.md:268-345 tables)."""
+    stats = windowed_stats_stream(binlog_stream, window_duration, allowed_lateness)
+    publish_batch = make_publish_batch(results_path, interval_seconds)
     writer = (
         stats.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_path)
@@ -116,3 +127,9 @@ def run_window_job(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_results(spark, results_path: str, stem: str) -> DataFrame:
+    """Read one result table, hiding the epoch=<id> replay-isolation
+    partitioning (an implementation detail of exactly-once publish)."""
+    return spark.read.parquet(f"{results_path}/{stem}").drop("epoch")
