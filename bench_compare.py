@@ -17,13 +17,30 @@ import sys
 from bench import BENCH_QUERIES
 
 
+def _load(path: str) -> dict:
+    """Accept either bench.py's raw JSON line or the round driver's wrapper
+    ({"n", "rc", "tail": "...<json line>..."}) around it."""
+    with open(path) as fh:
+        doc = json.load(fh)
+    if "queries" in doc:
+        return doc
+    for line in reversed(doc.get("tail", "").splitlines()):
+        line = line.strip().lstrip("\r")
+        if line.startswith("{"):
+            try:
+                inner = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "queries" in inner:
+                return inner
+    raise ValueError(f"{path}: no bench JSON with 'queries' found")
+
+
 def main() -> int:
     base_path, new_path = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
-    with open(base_path) as fh:
-        base = json.load(fh)
-    with open(new_path) as fh:
-        new = json.load(fh)
+    base = _load(base_path)
+    new = _load(new_path)
 
     failures: list[str] = []
     rows = []

@@ -584,7 +584,16 @@ def connected_components(
         .persist()
     )
     labels = nodes.withColumn("cluster_id", F.col("doc_id")).persist()
-    labels.count()
+    # Convergence detector: min-propagation only ever DECREASES labels, so
+    # the label sum strictly decreases iff any label changed — one cheap
+    # aggregate over the cached labels instead of a per-round change-join.
+    # decimal(38,0) so billions of 63-bit ids cannot overflow the sum.
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for it in range(max_iters):
         new_labels = (
             sym.join(
@@ -597,20 +606,16 @@ def connected_components(
             .agg(F.min("nbr_label").alias("cluster_id"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels.unpersist()
         if (it + 1) % checkpoint_every == 0:
             truncated = new_labels.localCheckpoint(eager=True)
             new_labels.unpersist()
             new_labels = truncated
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     edges.unpersist()
     return labels
