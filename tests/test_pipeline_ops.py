@@ -265,6 +265,71 @@ def test_approx_sketches_bounded_error(spark):
         assert abs(r.approx_gtids - truth) <= max(3, 0.03 * truth), (r.day, truth)
 
 
+def test_pii_scrub_redacts_planted(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (0, "contact bob.smith+x@example.co.uk or call +14155551234 now"),
+            (1, "server at 192.168.0.1 and 10.0.0.255 responded"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in curation.pii_scrub(docs).collect()}
+    assert rows[0].n_emails == 1 and rows[0].n_phones == 1
+    assert "<EMAIL>" in rows[0].scrubbed_text
+    assert "<PHONE>" in rows[0].scrubbed_text
+    assert "example.co.uk" not in rows[0].scrubbed_text
+    assert rows[1].n_ips == 2
+    assert rows[1].scrubbed_text.count("<IP>") == 2
+    assert rows[2].scrubbed_text == "nothing sensitive here"
+    assert (rows[2].n_emails, rows[2].n_ips, rows[2].n_phones) == (0, 0, 0)
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    """Hash-threshold sampling: identical across runs, per-language rates
+    respected (statistically), and a lower rate is a SUBSET of a higher
+    one (nested samples — the property df.sample() does not give)."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en" if i % 2 == 0 else "fr", "src", 10)
+         for i in range(2000)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    half = curation.stratified_sample(docs, rates_ppm={"en": 500_000})
+    ids1 = {r.doc_id for r in half.collect()}
+    ids2 = {r.doc_id for r in half.collect()}
+    assert ids1 == ids2  # deterministic
+    en_kept = sum(1 for i in ids1 if i % 2 == 0)
+    assert 350 < en_kept < 650  # ~50% of the 1000 en docs
+    assert sum(1 for i in ids1 if i % 2 == 1) == 1000  # fr: default keep-all
+    quarter = curation.stratified_sample(docs, rates_ppm={"en": 250_000})
+    q_en = {r.doc_id for r in quarter.collect() if r.lang == "en"}
+    assert q_en <= {i for i in ids1 if i % 2 == 0}  # nested
+
+
+def test_curate_corpus_dedups_and_gates(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import curation
+
+    good = (
+        "the quick brown fox jumps over lazy dogs while bright birds sing "
+        "morning songs across quiet green valleys"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, good, "en", "s", 10),
+            (1, good, "en", "s", 10),  # exact dup -> collapsed
+            (2, "a a a a a a a a a a a a", "en", "s", 10),  # low uniq -> gated
+            (3, "too short", "en", "s", 10),  # < min_tokens -> gated
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.lang: r for r in curation.curate_corpus(docs).collect()}
+    assert out["en"].n_docs == 1  # dup collapsed, low-quality+short gated
+
+
 def test_connected_components_chains(spark):
     """a~b, b~c (a~c never emitted) must collapse into one cluster with
     min-id canonical — the chain case pairwise dropping gets wrong."""

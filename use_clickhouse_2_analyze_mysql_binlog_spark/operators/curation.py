@@ -1,0 +1,243 @@
+"""Corpus curation for training-data pipelines: deterministic stratified
+sampling, PII scrubbing, n-gram heavy hitters, and an end-to-end curation
+pipeline (quality gate + exact dedup + per-language stats).
+
+Extends the reference's surface (it has none of this — like operators/text.py
+these are the operators a 100 TB text-corpus pipeline needs). Scale shapes:
+
+- Sampling is a pure hash-threshold FILTER — zero shuffle, exactly
+  reproducible across runs/engines (no RNG state), and the sampling
+  decision for a document never changes when the corpus around it does.
+- PII scrubbing is per-row regexp work inside whole-stage codegen.
+- Heavy hitters is explode -> partial+final count -> global top-k
+  (TakeOrderedAndProject: only k rows per partition reach the driver-side
+  merge, never the full n-gram distribution).
+- The curation pipeline composes the text operators with one hash-groupBy
+  (exact dedup) and one stats groupBy — two shuffles end to end.
+
+Each operator has a ``*_SQL`` DuckDB twin; regexes stick to the syntax
+subset Java regex and RE2 share (character classes, bounded repeats, ``\\b``;
+no lookaround).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
+    HASH60_SQL,
+    hash60,
+)
+from use_clickhouse_2_analyze_mysql_binlog_spark.operators.text import (
+    QUALITY_SCORE_SQL,
+    TOKENS_SQL,
+    quality_score,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+#: per-language keep rates (parts per million) — e.g. downsample dominant
+#: languages, keep all of the rare ones
+DEFAULT_RATES_PPM: dict[str, int] = {"en": 500_000, "zh": 500_000}
+DEFAULT_RATE_PPM = 1_000_000  # languages not listed: keep everything
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates_ppm: dict[str, int] | None = None,
+    default_ppm: int = DEFAULT_RATE_PPM,
+    salt: str = "s0",
+) -> DataFrame:
+    """Per-language deterministic sample: keep a document iff
+    ``hash(salt, doc_id) mod 1e6 < rate_ppm(lang)``.
+
+    Hash-threshold sampling beats ``df.sample()`` at pipeline scale: the
+    decision is a pure function of (salt, doc_id), so re-runs, engines and
+    incremental batches agree row-for-row, and changing one stratum's rate
+    monotonically grows/shrinks that stratum (nested samples for rate
+    ladders). Zero shuffle — it is a filter on the scan.
+    """
+    rates = DEFAULT_RATES_PPM if rates_ppm is None else rates_ppm
+    bucket = F.pmod(
+        hash60(F.concat(F.lit(f"sample-{salt}:"), F.col("doc_id").cast("string"))),
+        F.lit(1_000_000),
+    )
+    rate = F.lit(default_ppm)
+    for lang, ppm in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(ppm)).otherwise(rate)
+    return documents.filter(bucket < rate).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def STRATIFIED_SAMPLE_SQL(
+    rates_ppm: dict[str, int] | None = None,
+    default_ppm: int = DEFAULT_RATE_PPM,
+    salt: str = "s0",
+) -> str:
+    rates = DEFAULT_RATES_PPM if rates_ppm is None else rates_ppm
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {ppm}" for lang, ppm in sorted(rates.items())
+    )
+    bucket = HASH60_SQL(f"concat('sample-{salt}:', CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {bucket} % 1000000 < CASE {whens} ELSE {default_ppm} END
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: (pattern, replacement) applied in order; Java-regex/RE2-shared syntax
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (r"\+[0-9]{7,15}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Redact emails / IPv4s / international phone numbers, with per-kind
+    match counts. Pure per-row regexp work (codegen'd, zero shuffle); the
+    counts make redaction auditable (sum them for a corpus PII report)."""
+    scrubbed = F.col("text")
+    counts = []
+    for (pat, repl), name in zip(PII_PATTERNS, ("emails", "ips", "phones")):
+        counts.append(F.regexp_count("text", F.lit(pat)).alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return documents.select("doc_id", *counts, scrubbed.alias("scrubbed_text"))
+
+
+def _pii_scrub_sql_expr() -> str:
+    expr = "text"
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_PATTERNS[0][0]}')) AS n_emails,
+       len(regexp_extract_all(text, '{PII_PATTERNS[1][0]}')) AS n_ips,
+       len(regexp_extract_all(text, '{PII_PATTERNS[2][0]}')) AS n_phones,
+       {_pii_scrub_sql_expr()} AS scrubbed_text
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram heavy hitters
+# ---------------------------------------------------------------------------
+
+def top_ngrams(documents: DataFrame, k: int = 25) -> DataFrame:
+    """Global top-k word bigrams by occurrence (with multiplicity).
+
+    explode -> count (partial+final around one shuffle) -> top-k via
+    sort+limit, which Spark executes as TakeOrderedAndProject: each
+    partition forwards only its local k, so the driver merge sees
+    k x partitions rows however large the bigram vocabulary is.
+    Deterministic tie-break: count desc, then bigram asc.
+    """
+    toks = tokens("text")
+    bigrams = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2),"
+        " i -> concat_ws(' ', toks[i], toks[i+1])) ELSE array() END"
+    )
+    return (
+        documents.select(toks.alias("toks"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(k)
+    )
+
+
+def TOP_NGRAMS_SQL(k: int = 25) -> str:
+    return f"""
+WITH toks AS (SELECT {TOKENS_SQL('text')} AS toks FROM documents),
+grams AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(1, len(toks) - 1),
+             i -> concat_ws(' ', toks[i], toks[i+1]))
+         ELSE [] END) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS n
+FROM grams GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline
+# ---------------------------------------------------------------------------
+
+def curate_corpus(
+    documents: DataFrame,
+    min_quality: float = 0.55,
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Quality gate + exact dedup (keep-first) + per-language corpus stats.
+
+    The composition a real curation job runs nightly: drop low-quality and
+    too-short documents, collapse exact duplicates to their smallest
+    doc_id, then report per-language survivor counts / token volume /
+    average quality. Two shuffles total: the dedup hash-groupBy and the
+    stats groupBy (quality scoring is row-local and fuses into the scan).
+    """
+    q = quality_score(documents)
+    gated = (
+        documents.join(
+            q.select("doc_id", "quality_score", "n_tokens"), "doc_id"
+        )
+        .filter(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+        )
+    )
+    keep = (
+        gated.withColumn("content_hash", hash60(F.col("text")))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    # re-join survivors to their quality/token columns for the stats
+    survivors = keep.select("doc_id").join(
+        gated.select("doc_id", "lang", "quality_score", "n_tokens"), "doc_id"
+    )
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
+
+
+def CURATE_CORPUS_SQL(min_quality: float = 0.55, min_tokens: int = 8) -> str:
+    return f"""
+WITH q AS ({QUALITY_SCORE_SQL}),
+gated AS (
+  SELECT d.doc_id, d.lang, d.text, q.quality_score, q.n_tokens
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+  WHERE q.quality_score >= {min_quality} AND q.n_tokens >= {min_tokens}
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, {HASH60_SQL('text')} AS content_hash FROM gated)
+  GROUP BY content_hash
+),
+survivors AS (
+  SELECT g.lang, g.quality_score, g.n_tokens
+  FROM keep JOIN gated g ON keep.doc_id = g.doc_id
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality_score), 4) AS avg_quality
+FROM survivors GROUP BY lang
+"""

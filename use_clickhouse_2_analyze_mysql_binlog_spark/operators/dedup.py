@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
     HASH31_SQL,
@@ -100,7 +101,7 @@ def _doc_shingles(documents: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_posting(documents: DataFrame) -> DataFrame:
+def _shingle_posting(documents: DataFrame, persist: bool = False) -> DataFrame:
     """Distinct (doc_id, sh) posting list with the shingle hashed exactly
     once, *after* explode.
 
@@ -109,23 +110,37 @@ def _shingle_posting(documents: DataFrame) -> DataFrame:
     into higher-order-function bodies), which made signature building
     O(num_hashes x shingles x md5). Hash-after-explode computes each md5
     once, period.
+
+    ``persist=True`` caches the posting (memory-and-disk): the dedup
+    operators consume it from 2-4 plan branches and Spark has no cross-
+    branch common-subexpression reuse, so without the cache each branch
+    re-runs the explode+md5 scan — the dominant cost (measured ~3x on
+    ngram_jaccard). The cache is never explicitly unpersisted (results are
+    lazy); Spark LRU-evicts it, and at 100 TB the same role is played by a
+    materialized posting staging table.
     """
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    return (
+    posting = (
         documents.select("doc_id", norm.alias("norm"))
         .withColumn("shingle", F.explode(shingles_expr("norm")))
         .select("doc_id", hash60(F.col("shingle")).alias("sh"))
         .distinct()
     )
+    if persist:
+        posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
+    return posting
 
 
-def _doc_hash_sets(documents: DataFrame) -> DataFrame:
+def _doc_hash_sets(
+    documents: DataFrame, posting: DataFrame | None = None
+) -> DataFrame:
     """Per-doc array of distinct shingle hashes (longs), built from the
     posting list so each shingle is hashed once; long-array intersections
-    are then cheap."""
-    return _shingle_posting(documents).groupBy("doc_id").agg(
-        F.collect_list("sh").alias("sh_set")
-    )
+    are then cheap. Pass a (cached) ``posting`` to share the explode+md5
+    scan with other pipeline stages."""
+    if posting is None:
+        posting = _shingle_posting(documents)
+    return posting.groupBy("doc_id").agg(F.collect_list("sh").alias("sh_set"))
 
 
 _DOC_SHINGLES_SQL = f"""
@@ -203,7 +218,7 @@ def ngram_jaccard_pairs(
     the relational plan is one shuffle of the posting join instead of a
     quadratic array crunch.
     """
-    posting = _shingle_posting(documents)
+    posting = _shingle_posting(documents, persist=True)
     if max_df is not None:
         dfs = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         if log_dropped:
@@ -283,7 +298,9 @@ NUM_HASHES = 32
 NUM_BANDS = 8  # 8 bands x 4 rows
 
 
-def minhash_signatures(documents: DataFrame) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame, posting: DataFrame | None = None
+) -> DataFrame:
     """Per-document minhash signature (array of 32 longs).
 
     Permutation family h_i(x) = ((2i+1)*x + 7919*i + 1) mod (2^31-1);
@@ -295,9 +312,9 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     — re-evaluates the md5 chain per slot because subexpression
     elimination does not reach inside HOF lambdas; measured 30x slower.
     """
-    posting = _shingle_posting(documents).withColumn(
-        "x", F.col("sh") % MINHASH_PRIME
-    )
+    if posting is None:
+        posting = _shingle_posting(documents)
+    posting = posting.withColumn("x", F.col("sh") % MINHASH_PRIME)
     mins = [
         F.min((F.lit(2 * i + 1) * F.col("x") + F.lit(7919 * i + 1)) % MINHASH_PRIME)
         .alias(f"m{i}")
@@ -333,8 +350,13 @@ def minhash_lsh_pairs(
     larger than ``max_bucket`` are skipped entirely (ON by default): they
     are exact-dup mega-clusters whose pair explosion belongs to the
     hash-groupBy exact pass, not the near-dup join.
+
+    The shingle posting is computed once and cached: signature build and
+    exact-Jaccard verify both consume it, and each would otherwise re-run
+    the explode+md5 scan (the pipeline's dominant cost).
     """
-    sigs = minhash_signatures(documents)
+    posting = _shingle_posting(documents, persist=True)
+    sigs = minhash_signatures(documents, posting)
     rows_per_band = NUM_HASHES // NUM_BANDS
     band_structs = [
         F.struct(
@@ -371,7 +393,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return (
-        _pair_jaccard(cand, _doc_hash_sets(documents))
+        _pair_jaccard(cand, _doc_hash_sets(documents, posting))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

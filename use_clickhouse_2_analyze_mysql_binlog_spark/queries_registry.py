@@ -18,6 +18,7 @@ from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
 from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
     analytics,
     asof,
+    curation,
     dedup,
     dims,
     multimodal,
@@ -376,6 +377,33 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content / prefix / min-shingle fingerprints (portable 60-bit hash)."""
     return text.fingerprint(schemas.load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_sample_stratified", curation.STRATIFIED_SAMPLE_SQL())
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language hash-threshold sampling (zero shuffle,
+    reproducible across engines/runs)."""
+    return curation.stratified_sample(schemas.load_table(spark, sf_dir, "documents"))
+
+
+@register("text_pii_scrub", curation.PII_SCRUB_SQL)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/IP/phone redaction with per-kind match counts (row-local
+    regexp work inside codegen)."""
+    return curation.pii_scrub(schemas.load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_top_bigrams", curation.TOP_NGRAMS_SQL(k=25))
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-25 word bigrams (explode -> count -> TakeOrdered top-k)."""
+    return curation.top_ngrams(schemas.load_table(spark, sf_dir, "documents"), k=25)
+
+
+@register("corpus_curate", curation.CURATE_CORPUS_SQL())
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: quality gate + exact dedup keep-first +
+    per-language survivor stats (two shuffles total)."""
+    return curation.curate_corpus(schemas.load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
