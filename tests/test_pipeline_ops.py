@@ -265,6 +265,45 @@ def test_approx_sketches_bounded_error(spark):
         assert abs(r.approx_gtids - truth) <= max(3, 0.03 * truth), (r.day, truth)
 
 
+def test_kmeans_matches_numpy_reference(spark):
+    """Distributed Lloyd's must reproduce a NumPy reference fit with the
+    identical deterministic init: same assignments (up to fp argmin ties)
+    and monotonically non-increasing inertia."""
+    import numpy as np
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import clustering
+    from tests.conftest import SF_DIR
+
+    k, iters = 8, 4
+    emb_df = schemas.load_table(spark, SF_DIR, "embeddings")
+    pdf = emb_df.orderBy("vec_id").toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+
+    cents = X[:k].copy()  # same init: k smallest vec_ids
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            if (assign == c).any():
+                cents[c] = X[assign == c].mean(axis=0)
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want_assign = dict(zip(pdf["vec_id"], d.argmin(axis=1)))
+    want_inertia = d.min(axis=1).sum()
+
+    got_cents, assigned = clustering.kmeans_fit(emb_df, k=k, iters=iters)
+    got = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    agree = sum(got[v] == want_assign[v] for v in got) / len(got)
+    assert agree > 0.98, f"only {agree:.1%} assignment agreement with NumPy"
+    got_inertia = assigned.agg(F.sum("sq_dist")).collect()[0][0]
+    assert abs(got_inertia - want_inertia) / want_inertia < 1e-6
+
+    profile = clustering.kmeans_cluster_profile(emb_df, k=k, iters=iters)
+    rows = profile.collect()
+    assert sum(r.n_vecs for r in rows) == len(got)
+    assert all(0 < r.purity <= 1 for r in rows)
+
+
 def test_pii_scrub_redacts_planted(spark):
     from use_clickhouse_2_analyze_mysql_binlog_spark.operators import curation
 

@@ -1,0 +1,134 @@
+"""Distributed Lloyd's k-means over the embedding corpus.
+
+Beyond-reference (the reference has no vector surface at all): clustering is
+the training-data-pipeline primitive behind IVF index builds, corpus
+bucketing for curriculum/dedup sharding, and topic-balance reporting.
+
+Scale shape (the same one `similarity.assign_ivf_buckets` uses for a single
+assignment pass, iterated):
+
+- **Assignment is row-local.** The k centroids (k x dim doubles — a few KB)
+  are inlined as a literal array-of-arrays, so each iteration's assignment
+  is a zero-shuffle map over the scan: ``transform(centroids, c ->
+  squared_l2(emb, c))`` + argmin. No join, no broadcast exchange even.
+- **Update is one shuffle on (cluster, pos).** ``posexplode`` the embedding,
+  partial+final avg per (cluster_id, position) — k x dim aggregation keys
+  regardless of corpus size — then k tiny arrays come back to the driver to
+  become the next iteration's literals. Driver traffic is O(k x dim x
+  iters), never O(rows).
+- Iteration count is fixed (``iters``), so the whole fit is ``iters``
+  passes over the data; persist the input upstream when it is remote.
+
+Like the CC operator, k-means is iterative and therefore has no DuckDB
+oracle (driver records a rows-only check); `tests/test_pipeline_ops.py`
+verifies the fit against a NumPy reference implementation with identical
+deterministic init, and that inertia is monotonically non-increasing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from use_clickhouse_2_analyze_mysql_binlog_spark.operators.similarity import (
+    with_double_embedding,
+)
+
+
+def _sq_l2(vec_col, centroid):
+    return F.aggregate(
+        F.zip_with(vec_col, centroid, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_literals(centroids: list[list[float]]):
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
+def kmeans_assign(emb_df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Row-local assignment: nearest centroid by squared L2 (argmin with
+    first-match tie-break via array_position — deterministic)."""
+    cents = _centroid_literals(centroids)
+    dists = F.transform(cents, lambda c: _sq_l2(F.col("emb"), c))
+    return emb_df.withColumn("dists", dists).select(
+        "vec_id",
+        "label",
+        "emb",
+        (F.array_position("dists", F.array_min("dists")) - 1)
+        .cast("int")
+        .alias("cluster_id"),
+        F.array_min("dists").alias("sq_dist"),
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame, k: int = 8, iters: int = 5
+) -> tuple[list[list[float]], DataFrame]:
+    """Fit k-means; returns (centroids, final assignment DataFrame).
+
+    Deterministic init: the embeddings of the k smallest vec_ids (stable
+    across runs and engines; swap for k-means++ off a hash-sampled subset
+    at real scale — the iteration structure is unchanged).
+    """
+    emb = with_double_embedding(embeddings).select("vec_id", "label", "emb")
+    init_rows = emb.orderBy("vec_id").limit(k).collect()
+    centroids = [list(r.emb) for r in init_rows]
+    dim = len(centroids[0])
+    assigned = kmeans_assign(emb, centroids)
+    for _ in range(iters):
+        new_rows = (
+            assigned.select(
+                "cluster_id", F.posexplode("emb").alias("pos", "v")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, list[float]] = {}
+        for r in new_rows:
+            by_cluster.setdefault(r.cluster_id, [0.0] * dim)[r.pos] = r.m
+        # empty clusters keep their previous centroid
+        centroids = [
+            by_cluster.get(c, centroids[c]) for c in range(k)
+        ]
+        assigned = kmeans_assign(emb, centroids)
+    return centroids, assigned
+
+
+def kmeans_cluster_profile(
+    embeddings: DataFrame, k: int = 8, iters: int = 5
+) -> DataFrame:
+    """Per-cluster fit summary: size, inertia contribution, majority label
+    (the embeddings table carries a ground-truth ``label``) and its purity.
+    One aggregation over the final assignment — k rows out."""
+    _, assigned = kmeans_fit(embeddings, k=k, iters=iters)
+    label_counts = (
+        assigned.groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by("label", F.struct(F.col("n"), -F.col("label"))).alias(
+                "majority_label"
+            ),
+            F.max("n").alias("majority_n"),
+            F.sum("n").alias("n_vecs"),
+        )
+    )
+    inertia = assigned.groupBy("cluster_id").agg(
+        F.round(F.sum("sq_dist"), 6).alias("inertia")
+    )
+    return (
+        label_counts.join(inertia, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            "majority_label",
+            F.round(F.col("majority_n") / F.col("n_vecs"), 4).alias("purity"),
+            "inertia",
+        )
+        .orderBy("cluster_id")
+    )

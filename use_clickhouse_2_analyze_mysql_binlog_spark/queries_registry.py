@@ -18,6 +18,7 @@ from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
 from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
     analytics,
     asof,
+    clustering,
     curation,
     dedup,
     dims,
@@ -470,6 +471,16 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed cosine top-10 (scale path: search 1/K of the corpus)."""
     return similarity.ivf_topk(schemas.load_table(spark, sf_dir, "embeddings"))
+
+
+@register("embedding_kmeans")  # iterative -> rows-only (like the sketches)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means cluster profile (row-local assignment,
+    one (cluster, pos) shuffle per iteration); verified against a NumPy
+    reference in tests/test_pipeline_ops.py."""
+    return clustering.kmeans_cluster_profile(
+        schemas.load_table(spark, sf_dir, "embeddings"), k=8, iters=4
+    )
 
 
 # ---------------------------------------------------------------------------
