@@ -59,6 +59,29 @@ def test_gtid_set_operations_single_pass(spark):
     assert "Join" not in plan, plan
 
 
+def test_sampling_and_scrub_are_shuffle_free(spark):
+    # hash-threshold sampling and PII scrubbing are pure row-local work:
+    # any Exchange here means the operator stopped scaling with the scan
+    for name in ("corpus_sample_stratified", "text_pii_scrub"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_top_bigrams_uses_takeordered(spark):
+    plan = _plan(spark, "corpus_top_bigrams")
+    # global top-k without a global sort: each partition forwards only k
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_corpus_curate_two_shuffles_no_joins(spark):
+    plan = _plan(spark, "corpus_curate")
+    # quality gate fuses into the scan; keep-first dedup is a window on
+    # content_hash; stats groupBy — nothing joins back to the fact table
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+
+
 def test_scans_are_pruned(spark):
     # column pruning must reach the parquet scan of the fact table
     plan = _plan(spark, "daily_event_counts")

@@ -32,8 +32,8 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
 from use_clickhouse_2_analyze_mysql_binlog_spark.operators.text import (
     QUALITY_SCORE_SQL,
     TOKENS_SQL,
-    quality_score,
     tokens,
+    with_quality,
 )
 
 # ---------------------------------------------------------------------------
@@ -190,27 +190,22 @@ def curate_corpus(
     The composition a real curation job runs nightly: drop low-quality and
     too-short documents, collapse exact duplicates to their smallest
     doc_id, then report per-language survivor counts / token volume /
-    average quality. Two shuffles total: the dedup hash-groupBy and the
-    stats groupBy (quality scoring is row-local and fuses into the scan).
+    average quality. Two shuffles total, pinned by a plan test: quality
+    scoring is row-local and fuses into the scan, keep-first dedup is a
+    row_number window on content_hash (one shuffle, no join-back), and the
+    stats groupBy is the second.
     """
-    q = quality_score(documents)
-    gated = (
-        documents.join(
-            q.select("doc_id", "quality_score", "n_tokens"), "doc_id"
-        )
-        .filter(
-            (F.col("quality_score") >= min_quality)
-            & (F.col("n_tokens") >= min_tokens)
-        )
+    from pyspark.sql.window import Window
+
+    gated = with_quality(documents).filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
     )
-    keep = (
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    survivors = (
         gated.withColumn("content_hash", hash60(F.col("text")))
-        .groupBy("content_hash")
-        .agg(F.min("doc_id").alias("doc_id"))
-    )
-    # re-join survivors to their quality/token columns for the stats
-    survivors = keep.select("doc_id").join(
-        gated.select("doc_id", "lang", "quality_score", "n_tokens"), "doc_id"
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
     )
     return survivors.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -78,12 +78,10 @@ FROM documents
 # Quality scoring
 # ---------------------------------------------------------------------------
 
-def quality_score(documents: DataFrame) -> DataFrame:
-    """Length/stopword/uniqueness signals + a composite score in [0,1].
-
-    All ratios are exact integer divisions done in double precision and
-    rounded identically in both engines.
-    """
+def with_quality(documents: DataFrame) -> DataFrame:
+    """``documents`` plus the quality columns, computed row-local (no
+    projection down to the metric columns — pipelines that need text/lang
+    alongside the scores use this form and stay join-free)."""
     d = documents.withColumn("toks", tokens("text"))
     n = F.size("toks")
     distinct_n = F.size(F.array_distinct("toks"))
@@ -91,17 +89,17 @@ def quality_score(documents: DataFrame) -> DataFrame:
         F.expr(f"filter(toks, t -> t IN ({_in_list_sql(STOPWORDS)}))")
     )
     sum_len = F.expr("aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x)")
-    return d.select(
-        "doc_id",
-        F.length("text").alias("n_chars"),
-        n.alias("n_tokens"),
-        F.round(distinct_n / n, 4).alias("uniq_ratio"),
-        F.round(stop_hits / n, 4).alias("stop_ratio"),
-        F.round(sum_len / n, 4).alias("avg_token_len"),
+    return (
+        d.withColumn("q_n_chars", F.length("text"))
+        .withColumn("n_tokens", n)
+        .withColumn("uniq_ratio", F.round(distinct_n / n, 4))
+        .withColumn("stop_ratio", F.round(stop_hits / n, 4))
+        .withColumn("avg_token_len", F.round(sum_len / n, 4))
         # floor, not round: Spark rounds HALF_UP, DuckDB half-even — on an
         # exact .xxxx5 boundary they disagree; floor of the same double is
         # deterministic in both engines.
-        (
+        .withColumn(
+            "quality_score",
             F.floor(
                 (
                     0.5 * (distinct_n / n)
@@ -110,8 +108,26 @@ def quality_score(documents: DataFrame) -> DataFrame:
                 )
                 * 10000
             )
-            / 10000
-        ).alias("quality_score"),
+            / 10000,
+        )
+        .drop("toks")
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length/stopword/uniqueness signals + a composite score in [0,1].
+
+    All ratios are exact integer divisions done in double precision and
+    rounded identically in both engines.
+    """
+    return with_quality(documents).select(
+        "doc_id",
+        F.col("q_n_chars").alias("n_chars"),
+        "n_tokens",
+        "uniq_ratio",
+        "stop_ratio",
+        "avg_token_len",
+        "quality_score",
     )
 
 
