@@ -48,6 +48,25 @@ def test_cli_window_job_end_to_end(spark, tmp_path):
     assert "invertal" in out.columns  # [sic] reference column name
 
 
+def test_cli_curate_end_to_end(spark, tmp_path, capsys):
+    rc = cli.main(
+        [
+            "curate",
+            "--source", f"{SF_DIR}/documents.parquet",
+            "--output", str(tmp_path / "curated"),
+            "--min-quality", "0.55",
+            "--min-tokens", "8",
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "curated"))
+    assert "lang" in out.columns and out.count() > 0
+    # lang-partitioned layout on disk
+    assert any(p.name.startswith("lang=") for p in (tmp_path / "curated").iterdir())
+    src_n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert out.count() < src_n  # quality gate + dedup dropped something
+
+
 def test_cli_sessions_and_maintain(spark, tmp_path, capsys):
     src = str(tmp_path / "fact")
     binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))

@@ -97,6 +97,18 @@ def build_parser() -> argparse.ArgumentParser:
     mnt.add_argument("--retention-months", type=int, default=30)
     mnt.add_argument("--target-file-mb", type=int, default=512)
     mnt.add_argument("--skip-compaction", action="store_true")
+
+    cur = sub.add_parser(
+        "curate",
+        help="batch corpus curation: quality gate + exact dedup + PII scrub",
+    )
+    cur.add_argument("--source", required=True, help="documents parquet path")
+    cur.add_argument("--output", required=True,
+                     help="curated corpus output (lang-partitioned parquet)")
+    cur.add_argument("--min-quality", type=float, default=0.55)
+    cur.add_argument("--min-tokens", type=int, default=8)
+    cur.add_argument("--no-scrub", action="store_true",
+                     help="keep PII unredacted")
     return ap
 
 
@@ -166,6 +178,23 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         print(f"dropped={len(dropped)} compacted={len(compacted)}")
+        return 0
+    elif args.cmd == "curate":
+        from use_clickhouse_2_analyze_mysql_binlog_spark.operators import curation
+
+        docs = spark.read.parquet(args.source)
+        curated = curation.curated_documents(
+            docs,
+            min_quality=args.min_quality,
+            min_tokens=args.min_tokens,
+            scrub=not args.no_scrub,
+        )
+        # lang partitioning gives per-language pruning for downstream
+        # sampling/training reads; survivors of one lang shard by dedup's
+        # content-hash shuffle, so files stay balanced
+        curated.write.mode("overwrite").partitionBy("lang").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"curated={n}")
         return 0
     else:
         from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import (

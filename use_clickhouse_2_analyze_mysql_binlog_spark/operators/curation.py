@@ -214,6 +214,63 @@ def curate_corpus(
     )
 
 
+def curated_documents(
+    documents: DataFrame,
+    min_quality: float = 0.55,
+    min_tokens: int = 8,
+    scrub: bool = True,
+) -> DataFrame:
+    """The materialized counterpart of :func:`curate_corpus`: the surviving
+    documents themselves (PII-scrubbed by default), ready to write out
+    lang-partitioned. Same 2-shuffle shape — the scrub adds row-local
+    regexp work only."""
+    from pyspark.sql.window import Window
+
+    gated = with_quality(documents).filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    survivors = (
+        gated.withColumn("content_hash", hash60(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    text_col = F.col("text")
+    if scrub:
+        for pat, repl in PII_PATTERNS:
+            text_col = F.regexp_replace(text_col, pat, repl)
+    return survivors.select(
+        "doc_id",
+        "lang",
+        "source",
+        text_col.alias("text"),
+        "n_tokens",
+        "quality_score",
+    )
+
+
+def CURATED_DOCUMENTS_SQL(
+    min_quality: float = 0.55, min_tokens: int = 8, scrub: bool = True
+) -> str:
+    text_expr = _pii_scrub_sql_expr() if scrub else "text"
+    return f"""
+WITH q AS ({QUALITY_SCORE_SQL}),
+gated AS (
+  SELECT d.doc_id, d.lang, d.source, d.text, q.quality_score, q.n_tokens
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+  WHERE q.quality_score >= {min_quality} AND q.n_tokens >= {min_tokens}
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY {HASH60_SQL('text')} ORDER BY doc_id) AS rn
+  FROM gated
+)
+SELECT doc_id, lang, source, {text_expr} AS text, n_tokens, quality_score
+FROM ranked WHERE rn = 1
+"""
+
+
 def CURATE_CORPUS_SQL(min_quality: float = 0.55, min_tokens: int = 8) -> str:
     return f"""
 WITH q AS ({QUALITY_SCORE_SQL}),

@@ -407,6 +407,15 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curate_corpus(schemas.load_table(spark, sf_dir, "documents"))
 
 
+@register("corpus_curate_materialize", curation.CURATED_DOCUMENTS_SQL())
+def corpus_curate_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized curation output: the surviving documents themselves,
+    PII-scrubbed, ready for a lang-partitioned write (cli.py curate)."""
+    return curation.curated_documents(
+        schemas.load_table(spark, sf_dir, "documents")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline extensions: dedup
 # ---------------------------------------------------------------------------
