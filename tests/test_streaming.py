@@ -283,6 +283,62 @@ def test_stateful_sessionizer_matches_batch(spark, tmp_path, binlog_df):
     assert len(got) > 0
 
 
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    """Streaming curation must keep exactly one survivor per content hash
+    with the same gate as the batch pipeline: survivor hash-sets equal,
+    planted duplicates and PII redacted."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import curation
+    from use_clickhouse_2_analyze_mysql_binlog_spark.functions import hash60
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import curate_job
+
+    docs = schemas.load_table(spark, SF_DIR, "documents").withColumn(
+        "ingest_time",
+        F.expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"),
+    )
+    # plant: a duplicate of doc 0 and a PII-bearing doc
+    dup = docs.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+        (F.col("ingest_time") + F.expr("INTERVAL 1 SECOND")).alias("ingest_time"),
+    )
+    pii_text = (
+        "please contact our support team at helper@example.com for details "
+        "about the unique offering available today"
+    )
+    pii = spark.createDataFrame(
+        [(2_000_000, pii_text, "en", "src0", len(pii_text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("ingest_time", F.expr("timestamp '2024-01-01 01:00:00'"))
+    planted = docs.unionByName(dup).unionByName(pii)
+    src = str(tmp_path / "docs_src")
+    planted.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    out = str(tmp_path / "curated")
+    q = curate_job.run_curate_stream(
+        stream, out, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    want = curation.curated_documents(planted)  # batch over the same input
+    assert got.count() == want.count()
+    got_hashes = {
+        r[0] for r in got.select(hash60(F.col("text"))).collect()
+    }
+    want_hashes = {
+        r[0] for r in want.select(hash60(F.col("text"))).collect()
+    }
+    assert got_hashes == want_hashes
+    # the planted PII doc survived the gate AND was redacted
+    assert got.filter(F.col("text").contains("<EMAIL>")).count() == 1
+    assert got.filter(F.col("text").rlike("@")).count() == 0  # emails gone
+
+
 def test_streaming_dedup_drops_replayed_rows(spark, tmp_path, binlog_df):
     """dropDuplicatesWithinWatermark: a replayed copy of recent rows must
     vanish; every original row survives exactly once."""
