@@ -60,6 +60,39 @@ def test_retention_cutoff_and_sweep(spark, tmp_path):
     assert surviving.filter("day < DATE'2024-01-10'").count() == 0
 
 
+def test_sorted_export_total_order(spark, tmp_path):
+    """write_sorted_export must produce a TOTAL order: each file sorted,
+    and files' key ranges disjoint and ordered (so a reader concatenating
+    files in name order sees fully sorted data)."""
+    import pyarrow.parquet as pq
+
+    binlog = binlog_view(load_table(spark, SF_DIR, "events"))
+    out = str(tmp_path / "sorted")
+    storage.write_sorted_export(
+        binlog, out, ("execute_time", "binlog_pos"), num_files=4
+    )
+    files = sorted((tmp_path / "sorted").glob("part-*.parquet"))
+    assert len(files) == 4
+    prev_max = None
+    total = 0
+    for f in files:
+        t = pq.read_table(str(f), columns=["execute_time", "binlog_pos"])
+        keys = list(zip(t.column(0).to_pylist(), t.column(1).to_pylist()))
+        assert keys == sorted(keys), f"{f.name} not internally sorted"
+        if prev_max is not None:
+            assert keys[0] >= prev_max, "file ranges overlap"
+        prev_max = keys[-1]
+        total += len(keys)
+    assert total == binlog.count()
+
+    # the plan pays exactly one RangePartitioning exchange
+    plan = (
+        binlog.repartitionByRange(4, "execute_time", "binlog_pos")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in plan.lower(), plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Two tables bucketed on the join key must sort-merge join with zero
     Exchange and zero Sort — the scan satisfies distribution + ordering

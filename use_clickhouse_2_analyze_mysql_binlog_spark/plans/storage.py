@@ -74,6 +74,32 @@ def read_fact_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_sorted_export(
+    df: DataFrame,
+    path: str,
+    sort_cols: tuple[str, ...],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Globally-ordered export: file i's rows all sort before file i+1's,
+    and rows are sorted within each file.
+
+    ``repartitionByRange`` samples the sort key to build balanced range
+    boundaries (one RangePartitioning exchange), then each writer task
+    sorts only its slice — a total order over 100 TB without any single
+    node ever holding more than one slice (``orderBy``+single write would
+    serialize the world through one task). Readers get both lexicographic
+    file order and per-file parquet min/max stats that never overlap, so
+    merge-style consumers and range lookups stay O(slice).
+    """
+    cols = [F.col(c) for c in sort_cols]
+    if num_files is not None:
+        ranged = df.repartitionByRange(num_files, *cols)
+    else:
+        ranged = df.repartitionByRange(*cols)
+    ranged.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
 def retention_cutoff(today: dt.date, months: int = 30) -> dt.date:
     """``TTL execute_time + toIntervalMonth(months)`` cutoff date."""
     total = today.year * 12 + (today.month - 1) - months
