@@ -483,3 +483,80 @@ def test_operators_on_empty_inputs(spark):
         [], "name string, s timestamp, e timestamp"
     )
     assert range_join_binned(facts, no_intervals, "t", "s", "e").count() == 0
+
+
+def test_train_test_split_report(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}", "en", "s", 25) for i in range(4000)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r.split: r for r in curation.train_test_split(docs).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    assert sum(r.n_docs for r in rows.values()) == 4000
+    # ~95 / 2.5 / 2.5 with binomial slack
+    assert rows["train"].n_docs > 3600
+    assert 40 < rows["val"].n_docs < 200
+    assert 40 < rows["test"].n_docs < 200
+    assert rows["train"].total_tokens == rows["train"].n_docs * 5
+    # deterministic: identical report on re-run
+    again = {r.split: r.n_docs for r in curation.train_test_split(docs).collect()}
+    assert again == {s: r.n_docs for s, r in rows.items()}
+
+
+def test_benchmark_contamination_planted(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import curation
+
+    leaked = (
+        "which of the following best describes the capital city of france "
+        "given the historical context of european unification"
+    )
+    clean = (
+        "unique benchmark question about quantum entanglement decoherence "
+        "timescales in superconducting qubit arrays"
+    )
+    filler = "ordinary web page text about cooking pasta with garlic and olive oil"
+    docs = spark.createDataFrame(
+        [
+            (0, clean),     # bench (0 % 23 == 0), nothing shares its shingles
+            (23, leaked),   # bench, copied verbatim into train doc 24
+            (24, leaked),
+            (25, filler),
+            (26, filler + " extra words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.bench_doc_id: r for r in curation.benchmark_contamination(docs).collect()}
+    assert 23 in rows and rows[23].n_train_docs == 1
+    assert rows[23].n_shared_shingles > 10
+    assert 0 not in rows  # clean benchmark doc stays unreported
+
+
+def test_incremental_dedup_asymmetric(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the window and the birds sing in the morning light over the hills"
+    )
+    near = base.replace("morning light", "evening glow")
+    other = (
+        "completely different content about spark query engines and columnar "
+        "execution with vectorized readers and shuffle partitioning strategies"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),    # existing corpus
+            (3, other),   # existing corpus, unrelated
+            (17, near),   # new batch (17 % 10 == 7): near-dup of corpus doc 1
+            (27, base),   # new batch: exact text of corpus doc 1
+            (37, "entirely novel new batch document about deep sea biology"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.incremental_dedup_pairs(docs, threshold=0.5).collect()
+    got = {(r.new_doc_id, r.old_doc_id) for r in pairs}
+    assert (17, 1) in got and (27, 1) in got
+    # asymmetric: new ids only on the left, old ids only on the right —
+    # in particular the (17, 27) new-new near-dup pair is NOT emitted
+    assert all(n % 10 == 7 and o % 10 != 7 for n, o in got)
+    assert 37 not in {n for n, _ in got}

@@ -86,3 +86,19 @@ def test_scans_are_pruned(spark):
     # column pruning must reach the parquet scan of the fact table
     plan = _plan(spark, "daily_event_counts")
     assert "ReadSchema: struct<ts:bigint,event_type:string>" in plan, plan
+
+
+def test_train_test_split_single_shuffle(spark):
+    plan = _plan(spark, "corpus_train_test_split")
+    # assignment is row-local (pure hash of doc_id): one scan, one
+    # partial+final aggregate around the single 3-key shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_benchmark_contamination_broadcasts_bench_side(spark):
+    plan = _plan(spark, "benchmark_contamination")
+    # the benchmark posting (tiny) is broadcast — the corpus-sized train
+    # posting reaches the join without a hash exchange of its own
+    assert "BroadcastHashJoin" in plan, plan

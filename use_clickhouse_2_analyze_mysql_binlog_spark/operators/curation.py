@@ -271,6 +271,136 @@ FROM ranked WHERE rn = 1
 """
 
 
+def train_test_split(
+    documents: DataFrame,
+    val_pct: float = 2.5,
+    test_pct: float = 2.5,
+    salt: str = "split0",
+) -> DataFrame:
+    """Deterministic train/val/test assignment + per-split corpus report.
+
+    Assignment is ``hash(salt, doc_id) mod 10000`` against cumulative
+    per-mille thresholds — the same hash-threshold idiom as
+    :func:`stratified_sample`, with the same scale properties: the split is
+    a pure row-local function of (salt, doc_id), so it never shuffles, any
+    engine reproduces it bit-for-bit, and a document's split NEVER changes
+    as the corpus grows (critical: a doc migrating from test to train
+    between pipeline runs is silent eval contamination).
+
+    Returns the per-split report (n_docs, total_tokens, total_chars): one
+    map-side-combined aggregation over 3 keys.
+    """
+    bucket = F.pmod(
+        hash60(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))),
+        F.lit(10_000),
+    )
+    train_hi = 10_000 - int((val_pct + test_pct) * 100)
+    val_hi = 10_000 - int(test_pct * 100)
+    split = (
+        F.when(bucket < train_hi, "train")
+        .when(bucket < val_hi, "val")
+        .otherwise("test")
+    )
+    return (
+        documents.select(
+            split.alias("split"),
+            F.size(tokens("text")).alias("n_toks"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+def TRAIN_TEST_SPLIT_SQL(
+    val_pct: float = 2.5, test_pct: float = 2.5, salt: str = "split0"
+) -> str:
+    bucket = HASH60_SQL(f"concat('{salt}:', CAST(doc_id AS VARCHAR))")
+    train_hi = 10_000 - int((val_pct + test_pct) * 100)
+    val_hi = 10_000 - int(test_pct * 100)
+    return f"""
+SELECT CASE WHEN {bucket} % 10000 < {train_hi} THEN 'train'
+            WHEN {bucket} % 10000 < {val_hi} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(len({TOKENS_SQL('text')})) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination
+# ---------------------------------------------------------------------------
+
+#: Deterministic stand-in for an eval/benchmark set: every 23rd document.
+#: In production this is a real benchmark table (thousands of rows — tiny
+#: next to the training corpus), which is why the join below broadcasts it.
+BENCH_MOD = 23
+
+
+def benchmark_contamination(
+    documents: DataFrame, bench_mod: int = BENCH_MOD
+) -> DataFrame:
+    """Per-benchmark-document contamination report: how many training
+    documents share at least one word-3-gram with it, and how many of its
+    distinct shingles leak into the training set.
+
+    The canonical pre-training hygiene check (n-gram overlap between the
+    training corpus and held-out benchmarks). Shape at 100 TB: the shingle
+    posting is built once over the full corpus (the same posting the dedup
+    family caches/materializes); the benchmark side is a few thousand
+    documents, so its posting is broadcast — the corpus-sized posting never
+    shuffles for the join, and the only exchange is the final tiny groupBy
+    on benchmark doc ids.
+    """
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators.dedup import (
+        _shingle_posting,
+    )
+
+    posting = _shingle_posting(documents, persist=True)
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench = posting.filter(is_bench).withColumnsRenamed(
+        {"doc_id": "bench_doc_id"}
+    )
+    train = posting.filter(~is_bench).withColumnsRenamed(
+        {"doc_id": "train_doc_id"}
+    )
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("bench_doc_id")
+        .agg(
+            F.countDistinct("train_doc_id").alias("n_train_docs"),
+            F.countDistinct("sh").alias("n_shared_shingles"),
+        )
+    )
+
+
+def BENCHMARK_CONTAMINATION_SQL(bench_mod: int = BENCH_MOD) -> str:
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators.dedup import (
+        _DOC_SHINGLES_SQL,
+    )
+
+    return f"""
+WITH shingled AS ({_DOC_SHINGLES_SQL}),
+posting AS (
+  SELECT DISTINCT doc_id, {HASH60_SQL('sh.s')} AS sh
+  FROM shingled, unnest(shingles) AS sh(s)
+)
+SELECT b.doc_id AS bench_doc_id,
+       count(DISTINCT t.doc_id) AS n_train_docs,
+       count(DISTINCT b.sh) AS n_shared_shingles
+FROM posting b JOIN posting t ON b.sh = t.sh
+WHERE b.doc_id % {bench_mod} = 0 AND t.doc_id % {bench_mod} <> 0
+GROUP BY 1
+"""
+
+
 def CURATE_CORPUS_SQL(min_quality: float = 0.55, min_tokens: int = 8) -> str:
     return f"""
 WITH q AS ({QUALITY_SCORE_SQL}),

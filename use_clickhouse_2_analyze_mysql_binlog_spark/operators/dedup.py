@@ -337,26 +337,10 @@ def minhash_signatures(
 DEFAULT_MAX_BUCKET = 1000
 
 
-def minhash_lsh_pairs(
-    documents: DataFrame,
-    threshold: float = 0.5,
-    max_bucket: int | None = DEFAULT_MAX_BUCKET,
-) -> DataFrame:
-    """MinHash-LSH near-dup pairs, verified by exact Jaccard.
-
-    Pipeline: shingle -> minhash signature -> band hashes -> bucket
-    equi-join -> distinct candidate pairs -> exact Jaccard >= threshold.
-    Only band buckets shuffle; signatures never leave their row. Buckets
-    larger than ``max_bucket`` are skipped entirely (ON by default): they
-    are exact-dup mega-clusters whose pair explosion belongs to the
-    hash-groupBy exact pass, not the near-dup join.
-
-    The shingle posting is computed once and cached: signature build and
-    exact-Jaccard verify both consume it, and each would otherwise re-run
-    the explode+md5 scan (the pipeline's dominant cost).
-    """
-    posting = _shingle_posting(documents, persist=True)
-    sigs = minhash_signatures(documents, posting)
+def _band_buckets(sigs: DataFrame, max_bucket: int | None) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH bucket rows from minhash signatures,
+    with buckets larger than ``max_bucket`` dropped entirely (they are
+    exact-dup mega-clusters that belong to the hash-groupBy pass)."""
     rows_per_band = NUM_HASHES // NUM_BANDS
     band_structs = [
         F.struct(
@@ -384,6 +368,29 @@ def minhash_lsh_pairs(
             .select("band_id", "band_hash")
         )
         bands = bands.join(small, ["band_id", "band_hash"])
+    return bands
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified by exact Jaccard.
+
+    Pipeline: shingle -> minhash signature -> band hashes -> bucket
+    equi-join -> distinct candidate pairs -> exact Jaccard >= threshold.
+    Only band buckets shuffle; signatures never leave their row. Buckets
+    larger than ``max_bucket`` are skipped entirely (ON by default): they
+    are exact-dup mega-clusters whose pair explosion belongs to the
+    hash-groupBy exact pass, not the near-dup join.
+
+    The shingle posting is computed once and cached: signature build and
+    exact-Jaccard verify both consume it, and each would otherwise re-run
+    the explode+md5 scan (the pipeline's dominant cost).
+    """
+    posting = _shingle_posting(documents, persist=True)
+    bands = _band_buckets(minhash_signatures(documents, posting), max_bucket)
     a = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
     b = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
     cand = (
@@ -399,9 +406,9 @@ def minhash_lsh_pairs(
     )
 
 
-def MINHASH_LSH_SQL(
-    threshold: float = 0.5, max_bucket: int | None = DEFAULT_MAX_BUCKET
-) -> str:
+def _MINHASH_BANDS_CTES(max_bucket: int | None) -> str:
+    """Shared CTE prefix (shingled -> sigs -> capped band buckets) for the
+    LSH SQL twins."""
     rows_per_band = NUM_HASHES // NUM_BANDS
     bucket_filter = (
         f"""
@@ -409,9 +416,9 @@ bands AS (
   SELECT x.doc_id, x.band_id, x.band_hash FROM bands0 x
   JOIN (SELECT band_id, band_hash FROM bands0 GROUP BY 1, 2
         HAVING count(*) <= {max_bucket}) ok USING (band_id, band_hash)
-),"""
+)"""
         if max_bucket is not None
-        else "bands AS (SELECT * FROM bands0),"
+        else "bands AS (SELECT * FROM bands0)"
     )
     return f"""
 WITH shingled AS ({_DOC_SHINGLES_SQL}),
@@ -432,7 +439,14 @@ bands0 AS (
          {HASH60_SQL(f"array_to_string(list_slice(sig, b*{rows_per_band} + 1, b*{rows_per_band} + {rows_per_band}), '_')")} AS band_hash
   FROM sigs, generate_series(0, {NUM_BANDS - 1}) AS t(b)
 ),
-{bucket_filter}
+{bucket_filter}"""
+
+
+def MINHASH_LSH_SQL(
+    threshold: float = 0.5, max_bucket: int | None = DEFAULT_MAX_BUCKET
+) -> str:
+    return f"""
+{_MINHASH_BANDS_CTES(max_bucket)},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -441,6 +455,82 @@ cand AS (
 ),
 pairs AS ({_PAIR_JACCARD_SQL})
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+#: Deterministic stand-in for "today's crawl batch": doc_id % 10 == 7.
+#: In production the split is the ingest boundary (new files vs the
+#: existing corpus), not an id predicate.
+NEW_BATCH_MOD, NEW_BATCH_REM = 10, 7
+
+
+def incremental_dedup_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    new_mod: int = NEW_BATCH_MOD,
+    new_rem: int = NEW_BATCH_REM,
+) -> DataFrame:
+    """Near-dups of an incoming batch against the existing corpus — the
+    ingest-time shape of MinHash-LSH dedup (a nightly crawl is deduped
+    against the accumulated corpus, not all-pairs against itself).
+
+    Asymmetric by construction: only (new, old) candidate pairs are
+    generated, never old-old. At 100 TB the old corpus' band buckets are a
+    materialized staging table partitioned by (band_id, band_hash), so each
+    increment shuffles only the new batch's bands plus the matched buckets;
+    here both sides derive from one signature pass over ``documents`` with
+    the batch membership expressed as a predicate.
+
+    Returns (new_doc_id, old_doc_id, jaccard) — the batch documents to drop
+    (or link) before appending to the corpus.
+    """
+    posting = _shingle_posting(documents, persist=True)
+    bands = _band_buckets(minhash_signatures(documents, posting), max_bucket)
+    is_new = F.col("doc_id") % new_mod == new_rem
+    new_b = bands.filter(is_new).select(
+        "band_id", "band_hash", F.col("doc_id").alias("doc_a")
+    )
+    old_b = bands.filter(~is_new).select(
+        "band_id", "band_hash", F.col("doc_id").alias("doc_b")
+    )
+    cand = (
+        new_b.join(old_b, ["band_id", "band_hash"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        _pair_jaccard(cand, _doc_hash_sets(documents, posting))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("doc_a").alias("new_doc_id"),
+            F.col("doc_b").alias("old_doc_id"),
+            "jaccard",
+        )
+    )
+
+
+def INCREMENTAL_DEDUP_SQL(
+    threshold: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    new_mod: int = NEW_BATCH_MOD,
+    new_rem: int = NEW_BATCH_REM,
+) -> str:
+    return f"""
+{_MINHASH_BANDS_CTES(max_bucket)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.doc_id % {new_mod} = {new_rem} AND b.doc_id % {new_mod} <> {new_rem}
+),
+pairs AS ({_PAIR_JACCARD_SQL})
+SELECT doc_a AS new_doc_id, doc_b AS old_doc_id, jaccard
+FROM pairs WHERE jaccard >= {threshold}
 """
 
 

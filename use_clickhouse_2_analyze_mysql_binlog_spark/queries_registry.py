@@ -416,6 +416,22 @@ def corpus_curate_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("corpus_train_test_split", curation.TRAIN_TEST_SPLIT_SQL())
+def corpus_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold train/val/test split report (zero-
+    shuffle assignment; a doc's split never changes as the corpus grows)."""
+    return curation.train_test_split(schemas.load_table(spark, sf_dir, "documents"))
+
+
+@register("benchmark_contamination", curation.BENCHMARK_CONTAMINATION_SQL())
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set contamination of a benchmark subset via shared word-3-grams
+    (broadcast the tiny benchmark posting; corpus posting never shuffles)."""
+    return curation.benchmark_contamination(
+        schemas.load_table(spark, sf_dir, "documents")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline extensions: dedup
 # ---------------------------------------------------------------------------
@@ -438,6 +454,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8x4) candidates, exact-Jaccard verified."""
     return dedup.minhash_lsh_pairs(
+        schemas.load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register("dedup_incremental", dedup.INCREMENTAL_DEDUP_SQL(threshold=0.5))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: new-batch docs LSH-matched against the existing
+    corpus only (asymmetric candidates, exact-Jaccard verified)."""
+    return dedup.incremental_dedup_pairs(
         schemas.load_table(spark, sf_dir, "documents"), threshold=0.5
     )
 
