@@ -95,3 +95,29 @@ def test_cli_sessions_and_maintain(spark, tmp_path, capsys):
     rc = cli.main(["maintain", "--path", fact, "--retention-months", "1"])
     assert rc == 0
     assert "compacted=" in capsys.readouterr().out
+
+
+def test_cli_sql_end_to_end(spark, tmp_path, capsys):
+    out = str(tmp_path / "sql_out")
+    rc = cli.main(
+        [
+            "sql",
+            "--data-dir", SF_DIR,
+            "--output", out,
+            "SELECT event_type, count(*) AS n FROM binlog GROUP BY event_type",
+        ]
+    )
+    assert rc == 0
+    assert "rows=" in capsys.readouterr().out
+    result = spark.read.parquet(out)
+    assert result.columns == ["event_type", "n"]
+    assert result.count() > 0
+
+
+def test_cli_sql_prints(capsys):
+    rc = cli.main(
+        ["sql", "--data-dir", SF_DIR, "--limit", "3",
+         "SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3"]
+    )
+    assert rc == 0
+    assert "doc_id" in capsys.readouterr().out

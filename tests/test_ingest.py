@@ -196,3 +196,37 @@ def test_jdbc_sink_config_and_idempotent_writer(spark):
     )
     publish2(batch, 0)
     assert written == []
+
+
+def test_jsonl_source_corrupt_record_capture(spark, tmp_path):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.sources import files
+
+    p = tmp_path / "drop.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s", "n_chars": 11}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "s", "n_chars": 7}\n'
+        "this line is not json at all\n"
+        '{"doc_id": 3, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+    )
+    clean, corrupt = files.split_corrupt(
+        files.read_documents_jsonl(spark, str(p))
+    )
+    assert {r.doc_id for r in clean.collect()} == {1, 2, 3}
+    assert files.CORRUPT_COL not in clean.columns
+    bad = corrupt.collect()
+    assert len(bad) == 1 and "not json" in bad[0][files.CORRUPT_COL]
+
+
+def test_csv_source_corrupt_record_capture(spark, tmp_path):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.sources import files
+
+    p = tmp_path / "drop.csv"
+    p.write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,hello,en,s,5\n"
+        "2,salut,fr,s,5\n"
+        "not_a_number,oops,en,s,xyz\n"
+    )
+    clean, corrupt = files.split_corrupt(files.read_documents_csv(spark, str(p)))
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    assert corrupt.count() == 1

@@ -560,3 +560,32 @@ def test_incremental_dedup_asymmetric(spark):
     # in particular the (17, 27) new-new near-dup pair is NOT emitted
     assert all(n % 10 == 7 and o % 10 != 7 for n, o in got)
     assert 37 not in {n for n, _ in got}
+
+
+def test_frame_sampling_fanout(spark):
+    docs = spark.createDataFrame(
+        # doc 2 % 3 == 2 -> video; 540 bytes -> 9 frames of 64 (last = 28),
+        # stride 4 -> frames 0, 4, 8 with frame 8 short
+        [(2, "x" * 540), (0, "not a video, filtered out " * 5)],
+        "doc_id long, text string",
+    )
+    media = multimodal.documents_as_media(docs)
+    rows = multimodal.sample_frames(media, frame_size=64, stride=4).collect()
+    assert [(r.doc_id, r.frame_idx, r.frame_bytes) for r in rows] == [
+        (2, 0, 64), (2, 4, 64), (2, 8, 540 - 8 * 64),
+    ]
+    assert all(r.frame_checksum == r.frame_bytes * ord("x") for r in rows)
+
+
+def test_resize_media_stub(spark):
+    docs = spark.createDataFrame([(1, "abcdefgh" * 10)], "doc_id long, text string")
+    media = multimodal.documents_as_media(docs)
+    r = multimodal.resize_media(
+        media, max_dim=32, decoder=multimodal.stub_decoder
+    ).collect()[0]
+    w, h = multimodal.stub_decoder(b"abcdefgh" * 10)
+    k = max(1, (max(w, h) + 31) // 32)
+    assert (r.width, r.height) == (w, h)
+    assert (r.target_width, r.target_height) == (max(1, w // k), max(1, h // k))
+    assert r.resized_bytes == len((b"abcdefgh" * 10)[::k])
+    assert r.resized_checksum == sum((b"abcdefgh" * 10)[::k]) % 1_000_000_007

@@ -22,6 +22,10 @@ entrypoint covers both, plus the rollup MV job:
 
     python -m use_clickhouse_2_analyze_mysql_binlog_spark.cli maintain \\
         --path /data/fact --retention-months 30
+
+    python -m use_clickhouse_2_analyze_mysql_binlog_spark.cli sql \\
+        --data-dir /root/testdata/sf0.01 \\
+        "SELECT event_type, count(*) FROM binlog GROUP BY event_type"
 """
 
 from __future__ import annotations
@@ -109,6 +113,19 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--min-tokens", type=int, default=8)
     cur.add_argument("--no-scrub", action="store_true",
                      help="keep PII unredacted")
+
+    sq = sub.add_parser(
+        "sql",
+        help="ad-hoc Spark SQL over the testdata tables (the reference "
+        "user's clickhouse-client surface)",
+    )
+    sq.add_argument("--data-dir", required=True,
+                    help="directory of <table>.parquet files")
+    sq.add_argument("--output", default=None,
+                    help="write result parquet here instead of printing")
+    sq.add_argument("--limit", type=int, default=20,
+                    help="max rows to print (ignored with --output)")
+    sq.add_argument("query", help="SQL text; tables are registered as views")
     return ap
 
 
@@ -178,6 +195,30 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         print(f"dropped={len(dropped)} compacted={len(compacted)}")
+        return 0
+    elif args.cmd == "sql":
+        from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+
+        # register every present table (plus the binlog view over events) so
+        # the user's ANSI SQL runs unchanged — the clickhouse-client
+        # replacement surface
+        import os
+
+        for name in schemas.TESTDATA_TABLES:
+            if os.path.exists(f"{args.data_dir}/{name}.parquet"):
+                schemas.load_table(spark, args.data_dir, name).createOrReplaceTempView(
+                    name
+                )
+        if os.path.exists(f"{args.data_dir}/events.parquet"):
+            schemas.binlog_view(
+                schemas.load_table(spark, args.data_dir, "events")
+            ).createOrReplaceTempView("binlog")
+        result = spark.sql(args.query)
+        if args.output:
+            result.write.mode("overwrite").parquet(args.output)
+            print(f"rows={spark.read.parquet(args.output).count()}")
+        else:
+            result.show(args.limit, truncate=False)
         return 0
     elif args.cmd == "curate":
         from use_clickhouse_2_analyze_mysql_binlog_spark.operators import curation

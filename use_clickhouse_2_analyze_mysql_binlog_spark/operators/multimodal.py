@@ -108,6 +108,108 @@ def extract_media_features(
     return media.mapInPandas(extract, schema=MEDIA_FEATURES_SCHEMA)
 
 
+#: one row per sampled frame; the frame payload itself stays binary
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_size: int = 64, stride: int = 4
+) -> DataFrame:
+    """Frame sampling for video payloads: emit every ``stride``-th
+    fixed-size frame as its own row — the 1-row-in / N-rows-out fan-out a
+    real video pipeline has (ffmpeg keyframe extraction), with the decode
+    stubbed as byte-slicing.
+
+    ``mapInPandas`` is the right operator for the shape: the output
+    cardinality differs from the input's (a per-row UDF cannot fan out),
+    each partition's payloads stay in one Python worker (codec init
+    amortized per Arrow batch), and downstream sees a normal DataFrame of
+    frame rows. Payload bytes never shuffle — sampling happens on the
+    scan's partitions; only the small (id, idx, stats) rows move on.
+    """
+    videos = media.filter(F.col("media_type") == "video")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_bytes": [],
+                "frame_checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                n_frames = (len(buf) + frame_size - 1) // frame_size
+                for idx in range(0, n_frames, stride):
+                    frame = buf[idx * frame_size : (idx + 1) * frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_checksum"].append(sum(frame) % 1_000_000_007)
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+#: resize report: stub "resample" = keep every k-th byte of the payload
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("target_width", T.IntegerType()),
+        T.StructField("target_height", T.IntegerType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resized_checksum", T.LongType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    max_dim: int = 32,
+    decoder: Decoder = real_decoder,
+) -> DataFrame:
+    """Resize-to-fit report: decode dimensions, scale the longer side down
+    to ``max_dim`` (aspect preserved, never upscale), and "resample" the
+    payload (stub: every k-th byte where k is the linear scale factor).
+
+    Same Arrow-batched ``mapInPandas`` shape as feature extraction; emits
+    dimensions + resized checksum rather than the resized payload so the
+    output is engine-comparable (a real pipeline would write the resized
+    binary to a payload column instead).
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in RESIZE_SCHEMA.fields}
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                buf = bytes(payload)
+                w, h = decoder(buf)
+                k = max(1, (max(w, h) + max_dim - 1) // max_dim)
+                tw, th = max(1, w // k) if w else 0, max(1, h // k) if h else 0
+                resized = buf[::k]
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(mtype)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["target_width"].append(tw)
+                rows["target_height"].append(th)
+                rows["resized_bytes"].append(len(resized))
+                rows["resized_checksum"].append(sum(resized) % 1_000_000_007)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
 # DuckDB twin of extract_media_features under stub_decoder. DuckDB has no
 # byte-indexing on BLOB, so bytes come out of hex(encode(text)): byte i is
 # the value of hex digits 2i-1..2i (substr on the all-ASCII hex string is an
@@ -139,6 +241,70 @@ SELECT doc_id,
             AS BIGINT) AS checksum
 FROM m
 """
+
+def FRAME_SAMPLE_SQL(frame_size: int = 64, stride: int = 4) -> str:
+    """DuckDB twin of sample_frames over the documents-derived media table
+    (videos are doc_id % 3 = 2): same byte-slice frames, same checksum."""
+    byte_i = _BYTE_AT.format(p1="2*i-1", p2="2*i")
+    return f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+       CAST(idx AS INTEGER) AS frame_idx,
+       CAST(least((idx + 1) * {frame_size}, n) - idx * {frame_size}
+            AS BIGINT) AS frame_bytes,
+       CAST(COALESCE(list_sum(list_transform(
+              generate_series(idx * {frame_size} + 1,
+                              least((idx + 1) * {frame_size}, n)),
+              i -> {byte_i})), 0) % 1000000007 AS BIGINT) AS frame_checksum
+FROM m, unnest(generate_series(0, (n + {frame_size} - 1) // {frame_size} - 1,
+                               {stride})) AS t(idx)
+"""
+
+
+def RESIZE_SQL(max_dim: int = 32) -> str:
+    """DuckDB twin of resize_media under stub_decoder: same scale factor,
+    same every-k-th-byte resample, same checksum."""
+    byte_i = _BYTE_AT.format(p1="2*i-1", p2="2*i")
+    first = _BYTE_AT.format(p1="1", p2="2")
+    last = _BYTE_AT.format(p1="2*n-1", p2="2*n")
+    return f"""
+WITH m0 AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+m AS (
+  SELECT *,
+         CASE WHEN n = 0 THEN 0 ELSE 64 + ({first}) % 64 END AS w,
+         CASE WHEN n = 0 THEN 0 ELSE 64 + ({last}) % 64 END AS hgt
+  FROM m0
+),
+s AS (
+  SELECT *,
+         CASE WHEN greatest(w, hgt) = 0 THEN 1
+              ELSE (greatest(w, hgt) + {max_dim} - 1) // {max_dim} END AS k
+  FROM m
+)
+SELECT doc_id, media_type,
+       CAST(w AS INTEGER) AS width,
+       CAST(hgt AS INTEGER) AS height,
+       CAST(CASE WHEN w = 0 THEN 0 ELSE greatest(1, w // k) END
+            AS INTEGER) AS target_width,
+       CAST(CASE WHEN hgt = 0 THEN 0 ELSE greatest(1, hgt // k) END
+            AS INTEGER) AS target_height,
+       CAST((n + k - 1) // k AS BIGINT) AS resized_bytes,
+       CAST(COALESCE(list_sum(list_transform(
+              generate_series(1, n, CAST(k AS INTEGER)),
+              i -> {byte_i})), 0) % 1000000007 AS BIGINT) AS resized_checksum
+FROM s
+"""
+
 
 MEDIA_METADATA_SQL = """
 SELECT doc_id,

@@ -540,6 +540,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_media_features(media, decoder=multimodal.stub_decoder)
 
 
+@register("multimodal_frame_sample", multimodal.FRAME_SAMPLE_SQL())
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: 1-row-in / N-frames-out mapInPandas fan-out
+    (stub codec = byte slicing; plumbing, schema and batch shape are real)."""
+    media = multimodal.documents_as_media(
+        schemas.load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.sample_frames(media)
+
+
+@register("multimodal_resize", multimodal.RESIZE_SQL())
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-fit report via Arrow-batched mapInPandas with the stub
+    decoder (aspect-preserving downscale factor + resampled checksum)."""
+    media = multimodal.documents_as_media(
+        schemas.load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.resize_media(media, decoder=multimodal.stub_decoder)
+
+
 # ---------------------------------------------------------------------------
 # General analytical queries (joins + wide aggs; TPC-H-shaped)
 # ---------------------------------------------------------------------------
