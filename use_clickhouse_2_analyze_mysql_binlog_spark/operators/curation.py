@@ -352,12 +352,20 @@ def benchmark_contamination(
     distinct shingles leak into the training set.
 
     The canonical pre-training hygiene check (n-gram overlap between the
-    training corpus and held-out benchmarks). Shape at 100 TB: the shingle
-    posting is built once over the full corpus (the same posting the dedup
-    family caches/materializes); the benchmark side is a few thousand
-    documents, so its posting is broadcast — the corpus-sized posting never
-    shuffles for the join, and the only exchange is the final tiny groupBy
-    on benchmark doc ids.
+    training corpus and held-out benchmarks). Shape at 100 TB:
+
+    - Both sides filter the SAME cached full-corpus shingle posting that
+      the whole dedup family shares (at scale: the materialized posting
+      staging table) — Spark's cache manager matches the canonicalized
+      plan, so whichever dedup/contamination query runs first pays the
+      explode+md5 scan once for all of them.
+    - The benchmark posting (a few thousand docs in production) is
+      broadcast — the corpus-sized train posting never shuffles for the
+      join.
+    - The two distinct-counts aggregate separately and join on the tiny
+      benchmark-id result, instead of one multi-countDistinct aggregate:
+      two countDistincts in one groupBy plan as an Expand that doubles the
+      joined relation before shuffling it (measured ~7x slower here).
     """
     from use_clickhouse_2_analyze_mysql_binlog_spark.operators.dedup import (
         _shingle_posting,
@@ -371,14 +379,23 @@ def benchmark_contamination(
     train = posting.filter(~is_bench).withColumnsRenamed(
         {"doc_id": "train_doc_id"}
     )
-    return (
-        train.join(F.broadcast(bench), "sh")
+    # persist the JOINED relation (only matched shingle rows — tiny next to
+    # the corpus posting): both count branches consume it, and without the
+    # persist each branch would re-run the train-side shingle scan
+    joined = train.join(F.broadcast(bench), "sh").persist()
+    n_docs = (
+        joined.select("bench_doc_id", "train_doc_id")
+        .distinct()
         .groupBy("bench_doc_id")
-        .agg(
-            F.countDistinct("train_doc_id").alias("n_train_docs"),
-            F.countDistinct("sh").alias("n_shared_shingles"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_train_docs"))
     )
+    n_shingles = (
+        joined.select("bench_doc_id", "sh")
+        .distinct()
+        .groupBy("bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+    return n_docs.join(n_shingles, "bench_doc_id")
 
 
 def BENCHMARK_CONTAMINATION_SQL(bench_mod: int = BENCH_MOD) -> str:
