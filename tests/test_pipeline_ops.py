@@ -589,3 +589,22 @@ def test_resize_media_stub(spark):
     assert (r.target_width, r.target_height) == (max(1, w // k), max(1, h // k))
     assert r.resized_bytes == len((b"abcdefgh" * 10)[::k])
     assert r.resized_checksum == sum((b"abcdefgh" * 10)[::k]) % 1_000_000_007
+
+
+def test_repetition_score_planted(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import text as text_ops
+
+    loopy = "buy now " * 20                       # one trigram repeated
+    varied = (
+        "each word here appears exactly once across this entire sentence "
+        "keeping every trigram unique throughout"
+    )
+    short = "two words"                           # < 3 tokens -> no grams
+    docs = spark.createDataFrame(
+        [(0, loopy), (1, varied), (2, short)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in text_ops.repetition_score(docs).collect()}
+    assert rows[0].is_repetitive and rows[0].top_gram_count > 10
+    assert rows[0].dup_gram_ratio > 0.9
+    assert not rows[1].is_repetitive and rows[1].dup_gram_ratio == 0.0
+    assert rows[2].n_grams == 0 and not rows[2].is_repetitive

@@ -154,6 +154,100 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# Repetition scoring (boilerplate / generation-loop detection)
+# ---------------------------------------------------------------------------
+
+def repetition_score(
+    documents: DataFrame,
+    dup_ratio_gate: float = 0.3,
+    top_count_gate: int = 5,
+) -> DataFrame:
+    """Intra-document repetition signals over word 3-grams: the fraction of
+    duplicated trigram occurrences and the highest single-trigram repeat
+    count, plus a composite ``is_repetitive`` gate.
+
+    Catches the two corpus pathologies near-dup removal cannot: template
+    boilerplate repeated *within* one page, and degenerate generation
+    loops ("the the the ..."). Row-local higher-order-function work, zero
+    shuffle — but ``top_gram_count`` is quadratic in the per-document
+    distinct-trigram count (count each distinct gram's occurrences), so
+    giant documents should be length-gated before this operator (the
+    curation pipeline's ``min/max_tokens`` gate runs first for exactly
+    this kind of reason).
+    """
+    toks = tokens("text")
+    d = documents.select("doc_id", toks.alias("toks"))
+    grams = F.expr(
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3),"
+        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        " ELSE array() END"
+    )
+    d = d.select("doc_id", grams.alias("grams"))
+    n = F.size("grams")
+    n_distinct = F.size(F.array_distinct("grams"))
+    top = F.when(n == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.expr(
+                "transform(array_distinct(grams),"
+                " g -> size(filter(grams, x -> x = g)))"
+            )
+        )
+    )
+    dup_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round((n - n_distinct) / n, 4)
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_grams"),
+        dup_ratio.alias("dup_gram_ratio"),
+        top.alias("top_gram_count"),
+        (
+            (dup_ratio >= dup_ratio_gate) | (top >= top_count_gate)
+        ).alias("is_repetitive"),
+    )
+
+
+def REPETITION_SCORE_SQL(
+    dup_ratio_gate: float = 0.3, top_count_gate: int = 5
+) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL('text')} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         ELSE [] END AS grams
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+         len(grams) AS n_grams,
+         len(list_distinct(grams)) AS n_distinct,
+         CASE WHEN len(grams) = 0 THEN 0
+              ELSE list_max(list_transform(list_distinct(grams),
+                     g2 -> len(list_filter(grams, x -> x = g2)))) END AS top
+  FROM g
+),
+s AS (
+  SELECT doc_id, n_grams,
+         CASE WHEN n_grams = 0 THEN 0.0
+              ELSE round((n_grams - n_distinct) / CAST(n_grams AS DOUBLE), 4)
+         END AS dup_gram_ratio,
+         top AS top_gram_count
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_grams AS INTEGER) AS n_grams,
+       dup_gram_ratio,
+       CAST(top_gram_count AS INTEGER) AS top_gram_count,
+       (dup_gram_ratio >= {dup_ratio_gate} OR top_gram_count >= {top_count_gate})
+         AS is_repetitive
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Language ID (marker-word argmax)
 # ---------------------------------------------------------------------------
 

@@ -380,6 +380,13 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(schemas.load_table(spark, sf_dir, "documents"))
 
 
+@register("text_repetition_score", text.REPETITION_SCORE_SQL())
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document trigram repetition (boilerplate / generation-loop
+    detection) — row-local HOF work, zero shuffle."""
+    return text.repetition_score(schemas.load_table(spark, sf_dir, "documents"))
+
+
 @register("corpus_sample_stratified", curation.STRATIFIED_SAMPLE_SQL())
 def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language hash-threshold sampling (zero shuffle,
