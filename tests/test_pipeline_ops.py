@@ -608,3 +608,20 @@ def test_repetition_score_planted(spark):
     assert rows[0].dup_gram_ratio > 0.9
     assert not rows[1].is_repetitive and rows[1].dup_gram_ratio == 0.0
     assert rows[2].n_grams == 0 and not rows[2].is_repetitive
+
+
+def test_batch_topk_agrees_with_single_query(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    batch = similarity.ivf_batch_topk(emb, query_mod=50, k=5)
+    got0 = [
+        (r.vec_id, r.cos_sim)
+        for r in batch.filter(F.col("q_vec_id") == 0).orderBy("rank").collect()
+    ]
+    single = [
+        (r.vec_id, r.cos_sim)
+        for r in similarity.ivf_topk(emb, query_vec_id=0, k=5).collect()
+    ]
+    assert got0 == single  # the batch join reproduces the one-query path
+    per_q = batch.groupBy("q_vec_id").count().collect()
+    assert all(r["count"] <= 5 for r in per_q)
+    assert len(per_q) > 1  # genuinely multi-query

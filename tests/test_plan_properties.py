@@ -102,3 +102,12 @@ def test_benchmark_contamination_broadcasts_bench_side(spark):
     # the benchmark posting (tiny) is broadcast — the corpus-sized train
     # posting reaches the join without a hash exchange of its own
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_batch_topk_broadcast_and_group_limit(spark):
+    plan = _plan(spark, "similarity_batch_topk")
+    # query set broadcasts (corpus side never shuffles for the join) and
+    # per-query top-k runs as WindowGroupLimit — the shuffle carries at
+    # most k rows per query per map task
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan

@@ -185,6 +185,77 @@ LIMIT {k}
 """
 
 
+def ivf_batch_topk(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    num_centroids: int = 16,
+) -> DataFrame:
+    """Batch k-NN: top-k neighbors for EVERY query vector at once (queries
+    = ``vec_id % query_mod == 0``, standing in for a query table).
+
+    The retrieval building block at corpus scale — one query at a time
+    (``ivf_topk``) is a debugging shape; production kNN is a join:
+
+    - the query set (small) broadcasts against the IVF-bucketed corpus,
+      so each corpus partition scores only its residents x the queries
+      whose coarse bucket matches — the corpus never shuffles for the
+      join;
+    - per-query ranking is a ``row_number`` window that Spark executes
+      with ``WindowGroupLimit`` on BOTH sides of the exchange: each map
+      task forwards at most k rows per query, so the shuffle carries
+      O(queries x k x partitions), not every scored candidate.
+    """
+    from pyspark.sql.window import Window
+
+    assigned = assign_ivf_buckets(embeddings, num_centroids)
+    q = assigned.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("centroid_id").alias("q_centroid"),
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("centroid_id") == F.col("q_centroid"))
+            & (F.col("vec_id") != F.col("q_vec_id")),
+        )
+        .select(
+            "q_vec_id", "vec_id", "label", _cosine("emb", "q_emb").alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_vec_id", "vec_id", "label", "cos_sim", "rank")
+    )
+
+
+def IVF_BATCH_TOPK_SQL(
+    query_mod: int = 50, k: int = 5, num_centroids: int = 16
+) -> str:
+    return f"""
+WITH {_ASSIGN_SQL(num_centroids)},
+q AS (SELECT vec_id AS q_vec_id, emb AS q_emb, centroid_id AS q_centroid
+      FROM assigned WHERE vec_id % {query_mod} = 0),
+knn_scored AS (
+  SELECT q.q_vec_id, a.vec_id, a.label,
+         {COSINE_SQL('a.emb', 'q.q_emb')} AS cos_sim
+  FROM assigned a JOIN q
+    ON a.centroid_id = q.q_centroid AND a.vec_id <> q.q_vec_id
+)
+SELECT q_vec_id, vec_id, label, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY q_vec_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM knn_scored
+) WHERE rank <= {k}
+"""
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.99, num_centroids: int = 16
 ) -> DataFrame:

@@ -514,6 +514,15 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(schemas.load_table(spark, sf_dir, "embeddings"))
 
 
+@register("similarity_batch_topk", similarity.IVF_BATCH_TOPK_SQL())
+def similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN: top-k for every query vector via one broadcast join
+    against the IVF-bucketed corpus + WindowGroupLimit ranking."""
+    return similarity.ivf_batch_topk(
+        schemas.load_table(spark, sf_dir, "embeddings")
+    )
+
+
 @register("embedding_kmeans")  # iterative -> rows-only (like the sketches)
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means cluster profile (row-local assignment,
