@@ -121,3 +121,22 @@ def test_cli_sql_prints(capsys):
     )
     assert rc == 0
     assert "doc_id" in capsys.readouterr().out
+
+
+def test_cli_pipeline_end_to_end(spark, tmp_path, capsys):
+    out = str(tmp_path / "pipeline_out")
+    rc = cli.main(
+        ["pipeline", "--source", f"{SF_DIR}/documents.parquet", "--output", out]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "train: docs=" in printed
+    result = spark.read.parquet(out)
+    assert set(result.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test"
+    }
+    # curation + near-dup dedup strictly shrink the corpus
+    n_in = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert 0 < result.count() < n_in
+    # split is a partition column -> split-pruned reads touch one subdir
+    assert spark.read.parquet(f"{out}/split=train").count() > 0

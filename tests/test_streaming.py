@@ -436,3 +436,48 @@ def test_sessionizer_event_time_timeout_path(spark, tmp_path, binlog_df):
     # end+gap — so it correctly stays in state until a later epoch.
     assert sorted(r.gtid for r in late.collect()) == sorted(gtids[1:])
     assert late.filter(F.col("statement_count") != 1).count() == 0
+
+
+def test_incremental_dedup_stream_batches(spark, tmp_path):
+    """Epoch 0 seeds the corpus; epoch 1's near-dup of a corpus doc is
+    dropped while its novel doc survives; replaying epoch 1 is a no-op."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import (
+        incremental_dedup_job,
+    )
+
+    root = str(tmp_path / "inc")
+    body = incremental_dedup_job.make_dedup_batch(root, threshold=0.5)
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the window and the birds sing in the morning light over the hills"
+    )
+    schema = "doc_id long, text string"
+    batch0 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely unrelated corpus document about database engines"),
+            (3, base),  # exact intra-batch dup of 1 -> collapsed
+        ],
+        schema,
+    )
+    body(batch0, 0)
+    corpus = spark.read.parquet(f"{root}/corpus")
+    assert corpus.count() == 2  # intra-batch exact dup dropped
+
+    batch1 = spark.createDataFrame(
+        [
+            (10, base.replace("morning light", "evening glow")),  # near-dup of 1
+            (11, "entirely novel streaming document about deep sea biology"),
+        ],
+        schema,
+    )
+    body(batch1, 1)
+    ids = {r.doc_id for r in spark.read.parquet(f"{root}/corpus").collect()}
+    assert 11 in ids and 10 not in ids  # near-dup dropped vs corpus
+    # bands/sh_sets staged only for survivors
+    assert 10 not in {
+        r.doc_id for r in spark.read.parquet(f"{root}/bands").collect()
+    }
+
+    body(batch1, 1)  # replay: committed-epoch marker makes it a no-op
+    assert spark.read.parquet(f"{root}/corpus").count() == 3

@@ -114,6 +114,22 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--no-scrub", action="store_true",
                      help="keep PII unredacted")
 
+    pl = sub.add_parser(
+        "pipeline",
+        help="full corpus pipeline: curate -> near-dup dedup -> "
+        "train/val/test split -> partitioned write",
+    )
+    pl.add_argument("--source", required=True, help="documents parquet path")
+    pl.add_argument("--output", required=True,
+                    help="output root (split/lang-partitioned parquet)")
+    pl.add_argument("--min-quality", type=float, default=0.55)
+    pl.add_argument("--min-tokens", type=int, default=8)
+    pl.add_argument("--threshold", type=float, default=0.5,
+                    help="near-dup Jaccard threshold")
+    pl.add_argument("--val-pct", type=float, default=2.5)
+    pl.add_argument("--test-pct", type=float, default=2.5)
+    pl.add_argument("--no-scrub", action="store_true")
+
     sq = sub.add_parser(
         "sql",
         help="ad-hoc Spark SQL over the testdata tables (the reference "
@@ -195,6 +211,49 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         print(f"dropped={len(dropped)} compacted={len(compacted)}")
+        return 0
+    elif args.cmd == "pipeline":
+        from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
+            curation,
+            dedup,
+        )
+
+        docs = spark.read.parquet(args.source)
+        # 1. quality gate + exact dedup + scrub (2 shuffles)
+        curated = curation.curated_documents(
+            docs,
+            min_quality=args.min_quality,
+            min_tokens=args.min_tokens,
+            scrub=not args.no_scrub,
+        )
+        # 2. near-dup removal over the survivors (LSH candidates, exact
+        #    Jaccard verify, keep-first across chains is the batch CC job —
+        #    pairwise keep-first here, the nightly default)
+        pairs = dedup.minhash_lsh_pairs(curated, threshold=args.threshold)
+        clean = dedup.apply_dedup(curated, pairs)
+        # 3. deterministic split as a partition column: downstream training
+        #    readers prune to their split without scanning the rest
+        out = clean.withColumn(
+            "split",
+            curation.split_assignment(args.val_pct, args.test_pct),
+        )
+        out.write.mode("overwrite").partitionBy("split", "lang").parquet(
+            args.output
+        )
+        from pyspark.sql import functions as F  # local: keep CLI import light
+
+        report = (
+            spark.read.parquet(args.output)
+            .groupBy("split")
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_tokens").cast("long").alias("tokens"),
+            )
+            .orderBy("split")
+            .collect()
+        )
+        for r in report:
+            print(f"{r.split}: docs={r.docs} tokens={r.tokens}")
         return 0
     elif args.cmd == "sql":
         from use_clickhouse_2_analyze_mysql_binlog_spark import schemas

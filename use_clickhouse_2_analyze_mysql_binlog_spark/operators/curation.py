@@ -271,6 +271,24 @@ FROM ranked WHERE rn = 1
 """
 
 
+def split_assignment(
+    val_pct: float = 2.5, test_pct: float = 2.5, salt: str = "split0"
+) -> F.Column:
+    """'train' / 'val' / 'test' as a pure row-local function of
+    (salt, doc_id) — usable directly as a partition column."""
+    bucket = F.pmod(
+        hash60(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))),
+        F.lit(10_000),
+    )
+    train_hi = 10_000 - int((val_pct + test_pct) * 100)
+    val_hi = 10_000 - int(test_pct * 100)
+    return (
+        F.when(bucket < train_hi, "train")
+        .when(bucket < val_hi, "val")
+        .otherwise("test")
+    )
+
+
 def train_test_split(
     documents: DataFrame,
     val_pct: float = 2.5,
@@ -290,17 +308,7 @@ def train_test_split(
     Returns the per-split report (n_docs, total_tokens, total_chars): one
     map-side-combined aggregation over 3 keys.
     """
-    bucket = F.pmod(
-        hash60(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))),
-        F.lit(10_000),
-    )
-    train_hi = 10_000 - int((val_pct + test_pct) * 100)
-    val_hi = 10_000 - int(test_pct * 100)
-    split = (
-        F.when(bucket < train_hi, "train")
-        .when(bucket < val_hi, "val")
-        .otherwise("test")
-    )
+    split = split_assignment(val_pct, test_pct, salt)
     return (
         documents.select(
             split.alias("split"),
