@@ -230,3 +230,38 @@ def test_csv_source_corrupt_record_capture(spark, tmp_path):
     clean, corrupt = files.split_corrupt(files.read_documents_csv(spark, str(p)))
     assert {r.doc_id for r in clean.collect()} == {1, 2}
     assert corrupt.count() == 1
+
+
+def test_jdbc_source_partitioned_read_options():
+    from use_clickhouse_2_analyze_mysql_binlog_spark.sources.jdbc import (
+        JdbcSourceConfig,
+    )
+
+    cfg = JdbcSourceConfig(
+        url="jdbc:mysql://h1:3306/appdb",
+        table="broker_binlog",
+        user="u",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=32,
+    )
+    opts = cfg.reader_options()
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "32"
+    assert opts["fetchsize"] == "10000"
+
+    with pytest.raises(ValueError, match="needs"):
+        JdbcSourceConfig(
+            url="u", table="t", partition_column="id"
+        ).reader_options()
+    with pytest.raises(ValueError, match="not both"):
+        JdbcSourceConfig(
+            url="u", table="t", partition_column="id", lower_bound=0,
+            upper_bound=1, num_partitions=2, predicates=["day = '2020-01-01'"],
+        ).reader_options()
+
+    per_day = JdbcSourceConfig(
+        url="u", table="t", predicates=[f"day = '2020-01-{d:02d}'" for d in range(1, 31)]
+    )
+    assert "partitionColumn" not in per_day.reader_options()
