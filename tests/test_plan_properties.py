@@ -111,3 +111,12 @@ def test_batch_topk_broadcast_and_group_limit(spark):
     # most k rows per query per map task
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_multimodal_metadata_prunes_scan(spark):
+    plan = _plan(spark, "multimodal_metadata")
+    # metadata pass must not drag any column beyond (doc_id, text) off the
+    # scan (with a real media table: payload stays unread for metadata-only
+    # queries because parquet's vectorized reader skips unprojected columns)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+    assert "Exchange" not in plan, plan  # pure per-row pass
