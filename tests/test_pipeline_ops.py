@@ -625,3 +625,20 @@ def test_batch_topk_agrees_with_single_query(spark):
     per_q = batch.groupBy("q_vec_id").count().collect()
     assert all(r["count"] <= 5 for r in per_q)
     assert len(per_q) > 1  # genuinely multi-query
+
+
+def test_gapfill_fills_missing_days(spark):
+    import datetime as dt
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import rollups
+
+    rows = [
+        (dt.datetime(2020, 1, 1, 10), "INSERT"),
+        (dt.datetime(2020, 1, 1, 11), "DELETE"),
+        (dt.datetime(2020, 1, 4, 9), "INSERT"),  # 2nd+3rd missing
+    ]
+    binlog = spark.createDataFrame(rows, "execute_time timestamp, event_type string")
+    out = {r.day: r.event_count for r in rollups.daily_counts_gapfilled(binlog).collect()}
+    assert out == {
+        "2020-01-01": 2, "2020-01-02": 0, "2020-01-03": 0, "2020-01-04": 1,
+    }

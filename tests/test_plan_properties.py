@@ -120,3 +120,21 @@ def test_multimodal_metadata_prunes_scan(spark):
     # queries because parquet's vectorized reader skips unprojected columns)
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
     assert "Exchange" not in plan, plan  # pure per-row pass
+
+
+def test_pivot_is_rollup_plus_tiny_shuffle(spark):
+    plan = _plan(spark, "daily_counts_pivot")
+    # explicit pivot values -> no schema-discovery job and no join; Spark
+    # plans pivot as the (day, event_type) rollup shuffle plus a pivotfirst
+    # shuffle that carries only rollup rows (days x types)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "pivotfirst" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_gapfill_spine_joins_broadcast(spark):
+    plan = _plan(spark, "daily_counts_gapfilled")
+    # the date spine and the daily rollup are both tiny: the gap-fill join
+    # must broadcast, never shuffle the rollup
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan

@@ -82,3 +82,127 @@ def simulate_mv_partials(binlog: DataFrame, blocks: int = 8) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("event_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Reporting shapes over the daily rollup: pivot, moving average, gap-fill
+# ---------------------------------------------------------------------------
+
+#: explicit pivot domain — passing values to pivot() skips the extra
+#: collect-distinct job Spark otherwise runs to discover the columns, and
+#: pins the output schema (a stray event type cannot silently widen a
+#: 100 TB report)
+PIVOT_EVENT_TYPES = ("CLICK", "ERROR", "PURCHASE", "SIGNUP", "VIEW")
+
+
+def daily_counts_pivot(binlog: DataFrame) -> DataFrame:
+    """Days as rows, event types as columns — the wide report shape.
+
+    Plans as the long-form (day, event_type) rollup's shuffle plus a
+    day-keyed ``pivotfirst`` shuffle that carries only rollup rows
+    (days x types) — the explicit value list avoids the schema-discovery
+    job an unvalued ``pivot()`` runs first.
+    """
+    return (
+        binlog.groupBy(F.date_format("execute_time", DAY_FMT).alias("day"))
+        .pivot("event_type", list(PIVOT_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t.lower()}")
+                for t in PIVOT_EVENT_TYPES
+            ],
+        )
+    )
+
+
+DAILY_PIVOT_SQL = "SELECT strftime(CAST(execute_time AS DATE), '%Y-%m-%d') AS day,\n" + ",\n".join(
+    f"       CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+    f" AS n_{t.lower()}"
+    for t in PIVOT_EVENT_TYPES
+) + "\nFROM binlog\nGROUP BY 1\n"
+
+
+def daily_counts_moving_avg(binlog: DataFrame, days: int = 7) -> DataFrame:
+    """Per-event-type trailing ``days``-row moving average over the daily
+    counts — the dashboard smoothing query.
+
+    The window partitions by event type and orders by day: after the
+    rollup's aggregation shuffle, the window's exchange carries only the
+    rollup rows (days x event types), never fact rows.
+    """
+    from pyspark.sql.window import Window
+
+    daily = daily_event_counts(binlog)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(days - 1), 0)
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        "event_count",
+        F.round(F.avg("event_count").over(w), 4).alias(f"avg_{days}d"),
+    )
+
+
+def DAILY_MOVING_AVG_SQL(days: int = 7) -> str:
+    """CTE-body form (no leading WITH): the registry prepends the binlog
+    view CTE."""
+    return f"""
+daily AS (
+  SELECT strftime(CAST(execute_time AS DATE), '%Y-%m-%d') AS day, event_type,
+         count(*) AS event_count
+  FROM binlog GROUP BY 1, 2
+)
+SELECT day, event_type, CAST(event_count AS BIGINT) AS event_count,
+       round(avg(event_count) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN {days - 1} PRECEDING AND CURRENT ROW), 4) AS avg_{days}d
+FROM daily
+"""
+
+
+def daily_counts_gapfilled(binlog: DataFrame) -> DataFrame:
+    """Daily totals over a continuous date spine: missing days appear with
+    zero counts (time-series consumers break on absent rows).
+
+    The spine is generated with ``sequence()`` from the data's own min/max
+    day — a one-row aggregate broadcast into an explode, so the spine costs
+    nothing at any scale; the gap-fill is a broadcast left join from spine
+    to rollup (both tiny next to the facts).
+    """
+    daily = binlog.groupBy(
+        F.to_date("execute_time").alias("d")
+    ).agg(F.count(F.lit(1)).alias("event_count"))
+    bounds = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            F.date_format("d", DAY_FMT).alias("day"),
+            F.coalesce("event_count", F.lit(0)).cast("long").alias("event_count"),
+        )
+    )
+
+
+# CTE-body form (no leading WITH): the registry prepends the binlog view CTE
+DAILY_GAPFILL_SQL = """
+daily AS (
+  SELECT CAST(execute_time AS DATE) AS d, count(*) AS event_count
+  FROM binlog GROUP BY 1
+),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds
+)
+SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+       CAST(COALESCE(daily.event_count, 0) AS BIGINT) AS event_count
+FROM spine LEFT JOIN daily ON spine.d = daily.d
+"""

@@ -145,6 +145,36 @@ def daily_event_counts_by_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "daily_counts_pivot",
+    f"WITH binlog AS ({schemas.BINLOG_VIEW_SQL})\n{rollups.DAILY_PIVOT_SQL}",
+)
+def daily_counts_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT report: days x event-type columns (explicit value list — no
+    schema-discovery job; second shuffle carries only rollup rows)."""
+    return rollups.daily_counts_pivot(_binlog(spark, sf_dir))
+
+
+@register(
+    "daily_counts_moving_avg",
+    f"WITH binlog AS ({schemas.BINLOG_VIEW_SQL}),\n{rollups.DAILY_MOVING_AVG_SQL(7)}",
+)
+def daily_counts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row moving average per event type over the daily rollup
+    (window runs on rollup rows, never fact rows)."""
+    return rollups.daily_counts_moving_avg(_binlog(spark, sf_dir))
+
+
+@register(
+    "daily_counts_gapfilled",
+    f"WITH binlog AS ({schemas.BINLOG_VIEW_SQL}),\n{rollups.DAILY_GAPFILL_SQL}",
+)
+def daily_counts_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap-fill: every day between min and max present, missing
+    days zero-filled (sequence() spine + broadcast left join)."""
+    return rollups.daily_counts_gapfilled(_binlog(spark, sf_dir))
+
+
+@register(
     "summing_rollup_reaggregate",
     f"""
 WITH binlog AS ({schemas.BINLOG_VIEW_SQL})
