@@ -642,3 +642,18 @@ def test_gapfill_fills_missing_days(spark):
     assert out == {
         "2020-01-01": 2, "2020-01-02": 0, "2020-01-03": 0, "2020-01-04": 1,
     }
+
+
+def test_size_mad_udaf_matches_pandas(spark):
+    import pandas as pd
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import analytics
+
+    rows = [("INSERT", s) for s in [1, 2, 3, 4, 100]] + [("DELETE", s) for s in [10, 10, 10]]
+    binlog = spark.createDataFrame(
+        rows, "event_type string, single_statement_size long"
+    )
+    got = {r.event_type: (r.size_mad, r.n) for r in analytics.size_mad_per_type(binlog).collect()}
+    ins = pd.Series([1, 2, 3, 4, 100], dtype="float64")
+    assert got["INSERT"] == (round(float((ins - ins.median()).abs().median()), 4), 5)
+    assert got["DELETE"] == (0.0, 3)  # constant group -> zero deviation

@@ -19,6 +19,8 @@ Scale design notes:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -320,3 +322,60 @@ def daily_distinct_gtids_approx(binlog: DataFrame, rsd: float = 0.01) -> DataFra
         F.approx_count_distinct("gtid", rsd).alias("approx_gtids"),
         F.count(F.lit(1)).alias("event_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate Pandas UDAF (the one justified Python-aggregate shape)
+# ---------------------------------------------------------------------------
+
+def size_mad_per_type(binlog: DataFrame) -> DataFrame:
+    """Median absolute deviation of statement size per event type, as an
+    Arrow-batched grouped-aggregate ``pandas_udf``.
+
+    The deliberate Python-UDAF example: MAD is *holistic* (median of
+    deviations from the group's own median), so the relational form needs
+    two aggregation passes joined back together, while the grouped-agg
+    UDAF computes it in ONE shuffle — each group's values arrive as a
+    pandas Series in the Python worker. That tradeoff (plan shape vs
+    leaving codegen) is exactly when a Python aggregate is justified;
+    everything decomposable stays JVM-side (see size_quantiles).
+
+    Skew note: a grouped-agg UDAF materializes each whole group in one
+    worker — keys here are event types (bounded domain, bounded group
+    size ~ rows/types). For high-cardinality or heavy-hitter keys, use
+    ``applyInPandas`` with pre-aggregation or salting instead.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mad(v: pd.Series) -> float:
+        return float((v - v.median()).abs().median())
+
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates
+    # in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a
+    # pandas aggregate too
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    return binlog.groupBy("event_type").agg(
+        F.round(mad("single_statement_size"), 4).alias("size_mad"),
+        n_rows("single_statement_size").alias("n"),
+    )
+
+
+def SIZE_MAD_SQL(binlog_sql: str) -> str:
+    """Relational twin (double-pass median + join) — the oracle proves the
+    one-shuffle UDAF equals the decomposed form."""
+    return f"""
+WITH binlog AS ({binlog_sql}),
+med AS (
+  SELECT event_type, median(single_statement_size) AS m
+  FROM binlog GROUP BY 1
+)
+SELECT b.event_type,
+       round(median(abs(b.single_statement_size - med.m)), 4) AS size_mad,
+       count(*) AS n
+FROM binlog b JOIN med USING (event_type)
+GROUP BY 1
+"""

@@ -175,6 +175,17 @@ def daily_counts_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "size_mad_per_type",
+    analytics.SIZE_MAD_SQL(schemas.BINLOG_VIEW_SQL),
+)
+def size_mad_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF (median absolute deviation) — the
+    holistic-aggregate case where one Arrow shuffle beats the relational
+    double-pass; oracle is the decomposed two-median form."""
+    return analytics.size_mad_per_type(_binlog(spark, sf_dir))
+
+
+@register(
     "summing_rollup_reaggregate",
     f"""
 WITH binlog AS ({schemas.BINLOG_VIEW_SQL})
