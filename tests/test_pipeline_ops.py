@@ -657,3 +657,23 @@ def test_size_mad_udaf_matches_pandas(spark):
     ins = pd.Series([1, 2, 3, 4, 100], dtype="float64")
     assert got["INSERT"] == (round(float((ins - ins.median()).abs().median()), 4), 5)
     assert got["DELETE"] == (0.0, 3)  # constant group -> zero deviation
+
+
+def test_day_over_day_handles_gap_days(spark):
+    import datetime as dt
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import analytics
+
+    rows = [
+        (dt.datetime(2020, 1, 1, 10), "INSERT"),
+        (dt.datetime(2020, 1, 1, 11), "INSERT"),
+        (dt.datetime(2020, 1, 3, 9), "INSERT"),  # Jan 2 missing entirely
+    ]
+    binlog = spark.createDataFrame(rows, "execute_time timestamp, event_type string")
+    out = {(r.day, r.event_type): (r.event_count, r.prev_count, r.delta)
+           for r in analytics.day_over_day_counts(binlog).collect()}
+    assert out[("2020-01-01", "INSERT")] == (2, 0, 2)
+    # Jan 2 appears ONLY via the shifted side (prev of Jan 1) — the row a
+    # lag window would silently skip
+    assert out[("2020-01-02", "INSERT")] == (0, 2, -2)
+    assert out[("2020-01-03", "INSERT")] == (1, 0, 1)

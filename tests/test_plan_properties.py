@@ -138,3 +138,12 @@ def test_gapfill_spine_joins_broadcast(spark):
     # the date spine and the daily rollup are both tiny: the gap-fill join
     # must broadcast, never shuffle the rollup
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_correlated_subqueries_decorrelate(spark):
+    plan = _plan(spark, "nation_top_customer")
+    # Catalyst rewrites each correlated scalar subquery into an aggregate
+    # joined to the outer side: customer is scanned once per subquery as a
+    # grouped aggregate — never rescanned per outer row
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert plan.count("Scan parquet") == 3, plan  # nation + 2x customer aggs

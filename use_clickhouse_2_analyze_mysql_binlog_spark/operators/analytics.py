@@ -379,3 +379,104 @@ SELECT b.event_type,
 FROM binlog b JOIN med USING (event_type)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (SQL API; Catalyst decorrelation)
+# ---------------------------------------------------------------------------
+
+TOP_CUSTOMER_SQL_TEXT = """
+SELECT n.n_name AS nation,
+       (SELECT max(c.c_acctbal) FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey) AS max_acctbal,
+       (SELECT count(*) FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 0) AS n_positive
+FROM nation n
+"""
+
+
+def nation_top_customer(spark, nation: DataFrame, customer: DataFrame) -> DataFrame:
+    """Correlated scalar subqueries through the SQL API (``spark.sql``) —
+    the registry otherwise exercises only the DataFrame API; both front
+    ends land in the same Catalyst plan space.
+
+    Catalyst DECORRELATES each scalar subquery into an aggregate-then-join
+    (``RewriteCorrelatedScalarSubquery``): the plan is two grouped
+    aggregates over customer joined to nation, not a per-nation rescan —
+    at scale the correlated form costs the same as the hand-written join.
+    """
+    nation.createOrReplaceTempView("nation")
+    customer.createOrReplaceTempView("customer")
+    return spark.sql(TOP_CUSTOMER_SQL_TEXT)
+
+
+NATION_TOP_CUSTOMER_SQL = """
+SELECT n.n_name AS nation,
+       (SELECT max(c.c_acctbal) FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey) AS max_acctbal,
+       CAST((SELECT count(*) FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 0) AS BIGINT)
+         AS n_positive
+FROM nation n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day diff (full outer join)
+# ---------------------------------------------------------------------------
+
+def day_over_day_counts(binlog: DataFrame) -> DataFrame:
+    """Per-(day, event_type) count with the previous day's count and the
+    delta — via FULL OUTER self-join of the daily rollup against itself
+    shifted by one day, so days present on only one side still appear
+    (the lag-window form silently skips gap days; the outer join is the
+    report-correct shape).
+
+    Join inputs are rollup rows (days x types) — both sides tiny, AQE
+    broadcasts one; fact rows never reach the join.
+    """
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators.rollups import (
+        daily_event_counts,
+    )
+
+    daily = daily_event_counts(binlog)
+    prev = daily.select(
+        F.date_format(F.date_add(F.to_date("day"), 1), "yyyy-MM-dd").alias("day"),
+        F.col("event_type"),
+        F.col("event_count").alias("prev_count"),
+    )
+    return (
+        daily.join(prev, ["day", "event_type"], "full_outer")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("event_count", F.lit(0)).cast("long").alias("event_count"),
+            F.coalesce("prev_count", F.lit(0)).cast("long").alias("prev_count"),
+            (
+                F.coalesce("event_count", F.lit(0))
+                - F.coalesce("prev_count", F.lit(0))
+            ).cast("long").alias("delta"),
+        )
+    )
+
+
+DAY_OVER_DAY_SQL = """
+daily AS (
+  SELECT strftime(CAST(execute_time AS DATE), '%Y-%m-%d') AS day, event_type,
+         count(*) AS event_count
+  FROM binlog GROUP BY 1, 2
+),
+prev AS (
+  SELECT strftime(CAST(day AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d') AS day,
+         event_type, event_count AS prev_count
+  FROM daily
+)
+SELECT COALESCE(daily.day, prev.day) AS day,
+       COALESCE(daily.event_type, prev.event_type) AS event_type,
+       CAST(COALESCE(daily.event_count, 0) AS BIGINT) AS event_count,
+       CAST(COALESCE(prev.prev_count, 0) AS BIGINT) AS prev_count,
+       CAST(COALESCE(daily.event_count, 0) - COALESCE(prev.prev_count, 0)
+            AS BIGINT) AS delta
+FROM daily FULL OUTER JOIN prev
+  ON daily.day = prev.day AND daily.event_type = prev.event_type
+"""

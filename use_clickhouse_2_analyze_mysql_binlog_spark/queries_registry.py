@@ -174,6 +174,27 @@ def daily_counts_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollups.daily_counts_gapfilled(_binlog(spark, sf_dir))
 
 
+@register("nation_top_customer", analytics.NATION_TOP_CUSTOMER_SQL)
+def nation_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries via the SQL API — Catalyst decorrelates
+    them into aggregate-then-join (no per-row rescans)."""
+    return analytics.nation_top_customer(
+        spark,
+        schemas.load_table(spark, sf_dir, "nation"),
+        schemas.load_table(spark, sf_dir, "customer"),
+    )
+
+
+@register(
+    "day_over_day_counts",
+    f"WITH binlog AS ({schemas.BINLOG_VIEW_SQL}),\n{analytics.DAY_OVER_DAY_SQL}",
+)
+def day_over_day_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER day-over-day rollup diff (gap days appear on both
+    sides; join inputs are rollup rows, never facts)."""
+    return analytics.day_over_day_counts(_binlog(spark, sf_dir))
+
+
 @register(
     "size_mad_per_type",
     analytics.SIZE_MAD_SQL(schemas.BINLOG_VIEW_SQL),
