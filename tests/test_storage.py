@@ -207,3 +207,40 @@ def test_analytics_over_partitioned_layout(spark, tmp_path):
     )
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_zorder_clusters_both_columns(spark, tmp_path):
+    """Quantitative clustering check: with a Morton key, per-file min/max
+    ranges are narrow on BOTH columns; with a single-column sort the
+    second column's per-file ranges span ~the whole domain."""
+    from pyspark.sql import functions as F
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.plans import storage
+
+    n, domain = 40_000, 1 << 10
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % domain).alias("x"),
+        (F.col("id") * 40503 % domain).alias("y"),
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    storage.write_zordered(df, zpath, "x", "y", num_files=16, bits=10)
+    (
+        df.repartitionByRange(16, "x").sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(spath)
+    )
+
+    def avg_range(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg((F.max(col) - F.min(col)).alias("r"))
+        )
+        return per_file.agg(F.avg("r")).collect()[0][0]
+
+    zx, zy = avg_range(zpath, "x"), avg_range(zpath, "y")
+    sx, sy = avg_range(spath, "x"), avg_range(spath, "y")
+    assert sx < domain * 0.2          # single-col sort: x tightly clustered
+    assert sy > domain * 0.8          # ...but y spans the whole domain
+    assert zx < domain * 0.5 and zy < domain * 0.5  # z-order: BOTH narrow
+    assert max(zx, zy) < sy * 0.6     # and far better than the sorted y

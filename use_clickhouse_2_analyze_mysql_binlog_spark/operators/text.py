@@ -381,3 +381,51 @@ SELECT doc_id,
          AS min_shingle_fp
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus length histogram
+# ---------------------------------------------------------------------------
+
+def length_histogram(documents: DataFrame, bucket_chars: int = 100) -> DataFrame:
+    """Document-length distribution in fixed-width buckets, with each
+    bucket's share of the corpus — the first chart in any corpus report.
+
+    Bucketing is row-local integer division; the aggregation keys are
+    ~max_len/bucket_chars values, so the shuffle moves only histogram rows
+    however large the corpus. The share is computed from a window total
+    over the histogram itself (rollup-sized, not corpus-sized).
+    """
+    from pyspark.sql.window import Window
+
+    hist = (
+        documents.select(
+            (F.floor(F.col("n_chars") / bucket_chars) * bucket_chars)
+            .cast("long")
+            .alias("bucket_lo"),
+        )
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    total = Window.partitionBy()
+    return hist.select(
+        "bucket_lo",
+        (F.col("bucket_lo") + bucket_chars).alias("bucket_hi"),
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(total), 4).alias("share"),
+    )
+
+
+def LENGTH_HISTOGRAM_SQL(bucket_chars: int = 100) -> str:
+    return f"""
+WITH hist AS (
+  SELECT CAST(floor(n_chars / {bucket_chars}) * {bucket_chars} AS BIGINT)
+           AS bucket_lo,
+         count(*) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT bucket_lo, bucket_lo + {bucket_chars} AS bucket_hi,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 4) AS share
+FROM hist
+"""

@@ -449,6 +449,13 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_score(schemas.load_table(spark, sf_dir, "documents"))
 
 
+@register("corpus_length_histogram", text.LENGTH_HISTOGRAM_SQL())
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width document-length histogram with corpus shares (shuffle
+    moves histogram rows only; share from a window over the histogram)."""
+    return text.length_histogram(schemas.load_table(spark, sf_dir, "documents"))
+
+
 @register("corpus_sample_stratified", curation.STRATIFIED_SAMPLE_SQL())
 def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language hash-threshold sampling (zero shuffle,
