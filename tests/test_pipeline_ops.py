@@ -677,3 +677,14 @@ def test_day_over_day_handles_gap_days(spark):
     # lag window would silently skip
     assert out[("2020-01-02", "INSERT")] == (0, 2, -2)
     assert out[("2020-01-03", "INSERT")] == (1, 0, 1)
+
+
+def test_connected_components_restores_shuffle_conf(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import dedup as dd
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    labels = {r.doc_id: r.cluster_id for r in dd.connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1}
+    # the iteration's scoped shuffle sizing must never leak to other queries
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
