@@ -111,15 +111,22 @@ def make_dedup_batch(
         else:
             survivors = batch
 
-        survivors.write.mode("append").parquet(corpus_path)
-        surviving_ids = survivors.select("doc_id")
-        new_bands.join(surviving_ids, "doc_id").write.mode("append").parquet(
-            bands_path
-        )
-        new_sets.join(surviving_ids, "doc_id").write.mode("append").parquet(
-            sets_path
-        )
-        epochs.mark_epoch_committed(root, epoch)
+        try:
+            survivors.write.mode("append").parquet(corpus_path)
+            surviving_ids = survivors.select("doc_id")
+            new_bands.join(surviving_ids, "doc_id").write.mode("append").parquet(
+                bands_path
+            )
+            new_sets.join(surviving_ids, "doc_id").write.mode("append").parquet(
+                sets_path
+            )
+            epochs.mark_epoch_committed(root, epoch)
+        finally:
+            # per-epoch caches must not accumulate across a long-running
+            # stream (LRU eviction would save memory but thrash; explicit
+            # release keeps the epoch's footprint bounded)
+            for df in (survivors, new_bands, posting, batch):
+                df.unpersist()
 
     return process_batch
 
