@@ -244,3 +244,25 @@ def test_zorder_clusters_both_columns(spark, tmp_path):
     assert sy > domain * 0.8          # ...but y spans the whole domain
     assert zx < domain * 0.5 and zy < domain * 0.5  # z-order: BOTH narrow
     assert max(zx, zy) < sy * 0.6     # and far better than the sorted y
+
+
+def test_ivf_index_partition_pruned_read(spark, tmp_path):
+    """The materialized IVF index must answer a query from ONE bucket
+    directory (partition pruning at file-listing level) and agree with the
+    in-memory IVF path."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, path, num_centroids=16)
+
+    got = similarity.ivf_topk_from_index(spark, path, query_vec_id=0, k=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the centroid filter must reach the scan as a partition filter
+    assert "PartitionFilters: [isnotnull(centroid_id" in plan, plan
+    rows = [(r.vec_id, r.cos_sim) for r in got.collect()]
+    want = [
+        (r.vec_id, r.cos_sim)
+        for r in similarity.ivf_topk(emb, query_vec_id=0, k=5).collect()
+    ]
+    assert rows == want

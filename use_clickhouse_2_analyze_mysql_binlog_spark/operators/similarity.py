@@ -418,3 +418,47 @@ FROM cand
 ORDER BY cos_sim DESC, vec_id ASC
 LIMIT {k}
 """
+
+
+def write_ivf_index(
+    embeddings: DataFrame, path: str, num_centroids: int = 16
+) -> None:
+    """Materialize the IVF assignment as centroid-partitioned parquet —
+    the on-disk form of the index: a top-k search for one query reads ONLY
+    its bucket's directory (true partition pruning, ~1/K of the corpus
+    never listed, opened, or scanned)."""
+    assign_ivf_buckets(embeddings, num_centroids).drop("emb").join(
+        embeddings.select("vec_id", "embedding"), "vec_id"
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_topk_from_index(
+    spark, path: str, query_vec_id: int, k: int = 10
+) -> DataFrame:
+    """Top-k against the materialized index: resolve the query's bucket
+    (one-partition read), then scan only that bucket's directory. The
+    centroid_id filter prunes at the file-listing level — the plan's scan
+    shows only the matching partition."""
+    from pyspark.sql import functions as F2
+
+    index = spark.read.parquet(path)
+    q = (
+        index.filter(F2.col("vec_id") == query_vec_id)
+        .select("centroid_id", "embedding")
+        .collect()[0]
+    )
+    bucket = with_double_embedding(
+        index.filter(
+            (F2.col("centroid_id") == q.centroid_id)
+            & (F2.col("vec_id") != query_vec_id)
+        )
+    )
+    q_emb = F2.array(*[F2.lit(float(x)) for x in q.embedding]).cast(
+        "array<double>"
+    )
+    return (
+        bucket.withColumn("q_emb", q_emb)
+        .select("vec_id", "label", _cosine("emb", "q_emb").alias("cos_sim"))
+        .orderBy(F2.col("cos_sim").desc(), F2.col("vec_id").asc())
+        .limit(k)
+    )
