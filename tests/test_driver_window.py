@@ -1,0 +1,88 @@
+"""Pin the driver-window registration order (no Spark session needed).
+
+The round driver's correctness pass checks only the FIRST 50 registry
+entries in insertion order, so ordering is load-bearing: a query that never
+lands in the window never gets the hard rows+schema+hash driver signal.
+"""
+
+from use_clickhouse_2_analyze_mysql_binlog_spark import queries_registry as R
+
+WINDOW = 50
+
+# Queries with no green driver CORRECTNESS row before round 3 — these MUST
+# sit inside the checked window until a green row lands (VERDICT r02 #1).
+NEVER_DRIVER_VERIFIED = [
+    "windowed_running_size",
+    "session_windows",
+    "event_count_cube",
+    "multi_cluster_daily_counts",
+    "asof_trade_quote",
+    "range_join_maintenance_windows",
+    "size_quantiles",
+    "skew_salted_table_profile",
+    "gtid_set_operations",
+    "size_quantiles_approx",
+    "daily_distinct_gtids_approx",
+]
+
+R01_ONLY_GREEN = [
+    "order_priority_counts",
+    "dedup_apply_minhash",
+    "promo_revenue",
+    "similarity_lsh_topk",
+    "dedup_connected_components",
+    "dedup_apply_connected_components",
+]
+
+HEADLINE = [
+    "transaction_stats",
+    "top_transaction_by_size",
+    "top_transaction_by_spend_time",
+    "top_transaction_by_affected_rows",
+    "transaction_result_table",
+]
+
+
+def test_priority_names_all_registered():
+    missing = [n for n in R.DRIVER_WINDOW_PRIORITY if n not in R.QUERIES]
+    assert not missing, f"typo or unregistered query in priority list: {missing}"
+
+
+def test_priority_list_has_no_duplicates():
+    assert len(R.DRIVER_WINDOW_PRIORITY) == len(set(R.DRIVER_WINDOW_PRIORITY))
+
+
+def test_unverified_queries_inside_driver_window():
+    window = list(R.QUERIES)[:WINDOW]
+    for name in NEVER_DRIVER_VERIFIED + R01_ONLY_GREEN + HEADLINE:
+        assert name in window, f"{name} fell outside the driver's {WINDOW}-entry window"
+
+
+def test_queries_outside_window_were_green_in_r02():
+    """Everything past the window must already carry a green r02 row."""
+    import json
+    import pathlib
+
+    r02_path = pathlib.Path(__file__).resolve().parents[1] / "CORRECTNESS_r02.json"
+    r02 = json.loads(r02_path.read_text())
+    green = {
+        n
+        for n, row in r02.items()
+        if row.get("hash_match") or row.get("err") == "no_oracle"
+    }
+    overflow = list(R.QUERIES)[WINDOW:]
+    not_proven = [n for n in overflow if n not in green]
+    assert not not_proven, (
+        f"queries past position {WINDOW} without a green r02 row: {not_proven}"
+    )
+
+
+def test_oracles_cover_queries():
+    """Every query has an oracle unless explicitly rows-only by design."""
+    rows_only = {
+        "embedding_kmeans",
+        "size_quantiles_approx",
+        "daily_distinct_gtids_approx",
+    }
+    missing = [n for n in R.QUERIES if n not in R.ORACLES and n not in rows_only]
+    assert not missing, f"queries silently lacking an oracle: {missing}"

@@ -922,3 +922,91 @@ def gtid_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'second_only', second_only)"
         ).alias("cohort", "n_gtids")
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering
+# ---------------------------------------------------------------------------
+# The round driver's correctness pass checks the FIRST 50 registry entries in
+# insertion order, so registration order decides which queries get the hard
+# (rows + schema + value-hash) driver signal each round. Policy (COVERAGE.md
+# "Driver-window rotation"):
+#   1. queries with no green driver row in ANY round register first,
+#   2. then queries added or whose implementation changed this round,
+#   3. then the reference-core headline queries (verified every round),
+#   4. then rotation fill — previously-green queries, oldest proof first —
+#      so every registry entry has a green row within the last two rounds.
+# Queries past position 50 all carry a green CORRECTNESS_r02 row.
+DRIVER_WINDOW_PRIORITY = [
+    # -- 1. never driver-verified (erred on the r01 nanos bug, then fell
+    #       past the 50-entry window in r02)
+    "windowed_running_size",
+    "session_windows",
+    "event_count_cube",
+    "multi_cluster_daily_counts",
+    "asof_trade_quote",
+    "range_join_maintenance_windows",
+    "size_quantiles",
+    "skew_salted_table_profile",
+    "gtid_set_operations",
+    "size_quantiles_approx",  # rows-only by design (sketch)
+    "daily_distinct_gtids_approx",  # rows-only by design (sketch)
+    # -- 1b. green in r01 but outside the r02 window
+    "order_priority_counts",
+    "dedup_apply_minhash",
+    "promo_revenue",
+    "similarity_lsh_topk",
+    "dedup_connected_components",
+    "dedup_apply_connected_components",
+    # -- 2. added or changed this round (round 3)
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "similarity_ivf_topk",
+    "similarity_batch_topk",
+    "embedding_kmeans",  # rows-only by design (iterative)
+    # -- 3. reference-core headline queries
+    "transaction_stats",
+    "top_transaction_by_size",
+    "top_transaction_by_spend_time",
+    "top_transaction_by_affected_rows",
+    "transaction_result_table",
+    # -- 4. rotation fill up to the 50-entry window
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "ingest_transform",
+    "scalar_functions",
+    "retention_filter",
+    "daily_event_counts",
+    "daily_event_counts_by_table",
+    "summing_rollup_reaggregate",
+    "event_type_decode_dim_join",
+    "idempotent_window_antijoin",
+    "size_mad_per_type",
+    "nation_top_customer",
+    "day_over_day_counts",
+    "daily_counts_pivot",
+    "daily_counts_moving_avg",
+    "daily_counts_gapfilled",
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    # Everything not listed keeps its definition-order position after these
+    # (all r02-green: text/curation/multimodal families + remaining TPC-H).
+]
+
+
+def _apply_driver_window_priority() -> None:
+    """Reorder QUERIES in place (callers hold references to the dict)."""
+    snapshot = dict(QUERIES)
+    QUERIES.clear()
+    for name in DRIVER_WINDOW_PRIORITY:
+        if name in snapshot:
+            QUERIES[name] = snapshot.pop(name)
+    QUERIES.update(snapshot)
+
+
+_apply_driver_window_priority()
