@@ -65,6 +65,62 @@ def kmeans_assign(emb_df: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
+def kmeans_assign_report(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """One fixed-centroid assignment pass, fully oracle-checkable.
+
+    The iterative fit (``kmeans_fit``) has no SQL oracle, but the
+    assignment step given FIXED centroids is a pure argmin — so this query
+    carries the hard driver signal for the row-local assignment plan that
+    every iteration reuses. Centroids are the embeddings of the k smallest
+    vec_ids (cluster_id = rank by vec_id), zero iterations.
+
+    Distances are rounded to 6 decimals BEFORE the argmin in both engines
+    (accumulation order may differ in the last bits between Spark's
+    sequential fold and DuckDB's list_sum); ties break toward the lower
+    cluster index. Plan: centroids inline as literals -> zero-shuffle,
+    zero-join map over the scan.
+    """
+    emb = with_double_embedding(embeddings).select("vec_id", "label", "emb")
+    init_rows = emb.orderBy("vec_id").limit(k).collect()  # O(k x dim) pull
+    cents = _centroid_literals([list(r.emb) for r in init_rows])
+    dists = F.transform(cents, lambda c: F.round(_sq_l2(F.col("emb"), c), 6))
+    return emb.withColumn("dists", dists).select(
+        "vec_id",
+        "label",
+        (F.array_position("dists", F.array_min("dists")) - 1)
+        .cast("int")
+        .alias("cluster_id"),
+        F.array_min("dists").alias("sq_dist"),
+    )
+
+
+def KMEANS_ASSIGN_SQL(k: int = 8) -> str:
+    sq_l2 = (
+        "round(list_sum(list_transform(generate_series(1, len(e.emb)), "
+        "i -> (e.emb[i] - cent.c_emb[i]) * (e.emb[i] - cent.c_emb[i]))), 6)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
+         emb AS c_emb
+  FROM e ORDER BY vec_id LIMIT {k}
+),
+km_scored AS (
+  SELECT e.vec_id, e.label, cent.cluster_id, {sq_l2} AS sq_dist
+  FROM e, cent
+)
+SELECT vec_id, label, cluster_id, sq_dist
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sq_dist ASC, cluster_id ASC) AS rn
+  FROM km_scored
+) WHERE rn = 1
+"""
+
+
 def kmeans_fit(
     embeddings: DataFrame, k: int = 8, iters: int = 5
 ) -> tuple[list[list[float]], DataFrame]:

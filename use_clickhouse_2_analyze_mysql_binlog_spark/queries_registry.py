@@ -592,6 +592,16 @@ def similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_kmeans_assign", clustering.KMEANS_ASSIGN_SQL(k=8))
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-centroid k-means assignment (zero iterations) — the
+    oracle-checked half of the k-means surface: per-vector argmin over k
+    literal centroids, zero-shuffle row-local plan."""
+    return clustering.kmeans_assign_report(
+        schemas.load_table(spark, sf_dir, "embeddings"), k=8
+    )
+
+
 @register("embedding_kmeans")  # iterative -> rows-only (like the sketches)
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means cluster profile (row-local assignment,
@@ -959,6 +969,7 @@ DRIVER_WINDOW_PRIORITY = [
     "dedup_connected_components",
     "dedup_apply_connected_components",
     # -- 2. added or changed this round (round 3)
+    "embedding_kmeans_assign",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_incremental",
