@@ -266,3 +266,36 @@ def test_ivf_index_partition_pruned_read(spark, tmp_path):
         for r in similarity.ivf_topk(emb, query_vec_id=0, k=5).collect()
     ]
     assert rows == want
+
+
+def test_staged_posting_no_documents_rescan(spark, tmp_path):
+    """Pair queries over a staged shingle posting must never scan the
+    documents table (raw text is shingled exactly once, at staging time)
+    and must return exactly the unstaged results."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path / "posting")
+    dedup.write_shingle_posting(docs, path)
+
+    staged = dedup.minhash_lsh_pairs(docs, threshold=0.5, posting_path=path)
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, plan
+    assert "posting" in plan
+
+    want = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    )
+    got = sorted((r.doc_a, r.doc_b, r.jaccard) for r in staged.collect())
+    assert got == want
+
+    # same guarantee for the other two posting consumers
+    for fn in (dedup.ngram_jaccard_pairs, dedup.incremental_dedup_pairs):
+        q = fn(docs, threshold=0.5, posting_path=path)
+        p = q._jdf.queryExecution().executedPlan().toString()
+        assert "documents.parquet" not in p, fn.__name__
+        unstaged = fn(docs, threshold=0.5)
+        assert sorted(map(tuple, q.collect())) == sorted(
+            map(tuple, unstaged.collect())
+        ), fn.__name__

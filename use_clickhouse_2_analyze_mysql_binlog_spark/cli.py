@@ -129,6 +129,12 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--val-pct", type=float, default=2.5)
     pl.add_argument("--test-pct", type=float, default=2.5)
     pl.add_argument("--no-scrub", action="store_true")
+    pl.add_argument(
+        "--staging",
+        default=None,
+        help="staging dir for the materialized shingle posting "
+        "(default: <output>.staging)",
+    )
 
     sq = sub.add_parser(
         "sql",
@@ -226,10 +232,17 @@ def main(argv: list[str] | None = None) -> int:
             min_tokens=args.min_tokens,
             scrub=not args.no_scrub,
         )
-        # 2. near-dup removal over the survivors (LSH candidates, exact
-        #    Jaccard verify, keep-first across chains is the batch CC job —
-        #    pairwise keep-first here, the nightly default)
-        pairs = dedup.minhash_lsh_pairs(curated, threshold=args.threshold)
+        # 2. near-dup removal over the survivors. The shingle posting is
+        #    materialized once to staging first: the LSH pair query then
+        #    reads only the pre-hashed posting parquet, so the curated
+        #    pipeline (window + scrub) is not recomputed per plan branch
+        #    and the raw text is scanned exactly once for shingling.
+        staging = args.staging or args.output.rstrip("/") + ".staging"
+        posting_path = staging + "/posting"
+        dedup.write_shingle_posting(curated, posting_path)
+        pairs = dedup.minhash_lsh_pairs(
+            curated, threshold=args.threshold, posting_path=posting_path
+        )
         clean = dedup.apply_dedup(curated, pairs)
         # 3. deterministic split as a partition column: downstream training
         #    readers prune to their split without scanning the rest

@@ -131,6 +131,43 @@ def _shingle_posting(documents: DataFrame, persist: bool = False) -> DataFrame:
     return posting
 
 
+def write_shingle_posting(
+    documents: DataFrame, path: str, num_partitions: int = 8
+) -> None:
+    """Materialize the shingle posting as parquet — the staged form of the
+    dedup family's shared input.
+
+    The in-memory ``persist=True`` cache amortizes the explode+md5 scan
+    within one session, but every dedup query still re-derives the posting
+    from the documents table (~4 scans of the raw text per query family at
+    100 TB, PLANS.md). Staging it once turns every pair query into scans of
+    a pre-hashed two-long-column table; the raw corpus is never touched
+    again (``tests/test_storage.py::test_staged_posting_no_documents_rescan``
+    pins this).
+
+    Layout: repartitioned + sorted by ``sh`` so equal shingle hashes are
+    co-located and row-group min/max stats prune selective probes. On a
+    warehouse deployment, write ``bucketBy(n, "sh")`` into a table instead
+    and the posting self-join drops its shuffle entirely (same pattern as
+    ``plans/storage.py`` bucketed joins).
+    """
+    (
+        _shingle_posting(documents)
+        .repartition(num_partitions, "sh")
+        .sortWithinPartitions("sh")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _posting_source(documents: DataFrame, posting_path: str | None) -> DataFrame:
+    """The dedup family's posting input: the staged parquet when a path is
+    given (no documents scan at all), else the cached in-memory build."""
+    if posting_path is not None:
+        return documents.sparkSession.read.parquet(posting_path)
+    return _shingle_posting(documents, persist=True)
+
+
 def _doc_hash_sets(
     documents: DataFrame, posting: DataFrame | None = None
 ) -> DataFrame:
@@ -200,6 +237,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = DEFAULT_MAX_DF,
     log_dropped: bool = False,
+    posting_path: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-3-gram Jaccard similarity.
 
@@ -217,8 +255,12 @@ def ngram_jaccard_pairs(
     when the corpus shares many shingles (candidate count ~ all pairs),
     the relational plan is one shuffle of the posting join instead of a
     quadratic array crunch.
+
+    ``posting_path`` switches the input to a staged posting written by
+    :func:`write_shingle_posting` — the documents table is then never
+    scanned.
     """
-    posting = _shingle_posting(documents, persist=True)
+    posting = _posting_source(documents, posting_path)
     if max_df is not None:
         dfs = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         if log_dropped:
@@ -375,6 +417,7 @@ def minhash_lsh_pairs(
     documents: DataFrame,
     threshold: float = 0.5,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    posting_path: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified by exact Jaccard.
 
@@ -387,9 +430,11 @@ def minhash_lsh_pairs(
 
     The shingle posting is computed once and cached: signature build and
     exact-Jaccard verify both consume it, and each would otherwise re-run
-    the explode+md5 scan (the pipeline's dominant cost).
+    the explode+md5 scan (the pipeline's dominant cost). ``posting_path``
+    switches to a staged posting (:func:`write_shingle_posting`); the
+    documents table is then never scanned.
     """
-    posting = _shingle_posting(documents, persist=True)
+    posting = _posting_source(documents, posting_path)
     bands = _band_buckets(minhash_signatures(documents, posting), max_bucket)
     a = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
     b = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
@@ -474,6 +519,7 @@ def incremental_dedup_pairs(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     new_mod: int = NEW_BATCH_MOD,
     new_rem: int = NEW_BATCH_REM,
+    posting_path: str | None = None,
 ) -> DataFrame:
     """Near-dups of an incoming batch against the existing corpus — the
     ingest-time shape of MinHash-LSH dedup (a nightly crawl is deduped
@@ -487,9 +533,10 @@ def incremental_dedup_pairs(
     the batch membership expressed as a predicate.
 
     Returns (new_doc_id, old_doc_id, jaccard) — the batch documents to drop
-    (or link) before appending to the corpus.
+    (or link) before appending to the corpus. ``posting_path`` switches to
+    a staged posting (:func:`write_shingle_posting`).
     """
-    posting = _shingle_posting(documents, persist=True)
+    posting = _posting_source(documents, posting_path)
     bands = _band_buckets(minhash_signatures(documents, posting), max_bucket)
     is_new = F.col("doc_id") % new_mod == new_rem
     new_b = bands.filter(is_new).select(

@@ -534,6 +534,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_minhash_lsh_staged", dedup.MINHASH_LSH_SQL(threshold=0.5))
+def dedup_minhash_lsh_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs over a MATERIALIZED shingle posting: stage the
+    posting parquet once, then the pair query never scans the documents
+    table (the 100 TB shape — raw text is shingled exactly once; staging
+    is semantics-preserving, so the oracle is the plain LSH twin)."""
+    import os
+    import tempfile
+
+    docs = schemas.load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_posting_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    dedup.write_shingle_posting(docs, path)
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5, posting_path=path)
+
+
 @register("dedup_incremental", dedup.INCREMENTAL_DEDUP_SQL(threshold=0.5))
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time dedup: new-batch docs LSH-matched against the existing
@@ -970,6 +988,7 @@ DRIVER_WINDOW_PRIORITY = [
     "dedup_apply_connected_components",
     # -- 2. added or changed this round (round 3)
     "embedding_kmeans_assign",
+    "dedup_minhash_lsh_staged",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_incremental",
