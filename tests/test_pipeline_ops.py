@@ -688,3 +688,68 @@ def test_connected_components_restores_shuffle_conf(spark):
     assert labels == {1: 1, 2: 1, 3: 1}
     # the iteration's scoped shuffle sizing must never leak to other queries
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_ivf_nprobe_recall_and_exhaustive_limit(spark):
+    """nprobe is the IVF recall lever: recall@10 must be monotonically
+    non-decreasing in nprobe, probing all K buckets must reproduce brute
+    force EXACTLY (the exhaustive limit), and nprobe=2 must confine
+    candidates to 2 of the 16 buckets (>50% of buckets pruned)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = [0, 3, 7, 11, 50]
+    recalls = {}
+    for nprobe in (1, 2, 4, 16):
+        hits = total = 0
+        for q in queries:
+            brute = {
+                r.vec_id
+                for r in similarity.brute_force_topk(
+                    emb, query_vec_id=q, k=10
+                ).collect()
+            }
+            got = {
+                r.vec_id
+                for r in similarity.ivf_topk(
+                    emb, query_vec_id=q, k=10, nprobe=nprobe
+                ).collect()
+            }
+            hits += len(brute & got)
+            total += len(brute)
+        recalls[nprobe] = hits / total
+    assert recalls[1] <= recalls[2] <= recalls[4] <= recalls[16], recalls
+    assert recalls[4] > recalls[1], recalls  # probing more buckets pays
+    assert recalls[16] == 1.0, recalls
+
+    # exhaustive limit: probing every bucket IS brute force, in order
+    full = [
+        (r.vec_id, r.cos_sim)
+        for r in similarity.ivf_topk(emb, query_vec_id=0, k=10, nprobe=16).collect()
+    ]
+    brute_ordered = [
+        (r.vec_id, r.cos_sim)
+        for r in similarity.brute_force_topk(emb, query_vec_id=0, k=10).collect()
+    ]
+    assert full == brute_ordered
+
+    # pruning: candidates at nprobe=2 live in exactly <=2 buckets
+    assigned = similarity.assign_ivf_buckets(emb, num_centroids=16)
+    bucket_of = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    got2 = [
+        r.vec_id
+        for r in similarity.ivf_topk(emb, query_vec_id=0, k=100, nprobe=2).collect()
+    ]
+    assert len({bucket_of[v] for v in got2}) <= 2
+
+
+def test_ivf_batch_topk_nprobe_matches_single(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    batch = similarity.ivf_batch_topk(emb, query_mod=50, k=5, nprobe=2)
+    got0 = [
+        (r.vec_id, r.cos_sim)
+        for r in batch.filter(F.col("q_vec_id") == 0).orderBy("rank").collect()
+    ]
+    single = [
+        (r.vec_id, r.cos_sim)
+        for r in similarity.ivf_topk(emb, query_vec_id=0, k=5, nprobe=2).collect()
+    ]
+    assert got0 == single

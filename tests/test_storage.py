@@ -267,6 +267,17 @@ def test_ivf_index_partition_pruned_read(spark, tmp_path):
     ]
     assert rows == want
 
+    # nprobe=2 agrees with the in-memory path and still prunes partitions
+    got2 = similarity.ivf_topk_from_index(spark, path, query_vec_id=0, k=5, nprobe=2)
+    plan2 = got2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan2 and "centroid_id" in plan2, plan2
+    rows2 = [(r.vec_id, r.cos_sim) for r in got2.collect()]
+    want2 = [
+        (r.vec_id, r.cos_sim)
+        for r in similarity.ivf_topk(emb, query_vec_id=0, k=5, nprobe=2).collect()
+    ]
+    assert rows2 == want2
+
 
 def test_staged_posting_no_documents_rescan(spark, tmp_path):
     """Pair queries over a staged shingle posting must never scan the

@@ -149,37 +149,71 @@ assigned AS (
 """
 
 
+def _query_buckets(
+    embeddings: DataFrame, q: DataFrame, num_centroids: int, nprobe: int
+) -> DataFrame:
+    """The query's ``nprobe`` nearest coarse buckets: rank the (tiny)
+    centroid set by cosine against the query vector, ties toward the lower
+    centroid_id. num_centroids rows in, nprobe rows out — broadcast fuel."""
+    cents = (
+        with_double_embedding(embeddings)
+        .filter(F.col("vec_id") < num_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb"))
+    )
+    return (
+        cents.crossJoin(F.broadcast(q))
+        .select("centroid_id", "q_emb", _cosine("c_emb", "q_emb").alias("c_cos"))
+        .orderBy(F.col("c_cos").desc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .select("centroid_id", "q_emb")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,
     k: int = 10,
     num_centroids: int = 16,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF top-k: rank only vectors sharing the query's coarse bucket."""
+    """IVF top-k: rank only vectors in the query's ``nprobe`` nearest
+    coarse buckets (nprobe=1 degenerates to the query's own bucket; raising
+    it trades scan fraction nprobe/num_centroids for recall — every corpus
+    vector lives in exactly one bucket, so probed buckets never overlap)."""
     assigned = assign_ivf_buckets(embeddings, num_centroids)
-    q = assigned.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("emb").alias("q_emb"), F.col("centroid_id").alias("q_centroid")
+    q = (
+        with_double_embedding(embeddings)
+        .filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("emb").alias("q_emb"))
     )
+    q_buckets = _query_buckets(embeddings, q, num_centroids, nprobe)
     return (
-        assigned.crossJoin(F.broadcast(q))
-        .filter(
-            (F.col("centroid_id") == F.col("q_centroid"))
-            & (F.col("vec_id") != query_vec_id)
-        )
+        assigned.join(F.broadcast(q_buckets), "centroid_id")
+        .filter(F.col("vec_id") != query_vec_id)
         .select("vec_id", "label", _cosine("emb", "q_emb").alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
     )
 
 
-def IVF_TOPK_SQL(query_vec_id: int = 0, k: int = 10, num_centroids: int = 16) -> str:
+def IVF_TOPK_SQL(
+    query_vec_id: int = 0, k: int = 10, num_centroids: int = 16, nprobe: int = 1
+) -> str:
     return f"""
 WITH {_ASSIGN_SQL(num_centroids)},
-q AS (SELECT emb AS q_emb, centroid_id AS q_centroid FROM assigned
-      WHERE vec_id = {query_vec_id})
+q AS (SELECT emb AS q_emb FROM e WHERE vec_id = {query_vec_id}),
+qb AS (
+  SELECT centroid_id, q_emb FROM (
+    SELECT cents.centroid_id, q.q_emb,
+           row_number() OVER (
+             ORDER BY {COSINE_SQL('c_emb', 'q_emb')} DESC, centroid_id ASC
+           ) AS rn
+    FROM cents, q
+  ) WHERE rn <= {nprobe}
+)
 SELECT vec_id, label, {COSINE_SQL('emb', 'q_emb')} AS cos_sim
-FROM assigned, q
-WHERE centroid_id = q_centroid AND vec_id <> {query_vec_id}
+FROM assigned JOIN qb USING (centroid_id)
+WHERE vec_id <> {query_vec_id}
 ORDER BY cos_sim DESC, vec_id ASC
 LIMIT {k}
 """
@@ -190,6 +224,7 @@ def ivf_batch_topk(
     query_mod: int = 50,
     k: int = 5,
     num_centroids: int = 16,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Batch k-NN: top-k neighbors for EVERY query vector at once (queries
     = ``vec_id % query_mod == 0``, standing in for a query table).
@@ -204,7 +239,11 @@ def ivf_batch_topk(
     - per-query ranking is a ``row_number`` window that Spark executes
       with ``WindowGroupLimit`` on BOTH sides of the exchange: each map
       task forwards at most k rows per query, so the shuffle carries
-      O(queries x k x partitions), not every scored candidate.
+      O(queries x k x partitions), not every scored candidate;
+    - ``nprobe`` probes each query's nprobe nearest buckets (the per-query
+      bucket ranking runs over queries x num_centroids rows — broadcast-
+      sized); corpus vectors live in exactly one bucket, so probed buckets
+      never produce duplicate (query, candidate) rows.
     """
     from pyspark.sql.window import Window
 
@@ -212,11 +251,28 @@ def ivf_batch_topk(
     q = assigned.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("q_vec_id"),
         F.col("emb").alias("q_emb"),
-        F.col("centroid_id").alias("q_centroid"),
+    )
+    cents = (
+        with_double_embedding(embeddings)
+        .filter(F.col("vec_id") < num_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb"))
+    )
+    wq = Window.partitionBy("q_vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("centroid_id").asc()
+    )
+    q_buckets = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_vec_id", "q_emb", "centroid_id",
+            _cosine("q_emb", "c_emb").alias("c_cos"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_vec_id", "q_emb", F.col("centroid_id").alias("q_centroid"))
     )
     scored = (
         assigned.join(
-            F.broadcast(q),
+            F.broadcast(q_buckets),
             (F.col("centroid_id") == F.col("q_centroid"))
             & (F.col("vec_id") != F.col("q_vec_id")),
         )
@@ -235,17 +291,27 @@ def ivf_batch_topk(
 
 
 def IVF_BATCH_TOPK_SQL(
-    query_mod: int = 50, k: int = 5, num_centroids: int = 16
+    query_mod: int = 50, k: int = 5, num_centroids: int = 16, nprobe: int = 1
 ) -> str:
     return f"""
 WITH {_ASSIGN_SQL(num_centroids)},
-q AS (SELECT vec_id AS q_vec_id, emb AS q_emb, centroid_id AS q_centroid
-      FROM assigned WHERE vec_id % {query_mod} = 0),
+q AS (SELECT vec_id AS q_vec_id, emb AS q_emb FROM e
+      WHERE vec_id % {query_mod} = 0),
+qb AS (
+  SELECT q_vec_id, q_emb, centroid_id AS q_centroid FROM (
+    SELECT q.q_vec_id, q.q_emb, cents.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.q_vec_id
+             ORDER BY {COSINE_SQL('q_emb', 'c_emb')} DESC, centroid_id ASC
+           ) AS rn
+    FROM q, cents
+  ) WHERE rn <= {nprobe}
+),
 knn_scored AS (
-  SELECT q.q_vec_id, a.vec_id, a.label,
-         {COSINE_SQL('a.emb', 'q.q_emb')} AS cos_sim
-  FROM assigned a JOIN q
-    ON a.centroid_id = q.q_centroid AND a.vec_id <> q.q_vec_id
+  SELECT qb.q_vec_id, a.vec_id, a.label,
+         {COSINE_SQL('a.emb', 'qb.q_emb')} AS cos_sim
+  FROM assigned a JOIN qb
+    ON a.centroid_id = qb.q_centroid AND a.vec_id <> qb.q_vec_id
 )
 SELECT q_vec_id, vec_id, label, cos_sim, CAST(rank AS INTEGER) AS rank
 FROM (
@@ -433,12 +499,13 @@ def write_ivf_index(
 
 
 def ivf_topk_from_index(
-    spark, path: str, query_vec_id: int, k: int = 10
+    spark, path: str, query_vec_id: int, k: int = 10, nprobe: int = 1
 ) -> DataFrame:
-    """Top-k against the materialized index: resolve the query's bucket
-    (one-partition read), then scan only that bucket's directory. The
-    centroid_id filter prunes at the file-listing level — the plan's scan
-    shows only the matching partition."""
+    """Top-k against the materialized index: resolve the query's ``nprobe``
+    nearest buckets driver-side (the centroid set is O(K x dim) — a few KB
+    pulled once), then scan only those buckets' directories. The
+    centroid_id IN filter prunes at the file-listing level — the plan's
+    scan shows only the matching partitions."""
     from pyspark.sql import functions as F2
 
     index = spark.read.parquet(path)
@@ -447,9 +514,36 @@ def ivf_topk_from_index(
         .select("centroid_id", "embedding")
         .collect()[0]
     )
+    if nprobe <= 1:
+        probe_ids = [q.centroid_id]
+    else:
+        # rank buckets by cosine(query, centroid) driver-side; the centroid
+        # set is O(K x dim) — a few KB. Sequential double-precision sums
+        # match the engine's fold bit-for-bit.
+        import math
+
+        num_centroids = index.select(
+            F2.countDistinct("centroid_id")
+        ).collect()[0][0]
+        cents = (
+            index.filter(F2.col("vec_id") < num_centroids)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        qv = [float(x) for x in q.embedding]
+        qn = math.sqrt(sum(x * x for x in qv))
+
+        def cos(row) -> float:
+            cv = [float(x) for x in row.embedding]
+            dot = sum(a * b for a, b in zip(cv, qv))
+            cn = math.sqrt(sum(x * x for x in cv))
+            return round(dot / (cn * qn), COS_DECIMALS)
+
+        ranked = sorted(cents, key=lambda r: (-cos(r), r.vec_id))
+        probe_ids = [r.vec_id for r in ranked[:nprobe]]
     bucket = with_double_embedding(
         index.filter(
-            (F2.col("centroid_id") == q.centroid_id)
+            F2.col("centroid_id").isin([int(c) for c in probe_ids])
             & (F2.col("vec_id") != query_vec_id)
         )
     )

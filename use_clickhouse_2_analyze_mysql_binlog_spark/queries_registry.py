@@ -601,6 +601,16 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(schemas.load_table(spark, sf_dir, "embeddings"))
 
 
+@register("similarity_ivf_topk_nprobe", similarity.IVF_TOPK_SQL(nprobe=2))
+def similarity_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 probing the query's 2 nearest coarse buckets — the
+    recall lever: scan fraction nprobe/K (here 2/16) instead of 1/K, recall
+    measured >= brute-force-agreement in tests/test_pipeline_ops.py."""
+    return similarity.ivf_topk(
+        schemas.load_table(spark, sf_dir, "embeddings"), nprobe=2
+    )
+
+
 @register("similarity_batch_topk", similarity.IVF_BATCH_TOPK_SQL())
 def similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch k-NN: top-k for every query vector via one broadcast join
@@ -993,6 +1003,7 @@ DRIVER_WINDOW_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_incremental",
     "similarity_ivf_topk",
+    "similarity_ivf_topk_nprobe",
     "similarity_batch_topk",
     "embedding_kmeans",  # rows-only by design (iterative)
     # -- 3. reference-core headline queries
