@@ -679,14 +679,30 @@ def test_day_over_day_handles_gap_days(spark):
     assert out[("2020-01-03", "INSERT")] == (1, 0, 1)
 
 
-def test_connected_components_restores_shuffle_conf(spark):
+def test_connected_components_never_touches_session_conf(spark):
+    """The iteration's parallelism is scoped via repartition on its own
+    DataFrames; the session-wide shuffle conf must never be mutated, even
+    transiently — a concurrent query (streaming foreachBatch, parallel
+    registry run) on the same session would silently inherit it."""
     from use_clickhouse_2_analyze_mysql_binlog_spark.operators import dedup as dd
 
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    seen = []
+    orig_set = type(spark.conf).set
+
+    def spy_set(self, key, value=None):
+        seen.append(key)
+        return orig_set(self, key, value)
+
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
-    labels = {r.doc_id: r.cluster_id for r in dd.connected_components(pairs).collect()}
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(type(spark.conf), "set", spy_set)
+        labels = {
+            r.doc_id: r.cluster_id
+            for r in dd.connected_components(pairs).collect()
+        }
     assert labels == {1: 1, 2: 1, 3: 1}
-    # the iteration's scoped shuffle sizing must never leak to other queries
+    assert "spark.sql.shuffle.partitions" not in seen
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 

@@ -15,6 +15,7 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.sources.transform import (
     canal_entries_to_binlog,
 )
 from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import (
+    epochs,
     ingest_job,
     rollup_job,
     window_job,
@@ -166,20 +167,87 @@ def test_foreachbatch_bodies_are_replay_idempotent(spark, tmp_path, binlog_df):
     assert window_job.read_results(spark, results, stem).count() == n
 
 
-def test_rollup_publish_keeps_previous_snapshot(spark, tmp_path, binlog_df):
-    """The manifest flip is atomic and the previous snapshot survives the
-    next publish (readers resolving the old manifest keep a valid dir)."""
+def test_ingest_txn_mode_exactly_once_across_crash(spark, tmp_path, binlog_df):
+    """txn=True ingest: a crash AFTER the epoch's data write but BEFORE the
+    commit leaves nothing visible, and the replay yields exactly-once — the
+    window the default marker mode documents as at-least-once."""
+    sink = str(tmp_path / "fact_txn")
+    batch = binlog_df.limit(200).withColumn("day", F.to_date("execute_time"))
+    append = ingest_job.make_append_batch(sink, txn=True)
+    append(batch, 0)
+    assert ingest_job.read_fact(spark, sink).count() == 200
+
+    # crash injection: epoch 1 writes its staging dir but dies pre-commit
+    crashing = ingest_job.make_append_batch(sink, txn=True)
+    orig_commit = epochs.TxnSink.commit
+
+    def crash_commit(self, epoch_id):
+        raise RuntimeError("injected crash before commit")
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(epochs.TxnSink, "commit", crash_commit)
+        with pytest.raises(RuntimeError):
+            crashing(batch, 1)
+    # staged-but-uncommitted epoch is invisible
+    assert ingest_job.read_fact(spark, sink).count() == 200
+
+    append(batch, 1)  # replay overwrites the orphan staging and commits
+    fact = ingest_job.read_fact(spark, sink)
+    assert fact.count() == 400
+    assert "day" in fact.columns  # day partition discovery intact
+    append(batch, 1)  # committed replay -> no-op
+    assert ingest_job.read_fact(spark, sink).count() == 400
+    assert epochs.TxnSink.commit is orig_commit
+
+
+def test_rollup_publish_keeps_generations(spark, tmp_path, binlog_df):
+    """The manifest flip is atomic and the newest DEFAULT_KEEP_GENERATIONS
+    snapshots survive each publish — a reader that resolved the manifest up
+    to keep-1 publishes ago still has a valid directory under fast
+    micro-batch cadence (the r02 single-generation read-window hazard)."""
     import os
 
+    keep = epochs.DEFAULT_KEEP_GENERATIONS
     roll = str(tmp_path / "rollup")
     merge = rollup_job.make_merge_batch(spark, roll, ("day", "event_type"))
-    merge(binlog_df.limit(100), 0)
-    merge(binlog_df.limit(100), 1)
+    for e in range(keep):
+        merge(binlog_df.limit(100), e)
     snaps = sorted(os.listdir(os.path.join(roll, "snapshots")))
-    assert snaps == ["epoch=0", "epoch=1"]
-    merge(binlog_df.limit(100), 2)  # epoch=0 GC'd, 1 and 2 kept
+    assert snaps == [f"local-{e}" for e in range(keep)]
+    merge(binlog_df.limit(100), keep)  # oldest GC'd, newest `keep` kept
     snaps = sorted(os.listdir(os.path.join(roll, "snapshots")))
-    assert snaps == ["epoch=1", "epoch=2"]
+    assert snaps == [f"local-{e}" for e in range(1, keep + 1)]
+
+
+def test_rollup_fresh_checkpoint_run_not_mistaken_for_replay(
+    spark, tmp_path, binlog_df
+):
+    """Restarting with a FRESH checkpoint restarts the epoch counter at 0;
+    the run-id namespace must keep those micro-batches from being discarded
+    as replays of the old run (the r02 cross-run collision hazard)."""
+    roll = str(tmp_path / "rollup")
+    merge_a = rollup_job.make_merge_batch(
+        spark, roll, ("day", "event_type"), run_id="runA"
+    )
+    merge_a(binlog_df.limit(100), 0)
+    merge_a(binlog_df.limit(100), 7)  # runA high-water mark = 7
+    before = rollup_job.read_rollup(spark, roll)
+    total_before = before.agg(F.sum("event_count")).collect()[0][0]
+
+    merge_b = rollup_job.make_merge_batch(
+        spark, roll, ("day", "event_type"), run_id="runB"
+    )
+    merge_b(binlog_df.limit(100), 0)  # 0 < 7 but a DIFFERENT run: must merge
+    after = rollup_job.read_rollup(spark, roll)
+    total_after = after.agg(F.sum("event_count")).collect()[0][0]
+    assert total_after == total_before + 100
+    merge_b(binlog_df.limit(100), 0)  # same-run replay: still a no-op
+    assert (
+        rollup_job.read_rollup(spark, roll)
+        .agg(F.sum("event_count"))
+        .collect()[0][0]
+        == total_after
+    )
 
 
 def test_stateful_sessionizer_matches_batch(spark, tmp_path, binlog_df):
@@ -461,7 +529,7 @@ def test_incremental_dedup_stream_batches(spark, tmp_path):
         schema,
     )
     body(batch0, 0)
-    corpus = spark.read.parquet(f"{root}/corpus")
+    corpus = incremental_dedup_job.read_corpus(spark, root)
     assert corpus.count() == 2  # intra-batch exact dup dropped
 
     batch1 = spark.createDataFrame(
@@ -472,12 +540,83 @@ def test_incremental_dedup_stream_batches(spark, tmp_path):
         schema,
     )
     body(batch1, 1)
-    ids = {r.doc_id for r in spark.read.parquet(f"{root}/corpus").collect()}
+    sink = epochs.TxnSink(root, incremental_dedup_job.TABLES)
+    ids = {r.doc_id for r in sink.read(spark, "corpus").collect()}
     assert 11 in ids and 10 not in ids  # near-dup dropped vs corpus
     # bands/sh_sets staged only for survivors
-    assert 10 not in {
-        r.doc_id for r in spark.read.parquet(f"{root}/bands").collect()
-    }
+    assert 10 not in {r.doc_id for r in sink.read(spark, "bands").collect()}
 
-    body(batch1, 1)  # replay: committed-epoch marker makes it a no-op
-    assert spark.read.parquet(f"{root}/corpus").count() == 3
+    body(batch1, 1)  # replay: committed epoch in the txn log -> no-op
+    assert incremental_dedup_job.read_corpus(spark, root).count() == 3
+
+
+def test_incremental_dedup_partial_crash_replay(spark, tmp_path):
+    """The r02 hazard: a crash AFTER some tables' staging writes but BEFORE
+    the commit must leave no visible state — the replayed epoch re-runs the
+    full body, the corpus never double-ingests, and every corpus doc has
+    its bands/sh_sets rows (dedup stays effective for future epochs)."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import (
+        incremental_dedup_job,
+    )
+
+    root = str(tmp_path / "inc")
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the window and the birds sing in the morning light over the hills"
+    )
+    schema = "doc_id long, text string"
+    body = incremental_dedup_job.make_dedup_batch(root, threshold=0.5)
+    body(spark.createDataFrame([(1, base)], schema), 0)
+
+    # crash injection: epoch 1 dies after the corpus staging write, before
+    # bands/sh_sets are staged and before the commit
+    crashing = incremental_dedup_job.make_dedup_batch(root, threshold=0.5)
+    orig_write = epochs.TxnSink.write
+
+    def write_then_crash(self, table, epoch_id, df):
+        orig_write(self, table, epoch_id, df)
+        if table == "corpus":
+            raise RuntimeError("injected crash between staging writes")
+
+    batch1 = spark.createDataFrame(
+        [(10, "a wholly new document about volcanic islands and seabirds")],
+        schema,
+    )
+    import pytest as _pytest
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(epochs.TxnSink, "write", write_then_crash)
+        with _pytest.raises(RuntimeError):
+            crashing(batch1, 1)
+
+    # nothing of epoch 1 is visible (the staging dir exists but is
+    # uncommitted), so the corpus still has exactly the seed doc
+    assert incremental_dedup_job.read_corpus(spark, root).count() == 1
+
+    # replay of epoch 1 (what the restarted stream does) completes it fully
+    body(batch1, 1)
+    sink = epochs.TxnSink(root, incremental_dedup_job.TABLES)
+    corpus_ids = sorted(
+        r.doc_id for r in sink.read(spark, "corpus").collect()
+    )
+    assert corpus_ids == [1, 10]  # no loss, no duplication
+    # every corpus doc is dedup-visible: bands + sh_sets present
+    assert sorted(
+        {r.doc_id for r in sink.read(spark, "bands").collect()}
+    ) == [1, 10]
+    assert sorted(
+        r.doc_id for r in sink.read(spark, "sh_sets").collect()
+    ) == [1, 10]
+
+    # and a near-dup of the ONCE-CRASHED doc is now caught (the r02 bug
+    # left such docs permanently invisible to future dedup)
+    body(
+        spark.createDataFrame(
+            [(20, "a wholly new document about volcanic islands and gulls")],
+            schema,
+        ),
+        2,
+    )
+    assert 20 not in {
+        r.doc_id for r in incremental_dedup_job.read_corpus(spark, root).collect()
+    }

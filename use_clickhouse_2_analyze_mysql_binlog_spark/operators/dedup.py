@@ -737,6 +737,9 @@ def connected_components(
     # node's own label, so each round is a single join + groupBy-min with
     # `labels` referenced exactly once — plan text grows linearly per
     # round (a labels-join-labels formulation doubles it per round)
+    # pre-partitioned on the join key at the iteration's parallelism: every
+    # round's join then matches this partitioning and re-shuffles only the
+    # (graph-sized) label table, never the cached edge relation
     sym = (
         edges.unionByName(
             edges.select(
@@ -748,6 +751,7 @@ def connected_components(
                 F.col("doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
             )
         )
+        .repartition(iter_parts, "doc_b")
         .persist()
     )
     labels = nodes.withColumn("cluster_id", F.col("doc_id")).persist()
@@ -761,35 +765,38 @@ def connected_components(
         ).collect()[0][0]
 
     prev_sum = _label_sum(labels)
-    spark = edges.sparkSession
-    try:
-        # scoped shuffle sizing for the iteration's joins/aggregates;
-        # restored below so co-resident queries are unaffected
-        spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
-        for it in range(max_iters):
-            new_labels = (
-                sym.join(
-                    labels.withColumnsRenamed(
-                        {"doc_id": "doc_b", "cluster_id": "nbr_label"}
-                    ),
-                    "doc_b",
-                )
-                .groupBy(F.col("doc_a").alias("doc_id"))
-                .agg(F.min("nbr_label").alias("cluster_id"))
-                .persist()
+    # The iteration's parallelism is scoped to ITS DataFrames via explicit
+    # repartition(iter_parts, key) — never by mutating the session-wide
+    # spark.sql.shuffle.partitions, which would silently resize the
+    # shuffles of any query running concurrently on the same session (a
+    # streaming foreachBatch body, a parallel registry query). Both join
+    # inputs are hash-partitioned on doc_b at iter_parts, so the join adds
+    # no exchange; the doc_a repartition feeds the groupBy the distribution
+    # it needs, so the aggregate adds none either — two graph-sized
+    # shuffles per round, each at the iteration's own width.
+    for it in range(max_iters):
+        new_labels = (
+            sym.join(
+                labels.withColumnsRenamed(
+                    {"doc_id": "doc_b", "cluster_id": "nbr_label"}
+                ).repartition(iter_parts, "doc_b"),
+                "doc_b",
             )
-            new_sum = _label_sum(new_labels)
-            labels.unpersist()
-            if (it + 1) % checkpoint_every == 0:
-                truncated = new_labels.localCheckpoint(eager=True)
-                new_labels.unpersist()
-                new_labels = truncated
-            labels = new_labels
-            if new_sum == prev_sum:
-                break
-            prev_sum = new_sum
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
+            .repartition(iter_parts, "doc_a")
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("nbr_label").alias("cluster_id"))
+            .persist()
+        )
+        new_sum = _label_sum(new_labels)
+        labels.unpersist()
+        if (it + 1) % checkpoint_every == 0:
+            truncated = new_labels.localCheckpoint(eager=True)
+            new_labels.unpersist()
+            new_labels = truncated
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
     sym.unpersist()
     edges.unpersist()
     return labels

@@ -2,18 +2,23 @@
 MinHash-LSH-matched against the accumulated corpus BEFORE being appended —
 the streaming form of ``operators/dedup.py::incremental_dedup_pairs``.
 
-Corpus state lives in two staging tables next to the corpus itself:
+Corpus state lives in three tables under one transactional root
+(``streaming/epochs.py::TxnSink``):
 
-- ``<root>/corpus``  — surviving documents (what downstream reads)
-- ``<root>/bands``   — (doc_id, band_id, band_hash) LSH bucket rows
-- ``<root>/sh_sets`` — (doc_id, sh_set) distinct-shingle-hash arrays
+- ``corpus``  — surviving documents (what downstream reads)
+- ``bands``   — (doc_id, band_id, band_hash) LSH bucket rows
+- ``sh_sets`` — (doc_id, sh_set) distinct-shingle-hash arrays
 
 Per epoch: the batch's signatures/bands/hash-sets are computed batch-side
 (tiny), candidates come from the equi-join of batch bands against the
-staged corpus bands, candidates are verified by exact Jaccard against the
-staged hash-sets, and near-dup batch docs are dropped. Survivors append to
-all three tables atomically-enough via the committed-epoch marker
-(streaming/epochs.py): a replayed epoch is a no-op, so the corpus never
+committed corpus bands, candidates are verified by exact Jaccard against
+the committed hash-sets, and near-dup batch docs are dropped. Survivors
+are staged to per-epoch directories for ALL THREE tables and committed by
+ONE atomic manifest update — so an epoch is either fully visible (corpus +
+bands + sh_sets together) or not at all. A crash at any point before the
+commit leaves only invisible staging data that the replayed epoch
+overwrites; there is no state in which corpus rows exist without their
+bands/sh_sets (the r02 partial-append hazard), and the corpus never
 double-ingests.
 
 Scale shape: identical to the batch operator's 100 TB story — incremental
@@ -26,9 +31,7 @@ batch-vs-corpus contract keeps per-epoch state joins one-directional).
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -37,32 +40,28 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.operators.dedup import (
     DEFAULT_MAX_BUCKET,
     _band_buckets,
     _doc_hash_sets,
+    _pair_jaccard,
     _shingle_posting,
     minhash_signatures,
 )
 from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import epochs
 
-
-def _paths(root: str) -> tuple[str, str, str]:
-    return (
-        os.path.join(root, "corpus"),
-        os.path.join(root, "bands"),
-        os.path.join(root, "sh_sets"),
-    )
+TABLES = ("corpus", "bands", "sh_sets")
 
 
 def make_dedup_batch(
     root: str,
     threshold: float = 0.5,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    run_id: str = "local",
 ):
     """Per-epoch body (module-level so replay behavior is unit-testable,
     same pattern as ingest_job.make_append_batch)."""
 
-    corpus_path, bands_path, sets_path = _paths(root)
+    sink = epochs.TxnSink(root, TABLES, run_id)
 
     def process_batch(batch: DataFrame, epoch: int) -> None:
-        if epochs.epoch_committed(root, epoch):
+        if sink.epoch_committed(epoch):
             return
         spark = batch.sparkSession
         # exact dups inside the batch: keep-first on content hash
@@ -78,9 +77,9 @@ def make_dedup_batch(
         ).persist()
         new_sets = _doc_hash_sets(batch, posting)
 
-        if os.path.exists(bands_path):
-            old_bands = spark.read.parquet(bands_path)
-            old_sets = spark.read.parquet(sets_path)
+        if sink.has_data("bands"):
+            old_bands = sink.read(spark, "bands")
+            old_sets = sink.read(spark, "sh_sets")
             cand = (
                 new_bands.select(
                     "band_id", "band_hash", F.col("doc_id").alias("doc_a")
@@ -96,10 +95,6 @@ def make_dedup_batch(
             )
             # verify with exact Jaccard: batch-side sets union the staged
             # corpus sets (doc ids are globally unique across the stream)
-            from use_clickhouse_2_analyze_mysql_binlog_spark.operators.dedup import (
-                _pair_jaccard,
-            )
-
             sets_all = new_sets.unionByName(old_sets)
             drops = (
                 _pair_jaccard(cand, sets_all)
@@ -112,15 +107,14 @@ def make_dedup_batch(
             survivors = batch
 
         try:
-            survivors.write.mode("append").parquet(corpus_path)
+            # stage all three tables, then ONE atomic commit: the epoch is
+            # fully visible or not at all — a crash anywhere above the
+            # commit leaves only invisible staging dirs the replay rewrites
+            sink.write("corpus", epoch, survivors)
             surviving_ids = survivors.select("doc_id")
-            new_bands.join(surviving_ids, "doc_id").write.mode("append").parquet(
-                bands_path
-            )
-            new_sets.join(surviving_ids, "doc_id").write.mode("append").parquet(
-                sets_path
-            )
-            epochs.mark_epoch_committed(root, epoch)
+            sink.write("bands", epoch, new_bands.join(surviving_ids, "doc_id"))
+            sink.write("sh_sets", epoch, new_sets.join(surviving_ids, "doc_id"))
+            sink.commit(epoch)
         finally:
             # per-epoch caches must not accumulate across a long-running
             # stream (LRU eviction would save memory but thrash; explicit
@@ -139,12 +133,25 @@ def run_incremental_dedup_stream(
     available_now: bool = False,
 ) -> StreamingQuery:
     """Start the stream: documents -> batch-vs-corpus LSH dedup -> corpus
-    append (exactly-once under epoch replay)."""
+    append (exactly-once: per-epoch staging + one atomic commit across the
+    three state tables; the run id is derived from the checkpoint so a
+    fresh checkpoint's restarted epoch counter cannot collide)."""
     writer = (
         doc_stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_path)
-        .foreachBatch(make_dedup_batch(root, threshold=threshold))
+        .foreachBatch(
+            make_dedup_batch(
+                root,
+                threshold=threshold,
+                run_id=epochs.run_id_for(checkpoint_path),
+            )
+        )
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_corpus(spark: SparkSession, root: str) -> DataFrame:
+    """The committed corpus (uncommitted epoch staging is invisible)."""
+    return epochs.TxnSink(root, TABLES).read(spark, "corpus")

@@ -28,17 +28,45 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.sources.transform import (
 from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import epochs
 
 
-def make_append_batch(sink_path: str, files_per_batch_day: int = 1):
+def make_append_batch(
+    sink_path: str,
+    files_per_batch_day: int = 1,
+    txn: bool = False,
+    run_id: str = "local",
+):
     """The per-epoch append body (module-level so replay behavior is
     unit-testable). foreachBatch (vs direct file sink) so the write can
     coalesce and sort within partitions like the batch layout writer.
-    Replay protection: a committed-epoch marker written after the append
-    makes a replayed epoch a no-op (the marker is only absent if the data
-    write itself did not complete, in which case re-appending is the
-    at-least-once recovery; swap the sink for a transactional table format
-    to close that last window at production scale)."""
+
+    Two replay-protection modes:
+
+    - default (marker): append to the shared day-partitioned layout, then
+      write a committed-epoch marker. A replayed committed epoch is a
+      no-op, but a crash BETWEEN the append and the marker re-appends on
+      replay — the documented at-least-once window.
+    - ``txn=True``: each epoch overwrites its own
+      ``fact/epoch=<run_id>-<id>`` directory (still day-partitioned
+      inside) and commits via one atomic manifest update — exactly-once
+      even for a crash between write and commit, because the staged data
+      is invisible until committed and the replay overwrites it. Read the
+      sink with :func:`read_fact`. This is the file-based realization of
+      the Delta/Iceberg transactional-sink recommendation.
+    """
+    sink = epochs.TxnSink(sink_path, ("fact",), run_id)
 
     def append_batch(batch: DataFrame, epoch: int) -> None:
+        if txn:
+            if sink.epoch_committed(epoch):
+                return
+            (
+                batch.repartition(files_per_batch_day, "day")
+                .sortWithinPartitions("execute_time", "gtid", "table", "schema")
+                .write.mode("overwrite")
+                .partitionBy("day")
+                .parquet(sink.epoch_dir("fact", epoch))
+            )
+            sink.commit(epoch)
+            return
         if epochs.epoch_committed(sink_path, epoch):
             return
         (
@@ -53,22 +81,37 @@ def make_append_batch(sink_path: str, files_per_batch_day: int = 1):
     return append_batch
 
 
+def read_fact(spark, sink_path: str) -> DataFrame:
+    """Read a ``txn=True`` ingest sink: committed epochs only (uncommitted
+    staging directories are invisible). Day partition discovery still
+    applies within each epoch directory."""
+    return epochs.TxnSink(sink_path, ("fact",)).read(spark, "fact")
+
+
 def run_ingest_stream(
     entries_stream: DataFrame,
     sink_path: str,
     checkpoint_path: str,
     available_now: bool = False,
     files_per_batch_day: int = 1,
+    txn: bool = False,
 ) -> StreamingQuery:
     """Start the ingest stream: entries -> binlog rows -> partitioned append.
 
     ``available_now=True`` drains the current source content and stops
     (used by tests and backfills); otherwise the stream runs continuously.
+    ``txn=True`` selects the exactly-once transactional sink mode (see
+    :func:`make_append_batch`).
     """
     binlog = canal_entries_to_binlog(entries_stream).withColumn(
         "day", F.to_date("execute_time")
     )
-    append_batch = make_append_batch(sink_path, files_per_batch_day)
+    append_batch = make_append_batch(
+        sink_path,
+        files_per_batch_day,
+        txn=txn,
+        run_id=epochs.run_id_for(checkpoint_path),
+    )
     writer = (
         binlog.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_path)

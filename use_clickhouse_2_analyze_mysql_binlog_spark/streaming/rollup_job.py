@@ -27,16 +27,31 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import epochs
 
 
 def make_merge_batch(
-    spark: SparkSession, rollup_path: str, keys: tuple[str, ...]
+    spark: SparkSession,
+    rollup_path: str,
+    keys: tuple[str, ...],
+    run_id: str = "local",
 ):
     """The per-epoch MERGE body (module-level so replay behavior is unit-
     testable): merge this epoch's partial counts into the previous manifest
-    snapshot, write a new versioned snapshot, flip the manifest."""
+    snapshot, write a new versioned snapshot, flip the manifest.
+
+    The replay guard compares epoch ids only WITHIN the same ``run_id``
+    (derived from the checkpoint location): restarting with a fresh
+    checkpoint restarts the epoch counter at 0, and without the namespace
+    every micro-batch would be silently discarded until the new counter
+    passed the old high-water mark. Snapshot directories carry the run id
+    for the same reason (a new run's epoch=0 must not overwrite a retained
+    old-run snapshot generation)."""
 
     def merge_batch(batch: DataFrame, epoch: int) -> None:
         latest = epochs.read_manifest(rollup_path)
-        if latest is not None and epoch <= latest["epoch"]:
-            return  # replay of an already-published epoch
+        if (
+            latest is not None
+            and latest.get("run_id") == run_id
+            and epoch <= latest["epoch"]
+        ):
+            return  # replay of an already-published epoch of THIS run
         partial = batch.groupBy(
             F.date_format("execute_time", DAY_FMT).alias("day"),
             *[c for c in keys if c != "day"],
@@ -47,9 +62,9 @@ def make_merge_batch(
             merged = summing_merge(
                 existing.unionByName(partial), keys=keys, metrics=("event_count",)
             )
-        snapshot_dir = f"{rollup_path}/snapshots/epoch={epoch}"
+        snapshot_dir = f"{rollup_path}/snapshots/{run_id}-{epoch}"
         merged.coalesce(1).write.mode("overwrite").parquet(snapshot_dir)
-        epochs.publish_snapshot(rollup_path, epoch, snapshot_dir)
+        epochs.publish_snapshot(rollup_path, epoch, snapshot_dir, run_id=run_id)
 
     return merge_batch
 
@@ -75,7 +90,12 @@ def run_daily_rollup_stream(
     partial counts are never double-summed and readers never observe a
     missing or half-written rollup.
     """
-    merge_batch = make_merge_batch(binlog_stream.sparkSession, rollup_path, keys)
+    merge_batch = make_merge_batch(
+        binlog_stream.sparkSession,
+        rollup_path,
+        keys,
+        run_id=epochs.run_id_for(checkpoint_path),
+    )
     writer = (
         binlog_stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_path)

@@ -32,6 +32,7 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.operators.transactions import (
     TS_FMT,
     top_transactions,
 )
+from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import epochs
 
 
 def windowed_stats_stream(
@@ -75,14 +76,22 @@ def windowed_stats_stream(
     )
 
 
-def make_publish_batch(results_path: str, interval_seconds: int = 300):
+def make_publish_batch(
+    results_path: str, interval_seconds: int = 300, run_id: str = "local"
+):
     """The per-epoch publish body (module-level so replay behavior is
-    unit-testable). Replay-safe: each epoch owns an epoch=<id> partition
-    dir and overwrites it, so a replayed micro-batch rewrites the same
-    rows instead of appending duplicates (the append-mode replay hazard)."""
+    unit-testable). Exactly-once across ALL THREE result tables: each
+    epoch stages its ``<stem>/epoch=<run_id>-<id>`` directories
+    (overwrite => a replayed crash rewrites them) and ONE atomic manifest
+    update commits the epoch — there is no state where one metric's table
+    has the epoch's windows and another's doesn't. The run id namespaces a
+    fresh checkpoint's restarted epoch counter away from an old run's
+    directories."""
+
+    sink = epochs.TxnSink(results_path, tuple(METRICS.values()), run_id)
 
     def publish_batch(batch: DataFrame, epoch: int) -> None:
-        if batch.isEmpty():
+        if sink.epoch_committed(epoch) or batch.isEmpty():
             return
         batch.persist()
         try:
@@ -97,9 +106,8 @@ def make_publish_batch(results_path: str, interval_seconds: int = 300):
                         "single_statement_affected_rows"
                     ),
                 )
-                top.write.mode("overwrite").parquet(
-                    f"{results_path}/{stem}/epoch={epoch}"
-                )
+                sink.write(stem, epoch, top)
+            sink.commit(epoch)
         finally:
             batch.unpersist()
 
@@ -118,7 +126,11 @@ def run_window_job(
     """Start the streaming window job; one result dir per metric
     (``{results_path}/{result_table_stem}`` — README.md:268-345 tables)."""
     stats = windowed_stats_stream(binlog_stream, window_duration, allowed_lateness)
-    publish_batch = make_publish_batch(results_path, interval_seconds)
+    publish_batch = make_publish_batch(
+        results_path,
+        interval_seconds,
+        run_id=epochs.run_id_for(checkpoint_path),
+    )
     writer = (
         stats.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_path)
@@ -130,6 +142,7 @@ def run_window_job(
 
 
 def read_results(spark, results_path: str, stem: str) -> DataFrame:
-    """Read one result table, hiding the epoch=<id> replay-isolation
-    partitioning (an implementation detail of exactly-once publish)."""
-    return spark.read.parquet(f"{results_path}/{stem}").drop("epoch")
+    """Read one result table: committed epochs only (staged-but-uncommitted
+    epoch directories are invisible, an implementation detail of the
+    exactly-once publish)."""
+    return epochs.TxnSink(results_path, tuple(METRICS.values())).read(spark, stem)
