@@ -12,6 +12,7 @@ gate — their membership changes round to round.
 from __future__ import annotations
 
 import json
+import re
 import sys
 
 from bench import BENCH_QUERIES
@@ -24,7 +25,8 @@ def _load(path: str) -> dict:
         doc = json.load(fh)
     if "queries" in doc:
         return doc
-    for line in reversed(doc.get("tail", "").splitlines()):
+    tail = doc.get("tail", "")
+    for line in reversed(tail.splitlines()):
         line = line.strip().lstrip("\r")
         if line.startswith("{"):
             try:
@@ -33,6 +35,26 @@ def _load(path: str) -> dict:
                 continue
             if "queries" in inner:
                 return inner
+    # the driver wrapper keeps only the LAST N bytes of stdout, so the
+    # bench line can be cut mid-JSON at the front; salvage whatever
+    # "name": seconds pairs survive (top-level scalars like "value" are
+    # picked up the same way)
+    pairs = dict(
+        (m.group(1), float(m.group(2)))
+        for m in re.finditer(r'"([a-z_0-9]+)": ([0-9.]+)', tail)
+    )
+    queries = {
+        k: v
+        for k, v in pairs.items()
+        if k not in ("value", "sf", "total_all_queries")
+    }
+    if queries:
+        return {
+            "queries": queries,
+            "value": pairs.get("value"),
+            "total_all_queries": pairs.get("total_all_queries"),
+            "partial": True,
+        }
     raise ValueError(f"{path}: no bench JSON with 'queries' found")
 
 
