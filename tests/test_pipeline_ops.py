@@ -384,6 +384,34 @@ def test_connected_components_chains(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7, 10: 10, 11: 10}
 
 
+def test_connected_components_paths_agree(spark):
+    """The driver union-find fast path and the distributed min-propagation
+    loop must produce the identical labeling on the same graph — chains,
+    merging branches, singleton-free pairs, and out-of-order ids."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import dedup
+
+    edges = [
+        (5, 3), (3, 9), (9, 1),          # chain reaching min 1 out of order
+        (20, 22), (21, 22),              # branch merge
+        (30, 31),                        # isolated pair
+        (40, 41), (41, 42), (40, 42),    # triangle (redundant edge)
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(
+            pairs, small_graph_edges=0
+        ).collect()
+    }
+    assert fast == dist
+    assert fast[5] == fast[3] == fast[9] == fast[1] == 1
+    assert fast[20] == fast[21] == fast[22] == 20
+
+
 def test_connected_components_deep_chain_bounded_plan(spark):
     """A depth-17 chain needs 17 propagation rounds (> 3 checkpoint
     cycles): the answer must stay correct AND the returned plan must stay
@@ -395,7 +423,11 @@ def test_connected_components_deep_chain_bounded_plan(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
-    labels = dedup.connected_components(pairs, max_iters=30, checkpoint_every=5)
+    # small_graph_edges=0 forces the distributed loop — this test exists to
+    # pin ITS lineage bound (the union-find fast path has no lineage issue)
+    labels = dedup.connected_components(
+        pairs, max_iters=30, checkpoint_every=5, small_graph_edges=0
+    )
     got = {r.doc_id: r.cluster_id for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
     # checkpointed lineage: only the rounds since the last checkpoint
@@ -697,9 +729,13 @@ def test_connected_components_never_touches_session_conf(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
     with pytest.MonkeyPatch.context() as mp:
         mp.setattr(type(spark.conf), "set", spy_set)
+        # small_graph_edges=0: the distributed loop is the path that used
+        # to mutate the session conf
         labels = {
             r.doc_id: r.cluster_id
-            for r in dd.connected_components(pairs).collect()
+            for r in dd.connected_components(
+                pairs, small_graph_edges=0
+            ).collect()
         }
     assert labels == {1: 1, 2: 1, 3: 1}
     assert "spark.sql.shuffle.partitions" not in seen

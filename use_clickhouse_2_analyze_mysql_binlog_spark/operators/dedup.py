@@ -691,8 +691,48 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 # Connected components (duplicate-cluster canonicalization)
 # ---------------------------------------------------------------------------
 
+#: Edge-count ceiling for the driver-local union-find fast path. Two longs
+#: per edge => ~16 MB of driver heap at the default — a bounded, O(edges)
+#: pull, not an unbounded collect. The *edge list* (near-dup pairs) is tiny
+#: relative to the corpus that produced it, so even 100 TB corpora usually
+#: land here; a genuinely huge pair graph takes the distributed loop below.
+DEFAULT_SMALL_GRAPH_EDGES = 1_000_000
+
+
+def _union_find_labels(edges: DataFrame) -> DataFrame:
+    """Driver-local connected components for bounded edge lists: classic
+    union-find with path compression, union-by-min so every root (and thus
+    every final label) is its component's minimum doc_id — exactly the
+    labeling the distributed min-propagation converges to."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        a, b = row.doc_a, row.doc_b
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(x, find(x)) for x in parent], "doc_id long, cluster_id long"
+    )
+
+
 def connected_components(
-    pairs: DataFrame, max_iters: int = 20, checkpoint_every: int = 5
+    pairs: DataFrame,
+    max_iters: int = 20,
+    checkpoint_every: int = 5,
+    small_graph_edges: int = DEFAULT_SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Duplicate clusters from near-dup pairs: each doc labeled with the
     minimum doc_id reachable through the pair graph (a~b, b~c => one
@@ -713,6 +753,14 @@ def connected_components(
     optimizer re-analyzes an ever-deeper tree (and Spark's plan-size
     limits eventually bite). Checkpointing truncates lineage to the
     materialized result, keeping per-round planning cost constant.
+
+    Graphs of at most ``small_graph_edges`` edges instead take a
+    driver-local union-find (path compression + union-by-min, O(E α(E))):
+    each distributed round costs ~2 s of fixed scheduling/planning latency
+    regardless of size, so a bounded edge pull is strictly faster below
+    the ceiling and produces the identical labeling (union-by-min keeps
+    every tree root the component minimum). Pass ``small_graph_edges=0``
+    to force the distributed loop.
     """
     # materialize the edge list BEFORE the symmetric union: both union
     # branches and every propagation round re-join it, and without the
@@ -720,6 +768,11 @@ def connected_components(
     # pair-generation pipeline upstream of it
     edges = pairs.select("doc_a", "doc_b").persist()
     n_edges = edges.count()  # materialize once, before the union branches race
+    if n_edges <= small_graph_edges:
+        try:
+            return _union_find_labels(edges)
+        finally:
+            edges.unpersist()
     # Adaptive iteration parallelism: the label table is graph-sized (far
     # smaller than the corpus the pairs came from), so shuffling each round
     # at the session-wide partition count buys nothing on small graphs and
