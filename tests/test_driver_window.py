@@ -25,6 +25,14 @@ NEVER_DRIVER_VERIFIED = [
     "daily_distinct_gtids_approx",
 ]
 
+# New in round 3 — no driver history yet, so they must be in-window too.
+R3_ADDED = [
+    "embedding_kmeans_assign",
+    "dedup_minhash_lsh_staged",
+    "corpus_source_cap",
+    "similarity_ivf_topk_nprobe",
+]
+
 R01_ONLY_GREEN = [
     "order_priority_counts",
     "dedup_apply_minhash",
@@ -54,7 +62,7 @@ def test_priority_list_has_no_duplicates():
 
 def test_unverified_queries_inside_driver_window():
     window = list(R.QUERIES)[:WINDOW]
-    for name in NEVER_DRIVER_VERIFIED + R01_ONLY_GREEN + HEADLINE:
+    for name in NEVER_DRIVER_VERIFIED + R3_ADDED + R01_ONLY_GREEN + HEADLINE:
         assert name in window, f"{name} fell outside the driver's {WINDOW}-entry window"
 
 

@@ -384,6 +384,34 @@ def test_connected_components_chains(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7, 10: 10, 11: 10}
 
 
+def test_source_cap_keeps_best_per_source(spark):
+    """At most per_source docs survive per source, chosen by quality
+    (doc_id tie-break), independent of other sources' sizes."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import curation
+
+    rows = [
+        # big: 4 docs of varying quality (repetitive text scores lower)
+        (1, "alpha beta gamma delta epsilon zeta", "en", "big", 0),
+        (2, "the the the the the the the the", "en", "big", 0),
+        (3, "one two three four five six seven", "en", "big", 0),
+        (4, "red green blue yellow purple orange", "en", "big", 0),
+        # small: 1 doc — never capped
+        (9, "quick brown fox jumps over dog", "en", "small", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curation.source_cap(docs, per_source=3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["big"]) == 3 and len(by_src["small"]) == 1
+    # the all-stopword doc is the lowest quality of 'big' -> it is the cut
+    assert 2 not in {r.doc_id for r in by_src["big"]}
+    # ranks are 1..k within each source
+    assert sorted(r.source_rank for r in by_src["big"]) == [1, 2, 3]
+
+
 def test_connected_components_paths_agree(spark):
     """The driver union-find fast path and the distributed min-propagation
     loop must produce the identical labeling on the same graph — chains,

@@ -113,6 +113,16 @@ def test_batch_topk_broadcast_and_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_source_cap_group_limit_single_shuffle(spark):
+    plan = _plan(spark, "corpus_source_cap")
+    # the rank<=N filter runs as WindowGroupLimit: each map task forwards
+    # at most per_source rows per source into the one source-keyed
+    # exchange — a mega-source can't pile its full row count onto a single
+    # reducer, and the shuffle carries O(sources x cap x partitions) rows
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_multimodal_metadata_prunes_scan(spark):
     plan = _plan(spark, "multimodal_metadata")
     # metadata pass must not drag any column beyond (doc_id, text) off the

@@ -22,7 +22,7 @@ no lookaround).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
@@ -31,7 +31,9 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
 )
 from use_clickhouse_2_analyze_mysql_binlog_spark.operators.text import (
     QUALITY_SCORE_SQL,
+    STOPWORDS,
     TOKENS_SQL,
+    _in_list_sql,
     tokens,
     with_quality,
 )
@@ -268,6 +270,64 @@ ranked AS (
 )
 SELECT doc_id, lang, source, {text_expr} AS text, n_tokens, quality_score
 FROM ranked WHERE rn = 1
+"""
+
+
+def source_cap(
+    documents: DataFrame, per_source: int = 10
+) -> DataFrame:
+    """Per-source corpus balancing: keep at most ``per_source`` documents
+    from each source, preferring the highest quality score (doc_id breaks
+    ties, so the keep-set is deterministic).
+
+    The standard counter to source/domain skew in web-scale training data
+    — without a cap, one crawler-friendly domain can dominate the mixture.
+    Plan shape: quality is row-local (codegen), then ONE shuffle on
+    ``source`` feeds a ``row_number`` window whose ``rank <= N`` filter
+    Spark executes as WindowGroupLimit — each map partition forwards at
+    most ``per_source`` rows per source into the exchange, so the shuffle
+    carries O(sources x cap x partitions) rows, not the corpus. Skew-safe:
+    a mega-source's rows collapse map-side before they can pile onto one
+    reducer.
+    """
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        with_quality(documents)
+        .select("doc_id", "source", "quality_score")
+        .withColumn("source_rank", F.row_number().over(w))
+        .filter(F.col("source_rank") <= per_source)
+    )
+
+
+def SOURCE_CAP_SQL(per_source: int = 10) -> str:
+    return f"""
+WITH t AS (SELECT *, {TOKENS_SQL('text')} AS toks FROM documents),
+m AS (
+  SELECT doc_id, source,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks, t -> t IN ({_in_list_sql(STOPWORDS)}))) AS stop_hits,
+         list_sum(list_transform(toks, t -> length(t))) AS sum_len
+  FROM t
+),
+q AS (
+  SELECT doc_id, source,
+         floor((0.5 * (n_distinct / CAST(n_tokens AS DOUBLE))
+             + 0.3 * (1 - stop_hits / CAST(n_tokens AS DOUBLE))
+             + 0.2 * least(1.0, (sum_len / CAST(n_tokens AS DOUBLE)) / 8)) * 10000)
+           / 10000 AS quality_score
+  FROM m
+)
+SELECT doc_id, source, quality_score, source_rank FROM (
+  SELECT doc_id, source, quality_score,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY quality_score DESC, doc_id
+         ) AS source_rank
+  FROM q
+) WHERE source_rank <= {per_source}
 """
 
 

@@ -499,6 +499,16 @@ def corpus_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.train_test_split(schemas.load_table(spark, sf_dir, "documents"))
 
 
+@register("corpus_source_cap", curation.SOURCE_CAP_SQL(per_source=10))
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source balancing: keep the 10 highest-quality docs per source
+    (WindowGroupLimit — the shuffle carries at most sources x cap x
+    partitions rows, skew-safe against mega-sources)."""
+    return curation.source_cap(
+        schemas.load_table(spark, sf_dir, "documents"), per_source=10
+    )
+
+
 @register("benchmark_contamination", curation.BENCHMARK_CONTAMINATION_SQL())
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-set contamination of a benchmark subset via shared word-3-grams
@@ -999,6 +1009,7 @@ DRIVER_WINDOW_PRIORITY = [
     # -- 2. added or changed this round (round 3)
     "embedding_kmeans_assign",
     "dedup_minhash_lsh_staged",
+    "corpus_source_cap",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_incremental",
