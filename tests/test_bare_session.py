@@ -18,6 +18,16 @@ from pyspark.sql import SparkSession
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Every conf the loader must re-apply itself on the caller's session; the
+# bare fixture strips them so inheriting a configured in-process session
+# can't mask a missing runtime conf (the r01 failure mode, and the r03
+# TIMESTAMP_NTZ variant when the testdata moved from nanos to naive micros).
+_FACTORY_CONFS = (
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
+    "spark.sql.session.timeZone",
+)
+
 
 @pytest.fixture(scope="module")
 def bare_spark(spark):
@@ -28,7 +38,8 @@ def bare_spark(spark):
     factory would have applied (they must be re-applied by the code under
     test, not inherited)."""
     s = SparkSession.builder.master("local[4]").getOrCreate()
-    s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    for conf in _FACTORY_CONFS:
+        s.conf.unset(conf)
     yield s
 
 
@@ -45,7 +56,8 @@ def test_every_registry_query_on_bare_session(bare_spark):
 
     failures = {}
     for name, fn in entrymod.queries().items():
-        bare_spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        for conf in _FACTORY_CONFS:
+            bare_spark.conf.unset(conf)
         try:
             df = fn(bare_spark, SF_DIR)
             df.limit(1).collect()

@@ -110,7 +110,7 @@ TESTDATA_TABLES = (
 )
 
 
-# Columns stored as TIMESTAMP(NANOS) in the driver parquet; with
+# Columns stored as TIMESTAMP(NANOS) in older driver parquet; with
 # spark.sql.legacy.parquet.nanosAsLong they arrive as epoch-nanos longs and
 # are truncated to microseconds here — exactly what DuckDB does natively, so
 # both engines see identical microsecond timestamps.
@@ -120,13 +120,25 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (TESTDATA.md).
 
-    Works on ANY SparkSession, not just the session.get_spark factory: the
-    driver testdata stores ``events.ts`` as parquet TIMESTAMP(NANOS), which
-    vanilla Spark rejects with PARQUET_TYPE_ILLEGAL. The legacy nanos-as-long
-    conf is runtime-settable, so it is applied here on the caller's session
-    (idempotent) rather than relying on factory-time configuration.
+    Works on ANY SparkSession, not just the session.get_spark factory — the
+    needed confs are runtime-settable and applied here on the caller's
+    session (idempotent) rather than relying on factory-time configuration.
+    Two generations of driver testdata are handled:
+
+    - TIMESTAMP(NANOS) files (round <=2), which vanilla Spark rejects with
+      PARQUET_TYPE_ILLEGAL: read as epoch-nanos longs (legacy conf) and
+      truncated to microsecond timestamps below.
+    - naive TIMESTAMP(MICROS) files (isAdjustedToUTC=false, round 3+), which
+      Spark 4 reads as TIMESTAMP_NTZ by default: ``unix_millis``/``window``
+      arithmetic rejects NTZ, so ``inferTimestampNTZ=false`` reads them as
+      plain TIMESTAMP instead. A conf (not a per-column cast) keeps
+      min/max/filter pushdown on the timestamp columns intact. Session tz is
+      pinned UTC so the naive wall-clock values map to the same instants
+      DuckDB's naive semantics produce, on any host.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

@@ -30,10 +30,14 @@ _DEFAULT_CONF = {
     # scale and beyond; parquet filter pushdown + partition pruning do the
     # rest (SURVEY.md §1.4, §4).
     "spark.sql.parquet.filterPushdown": "true",
-    # The driver testdata stores events.ts as TIMESTAMP(NANOS) parquet, which
-    # Spark 4 refuses by default; read as long and convert in the loader
-    # (schemas.load_table) with integer division (no double precision loss).
+    # Older driver testdata stores events.ts as TIMESTAMP(NANOS) parquet,
+    # which Spark 4 refuses by default; read as long and convert in the
+    # loader (schemas.load_table) with integer division (no precision loss).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Round-3+ testdata uses naive TIMESTAMP(MICROS); read as plain
+    # TIMESTAMP (not NTZ) so window/unix_millis arithmetic and the UTC
+    # session mapping behave identically to the nanos generation.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.parquet.aggregatePushdown": "true",
     # The event-type dim (16 rows) and window-bound lookups must broadcast.
     "spark.sql.autoBroadcastJoinThreshold": "32m",
