@@ -13,7 +13,12 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import (
     canal_entries_view,
     load_table,
 )
-from use_clickhouse_2_analyze_mysql_binlog_spark.sources import canal, kafka, transform
+from use_clickhouse_2_analyze_mysql_binlog_spark.sources import (
+    canal,
+    canal_wire,
+    kafka,
+    transform,
+)
 from tests.conftest import SF_DIR
 
 
@@ -107,13 +112,101 @@ def test_decode_packets_with_fake_parser(spark):
     assert out.groupBy("gtid").count().count() == 2
 
 
-def test_decode_packets_requires_pb2():
-    try:
-        canal.decode_packets(None)
-    except NotImplementedError as e:
-        assert "canal protobuf" in str(e)
-    else:  # pragma: no cover
-        raise AssertionError("expected NotImplementedError without pb2 modules")
+def _wire_packet() -> bytes:
+    """One canal Packet: BEGIN + two ROWDATA (one DDL) + END, real wire bytes."""
+    h = dict(
+        schema_name="db1",
+        table_name="t1",
+        logfile_name="mysql-bin.000001",
+        serveren_code="UTF-8",
+        execute_time=1704067200000,
+        event_length=593,
+        gtid="uuid:1-7",
+    )
+    entries = [
+        canal_wire.encode_entry(
+            "TRANSACTIONBEGIN", canal_wire.encode_header(**h, logfile_offset=4)
+        ),
+        canal_wire.encode_entry(
+            "ROWDATA",
+            canal_wire.encode_header(**h, logfile_offset=259, event_type=1),
+            canal_wire.encode_row_change(n_row_datas=2),
+        ),
+        canal_wire.encode_entry(
+            "ROWDATA",
+            canal_wire.encode_header(**h, logfile_offset=852, event_type=9),
+            canal_wire.encode_row_change(is_ddl=True),
+        ),
+        canal_wire.encode_entry(
+            "TRANSACTIONEND", canal_wire.encode_header(**h, logfile_offset=921)
+        ),
+    ]
+    return canal_wire.encode_packet(entries)
+
+
+def test_wire_codec_roundtrip():
+    """S5/S6: the pure-Python wire codec round-trips the canal protocol."""
+    parsed = canal_wire.parse_packet_wire(_wire_packet())
+    assert [e["entryType"] for e in parsed] == [
+        "TRANSACTIONBEGIN", "ROWDATA", "ROWDATA", "TRANSACTIONEND",
+    ]
+    assert parsed[1]["header"]["schemaName"] == "db1"
+    assert parsed[1]["header"]["tableName"] == "t1"
+    assert parsed[1]["header"]["logfileOffset"] == 259
+    assert parsed[1]["header"]["executeTime"] == 1704067200000
+    assert parsed[1]["header"]["gtid"] == "uuid:1-7"
+    assert parsed[1]["header"]["eventType"] == 1
+    assert len(parsed[1]["rowDatas"]) == 2 and not parsed[1]["isDdl"]
+    assert parsed[2]["isDdl"] and parsed[2]["header"]["eventType"] == 9
+    # proto3 absent fields decode to the pb2 defaults
+    assert parsed[0]["header"]["eventType"] == 0
+    assert parsed[0]["rowDatas"] == []
+
+
+def test_wire_codec_golden_bytes():
+    """Pin the decoder to the documented encoding, not just to the encoder:
+    hand-assembled bytes per the protobuf wire spec + public canal field
+    numbers (Entry{header=1,entryType=2,storeValue=3}; Header{schemaName=8,
+    gtid=13}; RowChange{isDdl=10}; Messages{messages=2}; Packet{body=5})."""
+    header = b"\x42\x03db1" + b"\x6a\x08uuid:1-1"  # field8 str, field13 str
+    row_change = b"\x50\x01"  # field 10 varint 1 (isDdl=true)
+    entry = (
+        b"\x0a" + bytes([len(header)]) + header  # field 1 len-delim
+        + b"\x10\x02"  # field 2 varint 2 (ROWDATA)
+        + b"\x1a" + bytes([len(row_change)]) + row_change  # field 3
+    )
+    messages = b"\x12" + bytes([len(entry)]) + entry  # Messages.messages=2
+    packet = b"\x2a" + bytes([len(messages)]) + messages  # Packet.body=5
+    [e] = canal_wire.parse_packet_wire(packet)
+    assert e["entryType"] == "ROWDATA"
+    assert e["header"]["schemaName"] == "db1"
+    assert e["header"]["gtid"] == "uuid:1-1"
+    assert e["isDdl"] is True
+
+
+def test_wire_codec_negative_int64_and_truncation():
+    # int64 negatives ride as 10-byte two's-complement varints
+    h = canal_wire.encode_header(execute_time=-5, logfile_offset=7)
+    fd = canal_wire.fields_dict(h)
+    assert canal_wire._i64(fd, canal_wire.HEADER_EXECUTE_TIME) == -5
+    with pytest.raises(ValueError, match="truncated"):
+        canal_wire.fields_dict(b"\x0a\xff")
+
+
+def test_decode_packets_wire_fallback_e2e(spark):
+    """decode_packets works with NO pb2 modules: wire codec inside
+    mapInPandas, then the standard transform — the full S5/S6 -> P1-P6
+    path on real wire bytes."""
+    raw = spark.createDataFrame([(_wire_packet(),)], "value binary")
+    decoded = canal.decode_packets(raw)
+    assert decoded.schema == canal.CANAL_ENTRY_SCHEMA
+    out = transform.canal_entries_to_binlog(decoded).collect()
+    # P1 drops TRANSACTIONBEGIN only (mon_mysql_dml.py:252-253): the two
+    # ROWDATA entries and the TRANSACTIONEND survive
+    assert len(out) == 3
+    assert [r.event_type for r in out] == ["INSERT", "RENAME", "UNKNOWN_0"]
+    assert [r.is_ddl for r in out] == [0, 1, 0]
+    assert all(r.gtid == "uuid:1-7" for r in out)
 
 
 def test_canal_entries_view_matches_schema(spark):

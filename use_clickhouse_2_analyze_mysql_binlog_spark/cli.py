@@ -170,7 +170,7 @@ def main(argv: list[str] | None = None) -> int:
             max_offsets_per_trigger=args.sync,
         )
         raw = kafka.read_stream(spark, cfg)
-        entries = canal.decode_packets(raw)  # requires canal pb2 modules
+        entries = canal.decode_packets(raw)  # pb2 if installed, else wire codec
         q = ingest_job.run_ingest_stream(
             entries, args.sink, args.checkpoint, available_now=args.available_now
         )

@@ -6,13 +6,15 @@ each ``Entry`` has a ``Header`` and a ``storeValue`` that decodes to a
 ``RowChange`` (``/root/reference/mon_mysql_dml.py:150-169, 254-255``).
 
 Preferred decode path on Spark >= 3.4 is ``from_protobuf`` with a compiled
-canal descriptor set — fully JVM-side. The canal ``*_pb2`` modules and
-descriptor are not available in this environment, so the production entry
-point (:func:`decode_packets`) gates on their presence, and
-:func:`decode_packets_with` provides the Arrow-batched ``mapInPandas``
-fallback given any packet-parsing callable. Tests inject a deterministic
-fake parser; the downstream transform (sources/transform.py) is identical
-either way — decode yields CANAL_ENTRY_SCHEMA rows.
+canal descriptor set — fully JVM-side. The canal ``*_pb2`` modules, the
+protobuf runtime, and the spark-protobuf jar are all absent from this
+environment, so the production entry point (:func:`decode_packets`) uses the
+pb2 modules when importable and otherwise the dependency-free wire-format
+codec in :mod:`canal_wire` (same public protocol, same output dicts);
+:func:`decode_packets_with` is the underlying Arrow-batched ``mapInPandas``
+runner for any packet-parsing callable. The downstream transform
+(sources/transform.py) is identical on every path — decode yields
+CANAL_ENTRY_SCHEMA rows.
 """
 
 from __future__ import annotations
@@ -98,14 +100,20 @@ def decode_packets_with(raw_df: DataFrame, parser: PacketParser) -> DataFrame:
 
 
 def decode_packets(raw_df: DataFrame) -> DataFrame:
-    """Production decode path: canal pb2 modules required."""
+    """Production decode path.
+
+    Prefers the real canal pb2 modules when installed; otherwise falls back
+    to :func:`canal_wire.parse_packet_wire`, a dependency-free pure-Python
+    codec for the same public wire format (identical output dicts — pinned
+    by a golden-bytes test). Either way the parse runs Arrow-batched inside
+    ``mapInPandas``, one python worker per Kafka partition.
+    """
     if _try_import_canal() is None:
-        raise NotImplementedError(
-            "canal protobuf modules (CanalProtocol_pb2/EntryProtocol_pb2) are "
-            "not installed in this environment; use decode_packets_with(df, "
-            "parser) with an injected parser, or compile the public canal "
-            "EntryProtocol.proto/CanalProtocol.proto and use from_protobuf"
+        from use_clickhouse_2_analyze_mysql_binlog_spark.sources.canal_wire import (
+            parse_packet_wire,
         )
+
+        return decode_packets_with(raw_df, parse_packet_wire)
     return decode_packets_with(raw_df, parse_packet_canal)
 
 
