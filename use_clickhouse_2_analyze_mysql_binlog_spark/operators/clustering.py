@@ -30,6 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from use_clickhouse_2_analyze_mysql_binlog_spark.plans.parallelism import (
+    rebalance_small_scan,
+)
 from use_clickhouse_2_analyze_mysql_binlog_spark.operators.similarity import (
     with_double_embedding,
 )
@@ -129,8 +132,17 @@ def kmeans_fit(
     Deterministic init: the embeddings of the k smallest vec_ids (stable
     across runs and engines; swap for k-means++ off a hash-sampled subset
     at real scale — the iteration structure is unchanged).
+
+    The input is rebalanced if it arrives under-parallel (small file = one
+    row-group = one task): every iteration's distance loop is row-local, so
+    a single-partition input would serialize the whole fit on one core. It
+    is then persisted for the life of the fit — the loop runs ``iters + 2``
+    actions over the same rows, and without the cache each action re-runs
+    the scan + decode + rebalance lineage.
     """
-    emb = with_double_embedding(embeddings).select("vec_id", "label", "emb")
+    emb = rebalance_small_scan(
+        with_double_embedding(embeddings).select("vec_id", "label", "emb")
+    ).persist()
     init_rows = emb.orderBy("vec_id").limit(k).collect()
     centroids = [list(r.emb) for r in init_rows]
     dim = len(centroids[0])

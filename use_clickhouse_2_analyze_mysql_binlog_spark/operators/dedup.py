@@ -36,6 +36,9 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
     MINHASH_PRIME,
     hash60,
 )
+from use_clickhouse_2_analyze_mysql_binlog_spark.plans.parallelism import (
+    rebalance_small_scan,
+)
 from use_clickhouse_2_analyze_mysql_binlog_spark.operators.text import (
     NORM_SQL,
     SHINGLES_SQL,
@@ -118,7 +121,12 @@ def _shingle_posting(documents: DataFrame, persist: bool = False) -> DataFrame:
     ngram_jaccard). The cache is never explicitly unpersisted (results are
     lazy); Spark LRU-evicts it, and at 100 TB the same role is played by a
     materialized posting staging table.
+
+    The input is rebalanced when it arrives under-parallel (a small file =
+    one row-group = one task, serializing the explode+md5 fan-out on one
+    core; measured 2.4x on the sf0.1 posting build) — a no-op at scale.
     """
+    documents = rebalance_small_scan(documents)
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     posting = (
         documents.select("doc_id", norm.alias("norm"))
@@ -598,6 +606,7 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     positive). The pure-array form re-hashed every token once per bit
     (subexpression elimination stops at HOF lambda boundaries).
     """
+    documents = rebalance_small_scan(documents)
     tok = documents.select(
         "doc_id", F.explode(tokens("text")).alias("t")
     ).select("doc_id", hash60(F.col("t")).alias("h"))
