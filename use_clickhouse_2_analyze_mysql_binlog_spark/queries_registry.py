@@ -22,6 +22,7 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
     curation,
     dedup,
     dims,
+    funnels,
     multimodal,
     rollups,
     similarity,
@@ -972,6 +973,31 @@ def gtid_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "window_funnel",
+    funnels.WINDOW_FUNNEL_SQL(_FUNNEL_STEPS, window_seconds=3600),
+)
+def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel`` re-expressed Spark-first: anchored-greedy
+    view -> click -> purchase completion within 1 h, folded per user with a
+    JVM-side higher-order aggregate (operators/funnels.py)."""
+    return funnels.window_funnel(
+        schemas.load_table(spark, sf_dir, "events"),
+        _FUNNEL_STEPS,
+        window_seconds=3600,
+    )
+
+
+@register("retention_cohorts", funnels.RETENTION_COHORTS_SQL)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention()``-style cohort matrix: users active N days
+    after their first-seen day (operators/funnels.py)."""
+    return funnels.retention_cohorts(schemas.load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -1007,6 +1033,8 @@ DRIVER_WINDOW_PRIORITY = [
     "dedup_connected_components",
     "dedup_apply_connected_components",
     # -- 2. added or changed this round (round 3)
+    "window_funnel",
+    "retention_cohorts",
     "embedding_kmeans_assign",
     "dedup_minhash_lsh_staged",
     "corpus_source_cap",
