@@ -833,3 +833,121 @@ def test_ivf_batch_topk_nprobe_matches_single(spark):
         for r in similarity.ivf_topk(emb, query_vec_id=0, k=5, nprobe=2).collect()
     ]
     assert got0 == single
+
+
+# ---------------------------------------------------------------------------
+# Packing / chunking / mixture (round 3)
+# ---------------------------------------------------------------------------
+
+def test_sequence_pack_exact_fill(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import packing
+
+    # one source, docs of 3 + 4 + 6 tokens, budget 5:
+    # stream spans: [0,3) [3,7) [7,13) -> seqs 0:[0,5) 1:[5,10) 2:[10,13)
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c", "s"),
+            (1, "d e f g", "s"),
+            (2, "h i j k l m", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r.seq_id: (r.n_docs, r.n_tokens)
+        for r in packing.sequence_pack_report(docs, budget_tokens=5).collect()
+    }
+    assert rows == {0: (2, 5), 1: (2, 5), 2: (1, 3)}
+
+
+def test_doc_chunks_cover_and_overlap(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import packing
+
+    text = "x" * 250
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(
+        (r.chunk_id, r.chunk_start, r.chunk_len)
+        for r in packing.doc_chunks(docs, chunk_chars=100, overlap=20).collect()
+    )
+    # step 80: starts 0,80,160,240; last chunk is the 10-char tail
+    assert rows == [(0, 0, 100), (1, 80, 100), (2, 160, 90), (3, 240, 10)]
+    # consecutive chunks overlap by exactly 20 where full-length
+    assert rows[1][1] == rows[0][1] + 80
+
+
+def test_language_mixture_scarcest_pinned(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en" if i < 90 else "zh") for i in range(100)],
+        "doc_id long, text string, lang string",
+    )
+    rows = {
+        r.lang: r for r in packing.language_mixture_weights(
+            docs, {"en": 0.5, "zh": 0.5}
+        ).collect()
+    }
+    # zh is scarcest relative to target -> rate 1.0; en downsampled to match
+    assert rows["zh"].sample_rate == 1.0
+    assert abs(rows["en"].sample_rate - (10 / 90)) < 1e-6
+    assert rows["en"].expected_docs == 10.0
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics (round 3)
+# ---------------------------------------------------------------------------
+
+def test_window_funnel_levels(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import funnels
+
+    rows = [
+        # u1 completes all three inside the window
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:10:00", "click"),
+        (1, "2024-01-01 00:20:00", "purchase"),
+        # u2: purchase BEFORE click -> stops at click (level 2)
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-01 00:05:00", "purchase"),
+        (2, "2024-01-01 00:10:00", "click"),
+        # u3: click outside the 1h window anchored at the earliest view
+        (3, "2024-01-01 00:00:00", "view"),
+        (3, "2024-01-01 02:00:00", "click"),
+        # u4: never views (not counted at any level)
+        (4, "2024-01-01 00:00:00", "click"),
+        (4, "2024-01-01 00:01:00", "purchase"),
+    ]
+    events = spark.createDataFrame(
+        [(u, t, e) for u, t, e in rows], "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.step: r.users_reached
+        for r in funnels.window_funnel(
+            events, ["view", "click", "purchase"], window_seconds=3600
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_retention_cohorts_counts(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import funnels
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-02 10:00:00"),
+        (1, "2024-01-02 11:00:00"),  # same day twice -> one active day
+        (2, "2024-01-01 09:00:00"),
+        (2, "2024-01-03 09:00:00"),
+        (3, "2024-01-02 09:00:00"),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r.cohort_day, r.day_offset): r.active_users
+        for r in funnels.retention_cohorts(events).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }

@@ -161,3 +161,18 @@ def test_correlated_subqueries_decorrelate(spark):
     # grouped aggregate — never rescanned per outer row
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
     assert plan.count("Scan parquet") == 3, plan  # nation + 2x customer aggs
+
+
+def test_doc_chunks_zero_shuffle(spark):
+    plan = _plan(spark, "doc_chunks")
+    # row-local fan-out: sequence+explode+substring, no exchange of any kind
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_window_funnel_single_data_shuffle(spark):
+    plan = _plan(spark, "window_funnel")
+    # one user_id hash shuffle for the per-user fold; the global reduce
+    # moves one row per partition (SinglePartition exchange is fine)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan

@@ -1,0 +1,238 @@
+"""Sequence packing and document chunking for LLM training pipelines.
+
+Beyond-reference (the reference has no corpus surface): these are the two
+layout transforms between a curated corpus and a training run —
+
+- **concat-then-chunk sequence packing**: documents are concatenated in a
+  deterministic order and the token stream is cut into fixed-budget
+  training sequences (GPT-style packing; documents may straddle sequence
+  boundaries). The operator reports the exact per-sequence fill so a
+  trainer can size shards without materializing the packed text.
+- **overlapping chunking**: each document is split into fixed-size
+  character windows with overlap (the retrieval/indexing shape), a pure
+  1-row-in/N-out fan-out.
+
+Scale notes (100 TB): packing is windowed per ``source`` — the cumulative
+token offset is a running sum within each source partition (parallel
+across sources; no global sort). A global single-stream pack would order
+the whole corpus on one rail; per-source streams are what a sharded
+trainer consumes anyway. Chunking is row-local (zero shuffle): explode of
+``sequence()`` + ``substring`` — all codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from use_clickhouse_2_analyze_mysql_binlog_spark.functions import HASH60_SQL, hash60
+from use_clickhouse_2_analyze_mysql_binlog_spark.operators.text import (
+    TOKENS_SQL,
+    tokens,
+)
+
+
+def sequence_pack_report(
+    documents: DataFrame, budget_tokens: int = 512
+) -> DataFrame:
+    """Per-training-sequence fill report for concat-then-chunk packing.
+
+    Within each ``source`` (deterministic doc_id order), documents occupy
+    the half-open token span ``[cum_prev, cum_prev + ntok)`` of the
+    concatenated stream; sequence ``seq_id`` covers
+    ``[seq_id*B, (seq_id+1)*B)``. A document contributes to every
+    sequence its span intersects. Output: one row per (source, seq_id)
+    with the number of contributing documents and the exact token fill
+    (== budget except the trailing partial sequence of each source).
+
+    Plan: one running-sum window per source partition, a row-local
+    ``sequence()`` explode over the (usually 1-2 element) spanned-sequence
+    range, and one rollup shuffle on (source, seq_id).
+    """
+    b = int(budget_tokens)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    spans = (
+        documents.select(
+            "source", "doc_id", F.size(tokens("text")).alias("ntok")
+        )
+        .filter(F.col("ntok") > 0)
+        .withColumn("cend", F.sum("ntok").over(w))
+        .withColumn("cstart", F.col("cend") - F.col("ntok"))
+    )
+    fill = F.least(F.col("cend"), (F.col("seq_id") + 1) * b) - F.greatest(
+        F.col("cstart"), F.col("seq_id") * b
+    )
+    return (
+        spans.select(
+            "source",
+            "cstart",
+            "cend",
+            F.explode(
+                F.sequence(
+                    F.expr(f"cstart div {b}"), F.expr(f"(cend - 1) div {b}")
+                )
+            ).alias("seq_id"),
+        )
+        .groupBy("source", F.col("seq_id").cast("int").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(fill).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def SEQUENCE_PACK_SQL(budget_tokens: int = 512) -> str:
+    b = int(budget_tokens)
+    return f"""
+WITH toks AS (
+  SELECT source, doc_id, len({TOKENS_SQL("text")}) AS ntok FROM documents
+),
+spans AS (
+  -- DuckDB windowed sum(BIGINT) yields HUGEINT; generate_series needs BIGINT
+  SELECT source, doc_id, ntok,
+         CAST(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cend,
+         CAST(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - ntok AS BIGINT) AS cstart
+  FROM toks WHERE ntok > 0
+),
+binned AS (
+  SELECT source, cstart, cend, CAST(u.seq_id AS INT) AS seq_id
+  FROM spans, unnest(generate_series(cstart // {b}, (cend - 1) // {b})) AS u(seq_id)
+)
+SELECT source, seq_id, count(*) AS n_docs,
+       CAST(sum(least(cend, (seq_id + 1) * {b})
+                - greatest(cstart, seq_id * {b})) AS BIGINT) AS n_tokens
+FROM binned
+GROUP BY 1, 2
+"""
+
+
+def doc_chunks(
+    documents: DataFrame, chunk_chars: int = 200, overlap: int = 50
+) -> DataFrame:
+    """Overlapping fixed-size character chunks per document.
+
+    Chunk k starts at ``k * (chunk_chars - overlap)``; chunks cover the
+    whole text (the final chunk may be shorter). Emits a stable chunk id,
+    offset, exact length, and a 60-bit content hash (the dedup-joinable
+    form — the chunk text itself stays unmaterialized here, the same
+    "report, don't rewrite" convention as text_pii_scrub's audit).
+
+    Row-local fan-out: ``sequence()`` + ``explode`` + ``substring``, all
+    inside whole-stage codegen; no shuffle, no Python.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    return (
+        documents.select("doc_id", "text", F.length("text").alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(step))
+            ).alias("chunk_start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("chunk_start") / step).cast("int").alias("chunk_id"),
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.length(
+                F.substring(F.col("text"), F.col("chunk_start") + 1, chunk_chars)
+            )
+            .cast("int")
+            .alias("chunk_len"),
+            hash60(
+                F.substring(F.col("text"), F.col("chunk_start") + 1, chunk_chars)
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+def DOC_CHUNKS_SQL(chunk_chars: int = 200, overlap: int = 50) -> str:
+    step = chunk_chars - overlap
+    sub = f"substr(text, CAST(chunk_start AS INT) + 1, {chunk_chars})"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+),
+starts AS (
+  SELECT doc_id, text, u.chunk_start
+  FROM base, unnest(generate_series(0, n - 1, {step})) AS u(chunk_start)
+)
+SELECT doc_id,
+       CAST(chunk_start // {step} AS INT) AS chunk_id,
+       CAST(chunk_start AS INT) AS chunk_start,
+       CAST(length({sub}) AS INT) AS chunk_len,
+       {HASH60_SQL(sub)} AS chunk_hash
+FROM starts
+"""
+
+
+def language_mixture_weights(
+    documents: DataFrame, target_shares: dict[str, float]
+) -> DataFrame:
+    """Per-language sampling rates to hit a target training mixture.
+
+    Given target share per language, the achievable mixture keeps the
+    scarcest over-target language at rate 1.0 and downsamples the rest:
+    ``rate(l) = min(1, target(l) * N / count(l))`` where N is chosen so no
+    rate exceeds 1 — i.e. ``N = min over l of count(l) / target(l)``
+    (languages with zero target are dropped). Output one row per language
+    with its corpus count, target share, sampling rate, and the expected
+    document count after sampling.
+
+    Plan: one count shuffle to ~|languages| rows, then a single-row
+    cross-joined global min — no second pass over the corpus. The rates
+    feed ``corpus_sample_stratified``'s hash-threshold sampler.
+    """
+    share = F.create_map(
+        *[F.lit(x) for kv in target_shares.items() for x in kv]
+    )
+    counts = (
+        documents.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("target_share", share[F.col("lang")])
+        .filter(F.col("target_share").isNotNull() & (F.col("target_share") > 0))
+    )
+    scale = counts.agg(
+        F.min(F.col("n_docs") / F.col("target_share")).alias("scale_n")
+    )
+    return (
+        counts.crossJoin(F.broadcast(scale))
+        .select(
+            "lang",
+            "n_docs",
+            F.round("target_share", 6).alias("target_share"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("target_share") * F.col("scale_n") / F.col("n_docs"),
+                ),
+                6,
+            ).alias("sample_rate"),
+            F.round(F.col("target_share") * F.col("scale_n"), 2).alias(
+                "expected_docs"
+            ),
+        )
+    )
+
+
+def LANGUAGE_MIXTURE_SQL(target_shares: dict[str, float]) -> str:
+    vals = ", ".join(f"('{k}', {v})" for k, v in target_shares.items())
+    return f"""
+WITH tgt(lang, target_share) AS (VALUES {vals}),
+counts AS (
+  SELECT d.lang, count(*) AS n_docs, tgt.target_share
+  FROM documents d JOIN tgt USING (lang)
+  WHERE tgt.target_share > 0
+  GROUP BY d.lang, tgt.target_share
+),
+scale AS (SELECT min(n_docs / target_share) AS scale_n FROM counts)
+SELECT lang, n_docs, round(target_share, 6) AS target_share,
+       round(least(1.0, target_share * scale_n / n_docs), 6) AS sample_rate,
+       round(target_share * scale_n, 2) AS expected_docs
+FROM counts, scale
+"""

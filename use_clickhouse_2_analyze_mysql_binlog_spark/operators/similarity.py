@@ -556,3 +556,66 @@ def ivf_topk_from_index(
         .orderBy(F2.col("cos_sim").desc(), F2.col("vec_id").asc())
         .limit(k)
     )
+
+
+def quantization_error_report(embeddings: DataFrame) -> DataFrame:
+    """Int8 scalar-quantization audit: per-label reconstruction error.
+
+    Embedding stores cut memory 4x by quantizing float32 -> uint8 per
+    dimension (code = floor((x - mn_d) / (mx_d - mn_d) * 255 + 0.5)); this
+    report quantifies what that costs BEFORE committing an index rebuild.
+
+    Two passes, like the k-means shape: (1) per-dimension min/max —
+    posexplode + groupBy(pos), dim-sized output pulled to the driver
+    (O(dim), never O(rows)) and re-inlined as literal arrays; (2) per-
+    element reconstruction error against those literals, rolled up per
+    label. The explicit ``floor(.. + 0.5)`` avoids engine-specific
+    round-half behavior; error sums are rounded (5/6 dp) because double
+    accumulation order differs between engines.
+    """
+    emb = with_double_embedding(embeddings).select("vec_id", "label", "emb")
+    ex = emb.select("label", F.posexplode("emb").alias("pos", "x"))
+    dims = (
+        ex.groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    mn_arr = F.array(*[F.lit(float(r.mn)) for r in dims])
+    rng_arr = F.array(*[F.lit(float(r.mx - r.mn)) for r in dims])
+    mn = F.element_at(mn_arr, F.col("pos") + 1)
+    rng = F.element_at(rng_arr, F.col("pos") + 1)
+    code = F.floor((F.col("x") - mn) / rng * 255 + F.lit(0.5))
+    recon = mn + code * rng / 255
+    err = F.when(rng > 0, F.abs(F.col("x") - recon)).otherwise(F.lit(0.0))
+    return (
+        ex.select("label", err.alias("e"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.round(F.avg("e"), 5).alias("avg_abs_err"),
+            F.round(F.max("e"), 6).alias("max_abs_err"),
+        )
+    )
+
+
+QUANTIZATION_ERROR_SQL = f"""
+WITH e AS (SELECT vec_id, label, {_EMB_SQL} AS emb FROM embeddings),
+ex AS (
+  SELECT label, u.i AS pos, emb[u.i] AS x
+  FROM e, unnest(generate_series(1, len(emb))) AS u(i)
+),
+dims AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+err AS (
+  SELECT label,
+         CASE WHEN mx > mn
+              THEN abs(x - (mn + floor((x - mn) / (mx - mn) * 255 + 0.5)
+                              * (mx - mn) / 255))
+              ELSE 0.0 END AS e
+  FROM ex JOIN dims USING (pos)
+)
+SELECT label, count(*) AS n_vals,
+       round(avg(e), 5) AS avg_abs_err,
+       round(max(e), 6) AS max_abs_err
+FROM err GROUP BY label
+"""

@@ -184,3 +184,52 @@ def multi_cluster_daily_counts(clusters: dict[str, DataFrame]) -> DataFrame:
         F.date_format("execute_time", "yyyy-MM-dd").alias("day"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("event_count"))
+
+
+def binlog_gap_report(binlog: DataFrame, min_gap: int = 4) -> DataFrame:
+    """Per-binlog-file position-continuity audit.
+
+    The reference's ingest assumes binlog positions advance contiguously
+    per file (the transaction_size formula depends on it — worked example
+    ``mon_mysql_dml.py:264-310``); a position jump larger than expected
+    means lost events between the Kafka topic and the fact table. One row
+    per file: event count, position span, number of over-threshold jumps,
+    and the largest jump.
+
+    Plan: lag window partitioned by ``binlog_file`` + a groupBy on the SAME
+    key — Catalyst reuses the window's hash partitioning for the aggregate,
+    so the whole audit is ONE shuffle at any scale.
+    """
+    w = Window.partitionBy("binlog_file").orderBy("binlog_pos")
+    delta = F.col("binlog_pos") - F.lag("binlog_pos", 1).over(w)
+    return (
+        binlog.select("binlog_file", "binlog_pos")
+        .withColumn("delta", delta)
+        .groupBy("binlog_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("binlog_pos").alias("first_pos"),
+            F.max("binlog_pos").alias("last_pos"),
+            F.sum((F.col("delta") >= min_gap).cast("long")).alias("n_gaps"),
+            F.max("delta").alias("max_jump"),
+        )
+    )
+
+
+def BINLOG_GAP_SQL(binlog_sql: str, min_gap: int = 4) -> str:
+    return f"""
+WITH binlog AS ({binlog_sql}),
+deltas AS (
+  SELECT binlog_file, binlog_pos,
+         binlog_pos - lag(binlog_pos, 1) OVER (
+           PARTITION BY binlog_file ORDER BY binlog_pos) AS delta
+  FROM binlog
+)
+SELECT binlog_file, count(*) AS n_events,
+       min(binlog_pos) AS first_pos, max(binlog_pos) AS last_pos,
+       CAST(sum(CASE WHEN delta >= {min_gap} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps,
+       max(delta) AS max_jump
+FROM deltas
+GROUP BY binlog_file
+"""

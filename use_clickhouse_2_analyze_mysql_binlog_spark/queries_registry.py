@@ -24,6 +24,7 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
     dims,
     funnels,
     multimodal,
+    packing,
     rollups,
     similarity,
     skew,
@@ -973,6 +974,56 @@ def gtid_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "binlog_gap_report",
+    windows.BINLOG_GAP_SQL(schemas.BINLOG_VIEW_SQL, min_gap=4),
+)
+def binlog_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-continuity audit per binlog file (lost-event detection —
+    the invariant the reference's transaction_size formula rests on,
+    mon_mysql_dml.py:264-310). Window + same-key groupBy = one shuffle."""
+    return windows.binlog_gap_report(_binlog(spark, sf_dir), min_gap=4)
+
+
+@register("embedding_quantization_error", similarity.QUANTIZATION_ERROR_SQL)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization reconstruction-error audit per label
+    (operators/similarity.py::quantization_error_report)."""
+    return similarity.quantization_error_report(
+        schemas.load_table(spark, sf_dir, "embeddings")
+    )
+
+
+_MIXTURE_TARGET = {"en": 0.5, "zh": 0.2, "de": 0.15, "fr": 0.1, "es": 0.05}
+
+
+@register("sequence_pack", packing.SEQUENCE_PACK_SQL(budget_tokens=512))
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing fill report (512-token budget,
+    packed per source stream) — operators/packing.py."""
+    return packing.sequence_pack_report(
+        schemas.load_table(spark, sf_dir, "documents"), budget_tokens=512
+    )
+
+
+@register("doc_chunks", packing.DOC_CHUNKS_SQL(chunk_chars=200, overlap=50))
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping retrieval chunks (200 chars, 50 overlap): row-local
+    sequence+explode+substring fan-out, zero shuffle."""
+    return packing.doc_chunks(
+        schemas.load_table(spark, sf_dir, "documents"), chunk_chars=200, overlap=50
+    )
+
+
+@register("language_mixture_weights", packing.LANGUAGE_MIXTURE_SQL(_MIXTURE_TARGET))
+def language_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates hitting a target training mixture
+    (scarcest over-target language pinned at rate 1.0)."""
+    return packing.language_mixture_weights(
+        schemas.load_table(spark, sf_dir, "documents"), _MIXTURE_TARGET
+    )
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -1035,6 +1086,11 @@ DRIVER_WINDOW_PRIORITY = [
     # -- 2. added or changed this round (round 3)
     "window_funnel",
     "retention_cohorts",
+    "sequence_pack",
+    "doc_chunks",
+    "language_mixture_weights",
+    "binlog_gap_report",
+    "embedding_quantization_error",
     "embedding_kmeans_assign",
     "dedup_minhash_lsh_staged",
     "corpus_source_cap",
