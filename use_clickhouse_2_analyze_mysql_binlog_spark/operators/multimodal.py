@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from use_clickhouse_2_analyze_mysql_binlog_spark.plans.parallelism import (
+    rebalance_small_scan,
+)
+
 #: metadata emitted per payload by feature extraction
 MEDIA_FEATURES_SCHEMA = T.StructType(
     [
@@ -105,7 +109,9 @@ def extract_media_features(
                 }
             )
 
-    return media.mapInPandas(extract, schema=MEDIA_FEATURES_SCHEMA)
+    return rebalance_small_scan(media).mapInPandas(
+        extract, schema=MEDIA_FEATURES_SCHEMA
+    )
 
 
 #: one row per sampled frame; the frame payload itself stays binary
@@ -153,7 +159,9 @@ def sample_frames(
                     out["frame_checksum"].append(sum(frame) % 1_000_000_007)
             yield pd.DataFrame(out)
 
-    return videos.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+    return rebalance_small_scan(videos).mapInPandas(
+        sample, schema=FRAME_SAMPLE_SCHEMA
+    )
 
 
 #: resize report: stub "resample" = keep every k-th byte of the payload
@@ -207,7 +215,9 @@ def resize_media(
                 rows["resized_checksum"].append(sum(resized) % 1_000_000_007)
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(resize, schema=RESIZE_SCHEMA)
+    return rebalance_small_scan(media).mapInPandas(
+        resize, schema=RESIZE_SCHEMA
+    )
 
 
 # DuckDB twin of extract_media_features under stub_decoder. DuckDB has no
