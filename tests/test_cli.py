@@ -140,3 +140,17 @@ def test_cli_pipeline_end_to_end(spark, tmp_path, capsys):
     assert 0 < result.count() < n_in
     # split is a partition column -> split-pruned reads touch one subdir
     assert spark.read.parquet(f"{out}/split=train").count() > 0
+
+
+def test_cli_analyze_list_and_run(capsys):
+    rc = cli.main(["analyze", "--data-dir", SF_DIR, "--list"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "window_funnel  [oracle]" in out
+    assert "embedding_kmeans  [rows-only]" in out
+
+    rc = cli.main(["analyze", "--data-dir", SF_DIR, "window_funnel"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "users_reached" in out
+
+    rc = cli.main(["analyze", "--data-dir", SF_DIR, "no_such_query"])
+    assert rc == 2

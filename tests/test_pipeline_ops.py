@@ -951,3 +951,27 @@ def test_retention_cohorts_counts(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-02", 0): 1,
     }
+
+
+def test_window_funnel_monotone_on_testdata(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import funnels
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = sorted(
+        (r.step, r.users_reached)
+        for r in funnels.window_funnel(
+            events, ["view", "click", "purchase"], window_seconds=3600
+        ).collect()
+    )
+    # cumulative completion counts can never increase down the funnel
+    counts = [n for _, n in rows]
+    assert counts == sorted(counts, reverse=True)
+    # widening the window can only help
+    wide = {
+        r.step: r.users_reached
+        for r in funnels.window_funnel(
+            events, ["view", "click", "purchase"], window_seconds=86400
+        ).collect()
+    }
+    for step, n in rows:
+        assert wide[step] >= n

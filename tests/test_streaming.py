@@ -620,3 +620,74 @@ def test_incremental_dedup_partial_crash_replay(spark, tmp_path):
     assert 20 not in {
         r.doc_id for r in incremental_dedup_job.read_corpus(spark, root).collect()
     }
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Streamed funnel transitions (buffer-until-watermark automaton) must
+    reproduce the batch window_funnel counts once the watermark passes all
+    real events: per-step transition counts == users_reached."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import funnels
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import funnel_job
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "ts", "event_type")
+    )
+    steps = ["view", "click", "purchase"]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "transitions")
+    ckpt = str(tmp_path / "ckpt")
+    events.repartition(4).write.parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = funnel_job.run_funnel_job(
+            stream, out, ckpt, steps=steps, window_seconds=3600,
+            available_now=True,
+        )
+        q.awaitTermination(180)
+
+    run()  # pass 1: real data; watermark trails max ts by the lateness
+
+    # pass 2: a single far-future row advances the global watermark past
+    # every real event, finalizing all buffered automata; the flush row
+    # itself stays above the new watermark and never folds
+    gmax = events.agg(F.max("ts")).collect()[0][0]
+    flush = spark.createDataFrame(
+        [(-1, gmax, "view")], "user_id long, ts timestamp, event_type string"
+    ).select("user_id", (F.col("ts") + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+             "event_type")
+    flush.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .groupBy("step")
+        .count()
+        .collect()
+    )
+    got_counts = {r.step: r["count"] for r in got}
+    want = {
+        r.step: r.users_reached
+        for r in funnels.window_funnel(
+            spark.read.parquet(src).filter(F.col("user_id") >= 0),
+            steps, window_seconds=3600,
+        ).collect()
+        if r.users_reached > 0
+    }
+    assert got_counts == want
+
+    # each user transitions through a step at most once (exactly-once sink)
+    dup = (
+        spark.read.parquet(out)
+        .groupBy("user_id", "step")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0

@@ -148,6 +148,22 @@ def build_parser() -> argparse.ArgumentParser:
     sq.add_argument("--limit", type=int, default=20,
                     help="max rows to print (ignored with --output)")
     sq.add_argument("query", help="SQL text; tables are registered as views")
+
+    an = sub.add_parser(
+        "analyze",
+        help="run a named registry query (any operator in queries_registry) "
+        "over a testdata-layout directory",
+    )
+    an.add_argument("--data-dir", required=True,
+                    help="directory of <table>.parquet files")
+    an.add_argument("--output", default=None,
+                    help="write result parquet here instead of printing")
+    an.add_argument("--limit", type=int, default=20,
+                    help="max rows to print (ignored with --output)")
+    an.add_argument("--list", action="store_true", dest="list_queries",
+                    help="list available query names and exit")
+    an.add_argument("name", nargs="?", default=None,
+                    help="registry query name (see --list)")
     return ap
 
 
@@ -286,6 +302,24 @@ def main(argv: list[str] | None = None) -> int:
                 schemas.load_table(spark, args.data_dir, "events")
             ).createOrReplaceTempView("binlog")
         result = spark.sql(args.query)
+        if args.output:
+            result.write.mode("overwrite").parquet(args.output)
+            print(f"rows={spark.read.parquet(args.output).count()}")
+        else:
+            result.show(args.limit, truncate=False)
+        return 0
+    elif args.cmd == "analyze":
+        from use_clickhouse_2_analyze_mysql_binlog_spark import queries_registry
+
+        if args.list_queries or args.name is None:
+            for name in sorted(queries_registry.QUERIES):
+                oracle = "oracle" if name in queries_registry.ORACLES else "rows-only"
+                print(f"{name}  [{oracle}]")
+            return 0
+        if args.name not in queries_registry.QUERIES:
+            print(f"unknown query: {args.name} (try --list)")
+            return 2
+        result = queries_registry.QUERIES[args.name](spark, args.data_dir)
         if args.output:
             result.write.mode("overwrite").parquet(args.output)
             print(f"rows={spark.read.parquet(args.output).count()}")

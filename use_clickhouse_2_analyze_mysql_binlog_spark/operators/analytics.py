@@ -480,3 +480,56 @@ SELECT COALESCE(daily.day, prev.day) AS day,
 FROM daily FULL OUTER JOIN prev
   ON daily.day = prev.day AND daily.event_type = prev.event_type
 """
+
+
+def large_order_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 150.0,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 shape: customers behind over-quantity orders.
+
+    The HAVING subquery becomes an aggregate-then-join: lineitem rolls up
+    to per-order quantity (partial+final on the l_orderkey shuffle), the
+    filtered survivors join orders ON THE SAME KEY — Catalyst reuses the
+    orderkey partitioning, so the big fact table shuffles once — and the
+    customer dim joins broadcast. TakeOrderedAndProject caps the output
+    without a global sort. Sums of integral quantities are exact in double.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") >= min_qty)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", DAY_FMT).alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def LARGE_ORDER_CUSTOMERS_SQL(min_qty: float = 150.0, k: int = 100) -> str:
+    return f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) >= {min_qty}
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT {k}
+"""

@@ -728,6 +728,18 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("large_order_customers", analytics.LARGE_ORDER_CUSTOMERS_SQL())
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: aggregate-then-join HAVING subquery; lineitem shuffles
+    once (orderkey partitioning reused by the orders join), customer dim
+    broadcasts, TakeOrdered caps the output."""
+    return analytics.large_order_customers(
+        schemas.load_table(spark, sf_dir, "customer"),
+        schemas.load_table(spark, sf_dir, "orders"),
+        schemas.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 @register("order_priority_counts", analytics.ORDER_PRIORITY_COUNTS_SQL())
 def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 shape: EXISTS semi-join counted by order priority."""
@@ -1091,6 +1103,7 @@ DRIVER_WINDOW_PRIORITY = [
     "language_mixture_weights",
     "binlog_gap_report",
     "embedding_quantization_error",
+    "large_order_customers",
     "embedding_kmeans_assign",
     "dedup_minhash_lsh_staged",
     "corpus_source_cap",
