@@ -975,3 +975,33 @@ def test_window_funnel_monotone_on_testdata(spark):
     }
     for step, n in rows:
         assert wide[step] >= n
+
+
+def test_sequence_pack_conserves_tokens(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import packing
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators.text import tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    B = 512
+    report = packing.sequence_pack_report(docs, budget_tokens=B)
+    # every token lands in exactly one sequence slot
+    total_packed = report.agg(F.sum("n_tokens")).collect()[0][0]
+    total_tokens = (
+        docs.select(F.size(tokens("text")).alias("n"))
+        .filter(F.col("n") > 0)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert total_packed == total_tokens
+    # no sequence overfills, and per source only the LAST sequence may be
+    # under budget
+    from collections import defaultdict
+    per_src = defaultdict(list)
+    for r in report.collect():
+        assert r.n_tokens <= B
+        per_src[r.source].append((r.seq_id, r.n_tokens))
+    for src, seqs in per_src.items():
+        seqs.sort()
+        assert all(n == B for _, n in seqs[:-1]), (src, seqs)
+        # seq ids are contiguous from 0
+        assert [s for s, _ in seqs] == list(range(len(seqs)))

@@ -176,3 +176,14 @@ def test_window_funnel_single_data_shuffle(spark):
     # moves one row per partition (SinglePartition exchange is fine)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_large_order_customers_single_fact_shuffle(spark):
+    plan = _plan(spark, "large_order_customers")
+    # the HAVING subquery is ONE partial+final aggregate over lineitem —
+    # the only hash exchange in the plan; the result caps via TakeOrdered
+    # (no global sort) and the customer dim broadcasts
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, plan
