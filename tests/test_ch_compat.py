@@ -1,0 +1,135 @@
+"""ClickHouse dialect translation: the reference user's OWN SQL strings
+must run on Spark and produce the same answers an independent computation
+gives. The query texts mirror the reference's f-string SQL
+(compute_transaction_info.py:53-66 shape, README.md:174-184 MV select) —
+that SQL is the migration surface, so running it verbatim IS the test."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+from use_clickhouse_2_analyze_mysql_binlog_spark.functions import ch_compat
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def binlog_view(spark):
+    b = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    b.createOrReplaceTempView("binlog")
+    return b
+
+
+def test_translate_function_table():
+    t = ch_compat.translate
+    assert t("toUInt32(binlog_pos)") == "bigint(binlog_pos)"
+    assert t("argMax(size, pos)") == "max_by(size, pos)"
+    assert t("count()") == "count(*)"
+    assert t("countIf(x > 1)") == "count_if(x > 1)"
+    assert t("sumIf(x, y > 1)") == "sum(if(y > 1, x, 0))"
+    assert t("quantile(0.5)(x)") == "percentile(x, 0.5)"
+    assert t("uniqExact(gtid)") == "count(DISTINCT gtid)"
+    assert t("uniq(gtid)") == "approx_count_distinct(gtid)"
+    assert t("intDiv(a, b)") == "(a div b)"
+    assert t("SELECT 1 FROM t FINAL SETTINGS max_threads = 4").strip() == (
+        "SELECT 1 FROM t"
+    )
+    assert t(
+        "max(execute_time) - min(execute_time)"
+    ) == "(unix_timestamp(max(execute_time)) - unix_timestamp(min(execute_time)))"
+    assert t(
+        "toStartOfInterval(ts, INTERVAL 5 MINUTE)",
+    ) == "window(ts, '5 minute').start"
+    assert (
+        t("FROM mysql_monitor.broker_binlog_all",
+          table_map={"mysql_monitor.broker_binlog_all": "binlog"})
+        == "FROM binlog"
+    )
+
+
+# the reference's per-window transaction query, verbatim shape
+# (compute_transaction_info.py:53-66) with the window bounds inlined
+REFERENCE_TXN_SQL = """
+        SELECT
+            toDateTime('{end}') AS end_time,
+            '{interval}' AS invertal,
+            gtid,
+            max(execute_time) - min(execute_time) AS transaction_spend_time,
+            (max(toUInt32(binlog_pos)) - min(toUInt32(binlog_pos))) + argMax(toUInt32(single_statement_size), toUInt32(binlog_pos)) AS transaction_size,
+            sum(single_statement_affected_rows) AS transaction_affected_rows
+        FROM mysql_monitor.broker_binlog_all
+        WHERE (execute_time >= '{start}') AND (execute_time < '{end}')
+        GROUP BY gtid
+        ORDER BY transaction_size DESC
+        LIMIT 1
+"""
+
+
+def test_reference_transaction_query_runs_translated(spark, binlog_view):
+    start, end = "2024-01-01 00:00:00", "2024-01-16 00:00:00"
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        REFERENCE_TXN_SQL.format(start=start, end=end, interval=300),
+        table_map={"mysql_monitor.broker_binlog_all": "binlog"},
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    # independent expectation: DuckDB over the identical view rows
+    pdf = binlog_view.select(
+        "gtid", "execute_time", "binlog_pos",
+        "single_statement_size", "single_statement_affected_rows",
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("b", pdf)
+    stats = con.sql(f"""
+        SELECT gtid,
+               CAST(floor(epoch(max(execute_time))) -
+                    floor(epoch(min(execute_time))) AS BIGINT) AS spend,
+               (max(binlog_pos) - min(binlog_pos))
+                 + max_by(single_statement_size, binlog_pos) AS size,
+               CAST(sum(single_statement_affected_rows) AS BIGINT) AS aff
+        FROM b WHERE execute_time >= TIMESTAMP '{start}'
+                 AND execute_time < TIMESTAMP '{end}'
+        GROUP BY gtid
+    """).fetchall()
+    by_gtid = {g: (sp, sz, af) for g, sp, sz, af in stats}
+    # the translated LIMIT 1 row is the global max-size transaction...
+    assert r.transaction_size == max(sz for _, sz, _ in by_gtid.values())
+    # ...and its own stats are exactly the independent computation's
+    sp, sz, af = by_gtid[r.gtid]
+    assert (r.transaction_spend_time, r.transaction_size,
+            r.transaction_affected_rows) == (sp, sz, af)
+    assert str(r.end_time) == end
+    assert r.invertal == "300"
+
+
+# the reference's daily-count MV select, verbatim (README.md:174-184)
+REFERENCE_MV_SQL = """
+SELECT
+    toDate(execute_time) AS day,
+    event_type,
+    count(*) AS event_count
+FROM mysql_monitor.broker_binlog_local
+GROUP BY
+    day,
+    event_type
+ORDER BY
+    day ASC,
+    event_type ASC
+"""
+
+
+def test_reference_mv_select_matches_rollup(spark, binlog_view):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import rollups
+
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        REFERENCE_MV_SQL,
+        table_map={"mysql_monitor.broker_binlog_local": "binlog"},
+    )
+    want = rollups.daily_event_counts(binlog_view)
+    g = {(str(r.day), r.event_type): r.event_count for r in got.collect()}
+    w = {(r.day, r.event_type): r.event_count for r in want.collect()}
+    assert g == w

@@ -154,3 +154,14 @@ def test_cli_analyze_list_and_run(capsys):
 
     rc = cli.main(["analyze", "--data-dir", SF_DIR, "no_such_query"])
     assert rc == 2
+
+
+def test_cli_sql_clickhouse_dialect(capsys):
+    rc = cli.main([
+        "sql", "--data-dir", SF_DIR, "--dialect", "clickhouse",
+        "SELECT toDate(execute_time) AS day, count() AS n "
+        "FROM mysql_monitor.broker_binlog_local GROUP BY day ORDER BY day "
+        "LIMIT 3 SETTINGS max_threads = 4",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "2024-01-01" in out

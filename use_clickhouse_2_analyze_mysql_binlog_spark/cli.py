@@ -147,6 +147,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write result parquet here instead of printing")
     sq.add_argument("--limit", type=int, default=20,
                     help="max rows to print (ignored with --output)")
+    sq.add_argument("--dialect", choices=("spark", "clickhouse"),
+                    default="spark",
+                    help="'clickhouse' translates CH SQL (toUInt32, argMax, "
+                    "countIf, quantile(p)(x), FINAL/SETTINGS, ...) before "
+                    "running — the reference user's queries run verbatim")
     sq.add_argument("query", help="SQL text; tables are registered as views")
 
     an = sub.add_parser(
@@ -301,7 +306,21 @@ def main(argv: list[str] | None = None) -> int:
             schemas.binlog_view(
                 schemas.load_table(spark, args.data_dir, "events")
             ).createOrReplaceTempView("binlog")
-        result = spark.sql(args.query)
+        if args.dialect == "clickhouse":
+            from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
+                ch_compat,
+            )
+
+            # the reference's qualified names resolve to the binlog view
+            table_map = {
+                "mysql_monitor.broker_binlog_all": "binlog",
+                "mysql_monitor.broker_binlog_local": "binlog",
+            }
+            result = ch_compat.run_clickhouse_sql(
+                spark, args.query, table_map=table_map
+            )
+        else:
+            result = spark.sql(args.query)
         if args.output:
             result.write.mode("overwrite").parquet(args.output)
             print(f"rows={spark.read.parquet(args.output).count()}")

@@ -1,0 +1,194 @@
+"""ClickHouse SQL dialect translation: run a reference user's CH SQL on Spark.
+
+The reference's entire query surface is ClickHouse SQL strings
+(``compute_transaction_info.py:53-66,78-91,103-116``; MV selects
+``README.md:174-184,229-245``). A migrating user brings those strings, not
+DataFrame code — so the engine ships a textual dialect translator covering
+the CH constructs the reference (and everyday CH analytics) uses, mapped
+onto Spark SQL equivalents that stay entirely JVM-side:
+
+- type-conversion functions -> Spark cast-alias functions
+  (``toUInt32(x)`` -> ``bigint(x)`` — cast aliases inline into codegen);
+- ``argMax/argMin`` -> ``max_by/min_by`` (identical semantics incl.
+  nondeterministic ties);
+- parametric aggregates ``quantile(p)(x)`` -> ``percentile(x, p)``;
+- conditional aggregates (``countIf``, ``sumIf``, ``avgIf``);
+- ``uniq``/``uniqExact`` -> ``approx_count_distinct``/``count(DISTINCT)``
+  (preserving the approximate-vs-exact contract);
+- the CH DateTime-difference idiom ``max(ts) - min(ts)`` (CH DateTime
+  subtraction yields SECONDS as an integer; Spark yields an interval) ->
+  ``unix_timestamp`` difference, applied to known timestamp columns;
+- ``db.table`` qualified names -> registered view names, ``FINAL``
+  dropped (rollups here are fully merged — stronger than CH's read-time
+  merge contract, same answers), ``SETTINGS``/``FORMAT`` clauses dropped
+  (two-level/distributed-agg settings are Catalyst's job).
+
+This is a deliberate TEXTUAL translator for the documented subset, not a
+CH grammar: constructs outside the table raise nothing and pass through,
+so valid-ANSI remainders still run, and unknown CH-isms fail loudly in
+Spark's parser rather than silently changing semantics.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+# CH function -> Spark function, pure renames (argument lists unchanged).
+_RENAMES = {
+    "toUInt64": "bigint",
+    "toUInt32": "bigint",
+    "toInt64": "bigint",
+    "toInt32": "bigint",
+    "toUInt8": "int",
+    "toInt8": "int",
+    "toFloat64": "double",
+    "toFloat32": "float",
+    "toString": "string",
+    "toDateTime": "timestamp",
+    "toDate": "to_date",
+    "argMax": "max_by",
+    "argMin": "min_by",
+    "countIf": "count_if",
+    "uniq": "approx_count_distinct",
+    "uniqCombined": "approx_count_distinct",
+    "halfMD5": "xxhash64",  # 64-bit string hash; value differs, role matches
+    "materialize": "",  # identity wrapper
+}
+
+
+def _find_call(sql: str, name: str, start: int = 0) -> tuple[int, int, list[str]] | None:
+    """Locate ``name( ... )`` at word boundary from ``start``; return
+    (call_start, call_end_exclusive, top_level_args)."""
+    pat = re.compile(r"\b" + re.escape(name) + r"\s*\(")
+    m = pat.search(sql, start)
+    if not m:
+        return None
+    i = m.end()
+    depth, args, cur = 1, [], []
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":  # skip string literal
+            j = i + 1
+            while j < len(sql) and sql[j] != "'":
+                j += 1
+            cur.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(cur).strip())
+                return (m.start(), i + 1, [a for a in args if a != ""])
+        elif c == "," and depth == 1:
+            args.append("".join(cur).strip())
+            cur = []
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    return None
+
+
+def _rewrite_calls(sql: str, name: str, build) -> str:
+    """Replace every ``name(...)`` call with ``build(args)`` (inner-out safe:
+    restarts after each replacement)."""
+    pos = 0
+    while True:
+        found = _find_call(sql, name, pos)
+        if found is None:
+            return sql
+        s, e, args = found
+        repl = build(args)
+        sql = sql[:s] + repl + sql[e:]
+        pos = s + len(repl)
+
+
+def translate(
+    sql: str,
+    table_map: dict[str, str] | None = None,
+    timestamp_columns: tuple[str, ...] = ("execute_time", "ctime", "end_time"),
+) -> str:
+    """Translate a ClickHouse SQL string to Spark SQL (module docstring)."""
+    out = sql
+
+    # clause strips (before function work: SETTINGS may contain '=')
+    out = re.sub(r"\bSETTINGS\b[^;]*$", "", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bFORMAT\s+\w+\s*$", "", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bFINAL\b", "", out)
+
+    # qualified table names
+    for ch_name, spark_name in (table_map or {}).items():
+        out = re.sub(re.escape(ch_name) + r"\b", spark_name, out)
+
+    # CH DateTime difference idiom: max(ts) - min(ts) -> seconds
+    for col in timestamp_columns:
+        out = re.sub(
+            rf"max\(\s*{col}\s*\)\s*-\s*min\(\s*{col}\s*\)",
+            f"(unix_timestamp(max({col})) - unix_timestamp(min({col})))",
+            out,
+        )
+
+    # parametric aggregates: quantile(p)(x) -> percentile(x, p)
+    out = re.sub(
+        r"\bquantile(?:Exact|TDigest)?\(([^()]*)\)\s*\(([^()]*)\)",
+        r"percentile(\2, \1)",
+        out,
+    )
+
+    # restructured calls
+    out = _rewrite_calls(
+        out, "sumIf", lambda a: f"sum(if({a[1]}, {a[0]}, 0))"
+    )
+    out = _rewrite_calls(
+        out, "avgIf", lambda a: f"avg(if({a[1]}, {a[0]}, NULL))"
+    )
+    out = _rewrite_calls(
+        out, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})"
+    )
+    out = _rewrite_calls(out, "intDiv", lambda a: f"({a[0]} div {a[1]})")
+    out = _rewrite_calls(
+        out, "toStartOfDay", lambda a: f"date_trunc('DAY', {a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "toStartOfMonth", lambda a: f"to_date(date_trunc('MONTH', {a[0]}))"
+    )
+    out = _rewrite_calls(
+        out,
+        "toStartOfInterval",
+        lambda a: f"window({a[0]}, '{_interval_text(a[1])}').start",
+    )
+
+    # bare count() -> count(*)
+    out = re.sub(r"\bcount\(\s*\)", "count(*)", out)
+
+    # pure renames (longest first so toUInt32 wins over toUInt3 prefixes)
+    for ch_fn in sorted(_RENAMES, key=len, reverse=True):
+        spark_fn = _RENAMES[ch_fn]
+        if spark_fn:
+            out = re.sub(rf"\b{ch_fn}\s*\(", spark_fn + "(", out)
+        else:
+            out = _rewrite_calls(out, ch_fn, lambda a: a[0])
+    return out
+
+
+def _interval_text(ch_interval: str) -> str:
+    m = re.match(
+        r"\s*INTERVAL\s+(\d+)\s+(\w+)\s*", ch_interval, flags=re.IGNORECASE
+    )
+    if not m:
+        return ch_interval
+    return f"{m.group(1)} {m.group(2).lower()}"
+
+
+def run_clickhouse_sql(
+    spark: SparkSession,
+    sql: str,
+    table_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """Translate and execute a ClickHouse SQL string against the views
+    registered on ``spark`` (see ``cli.py sql --dialect clickhouse``)."""
+    return spark.sql(translate(sql, table_map=table_map))
