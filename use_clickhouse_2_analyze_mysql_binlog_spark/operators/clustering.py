@@ -164,6 +164,10 @@ def kmeans_fit(
             by_cluster.get(c, centroids[c]) for c in range(k)
         ]
         assigned = kmeans_assign(emb, centroids)
+    # the iters+2 in-loop actions are done; release the cache so the fit
+    # doesn't pin executor memory for the session (the final assignment's
+    # consumers recompute the cheap scan+rebalance lineage once)
+    emb.unpersist()
     return centroids, assigned
 
 

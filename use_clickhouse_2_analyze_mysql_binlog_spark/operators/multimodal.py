@@ -28,6 +28,13 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.plans.parallelism import (
     rebalance_small_scan,
 )
 
+# Rebalance width for the Python codec paths: enough workers to overlap
+# codec work with the scan, few enough that Arrow batches stay large and
+# the per-worker fork/init cost stays amortized (the stub decoder is
+# overhead-dominated; a real codec shifts the balance toward more
+# workers, which is one constant here, not a code change).
+_CODEC_PARALLELISM = 8
+
 #: metadata emitted per payload by feature extraction
 MEDIA_FEATURES_SCHEMA = T.StructType(
     [
@@ -109,7 +116,7 @@ def extract_media_features(
                 }
             )
 
-    return rebalance_small_scan(media).mapInPandas(
+    return rebalance_small_scan(media, target=_CODEC_PARALLELISM).mapInPandas(
         extract, schema=MEDIA_FEATURES_SCHEMA
     )
 
@@ -159,7 +166,7 @@ def sample_frames(
                     out["frame_checksum"].append(sum(frame) % 1_000_000_007)
             yield pd.DataFrame(out)
 
-    return rebalance_small_scan(videos).mapInPandas(
+    return rebalance_small_scan(videos, target=_CODEC_PARALLELISM).mapInPandas(
         sample, schema=FRAME_SAMPLE_SCHEMA
     )
 
@@ -215,7 +222,7 @@ def resize_media(
                 rows["resized_checksum"].append(sum(resized) % 1_000_000_007)
             yield pd.DataFrame(rows)
 
-    return rebalance_small_scan(media).mapInPandas(
+    return rebalance_small_scan(media, target=_CODEC_PARALLELISM).mapInPandas(
         resize, schema=RESIZE_SCHEMA
     )
 
