@@ -1114,6 +1114,13 @@ DRIVER_WINDOW_PRIORITY = [
     "similarity_ivf_topk_nprobe",
     "similarity_batch_topk",
     "embedding_kmeans",  # rows-only by design (iterative)
+    # changed late in round 3 (shingle-hoist / rebalance paths) — pull
+    # back inside the window even though r02-green
+    "doc_fingerprint",
+    "benchmark_contamination",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
     # -- 3. reference-core headline queries
     "transaction_stats",
     "top_transaction_by_size",
