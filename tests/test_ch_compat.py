@@ -133,3 +133,29 @@ def test_reference_mv_select_matches_rollup(spark, binlog_view):
     g = {(str(r.day), r.event_type): r.event_count for r in got.collect()}
     w = {(r.day, r.event_type): r.event_count for r in want.collect()}
     assert g == w
+
+
+def test_translate_extended_functions():
+    t = ch_compat.translate
+    assert t("multiIf(a > 1, 'x', b > 2, 'y', 'z')") == (
+        "(CASE WHEN a > 1 THEN 'x' WHEN b > 2 THEN 'y' ELSE 'z' END)"
+    )
+    assert t("has(tags, 'ddl')") == "array_contains(tags, 'ddl')"
+    assert t("indexOf(tags, 'ddl')") == "array_position(tags, 'ddl')"
+    assert t("toYYYYMM(execute_time)") == (
+        "int(date_format(execute_time, 'yyyyMM'))"
+    )
+    assert t("empty(gtid)") == "(length(gtid) = 0)"
+    assert t("notEmpty(gtid)") == "(length(gtid) > 0)"
+    assert t("modulo(a, 4)") == "(a % 4)"
+
+
+def test_translated_extended_sql_executes(spark, binlog_view):
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT toYYYYMM(execute_time) AS ym, "
+        "countIf(notEmpty(gtid)) AS nonempty, "
+        "multiIf(count() > 100, 'big', 'small') AS bucket "
+        "FROM binlog GROUP BY ym ORDER BY ym",
+    ).collect()
+    assert got and got[0].ym == 202401 and got[0].nonempty > 0

@@ -55,6 +55,10 @@ _RENAMES = {
     "uniqCombined": "approx_count_distinct",
     "halfMD5": "xxhash64",  # 64-bit string hash; value differs, role matches
     "materialize": "",  # identity wrapper
+    "has": "array_contains",
+    "indexOf": "array_position",
+    "lcase": "lower",
+    "ucase": "upper",
 }
 
 
@@ -150,6 +154,21 @@ def translate(
         out, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})"
     )
     out = _rewrite_calls(out, "intDiv", lambda a: f"({a[0]} div {a[1]})")
+    out = _rewrite_calls(out, "modulo", lambda a: f"({a[0]} % {a[1]})")
+    out = _rewrite_calls(out, "empty", lambda a: f"(length({a[0]}) = 0)")
+    out = _rewrite_calls(out, "notEmpty", lambda a: f"(length({a[0]}) > 0)")
+    out = _rewrite_calls(
+        out, "toYYYYMM", lambda a: f"int(date_format({a[0]}, 'yyyyMM'))"
+    )
+
+    def _multi_if(a):
+        # multiIf(c1, v1, c2, v2, ..., default) -> CASE WHEN chain
+        whens = " ".join(
+            f"WHEN {a[i]} THEN {a[i + 1]}" for i in range(0, len(a) - 1, 2)
+        )
+        return f"(CASE {whens} ELSE {a[-1]} END)"
+
+    out = _rewrite_calls(out, "multiIf", _multi_if)
     out = _rewrite_calls(
         out, "toStartOfDay", lambda a: f"date_trunc('DAY', {a[0]})"
     )
