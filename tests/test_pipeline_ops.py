@@ -1005,3 +1005,42 @@ def test_sequence_pack_conserves_tokens(spark):
         assert all(n == B for _, n in seqs[:-1]), (src, seqs)
         # seq ids are contiguous from 0
         assert [s for s, _ in seqs] == list(range(len(seqs)))
+
+
+def test_round3_operators_on_empty_inputs(spark):
+    """Round-3 operators must degrade cleanly on empty input too."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
+        funnels,
+        packing,
+        similarity,
+        windows,
+    )
+
+    empty_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    # the funnel spine always materializes: every step present, 0 users
+    rows = sorted(
+        (r.step, r.users_reached)
+        for r in funnels.window_funnel(
+            empty_events, ["view", "click", "purchase"]
+        ).collect()
+    )
+    assert rows == [(1, 0), (2, 0), (3, 0)]
+    assert funnels.retention_cohorts(empty_events).count() == 0
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    assert packing.sequence_pack_report(empty_docs).count() == 0
+    assert packing.doc_chunks(empty_docs).count() == 0
+    assert packing.language_mixture_weights(empty_docs, {"en": 1.0}).count() == 0
+
+    empty_binlog = spark.createDataFrame([], schemas.BINLOG_EVENT_SCHEMA)
+    assert windows.binlog_gap_report(empty_binlog).count() == 0
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert similarity.quantization_error_report(empty_emb).count() == 0
