@@ -159,3 +159,18 @@ def test_translated_extended_sql_executes(spark, binlog_view):
         "FROM binlog GROUP BY ym ORDER BY ym",
     ).collect()
     assert got and got[0].ym == 202401 and got[0].nonempty > 0
+
+
+def test_string_literals_survive_translation():
+    t = ch_compat.translate
+    # quoted text that LOOKS like CH functions must pass through verbatim
+    assert t("SELECT 'argMax(x)' AS note") == "SELECT 'argMax(x)' AS note"
+    assert t("WHERE msg = 'use toUInt32() here'") == (
+        "WHERE msg = 'use toUInt32() here'"
+    )
+    # while the same tokens outside quotes still translate
+    assert t("SELECT argMax(a, b), 'argMax(a, b)'") == (
+        "SELECT max_by(a, b), 'argMax(a, b)'"
+    )
+    # doubled-quote escapes stay intact
+    assert t("SELECT 'it''s count()'") == "SELECT 'it''s count()'"

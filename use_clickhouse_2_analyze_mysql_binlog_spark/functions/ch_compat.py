@@ -117,7 +117,15 @@ def translate(
     timestamp_columns: tuple[str, ...] = ("execute_time", "ctime", "end_time"),
 ) -> str:
     """Translate a ClickHouse SQL string to Spark SQL (module docstring)."""
-    out = sql
+    # mask string literals so no rule rewrites quoted text ('argMax(x)' as
+    # a VALUE must survive untouched); restored verbatim at the end
+    literals: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00L{len(literals) - 1}\x00"
+
+    out = re.sub(r"'(?:[^']|'')*'", _mask, sql)
 
     # clause strips (before function work: SETTINGS may contain '=')
     out = re.sub(r"\bSETTINGS\b[^;]*$", "", out, flags=re.IGNORECASE)
@@ -191,7 +199,10 @@ def translate(
             out = re.sub(rf"\b{ch_fn}\s*\(", spark_fn + "(", out)
         else:
             out = _rewrite_calls(out, ch_fn, lambda a: a[0])
-    return out
+
+    return re.sub(
+        r"\x00L(\d+)\x00", lambda m: literals[int(m.group(1))], out
+    )
 
 
 def _interval_text(ch_interval: str) -> str:
