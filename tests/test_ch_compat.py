@@ -174,3 +174,43 @@ def test_string_literals_survive_translation():
     )
     # doubled-quote escapes stay intact
     assert t("SELECT 'it''s count()'") == "SELECT 'it''s count()'"
+
+
+def test_translate_idempotent_over_generated_expressions():
+    """Property: translation is idempotent (a translated query re-entering
+    the translator — e.g. via a saved-views round trip — must not change
+    again), and no CH-only tokens survive a pass."""
+    from hypothesis import given, settings, strategies as st
+
+    cols = st.sampled_from(["gtid", "binlog_pos", "execute_time", "x"])
+    lits = st.sampled_from(["'a b'", "'argMax(q)'", "42", "0.5"])
+    atoms = st.one_of(cols, lits)
+
+    def wrap(inner):
+        return st.one_of(
+            st.tuples(st.sampled_from(
+                ["toUInt32", "toDate", "argMax2", "countIf", "uniqExact",
+                 "empty", "toYYYYMM"]), inner).map(
+                lambda t: f"{t[0].rstrip('2')}({t[1]}"
+                + (f", {t[1]})" if t[0].endswith("2") else ")")
+            ),
+            st.tuples(inner, inner).map(lambda t: f"multiIf({t[0]} > 1, {t[1]}, {t[1]})"),
+        )
+
+    exprs = st.recursive(atoms, wrap, max_leaves=6)
+
+    @settings(max_examples=60, deadline=None)
+    @given(exprs)
+    def check(e):
+        sql = f"SELECT {e} FROM t"
+        once = ch_compat.translate(sql)
+        assert ch_compat.translate(once) == once
+        body = re.sub(r"'(?:[^']|'')*'", "", once)  # ignore literals
+        for tok in ("toUInt32(", "argMax(", "countIf(", "uniqExact(",
+                    "multiIf(", "toYYYYMM("):
+            assert tok not in body, (sql, once)
+
+    check()
+
+
+import re  # noqa: E402  (used by the property test above)

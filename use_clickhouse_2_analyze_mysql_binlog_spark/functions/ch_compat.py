@@ -98,8 +98,10 @@ def _find_call(sql: str, name: str, start: int = 0) -> tuple[int, int, list[str]
 
 
 def _rewrite_calls(sql: str, name: str, build) -> str:
-    """Replace every ``name(...)`` call with ``build(args)`` (inner-out safe:
-    restarts after each replacement)."""
+    """Replace every ``name(...)`` call with ``build(args)``, rescanning the
+    replacement so calls NESTED inside a rewritten argument are rewritten
+    too (every builder eliminates ``name`` from its output, so the rescan
+    terminates)."""
     pos = 0
     while True:
         found = _find_call(sql, name, pos)
@@ -108,7 +110,7 @@ def _rewrite_calls(sql: str, name: str, build) -> str:
         s, e, args = found
         repl = build(args)
         sql = sql[:s] + repl + sql[e:]
-        pos = s + len(repl)
+        pos = s
 
 
 def translate(
