@@ -214,3 +214,16 @@ def test_translate_idempotent_over_generated_expressions():
 
 
 import re  # noqa: E402  (used by the property test above)
+
+
+def test_array_function_mappings(spark, binlog_view):
+    t = ch_compat.translate
+    assert t("arrayJoin(tags)") == "explode(tags)"
+    assert t("groupArray(x)") == "collect_list(x)"
+    assert t("groupUniqArray(x)") == "collect_set(x)"
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT gtid, arraySort(groupUniqArray(event_type)) AS types "
+        "FROM binlog GROUP BY gtid ORDER BY gtid LIMIT 1",
+    ).collect()
+    assert got and isinstance(got[0].types, list) and got[0].types == sorted(got[0].types)

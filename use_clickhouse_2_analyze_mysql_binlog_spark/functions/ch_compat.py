@@ -59,6 +59,15 @@ _RENAMES = {
     "indexOf": "array_position",
     "lcase": "lower",
     "ucase": "upper",
+    # arrays: explode covers the single-arrayJoin-per-SELECT case (several
+    # per SELECT fail loudly in Spark's analyzer, per the pass-through
+    # contract); the group* aggregates map to collect_*
+    "arrayJoin": "explode",
+    "groupArray": "collect_list",
+    "groupUniqArray": "collect_set",
+    "arrayDistinct": "array_distinct",
+    "arraySort": "sort_array",
+    "arrayReverse": "reverse",
 }
 
 
