@@ -206,3 +206,59 @@ SELECT strftime(spine.d, '%Y-%m-%d') AS day,
        CAST(COALESCE(daily.event_count, 0) AS BIGINT) AS event_count
 FROM spine LEFT JOIN daily ON spine.d = daily.d
 """
+
+
+def daily_count_anomalies(binlog: DataFrame, z_threshold: float = 2.0) -> DataFrame:
+    """Alerting view over the daily rollup: flag days whose per-type event
+    count deviates from that type's own month profile by |z| >= threshold
+    (the alert panel the reference's Grafana dashboards imply,
+    ``/root/reference/README.md:350``).
+
+    Plan shape: the (day, event_type) rollup shuffle, then an analytic
+    window PARTITIONED BY event_type over ROLLUP-SIZED rows (days x types
+    — never the fact table), so the stats pass costs a reshuffle of a few
+    hundred rows at any corpus scale. z-scores round to 4 dp for
+    cross-engine float stability; zero-variance types flag z = 0.
+    """
+    from pyspark.sql import Window
+
+    daily = binlog.groupBy(
+        F.date_format("execute_time", "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("event_count"))
+    w = Window.partitionBy("event_type")
+    mean = F.avg("event_count").over(w)
+    std = F.stddev_samp("event_count").over(w)
+    z = F.when(
+        std > 0, F.round((F.col("event_count") - mean) / std, 4)
+    ).otherwise(F.lit(0.0))
+    return daily.select(
+        "day",
+        "event_type",
+        "event_count",
+        z.alias("z_score"),
+        (F.abs(z) >= z_threshold).alias("is_anomaly"),
+    )
+
+
+def DAILY_COUNT_ANOMALIES_SQL(binlog_sql: str, z_threshold: float = 2.0) -> str:
+    return f"""
+WITH binlog AS ({binlog_sql}),
+daily AS (
+  SELECT strftime(execute_time, '%Y-%m-%d') AS day, event_type,
+         count(*) AS event_count
+  FROM binlog GROUP BY 1, 2
+),
+stats AS (
+  SELECT day, event_type, event_count,
+         avg(event_count) OVER (PARTITION BY event_type) AS m,
+         stddev_samp(event_count) OVER (PARTITION BY event_type) AS s
+  FROM daily
+)
+SELECT day, event_type, event_count,
+       CASE WHEN s > 0 THEN round((event_count - m) / s, 4) ELSE 0.0 END
+         AS z_score,
+       abs(CASE WHEN s > 0 THEN round((event_count - m) / s, 4)
+                ELSE 0.0 END) >= {z_threshold} AS is_anomaly
+FROM stats
+"""

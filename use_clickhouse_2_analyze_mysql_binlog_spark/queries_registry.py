@@ -987,6 +987,17 @@ def gtid_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "daily_count_anomalies",
+    rollups.DAILY_COUNT_ANOMALIES_SQL(schemas.BINLOG_VIEW_SQL),
+)
+def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting view over the daily rollup: per-type z-score anomalies
+    (the Grafana alert panel the reference implies, README.md:350). The
+    analytic window runs over rollup-sized rows, never the fact table."""
+    return rollups.daily_count_anomalies(_binlog(spark, sf_dir))
+
+
+@register(
     "binlog_gap_report",
     windows.BINLOG_GAP_SQL(schemas.BINLOG_VIEW_SQL, min_gap=4),
 )
@@ -1104,6 +1115,7 @@ DRIVER_WINDOW_PRIORITY = [
     "binlog_gap_report",
     "embedding_quantization_error",
     "large_order_customers",
+    "daily_count_anomalies",
     "embedding_kmeans_assign",
     "dedup_minhash_lsh_staged",
     "corpus_source_cap",
