@@ -11,11 +11,16 @@ registered query is still timed individually under ``queries`` and summed
 under ``total_all_queries``. Each query executes fully (count) so lazy
 plans can't cheat.
 
-Output-shape notes (the round driver captures a bounded TAIL of stdout, so
-the END of the line is what reliably survives):
-- headline queries run LAST and the metric/value/total fields come AFTER
-  the big per-query dict, so truncation from the front can only eat
-  non-headline entries;
+Output-shape notes (the round driver records only the LAST 2000 chars of
+stdout and json-parses the final line, so the line must FIT):
+- the final line is emitted via ``benchfmt.compact_line`` — per-query times
+  as integer milliseconds nested by ``_``-token prefix (losslessly
+  reversible, see ``use_clickhouse_2_analyze_mysql_binlog_spark/benchfmt.py``;
+  decode with ``benchfmt.decode_queries(doc["queries"], doc["qunit"])``) —
+  guaranteed under the tail budget so every registry query's number
+  survives into ``BENCH_r{N}.json`` with ``parsed != null``;
+- full float-seconds precision for all queries is also written to
+  ``BENCH_FULL.json`` next to this script (bench_compare.py prefers it);
 - the shared dedup shingle posting is warmed by one untimed build before
   timing starts, so the alphabetically-first consumer (historically
   ``benchmark_contamination``) no longer absorbs the family's one-time
@@ -73,25 +78,36 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
+    headline_value = round(
+        sum(timings[n] for n in BENCH_QUERIES if n in timings), 3
+    )
+    total = round(sum(timings.values()), 3)
+
+    # Full-precision flat record for bench_compare.py / the judge.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(
             {
-                # big dict first: front-of-line truncation eats these only
                 "queries": timings,
-                # compact headline recap + metrics at the END of the line
                 "headline": {
                     n: timings[n] for n in BENCH_QUERIES if n in timings
                 },
-                "total_all_queries": round(sum(timings.values()), 3),
+                "total_all_queries": total,
                 "metric": "headline_query_wall_seconds",
-                "value": round(
-                    sum(timings[n] for n in BENCH_QUERIES if n in timings), 3
-                ),
+                "value": headline_value,
                 "unit": "sec",
                 "sf": sf_val,
-            }
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
         )
-    )
+        fh.write("\n")
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark import benchfmt
+
+    print(benchfmt.compact_line(timings, headline_value, total, sf_val))
     spark.stop()
 
 

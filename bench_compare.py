@@ -16,15 +16,36 @@ import re
 import sys
 
 from bench import BENCH_QUERIES
+from use_clickhouse_2_analyze_mysql_binlog_spark import benchfmt
+
+# Non-headline queries whose trend is gated like the headline set (VERDICT
+# r03 #3/#7): the historically slowest two plus the one real r03 regression.
+WATCHED_QUERIES = [
+    "dedup_apply_connected_components",
+    "benchmark_contamination",
+    "dedup_ngram_jaccard",
+]
+
+
+def _normalize(doc: dict) -> dict:
+    """Decode benchfmt's nested integer-ms 'queries' into flat seconds."""
+    if "qunit" in doc:
+        doc = dict(doc)
+        doc["queries"] = benchfmt.decode_queries(doc["queries"], doc["qunit"])
+        doc.setdefault("total_all_queries", doc.get("total"))
+    return doc
 
 
 def _load(path: str) -> dict:
-    """Accept either bench.py's raw JSON line or the round driver's wrapper
-    ({"n", "rc", "tail": "...<json line>..."}) around it."""
+    """Accept bench.py's raw JSON line (old flat or new benchfmt-compact
+    shape), BENCH_FULL.json, or the round driver's wrapper
+    ({"n", "rc", "parsed": ..., "tail": "...<json line>..."})."""
     with open(path) as fh:
         doc = json.load(fh)
     if "queries" in doc:
-        return doc
+        return _normalize(doc)
+    if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
+        return _normalize(doc["parsed"])
     tail = doc.get("tail", "")
     for line in reversed(tail.splitlines()):
         line = line.strip().lstrip("\r")
@@ -34,7 +55,7 @@ def _load(path: str) -> dict:
             except json.JSONDecodeError:
                 continue
             if "queries" in inner:
-                return inner
+                return _normalize(inner)
     # the driver wrapper keeps only the LAST N bytes of stdout, so the
     # bench line can be cut mid-JSON at the front; salvage whatever
     # "name": seconds pairs survive (top-level scalars like "value" are
@@ -72,7 +93,7 @@ def main() -> int:
             rows.append((name, b, n, None, "added" if b is None else "removed"))
             continue
         ratio = n / b if b else float("inf")
-        gated = name in BENCH_QUERIES
+        gated = name in BENCH_QUERIES or name in WATCHED_QUERIES
         status = "ok"
         if ratio > threshold:
             status = "REGRESSED" if gated else "slower (ungated)"
@@ -93,10 +114,10 @@ def main() -> int:
         f"{new.get('total_all_queries')}s"
     )
     if failures:
-        print("FAIL: headline regressions over "
+        print("FAIL: gated (headline/watched) regressions over "
               f"{threshold}x:\n  " + "\n  ".join(failures))
         return 1
-    print("PASS: no headline regression over", threshold, "x")
+    print("PASS: no gated (headline/watched) regression over", threshold, "x")
     return 0
 
 

@@ -1,0 +1,84 @@
+"""benchfmt codec: lossless name round-trip + hard tail-budget guarantee.
+
+The round driver records only the last 2000 chars of bench.py stdout and
+json-parses the final line; rounds 2-3 lost ~25 per-query numbers to
+truncation (VERDICT r03 "What's missing" #1). These tests pin that the
+compact line ALWAYS fits and decodes back to every registry query.
+"""
+
+import json
+
+from hypothesis import given, strategies as st
+
+from use_clickhouse_2_analyze_mysql_binlog_spark import benchfmt
+from use_clickhouse_2_analyze_mysql_binlog_spark import queries_registry as R
+
+NAMES = sorted(R.QUERIES)
+
+
+def test_roundtrip_registry_names_ms():
+    timings = {n: 0.001 * (i + 1) for i, n in enumerate(NAMES)}
+    enc = benchfmt.encode_queries(timings, "ms")
+    dec = benchfmt.decode_queries(enc, "ms")
+    assert dec == {n: round(v, 3) for n, v in timings.items()}
+
+
+def test_compact_line_fits_budget_with_realistic_values():
+    timings = {n: 0.523 for n in NAMES}
+    line = benchfmt.compact_line(timings, 2.815, 72.06, 0.1)
+    assert len(line) <= benchfmt.TAIL_BUDGET
+    doc = json.loads(line)
+    assert doc["metric"] == "headline_query_wall_seconds"
+    assert doc["unit"] == "sec"
+    flat = benchfmt.decode_queries(doc["queries"], doc["qunit"])
+    assert set(flat) == set(NAMES)
+
+
+def test_compact_line_fits_budget_worst_case_four_digit_ms():
+    """Every query at 9.999 s (4-digit ms) — the cs fallback must keep the
+    line under budget even then."""
+    timings = {n: 9.999 for n in NAMES}
+    line = benchfmt.compact_line(timings, 49.99, 799.9, 0.1)
+    assert len(line) <= benchfmt.TAIL_BUDGET
+    doc = json.loads(line)
+    flat = benchfmt.decode_queries(doc["queries"], doc["qunit"])
+    assert set(flat) == set(NAMES)
+    # precision no worse than the declared unit
+    assert all(abs(v - 9.999) <= 0.1 for v in flat.values())
+
+
+@given(
+    st.dictionaries(
+        st.from_regex(r"[a-z]{1,8}(_[a-z]{1,8}){0,4}", fullmatch=True),
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_roundtrip_property(timings):
+    enc = benchfmt.encode_queries(timings, "ms")
+    dec = benchfmt.decode_queries(enc, "ms")
+    assert set(dec) == set(timings)
+    for name, sec in timings.items():
+        assert abs(dec[name] - sec) <= 0.0005 + 1e-9
+
+
+def test_bench_compare_loads_driver_wrapper_with_parsed():
+    """bench_compare._load must decode the new compact shape from the
+    driver wrapper's 'parsed' field."""
+    import bench_compare
+
+    timings = {n: 0.25 for n in NAMES}
+    line = benchfmt.compact_line(timings, 1.25, 20.0, 0.1)
+    wrapper = {"n": 4, "rc": 0, "tail": line + "\n", "parsed": json.loads(line)}
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fh:
+        json.dump(wrapper, fh)
+        path = fh.name
+    try:
+        doc = bench_compare._load(path)
+    finally:
+        os.unlink(path)
+    assert doc["queries"] == {n: 0.25 for n in NAMES}
+    assert doc["total_all_queries"] == 20.0

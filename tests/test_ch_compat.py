@@ -174,6 +174,12 @@ def test_string_literals_survive_translation():
     )
     # doubled-quote escapes stay intact
     assert t("SELECT 'it''s count()'") == "SELECT 'it''s count()'"
+    # backslash escapes too (ADVICE r03): the escaped quote must not end
+    # the literal early and expose its contents to the rename pass
+    assert t(r"SELECT 'don\'t use argMax(x)'") == r"SELECT 'don\'t use argMax(x)'"
+    assert t(r"SELECT argMax(a, b), 'a \\' , 'b', toUInt32(c)") == (
+        r"SELECT max_by(a, b), 'a \\' , 'b', bigint(c)"
+    )
 
 
 def test_translate_idempotent_over_generated_expressions():
@@ -227,3 +233,49 @@ def test_array_function_mappings(spark, binlog_view):
         "FROM binlog GROUP BY gtid ORDER BY gtid LIMIT 1",
     ).collect()
     assert got and isinstance(got[0].types, list) and got[0].types == sorted(got[0].types)
+
+
+def test_translate_dashboard_time_bucketing():
+    """The Grafana time-bucketing idioms (VERDICT r03 #6)."""
+    t = ch_compat.translate
+    assert t("toStartOfHour(ts)") == "date_trunc('HOUR', ts)"
+    assert t("toStartOfMinute(ts)") == "date_trunc('MINUTE', ts)"
+    assert t("toStartOfFiveMinutes(ts)") == "window(ts, '5 minutes').start"
+    assert t("toYYYYMMDD(ts)") == "int(date_format(ts, 'yyyyMMdd'))"
+    assert t("WHERE ts >= now() - 3600") == (
+        "WHERE ts >= current_timestamp() - 3600"
+    )
+    assert t("WHERE d = today()") == "WHERE d = current_date()"
+    assert t("WHERE d = yesterday()") == "WHERE d = date_sub(current_date(), 1)"
+    # nested inside other calls and aliases
+    assert t("SELECT toString(toStartOfHour(ts)) AS h") == (
+        "SELECT string(date_trunc('HOUR', ts)) AS h"
+    )
+
+
+def test_dashboard_rollup_query_matches_independent_computation(spark):
+    """The registry's ch_dashboard_rollup — CH SQL through the translator —
+    must agree with a hand-written DataFrame computation."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark import queries_registry as R
+
+    got = {
+        (r.hour_start, r.ymd, r.event_type): (r.cnt, r.unique_users, r.max_value)
+        for r in R.QUERIES["ch_dashboard_rollup"](spark, SF_DIR).collect()
+    }
+    events = schemas.load_table(spark, SF_DIR, "events")
+    want = {
+        (r.hour_start, r.ymd, r.event_type): (r.cnt, r.unique_users, r.max_value)
+        for r in events.filter(F.col("event_type") != "error")
+        .groupBy(
+            F.date_trunc("HOUR", "ts").cast("string").alias("hour_start"),
+            F.date_format("ts", "yyyyMMdd").cast("int").alias("ymd"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0

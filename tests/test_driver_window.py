@@ -3,43 +3,44 @@
 The round driver's correctness pass checks only the FIRST 50 registry
 entries in insertion order, so ordering is load-bearing: a query that never
 lands in the window never gets the hard rows+schema+hash driver signal.
+
+Round-4 invariant (VERDICT r03 next-round #2): every registry query must be
+driver-green within the last two rounds. CORRECTNESS_r03.json covers 50
+queries; the other 30 were green only in CORRECTNESS_r02 — those MUST sit
+inside r04's 50-entry window, and everything left outside must carry a
+green r03 row.
 """
+
+import json
+import pathlib
 
 from use_clickhouse_2_analyze_mysql_binlog_spark import queries_registry as R
 
 WINDOW = 50
+REPO = pathlib.Path(__file__).resolve().parents[1]
 
-# Queries with no green driver CORRECTNESS row before round 3 — these MUST
-# sit inside the checked window until a green row lands (VERDICT r02 #1).
-NEVER_DRIVER_VERIFIED = [
-    "windowed_running_size",
-    "session_windows",
-    "event_count_cube",
-    "multi_cluster_daily_counts",
-    "asof_trade_quote",
-    "range_join_maintenance_windows",
-    "size_quantiles",
-    "skew_salted_table_profile",
-    "gtid_set_operations",
-    "size_quantiles_approx",
-    "daily_distinct_gtids_approx",
-]
 
-# New in round 3 — no driver history yet, so they must be in-window too.
-R3_ADDED = [
-    "embedding_kmeans_assign",
-    "dedup_minhash_lsh_staged",
-    "corpus_source_cap",
-    "similarity_ivf_topk_nprobe",
-]
+def _green(correctness_path: pathlib.Path) -> set[str]:
+    doc = json.loads(correctness_path.read_text())
+    return {
+        n
+        for n, row in doc.items()
+        if row.get("hash_match") or row.get("err") == "no_oracle"
+    }
 
-R01_ONLY_GREEN = [
-    "order_priority_counts",
-    "dedup_apply_minhash",
-    "promo_revenue",
-    "similarity_lsh_topk",
-    "dedup_connected_components",
-    "dedup_apply_connected_components",
+
+R03_GREEN = _green(REPO / "CORRECTNESS_r03.json")
+R02_GREEN = _green(REPO / "CORRECTNESS_r02.json")
+
+# New or implementation-changed in round 4 — no (current) driver proof, so
+# they must be in-window.
+R4_CHANGED = [
+    "sequence_pack",
+    "dedup_ngram_jaccard",
+    "binlog_gap_report",
+    "window_funnel",
+    "ch_dashboard_rollup",
+    "tokens_per_source_stats",
 ]
 
 HEADLINE = [
@@ -60,28 +61,34 @@ def test_priority_list_has_no_duplicates():
     assert len(R.DRIVER_WINDOW_PRIORITY) == len(set(R.DRIVER_WINDOW_PRIORITY))
 
 
-def test_unverified_queries_inside_driver_window():
-    window = list(R.QUERIES)[:WINDOW]
-    for name in NEVER_DRIVER_VERIFIED + R3_ADDED + R01_ONLY_GREEN + HEADLINE:
-        assert name in window, f"{name} fell outside the driver's {WINDOW}-entry window"
+def test_r02_only_greens_inside_driver_window():
+    """The 30 queries whose only green row is r02 (rotated out in r03) must
+    re-enter the window this round or their proof ages out."""
+    window = set(list(R.QUERIES)[:WINDOW])
+    r02_only = [n for n in R.QUERIES if n in R02_GREEN and n not in R03_GREEN]
+    assert r02_only, "expected r02-only-green queries; did the window move?"
+    fell_out = [n for n in r02_only if n not in window]
+    assert not fell_out, (
+        f"r02-only-green queries outside the r04 window (proof ages out): "
+        f"{fell_out}"
+    )
 
 
-def test_queries_outside_window_were_green_in_r02():
-    """Everything past the window must already carry a green r02 row."""
-    import json
-    import pathlib
+def test_changed_and_headline_inside_driver_window():
+    window = set(list(R.QUERIES)[:WINDOW])
+    for name in R4_CHANGED + HEADLINE:
+        if name not in R.QUERIES:
+            continue  # not yet registered this round
+        assert name in window, f"{name} fell outside the {WINDOW}-entry window"
 
-    r02_path = pathlib.Path(__file__).resolve().parents[1] / "CORRECTNESS_r02.json"
-    r02 = json.loads(r02_path.read_text())
-    green = {
-        n
-        for n, row in r02.items()
-        if row.get("hash_match") or row.get("err") == "no_oracle"
-    }
+
+def test_queries_outside_window_were_green_in_r03():
+    """Everything past the window must already carry a green r03 row, so
+    every registry query is green within the r03∪r04 window."""
     overflow = list(R.QUERIES)[WINDOW:]
-    not_proven = [n for n in overflow if n not in green]
+    not_proven = [n for n in overflow if n not in R03_GREEN]
     assert not not_proven, (
-        f"queries past position {WINDOW} without a green r02 row: {not_proven}"
+        f"queries past position {WINDOW} without a green r03 row: {not_proven}"
     )
 
 
@@ -93,4 +100,4 @@ def test_oracles_cover_queries():
         "daily_distinct_gtids_approx",
     }
     missing = [n for n in R.QUERIES if n not in R.ORACLES and n not in rows_only]
-    assert not missing, f"queries silently lacking an oracle: {missing}"
+    assert missing == [], f"queries silently lacking an oracle: {missing}"

@@ -1044,3 +1044,65 @@ def test_round3_operators_on_empty_inputs(spark):
         [], "vec_id long, embedding array<float>, label int"
     )
     assert similarity.quantization_error_report(empty_emb).count() == 0
+
+
+def test_sequence_pack_multi_bucket_matches_single_bucket(spark):
+    """bucket_span must be a pure parallelism knob: any span yields the
+    identical fill report (two-level prefix sum == flat running sum)."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c", "s"),
+            (1, "d e f g", "s"),
+            (2, "h i j k l m", "s"),
+            (7, "n o", "s"),
+            (3, "p q r s t", "t"),
+            (9, "u v w x", "t"),
+        ],
+        "doc_id long, text string, source string",
+    )
+
+    def rows(span):
+        return sorted(
+            (r.source, r.seq_id, r.n_docs, r.n_tokens)
+            for r in packing.sequence_pack_report(
+                docs, budget_tokens=5, bucket_span=span
+            ).collect()
+        )
+
+    wide = rows(10_000)  # degenerate: one bucket per source
+    for span in (1, 2, 3):
+        assert rows(span) == wide, span
+
+
+def test_binlog_gap_single_event_file_reports_zero_gaps(spark):
+    """ADVICE r03: a file with one event has only a NULL lag delta —
+    n_gaps must be 0 (matching the oracle's CASE..ELSE 0), never NULL."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import windows
+
+    binlog = spark.createDataFrame(
+        [("f1", 100), ("f2", 10), ("f2", 400)],
+        "binlog_file string, binlog_pos long",
+    )
+    rows = {
+        r.binlog_file: (r.n_events, r.n_gaps, r.max_jump)
+        for r in windows.binlog_gap_report(binlog, min_gap=4).collect()
+    }
+    assert rows["f1"] == (1, 0, None)
+    assert rows["f2"] == (2, 1, 390)
+
+
+def test_window_funnel_rejects_duplicate_steps(spark):
+    """ADVICE r03: array_position can't advance past a repeated step name,
+    so duplicates must fail loudly instead of silently diverging from the
+    oracle."""
+    import pytest
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import funnels
+
+    events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        funnels.window_funnel(events, ["view", "click", "view"])

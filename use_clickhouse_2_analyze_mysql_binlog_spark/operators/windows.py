@@ -210,7 +210,12 @@ def binlog_gap_report(binlog: DataFrame, min_gap: int = 4) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("binlog_pos").alias("first_pos"),
             F.max("binlog_pos").alias("last_pos"),
-            F.sum((F.col("delta") >= min_gap).cast("long")).alias("n_gaps"),
+            # coalesce: a single-event file has only a NULL delta, and
+            # sum(all-NULL) is NULL while the oracle's CASE..ELSE 0 sums
+            # to 0 — pin both engines to 0 (ADVICE r03)
+            F.coalesce(
+                F.sum((F.col("delta") >= min_gap).cast("long")), F.lit(0)
+            ).alias("n_gaps"),
             F.max("delta").alias("max_jump"),
         )
     )

@@ -1023,9 +1023,13 @@ _MIXTURE_TARGET = {"en": 0.5, "zh": 0.2, "de": 0.15, "fr": 0.1, "es": 0.05}
 @register("sequence_pack", packing.SEQUENCE_PACK_SQL(budget_tokens=512))
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk sequence packing fill report (512-token budget,
-    packed per source stream) — operators/packing.py."""
+    packed per source stream) — operators/packing.py. bucket_span=64 so the
+    two-level prefix-sum path (bucket offsets + within-bucket running sum)
+    is exercised, not degenerate, at driver scale factors."""
     return packing.sequence_pack_report(
-        schemas.load_table(spark, sf_dir, "documents"), budget_tokens=512
+        schemas.load_table(spark, sf_dir, "documents"),
+        budget_tokens=512,
+        bucket_span=64,
     )
 
 
@@ -1073,6 +1077,93 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 4: CH-dialect dashboard surface + packing audit
+# ---------------------------------------------------------------------------
+
+# A Grafana-style ClickHouse dashboard query, run VERBATIM through the
+# dialect translator (functions/ch_compat.py) — the migration path for the
+# reference's own Grafana layer (reference README.md:350). Exercises the
+# time-bucketing idioms every CH dashboard uses: toStartOfHour, toYYYYMMDD,
+# toString, count(), uniqExact, qualified-table mapping.
+CH_DASHBOARD_SQL = """
+SELECT
+    toString(toStartOfHour(ts)) AS hour_start,
+    toYYYYMMDD(ts) AS ymd,
+    event_type,
+    count() AS cnt,
+    uniqExact(user_id) AS unique_users,
+    max(value) AS max_value
+FROM dashboard.events_all
+WHERE event_type != 'error'
+GROUP BY hour_start, ymd, event_type
+"""
+
+CH_DASHBOARD_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(strftime(ts, '%Y%m%d') AS INT) AS ymd,
+       event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users,
+       max(value) AS max_value
+FROM events
+WHERE event_type != 'error'
+GROUP BY 1, 2, 3
+"""
+
+
+@register("ch_dashboard_rollup", CH_DASHBOARD_ORACLE)
+def ch_dashboard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly dashboard rollup written in ClickHouse SQL and executed
+    through the dialect translator — one shuffle, all JVM-side after
+    translation (functions/ch_compat.py)."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.functions import ch_compat
+
+    schemas.load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events"
+    )
+    return ch_compat.run_clickhouse_sql(
+        spark,
+        CH_DASHBOARD_SQL,
+        table_map={"dashboard.events_all": "events"},
+    )
+
+
+TOKENS_PER_SOURCE_SQL = f"""
+WITH toks AS (
+  SELECT source, len({text.TOKENS_SQL("text")}) AS ntok
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS total_tokens,
+       CAST(max(ntok) AS BIGINT) AS max_doc_tokens,
+       CAST(ceil(sum(ntok) / 512.0) AS BIGINT) AS n_seqs_512
+FROM toks
+GROUP BY source
+"""
+
+
+@register("tokens_per_source_stats", TOKENS_PER_SOURCE_SQL)
+def tokens_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer shard-sizing audit: per-source document/token totals and the
+    512-budget sequence count (the capacity-planning twin of
+    ``sequence_pack`` — one partial+final aggregate, zero windows)."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators.text import tokens
+
+    docs = schemas.load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.size(tokens("text")).alias("ntok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            F.max("ntok").cast("long").alias("max_doc_tokens"),
+            F.ceil(F.sum("ntok") / 512.0).cast("long").alias("n_seqs_512"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The round driver's correctness pass checks the FIRST 50 registry entries in
@@ -1084,66 +1175,12 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   3. then the reference-core headline queries (verified every round),
 #   4. then rotation fill — previously-green queries, oldest proof first —
 #      so every registry entry has a green row within the last two rounds.
-# Queries past position 50 all carry a green CORRECTNESS_r02 row.
+# Queries past position 50 all carry a green CORRECTNESS_r03 row.
 DRIVER_WINDOW_PRIORITY = [
-    # -- 1. never driver-verified (erred on the r01 nanos bug, then fell
-    #       past the 50-entry window in r02)
-    "windowed_running_size",
-    "session_windows",
-    "event_count_cube",
-    "multi_cluster_daily_counts",
-    "asof_trade_quote",
-    "range_join_maintenance_windows",
-    "size_quantiles",
-    "skew_salted_table_profile",
-    "gtid_set_operations",
-    "size_quantiles_approx",  # rows-only by design (sketch)
-    "daily_distinct_gtids_approx",  # rows-only by design (sketch)
-    # -- 1b. green in r01 but outside the r02 window
-    "order_priority_counts",
-    "dedup_apply_minhash",
-    "promo_revenue",
-    "similarity_lsh_topk",
-    "dedup_connected_components",
-    "dedup_apply_connected_components",
-    # -- 2. added or changed this round (round 3)
-    "window_funnel",
-    "retention_cohorts",
-    "sequence_pack",
-    "doc_chunks",
-    "language_mixture_weights",
-    "binlog_gap_report",
-    "embedding_quantization_error",
-    "large_order_customers",
-    "daily_count_anomalies",
-    "embedding_kmeans_assign",
-    "dedup_minhash_lsh_staged",
-    "corpus_source_cap",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_incremental",
-    "similarity_ivf_topk",
-    "similarity_ivf_topk_nprobe",
-    "similarity_batch_topk",
-    "embedding_kmeans",  # rows-only by design (iterative)
-    # changed late in round 3 (shingle-hoist / rebalance paths) — pull
-    # back inside the window even though r02-green
-    "doc_fingerprint",
-    "benchmark_contamination",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # -- 3. reference-core headline queries
-    "transaction_stats",
-    "top_transaction_by_size",
-    "top_transaction_by_spend_time",
-    "top_transaction_by_affected_rows",
-    "transaction_result_table",
-    # -- 4. rotation fill up to the 50-entry window
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
+    # -- 1. green only in CORRECTNESS_r02 (rotated out of the r03 window);
+    #       their proof ages out of the 2-round window unless re-verified
+    #       in r04 (VERDICT r03 next-round #2). Exactly the 30 registry
+    #       queries absent from CORRECTNESS_r03.json.
     "similarity_topk_bruteforce",
     "ingest_transform",
     "scalar_functions",
@@ -1162,8 +1199,44 @@ DRIVER_WINDOW_PRIORITY = [
     "pricing_summary",
     "top_revenue_orders",
     "nation_revenue",
+    "text_token_count",
+    "text_quality_score",
+    "text_language_id",
+    "text_repetition_score",
+    "text_pii_scrub",
+    "corpus_length_histogram",
+    "corpus_sample_stratified",
+    "corpus_top_bigrams",
+    "corpus_curate",
+    "corpus_curate_materialize",
+    "corpus_train_test_split",
+    "multimodal_metadata",
+    # -- 2. added or implementation-changed this round (round 4)
+    "sequence_pack",  # two-level offsets rewrite
+    "dedup_ngram_jaccard",  # staged-posting reuse
+    "binlog_gap_report",  # n_gaps NULL->0 coalesce (ADVICE)
+    "window_funnel",  # duplicate-step guard (ADVICE)
+    "ch_dashboard_rollup",  # new: CH-dialect translated Grafana-style query
+    "tokens_per_source_stats",  # new: packing-budget audit
+    # -- 3. reference-core headline queries (verified every round)
+    "transaction_stats",
+    "top_transaction_by_size",
+    "top_transaction_by_spend_time",
+    "top_transaction_by_affected_rows",
+    "transaction_result_table",
+    # -- 4. rotation fill up to the 50-entry window (r03-green; keeps their
+    #       proof fresh so the r05 rotation has slack)
+    "windowed_running_size",
+    "session_windows",
+    "event_count_cube",
+    "multi_cluster_daily_counts",
+    "asof_trade_quote",
+    "range_join_maintenance_windows",
+    "size_quantiles",
+    "skew_salted_table_profile",
+    "gtid_set_operations",
     # Everything not listed keeps its definition-order position after these
-    # (all r02-green: text/curation/multimodal families + remaining TPC-H).
+    # (all r03-green: dedup/similarity/packing/funnel families + the rest).
 ]
 
 

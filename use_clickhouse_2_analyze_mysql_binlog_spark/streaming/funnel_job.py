@@ -113,8 +113,19 @@ def make_funnel_fn(steps: Sequence[str], window_seconds: int):
             if level >= n or level == 0:
                 if state.exists:
                     state.remove()
+            elif wm >= t1 + win_ms:
+                # the anchored window closed at/below the watermark: every
+                # future event arrives with ts > wm >= t1 + win, so this
+                # partial funnel can never advance — drop the state
+                # instead of carrying it forever (ADVICE r03: bounded
+                # state for non-converting users)
+                if state.exists:
+                    state.remove()
             else:
                 state.update((level, t1, prev, [], []))
+                # wake at window close so the dead state self-collects
+                # even if the user never sends another event
+                state.setTimeoutTimestamp(max(t1 + win_ms, wm + 1))
         else:
             state.update(
                 (level, t1, prev, [t[0] for t in keep], [t[1] for t in keep])
