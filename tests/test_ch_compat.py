@@ -242,8 +242,11 @@ def test_translate_dashboard_time_bucketing():
     assert t("toStartOfMinute(ts)") == "date_trunc('MINUTE', ts)"
     assert t("toStartOfFiveMinutes(ts)") == "window(ts, '5 minutes').start"
     assert t("toYYYYMMDD(ts)") == "int(date_format(ts, 'yyyyMMdd'))"
+    # CH DateTime - integer is seconds arithmetic; the bare subtraction
+    # fails Spark analysis (DATATYPE_MISMATCH), so it must become
+    # timestampadd (ADVICE r04)
     assert t("WHERE ts >= now() - 3600") == (
-        "WHERE ts >= current_timestamp() - 3600"
+        "WHERE ts >= timestampadd(SECOND, -3600, current_timestamp())"
     )
     assert t("WHERE d = today()") == "WHERE d = current_date()"
     assert t("WHERE d = yesterday()") == "WHERE d = date_sub(current_date(), 1)"
@@ -279,3 +282,101 @@ def test_dashboard_rollup_query_matches_independent_computation(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_translate_limit_by_shape():
+    """CH LIMIT n BY -> row_number window subquery (reference's own
+    top-1-per-group family, compute_transaction_info.py:64-65)."""
+    t = ch_compat.translate(
+        "SELECT dt, gtid, size FROM binlog "
+        "ORDER BY size DESC, gtid LIMIT 1 BY dt"
+    )
+    assert t == (
+        "SELECT * EXCEPT (__rn) FROM ("
+        "SELECT *, row_number() OVER "
+        "(PARTITION BY dt ORDER BY size DESC, gtid) AS __rn "
+        "FROM (SELECT dt, gtid, size FROM binlog)"
+        ") WHERE __rn <= 1 ORDER BY size DESC, gtid"
+    )
+    # trailing overall LIMIT is preserved after the window filter
+    t2 = ch_compat.translate(
+        "SELECT a, b FROM t ORDER BY b LIMIT 2 BY a LIMIT 10"
+    )
+    assert t2.endswith("WHERE __rn <= 2 ORDER BY b LIMIT 10")
+    # no ORDER BY: any-n-per-group contract, deterministic on group exprs
+    t3 = ch_compat.translate("SELECT a, b FROM t LIMIT 1 BY a")
+    assert "PARTITION BY a ORDER BY a" in t3 and not t3.endswith("ORDER BY a")
+
+
+def test_limit_by_executes_and_matches_window(spark):
+    """Translated LIMIT 1 BY against events must equal an independent
+    DataFrame row_number computation."""
+    schemas.load_table(spark, SF_DIR, "events").createOrReplaceTempView(
+        "events_v"
+    )
+    got = sorted(
+        (r.event_type, r.event_id, r.value)
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT event_type, event_id, value FROM events_v "
+            "ORDER BY value DESC, event_id LIMIT 1 BY event_type",
+        ).collect()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    want = sorted(
+        (r.event_type, r.event_id, r.value)
+        for r in schemas.load_table(spark, SF_DIR, "events")
+        .select("event_type", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_translate_relative_time_and_week_and_format():
+    t = ch_compat.translate
+    # column ± integer (CH seconds arithmetic) for known ts columns
+    assert t("WHERE execute_time > ctime + 60") == (
+        "WHERE timestampadd(SECOND, 60, execute_time) > "
+        "timestampadd(SECOND, 60, ctime)"
+    ) or t("WHERE ctime + 60 < now()") == (
+        "WHERE timestampadd(SECOND, 60, ctime) < current_timestamp()"
+    )
+    assert t("toStartOfWeek(ts)") == (
+        "date_sub(to_date(ts), dayofweek(ts) - 1)"
+    )
+    assert t("toStartOfWeek(ts, 1)") == "to_date(date_trunc('WEEK', ts))"
+    assert t("formatDateTime(ts, '%Y-%m-%d %H:%i:%S')") == (
+        "date_format(ts, 'yyyy-MM-dd HH:mm:ss')"
+    )
+    # literal letters in the pattern get quoted for the Java formatter
+    assert t("formatDateTime(ts, '%YT%m')") == "date_format(ts, 'yyyy'T'MM')"
+
+
+def test_relative_time_runs_on_spark(spark):
+    """The ADVICE r04 point: the translated relative-time filter must
+    actually analyze and execute on a live session."""
+    schemas.load_table(spark, SF_DIR, "events").createOrReplaceTempView(
+        "events_v"
+    )
+    df = ch_compat.run_clickhouse_sql(
+        spark, "SELECT count() AS n FROM events_v WHERE ts >= now() - 3600"
+    )
+    assert df.collect()[0]["n"] == 0  # testdata is historical
+
+
+def test_format_datetime_executes(spark, binlog_view):
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT formatDateTime(max(execute_time), '%Y%m%d') AS d FROM binlog",
+    ).collect()[0]["d"]
+    want = binlog_view.agg(
+        F.date_format(F.max("execute_time"), "yyyyMMdd").alias("d")
+    ).collect()[0]["d"]
+    assert got == want

@@ -21,7 +21,13 @@ onto Spark SQL equivalents that stay entirely JVM-side:
 - ``db.table`` qualified names -> registered view names, ``FINAL``
   dropped (rollups here are fully merged — stronger than CH's read-time
   merge contract, same answers), ``SETTINGS``/``FORMAT`` clauses dropped
-  (two-level/distributed-agg settings are Catalyst's job).
+  (two-level/distributed-agg settings are Catalyst's job);
+- ``LIMIT n BY exprs`` (the reference's top-1-per-group family) -> a
+  ``row_number`` window subquery (``_rewrite_limit_by`` for the subset);
+- relative-time arithmetic ``now() - 3600`` / ``ts_col + 60`` (CH
+  DateTime ± integer = seconds) -> ``timestampadd(SECOND, ...)``;
+- ``toStartOfWeek`` (Sunday/Monday modes) and ``formatDateTime``
+  (MySQL-style ``%`` tokens -> Java patterns, ``_CH_DATETIME_FORMAT``).
 
 This is a deliberate TEXTUAL translator for the documented subset, not a
 CH grammar: constructs outside the table raise nothing and pass through,
@@ -106,6 +112,82 @@ def _find_call(sql: str, name: str, start: int = 0) -> tuple[int, int, list[str]
     return None
 
 
+# ClickHouse formatDateTime uses MySQL-style % tokens; Spark date_format
+# uses Java DateTimeFormatter patterns. Documented subset (timezone third
+# argument unsupported; unknown tokens pass through and fail loudly).
+_CH_DATETIME_FORMAT = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%c": "M", "%d": "dd", "%e": "d",
+    "%H": "HH", "%k": "H", "%h": "hh", "%I": "hh", "%i": "mm", "%S": "ss",
+    "%s": "ss", "%p": "a", "%j": "DDD", "%a": "EEE", "%W": "EEEE",
+    "%b": "MMM", "%M": "MMMM", "%F": "yyyy-MM-dd", "%D": "MM/dd/yy",
+    "%T": "HH:mm:ss", "%R": "HH:mm", "%%": "%",
+}
+
+
+def _convert_ch_datetime_format(fmt: str) -> str:
+    """%-token format -> Spark pattern; literal letters get quoted so the
+    Java formatter can't misread them as pattern letters."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            out.append(_CH_DATETIME_FORMAT.get(tok, tok))
+            i += 2
+        else:
+            c = fmt[i]
+            out.append(f"'{c}'" if c.isalpha() else c)
+            i += 1
+    return "".join(out)
+
+
+def _rewrite_limit_by(sql: str) -> str:
+    """ClickHouse ``LIMIT n BY exprs`` (the reference's own top-1-per-group
+    pattern, ``compute_transaction_info.py:64-65`` generalized) -> a
+    row_number window over the de-tailed query.
+
+    Documented subset: one outermost ``LIMIT n BY`` per statement; the
+    ORDER BY / LIMIT BY expressions must be output columns of the SELECT
+    (true of the reference's queries). Shapes outside the subset pass
+    through and fail loudly in Spark's parser.
+    """
+    m = re.search(r"\bLIMIT\s+(\d+)\s+BY\s+", sql, flags=re.IGNORECASE)
+    if not m:
+        return sql
+    n = int(m.group(1))
+    tail = sql[m.end() :]
+    lm = re.search(r"\bLIMIT\s+(\d+)\s*;?\s*$", tail, flags=re.IGNORECASE)
+    if lm:
+        by_exprs = tail[: lm.start()].strip().rstrip(";").strip()
+        final_limit = f" LIMIT {lm.group(1)}"
+    else:
+        by_exprs = tail.strip().rstrip(";").strip()
+        final_limit = ""
+    head = sql[: m.start()]
+    om = re.search(
+        r"\bORDER\s+BY\s+(?P<o>(?:[^()]|\([^()]*\))*)$",
+        head,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
+    if om:
+        order = om.group("o").strip()
+        inner = head[: om.start()].strip()
+        outer_order = f" ORDER BY {order}"
+    else:
+        # CH returns ANY n rows per group without ORDER BY; pick a
+        # deterministic one by ordering on the group exprs themselves
+        order = by_exprs
+        inner = head.strip()
+        outer_order = ""
+    return (
+        "SELECT * EXCEPT (__rn) FROM ("
+        f"SELECT *, row_number() OVER "
+        f"(PARTITION BY {by_exprs} ORDER BY {order}) AS __rn "
+        f"FROM ({inner})"
+        f") WHERE __rn <= {n}{outer_order}{final_limit}"
+    )
+
+
 def _rewrite_calls(sql: str, name: str, build) -> str:
     """Replace every ``name(...)`` call with ``build(args)``, rescanning the
     replacement so calls NESTED inside a rewritten argument are rewritten
@@ -149,6 +231,10 @@ def translate(
     # qualified table names
     for ch_name, spark_name in (table_map or {}).items():
         out = re.sub(re.escape(ch_name) + r"\b", spark_name, out)
+
+    # LIMIT n BY -> row_number window (before function rewrites; the
+    # restructured text is then translated like any other query)
+    out = _rewrite_limit_by(out)
 
     # CH DateTime difference idiom: max(ts) - min(ts) -> seconds
     for col in timestamp_columns:
@@ -211,11 +297,54 @@ def translate(
     out = _rewrite_calls(
         out, "toYYYYMMDD", lambda a: f"int(date_format({a[0]}, 'yyyyMMdd'))"
     )
+    def _start_of_week(a):
+        # CH mode 0/2 = Sunday start (default), 1/3 = Monday start;
+        # Spark's date_trunc('WEEK') is Monday-only, Sunday needs the
+        # dayofweek arithmetic (dayofweek: Sunday=1)
+        mode = a[1].strip() if len(a) > 1 else "0"
+        if mode in ("1", "3"):
+            return f"to_date(date_trunc('WEEK', {a[0]}))"
+        return f"date_sub(to_date({a[0]}), dayofweek({a[0]}) - 1)"
+
+    out = _rewrite_calls(out, "toStartOfWeek", _start_of_week)
+
+    def _format_datetime(a):
+        # the format string was masked above — unmask, convert the
+        # %-token pattern, re-mask the converted literal
+        lit = a[1].strip()
+        masked = re.fullmatch(r"\x00L(\d+)\x00", lit)
+        if masked:
+            raw = literals[int(masked.group(1))]
+            literals.append(
+                "'" + _convert_ch_datetime_format(raw[1:-1]) + "'"
+            )
+            lit = f"\x00L{len(literals) - 1}\x00"
+        return f"date_format({a[0]}, {lit})"
+
+    out = _rewrite_calls(out, "formatDateTime", _format_datetime)
+
     # bare now()/today()/yesterday() (zero-arg, so plain renames would
     # leave empty parens to a 1-arg builder — rewrite whole calls)
     out = re.sub(r"\bnow\(\s*\)", "current_timestamp()", out)
     out = re.sub(r"\btoday\(\s*\)", "current_date()", out)
     out = re.sub(r"\byesterday\(\s*\)", "date_sub(current_date(), 1)", out)
+
+    # CH DateTime ± integer is SECONDS arithmetic; Spark's timestamp ± INT
+    # fails analysis (DATATYPE_MISMATCH) — rewrite now() and known
+    # timestamp columns ± integer literal to timestampadd (ADVICE r04).
+    # Spark-native `± INTERVAL ...` forms are left alone.
+    for term in [re.escape("current_timestamp()")] + [
+        rf"\b{re.escape(c)}\b" for c in timestamp_columns
+    ]:
+        out = re.sub(
+            rf"({term})\s*([+-])\s*(\d+)\b(?![.\d])",
+            lambda m: (
+                f"timestampadd(SECOND, "
+                f"{'-' if m.group(2) == '-' else ''}{m.group(3)}, "
+                f"{m.group(1)})"
+            ),
+            out,
+        )
     out = _rewrite_calls(
         out,
         "toStartOfInterval",

@@ -1023,13 +1023,15 @@ _MIXTURE_TARGET = {"en": 0.5, "zh": 0.2, "de": 0.15, "fr": 0.1, "es": 0.05}
 @register("sequence_pack", packing.SEQUENCE_PACK_SQL(budget_tokens=512))
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk sequence packing fill report (512-token budget,
-    packed per source stream) — operators/packing.py. bucket_span=64 so the
-    two-level prefix-sum path (bucket offsets + within-bucket running sum)
-    is exercised, not degenerate, at driver scale factors."""
+    packed per source stream) — operators/packing.py. bucket_span is
+    auto-sized (VERDICT r04 #3): driver scale factors sit under the
+    100k-row threshold and take the flat single-shuffle plan; at cluster
+    scale the two-level prefix-sum path engages with #buckets ≈ 2x
+    parallelism. The two-level plan shape stays pinned via a forced-span
+    test (tests/test_plan_properties.py) and span-equivalence tests."""
     return packing.sequence_pack_report(
         schemas.load_table(spark, sf_dir, "documents"),
         budget_tokens=512,
-        bucket_span=64,
     )
 
 
@@ -1124,6 +1126,44 @@ def ch_dashboard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_compat.run_clickhouse_sql(
         spark,
         CH_DASHBOARD_SQL,
+        table_map={"dashboard.events_all": "events"},
+    )
+
+
+CH_LIMIT_BY_SQL = """
+SELECT toYYYYMMDD(ts) AS ymd, event_type, event_id, user_id, value
+FROM dashboard.events_all
+ORDER BY value DESC, event_id
+LIMIT 1 BY ymd, event_type
+"""
+
+CH_LIMIT_BY_ORACLE = """
+SELECT ymd, event_type, event_id, user_id, value FROM (
+  SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS ymd,
+         event_type, event_id, user_id, value,
+         row_number() OVER (
+           PARTITION BY CAST(strftime(ts, '%Y%m%d') AS INT), event_type
+           ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register("ch_top_event_limit_by", CH_LIMIT_BY_ORACLE)
+def ch_top_event_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LIMIT 1 BY`` — the reference's top-1-per-group idiom
+    (``compute_transaction_info.py:64-65`` generalized) — written in CH SQL
+    and executed through the dialect translator's row_number rewrite
+    (functions/ch_compat.py ``_rewrite_limit_by``). Top event by value per
+    (day, type), event_id tie-broken; WindowGroupLimit at scale."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.functions import ch_compat
+
+    schemas.load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events"
+    )
+    return ch_compat.run_clickhouse_sql(
+        spark,
+        CH_LIMIT_BY_SQL,
         table_map={"dashboard.events_all": "events"},
     )
 
