@@ -312,6 +312,79 @@ def size_quantiles_approx(binlog: DataFrame, accuracy: int = 10000) -> DataFrame
     )
 
 
+def size_quantiles_approx_check(
+    binlog: DataFrame, accuracy: int = 10000, rank_tol: float = 0.01
+) -> DataFrame:
+    """Driver-checkable twin of ``size_quantiles_approx`` (VERDICT r04 #6):
+    the sketch values themselves are engine-specific, but the *bounded
+    error* contract is deterministic. ``percentile_approx`` guarantees
+    rank error ≤ N/accuracy, so the check is rank-based (value tolerances
+    break on sparse tails): per event type, emit 1 when the approx p-th
+    percentile lies between the exact (p−rank_tol) and (p+rank_tol)
+    quantiles — rank_tol=0.01 is 100× the sketch's ε=1/accuracy. Oracle =
+    all-ones, so the driver hash-checks the error bound.
+
+    Exact and approx percentiles compute in the SAME single-shuffle
+    aggregate (one partial+final pass; the exact side is the small-group
+    sort the sketch replaces at 100 TB — affordable at check time)."""
+    exact = lambda p: F.expr(f"percentile(single_statement_size, {p})")  # noqa: E731
+    approx = lambda p: F.expr(  # noqa: E731
+        f"percentile_approx(single_statement_size, {p}, {accuracy})"
+    ).cast("double")
+
+    def ok(p: float, name: str):
+        lo = exact(max(0.0, p - rank_tol))
+        hi = exact(min(1.0, p + rank_tol))
+        return (approx(p).between(lo, hi)).cast("int").alias(name)
+
+    return binlog.groupBy("event_type").agg(
+        ok(0.5, "p50_ok"), ok(0.9, "p90_ok"), ok(0.99, "p99_ok")
+    )
+
+
+def SIZE_QUANTILES_APPROX_CHECK_SQL(binlog_sql: str) -> str:
+    return f"""
+WITH binlog AS ({binlog_sql})
+SELECT DISTINCT event_type,
+       CAST(1 AS INT) AS p50_ok,
+       CAST(1 AS INT) AS p90_ok,
+       CAST(1 AS INT) AS p99_ok
+FROM binlog
+"""
+
+
+def daily_distinct_gtids_approx_check(
+    binlog: DataFrame, rsd: float = 0.01, rel_bound: float = 0.05
+) -> DataFrame:
+    """Driver-checkable twin of ``daily_distinct_gtids_approx`` (VERDICT
+    r04 #6): per day, 1 when the HLL++ estimate is within
+    max(1, rel_bound·exact) of the exact distinct count (rel_bound = 5×
+    the sketch's rsd — a hard gate over the probabilistic guarantee).
+    Both counts in one aggregate; oracle = all-ones."""
+    approx = F.approx_count_distinct("gtid", rsd)
+    exact = F.count_distinct("gtid")
+    return binlog.groupBy(
+        F.date_format("execute_time", "yyyy-MM-dd").alias("day")
+    ).agg(
+        (
+            F.abs(approx - exact)
+            <= F.greatest(F.lit(1.0), exact * F.lit(rel_bound))
+        )
+        .cast("int")
+        .alias("within_tolerance")
+    )
+
+
+def DAILY_DISTINCT_GTIDS_CHECK_SQL(binlog_sql: str) -> str:
+    return f"""
+WITH binlog AS ({binlog_sql})
+SELECT strftime(execute_time, '%Y-%m-%d') AS day,
+       CAST(1 AS INT) AS within_tolerance
+FROM binlog
+GROUP BY 1
+"""
+
+
 def daily_distinct_gtids_approx(binlog: DataFrame, rsd: float = 0.01) -> DataFrame:
     """HyperLogLog++ distinct transactions per day (`approx_count_distinct`,
     fixed 2^p registers vs the exact count's per-key state). No SQL oracle

@@ -125,7 +125,10 @@ FROM (
 
 
 def kmeans_fit(
-    embeddings: DataFrame, k: int = 8, iters: int = 5
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    inertia_log: list[float] | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Fit k-means; returns (centroids, final assignment DataFrame).
 
@@ -147,6 +150,17 @@ def kmeans_fit(
     centroids = [list(r.emb) for r in init_rows]
     dim = len(centroids[0])
     assigned = kmeans_assign(emb, centroids)
+
+    def _log_inertia() -> None:
+        # optional per-iteration objective (one extra scalar aggregate per
+        # iteration over the persisted input — only the convergence-check
+        # query pays this)
+        if inertia_log is not None:
+            inertia_log.append(
+                assigned.agg(F.sum("sq_dist").alias("j")).first()["j"]
+            )
+
+    _log_inertia()
     for _ in range(iters):
         new_rows = (
             assigned.select(
@@ -164,11 +178,39 @@ def kmeans_fit(
             by_cluster.get(c, centroids[c]) for c in range(k)
         ]
         assigned = kmeans_assign(emb, centroids)
+        _log_inertia()
     # the iters+2 in-loop actions are done; release the cache so the fit
     # doesn't pin executor memory for the session (the final assignment's
     # consumers recompute the cheap scan+rebalance lineage once)
     emb.unpersist()
     return centroids, assigned
+
+
+def kmeans_convergence_report(
+    embeddings: DataFrame, k: int = 8, iters: int = 5, rel_tol: float = 1e-6
+) -> DataFrame:
+    """Driver-checkable twin of the iterative fit (VERDICT r04 #6): Lloyd's
+    algorithm monotonically decreases inertia (assignment argmin and
+    mean-update both non-increase the objective; kept centroids of empty
+    clusters preserve it), so "inertia non-increasing each iteration" is a
+    deterministic boolean the driver can hash-check — oracle = all-ones
+    over iters rows. rel_tol absorbs float accumulation-order jitter."""
+    log: list[float] = []
+    kmeans_fit(embeddings, k=k, iters=iters, inertia_log=log)
+    rows = [
+        (i, int(log[i] <= log[i - 1] * (1.0 + rel_tol)))
+        for i in range(1, len(log))
+    ]
+    return embeddings.sparkSession.createDataFrame(
+        rows, "iter int, non_increasing int"
+    )
+
+
+def KMEANS_CONVERGENCE_SQL(iters: int = 5) -> str:
+    return f"""
+SELECT CAST(range AS INT) AS iter, CAST(1 AS INT) AS non_increasing
+FROM range(1, {iters + 1})
+"""
 
 
 def kmeans_cluster_profile(

@@ -652,6 +652,21 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_kmeans_inertia_check",
+    clustering.KMEANS_CONVERGENCE_SQL(iters=4),
+)
+def embedding_kmeans_inertia_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-checked convergence twin of the iterative fit (VERDICT r04 #6):
+    Lloyd's inertia must be non-increasing every iteration; oracle =
+    all-ones over the iteration count."""
+    return clustering.kmeans_convergence_report(
+        schemas.load_table(spark, sf_dir, "embeddings"), k=8, iters=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline extensions: multimodal columns
 # ---------------------------------------------------------------------------
@@ -885,6 +900,30 @@ def size_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def daily_distinct_gtids_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct transactions per day (bounded-error tested locally)."""
     return analytics.daily_distinct_gtids_approx(_binlog(spark, sf_dir))
+
+
+@register(
+    "size_quantiles_approx_check",
+    analytics.SIZE_QUANTILES_APPROX_CHECK_SQL(schemas.BINLOG_VIEW_SQL),
+)
+def size_quantiles_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked error-bound twin of the t-digest sketch (VERDICT r04
+    #6): per event type, 1 iff |approx − exact| percentile is within
+    tolerance; oracle = all-ones. One partial+final aggregate."""
+    return analytics.size_quantiles_approx_check(_binlog(spark, sf_dir))
+
+
+@register(
+    "daily_distinct_gtids_approx_check",
+    analytics.DAILY_DISTINCT_GTIDS_CHECK_SQL(schemas.BINLOG_VIEW_SQL),
+)
+def daily_distinct_gtids_approx_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-checked error-bound twin of the HLL++ sketch (VERDICT r04 #6):
+    per day, 1 iff the estimate is within 5×rsd of the exact distinct
+    count; oracle = all-ones."""
+    return analytics.daily_distinct_gtids_approx_check(_binlog(spark, sf_dir))
 
 
 @register(
