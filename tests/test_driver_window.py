@@ -4,20 +4,25 @@ The round driver's correctness pass checks only the FIRST 50 registry
 entries in insertion order, so ordering is load-bearing: a query that never
 lands in the window never gets the hard rows+schema+hash driver signal.
 
-Round-4 invariant (VERDICT r03 next-round #2): every registry query must be
-driver-green within the last two rounds. CORRECTNESS_r03.json covers 50
-queries; the other 30 were green only in CORRECTNESS_r02 — those MUST sit
-inside r04's 50-entry window, and everything left outside must carry a
-green r03 row.
+Rotation invariant (COVERAGE.md "Driver-window rotation"): every registry
+query must be driver-green within the last two rounds. These tests derive
+the green sets from the two NEWEST committed ``CORRECTNESS_r*.json`` files
+(VERDICT r04 what's-wrong #2 — no per-round filename edits), so the only
+per-round maintenance is ``queries_registry.CHANGED_THIS_ROUND``.
 """
 
 import json
 import pathlib
+import re
 
 from use_clickhouse_2_analyze_mysql_binlog_spark import queries_registry as R
 
 WINDOW = 50
 REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def _round_no(p: pathlib.Path) -> int:
+    return int(re.search(r"CORRECTNESS_r(\d+)\.json$", p.name).group(1))
 
 
 def _green(correctness_path: pathlib.Path) -> set[str]:
@@ -29,19 +34,11 @@ def _green(correctness_path: pathlib.Path) -> set[str]:
     }
 
 
-R03_GREEN = _green(REPO / "CORRECTNESS_r03.json")
-R02_GREEN = _green(REPO / "CORRECTNESS_r02.json")
-
-# New or implementation-changed in round 4 — no (current) driver proof, so
-# they must be in-window.
-R4_CHANGED = [
-    "sequence_pack",
-    "dedup_ngram_jaccard",
-    "binlog_gap_report",
-    "window_funnel",
-    "ch_dashboard_rollup",
-    "tokens_per_source_stats",
-]
+_FILES = sorted(REPO.glob("CORRECTNESS_r*.json"), key=_round_no)
+assert len(_FILES) >= 2, "expected at least two committed CORRECTNESS files"
+NEWEST, OLDER = _FILES[-1], _FILES[-2]
+NEWEST_GREEN = _green(NEWEST)
+OLDER_GREEN = _green(OLDER)
 
 HEADLINE = [
     "transaction_stats",
@@ -55,40 +52,57 @@ HEADLINE = [
 def test_priority_names_all_registered():
     missing = [n for n in R.DRIVER_WINDOW_PRIORITY if n not in R.QUERIES]
     assert not missing, f"typo or unregistered query in priority list: {missing}"
+    missing = [n for n in R.CHANGED_THIS_ROUND if n not in R.QUERIES]
+    assert not missing, f"typo in CHANGED_THIS_ROUND: {missing}"
 
 
 def test_priority_list_has_no_duplicates():
     assert len(R.DRIVER_WINDOW_PRIORITY) == len(set(R.DRIVER_WINDOW_PRIORITY))
 
 
-def test_r02_only_greens_inside_driver_window():
-    """The 30 queries whose only green row is r02 (rotated out in r03) must
-    re-enter the window this round or their proof ages out."""
+def test_stale_proof_queries_inside_driver_window():
+    """Queries whose only green row is in the OLDER of the two newest
+    CORRECTNESS files must re-enter the window this round or their proof
+    ages out of the 2-round invariant."""
     window = set(list(R.QUERIES)[:WINDOW])
-    r02_only = [n for n in R.QUERIES if n in R02_GREEN and n not in R03_GREEN]
-    assert r02_only, "expected r02-only-green queries; did the window move?"
-    fell_out = [n for n in r02_only if n not in window]
+    stale = [
+        n for n in R.QUERIES if n in OLDER_GREEN and n not in NEWEST_GREEN
+    ]
+    fell_out = [n for n in stale if n not in window]
     assert not fell_out, (
-        f"r02-only-green queries outside the r04 window (proof ages out): "
-        f"{fell_out}"
+        f"stale-proof queries (green only in {OLDER.name}) outside the "
+        f"window: {fell_out}"
     )
+
+
+def test_unproven_queries_inside_driver_window():
+    """Queries green in NEITHER of the two newest files (typically added
+    this round) have no proof at all — they must be in-window."""
+    window = set(list(R.QUERIES)[:WINDOW])
+    unproven = [
+        n
+        for n in R.QUERIES
+        if n not in NEWEST_GREEN and n not in OLDER_GREEN
+    ]
+    fell_out = [n for n in unproven if n not in window]
+    assert not fell_out, f"unproven queries outside the window: {fell_out}"
 
 
 def test_changed_and_headline_inside_driver_window():
     window = set(list(R.QUERIES)[:WINDOW])
-    for name in R4_CHANGED + HEADLINE:
-        if name not in R.QUERIES:
-            continue  # not yet registered this round
+    for name in R.CHANGED_THIS_ROUND + HEADLINE:
         assert name in window, f"{name} fell outside the {WINDOW}-entry window"
 
 
-def test_queries_outside_window_were_green_in_r03():
-    """Everything past the window must already carry a green r03 row, so
-    every registry query is green within the r03∪r04 window."""
+def test_queries_outside_window_have_fresh_proof():
+    """Everything past the window must carry a green row in the NEWEST
+    CORRECTNESS file, so every registry query is green within the
+    2-round window once this round's driver pass lands."""
     overflow = list(R.QUERIES)[WINDOW:]
-    not_proven = [n for n in overflow if n not in R03_GREEN]
+    not_proven = [n for n in overflow if n not in NEWEST_GREEN]
     assert not not_proven, (
-        f"queries past position {WINDOW} without a green r03 row: {not_proven}"
+        f"queries past position {WINDOW} without a green row in "
+        f"{NEWEST.name}: {not_proven}"
     )
 
 

@@ -1254,68 +1254,78 @@ def tokens_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   3. then the reference-core headline queries (verified every round),
 #   4. then rotation fill — previously-green queries, oldest proof first —
 #      so every registry entry has a green row within the last two rounds.
-# Queries past position 50 all carry a green CORRECTNESS_r03 row.
+# Queries past position 50 all carry a green CORRECTNESS_r04 row.
+#
+# CHANGED_THIS_ROUND is the one per-round edit (tests/test_driver_window.py
+# derives everything else from the two newest committed CORRECTNESS files):
+# queries added this round or whose implementation changed, so their prior
+# driver proof (if any) no longer describes the shipped code.
+CHANGED_THIS_ROUND = [
+    "sequence_pack",  # auto-sized bucket_span (flat plan at driver scale)
+    "ch_top_event_limit_by",  # new: CH LIMIT n BY through the translator
+    "size_quantiles_approx_check",  # new: sketch error-bound twin
+    "daily_distinct_gtids_approx_check",  # new: HLL error-bound twin
+    "embedding_kmeans_inertia_check",  # new: Lloyd's convergence twin
+]
+
 DRIVER_WINDOW_PRIORITY = [
-    # -- 1. green only in CORRECTNESS_r02 (rotated out of the r03 window);
+    # -- 1. added or implementation-changed this round (round 5): no
+    #       current driver proof
+    *CHANGED_THIS_ROUND,
+    # -- 2. green only in CORRECTNESS_r03 (rotated out of the r04 window);
     #       their proof ages out of the 2-round window unless re-verified
-    #       in r04 (VERDICT r03 next-round #2). Exactly the 30 registry
-    #       queries absent from CORRECTNESS_r03.json.
-    "similarity_topk_bruteforce",
-    "ingest_transform",
-    "scalar_functions",
-    "retention_filter",
-    "daily_event_counts",
-    "daily_event_counts_by_table",
-    "summing_rollup_reaggregate",
-    "event_type_decode_dim_join",
-    "idempotent_window_antijoin",
-    "size_mad_per_type",
-    "nation_top_customer",
-    "day_over_day_counts",
-    "daily_counts_pivot",
-    "daily_counts_moving_avg",
-    "daily_counts_gapfilled",
-    "pricing_summary",
-    "top_revenue_orders",
-    "nation_revenue",
-    "text_token_count",
-    "text_quality_score",
-    "text_language_id",
-    "text_repetition_score",
-    "text_pii_scrub",
-    "corpus_length_histogram",
-    "corpus_sample_stratified",
-    "corpus_top_bigrams",
-    "corpus_curate",
-    "corpus_curate_materialize",
-    "corpus_train_test_split",
-    "multimodal_metadata",
-    # -- 2. added or implementation-changed this round (round 4)
-    "sequence_pack",  # two-level offsets rewrite
-    "dedup_ngram_jaccard",  # staged-posting reuse
-    "binlog_gap_report",  # n_gaps NULL->0 coalesce (ADVICE)
-    "window_funnel",  # duplicate-step guard (ADVICE)
-    "ch_dashboard_rollup",  # new: CH-dialect translated Grafana-style query
-    "tokens_per_source_stats",  # new: packing-budget audit
+    #       in r05 (VERDICT r04 next-round #1). Exactly the 32 registry
+    #       queries absent from CORRECTNESS_r04.json.
+    "doc_fingerprint",
+    "corpus_source_cap",
+    "benchmark_contamination",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_staged",
+    "dedup_incremental",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "similarity_ivf_topk",
+    "similarity_ivf_topk_nprobe",
+    "similarity_batch_topk",
+    "embedding_kmeans_assign",
+    "embedding_kmeans",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "large_order_customers",
+    "order_priority_counts",
+    "dedup_apply_minhash",
+    "promo_revenue",
+    "similarity_lsh_topk",
+    "size_quantiles_approx",
+    "daily_distinct_gtids_approx",
+    "dedup_connected_components",
+    "dedup_apply_connected_components",
+    "daily_count_anomalies",
+    "embedding_quantization_error",
+    "doc_chunks",
+    "language_mixture_weights",
+    "retention_cohorts",
     # -- 3. reference-core headline queries (verified every round)
     "transaction_stats",
     "top_transaction_by_size",
     "top_transaction_by_spend_time",
     "top_transaction_by_affected_rows",
     "transaction_result_table",
-    # -- 4. rotation fill up to the 50-entry window (r03-green; keeps their
-    #       proof fresh so the r05 rotation has slack)
-    "windowed_running_size",
-    "session_windows",
-    "event_count_cube",
-    "multi_cluster_daily_counts",
-    "asof_trade_quote",
-    "range_join_maintenance_windows",
-    "size_quantiles",
-    "skew_salted_table_profile",
-    "gtid_set_operations",
+    # -- 4. rotation fill up to the 50-entry window (r04-green; keeps their
+    #       proof fresh so the r06 rotation has slack)
+    "similarity_topk_bruteforce",
+    "ingest_transform",
+    "scalar_functions",
+    "dedup_ngram_jaccard",
+    "window_funnel",
+    "binlog_gap_report",
+    "ch_dashboard_rollup",
+    "tokens_per_source_stats",
     # Everything not listed keeps its definition-order position after these
-    # (all r03-green: dedup/similarity/packing/funnel families + the rest).
+    # (all r04-green).
 ]
 
 
