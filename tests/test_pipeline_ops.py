@@ -440,6 +440,76 @@ def test_connected_components_paths_agree(spark):
     assert fast[20] == fast[21] == fast[22] == 20
 
 
+def _bfs_reference_components(edge_list):
+    """Pure-Python min-label components — the independent third opinion
+    both engine paths must match."""
+    adj = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen, out = set(), {}
+    for n in sorted(adj):
+        if n in seen:
+            continue
+        comp, stack = [], [n]
+        seen.add(n)
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        m = min(comp)
+        for x in comp:
+            out[x] = m
+    return out
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_connected_components_property_random_graphs_straddle_gate(
+    spark, seed
+):
+    """VERDICT r04 #4: property-test the union-find fast path against the
+    distributed loop on randomized graphs, with the gate itself exercised
+    through the public API — the SAME graph must label identically when
+    its edge count sits at the gate (union-find branch) and just over it
+    (distributed branch), and both must match a BFS reference."""
+    import random as _random
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import dedup
+
+    rnd = _random.Random(seed)
+    n_nodes = 50
+    edges = list(
+        {
+            (a, b)
+            for a, b in (
+                (rnd.randrange(n_nodes), rnd.randrange(n_nodes))
+                for _ in range(45)
+            )
+            if a != b
+        }
+    )
+    ref = _bfs_reference_components(edges)
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    gate = len(edges)
+    fast = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(
+            pairs, small_graph_edges=gate
+        ).collect()
+    }
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(
+            pairs, max_iters=60, small_graph_edges=gate - 1
+        ).collect()
+    }
+    assert fast == ref, f"union-find diverges from BFS (seed {seed})"
+    assert dist == ref, f"distributed loop diverges from BFS (seed {seed})"
+
+
 def test_connected_components_deep_chain_bounded_plan(spark):
     """A depth-17 chain needs 17 propagation rounds (> 3 checkpoint
     cycles): the answer must stay correct AND the returned plan must stay
@@ -799,6 +869,10 @@ def test_ivf_nprobe_recall_and_exhaustive_limit(spark):
     assert recalls[1] <= recalls[2] <= recalls[4] <= recalls[16], recalls
     assert recalls[4] > recalls[1], recalls  # probing more buckets pays
     assert recalls[16] == 1.0, recalls
+    # quantitative floor at the registry's scale-path setting (VERDICT r04
+    # #4): nprobe=4 of 16 buckets must recover >=80% of the exact top-10
+    # (deterministic data + deterministic assignment: measured 0.86)
+    assert recalls[4] >= 0.8, recalls
 
     # exhaustive limit: probing every bucket IS brute force, in order
     full = [
