@@ -19,8 +19,10 @@ stdout and json-parses the final line, so the line must FIT):
   decode with ``benchfmt.decode_queries(doc["queries"], doc["qunit"])``) —
   guaranteed under the tail budget so every registry query's number
   survives into ``BENCH_r{N}.json`` with ``parsed != null``;
-- full float-seconds precision for all queries is also written to
-  ``BENCH_FULL.json`` next to this script (bench_compare.py prefers it);
+- full float-seconds precision for all queries is also written next to
+  this script: ``BENCH_FULL.json`` (stable scratch name, gitignored) and
+  ``BENCH_FULL_r{round}_sf{sf}.json`` (committed per-round history;
+  bench_compare.py reads either);
 - the shared dedup shingle posting is warmed by one untimed build before
   timing starts, so the alphabetically-first consumer (historically
   ``benchmark_contamination``) no longer absorbs the family's one-time
@@ -83,27 +85,40 @@ def main() -> None:
     )
     total = round(sum(timings.values()), 3)
 
-    # Full-precision flat record for bench_compare.py / the judge.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_FULL.json")
-    with open(full_path, "w") as fh:
-        json.dump(
-            {
-                "queries": timings,
-                "headline": {
-                    n: timings[n] for n in BENCH_QUERIES if n in timings
-                },
-                "total_all_queries": total,
-                "metric": "headline_query_wall_seconds",
-                "value": headline_value,
-                "unit": "sec",
-                "sf": sf_val,
-            },
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
-        fh.write("\n")
+    # Full-precision flat record for bench_compare.py / the judge, written
+    # twice: the stable name (gitignored — a scratch handle for tools) and
+    # a round+sf-stamped snapshot (VERDICT r04 #7) so per-query history
+    # survives at full precision across rounds. The current round is the
+    # newest committed CORRECTNESS_r{N}.json plus one (the driver writes
+    # that file at the END of a round); the sf suffix keeps local runs at
+    # other scale factors from clobbering the driver's sf0.1 snapshot.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    import glob
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    this_round = (max(rounds) + 1) if rounds else 0
+    doc = {
+        "queries": timings,
+        "headline": {n: timings[n] for n in BENCH_QUERIES if n in timings},
+        "total_all_queries": total,
+        "metric": "headline_query_wall_seconds",
+        "value": headline_value,
+        "unit": "sec",
+        "sf": sf_val,
+        "round": this_round,
+    }
+    for fname in (
+        "BENCH_FULL.json",
+        f"BENCH_FULL_r{this_round:02d}_sf{sf_val}.json",
+    ):
+        with open(os.path.join(repo, fname), "w") as fh:
+            json.dump(doc, fh, indent=1, sort_keys=True)
+            fh.write("\n")
 
     from use_clickhouse_2_analyze_mysql_binlog_spark import benchfmt
 

@@ -28,10 +28,23 @@ WATCHED_QUERIES = [
 
 
 def _normalize(doc: dict) -> dict:
-    """Decode benchfmt's nested integer-ms 'queries' into flat seconds."""
+    """Decode benchfmt's compact 'queries' payload into flat seconds:
+    positional array (round 5+, names from the registry at this commit,
+    qsig-verified) or nested integer dict (rounds 2-4)."""
     if "qunit" in doc:
         doc = dict(doc)
-        doc["queries"] = benchfmt.decode_queries(doc["queries"], doc["qunit"])
+        if isinstance(doc["queries"], list):
+            from use_clickhouse_2_analyze_mysql_binlog_spark import (
+                queries_registry as R,
+            )
+
+            doc["queries"] = benchfmt.decode_queries_positional(
+                doc["queries"], doc["qunit"], list(R.QUERIES), doc.get("qsig")
+            )
+        else:
+            doc["queries"] = benchfmt.decode_queries(
+                doc["queries"], doc["qunit"]
+            )
         doc.setdefault("total_all_queries", doc.get("total"))
     return doc
 
@@ -108,6 +121,18 @@ def main() -> int:
         ns = f"{n:.3f}" if n is not None else "-"
         rs = f"{ratio:.2f}x" if ratio is not None else "-"
         print(f"{name:<{w}}  {bs:>8}  {ns:>8}  {rs:>6}  {status}")
+    # Box-drift summary (VERDICT r04 #7): the median per-query ratio is
+    # the run-level speed difference between the two boxes/runs; a query
+    # is only a REAL regression to the extent its ratio exceeds it.
+    import statistics
+
+    ratios = [r[3] for r in rows if r[3] is not None]
+    if ratios:
+        med = statistics.median(ratios)
+        print(
+            f"median per-query ratio (run-level drift): {med:.2f}x — "
+            f"ratios near this value are box noise, not regressions"
+        )
     print(
         f"headline total: {base.get('value')}s -> {new.get('value')}s; "
         f"all-query total: {base.get('total_all_queries')}s -> "

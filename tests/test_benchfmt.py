@@ -30,21 +30,50 @@ def test_compact_line_fits_budget_with_realistic_values():
     doc = json.loads(line)
     assert doc["metric"] == "headline_query_wall_seconds"
     assert doc["unit"] == "sec"
-    flat = benchfmt.decode_queries(doc["queries"], doc["qunit"])
-    assert set(flat) == set(NAMES)
+    assert doc["qunit"] == "ms"  # positional values fit at full ms
+    flat = benchfmt.decode_queries_positional(
+        doc["queries"], doc["qunit"], NAMES, doc["qsig"]
+    )
+    assert flat == {n: 0.523 for n in NAMES}
 
 
 def test_compact_line_fits_budget_worst_case_four_digit_ms():
-    """Every query at 9.999 s (4-digit ms) — the cs fallback must keep the
-    line under budget even then."""
+    """Every query at 9.999 s (4-digit ms) — must stay under budget with
+    headroom for a much larger registry (the round-4 nested-name codec
+    overflowed at 86 names; the positional shape fits ~300)."""
     timings = {n: 9.999 for n in NAMES}
     line = benchfmt.compact_line(timings, 49.99, 799.9, 0.1)
     assert len(line) <= benchfmt.TAIL_BUDGET
     doc = json.loads(line)
-    flat = benchfmt.decode_queries(doc["queries"], doc["qunit"])
+    flat = benchfmt.decode_queries_positional(
+        doc["queries"], doc["qunit"], NAMES, doc["qsig"]
+    )
     assert set(flat) == set(NAMES)
     # precision no worse than the declared unit
     assert all(abs(v - 9.999) <= 0.1 for v in flat.values())
+    # and there is real headroom: 3x the registry still fits
+    big = {f"{n}_v{i}": 9.999 for n in NAMES for i in range(3)}
+    assert len(benchfmt.compact_line(big, 49.99, 799.9, 0.1)) <= (
+        benchfmt.TAIL_BUDGET
+    )
+
+
+def test_positional_decode_rejects_wrong_registry():
+    """qsig pins the name list: decoding against a changed registry must
+    fail loudly, never silently mispair values."""
+    import pytest
+
+    timings = {n: 0.5 for n in NAMES}
+    line = benchfmt.compact_line(timings, 1.0, 10.0, 0.1)
+    doc = json.loads(line)
+    with pytest.raises(ValueError, match="qsig mismatch"):
+        benchfmt.decode_queries_positional(
+            doc["queries"], doc["qunit"], NAMES + ["extra_query"], doc["qsig"]
+        )
+    with pytest.raises(ValueError, match="values for"):
+        benchfmt.decode_queries_positional(
+            doc["queries"][:-1], doc["qunit"], NAMES
+        )
 
 
 @given(
@@ -82,3 +111,16 @@ def test_bench_compare_loads_driver_wrapper_with_parsed():
         os.unlink(path)
     assert doc["queries"] == {n: 0.25 for n in NAMES}
     assert doc["total_all_queries"] == 20.0
+
+
+def test_encode_rejects_collision_prone_names():
+    """ADVICE r04: names with leading/trailing/doubled underscores collide
+    in the _-token nesting ('foo' and 'foo_' both land on the '' key) —
+    encode_queries must reject them instead of silently dropping one."""
+    import pytest
+
+    for bad in ("foo_", "_foo", "a__b"):
+        with pytest.raises(ValueError, match="not representable"):
+            benchfmt.encode_queries({bad: 1.0, "foo": 2.0}, "ms")
+    # registry names are all representable
+    benchfmt.encode_queries({n: 1.0 for n in NAMES}, "ms")

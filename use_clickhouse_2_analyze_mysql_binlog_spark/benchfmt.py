@@ -2,29 +2,35 @@
 
 Why this exists: the round driver records only the LAST 2000 characters of
 bench.py's stdout and then tries to ``json.loads`` the final line.  A flat
-``{"query_name": seconds}`` dict over the full 80-query registry is ~2.4 KB
-compact — it can NEVER fit, so rounds 2-3 recorded ``"parsed": null`` and
-lost ~25 per-query numbers to front-of-line truncation.
+``{"query_name": seconds}`` dict over the full registry is ~2.5 KB compact
+— it can NEVER fit, so rounds 2-3 recorded ``"parsed": null`` and lost ~25
+per-query numbers to front-of-line truncation.  The round-4 nested-name
+codec bought two rounds, but at 86 registry queries even it overflows: the
+names themselves are the bulk.
 
-The fix is a lossless *structural* compression of the query names plus a
-small, explicitly-labelled precision reduction of the values:
+Round-5 shape — **positional** values, names by reference:
 
-- **Names** are nested by ``_``-separated token prefix (up to 3 levels;
-  groups of >=2 share a sub-dict; an exact prefix match is stored under the
-  empty key ``""``).  ``dedup_minhash_lsh`` -> ``{"dedup": {"minhash":
-  {"lsh": ...}}}``.  This is fully reversible — see :func:`decode_queries`.
-- **Values** are integers in the unit named by the top-level ``"qunit"``
-  field (``"ms"``, falling back to ``"cs"`` then ``"ds"`` only if the line
-  would still exceed the tail budget).  Full float-seconds precision is
-  preserved separately in ``BENCH_FULL.json`` written by bench.py.
+- ``"queries"`` is a JSON array of integer times in the unit named by
+  ``"qunit"`` (``"ms"``, falling back to coarser units only if the line
+  would still exceed the tail budget), ordered by SORTED query name.
+- ``"qsig"`` is the crc32 (8 hex chars) of the newline-joined sorted name
+  list, so a decoder can verify it is pairing values with the right
+  registry version; ``"qn"`` is the count.  The name list itself lives in
+  the repo at the same commit (``queries_registry.QUERIES``) and at full
+  precision in the committed ``BENCH_FULL_r{N}_sf{sf}.json`` snapshots —
+  decode with :func:`decode_queries_positional`.
+
+The legacy nested-name codec (:func:`encode_queries` /
+:func:`decode_queries`) is kept for reading rounds 2-4 artifacts.
 
 The headline metric fields (``metric``/``value``/``unit``/``sf``) keep the
-spec shape and plain-seconds units; only the per-query dict is encoded.
+spec shape and plain-seconds units; only the per-query payload is encoded.
 """
 
 from __future__ import annotations
 
 import json
+import re
 
 # The driver keeps the last 2000 bytes of stdout; the final line plus its
 # newline must fit inside that window to survive intact.
@@ -55,8 +61,21 @@ def _nest(flat: dict[str, float], depth: int = 0) -> dict:
     return out
 
 
+# Names the _-token nesting can represent losslessly: non-empty tokens
+# separated by single underscores. Leading/trailing/doubled underscores
+# would collide in _nest (e.g. 'foo' and 'foo_' both land on the '' key),
+# so encode_queries rejects them up front (ADVICE r04).
+_ENCODABLE_NAME = re.compile(r"^[^_]+(_[^_]+)*$")
+
+
 def encode_queries(timings_sec: dict[str, float], unit: str) -> dict:
     """Nested dict of integer times in ``unit`` (lossless on names)."""
+    bad = [n for n in timings_sec if not _ENCODABLE_NAME.match(n)]
+    if bad:
+        raise ValueError(
+            f"query names not representable by the _-token nesting "
+            f"(leading/trailing/doubled underscore): {bad}"
+        )
     scale = _UNIT_SCALE[unit]
     return _nest(
         {name: int(round(sec * scale)) for name, sec in timings_sec.items()}
@@ -80,6 +99,37 @@ def decode_queries(nested: dict, unit: str) -> dict[str, float]:
     return flat
 
 
+def name_signature(names: list[str]) -> str:
+    """8-hex crc32 of the newline-joined SORTED name list."""
+    import zlib
+
+    payload = "\n".join(sorted(names)).encode()
+    return f"{zlib.crc32(payload) & 0xFFFFFFFF:08x}"
+
+
+def decode_queries_positional(
+    values: list[int], unit: str, names: list[str], qsig: str | None = None
+) -> dict[str, float]:
+    """Invert the positional encoding: pair ``values`` with the sorted
+    ``names``. If ``qsig`` is given, verify it matches the name list —
+    a mismatch means the registry changed since the line was emitted
+    (recover full names from the BENCH_FULL_r{N}_sf{sf}.json snapshot of
+    that round instead)."""
+    snames = sorted(names)
+    if qsig is not None and name_signature(snames) != qsig:
+        raise ValueError(
+            "qsig mismatch: these positional values were emitted against a "
+            "different registry name list; decode via that round's "
+            "BENCH_FULL snapshot"
+        )
+    if len(values) != len(snames):
+        raise ValueError(
+            f"{len(values)} values for {len(snames)} names"
+        )
+    scale = _UNIT_SCALE[unit]
+    return {n: v / scale for n, v in zip(snames, values)}
+
+
 def compact_line(
     timings_sec: dict[str, float],
     headline_value_sec: float,
@@ -88,11 +138,13 @@ def compact_line(
 ) -> str:
     """The single stdout JSON line, guaranteed <= TAIL_BUDGET chars.
 
-    Tries ms precision first, degrading to cs then ds only if needed (never
-    needed in practice — ms fits the 80-query registry with ~50 chars spare;
-    the fallbacks guard against a future much larger registry).
+    Positional values (sorted-name order) at ms precision, degrading to
+    coarser units only if needed — ms fits a ~300-query registry with room
+    to spare; full float seconds live in the BENCH_FULL snapshots.
     """
+    snames = sorted(timings_sec)
     for unit in ("ms", "cs", "ds", "s"):
+        scale = _UNIT_SCALE[unit]
         line = json.dumps(
             {
                 "metric": "headline_query_wall_seconds",
@@ -101,7 +153,11 @@ def compact_line(
                 "sf": sf,
                 "total": round(total_sec, 2),
                 "qunit": unit,
-                "queries": encode_queries(timings_sec, unit),
+                "qn": len(snames),
+                "qsig": name_signature(snames),
+                "queries": [
+                    int(round(timings_sec[n] * scale)) for n in snames
+                ],
             },
             separators=(",", ":"),
             sort_keys=True,
