@@ -1182,3 +1182,100 @@ def test_window_funnel_rejects_duplicate_steps(spark):
     )
     with pytest.raises(ValueError, match="distinct"):
         funnels.window_funnel(events, ["view", "click", "view"])
+
+
+# ---------------------------------------------------------------------------
+# Round 5: MergeTree-family FINAL reads, Gopher flags, cross-doc spans
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def cdc_stream(spark):
+    """A tiny CDC DML stream with a tombstoned key, a net-zero key, and a
+    non-DML row that dml_rows must drop.  pk_mod=10 maps pos -> row_pk."""
+    rows = [
+        # (event_type, binlog_pos, single_statement_size)
+        ("INSERT", 1, 100),
+        ("UPDATE", 11, 110),
+        ("DELETE", 21, 0),   # row_pk 1: insert, update, delete (net +1)
+        ("INSERT", 2, 200),
+        ("DELETE", 12, 0),   # row_pk 2: insert + delete (net 0 -> collapses)
+        ("INSERT", 3, 300),  # row_pk 3: live single version
+        ("ALTER", 5, 0),     # DDL: not row-image DML, filtered out
+    ]
+    df = spark.createDataFrame(
+        [("appdb", "t_0", et, pos, size) for et, pos, size in rows],
+        "schema string, table string, event_type string, "
+        "binlog_pos long, single_statement_size long",
+    )
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import merge_tree
+
+    return merge_tree.dml_rows(df, pk_mod=10)
+
+
+def test_replacing_merge_final_latest_version_wins(cdc_stream):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import merge_tree
+
+    rows = {
+        r.row_pk: r for r in merge_tree.replacing_merge_final(cdc_stream).collect()
+    }
+    assert set(rows) == {1, 2, 3}  # the ALTER row contributed nothing
+    assert rows[1].last_event_type == "DELETE"
+    assert rows[1].last_pos == 21 and rows[1].n_versions == 3
+    assert rows[1].is_deleted == 1
+    assert rows[2].is_deleted == 1 and rows[2].n_versions == 2
+    assert rows[3].last_event_type == "INSERT" and rows[3].is_deleted == 0
+    assert rows[3].last_size == 300
+
+
+def test_collapsing_merge_cancels_net_zero_keys(cdc_stream):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import merge_tree
+
+    rows = {
+        r.row_pk: r
+        for r in merge_tree.collapsing_merge_state(cdc_stream).collect()
+    }
+    assert set(rows) == {1, 3}  # row_pk 2 netted to zero and collapsed
+    assert rows[1].net_rows == 1 and rows[1].n_events == 3
+    assert rows[3].net_rows == 1 and rows[3].last_event_type == "INSERT"
+
+
+def test_gopher_flags_each_rule_fires(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import text as T
+
+    good = "the a " + " ".join(f"word{i:02d}" for i in range(38))  # 40 toks
+    short = "the quick brown fox and a dog"  # < 30 tokens
+    spam = "the a " + " ".join(["spam"] * 38)  # low distinct ratio
+    longwords = "the a " + " ".join(
+        f"extraordinarily{i}long{i}tokenized{i}" for i in range(38)
+    )  # avg token length > 10
+    docs = spark.createDataFrame(
+        [(0, good), (1, short), (2, spam), (3, longwords)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.gopher_quality_flags(docs).collect()}
+    assert rows[0].keep == 1 and all(
+        rows[0][c] == 1
+        for c in ("flag_word_count", "flag_mean_word_len", "flag_stopwords",
+                  "flag_unique_ratio")
+    )
+    assert rows[1].flag_word_count == 0 and rows[1].keep == 0
+    assert rows[2].flag_unique_ratio == 0 and rows[2].keep == 0
+    assert rows[3].flag_mean_word_len == 0 and rows[3].keep == 0
+
+
+def test_crossdoc_span_stats_planted(spark):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import dedup as D
+
+    shared = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron"
+    )
+    unique = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(0, shared), (1, shared), (2, unique)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in D.crossdoc_span_stats(docs).collect()}
+    assert rows[0].shared_ratio == 1.0 and rows[1].shared_ratio == 1.0
+    assert rows[2].shared_ratio == 0.0
+    assert rows[0].n_shingles == 13  # 15 tokens -> 13 distinct 3-grams

@@ -356,6 +356,74 @@ WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) >= {thresh
 
 
 # ---------------------------------------------------------------------------
+# Cross-document span duplication (RefinedWeb/CCNet-style substring signal)
+# ---------------------------------------------------------------------------
+
+def crossdoc_span_stats(documents: DataFrame) -> DataFrame:
+    """Per-document fraction of word-3-gram spans that also occur in at
+    least one OTHER document — the substring-level cross-duplication
+    signal used to rank boilerplate-heavy pages for removal (complements
+    pairwise dedup: no pair enumeration, output is O(docs)).
+
+    Plan shape: ONE linear pipeline — the per-shingle document frequency
+    is a window count over the ``sh`` partition (the same shape as the
+    ``max_df`` cap in :func:`ngram_jaccard_pairs`; a join-back
+    formulation re-scans the posting subtree from both branches, no
+    cross-branch reuse), then one groupBy(doc_id) rollup. One scan, two
+    exchanges, zero joins. Hot boilerplate spans concentrate their
+    posting rows on one window partition; the window only counts (no
+    per-group state beyond the buffer, which spills), and a production
+    100 TB run fronts this with the staged posting table
+    (:func:`write_shingle_posting`) exactly like the pairwise operators.
+
+    The posting is built WITHOUT the defensive ``.distinct()`` of
+    :func:`_shingle_posting`: ``shingles_expr`` already ``array_distinct``s
+    per document, so (doc_id, sh) rows are unique by construction and the
+    distinct's exchange would shuffle the full posting a second time for
+    nothing — the window count per ``sh`` is the document frequency as-is.
+    """
+    documents = rebalance_small_scan(documents)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    posting = (
+        documents.select("doc_id", norm.alias("norm"))
+        .withColumn("shingle", F.explode(shingles_expr("norm")))
+        .select("doc_id", hash60(F.col("shingle")).alias("sh"))
+    )
+    scored = posting.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_shared"),
+        )
+        .withColumn(
+            "shared_ratio", F.round(F.col("n_shared") / F.col("n_shingles"), 4)
+        )
+    )
+
+
+def CROSSDOC_SPAN_SQL() -> str:
+    """DuckDB twin of crossdoc_span_stats (same posting, same rollup)."""
+    return f"""
+WITH shingled AS ({_DOC_SHINGLES_SQL}),
+posting AS (
+  SELECT DISTINCT doc_id, {HASH60_SQL('sh.s')} AS sh
+  FROM shingled, unnest(shingles) AS sh(s)
+),
+counts AS (SELECT sh, count(*) AS n_docs FROM posting GROUP BY 1)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS shared_ratio
+FROM posting JOIN counts USING (sh)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

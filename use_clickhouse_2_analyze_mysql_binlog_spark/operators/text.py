@@ -154,6 +154,83 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style rule filter (Rae et al. 2021, "Scaling Language Models",
+# table A1 quality heuristics — the hard pass/fail twin of the blended
+# quality_score above)
+# ---------------------------------------------------------------------------
+
+#: Rule thresholds (document-level). Ratio rules are expressed as integer
+#: cross-multiplications below, so both engines compare exact integers —
+#: no float rounding anywhere in the flag math.
+GOPHER_MIN_TOKENS = 30
+GOPHER_MIN_AVG_TOKEN_LEN = 4  # sum_len >= 4 * n_tokens
+GOPHER_MAX_AVG_TOKEN_LEN = 10  # sum_len <= 10 * n_tokens
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MIN_UNIQ_NUM, GOPHER_MIN_UNIQ_DEN = 1, 2  # distinct/total >= 1/2
+
+
+def gopher_quality_flags(documents: DataFrame) -> DataFrame:
+    """Per-rule boolean flags + the conjunctive keep decision.
+
+    Row-local (zero shuffle): one tokenization per row feeds all four
+    rules. Unlike :func:`quality_score` (a blended float for ranking),
+    this is the production *filter* form — per-rule flags survive into
+    the output so removal reasons are auditable downstream.
+    """
+    d = documents.withColumn("toks", tokens("text"))
+    n = F.size("toks")
+    nd = F.size(F.array_distinct("toks"))
+    stop = F.size(
+        F.expr(f"filter(toks, t -> t IN ({_in_list_sql(STOPWORDS)}))")
+    )
+    sum_len = F.expr(
+        "aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x)"
+    )
+    f_words = n >= GOPHER_MIN_TOKENS
+    f_avg = (sum_len >= GOPHER_MIN_AVG_TOKEN_LEN * n) & (
+        sum_len <= GOPHER_MAX_AVG_TOKEN_LEN * n
+    )
+    f_stop = stop >= GOPHER_MIN_STOP_HITS
+    f_uniq = nd * GOPHER_MIN_UNIQ_DEN >= n * GOPHER_MIN_UNIQ_NUM
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        f_words.cast("int").alias("flag_word_count"),
+        f_avg.cast("int").alias("flag_mean_word_len"),
+        f_stop.cast("int").alias("flag_stopwords"),
+        f_uniq.cast("int").alias("flag_unique_ratio"),
+        (f_words & f_avg & f_stop & f_uniq).cast("int").alias("keep"),
+    )
+
+
+GOPHER_FLAGS_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL('text')} AS toks FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n,
+         len(list_distinct(toks)) AS nd,
+         len(list_filter(toks, t -> t IN ({_in_list_sql(STOPWORDS)}))) AS stop,
+         list_sum(list_transform(toks, t -> length(t))) AS sum_len
+  FROM t
+)
+SELECT doc_id, n AS n_tokens,
+       CAST(n >= {GOPHER_MIN_TOKENS} AS INT) AS flag_word_count,
+       CAST(sum_len >= {GOPHER_MIN_AVG_TOKEN_LEN} * n
+            AND sum_len <= {GOPHER_MAX_AVG_TOKEN_LEN} * n AS INT)
+         AS flag_mean_word_len,
+       CAST(stop >= {GOPHER_MIN_STOP_HITS} AS INT) AS flag_stopwords,
+       CAST(nd * {GOPHER_MIN_UNIQ_DEN} >= n * {GOPHER_MIN_UNIQ_NUM} AS INT)
+         AS flag_unique_ratio,
+       CAST(n >= {GOPHER_MIN_TOKENS}
+            AND sum_len >= {GOPHER_MIN_AVG_TOKEN_LEN} * n
+            AND sum_len <= {GOPHER_MAX_AVG_TOKEN_LEN} * n
+            AND stop >= {GOPHER_MIN_STOP_HITS}
+            AND nd * {GOPHER_MIN_UNIQ_DEN} >= n * {GOPHER_MIN_UNIQ_NUM}
+            AS INT) AS keep
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # Repetition scoring (boilerplate / generation-loop detection)
 # ---------------------------------------------------------------------------
 

@@ -23,6 +23,7 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
     dedup,
     dims,
     funnels,
+    merge_tree,
     multimodal,
     packing,
     rollups,
@@ -329,6 +330,78 @@ def ingest_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# MergeTree engine family beyond Summing: Replacing / Collapsing FINAL reads
+# (operators/merge_tree.py). The CDC stream is the same deterministic canal
+# fixture ingest_transform checks, restricted to row-image DML with the
+# documented synthetic row identity row_pk = binlog_pos % pk_mod.
+# ---------------------------------------------------------------------------
+
+_CDC_DML_CTE = f"""
+WITH dim(event_type_id, event_type_name, dim_is_ddl) AS ({_DIM_VALUES_SQL}),
+dml AS (
+  SELECT
+    'appdb' AS "schema",
+    concat('t_', CAST(user_id % 4 AS VARCHAR)) AS "table",
+    d.event_type_name AS event_type,
+    event_id AS binlog_pos,
+    CAST(floor(value * 100) AS BIGINT) AS single_statement_size,
+    event_id % {merge_tree.DEFAULT_PK_MOD} AS row_pk
+  FROM events e JOIN dim d ON d.event_type_id = CAST(e.event_id % 15 + 1 AS INT)
+  WHERE event_id % 50 <> 0
+    AND d.event_type_name IN ('INSERT', 'UPDATE', 'DELETE')
+)
+"""
+
+
+def _cdc_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    entries = schemas.canal_entries_view(schemas.load_table(spark, sf_dir, "events"))
+    binlog = transform.canal_entries_to_binlog(
+        entries, ctime=F.to_timestamp(F.lit("2024-02-01 00:00:00"))
+    )
+    return merge_tree.dml_rows(binlog)
+
+
+@register(
+    "replacing_merge_final",
+    _CDC_DML_CTE
+    + """
+SELECT "schema", "table", row_pk,
+       max_by(event_type, binlog_pos) AS last_event_type,
+       max(binlog_pos) AS last_pos,
+       max_by(single_statement_size, binlog_pos) AS last_size,
+       count(*) AS n_versions,
+       CAST(max_by(event_type, binlog_pos) = 'DELETE' AS INT) AS is_deleted
+FROM dml GROUP BY 1, 2, 3
+""",
+)
+def replacing_merge_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree FINAL over the CDC DML stream: newest row
+    version per (schema, table, row_pk) wins (version = binlog_pos)."""
+    return merge_tree.replacing_merge_final(_cdc_dml(spark, sf_dir))
+
+
+@register(
+    "collapsing_merge_state",
+    _CDC_DML_CTE
+    + """
+SELECT * FROM (
+  SELECT "schema", "table", row_pk,
+         CAST(sum(CASE WHEN event_type = 'DELETE' THEN -1 ELSE 1 END)
+              AS BIGINT) AS net_rows,
+         count(*) AS n_events,
+         max_by(event_type, binlog_pos) AS last_event_type,
+         max(binlog_pos) AS last_pos
+  FROM dml GROUP BY 1, 2, 3
+) WHERE net_rows > 0
+""",
+)
+def collapsing_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingMergeTree FINAL: DELETEs carry sign -1; keys netting to
+    <= 0 collapse away, survivors report net rows + latest state."""
+    return merge_tree.collapsing_merge_state(_cdc_dml(spark, sf_dir))
+
+
 @register(
     "scalar_functions",
     """
@@ -432,6 +505,14 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(schemas.load_table(spark, sf_dir, "documents"))
 
 
+@register("quality_gopher_flags", text.GOPHER_FLAGS_SQL)
+def quality_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-rule quality flags + conjunctive keep decision."""
+    return text.gopher_quality_flags(
+        schemas.load_table(spark, sf_dir, "documents")
+    )
+
+
 @register("text_language_id", text.LANGUAGE_ID_SQL)
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID with deterministic argmax."""
@@ -528,6 +609,14 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash groupBy."""
     return dedup.exact_dedup_groups(schemas.load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_span_crossdoc", dedup.CROSSDOC_SPAN_SQL())
+def dedup_span_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-document span (word-3-gram) duplication fraction."""
+    return dedup.crossdoc_span_stats(
+        schemas.load_table(spark, sf_dir, "documents")
+    )
 
 
 @register("dedup_ngram_jaccard", dedup.NGRAM_JACCARD_SQL(threshold=0.5))
@@ -1266,6 +1355,10 @@ CHANGED_THIS_ROUND = [
     "size_quantiles_approx_check",  # new: sketch error-bound twin
     "daily_distinct_gtids_approx_check",  # new: HLL error-bound twin
     "embedding_kmeans_inertia_check",  # new: Lloyd's convergence twin
+    "replacing_merge_final",  # new: ReplacingMergeTree FINAL read
+    "collapsing_merge_state",  # new: CollapsingMergeTree FINAL read
+    "quality_gopher_flags",  # new: Gopher rule filter (integer-exact flags)
+    "dedup_span_crossdoc",  # new: cross-doc span duplication fraction
 ]
 
 DRIVER_WINDOW_PRIORITY = [
