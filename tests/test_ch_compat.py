@@ -380,3 +380,38 @@ def test_format_datetime_executes(spark, binlog_view):
         F.date_format(F.max("execute_time"), "yyyyMMdd").alias("d")
     ).collect()[0]["d"]
     assert got == want
+
+
+def test_translate_prewhere_folds_into_where():
+    """CH PREWHERE is the hand-rolled scan predicate; on Spark the same
+    work is predicate pushdown, so it folds into WHERE (both kept when
+    the query has each)."""
+    t = ch_compat.translate
+    assert t("SELECT a FROM t PREWHERE x > 1") == (
+        "SELECT a FROM t WHERE x > 1"
+    )
+    got = t(
+        "SELECT a FROM t PREWHERE x > 1 WHERE y = 2 GROUP BY a"
+    )
+    assert got == "SELECT a FROM t WHERE (x > 1) AND (y = 2) GROUP BY a"
+
+
+def test_prewhere_and_any_execute(spark, binlog_view):
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT gtid, any(binlog_file) AS f, anyLast(characterset) AS cs, "
+        "count() AS n FROM binlog PREWHERE binlog_pos > 100 "
+        "WHERE event_type != 'X' GROUP BY gtid",
+    )
+    want = (
+        binlog_view.filter((F.col("binlog_pos") > 100) & (F.col("event_type") != "X"))
+        .groupBy("gtid")
+        .agg(
+            F.any_value("binlog_file").alias("f"),
+            F.any_value("characterset").alias("cs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    g = {r.gtid: r.n for r in got.collect()}
+    w = {r.gtid: r.n for r in want.collect()}
+    assert g == w and len(g) > 0

@@ -755,3 +755,44 @@ def test_funnel_partial_state_removed_after_window_closes():
                            watermark_ms=0)
     assert list(fold((7,), iter([]), done)) == []
     assert done.removed
+
+
+def test_upsert_stream_matches_batch_replacing(spark, tmp_path):
+    """The incrementally maintained CDC row-state snapshot must equal one
+    batch replacing_merge_final over the whole DML stream, including after
+    a duplicate-replay restart (exactly-once MERGE)."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import merge_tree
+    from use_clickhouse_2_analyze_mysql_binlog_spark.sources.transform import (
+        canal_entries_to_binlog,
+    )
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import upsert_job
+
+    binlog = canal_entries_to_binlog(
+        schemas.canal_entries_view(schemas.load_table(spark, SF_DIR, "events")),
+        ctime=F.to_timestamp(F.lit("2024-02-01 00:00:00")),
+    )
+    src = str(tmp_path / "binlog_src")
+    binlog.repartition(4).write.parquet(src)  # several files -> several epochs
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = upsert_job.run_upsert_stream(stream, state, ckpt, available_now=True)
+        q.awaitTermination(180)
+
+    run()
+    want = merge_tree.replacing_merge_final(merge_tree.dml_rows(binlog))
+    got = upsert_job.read_state(spark, state)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # restart from checkpoint with no new data -> snapshot unchanged
+    run()
+    got2 = upsert_job.read_state(spark, state)
+    assert got2.exceptAll(want).count() == 0 and want.exceptAll(got2).count() == 0

@@ -27,7 +27,11 @@ onto Spark SQL equivalents that stay entirely JVM-side:
 - relative-time arithmetic ``now() - 3600`` / ``ts_col + 60`` (CH
   DateTime ± integer = seconds) -> ``timestampadd(SECOND, ...)``;
 - ``toStartOfWeek`` (Sunday/Monday modes) and ``formatDateTime``
-  (MySQL-style ``%`` tokens -> Java patterns, ``_CH_DATETIME_FORMAT``).
+  (MySQL-style ``%`` tokens -> Java patterns, ``_CH_DATETIME_FORMAT``);
+- ``PREWHERE`` folded into ``WHERE`` (Spark's parquet predicate pushdown
+  IS the scan-stage filtering PREWHERE hand-implements);
+- ``any``/``anyLast`` -> ``any_value`` (same nondeterministic contract;
+  Spark's bare ``any()`` is bool_or, so the rename is also a guard).
 
 This is a deliberate TEXTUAL translator for the documented subset, not a
 CH grammar: constructs outside the table raise nothing and pass through,
@@ -74,6 +78,12 @@ _RENAMES = {
     "arrayDistinct": "array_distinct",
     "arraySort": "sort_array",
     "arrayReverse": "reverse",
+    # any/anyLast: CH "some value from the group" aggregates. Spark's
+    # any_value has the identical non-deterministic contract; Spark's
+    # bare any() is bool_or and would reject non-boolean args, so the
+    # rename is also a correctness guard.
+    "any": "any_value",
+    "anyLast": "any_value",
 }
 
 
@@ -227,6 +237,20 @@ def translate(
     out = re.sub(r"\bSETTINGS\b[^;]*$", "", out, flags=re.IGNORECASE)
     out = re.sub(r"\bFORMAT\s+\w+\s*$", "", out, flags=re.IGNORECASE)
     out = re.sub(r"\bFINAL\b", "", out)
+
+    # PREWHERE: CH's scan-stage predicate — on Spark, predicate pushdown
+    # into the parquet scan is exactly what PREWHERE hand-implements, so
+    # it folds into WHERE. ``PREWHERE a WHERE b`` -> ``WHERE (a) AND (b)``
+    # (CH applies both); a lone PREWHERE becomes the WHERE. Documented
+    # subset: one level, like LIMIT BY.
+    out = re.sub(
+        r"\bPREWHERE\b(.*?)\bWHERE\b(.*?)(?=\bGROUP\s+BY\b|\bORDER\s+BY\b"
+        r"|\bLIMIT\b|\bHAVING\b|$)",
+        lambda m: f"WHERE ({m.group(1).strip()}) AND ({m.group(2).strip()}) ",
+        out,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
+    out = re.sub(r"\bPREWHERE\b", "WHERE", out, flags=re.IGNORECASE)
 
     # qualified table names
     for ch_name, spark_name in (table_map or {}).items():

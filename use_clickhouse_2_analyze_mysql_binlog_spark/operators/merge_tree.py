@@ -72,6 +72,33 @@ def replacing_merge_final(dml: DataFrame) -> DataFrame:
     )
 
 
+def merge_final_states(prev: DataFrame, incr: DataFrame) -> DataFrame:
+    """Merge two ReplacingMergeTree FINAL snapshots — the background-merge
+    step ClickHouse performs between parts, and the per-epoch MERGE of the
+    streaming upsert job (streaming/upsert_job.py).
+
+    Associative and commutative by construction (argmax by a strictly
+    increasing version + summed version counts), so any merge tree over
+    any partitioning of the input stream yields the same snapshot as one
+    batch :func:`replacing_merge_final` over the union — the property the
+    streaming test asserts.
+    """
+    u = prev.unionByName(incr)
+    return (
+        u.groupBy("schema", "table", "row_pk")
+        .agg(
+            F.max_by("last_event_type", "last_pos").alias("last_event_type"),
+            F.max("last_pos").alias("last_pos"),
+            F.max_by("last_size", "last_pos").alias("last_size"),
+            F.sum("n_versions").cast("long").alias("n_versions"),
+        )
+        .withColumn(
+            "is_deleted",
+            (F.col("last_event_type") == "DELETE").cast("int"),
+        )
+    )
+
+
 def collapsing_merge_state(dml: DataFrame) -> DataFrame:
     """CollapsingMergeTree ``FINAL``: DELETE rows carry sign -1, everything
     else +1; per sort key the signs are summed and keys netting to <= 0

@@ -84,6 +84,51 @@ def simulate_mv_partials(binlog: DataFrame, blocks: int = 8) -> DataFrame:
     )
 
 
+def simulate_agg_state_partials(binlog: DataFrame, blocks: int = 8) -> DataFrame:
+    """Emulate an AggregatingMergeTree MV's per-insert-block *states*:
+    ``avgState(size)`` is the (sum, count) pair, ``maxState(size)`` the
+    running max — ClickHouse's -State combinators materialized as plain
+    columns (the states of these aggregates are just numbers; sketch-typed
+    states are the approx family, operators/analytics.py).
+    """
+    return (
+        binlog.withColumn("block_id", (F.col("binlog_pos") % blocks))
+        .groupBy(
+            F.date_format("execute_time", DAY_FMT).alias("day"),
+            "event_type",
+            "block_id",
+        )
+        .agg(
+            F.sum("single_statement_size").cast("long").alias("sum_size"),
+            F.count(F.lit(1)).alias("cnt_size"),
+            F.max("single_statement_size").alias("max_size"),
+        )
+    )
+
+
+def aggregating_merge(partials: DataFrame) -> DataFrame:
+    """AggregatingMergeTree read-side ``-Merge``: combine partial states
+    (sum-of-sums / sum-of-counts / max-of-maxes) and finalize —
+    ``avgMerge`` becomes the exact average, proving partial-state merges
+    lose nothing. Same single partial+final HashAggregate scale shape as
+    :func:`summing_merge`."""
+    return (
+        partials.groupBy("day", "event_type")
+        .agg(
+            F.sum("sum_size").cast("long").alias("sum_size"),
+            F.sum("cnt_size").cast("long").alias("n_events"),
+            F.max("max_size").alias("max_size"),
+        )
+        .select(
+            "day",
+            "event_type",
+            F.round(F.col("sum_size") / F.col("n_events"), 4).alias("avg_size"),
+            "max_size",
+            "n_events",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reporting shapes over the daily rollup: pivot, moving average, gap-fill
 # ---------------------------------------------------------------------------

@@ -228,6 +228,27 @@ def summing_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "aggregating_rollup_merge",
+    f"""
+WITH binlog AS ({schemas.BINLOG_VIEW_SQL})
+SELECT strftime(execute_time, '%Y-%m-%d') AS day, event_type,
+       round(sum(single_statement_size) / CAST(count(*) AS DOUBLE), 4)
+         AS avg_size,
+       max(single_statement_size) AS max_size,
+       count(*) AS n_events
+FROM binlog GROUP BY 1, 2
+""",
+)
+def aggregating_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatingMergeTree semantics (the -State/-Merge combinator pair,
+    completing the engine family with Summing/Replacing/Collapsing):
+    per-block avg/max states re-merged must equal the direct aggregate,
+    so the oracle is the direct daily avg/max rollup."""
+    partials = rollups.simulate_agg_state_partials(_binlog(spark, sf_dir))
+    return rollups.aggregating_merge(partials)
+
+
 # ---------------------------------------------------------------------------
 # Join-shaped operators (P6 broadcast dim join, S11 anti join)
 # ---------------------------------------------------------------------------
@@ -1296,6 +1317,51 @@ def ch_top_event_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PREWHERE + any()/anyLast() + countIf through the translator. any() is
+# oracle-safe here because both picked columns are functionally dependent
+# on the group key (binlog_view derives gtid, binlog_file and characterset
+# from user_id), so "some value from the group" is THE value.
+CH_PREWHERE_SQL = """
+SELECT gtid,
+       any(binlog_file) AS binlog_file,
+       anyLast(characterset) AS charset,
+       countIf(event_type = 'INSERT') AS n_insert,
+       count() AS n_events
+FROM mysql_monitor.broker_binlog PREWHERE binlog_pos > 1000
+WHERE is_ddl = 0
+GROUP BY gtid
+"""
+
+CH_PREWHERE_ORACLE = f"""
+WITH binlog AS ({schemas.BINLOG_VIEW_SQL})
+SELECT gtid,
+       any_value(binlog_file) AS binlog_file,
+       any_value(characterset) AS charset,
+       CAST(count(*) FILTER (WHERE event_type = 'INSERT') AS BIGINT)
+         AS n_insert,
+       count(*) AS n_events
+FROM binlog
+WHERE binlog_pos > 1000 AND is_ddl = 0
+GROUP BY gtid
+"""
+
+
+@register("ch_prewhere_profile", CH_PREWHERE_ORACLE)
+def ch_prewhere_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transaction profile written with ClickHouse's PREWHERE /
+    any / countIf idioms and executed through the dialect translator:
+    PREWHERE folds into WHERE (Spark's parquet pushdown is the scan-stage
+    filter PREWHERE hand-implements), any/anyLast map to any_value."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.functions import ch_compat
+
+    _binlog(spark, sf_dir).createOrReplaceTempView("binlog_v")
+    return ch_compat.run_clickhouse_sql(
+        spark,
+        CH_PREWHERE_SQL,
+        table_map={"mysql_monitor.broker_binlog": "binlog_v"},
+    )
+
+
 TOKENS_PER_SOURCE_SQL = f"""
 WITH toks AS (
   SELECT source, len({text.TOKENS_SQL("text")}) AS ntok
@@ -1359,6 +1425,8 @@ CHANGED_THIS_ROUND = [
     "collapsing_merge_state",  # new: CollapsingMergeTree FINAL read
     "quality_gopher_flags",  # new: Gopher rule filter (integer-exact flags)
     "dedup_span_crossdoc",  # new: cross-doc span duplication fraction
+    "aggregating_rollup_merge",  # new: AggregatingMergeTree -State/-Merge
+    "ch_prewhere_profile",  # new: PREWHERE/any/countIf via the translator
 ]
 
 DRIVER_WINDOW_PRIORITY = [
