@@ -165,3 +165,37 @@ def test_cli_sql_clickhouse_dialect(capsys):
     ])
     out = capsys.readouterr().out
     assert rc == 0 and "2024-01-01" in out
+
+
+def test_cli_upsert_end_to_end(spark, tmp_path):
+    """CLI upsert: maintained ReplacingMergeTree snapshot over a binlog
+    stream; DML-only, tombstones surfaced."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import merge_tree
+    from use_clickhouse_2_analyze_mysql_binlog_spark.sources.transform import (
+        canal_entries_to_binlog,
+    )
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import upsert_job
+
+    import pyspark.sql.functions as F
+
+    binlog = canal_entries_to_binlog(
+        schemas.canal_entries_view(schemas.load_table(spark, SF_DIR, "events")),
+        ctime=F.to_timestamp(F.lit("2024-02-01 00:00:00")),
+    )
+    src = str(tmp_path / "fact")
+    binlog.write.parquet(src)
+    state = str(tmp_path / "state")
+    rc = cli.main(
+        [
+            "upsert",
+            "--source", src,
+            "--state", state,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--available-now",
+        ]
+    )
+    assert rc == 0
+    got = upsert_job.read_state(spark, state)
+    want = merge_tree.replacing_merge_final(merge_tree.dml_rows(binlog))
+    assert got.count() == want.count() > 0
+    assert got.filter(F.col("is_deleted") == 1).count() > 0

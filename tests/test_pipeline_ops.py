@@ -1279,3 +1279,36 @@ def test_crossdoc_span_stats_planted(spark):
     assert rows[0].shared_ratio == 1.0 and rows[1].shared_ratio == 1.0
     assert rows[2].shared_ratio == 0.0
     assert rows[0].n_shingles == 13  # 15 tokens -> 13 distinct 3-grams
+
+
+def test_merge_final_states_associative_any_partitioning(spark):
+    """Any partitioning of the DML stream, merged in any fold order, must
+    equal one batch replacing_merge_final over the union — the property
+    the streaming upsert job and ClickHouse background merges both rest
+    on."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas as S
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import merge_tree
+    from use_clickhouse_2_analyze_mysql_binlog_spark.sources.transform import (
+        canal_entries_to_binlog,
+    )
+    from tests.conftest import SF_DIR
+
+    binlog = canal_entries_to_binlog(
+        S.canal_entries_view(S.load_table(spark, SF_DIR, "events")),
+        ctime=F.to_timestamp(F.lit("2024-02-01 00:00:00")),
+    )
+    dml = merge_tree.dml_rows(binlog).cache()
+    want = merge_tree.replacing_merge_final(dml)
+
+    for nparts, order in ((2, (0, 1)), (3, (2, 0, 1)), (4, (3, 1, 0, 2))):
+        chunks = [
+            merge_tree.replacing_merge_final(
+                dml.filter(F.col("binlog_pos") % nparts == i)
+            )
+            for i in range(nparts)
+        ]
+        acc = chunks[order[0]]
+        for i in order[1:]:
+            acc = merge_tree.merge_final_states(acc, chunks[i])
+        assert acc.exceptAll(want).count() == 0
+        assert want.exceptAll(acc).count() == 0, (nparts, order)

@@ -84,6 +84,17 @@ def build_parser() -> argparse.ArgumentParser:
                      help="4-key rollup (day, schema, table, event_type)")
     _add_common(rol)
 
+    ups = sub.add_parser(
+        "upsert",
+        help="maintained ReplacingMergeTree row-state snapshot from the "
+        "binlog stream (streaming/upsert_job.py)",
+    )
+    ups.add_argument("--source", required=True, help="fact-table parquet path")
+    ups.add_argument("--state", required=True, help="snapshot/manifest dir")
+    ups.add_argument("--pk-mod", type=int, default=997,
+                     help="synthetic row-identity modulus (fixture only)")
+    _add_common(ups)
+
     ses = sub.add_parser(
         "sessions", help="stateful per-gtid gap-delimited transaction sessionizer"
     )
@@ -209,6 +220,20 @@ def main(argv: list[str] | None = None) -> int:
             window_duration=f"{args.interval} seconds",
             allowed_lateness=args.lateness,
             interval_seconds=args.interval,
+            available_now=args.available_now,
+        )
+    elif args.cmd == "upsert":
+        from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import (
+            BINLOG_EVENT_SCHEMA,
+        )
+        from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import upsert_job
+
+        stream = spark.readStream.schema(BINLOG_EVENT_SCHEMA).parquet(args.source)
+        q = upsert_job.run_upsert_stream(
+            stream,
+            args.state,
+            args.checkpoint,
+            pk_mod=args.pk_mod,
             available_now=args.available_now,
         )
     elif args.cmd == "sessions":
