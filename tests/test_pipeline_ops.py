@@ -1312,3 +1312,45 @@ def test_merge_final_states_associative_any_partitioning(spark):
             acc = merge_tree.merge_final_states(acc, chunks[i])
         assert acc.exceptAll(want).count() == 0
         assert want.exceptAll(acc).count() == 0, (nparts, order)
+
+
+def test_round5_operators_on_empty_inputs(spark):
+    """Round-5 operators must degrade cleanly on empty input too."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas as S
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
+        merge_tree,
+        rollups,
+        text as T,
+    )
+
+    empty_binlog = spark.createDataFrame([], S.BINLOG_EVENT_SCHEMA)
+    dml = merge_tree.dml_rows(empty_binlog)
+    assert merge_tree.replacing_merge_final(dml).count() == 0
+    assert merge_tree.collapsing_merge_state(dml).count() == 0
+    # merging an empty snapshot into a real one is the identity
+    one = merge_tree.replacing_merge_final(
+        merge_tree.dml_rows(
+            spark.createDataFrame(
+                [("a", "t", "INSERT", 0, "f", 7, "c",
+                  __import__("datetime").datetime(2024, 1, 1), "g", 1, 9,
+                  __import__("datetime").datetime(2024, 1, 1))],
+                S.BINLOG_EVENT_SCHEMA,
+            )
+        )
+    )
+    merged = merge_tree.merge_final_states(
+        one, merge_tree.replacing_merge_final(dml)
+    )
+    assert merged.exceptAll(one).count() == 0 and one.exceptAll(merged).count() == 0
+
+    assert rollups.aggregating_merge(
+        rollups.simulate_agg_state_partials(empty_binlog)
+    ).count() == 0
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    assert T.gopher_quality_flags(empty_docs).count() == 0
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import dedup as D
+
+    assert D.crossdoc_span_stats(empty_docs).count() == 0
