@@ -226,3 +226,48 @@ def test_sequence_pack_auto_small_input_takes_flat_plan(spark):
     assert "bucket" not in plan, plan
     # one window (the per-source running sum) + the fill rollup aggregate
     assert plan.count("Window") == 1, plan
+
+
+def test_merge_tree_finals_single_shuffle_no_joins(spark):
+    """Replacing/Collapsing FINAL reads: one partial+final aggregate on
+    the sort key — one hash exchange, no window, no join (the 100 TB
+    shape; see PLANS.md round-5 section)."""
+    for name in ("replacing_merge_final", "collapsing_merge_state"):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+        assert "Join" not in plan and "Window" not in plan, (name, plan)
+
+
+def test_aggregating_merge_two_level_partial_final(spark):
+    """-State/-Merge: per-block state build + state merge = exactly two
+    hash exchanges, each wrapped partial+final; no joins."""
+    plan = _plan(spark, "aggregating_rollup_merge")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("HashAggregate") == 4, plan
+    assert "Join" not in plan, plan
+
+
+def test_gopher_flags_row_local(spark):
+    """The rule filter must stay zero-shuffle (scan -> project)."""
+    plan = _plan(spark, "quality_gopher_flags")
+    assert "Exchange" not in plan, plan
+
+
+def test_crossdoc_span_one_scan_no_joins(spark):
+    """Posting built once (no defensive distinct -> no extra exchange):
+    one parquet scan, the sh-window exchange + the doc_id rollup
+    exchange, zero joins."""
+    plan = _plan(spark, "dedup_span_crossdoc")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_ch_prewhere_pushes_scan_filter(spark):
+    """The translated PREWHERE predicate must reach the parquet scan as
+    a pushed filter (binlog_pos is event_id under the view mapping) —
+    on Spark, pushdown IS the PREWHERE."""
+    plan = _plan(spark, "ch_prewhere_profile")
+    assert "PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,1000)" in plan or \
+           "GreaterThan(event_id,1000)" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
