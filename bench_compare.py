@@ -5,8 +5,14 @@ Usage: python3 bench_compare.py BENCH_r01.json new_bench.json [threshold]
 
 Prints a per-query comparison table and exits non-zero if any HEADLINE
 query (bench.py's reference-core set) is slower than baseline by more than
-``threshold`` (default 1.2x). Non-headline queries are reported but do not
-gate — their membership changes round to round.
+``threshold`` (default 1.2x) AFTER drift normalization: every ratio is
+divided by the median per-query ratio across the whole registry before
+gating, so a run on a uniformly slower (or faster) box does not flag —
+or mask — code regressions. Round 5 made this necessary: identical code
+measured at a 1.30x median against the r04 snapshot purely from box
+noise, which under raw gating flagged four false regressions.
+Non-headline queries are reported but do not gate — their membership
+changes round to round.
 """
 
 from __future__ import annotations
@@ -98,6 +104,17 @@ def main() -> int:
     base = _load(base_path)
     new = _load(new_path)
 
+    import statistics
+
+    shared = [
+        (name, base["queries"][name], new["queries"][name])
+        for name in sorted(set(base["queries"]) & set(new["queries"]))
+        if base["queries"][name]
+    ]
+    drift = (
+        statistics.median(n / b for _, b, n in shared) if shared else 1.0
+    )
+
     failures: list[str] = []
     rows = []
     for name in sorted(set(base["queries"]) | set(new["queries"])):
@@ -106,12 +123,16 @@ def main() -> int:
             rows.append((name, b, n, None, "added" if b is None else "removed"))
             continue
         ratio = n / b if b else float("inf")
+        adj = ratio / drift
         gated = name in BENCH_QUERIES or name in WATCHED_QUERIES
         status = "ok"
-        if ratio > threshold:
+        if adj > threshold:
             status = "REGRESSED" if gated else "slower (ungated)"
             if gated:
-                failures.append(f"{name}: {b:.3f}s -> {n:.3f}s ({ratio:.2f}x)")
+                failures.append(
+                    f"{name}: {b:.3f}s -> {n:.3f}s "
+                    f"({ratio:.2f}x raw, {adj:.2f}x drift-adjusted)"
+                )
         rows.append((name, b, n, ratio, status))
 
     w = max(len(r[0]) for r in rows)
@@ -122,27 +143,25 @@ def main() -> int:
         rs = f"{ratio:.2f}x" if ratio is not None else "-"
         print(f"{name:<{w}}  {bs:>8}  {ns:>8}  {rs:>6}  {status}")
     # Box-drift summary (VERDICT r04 #7): the median per-query ratio is
-    # the run-level speed difference between the two boxes/runs; a query
-    # is only a REAL regression to the extent its ratio exceeds it.
-    import statistics
-
-    ratios = [r[3] for r in rows if r[3] is not None]
-    if ratios:
-        med = statistics.median(ratios)
-        print(
-            f"median per-query ratio (run-level drift): {med:.2f}x — "
-            f"ratios near this value are box noise, not regressions"
-        )
+    # the run-level speed difference between the two boxes/runs; gating
+    # above divides every ratio by it before comparing to the threshold.
+    print(
+        f"median per-query ratio (run-level drift): {drift:.2f}x — "
+        f"gate fires on ratio/median > {threshold}x"
+    )
     print(
         f"headline total: {base.get('value')}s -> {new.get('value')}s; "
         f"all-query total: {base.get('total_all_queries')}s -> "
         f"{new.get('total_all_queries')}s"
     )
     if failures:
-        print("FAIL: gated (headline/watched) regressions over "
-              f"{threshold}x:\n  " + "\n  ".join(failures))
+        print("FAIL: gated (headline/watched) drift-adjusted regressions "
+              f"over {threshold}x:\n  " + "\n  ".join(failures))
         return 1
-    print("PASS: no gated (headline/watched) regression over", threshold, "x")
+    print(
+        "PASS: no gated (headline/watched) drift-adjusted regression over",
+        threshold, "x",
+    )
     return 0
 
 

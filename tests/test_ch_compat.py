@@ -415,3 +415,53 @@ def test_prewhere_and_any_execute(spark, binlog_view):
     g = {r.gtid: r.n for r in got.collect()}
     w = {r.gtid: r.n for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_translate_batch3_shapes():
+    t = ch_compat.translate
+    assert t("SELECT toYear(ts), toDayOfWeek(ts) FROM t") == (
+        "SELECT year(ts), (weekday(ts) + 1) FROM t"
+    )
+    # the emitted literal is '\\Q' in SQL text; Spark's parser unescapes
+    # it to the regex \Q (verified runnable in test_batch3_executes)
+    assert t("SELECT splitByChar('|', s) FROM t") == (
+        "SELECT split(s, concat('\\\\Q', '|', '\\\\E')) FROM t"
+    )
+    assert t("WHERE match(s, '^a.*b$')") == "WHERE (s RLIKE '^a.*b$')"
+    assert t("SELECT position(s, 'x') FROM t") == "SELECT instr(s, 'x') FROM t"
+    # SQL-standard position(needle IN haystack) passes through untouched
+    assert t("SELECT position('x' IN s) FROM t") == (
+        "SELECT position('x' IN s) FROM t"
+    )
+    assert t("SELECT ifNull(a, 0), nullIf(a, b), assumeNotNull(a)") == (
+        "SELECT coalesce(a, 0), nullif(a, b), a"
+    )
+    assert t("SELECT toStartOfQuarter(ts)") == (
+        "SELECT to_date(date_trunc('QUARTER', ts))"
+    )
+
+
+def test_batch3_executes_and_matches(spark, binlog_view):
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT toYear(execute_time) AS y, toDayOfWeek(execute_time) AS dow, "
+        "position(gtid, 'txn') AS p, "
+        "splitByChar('-', gtid)[1] AS uid, "
+        "count() AS n "
+        "FROM binlog GROUP BY y, dow, p, uid",
+    )
+    want = (
+        binlog_view.groupBy(
+            F.year("execute_time").alias("y"),
+            (F.weekday("execute_time") + 1).alias("dow"),
+            F.instr("gtid", "txn").alias("p"),
+            F.split("gtid", "-").getItem(1).alias("uid"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+    # CH dow contract: Monday=1..Sunday=7
+    dows = {r.dow for r in got.collect()}
+    assert dows <= set(range(1, 8))

@@ -31,7 +31,15 @@ onto Spark SQL equivalents that stay entirely JVM-side:
 - ``PREWHERE`` folded into ``WHERE`` (Spark's parquet predicate pushdown
   IS the scan-stage filtering PREWHERE hand-implements);
 - ``any``/``anyLast`` -> ``any_value`` (same nondeterministic contract;
-  Spark's bare ``any()`` is bool_or, so the rename is also a guard).
+  Spark's bare ``any()`` is bool_or, so the rename is also a guard);
+- date-part extractors (``toYear``..``toSecond``; ``toDayOfWeek`` via
+  ``weekday()+1`` to keep CH's Monday=1 contract), ``toStartOfQuarter/
+  Year``, ``toUnixTimestamp``/``fromUnixTimestamp``;
+- string surface: ``splitByChar`` (swapped args, ``\\Q``-quoted separator
+  so regex metachars split literally), ``match`` -> RLIKE, 2-arg
+  ``position`` -> ``instr`` (the SQL-standard ``position(x IN y)`` passes
+  through), ``startsWith/endsWith``, ``leftPad/rightPad``, the ``*UTF8``
+  aliases, ``ifNull/nullIf/assumeNotNull``.
 
 This is a deliberate TEXTUAL translator for the documented subset, not a
 CH grammar: constructs outside the table raise nothing and pass through,
@@ -84,6 +92,38 @@ _RENAMES = {
     # rename is also a correctness guard.
     "any": "any_value",
     "anyLast": "any_value",
+    # date-part extractors (identical 1-based semantics; toDayOfWeek is
+    # NOT here — CH is Monday=1, Spark dayofweek is Sunday=1, handled as
+    # a restructured rewrite below)
+    "toYear": "year",
+    "toQuarter": "quarter",
+    "toMonth": "month",
+    "toDayOfMonth": "day",
+    "toDayOfYear": "dayofyear",
+    "toHour": "hour",
+    "toMinute": "minute",
+    "toSecond": "second",
+    "toUnixTimestamp": "unix_timestamp",
+    # fromUnixTimestamp returns DateTime in CH; Spark's from_unixtime
+    # returns a formatted STRING, so timestamp_seconds is the honest map
+    "fromUnixTimestamp": "timestamp_seconds",
+    # string surface (same argument order)
+    "arrayStringConcat": "array_join",
+    "startsWith": "startswith",
+    "endsWith": "endswith",
+    "leftPad": "lpad",
+    "rightPad": "rpad",
+    "substringUTF8": "substring",
+    "lengthUTF8": "length",
+    "lowerUTF8": "lower",
+    "upperUTF8": "upper",
+    "trimBoth": "trim",
+    "trimLeft": "ltrim",
+    "trimRight": "rtrim",
+    # null handling
+    "ifNull": "coalesce",
+    "nullIf": "nullif",
+    "assumeNotNull": "",  # identity wrapper (nullability hint only)
 }
 
 
@@ -291,6 +331,47 @@ def translate(
     out = _rewrite_calls(out, "notEmpty", lambda a: f"(length({a[0]}) > 0)")
     out = _rewrite_calls(
         out, "toYYYYMM", lambda a: f"int(date_format({a[0]}, 'yyyyMM'))"
+    )
+    # CH toDayOfWeek: Monday=1..Sunday=7; Spark weekday: Monday=0
+    out = _rewrite_calls(
+        out, "toDayOfWeek", lambda a: f"(weekday({a[0]}) + 1)"
+    )
+    # CH match(s, re) is a boolean regexp test
+    out = _rewrite_calls(
+        out, "match", lambda a: f"({a[0]} RLIKE {a[1]})"
+    )
+    # CH position(haystack, needle) is 1-based (0 = absent), same contract
+    # as Spark instr — but only the 2-arg form; the 3-arg start-pos form
+    # and SQL-standard position(x IN y) pass through untouched
+    # passthrough cases emit a \x01-wrapped name (restored just below) —
+    # _rewrite_calls requires every builder to eliminate the searched
+    # name or the rescan would loop forever
+    out = _rewrite_calls(
+        out,
+        "position",
+        lambda a: f"instr({a[0]}, {a[1]})"
+        if len(a) == 2 and " in " not in a[0].lower()
+        else f"\x01position\x01({', '.join(a)})",
+    )
+    out = out.replace("\x01position\x01", "position")
+    # CH splitByChar(sep, s): note the swapped argument order vs Spark's
+    # split(s, pattern); \Q..\E-quote the separator so regex metachars
+    # ('|', '.') split literally
+    out = _rewrite_calls(
+        out,
+        "splitByChar",
+        lambda a: f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))",
+    )
+    # toStartOfQuarter/Year return Dates in CH, like toStartOfMonth
+    out = _rewrite_calls(
+        out,
+        "toStartOfQuarter",
+        lambda a: f"to_date(date_trunc('QUARTER', {a[0]}))",
+    )
+    out = _rewrite_calls(
+        out,
+        "toStartOfYear",
+        lambda a: f"to_date(date_trunc('YEAR', {a[0]}))",
     )
 
     def _multi_if(a):
