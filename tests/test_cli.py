@@ -199,3 +199,26 @@ def test_cli_upsert_end_to_end(spark, tmp_path):
     want = merge_tree.replacing_merge_final(merge_tree.dml_rows(binlog))
     assert got.count() == want.count() > 0
     assert got.filter(F.col("is_deleted") == 1).count() > 0
+
+
+def test_cli_pipeline_gopher_gate(spark, tmp_path, capsys):
+    """--gopher pre-gates on the hard rules; the gated corpus is a strict
+    subset of the ungated pipeline output universe."""
+    out = str(tmp_path / "pipeline_gopher")
+    rc = cli.main(
+        [
+            "pipeline",
+            "--source", f"{SF_DIR}/documents.parquet",
+            "--output", out,
+            "--gopher",
+        ]
+    )
+    assert rc == 0
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    gated_ids = {r.doc_id for r in T.gopher_gate(docs).select("doc_id").collect()}
+    out_ids = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert 0 < len(out_ids) and out_ids <= gated_ids
+    # the gate itself must drop something on this corpus or it proves nothing
+    assert len(gated_ids) < docs.count()

@@ -796,3 +796,34 @@ def test_upsert_stream_matches_batch_replacing(spark, tmp_path):
     run()
     got2 = upsert_job.read_state(spark, state)
     assert got2.exceptAll(want).count() == 0 and want.exceptAll(got2).count() == 0
+
+
+def test_upsert_batch_body_replay_idempotent(spark, tmp_path, binlog_df):
+    """Same replay hazard as the rollup job: a replayed epoch id must be
+    a no-op, a new epoch must merge."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import merge_tree
+    from use_clickhouse_2_analyze_mysql_binlog_spark.sources.transform import (
+        canal_entries_to_binlog,
+    )
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import upsert_job
+
+    binlog = canal_entries_to_binlog(
+        schemas.canal_entries_view(schemas.load_table(spark, SF_DIR, "events")),
+        ctime=F.to_timestamp(F.lit("2024-02-01 00:00:00")),
+    ).limit(400).cache()
+    state = str(tmp_path / "state")
+    body = upsert_job.make_upsert_batch(spark, state)
+    body(binlog, 0)
+    want = {tuple(r) for r in upsert_job.read_state(spark, state).collect()}
+    body(binlog, 0)  # replay -> skipped, snapshot unchanged
+    assert {tuple(r) for r in upsert_job.read_state(spark, state).collect()} == want
+    body(binlog, 1)  # same data as a NEW epoch -> merges: same keys,
+    got = upsert_job.read_state(spark, state)  # n_versions doubles
+    batch = merge_tree.replacing_merge_final(merge_tree.dml_rows(binlog))
+    assert got.count() == batch.count()
+    doubled = {
+        (r.row_pk, r.n_versions) for r in got.collect()
+    }
+    assert doubled == {
+        (r.row_pk, 2 * r.n_versions) for r in batch.collect()
+    }

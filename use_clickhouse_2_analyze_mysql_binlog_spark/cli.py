@@ -137,6 +137,10 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--min-tokens", type=int, default=8)
     pl.add_argument("--threshold", type=float, default=0.5,
                     help="near-dup Jaccard threshold")
+    pl.add_argument("--gopher", action="store_true",
+                    help="pre-gate on the Gopher hard rules "
+                    "(word count / mean word length / stopwords / "
+                    "uniqueness) before the blended quality gate")
     pl.add_argument("--val-pct", type=float, default=2.5)
     pl.add_argument("--test-pct", type=float, default=2.5)
     pl.add_argument("--no-scrub", action="store_true")
@@ -271,6 +275,14 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         docs = spark.read.parquet(args.source)
+        if args.gopher:
+            # 0. hard-rule pre-gate (row-local — folds into the same scan
+            #    stage as the quality columns, zero extra shuffles)
+            from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
+                text as text_ops,
+            )
+
+            docs = text_ops.gopher_gate(docs)
         # 1. quality gate + exact dedup + scrub (2 shuffles)
         curated = curation.curated_documents(
             docs,

@@ -169,15 +169,9 @@ GOPHER_MIN_STOP_HITS = 2
 GOPHER_MIN_UNIQ_NUM, GOPHER_MIN_UNIQ_DEN = 1, 2  # distinct/total >= 1/2
 
 
-def gopher_quality_flags(documents: DataFrame) -> DataFrame:
-    """Per-rule boolean flags + the conjunctive keep decision.
-
-    Row-local (zero shuffle): one tokenization per row feeds all four
-    rules. Unlike :func:`quality_score` (a blended float for ranking),
-    this is the production *filter* form — per-rule flags survive into
-    the output so removal reasons are auditable downstream.
-    """
-    d = documents.withColumn("toks", tokens("text"))
+def _gopher_rules() -> tuple:
+    """The four rule predicates over a ``toks`` column (shared by the
+    audit-form flags query and the filter-form gate)."""
     n = F.size("toks")
     nd = F.size(F.array_distinct("toks"))
     stop = F.size(
@@ -192,6 +186,28 @@ def gopher_quality_flags(documents: DataFrame) -> DataFrame:
     )
     f_stop = stop >= GOPHER_MIN_STOP_HITS
     f_uniq = nd * GOPHER_MIN_UNIQ_DEN >= n * GOPHER_MIN_UNIQ_NUM
+    return n, f_words, f_avg, f_stop, f_uniq
+
+
+def gopher_gate(documents: DataFrame) -> DataFrame:
+    """``documents`` restricted to rows passing ALL Gopher rules — the
+    filter form (row-local, no join with the flags output needed); used
+    by the corpus pipeline's ``--gopher`` pre-gate."""
+    d = documents.withColumn("toks", tokens("text"))
+    _, f_words, f_avg, f_stop, f_uniq = _gopher_rules()
+    return d.filter(f_words & f_avg & f_stop & f_uniq).drop("toks")
+
+
+def gopher_quality_flags(documents: DataFrame) -> DataFrame:
+    """Per-rule boolean flags + the conjunctive keep decision.
+
+    Row-local (zero shuffle): one tokenization per row feeds all four
+    rules. Unlike :func:`quality_score` (a blended float for ranking),
+    this is the production *filter* form — per-rule flags survive into
+    the output so removal reasons are auditable downstream.
+    """
+    d = documents.withColumn("toks", tokens("text"))
+    n, f_words, f_avg, f_stop, f_uniq = _gopher_rules()
     return d.select(
         "doc_id",
         n.alias("n_tokens"),

@@ -1428,6 +1428,11 @@ CHANGED_THIS_ROUND = [
     "aggregating_rollup_merge",  # new: AggregatingMergeTree -State/-Merge
     "ch_prewhere_profile",  # new: PREWHERE/any/countIf via the translator
 ]
+# ROTATION BUDGET (round 6): the 42 queries outside this round's 50-entry
+# window carry r04-green proof that ages out in r06, so r06's window must
+# hold all 42 + the 5 headline = 47 — leaving room for AT MOST 3 new or
+# changed queries in round 6 (at 92 registry entries). Adding more
+# requires either retiring queries or accepting a one-round proof gap.
 
 DRIVER_WINDOW_PRIORITY = [
     # -- 1. added or implementation-changed this round (round 5): no
