@@ -14,11 +14,17 @@ plans can't cheat.
 Output-shape notes (the round driver records only the LAST 2000 chars of
 stdout and json-parses the final line, so the line must FIT):
 - the final line is emitted via ``benchfmt.compact_line`` — per-query times
-  as integer milliseconds nested by ``_``-token prefix (losslessly
-  reversible, see ``use_clickhouse_2_analyze_mysql_binlog_spark/benchfmt.py``;
-  decode with ``benchfmt.decode_queries(doc["queries"], doc["qunit"])``) —
+  as a POSITIONAL integer-millisecond array in sorted-name order with a
+  crc32 name-list signature (``qsig``); decode with
+  ``benchfmt.decode_queries_positional(doc["queries"], doc["qunit"],
+  sorted_names, doc["qsig"])`` against the registry at the same commit
+  (the older nested-dict shape decodes via ``decode_queries``) —
   guaranteed under the tail budget so every registry query's number
   survives into ``BENCH_r{N}.json`` with ``parsed != null``;
+- the five headline queries are timed twice and keep the MINIMUM
+  (``headline_passes: 2`` in the snapshot; see the inline comment) —
+  single-pass numbers from rounds <= 4 are therefore slightly noisier on
+  exactly those five;
 - full float-seconds precision for all queries is also written next to
   this script: ``BENCH_FULL.json`` (stable scratch name, gitignored) and
   ``BENCH_FULL_r{round}_sf{sf}.json`` (committed per-round history;

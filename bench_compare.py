@@ -7,10 +7,21 @@ Prints a per-query comparison table and exits non-zero if any HEADLINE
 query (bench.py's reference-core set) is slower than baseline by more than
 ``threshold`` (default 1.2x) AFTER drift normalization: every ratio is
 divided by the median per-query ratio across the whole registry before
-gating, so a run on a uniformly slower (or faster) box does not flag —
-or mask — code regressions. Round 5 made this necessary: identical code
+gating, so a run on a uniformly slower (or faster) box does not flag
+spurious regressions. Round 5 made this necessary: identical code
 measured at a 1.30x median against the r04 snapshot purely from box
 noise, which under raw gating flagged four false regressions.
+
+Drift normalization is blind to a code change that slows the WHOLE
+registry uniformly (it would read as box drift), so a raw-ratio hard cap
+backstops it: any gated query over ``hard_cap`` (default 1.75x raw)
+fails regardless of drift. A registry-wide 2x regression therefore still
+fails via the cap even though its drift-adjusted ratios are ~1.0.
+
+Methodology note: bench.py times headline queries min-of-2 from round 5
+on (``headline_passes`` in the snapshot); comparisons against rounds <=
+4 single-pass baselines are biased slightly low on exactly those five —
+the gate prints a warning when the two sides' methodologies differ.
 Non-headline queries are reported but do not gate — their membership
 changes round to round.
 """
@@ -101,8 +112,16 @@ def _load(path: str) -> dict:
 def main() -> int:
     base_path, new_path = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
+    hard_cap = float(sys.argv[4]) if len(sys.argv) > 4 else 1.75
     base = _load(base_path)
     new = _load(new_path)
+    if base.get("headline_passes") != new.get("headline_passes"):
+        print(
+            "note: headline timing methodology differs between the two "
+            f"files (passes: {base.get('headline_passes', 1)} vs "
+            f"{new.get('headline_passes', 1)}) — headline ratios are "
+            "biased toward the min-of-N side"
+        )
 
     import statistics
 
@@ -126,7 +145,7 @@ def main() -> int:
         adj = ratio / drift
         gated = name in BENCH_QUERIES or name in WATCHED_QUERIES
         status = "ok"
-        if adj > threshold:
+        if adj > threshold or ratio > hard_cap:
             status = "REGRESSED" if gated else "slower (ungated)"
             if gated:
                 failures.append(
@@ -147,7 +166,8 @@ def main() -> int:
     # above divides every ratio by it before comparing to the threshold.
     print(
         f"median per-query ratio (run-level drift): {drift:.2f}x — "
-        f"gate fires on ratio/median > {threshold}x"
+        f"gate fires on ratio/median > {threshold}x OR raw ratio > "
+        f"{hard_cap}x"
     )
     print(
         f"headline total: {base.get('value')}s -> {new.get('value')}s; "

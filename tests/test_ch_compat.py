@@ -355,8 +355,12 @@ def test_translate_relative_time_and_week_and_format():
     assert t("formatDateTime(ts, '%Y-%m-%d %H:%i:%S')") == (
         "date_format(ts, 'yyyy-MM-dd HH:mm:ss')"
     )
-    # literal letters in the pattern get quoted for the Java formatter
-    assert t("formatDateTime(ts, '%YT%m')") == "date_format(ts, 'yyyy'T'MM')"
+    # literal letters get quoted for the Java formatter AND the quotes
+    # are escaped for the enclosing SQL literal (runnability pinned in
+    # test_format_datetime_literal_letters_execute)
+    assert t("formatDateTime(ts, '%YT%m')") == (
+        "date_format(ts, 'yyyy\\'T\\'MM')"
+    )
 
 
 def test_relative_time_runs_on_spark(spark):
@@ -446,7 +450,7 @@ def test_batch3_executes_and_matches(spark, binlog_view):
         spark,
         "SELECT toYear(execute_time) AS y, toDayOfWeek(execute_time) AS dow, "
         "position(gtid, 'txn') AS p, "
-        "splitByChar('-', gtid)[1] AS uid, "
+        "splitByChar('-', gtid)[2] AS uid, "  # CH subscripts are 1-based
         "count() AS n "
         "FROM binlog GROUP BY y, dow, p, uid",
     )
@@ -455,7 +459,7 @@ def test_batch3_executes_and_matches(spark, binlog_view):
             F.year("execute_time").alias("y"),
             (F.weekday("execute_time") + 1).alias("dow"),
             F.instr("gtid", "txn").alias("p"),
-            F.split("gtid", "-").getItem(1).alias("uid"),
+            F.split("gtid", "-").getItem(1).alias("uid"),  # 0-based getItem
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -465,3 +469,63 @@ def test_batch3_executes_and_matches(spark, binlog_view):
     # CH dow contract: Monday=1..Sunday=7
     dows = {r.dow for r in got.collect()}
     assert dows <= set(range(1, 8))
+
+
+def test_review_fixes_round5():
+    """Regression pins for the round-5 self-review findings."""
+    t = ch_compat.translate
+    # formatDateTime with literal letters: the emitted SQL literal must
+    # escape the formatter quotes or the query cannot parse
+    assert t("SELECT formatDateTime(ts, '%YT%m')") == (
+        "SELECT date_format(ts, 'yyyy\\'T\\'MM')"
+    )
+    # nested-paren ORDER BY must survive into the LIMIT BY window
+    got = t("SELECT g, v FROM t ORDER BY abs(least(v, 0)) DESC LIMIT 1 BY g")
+    assert "ORDER BY abs(least(v, 0)) DESC) AS __rn" in got, got
+    # CH 1-based subscripts shift down; masked string keys untouched
+    assert t("SELECT arr[1], m['k1'] FROM t") == (
+        "SELECT arr[0], m['k1'] FROM t"
+    )
+    # 3-arg position fails loudly instead of silently swapping roles
+    import pytest
+
+    with pytest.raises(ValueError, match="start offset"):
+        t("SELECT position(s, 'x', 3) FROM t")
+
+
+def test_format_datetime_literal_letters_execute(spark, binlog_view):
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT formatDateTime(max(execute_time), '%YT%H') AS d FROM binlog",
+    ).collect()[0]["d"]
+    want = binlog_view.agg(
+        F.date_format(F.max("execute_time"), "yyyy'T'HH").alias("d")
+    ).collect()[0]["d"]
+    assert got == want and "T" in got
+
+
+def test_limit_by_nested_paren_order_executes(spark, binlog_view):
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT gtid, binlog_pos, single_statement_size FROM binlog "
+        "ORDER BY abs(least(single_statement_size, 0)) DESC, binlog_pos "
+        "LIMIT 1 BY gtid",
+    )
+    from pyspark.sql import Window as W
+
+    want = (
+        binlog_view.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("gtid").orderBy(
+                    F.abs(F.least("single_statement_size", F.lit(0))).desc(),
+                    "binlog_pos",
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .select("gtid", "binlog_pos", "single_statement_size")
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0

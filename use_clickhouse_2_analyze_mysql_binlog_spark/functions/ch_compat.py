@@ -214,14 +214,28 @@ def _rewrite_limit_by(sql: str) -> str:
         by_exprs = tail.strip().rstrip(";").strip()
         final_limit = ""
     head = sql[: m.start()]
-    om = re.search(
-        r"\bORDER\s+BY\s+(?P<o>(?:[^()]|\([^()]*\))*)$",
-        head,
-        flags=re.IGNORECASE | re.DOTALL,
-    )
-    if om:
-        order = om.group("o").strip()
-        inner = head[: om.start()].strip()
+    # find the LAST top-level (paren-depth-0) ORDER BY with a depth
+    # scanner, not a regex: a regex paren-pattern caps nesting depth and
+    # would silently DROP an ORDER BY like abs(least(v, 0)), ordering the
+    # window by the group exprs instead — wrong row per group
+    ob_start = ob_end = None
+    depth, i, up = 0, 0, head.upper()
+    while i < len(head):
+        c = head[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m2 = re.match(r"ORDER\s+BY\s+", up[i:])
+            if m2:
+                ob_start, ob_end = i, i + m2.end()
+                i += m2.end()
+                continue
+        i += 1
+    if ob_start is not None:
+        order = head[ob_end:].strip()
+        inner = head[:ob_start].strip()
         outer_order = f" ORDER BY {order}"
     else:
         # CH returns ANY n rows per group without ORDER BY; pick a
@@ -343,16 +357,25 @@ def translate(
     # CH position(haystack, needle) is 1-based (0 = absent), same contract
     # as Spark instr — but only the 2-arg form; the 3-arg start-pos form
     # and SQL-standard position(x IN y) pass through untouched
-    # passthrough cases emit a \x01-wrapped name (restored just below) —
-    # _rewrite_calls requires every builder to eliminate the searched
-    # name or the rescan would loop forever
-    out = _rewrite_calls(
-        out,
-        "position",
-        lambda a: f"instr({a[0]}, {a[1]})"
-        if len(a) == 2 and " in " not in a[0].lower()
-        else f"\x01position\x01({', '.join(a)})",
-    )
+    # CH position(haystack, needle) == Spark instr (same order, 1-based,
+    # 0 = absent). The 3-arg start-pos form would hit Spark's
+    # position(substr, str, pos) with SWAPPED argument roles — silently
+    # wrong results — so it fails loudly instead of passing through. The
+    # SQL-standard 1-arg position(x IN y) passes through untouched via a
+    # \x01-wrapped name (restored just below; _rewrite_calls requires
+    # every builder to eliminate the searched name or the rescan loops).
+    def _position(a):
+        if len(a) == 2:
+            return f"instr({a[0]}, {a[1]})"
+        if len(a) == 1:
+            return f"\x01position\x01({a[0]})"
+        raise ValueError(
+            "CH position() with a start offset has swapped argument roles "
+            "in Spark's position(); rewrite as locate(needle, haystack, "
+            "start) explicitly"
+        )
+
+    out = _rewrite_calls(out, "position", _position)
     out = out.replace("\x01position\x01", "position")
     # CH splitByChar(sep, s): note the swapped argument order vs Spark's
     # split(s, pattern); \Q..\E-quote the separator so regex metachars
@@ -362,6 +385,16 @@ def translate(
         "splitByChar",
         lambda a: f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))",
     )
+    # CH array subscripts are 1-based, Spark's are 0-based: shift every
+    # positive integer-literal subscript down by one. String-key map
+    # subscripts are unaffected (the literal is masked, so the digits
+    # pattern cannot match); integer-KEYED map lookups are outside the
+    # documented subset (CH dashboards subscript arrays). Negative
+    # (from-the-end) subscripts pass through and fail loudly in Spark.
+    out = re.sub(
+        r"\[(\d+)\]", lambda m: f"[{int(m.group(1)) - 1}]", out
+    )
+
     # toStartOfQuarter/Year return Dates in CH, like toStartOfMonth
     out = _rewrite_calls(
         out,
@@ -420,9 +453,12 @@ def translate(
         masked = re.fullmatch(r"\x00L(\d+)\x00", lit)
         if masked:
             raw = literals[int(masked.group(1))]
-            literals.append(
-                "'" + _convert_ch_datetime_format(raw[1:-1]) + "'"
-            )
+            # the converted Java pattern may itself contain single quotes
+            # (literal letters are 'x'-quoted for the formatter); escape
+            # them for the enclosing SQL string literal or the whole
+            # translated query fails to parse
+            converted = _convert_ch_datetime_format(raw[1:-1])
+            literals.append("'" + converted.replace("'", "\\'") + "'")
             lit = f"\x00L{len(literals) - 1}\x00"
         return f"date_format({a[0]}, {lit})"
 

@@ -104,7 +104,9 @@ def _doc_shingles(documents: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_posting(documents: DataFrame, persist: bool = False) -> DataFrame:
+def _shingle_posting(
+    documents: DataFrame, persist: bool = False, distinct: bool = True
+) -> DataFrame:
     """Distinct (doc_id, sh) posting list with the shingle hashed exactly
     once, *after* explode.
 
@@ -132,8 +134,12 @@ def _shingle_posting(documents: DataFrame, persist: bool = False) -> DataFrame:
         documents.select("doc_id", norm.alias("norm"))
         .withColumn("shingle", F.explode(shingles_expr("norm")))
         .select("doc_id", hash60(F.col("shingle")).alias("sh"))
-        .distinct()
     )
+    if distinct:
+        # shingles_expr already array_distincts per document, so this is
+        # a defensive no-op pass; distinct=False skips its exchange when
+        # the consumer relies on the per-doc-unique guarantee directly
+        posting = posting.distinct()
     if persist:
         posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
     return posting
@@ -382,13 +388,7 @@ def crossdoc_span_stats(documents: DataFrame) -> DataFrame:
     distinct's exchange would shuffle the full posting a second time for
     nothing — the window count per ``sh`` is the document frequency as-is.
     """
-    documents = rebalance_small_scan(documents)
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    posting = (
-        documents.select("doc_id", norm.alias("norm"))
-        .withColumn("shingle", F.explode(shingles_expr("norm")))
-        .select("doc_id", hash60(F.col("shingle")).alias("sh"))
-    )
+    posting = _shingle_posting(documents, distinct=False)
     scored = posting.withColumn(
         "n_docs", F.count(F.lit(1)).over(Window.partitionBy("sh"))
     )
@@ -398,8 +398,13 @@ def crossdoc_span_stats(documents: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum((F.col("n_docs") > 1).cast("long")).alias("n_shared"),
         )
+        # floor, not round: Spark rounds HALF_UP, DuckDB half-even — a
+        # dyadic ratio like 1/32 = .03125 lands exactly on the 4-dp
+        # midpoint and the engines disagree; floor of the same double is
+        # identical in both (the quality_score precedent, operators/text.py)
         .withColumn(
-            "shared_ratio", F.round(F.col("n_shared") / F.col("n_shingles"), 4)
+            "shared_ratio",
+            F.floor(F.col("n_shared") / F.col("n_shingles") * 10000) / 10000,
         )
     )
 
@@ -416,8 +421,8 @@ counts AS (SELECT sh, count(*) AS n_docs FROM posting GROUP BY 1)
 SELECT doc_id,
        count(*) AS n_shingles,
        CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-       round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
-             / CAST(count(*) AS DOUBLE), 4) AS shared_ratio
+       floor(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS shared_ratio
 FROM posting JOIN counts USING (sh)
 GROUP BY doc_id
 """

@@ -122,7 +122,11 @@ def aggregating_merge(partials: DataFrame) -> DataFrame:
         .select(
             "day",
             "event_type",
-            F.round(F.col("sum_size") / F.col("n_events"), 4).alias("avg_size"),
+            # floor, not round: a dyadic sum/count quotient (odd/2^k)
+            # lands exactly on the 4-dp midpoint where Spark (HALF_UP)
+            # and DuckDB (half-even) disagree; floor is identical in both
+            (F.floor(F.col("sum_size") / F.col("n_events") * 10000) / 10000)
+            .alias("avg_size"),
             "max_size",
             "n_events",
         )

@@ -233,8 +233,8 @@ def summing_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH binlog AS ({schemas.BINLOG_VIEW_SQL})
 SELECT strftime(execute_time, '%Y-%m-%d') AS day, event_type,
-       round(sum(single_statement_size) / CAST(count(*) AS DOUBLE), 4)
-         AS avg_size,
+       floor(sum(single_statement_size) / CAST(count(*) AS DOUBLE) * 10000)
+         / 10000 AS avg_size,
        max(single_statement_size) AS max_size,
        count(*) AS n_events
 FROM binlog GROUP BY 1, 2
@@ -1480,18 +1480,10 @@ DRIVER_WINDOW_PRIORITY = [
     "top_transaction_by_spend_time",
     "top_transaction_by_affected_rows",
     "transaction_result_table",
-    # -- 4. rotation fill up to the 50-entry window (r04-green; keeps their
-    #       proof fresh so the r06 rotation has slack)
-    "similarity_topk_bruteforce",
-    "ingest_transform",
-    "scalar_functions",
-    "dedup_ngram_jaccard",
-    "window_funnel",
-    "binlog_gap_report",
-    "ch_dashboard_rollup",
-    "tokens_per_source_stats",
-    # Everything not listed keeps its definition-order position after these
-    # (all r04-green).
+    # -- (no rotation fill this round: 13 changed + 32 stale + 5 headline
+    #       fill the 50-entry window exactly; everything not listed keeps
+    #       its definition-order position after these and is r04-green,
+    #       aging out in r06 — see the ROTATION BUDGET note above)
 ]
 
 
