@@ -827,3 +827,41 @@ def test_upsert_batch_body_replay_idempotent(spark, tmp_path, binlog_df):
     assert doubled == {
         (r.row_pk, 2 * r.n_versions) for r in batch.collect()
     }
+
+
+def test_collapsing_upsert_stream_matches_batch(spark, tmp_path):
+    """Collapsing mode: the maintained signed state, FINAL-filtered at
+    read, must equal the batch collapsing_merge_state — including keys
+    that net to zero mid-stream and are revived by a later epoch (why
+    the state stays unfiltered on disk)."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import merge_tree
+    from use_clickhouse_2_analyze_mysql_binlog_spark.sources.transform import (
+        canal_entries_to_binlog,
+    )
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import upsert_job
+
+    binlog = canal_entries_to_binlog(
+        schemas.canal_entries_view(schemas.load_table(spark, SF_DIR, "events")),
+        ctime=F.to_timestamp(F.lit("2024-02-01 00:00:00")),
+    )
+    src = str(tmp_path / "binlog_src")
+    binlog.repartition(3).write.parquet(src)
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = upsert_job.run_upsert_stream(
+        stream, state, str(tmp_path / "ckpt"), available_now=True,
+        mode="collapsing",
+    )
+    q.awaitTermination(180)
+
+    got = upsert_job.read_collapsed_state(spark, state)
+    want = merge_tree.collapsing_merge_state(merge_tree.dml_rows(binlog))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # the raw state retains the collapsed (net <= 0) keys for mergeability
+    raw = upsert_job.read_state(spark, state)
+    assert raw.count() > got.count()

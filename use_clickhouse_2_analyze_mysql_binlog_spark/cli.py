@@ -93,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
     ups.add_argument("--state", required=True, help="snapshot/manifest dir")
     ups.add_argument("--pk-mod", type=int, default=997,
                      help="synthetic row-identity modulus (fixture only)")
+    ups.add_argument("--mode", choices=("replacing", "collapsing"),
+                     default="replacing",
+                     help="engine semantics: replacing = latest version "
+                     "wins; collapsing = signed net state, FINAL filter "
+                     "at read")
     _add_common(ups)
 
     ses = sub.add_parser(
@@ -239,6 +244,7 @@ def main(argv: list[str] | None = None) -> int:
             args.checkpoint,
             pk_mod=args.pk_mod,
             available_now=args.available_now,
+            mode=args.mode,
         )
     elif args.cmd == "sessions":
         from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import (

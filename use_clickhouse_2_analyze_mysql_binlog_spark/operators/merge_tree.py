@@ -99,12 +99,11 @@ def merge_final_states(prev: DataFrame, incr: DataFrame) -> DataFrame:
     )
 
 
-def collapsing_merge_state(dml: DataFrame) -> DataFrame:
-    """CollapsingMergeTree ``FINAL``: DELETE rows carry sign -1, everything
-    else +1; per sort key the signs are summed and keys netting to <= 0
-    collapse away entirely.  Survivors report their net row count and the
-    latest surviving state.
-    """
+def collapsing_partial_states(dml: DataFrame) -> DataFrame:
+    """Per-key UNFILTERED collapsing state: the incrementally maintainable
+    form. Keys netting to <= 0 must stay in the state (a later +1 row can
+    revive them), so the ``FINAL`` filter belongs at read time only —
+    exactly why ClickHouse collapses lazily at merge/read."""
     sign = F.when(F.col("event_type") == "DELETE", F.lit(-1)).otherwise(F.lit(1))
     return (
         dml.withColumn("sign", sign)
@@ -115,5 +114,29 @@ def collapsing_merge_state(dml: DataFrame) -> DataFrame:
             F.max_by("event_type", "binlog_pos").alias("last_event_type"),
             F.max("binlog_pos").alias("last_pos"),
         )
-        .filter(F.col("net_rows") > 0)
+    )
+
+
+def collapsing_merge_state(dml: DataFrame) -> DataFrame:
+    """CollapsingMergeTree ``FINAL``: DELETE rows carry sign -1, everything
+    else +1; per sort key the signs are summed and keys netting to <= 0
+    collapse away entirely.  Survivors report their net row count and the
+    latest surviving state.
+    """
+    return collapsing_partial_states(dml).filter(F.col("net_rows") > 0)
+
+
+def merge_collapsing_states(prev: DataFrame, incr: DataFrame) -> DataFrame:
+    """Merge two collapsing partial-state snapshots — associative and
+    commutative (summed signs/counts + argmax by the strictly increasing
+    position), the collapsing analogue of :func:`merge_final_states`."""
+    u = prev.unionByName(incr)
+    return (
+        u.groupBy("schema", "table", "row_pk")
+        .agg(
+            F.sum("net_rows").cast("long").alias("net_rows"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max_by("last_event_type", "last_pos").alias("last_event_type"),
+            F.max("last_pos").alias("last_pos"),
+        )
     )

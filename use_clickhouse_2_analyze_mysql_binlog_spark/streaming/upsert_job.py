@@ -34,14 +34,32 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.operators import merge_tree
 from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import epochs
 
 
+#: mode -> (per-batch collapse, associative snapshot merge). "replacing"
+#: maintains the FINAL row-state directly; "collapsing" maintains the
+#: UNFILTERED signed state (net<=0 keys must stay mergeable — a later +1
+#: can revive them), with the FINAL filter applied at read time.
+_MODES = {
+    "replacing": (
+        merge_tree.replacing_merge_final,
+        merge_tree.merge_final_states,
+    ),
+    "collapsing": (
+        merge_tree.collapsing_partial_states,
+        merge_tree.merge_collapsing_states,
+    ),
+}
+
+
 def make_upsert_batch(
     spark: SparkSession,
     state_path: str,
     pk_mod: int = merge_tree.DEFAULT_PK_MOD,
     run_id: str = "local",
+    mode: str = "replacing",
 ):
     """Per-epoch MERGE body (module-level for unit-testable replay
     semantics, like rollup_job.make_merge_batch)."""
+    collapse, merge = _MODES[mode]
 
     def upsert_batch(batch: DataFrame, epoch: int) -> None:
         latest = epochs.read_manifest(state_path)
@@ -51,13 +69,11 @@ def make_upsert_batch(
             and epoch <= latest["epoch"]
         ):
             return  # replay of an already-published epoch of THIS run
-        finals = merge_tree.replacing_merge_final(
-            merge_tree.dml_rows(batch, pk_mod=pk_mod)
-        )
+        finals = collapse(merge_tree.dml_rows(batch, pk_mod=pk_mod))
         merged = finals
         if latest is not None:
             prev = spark.read.parquet(latest["dir"])
-            merged = merge_tree.merge_final_states(prev, finals)
+            merged = merge(prev, finals)
         snapshot_dir = f"{state_path}/snapshots/{run_id}-{epoch}"
         merged.coalesce(1).write.mode("overwrite").parquet(snapshot_dir)
         epochs.publish_snapshot(state_path, epoch, snapshot_dir, run_id=run_id)
@@ -71,15 +87,17 @@ def run_upsert_stream(
     checkpoint_path: str,
     pk_mod: int = merge_tree.DEFAULT_PK_MOD,
     available_now: bool = False,
+    mode: str = "replacing",
 ) -> StreamingQuery:
-    """Maintain the ReplacingMergeTree row-state snapshot from a binlog
-    event stream. Non-DML entries (DDL etc.) are dropped by ``dml_rows``
-    inside the epoch body."""
+    """Maintain the Replacing- (default) or CollapsingMergeTree state
+    snapshot from a binlog event stream. Non-DML entries (DDL etc.) are
+    dropped by ``dml_rows`` inside the epoch body."""
     upsert_batch = make_upsert_batch(
         binlog_stream.sparkSession,
         state_path,
         pk_mod=pk_mod,
         run_id=epochs.run_id_for(checkpoint_path),
+        mode=mode,
     )
     writer = (
         binlog_stream.writeStream.outputMode("append")
@@ -93,8 +111,16 @@ def run_upsert_stream(
 
 def read_state(spark: SparkSession, state_path: str) -> DataFrame:
     """Latest published row-state snapshot (fully merged; one row per key
-    ever seen, ``is_deleted`` marking tombstoned keys)."""
+    ever seen — ``is_deleted`` marks tombstones in replacing mode)."""
     latest = epochs.read_manifest(state_path)
     if latest is None:
         raise FileNotFoundError(f"no published state under {state_path}")
     return spark.read.parquet(latest["dir"])
+
+
+def read_collapsed_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Collapsing-mode FINAL read: the maintained state minus the keys
+    whose signs net to <= 0 (the read-time filter ClickHouse applies)."""
+    from pyspark.sql import functions as F
+
+    return read_state(spark, state_path).filter(F.col("net_rows") > 0)
