@@ -529,3 +529,17 @@ def test_limit_by_nested_paren_order_executes(spark, binlog_view):
     g = sorted(map(tuple, got.collect()))
     w = sorted(map(tuple, want.collect()))
     assert g == w and len(g) > 0
+
+
+def test_quantiles_plural_executes(spark, binlog_view):
+    t = ch_compat.translate("quantiles(0.5, 0.9)(single_statement_size)")
+    assert t == "percentile(single_statement_size, array(0.5, 0.9))"
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT quantiles(0.5, 0.9)(single_statement_size) AS qs FROM binlog",
+    ).collect()[0]["qs"]
+    want = binlog_view.agg(
+        F.percentile("single_statement_size", F.array(F.lit(0.5), F.lit(0.9)))
+        .alias("qs")
+    ).collect()[0]["qs"]
+    assert list(got) == list(want) and len(got) == 2

@@ -1354,3 +1354,33 @@ def test_round5_operators_on_empty_inputs(spark):
     from use_clickhouse_2_analyze_mysql_binlog_spark.operators import dedup as D
 
     assert D.crossdoc_span_stats(empty_docs).count() == 0
+
+
+def test_merge_collapsing_states_associative(spark):
+    """Collapsing analogue of the replacing associativity property: any
+    partitioning, any fold order, equals the batch partial states."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas as S
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import merge_tree
+    from use_clickhouse_2_analyze_mysql_binlog_spark.sources.transform import (
+        canal_entries_to_binlog,
+    )
+    from tests.conftest import SF_DIR
+
+    binlog = canal_entries_to_binlog(
+        S.canal_entries_view(S.load_table(spark, SF_DIR, "events")),
+        ctime=F.to_timestamp(F.lit("2024-02-01 00:00:00")),
+    )
+    dml = merge_tree.dml_rows(binlog).cache()
+    want = merge_tree.collapsing_partial_states(dml)
+    for nparts, order in ((3, (1, 2, 0)), (4, (2, 0, 3, 1))):
+        chunks = [
+            merge_tree.collapsing_partial_states(
+                dml.filter(F.col("binlog_pos") % nparts == i)
+            )
+            for i in range(nparts)
+        ]
+        acc = chunks[order[0]]
+        for i in order[1:]:
+            acc = merge_tree.merge_collapsing_states(acc, chunks[i])
+        assert acc.exceptAll(want).count() == 0
+        assert want.exceptAll(acc).count() == 0, (nparts, order)

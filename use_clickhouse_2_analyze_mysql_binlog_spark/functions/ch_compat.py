@@ -322,7 +322,14 @@ def translate(
             out,
         )
 
-    # parametric aggregates: quantile(p)(x) -> percentile(x, p)
+    # parametric aggregates: quantile(p)(x) -> percentile(x, p);
+    # the plural quantiles(p1, p2, ...)(x) returns an array in both
+    # engines -> percentile(x, array(p1, p2, ...))
+    out = re.sub(
+        r"\bquantiles(?:Exact|TDigest)?\(([^()]*)\)\s*\(([^()]*)\)",
+        r"percentile(\2, array(\1))",
+        out,
+    )
     out = re.sub(
         r"\bquantile(?:Exact|TDigest)?\(([^()]*)\)\s*\(([^()]*)\)",
         r"percentile(\2, \1)",
