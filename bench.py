@@ -144,7 +144,8 @@ def main() -> None:
 
     from use_clickhouse_2_analyze_mysql_binlog_spark import benchfmt
 
-    print(benchfmt.compact_line(timings, headline_value, total, sf_val))
+    print(benchfmt.compact_line(timings, headline_value, total, sf_val,
+          headline_passes=2))
     spark.stop()
 
 

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Bench regression gate: compare two bench.py JSON outputs per query.
 
-Usage: python3 bench_compare.py BENCH_r01.json new_bench.json [threshold]
+Usage: python3 bench_compare.py BASE.json NEW.json [threshold] [hard_cap]
 
 Prints a per-query comparison table and exits non-zero if any HEADLINE
 query (bench.py's reference-core set) is slower than baseline by more than
@@ -63,6 +63,7 @@ def _normalize(doc: dict) -> dict:
                 doc["queries"], doc["qunit"]
             )
         doc.setdefault("total_all_queries", doc.get("total"))
+        doc.setdefault("headline_passes", doc.get("hp"))
     return doc
 
 

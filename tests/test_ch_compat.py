@@ -543,3 +543,18 @@ def test_quantiles_plural_executes(spark, binlog_view):
         .alias("qs")
     ).collect()[0]["qs"]
     assert list(got) == list(want) and len(got) == 2
+
+
+def test_subscript_shift_postfix_only():
+    """Second-review pins: array LITERALS keep their values; only postfix
+    subscripts shift; CH's arr[0] default-read fails loudly."""
+    t = ch_compat.translate
+    assert t("SELECT has([5], x) FROM t") == "SELECT array_contains([5], x) FROM t"
+    assert t("SELECT [1, 2][2] FROM t") == "SELECT [1, 2][1] FROM t"
+    assert t("SELECT f(arr)[3], arr[1] FROM t") == (
+        "SELECT f(arr)[2], arr[0] FROM t"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="type default"):
+        t("SELECT arr[0] FROM t")

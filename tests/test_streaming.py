@@ -847,17 +847,20 @@ def test_collapsing_upsert_stream_matches_batch(spark, tmp_path):
     src = str(tmp_path / "binlog_src")
     binlog.repartition(3).write.parquet(src)
     state = str(tmp_path / "state")
-    stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = upsert_job.run_upsert_stream(
-        stream, state, str(tmp_path / "ckpt"), available_now=True,
-        mode="collapsing",
-    )
-    q.awaitTermination(180)
 
+    def run():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = upsert_job.run_upsert_stream(
+            stream, state, str(tmp_path / "ckpt"), available_now=True,
+            mode="collapsing",
+        )
+        q.awaitTermination(180)
+
+    run()
     got = upsert_job.read_collapsed_state(spark, state)
     want = merge_tree.collapsing_merge_state(merge_tree.dml_rows(binlog))
     assert got.count() == want.count() > 0
@@ -865,3 +868,11 @@ def test_collapsing_upsert_stream_matches_batch(spark, tmp_path):
     # the raw state retains the collapsed (net <= 0) keys for mergeability
     raw = upsert_job.read_state(spark, state)
     assert raw.count() > got.count()
+
+    # replay restart: the sum-based collapsing merge is exactly where a
+    # replayed epoch slipping the manifest guard would double net_rows —
+    # the snapshot must be unchanged after a no-new-data restart
+    run()
+    got2 = upsert_job.read_collapsed_state(spark, state)
+    assert got2.exceptAll(want).count() == 0
+    assert want.exceptAll(got2).count() == 0

@@ -135,6 +135,7 @@ def compact_line(
     headline_value_sec: float,
     total_sec: float,
     sf,
+    headline_passes: int = 1,
 ) -> str:
     """The single stdout JSON line, guaranteed <= TAIL_BUDGET chars.
 
@@ -155,6 +156,7 @@ def compact_line(
                 "qunit": unit,
                 "qn": len(snames),
                 "qsig": name_signature(snames),
+                "hp": headline_passes,
                 "queries": [
                     int(round(timings_sec[n] * scale)) for n in snames
                 ],

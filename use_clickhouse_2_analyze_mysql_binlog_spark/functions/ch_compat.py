@@ -220,6 +220,7 @@ def _rewrite_limit_by(sql: str) -> str:
     # window by the group exprs instead — wrong row per group
     ob_start = ob_end = None
     depth, i, up = 0, 0, head.upper()
+    ob_pat = re.compile(r"ORDER\s+BY\s+")
     while i < len(head):
         c = head[i]
         if c == "(":
@@ -227,10 +228,12 @@ def _rewrite_limit_by(sql: str) -> str:
         elif c == ")":
             depth -= 1
         elif depth == 0:
-            m2 = re.match(r"ORDER\s+BY\s+", up[i:])
+            # match at position i without slicing (up[i:] would copy the
+            # tail at every depth-0 char — quadratic on long queries)
+            m2 = ob_pat.match(up, i)
             if m2:
-                ob_start, ob_end = i, i + m2.end()
-                i += m2.end()
+                ob_start, ob_end = i, m2.end()
+                i = m2.end()
                 continue
         i += 1
     if ob_start is not None:
@@ -392,15 +395,26 @@ def translate(
         "splitByChar",
         lambda a: f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))",
     )
-    # CH array subscripts are 1-based, Spark's are 0-based: shift every
-    # positive integer-literal subscript down by one. String-key map
-    # subscripts are unaffected (the literal is masked, so the digits
-    # pattern cannot match); integer-KEYED map lookups are outside the
-    # documented subset (CH dashboards subscript arrays). Negative
-    # (from-the-end) subscripts pass through and fail loudly in Spark.
-    out = re.sub(
-        r"\[(\d+)\]", lambda m: f"[{int(m.group(1)) - 1}]", out
-    )
+    # CH array subscripts are 1-based, Spark's are 0-based: shift integer
+    # subscripts in POSTFIX position (after an identifier, ')' or ']')
+    # down by one. The lookbehind keeps array LITERALS like [5] intact
+    # (they follow '(', ',' or whitespace). String-key map subscripts are
+    # unaffected (the literal is masked, so the digits pattern cannot
+    # match); integer-KEYED map lookups are outside the documented subset
+    # (CH dashboards subscript arrays). Negative (from-the-end)
+    # subscripts pass through and fail loudly in Spark. CH's arr[0]
+    # (type-default read) has no Spark equivalent — shifting it to [-1]
+    # would SILENTLY return the last element, so it fails loudly here.
+    def _shift_subscript(m: re.Match) -> str:
+        n = int(m.group(1))
+        if n == 0:
+            raise ValueError(
+                "CH arr[0] reads the type default; Spark has no "
+                "equivalent — use arrayElement/coalesce explicitly"
+            )
+        return f"[{n - 1}]"
+
+    out = re.sub(r"(?<=[\w)\]])\[(\d+)\]", _shift_subscript, out)
 
     # toStartOfQuarter/Year return Dates in CH, like toStartOfMonth
     out = _rewrite_calls(

@@ -107,8 +107,10 @@ def _doc_shingles(documents: DataFrame) -> DataFrame:
 def _shingle_posting(
     documents: DataFrame, persist: bool = False, distinct: bool = True
 ) -> DataFrame:
-    """Distinct (doc_id, sh) posting list with the shingle hashed exactly
-    once, *after* explode.
+    """(doc_id, sh) posting list — distinct by default (``distinct=False``
+    skips the defensive pass and relies on shingles_expr's per-document
+    array_distinct) — with the shingle hashed exactly once, *after*
+    explode.
 
     Performance-critical: hashing inside array lambdas gets re-evaluated
     per enclosing lambda (Spark's subexpression elimination does not look

@@ -1480,10 +1480,12 @@ DRIVER_WINDOW_PRIORITY = [
     "top_transaction_by_spend_time",
     "top_transaction_by_affected_rows",
     "transaction_result_table",
-    # -- (no rotation fill this round: 13 changed + 32 stale + 5 headline
-    #       fill the 50-entry window exactly; everything not listed keeps
-    #       its definition-order position after these and is r04-green,
-    #       aging out in r06 — see the ROTATION BUDGET note above)
+    # -- (no rotation fill this round: 11 changed + 32 stale + 5 headline
+    #       = 48 priority entries; window positions 49-50 fall to the
+    #       first definition-order queries (daily_event_counts and
+    #       daily_event_counts_by_table — r04-green, so they get a bonus
+    #       re-proof). Everything else keeps definition order, is
+    #       r04-green, and ages out in r06 — see ROTATION BUDGET above.)
 ]
 
 
