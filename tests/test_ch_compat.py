@@ -558,3 +558,24 @@ def test_subscript_shift_postfix_only():
 
     with pytest.raises(ValueError, match="type default"):
         t("SELECT arr[0] FROM t")
+
+
+def test_date_arithmetic_family():
+    t = ch_compat.translate
+    assert t("addDays(ts, 3)") == "timestampadd(DAY, 3, ts)"
+    assert t("subtractHours(ts, 2)") == "timestampadd(HOUR, -(2), ts)"
+    assert t("toIntervalMonth(30)") == "make_interval(0, 30)"
+    assert t("toIntervalSecond(90)") == "make_interval(0, 0, 0, 0, 0, 0, 90)"
+    assert t("dateDiff('second', a, b)") == "timestampdiff(SECOND, a, b)"
+
+
+def test_date_arithmetic_executes(spark, binlog_view):
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT count() AS n FROM binlog "
+        "WHERE execute_time < addDays(toDateTime('2024-01-01 00:00:00'), 400) "
+        "AND dateDiff('second', execute_time, "
+        "addMinutes(execute_time, 5)) = 300 "
+        "AND execute_time + toIntervalMonth(1) > execute_time",
+    ).collect()[0]["n"]
+    assert got == binlog_view.count() > 0

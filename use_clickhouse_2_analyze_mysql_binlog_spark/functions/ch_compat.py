@@ -35,6 +35,11 @@ onto Spark SQL equivalents that stay entirely JVM-side:
 - date-part extractors (``toYear``..``toSecond``; ``toDayOfWeek`` via
   ``weekday()+1`` to keep CH's Monday=1 contract), ``toStartOfQuarter/
   Year``, ``toUnixTimestamp``/``fromUnixTimestamp``;
+- date arithmetic: ``addDays``/``subtractHours``-family ->
+  ``timestampadd``, ``dateDiff`` -> ``timestampdiff``, ``toIntervalX`` ->
+  ``make_interval`` (the reference's own TTL uses ``toIntervalMonth``,
+  README.md:117); CH 1-based array subscripts shift to Spark's 0-based
+  in postfix position (``arr[0]`` fails loudly — no Spark equivalent);
 - string surface: ``splitByChar`` (swapped args, ``\\Q``-quoted separator
   so regex metachars split literally), ``match`` -> RLIKE, 2-arg
   ``position`` -> ``instr`` (the SQL-standard ``position(x IN y)`` passes
@@ -415,6 +420,51 @@ def translate(
         return f"[{n - 1}]"
 
     out = re.sub(r"(?<=[\w)\]])\[(\d+)\]", _shift_subscript, out)
+
+    # CH date arithmetic family. addX(ts, n) keeps the argument order of
+    # CH but Spark's timestampadd wants (unit, n, ts); subtractX negates.
+    # Works on DateTime (CH's common case); CH's Date-in-Date-out
+    # overloads come back as timestamps and cast fine downstream.
+    for _ch, _unit in (
+        ("addYears", "YEAR"), ("addMonths", "MONTH"), ("addWeeks", "WEEK"),
+        ("addDays", "DAY"), ("addHours", "HOUR"), ("addMinutes", "MINUTE"),
+        ("addSeconds", "SECOND"),
+    ):
+        out = _rewrite_calls(
+            out, _ch, lambda a, u=_unit: f"timestampadd({u}, {a[1]}, {a[0]})"
+        )
+        out = _rewrite_calls(
+            out,
+            "subtract" + _ch[3:],
+            lambda a, u=_unit: f"timestampadd({u}, -({a[1]}), {a[0]})",
+        )
+
+    # toIntervalX(n) -> make_interval(...): the reference's own TTL DDL
+    # uses toIntervalMonth(30) (README.md:117)
+    _INTERVAL_POS = {
+        "toIntervalYear": 0, "toIntervalMonth": 1, "toIntervalWeek": 2,
+        "toIntervalDay": 3, "toIntervalHour": 4, "toIntervalMinute": 5,
+        "toIntervalSecond": 6,
+    }
+    for _ch, _pos in _INTERVAL_POS.items():
+        out = _rewrite_calls(
+            out,
+            _ch,
+            lambda a, p=_pos: "make_interval("
+            + ", ".join((["0"] * p) + [a[0]])
+            + ")",
+        )
+
+    def _date_diff(a):
+        # dateDiff('unit', start, end): the unit arrives as a masked
+        # string literal — unmask it into timestampdiff's bare keyword
+        m2 = re.fullmatch(r"\x00L(\d+)\x00", a[0].strip())
+        unit = (
+            literals[int(m2.group(1))][1:-1] if m2 else a[0].strip("'\" ")
+        )
+        return f"timestampdiff({unit.upper()}, {a[1]}, {a[2]})"
+
+    out = _rewrite_calls(out, "dateDiff", _date_diff)
 
     # toStartOfQuarter/Year return Dates in CH, like toStartOfMonth
     out = _rewrite_calls(
