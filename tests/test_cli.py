@@ -222,3 +222,15 @@ def test_cli_pipeline_gopher_gate(spark, tmp_path, capsys):
     assert 0 < len(out_ids) and out_ids <= gated_ids
     # the gate itself must drop something on this corpus or it proves nothing
     assert len(gated_ids) < docs.count()
+
+
+def test_cli_analyze_check(capsys):
+    """analyze --check runs the DuckDB oracle twin alongside and reports
+    the driver-style row/schema/value verdict."""
+    rc = cli.main(["analyze", "--data-dir", SF_DIR, "--check", "daily_event_counts"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "schema=ok values=ok" in out
+
+    rc = cli.main(["analyze", "--data-dir", SF_DIR, "--check", "embedding_kmeans"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "rows-only" in out

@@ -31,6 +31,7 @@ entrypoint covers both, plus the rollup MV job:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from use_clickhouse_2_analyze_mysql_binlog_spark.session import get_spark
@@ -187,6 +188,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="max rows to print (ignored with --output)")
     an.add_argument("--list", action="store_true", dest="list_queries",
                     help="list available query names and exit")
+    an.add_argument("--check", action="store_true",
+                    help="also run the query's DuckDB oracle twin over the "
+                    "same parquet files and report row/schema/value match "
+                    "(exit 1 on mismatch) — the driver-style differential "
+                    "check as a user-facing tool")
     an.add_argument("name", nargs="?", default=None,
                     help="registry query name (see --list)")
     return ap
@@ -338,8 +344,6 @@ def main(argv: list[str] | None = None) -> int:
         # register every present table (plus the binlog view over events) so
         # the user's ANSI SQL runs unchanged — the clickhouse-client
         # replacement surface
-        import os
-
         for name in schemas.TESTDATA_TABLES:
             if os.path.exists(f"{args.data_dir}/{name}.parquet"):
                 schemas.load_table(spark, args.data_dir, name).createOrReplaceTempView(
@@ -382,6 +386,34 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query: {args.name} (try --list)")
             return 2
         result = queries_registry.QUERIES[args.name](spark, args.data_dir)
+        if args.check:
+            if args.name not in queries_registry.ORACLES:
+                print(f"{args.name}: rows-only (no oracle twin); "
+                      f"rows={result.count()}")
+                return 0
+            import duckdb
+
+            from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+
+            con = duckdb.connect()
+            for t in schemas.TESTDATA_TABLES:
+                path = f"{args.data_dir}/{t}.parquet"
+                if os.path.exists(path):
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM '{path}'"
+                    )
+            sdf = result.toPandas()
+            odf = con.sql(queries_registry.ORACLES[args.name]).fetchdf()
+            cols_ok = sorted(sdf.columns) == sorted(odf.columns)
+            sv = sorted(map(str, sdf[sorted(sdf.columns)]
+                            .itertuples(index=False, name=None)))
+            ov = sorted(map(str, odf[sorted(odf.columns)]
+                            .itertuples(index=False, name=None)))
+            ok = cols_ok and sv == ov and len(sdf) == len(odf)
+            print(f"{args.name}: rows={len(sdf)}/{len(odf)} "
+                  f"schema={'ok' if cols_ok else 'MISMATCH'} "
+                  f"values={'ok' if sv == ov else 'MISMATCH'}")
+            return 0 if ok else 1
         if args.output:
             result.write.mode("overwrite").parquet(args.output)
             print(f"rows={spark.read.parquet(args.output).count()}")
