@@ -549,8 +549,13 @@ def test_subscript_shift_postfix_only():
     """Second-review pins: array LITERALS keep their values; only postfix
     subscripts shift; CH's arr[0] default-read fails loudly."""
     t = ch_compat.translate
-    assert t("SELECT has([5], x) FROM t") == "SELECT array_contains([5], x) FROM t"
-    assert t("SELECT [1, 2][2] FROM t") == "SELECT [1, 2][1] FROM t"
+    assert t("SELECT has([5], x) FROM t") == (
+        "SELECT array_contains(array(5), x) FROM t"
+    )
+    assert t("SELECT [1, 2][2] FROM t") == "SELECT array(1, 2)[1] FROM t"
+    assert t("SELECT [[1], [2, 3]] FROM t") == (
+        "SELECT array(array(1), array(2, 3)) FROM t"
+    )
     assert t("SELECT f(arr)[3], arr[1] FROM t") == (
         "SELECT f(arr)[2], arr[0] FROM t"
     )
@@ -579,3 +584,35 @@ def test_date_arithmetic_executes(spark, binlog_view):
         "AND execute_time + toIntervalMonth(1) > execute_time",
     ).collect()[0]["n"]
     assert got == binlog_view.count() > 0
+
+
+def test_array_hof_lambda_order():
+    t = ch_compat.translate
+    assert t("arrayMap(x -> x + 1, arr)") == "transform(arr, x -> x + 1)"
+    assert t("arrayFilter(x -> x > 2, arr)") == "filter(arr, x -> x > 2)"
+    assert t("arrayExists(x -> x = 0, arr)") == "exists(arr, x -> x = 0)"
+    assert t("arrayAll((x) -> x > 0, arr)") == "forall(arr, (x) -> x > 0)"
+    assert t("arrayCount(x -> x > 1, arr)") == "size(filter(arr, x -> x > 1))"
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple arrays"):
+        t("arrayMap((x, y) -> x + y, a, b)")
+    # GLOBAL is a distribution hint only; strictness keywords survive
+    assert t("SELECT 1 FROM a GLOBAL JOIN b USING (k)") == (
+        "SELECT 1 FROM a JOIN b USING (k)"
+    )
+    assert t("WHERE x GLOBAL IN (SELECT k FROM b)") == (
+        "WHERE x IN (SELECT k FROM b)"
+    )
+    assert "ANY LEFT JOIN" in t("SELECT 1 FROM a ANY LEFT JOIN b USING (k)")
+
+
+def test_array_hof_executes(spark):
+    # CH [..] array literals convert to array(..) and run
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT arrayFilter(x -> x > 2, [1, 2, 3, 4]) AS f, "
+        "arrayMap(x -> x * 10, [1, 2]) AS m, "
+        "arrayCount(x -> x = 1, [1, 1, 2]) AS c",
+    ).collect()[0]
+    assert list(got.f) == [3, 4] and list(got.m) == [10, 20] and got.c == 2

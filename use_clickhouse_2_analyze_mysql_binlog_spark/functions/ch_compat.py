@@ -44,7 +44,13 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   so regex metachars split literally), ``match`` -> RLIKE, 2-arg
   ``position`` -> ``instr`` (the SQL-standard ``position(x IN y)`` passes
   through), ``startsWith/endsWith``, ``leftPad/rightPad``, the ``*UTF8``
-  aliases, ``ifNull/nullIf/assumeNotNull``.
+  aliases, ``ifNull/nullIf/assumeNotNull``;
+- higher-order array functions ``arrayMap/Filter/Exists/All/Count``
+  (lambda-first in CH -> array-first in Spark; multi-array forms fail
+  loudly), ``[..]`` array literals -> ``array(..)``;
+- ``GLOBAL`` join/IN distribution hints dropped (Spark's planner owns
+  broadcast-vs-shuffle; ANY/ASOF strictness keywords are NOT dropped —
+  they change row multiplicity and fail loudly instead).
 
 This is a deliberate TEXTUAL translator for the documented subset, not a
 CH grammar: constructs outside the table raise nothing and pass through,
@@ -152,6 +158,12 @@ def _find_call(sql: str, name: str, start: int = 0) -> tuple[int, int, list[str]
             continue
         if c == "(":
             depth += 1
+        elif c == "[":
+            # array literals nest too: the comma in [1, 2] must not
+            # split a call argument
+            depth += 1
+        elif c == "]":
+            depth -= 1
         elif c == ")":
             depth -= 1
             if depth == 0:
@@ -400,6 +412,18 @@ def translate(
         "splitByChar",
         lambda a: f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))",
     )
+    # CH array LITERALS use [..]; Spark SQL has no bracket literal —
+    # convert to array(..). Non-postfix brackets only (the lookbehind
+    # leaves subscripts alone); innermost-first iteration handles nested
+    # literals, terminating because each pass removes a bracket pair.
+    while True:
+        converted = re.sub(
+            r"(?<![\w)\]])\[([^\[\]]*)\]", r"array(\1)", out
+        )
+        if converted == out:
+            break
+        out = converted
+
     # CH array subscripts are 1-based, Spark's are 0-based: shift integer
     # subscripts in POSTFIX position (after an identifier, ')' or ']')
     # down by one. The lookbehind keeps array LITERALS like [5] intact
@@ -420,6 +444,39 @@ def translate(
         return f"[{n - 1}]"
 
     out = re.sub(r"(?<=[\w)\]])\[(\d+)\]", _shift_subscript, out)
+
+    # CH higher-order array functions put the LAMBDA FIRST; Spark's
+    # equivalents take the array first. Single-array forms only (the
+    # multi-array zip variants would need zip_with and are outside the
+    # documented subset — they pass through and fail loudly). The lambda
+    # body survives verbatim: `x -> expr` is valid in both dialects, and
+    # _find_call's depth tracking keeps `(x, y) ->` lambdas one argument.
+    for _ch, _spark in (
+        ("arrayMap", "transform"),
+        ("arrayFilter", "filter"),
+        ("arrayExists", "exists"),
+        ("arrayAll", "forall"),
+    ):
+        out = _rewrite_calls(
+            out,
+            _ch,
+            lambda a, s_=_spark, c_=_ch: f"{s_}({a[1]}, {a[0]})"
+            if len(a) == 2
+            else (_ for _ in ()).throw(
+                ValueError(f"{c_} with multiple arrays is not translated")
+            ),
+        )
+    out = _rewrite_calls(
+        out, "arrayCount", lambda a: f"size(filter({a[1]}, {a[0]}))"
+    )
+
+    # GLOBAL is a pure ClickHouse distribution hint (ship the right side
+    # to every shard) — Spark's broadcast/shuffle planning owns that
+    # decision, so the keyword drops. ANY/ASOF join strictness keywords
+    # are NOT dropped: they change row multiplicity, so they pass
+    # through and fail loudly in Spark's parser instead.
+    out = re.sub(r"\bGLOBAL\s+(?=JOIN\b|IN\b|ANY\b|ALL\b|LEFT\b|RIGHT\b|"
+                 r"INNER\b|FULL\b|NOT\b)", "", out, flags=re.IGNORECASE)
 
     # CH date arithmetic family. addX(ts, n) keeps the argument order of
     # CH but Spark's timestampadd wants (unit, n, ts); subtractX negates.
