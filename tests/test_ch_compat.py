@@ -616,3 +616,34 @@ def test_array_hof_executes(spark):
         "arrayCount(x -> x = 1, [1, 1, 2]) AS c",
     ).collect()[0]
     assert list(got.f) == [3, 4] and list(got.m) == [10, 20] and got.c == 2
+
+
+def test_scalar_with_aliases_and_sample():
+    t = ch_compat.translate
+    assert t("WITH 300 AS iv SELECT iv, iv * 2 FROM t") == (
+        "SELECT 300, 300 * 2 FROM t"
+    )
+    assert t("WITH '5m' AS label, 60 AS secs SELECT label, secs FROM t") == (
+        "SELECT '5m', 60 FROM t"
+    )
+    # CTE WITH passes through untouched
+    cte = "WITH x AS (SELECT 1 AS a) SELECT a FROM x"
+    assert t(cte) == cte
+    assert t("SELECT count() FROM t SAMPLE 0.1") == (
+        "SELECT count(*) FROM t TABLESAMPLE (10 PERCENT)"
+    )
+
+
+def test_scalar_with_and_sample_execute(spark, binlog_view):
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "WITH 100 AS floor_pos SELECT count() AS n FROM binlog "
+        "WHERE binlog_pos > floor_pos",
+    ).collect()[0]["n"]
+    want = binlog_view.filter(F.col("binlog_pos") > 100).count()
+    assert got == want > 0
+    n_total = binlog_view.count()
+    n_sample = ch_compat.run_clickhouse_sql(
+        spark, "SELECT count() AS n FROM binlog SAMPLE 0.2"
+    ).collect()[0]["n"]
+    assert 0 < n_sample < n_total

@@ -50,7 +50,11 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   loudly), ``[..]`` array literals -> ``array(..)``;
 - ``GLOBAL`` join/IN distribution hints dropped (Spark's planner owns
   broadcast-vs-shuffle; ANY/ASOF strictness keywords are NOT dropped —
-  they change row multiplicity and fail loudly instead).
+  they change row multiplicity and fail loudly instead);
+- CH scalar ``WITH const AS name`` aliases inlined (Spark WITH is
+  CTE-only; non-constant items pass through), ``SAMPLE <fraction>`` ->
+  ``TABLESAMPLE (pct PERCENT)`` (row-count parity; both sample
+  non-deterministically).
 
 This is a deliberate TEXTUAL translator for the documented subset, not a
 CH grammar: constructs outside the table raise nothing and pass through,
@@ -333,6 +337,40 @@ def translate(
     # LIMIT n BY -> row_number window (before function rewrites; the
     # restructured text is then translated like any other query)
     out = _rewrite_limit_by(out)
+
+    # CH scalar WITH aliases: `WITH 300 AS iv SELECT iv ...` — Spark's
+    # WITH is CTE-only and rejects scalar items. CONSTANT items (number
+    # or masked string literal) are inlined by textual substitution; any
+    # other WITH shape (CTEs, expression aliases that could capture
+    # shadowed names) passes through untouched.
+    m = re.match(
+        r"(\s*)WITH\s+((?:(?:\d+(?:\.\d+)?|\x00L\d+\x00)\s+AS\s+\w+\s*,?\s*)+)"
+        r"(?=SELECT\b)",
+        out,
+        flags=re.IGNORECASE,
+    )
+    if m:
+        body = out[m.end():]
+        for item in re.split(r",\s*", m.group(2).strip().rstrip(",")):
+            im = re.match(
+                r"(\d+(?:\.\d+)?|\x00L\d+\x00)\s+AS\s+(\w+)\s*$",
+                item.strip(),
+                flags=re.IGNORECASE,
+            )
+            if im:
+                body = re.sub(
+                    rf"\b{re.escape(im.group(2))}\b", im.group(1), body
+                )
+        out = m.group(1) + body
+
+    # CH `SAMPLE <fraction>` after a table ref -> TABLESAMPLE percent.
+    # Both engines sample non-deterministically; row-count parity only.
+    out = re.sub(
+        r"\bSAMPLE\s+(0?\.\d+)\b",
+        lambda sm: f"TABLESAMPLE ({float(sm.group(1)) * 100:g} PERCENT)",
+        out,
+        flags=re.IGNORECASE,
+    )
 
     # CH DateTime difference idiom: max(ts) - min(ts) -> seconds
     for col in timestamp_columns:
