@@ -38,25 +38,12 @@ def duck():
     con.close()
 
 
-def _norm_cell(v):
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return "∅"
-    if isinstance(v, float):
-        # mimic a value-hash: exact representation, but collapse -0.0/0.0
-        if v == 0:
-            v = 0.0
-        return repr(round(v, 9))
-    return str(v)
-
-
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    out = df.map(_norm_cell)
-    if len(out):
-        out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
-            drop=True
-        )
-    return out
+# the normalizer lives in the package so the analyze --check CLI applies
+# the SAME contract (oracle_compare.py); re-exported here for the tests
+from use_clickhouse_2_analyze_mysql_binlog_spark.oracle_compare import (  # noqa: E402,F401
+    _norm_cell,
+    normalize,
+)
 
 
 def assert_parity(spark_df, duck_con, sql: str, name: str = "?"):

@@ -571,7 +571,11 @@ def test_date_arithmetic_family():
     assert t("subtractHours(ts, 2)") == "timestampadd(HOUR, -(2), ts)"
     assert t("toIntervalMonth(30)") == "make_interval(0, 30)"
     assert t("toIntervalSecond(90)") == "make_interval(0, 0, 0, 0, 0, 0, 90)"
-    assert t("dateDiff('second', a, b)") == "timestampdiff(SECOND, a, b)"
+    # CH dateDiff counts unit-BOUNDARY crossings, so both sides truncate
+    assert t("dateDiff('second', a, b)") == (
+        "timestampdiff(SECOND, date_trunc('SECOND', a), "
+        "date_trunc('SECOND', b))"
+    )
 
 
 def test_date_arithmetic_executes(spark, binlog_view):
@@ -595,7 +599,7 @@ def test_array_hof_lambda_order():
     assert t("arrayCount(x -> x > 1, arr)") == "size(filter(arr, x -> x > 1))"
     import pytest
 
-    with pytest.raises(ValueError, match="multiple arrays"):
+    with pytest.raises(ValueError, match="single-array"):
         t("arrayMap((x, y) -> x + y, a, b)")
     # GLOBAL is a distribution hint only; strictness keywords survive
     assert t("SELECT 1 FROM a GLOBAL JOIN b USING (k)") == (
@@ -647,3 +651,42 @@ def test_scalar_with_and_sample_execute(spark, binlog_view):
         spark, "SELECT count() AS n FROM binlog SAMPLE 0.2"
     ).collect()[0]["n"]
     assert 0 < n_sample < n_total
+
+
+def test_third_review_fixes():
+    """Pins for the third review pass."""
+    t = ch_compat.translate
+    # a WITH alias that collides with mask-token shape must not corrupt
+    # masked string literals
+    assert t("WITH 5 AS L0 SELECT L0, 'hello' FROM t") == (
+        "SELECT 5, 'hello' FROM t"
+    )
+    # qualified columns and output aliases keep their names
+    assert t("WITH 300 AS iv SELECT t.iv, x AS iv, iv FROM t") == (
+        "SELECT t.iv, x AS iv, 300 FROM t"
+    )
+    # scalar WITH composes with LIMIT BY (inline runs first)
+    got = t("WITH 2 AS topn SELECT k, v FROM t ORDER BY v DESC LIMIT 1 BY k")
+    assert "WITH" not in got and "__rn" in got
+    # 1-arg truthy forms; wrong arity fails with an accurate message
+    assert t("arrayCount(arr)") == "size(filter(arr, x -> x != 0))"
+    assert t("arrayExists(arr)") == "exists(arr, x -> x != 0)"
+    import pytest
+
+    with pytest.raises(ValueError, match="1 argument"):
+        t("arrayMap(arr)")
+    with pytest.raises(ValueError, match="3 argument"):
+        t("arrayCount((x, y) -> x = y, a, b)")
+
+
+def test_datediff_boundary_crossing_executes(spark):
+    """dateDiff('month', Jan-31, Feb-01) must be 1 (CH boundary-crossing
+    semantics), not 0 (Spark elapsed-unit semantics)."""
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT dateDiff('month', toDate('2024-01-31'), "
+        "toDate('2024-02-01')) AS m, "
+        "dateDiff('day', toDateTime('2024-01-01 23:00:00'), "
+        "toDateTime('2024-01-02 01:00:00')) AS d",
+    ).collect()[0]
+    assert got.m == 1 and got.d == 1

@@ -393,7 +393,10 @@ def main(argv: list[str] | None = None) -> int:
                 return 0
             import duckdb
 
-            from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+            from use_clickhouse_2_analyze_mysql_binlog_spark import (
+                oracle_compare,
+                schemas,
+            )
 
             con = duckdb.connect()
             for t in schemas.TESTDATA_TABLES:
@@ -402,18 +405,19 @@ def main(argv: list[str] | None = None) -> int:
                     con.execute(
                         f"CREATE VIEW {t} AS SELECT * FROM '{path}'"
                     )
-            sdf = result.toPandas()
-            odf = con.sql(queries_registry.ORACLES[args.name]).fetchdf()
-            cols_ok = sorted(sdf.columns) == sorted(odf.columns)
-            sv = sorted(map(str, sdf[sorted(sdf.columns)]
-                            .itertuples(index=False, name=None)))
-            ov = sorted(map(str, odf[sorted(odf.columns)]
-                            .itertuples(index=False, name=None)))
-            ok = cols_ok and sv == ov and len(sdf) == len(odf)
-            print(f"{args.name}: rows={len(sdf)}/{len(odf)} "
-                  f"schema={'ok' if cols_ok else 'MISMATCH'} "
-                  f"values={'ok' if sv == ov else 'MISMATCH'}")
-            return 0 if ok else 1
+            # the SAME normalization the test suite's assert_parity uses
+            # (dates vs Timestamps, None vs NaN, float repr) — the CLI
+            # verdict cannot drift weaker than the tested contract
+            v = oracle_compare.compare(
+                result.toPandas(),
+                con.sql(queries_registry.ORACLES[args.name]).fetchdf(),
+            )
+            print(f"{args.name}: rows={v['rows'][0]}/{v['rows'][1]} "
+                  f"schema={'ok' if v['schema_ok'] else 'MISMATCH'} "
+                  f"values={'ok' if v['values_ok'] else 'MISMATCH'}")
+            if args.output:
+                result.write.mode("overwrite").parquet(args.output)
+            return 0 if v["values_ok"] else 1
         if args.output:
             result.write.mode("overwrite").parquet(args.output)
             print(f"rows={spark.read.parquet(args.output).count()}")

@@ -36,10 +36,12 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   ``weekday()+1`` to keep CH's Monday=1 contract), ``toStartOfQuarter/
   Year``, ``toUnixTimestamp``/``fromUnixTimestamp``;
 - date arithmetic: ``addDays``/``subtractHours``-family ->
-  ``timestampadd``, ``dateDiff`` -> ``timestampdiff``, ``toIntervalX`` ->
-  ``make_interval`` (the reference's own TTL uses ``toIntervalMonth``,
-  README.md:117); CH 1-based array subscripts shift to Spark's 0-based
-  in postfix position (``arr[0]`` fails loudly — no Spark equivalent);
+  ``timestampadd``, ``dateDiff`` -> ``timestampdiff`` over
+  unit-truncated operands (CH counts boundary CROSSINGS, not elapsed
+  units), ``toIntervalX`` -> ``make_interval`` (the reference's own TTL
+  uses ``toIntervalMonth``, README.md:117); CH 1-based array subscripts
+  shift to Spark's 0-based in postfix position (``arr[0]`` fails loudly
+  — no Spark equivalent);
 - string surface: ``splitByChar`` (swapped args, ``\\Q``-quoted separator
   so regex metachars split literally), ``match`` -> RLIKE, 2-arg
   ``position`` -> ``instr`` (the SQL-standard ``position(x IN y)`` passes
@@ -336,13 +338,13 @@ def translate(
 
     # LIMIT n BY -> row_number window (before function rewrites; the
     # restructured text is then translated like any other query)
-    out = _rewrite_limit_by(out)
-
     # CH scalar WITH aliases: `WITH 300 AS iv SELECT iv ...` — Spark's
     # WITH is CTE-only and rejects scalar items. CONSTANT items (number
     # or masked string literal) are inlined by textual substitution; any
     # other WITH shape (CTEs, expression aliases that could capture
-    # shadowed names) passes through untouched.
+    # shadowed names) passes through untouched. Runs BEFORE the LIMIT BY
+    # rewrite so the two features compose (the rewrite wraps the query in
+    # a subquery, which would bury the WITH past the anchored match).
     m = re.match(
         r"(\s*)WITH\s+((?:(?:\d+(?:\.\d+)?|\x00L\d+\x00)\s+AS\s+\w+\s*,?\s*)+)"
         r"(?=SELECT\b)",
@@ -358,10 +360,20 @@ def translate(
                 flags=re.IGNORECASE,
             )
             if im:
+                # guarded substitution: never inside a mask token (an
+                # alias like "L0" would otherwise match within
+                # \x00L0\x00 and corrupt an unrelated string literal),
+                # never after '.' (qualified column t.iv), never as an
+                # output alias (x AS iv)
                 body = re.sub(
-                    rf"\b{re.escape(im.group(2))}\b", im.group(1), body
+                    rf"(?<![\w.\x00])(?<![Aa][Ss] ){re.escape(im.group(2))}"
+                    rf"\b(?!\x00)",
+                    im.group(1),
+                    body,
                 )
         out = m.group(1) + body
+
+    out = _rewrite_limit_by(out)
 
     # CH `SAMPLE <fraction>` after a table ref -> TABLESAMPLE percent.
     # Both engines sample non-deterministically; row-count parity only.
@@ -489,24 +501,42 @@ def translate(
     # documented subset — they pass through and fail loudly). The lambda
     # body survives verbatim: `x -> expr` is valid in both dialects, and
     # _find_call's depth tracking keeps `(x, y) ->` lambdas one argument.
-    for _ch, _spark in (
-        ("arrayMap", "transform"),
-        ("arrayFilter", "filter"),
-        ("arrayExists", "exists"),
-        ("arrayAll", "forall"),
-    ):
-        out = _rewrite_calls(
-            out,
-            _ch,
-            lambda a, s_=_spark, c_=_ch: f"{s_}({a[1]}, {a[0]})"
-            if len(a) == 2
-            else (_ for _ in ()).throw(
-                ValueError(f"{c_} with multiple arrays is not translated")
-            ),
-        )
+    def _hof(spark_fn, ch_fn, one_arg=None):
+        def build(a):
+            if len(a) == 2:
+                return f"{spark_fn}({a[1]}, {a[0]})"
+            if len(a) == 1 and one_arg is not None:
+                # CH 1-arg form: predicate over truthiness of elements
+                return one_arg(a[0])
+            raise ValueError(
+                f"{ch_fn} with {len(a)} argument(s) is not translated "
+                "(single-array lambda form only)"
+            )
+
+        return build
+
+    out = _rewrite_calls(out, "arrayMap", _hof("transform", "arrayMap"))
+    out = _rewrite_calls(out, "arrayFilter", _hof("filter", "arrayFilter"))
     out = _rewrite_calls(
-        out, "arrayCount", lambda a: f"size(filter({a[1]}, {a[0]}))"
+        out, "arrayExists",
+        _hof("exists", "arrayExists", lambda arr: f"exists({arr}, x -> x != 0)"),
     )
+    out = _rewrite_calls(
+        out, "arrayAll",
+        _hof("forall", "arrayAll", lambda arr: f"forall({arr}, x -> x != 0)"),
+    )
+
+    def _array_count(a):
+        if len(a) == 2:
+            return f"size(filter({a[1]}, {a[0]}))"
+        if len(a) == 1:
+            return f"size(filter({a[0]}, x -> x != 0))"
+        raise ValueError(
+            f"arrayCount with {len(a)} arguments is not translated "
+            "(single-array lambda form only)"
+        )
+
+    out = _rewrite_calls(out, "arrayCount", _array_count)
 
     # GLOBAL is a pure ClickHouse distribution hint (ship the right side
     # to every shard) — Spark's broadcast/shuffle planning owns that
@@ -552,12 +582,19 @@ def translate(
 
     def _date_diff(a):
         # dateDiff('unit', start, end): the unit arrives as a masked
-        # string literal — unmask it into timestampdiff's bare keyword
+        # string literal — unmask it into a bare keyword. CH counts
+        # unit-BOUNDARY CROSSINGS (dateDiff('month', Jan-31, Feb-01) = 1)
+        # while Spark's timestampdiff counts complete elapsed units (= 0
+        # there), so both sides are date_trunc'd to the unit first —
+        # after truncation, elapsed units == boundary crossings.
         m2 = re.fullmatch(r"\x00L(\d+)\x00", a[0].strip())
         unit = (
             literals[int(m2.group(1))][1:-1] if m2 else a[0].strip("'\" ")
+        ).upper()
+        return (
+            f"timestampdiff({unit}, date_trunc('{unit}', {a[1]}), "
+            f"date_trunc('{unit}', {a[2]}))"
         )
-        return f"timestampdiff({unit.upper()}, {a[1]}, {a[2]})"
 
     out = _rewrite_calls(out, "dateDiff", _date_diff)
 
