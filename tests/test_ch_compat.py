@@ -690,3 +690,74 @@ def test_datediff_boundary_crossing_executes(spark):
         "toDateTime('2024-01-02 01:00:00')) AS d",
     ).collect()[0]
     assert got.m == 1 and got.d == 1
+
+
+@pytest.mark.parametrize(
+    "metric,order_col,sum_alias",
+    [
+        # compute_transaction_info.py:78-91: ORDER BY affected rows
+        ("transaction_affected_rows", "transaction_affected_rows",
+         "transaction_affected_rows"),
+        # compute_transaction_info.py:103-116: ORDER BY spend time; note
+        # the reference aliases the sum as single_statement_affected_rows
+        # [sic] in this variant — preserved verbatim
+        ("transaction_spend_time", "transaction_spend_time",
+         "single_statement_affected_rows"),
+    ],
+)
+def test_reference_other_top1_queries_run_translated(
+    spark, binlog_view, metric, order_col, sum_alias
+):
+    """The reference's OTHER two per-window top-1 queries, verbatim shape
+    (only the ORDER BY metric and one alias differ from the size variant
+    already covered)."""
+    start, end = "2024-01-01 00:00:00", "2024-01-16 00:00:00"
+    sql = f"""
+        SELECT
+            toDateTime('{end}'),
+            '300',
+            gtid,
+            max(execute_time) - min(execute_time) AS transaction_spend_time,
+            (max(toUInt32(binlog_pos)) - min(toUInt32(binlog_pos))) + argMax(toUInt32(single_statement_size), toUInt32(binlog_pos)) AS transaction_size,
+            sum(single_statement_affected_rows) AS {sum_alias}
+        FROM mysql_monitor.broker_binlog
+        WHERE (execute_time >= '{start}') AND (execute_time < '{end}')
+        GROUP BY gtid
+        ORDER BY {order_col} DESC
+        LIMIT 1
+    """
+    got = ch_compat.run_clickhouse_sql(
+        spark, sql, table_map={"mysql_monitor.broker_binlog": "binlog"}
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    window = binlog_view.filter(
+        (F.col("execute_time") >= start) & (F.col("execute_time") < end)
+    )
+    stats = window.groupBy("gtid").agg(
+        (
+            F.unix_timestamp(F.max("execute_time"))
+            - F.unix_timestamp(F.min("execute_time"))
+        ).alias("transaction_spend_time"),
+        (
+            F.max("binlog_pos") - F.min("binlog_pos")
+            + F.max_by("single_statement_size", "binlog_pos")
+        ).alias("transaction_size"),
+        F.sum("single_statement_affected_rows").alias(
+            "transaction_affected_rows"
+        ),
+    )
+    want_max = stats.agg(
+        F.max(
+            "transaction_affected_rows"
+            if metric == "transaction_affected_rows"
+            else "transaction_spend_time"
+        )
+    ).collect()[0][0]
+    got_val = (
+        r[sum_alias]
+        if metric == "transaction_affected_rows"
+        else r["transaction_spend_time"]
+    )
+    assert got_val == want_max
