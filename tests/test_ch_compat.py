@@ -761,3 +761,43 @@ def test_reference_other_top1_queries_run_translated(
         else r["transaction_spend_time"]
     )
     assert got_val == want_max
+
+
+# the reference's per-table daily-count MV select, verbatim
+# (README.md:229-245 — the 4-key rollup; note bare `schema`/`table`
+# column names, which Spark's parser accepts unquoted)
+REFERENCE_MV4_SQL = """
+SELECT
+    toDate(execute_time) AS day,
+    schema,
+    table,
+    event_type,
+    count(*) AS event_count
+FROM mysql_monitor.broker_binlog_local
+GROUP BY
+    day,
+    schema,
+    table,
+    event_type
+ORDER BY
+    day ASC,
+    schema ASC,
+    table ASC,
+    event_type DESC
+"""
+
+
+def test_reference_mv4_select_matches_rollup(spark, binlog_view):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import rollups
+
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        REFERENCE_MV4_SQL,
+        table_map={"mysql_monitor.broker_binlog_local": "binlog"},
+    )
+    want = rollups.daily_event_counts_by_table(binlog_view)
+    g = {(str(r.day), r.schema, r.table, r.event_type): r.event_count
+         for r in got.collect()}
+    w = {(r.day, r.schema, r.table, r.event_type): r.event_count
+         for r in want.collect()}
+    assert g == w and len(g) > 0
