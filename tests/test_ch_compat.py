@@ -801,3 +801,19 @@ def test_reference_mv4_select_matches_rollup(spark, binlog_view):
     w = {(r.day, r.schema, r.table, r.event_type): r.event_count
          for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_remaining_if_combinators(spark, binlog_view):
+    t = ch_compat.translate
+    assert t("maxIf(x, y > 1)") == "max(if(y > 1, x, NULL))"
+    assert t("uniqExactIf(g, d > 0)") == "count(DISTINCT if(d > 0, g, NULL))"
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT maxIf(single_statement_size, event_type = 'INSERT') AS mx, "
+        "minIf(binlog_pos, event_type = 'INSERT') AS mn, "
+        "uniqExactIf(gtid, event_type = 'INSERT') AS ug FROM binlog",
+    ).collect()[0]
+    ins = binlog_view.filter(F.col("event_type") == "INSERT")
+    assert got.mx == ins.agg(F.max("single_statement_size")).collect()[0][0]
+    assert got.mn == ins.agg(F.min("binlog_pos")).collect()[0][0]
+    assert got.ug == ins.select("gtid").distinct().count()

@@ -413,6 +413,24 @@ def translate(
     out = _rewrite_calls(
         out, "avgIf", lambda a: f"avg(if({a[1]}, {a[0]}, NULL))"
     )
+    # remaining common -If combinators: NULL on the false branch — every
+    # Spark aggregate here ignores NULLs, matching CH's skip-row contract
+    out = _rewrite_calls(
+        out, "maxIf", lambda a: f"max(if({a[1]}, {a[0]}, NULL))"
+    )
+    out = _rewrite_calls(
+        out, "minIf", lambda a: f"min(if({a[1]}, {a[0]}, NULL))"
+    )
+    out = _rewrite_calls(
+        out,
+        "uniqIf",
+        lambda a: f"approx_count_distinct(if({a[1]}, {a[0]}, NULL))",
+    )
+    out = _rewrite_calls(
+        out,
+        "uniqExactIf",
+        lambda a: f"count(DISTINCT if({a[1]}, {a[0]}, NULL))",
+    )
     out = _rewrite_calls(
         out, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})"
     )
