@@ -4,11 +4,9 @@ values with columns sorted by name)."""
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
-import pandas as pd
 import pytest
 
 from use_clickhouse_2_analyze_mysql_binlog_spark import schemas

@@ -624,11 +624,16 @@ def test_array_hof_executes(spark):
 
 def test_scalar_with_aliases_and_sample():
     t = ch_compat.translate
+    # constants parenthesize so a bare integer landing in GROUP BY /
+    # ORDER BY cannot be reinterpreted as a positional ordinal
     assert t("WITH 300 AS iv SELECT iv, iv * 2 FROM t") == (
-        "SELECT 300, 300 * 2 FROM t"
+        "SELECT (300), (300) * 2 FROM t"
     )
     assert t("WITH '5m' AS label, 60 AS secs SELECT label, secs FROM t") == (
-        "SELECT '5m', 60 FROM t"
+        "SELECT ('5m'), (60) FROM t"
+    )
+    assert t("WITH 2 AS n SELECT a, count() FROM t GROUP BY a, n") == (
+        "SELECT a, count(*) FROM t GROUP BY a, (2)"
     )
     # CTE WITH passes through untouched
     cte = "WITH x AS (SELECT 1 AS a) SELECT a FROM x"
@@ -659,12 +664,20 @@ def test_third_review_fixes():
     # a WITH alias that collides with mask-token shape must not corrupt
     # masked string literals
     assert t("WITH 5 AS L0 SELECT L0, 'hello' FROM t") == (
-        "SELECT 5, 'hello' FROM t"
+        "SELECT (5), 'hello' FROM t"
     )
-    # qualified columns and output aliases keep their names
+    # qualified columns and output aliases keep their names (any amount
+    # of whitespace after AS)
     assert t("WITH 300 AS iv SELECT t.iv, x AS iv, iv FROM t") == (
-        "SELECT t.iv, x AS iv, 300 FROM t"
+        "SELECT t.iv, x AS iv, (300) FROM t"
     )
+    assert t("WITH 300 AS iv SELECT x AS\n  iv, iv FROM t") == (
+        "SELECT x AS\n  iv, (300) FROM t"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tuple forms"):
+        t("uniqExactIf(a, b, cond)")
     # scalar WITH composes with LIMIT BY (inline runs first)
     got = t("WITH 2 AS topn SELECT k, v FROM t ORDER BY v DESC LIMIT 1 BY k")
     assert "WITH" not in got and "__rn" in got

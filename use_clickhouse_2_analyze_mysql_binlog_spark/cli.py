@@ -406,8 +406,9 @@ def main(argv: list[str] | None = None) -> int:
                         f"CREATE VIEW {t} AS SELECT * FROM '{path}'"
                     )
             # the SAME normalization the test suite's assert_parity uses
-            # (dates vs Timestamps, None vs NaN, float repr) — the CLI
-            # verdict cannot drift weaker than the tested contract
+            # (None vs NaN, float repr/-0.0; dates must be stringified by
+            # the query, as every registry oracle does) — the CLI verdict
+            # matches the tested driver contract exactly
             v = oracle_compare.compare(
                 result.toPandas(),
                 con.sql(queries_registry.ORACLES[args.name]).fetchdf(),

@@ -364,11 +364,23 @@ def translate(
                 # alias like "L0" would otherwise match within
                 # \x00L0\x00 and corrupt an unrelated string literal),
                 # never after '.' (qualified column t.iv), never as an
-                # output alias (x AS iv)
+                # output alias (x AS iv, any whitespace after AS —
+                # checked against the preceding text, since lookbehinds
+                # can't span variable whitespace; implicit AS-less
+                # aliases are outside the documented subset). The value
+                # is parenthesized so a bare integer landing in GROUP
+                # BY/ORDER BY cannot be reinterpreted as a positional
+                # ordinal.
+                const, alias = im.group(1), im.group(2)
+
+                def _sub(mm, c=const):
+                    if re.search(r"(?i)\bAS\s*$", mm.string[: mm.start()]):
+                        return mm.group(0)
+                    return f"({c})"
+
                 body = re.sub(
-                    rf"(?<![\w.\x00])(?<![Aa][Ss] ){re.escape(im.group(2))}"
-                    rf"\b(?!\x00)",
-                    im.group(1),
+                    rf"(?<![\w.\x00]){re.escape(alias)}\b(?!\x00)",
+                    _sub,
                     body,
                 )
         out = m.group(1) + body
@@ -414,23 +426,39 @@ def translate(
         out, "avgIf", lambda a: f"avg(if({a[1]}, {a[0]}, NULL))"
     )
     # remaining common -If combinators: NULL on the false branch — every
-    # Spark aggregate here ignores NULLs, matching CH's skip-row contract
+    # Spark aggregate here ignores NULLs, matching CH's skip-row contract.
+    # Strictly 2-arg (expr, cond): the multi-expression tuple forms would
+    # silently treat the second expression as the condition, so they
+    # raise instead. NOTE the conditional forms are NOT covered by the
+    # bare max(ts)-min(ts) seconds idiom above — a conditional timestamp
+    # difference yields Spark's INTERVAL type (loud downstream), outside
+    # the documented subset.
+    def _agg_if(spark_fn, ch_fn):
+        def build(a):
+            if len(a) != 2:
+                raise ValueError(
+                    f"{ch_fn} expects (expr, cond); {len(a)} arguments "
+                    "(tuple forms are not translated)"
+                )
+            return f"{spark_fn}(if({a[1]}, {a[0]}, NULL))"
+
+        return build
+
+    out = _rewrite_calls(out, "maxIf", _agg_if("max", "maxIf"))
+    out = _rewrite_calls(out, "minIf", _agg_if("min", "minIf"))
     out = _rewrite_calls(
-        out, "maxIf", lambda a: f"max(if({a[1]}, {a[0]}, NULL))"
+        out, "uniqIf", _agg_if("approx_count_distinct", "uniqIf")
     )
-    out = _rewrite_calls(
-        out, "minIf", lambda a: f"min(if({a[1]}, {a[0]}, NULL))"
-    )
-    out = _rewrite_calls(
-        out,
-        "uniqIf",
-        lambda a: f"approx_count_distinct(if({a[1]}, {a[0]}, NULL))",
-    )
-    out = _rewrite_calls(
-        out,
-        "uniqExactIf",
-        lambda a: f"count(DISTINCT if({a[1]}, {a[0]}, NULL))",
-    )
+
+    def _uniq_exact_if(a):
+        if len(a) != 2:
+            raise ValueError(
+                f"uniqExactIf expects (expr, cond); {len(a)} arguments "
+                "(tuple forms are not translated)"
+            )
+        return f"count(DISTINCT if({a[1]}, {a[0]}, NULL))"
+
+    out = _rewrite_calls(out, "uniqExactIf", _uniq_exact_if)
     out = _rewrite_calls(
         out, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})"
     )

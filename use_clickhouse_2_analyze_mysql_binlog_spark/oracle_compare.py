@@ -3,7 +3,13 @@
 One implementation of the driver-style value compare, used by BOTH the
 test suite (tests/conftest.py assert_parity) and the user-facing
 ``analyze --check`` CLI — so the CLI verdict cannot drift weaker than the
-tested contract (dates vs Timestamps, None vs NaN, float repr, -0.0).
+tested contract. Normalization covers None-vs-NaN unification, float
+repr at 9 dp, and -0.0 collapse; everything else is stringified EXACTLY
+like the driver's value-hash, so queries must emit engine-portable
+representations themselves (all registry oracles format dates/timestamps
+to strings for this reason — a raw DATE column would stringify as
+datetime.date on the Spark side and midnight Timestamp on the DuckDB
+side and mismatch, in this comparator AND in the driver).
 """
 
 from __future__ import annotations
