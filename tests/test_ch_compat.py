@@ -830,3 +830,38 @@ def test_remaining_if_combinators(spark, binlog_view):
     assert got.mx == ins.agg(F.max("single_statement_size")).collect()[0][0]
     assert got.mn == ins.agg(F.min("binlog_pos")).collect()[0][0]
     assert got.ug == ins.select("gtid").distinct().count()
+
+
+def test_json_extract_family(spark):
+    t = ch_compat.translate
+    assert t("JSONExtractString(props, 'k')") == (
+        "get_json_object(props, '$.k')"
+    )
+    assert t("JSONExtractInt(props, 'k')") == (
+        "CAST(get_json_object(props, '$.k') AS BIGINT)"
+    )
+    assert t("JSONHas(props, 'k')") == (
+        "(get_json_object(props, '$.k') IS NOT NULL)"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="JSONPath"):
+        t("JSONExtractString(props, 'a.b')")
+
+    # runnable: events.props is a JSON object with key "k"
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+
+    schemas.load_table(spark, SF_DIR, "events").createOrReplaceTempView(
+        "events_j"
+    )
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT sum(JSONExtractInt(props, 'k')) AS s, "
+        "countIf(JSONHas(props, 'missing')) AS m FROM events_j",
+    ).collect()[0]
+    want = (
+        schemas.load_table(spark, SF_DIR, "events")
+        .agg(F.sum(F.get_json_object("props", "$.k").cast("bigint")))
+        .collect()[0][0]
+    )
+    assert got.s == want > 0 and got.m == 0

@@ -56,7 +56,10 @@ onto Spark SQL equivalents that stay entirely JVM-side:
 - CH scalar ``WITH const AS name`` aliases inlined (Spark WITH is
   CTE-only; non-constant items pass through), ``SAMPLE <fraction>`` ->
   ``TABLESAMPLE (pct PERCENT)`` (row-count parity; both sample
-  non-deterministically).
+  non-deterministically);
+- JSON extraction: ``JSONExtractString/Int/UInt/Float/Bool/Raw``,
+  ``visitParamExtract*``, ``JSONHas`` -> ``get_json_object`` with a
+  ``$.key`` path (+casts); simple keys only, compound keys fail loudly.
 
 This is a deliberate TEXTUAL translator for the documented subset, not a
 CH grammar: constructs outside the table raise nothing and pass through,
@@ -591,6 +594,36 @@ def translate(
     # through and fail loudly in Spark's parser instead.
     out = re.sub(r"\bGLOBAL\s+(?=JOIN\b|IN\b|ANY\b|ALL\b|LEFT\b|RIGHT\b|"
                  r"INNER\b|FULL\b|NOT\b)", "", out, flags=re.IGNORECASE)
+
+    # CH JSON extraction -> get_json_object with a $.key path. The key
+    # arrives as a masked literal; simple keys only (no dots/quotes —
+    # those need full JSONPath and are outside the documented subset,
+    # failing loudly here). Typed variants wrap in casts; JSONHas tests
+    # for presence.
+    def _json_path(a):
+        m2 = re.fullmatch(r"\x00L(\d+)\x00", a[1].strip())
+        key = literals[int(m2.group(1))][1:-1] if m2 else a[1].strip("'\" ")
+        if re.search(r"[.'\"\[\]]", key):
+            raise ValueError(
+                f"JSONExtract key {key!r} needs full JSONPath; only "
+                "simple keys are translated"
+            )
+        return f"get_json_object({a[0]}, '$.{key}')"
+
+    for _ch, _wrap in (
+        ("JSONExtractString", "{0}"),
+        ("visitParamExtractString", "{0}"),
+        ("JSONExtractRaw", "{0}"),
+        ("JSONExtractInt", "CAST({0} AS BIGINT)"),
+        ("visitParamExtractInt", "CAST({0} AS BIGINT)"),
+        ("JSONExtractUInt", "CAST({0} AS BIGINT)"),
+        ("JSONExtractFloat", "CAST({0} AS DOUBLE)"),
+        ("JSONExtractBool", "CAST({0} AS BOOLEAN)"),
+        ("JSONHas", "({0} IS NOT NULL)"),
+    ):
+        out = _rewrite_calls(
+            out, _ch, lambda a, w=_wrap: w.format(_json_path(a))
+        )
 
     # CH date arithmetic family. addX(ts, n) keeps the argument order of
     # CH but Spark's timestampadd wants (unit, n, ts); subtractX negates.
