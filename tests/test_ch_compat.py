@@ -865,3 +865,19 @@ def test_json_extract_family(spark):
         .collect()[0][0]
     )
     assert got.s == want > 0 and got.m == 0
+
+
+def test_limit_offset_form(spark, binlog_view):
+    t = ch_compat.translate
+    assert t("SELECT x FROM t LIMIT 10, 5") == (
+        "SELECT x FROM t LIMIT 5 OFFSET 10"
+    )
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT binlog_pos FROM binlog ORDER BY binlog_pos LIMIT 3, 2",
+    ).collect()
+    want = [
+        r.binlog_pos
+        for r in binlog_view.orderBy("binlog_pos").limit(5).collect()
+    ][3:5]
+    assert [r.binlog_pos for r in got] == want

@@ -390,6 +390,16 @@ def translate(
 
     out = _rewrite_limit_by(out)
 
+    # CH/MySQL-style `LIMIT offset, count` -> Spark's LIMIT count OFFSET
+    # offset (Spark 3.4+). Anchored to clause end so a LIMIT inside a
+    # subquery tail still matches its own clause only.
+    out = re.sub(
+        r"\bLIMIT\s+(\d+)\s*,\s*(\d+)",
+        lambda lm: f"LIMIT {lm.group(2)} OFFSET {lm.group(1)}",
+        out,
+        flags=re.IGNORECASE,
+    )
+
     # CH `SAMPLE <fraction>` after a table ref -> TABLESAMPLE percent.
     # Both engines sample non-deterministically; row-count parity only.
     out = re.sub(
