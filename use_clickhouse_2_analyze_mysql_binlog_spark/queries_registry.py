@@ -1416,76 +1416,78 @@ def tokens_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries added this round or whose implementation changed, so their prior
 # driver proof (if any) no longer describes the shipped code.
 CHANGED_THIS_ROUND = [
-    "sequence_pack",  # auto-sized bucket_span (flat plan at driver scale)
-    "ch_top_event_limit_by",  # new: CH LIMIT n BY through the translator
-    "size_quantiles_approx_check",  # new: sketch error-bound twin
-    "daily_distinct_gtids_approx_check",  # new: HLL error-bound twin
-    "embedding_kmeans_inertia_check",  # new: Lloyd's convergence twin
-    "replacing_merge_final",  # new: ReplacingMergeTree FINAL read
-    "collapsing_merge_state",  # new: CollapsingMergeTree FINAL read
-    "quality_gopher_flags",  # new: Gopher rule filter (integer-exact flags)
-    "dedup_span_crossdoc",  # new: cross-doc span duplication fraction
-    "aggregating_rollup_merge",  # new: AggregatingMergeTree -State/-Merge
-    "ch_prewhere_profile",  # new: PREWHERE/any/countIf via the translator
+    # round-6 budget: at most 3 entries (see ROTATION BUDGET below).
+    # Planned: corpus_curate_gopher, dedup_staged_posting_roundtrip,
+    # ch_if_combinators_json — appended here as each lands.
 ]
-# ROTATION BUDGET (round 6): the 42 queries outside this round's 50-entry
-# window carry r04-green proof that ages out in r06, so r06's window must
-# hold all 42 + the 5 headline = 47 — leaving room for AT MOST 3 new or
-# changed queries in round 6 (at 92 registry entries). Adding more
-# requires either retiring queries or accepting a one-round proof gap.
+# ROTATION BUDGET (round 7): at 95 registry entries and a 50-entry window,
+# the 45 queries outside this round's window carry r05-green proof that
+# ages out in r07, so r07's window must hold all 45 + the 5 headline = 50
+# — leaving room for ZERO new or changed registry queries in round 7.
+# Adding any requires either retiring queries or accepting a one-round
+# proof gap; prefer spending round-7 breadth on streaming/storage/
+# translator work, which proves out in tests.
 
 DRIVER_WINDOW_PRIORITY = [
-    # -- 1. added or implementation-changed this round (round 5): no
+    # -- 1. added or implementation-changed this round (round 6): no
     #       current driver proof
     *CHANGED_THIS_ROUND,
-    # -- 2. green only in CORRECTNESS_r03 (rotated out of the r04 window);
+    # -- 2. green only in CORRECTNESS_r04 (rotated out of the r05 window);
     #       their proof ages out of the 2-round window unless re-verified
-    #       in r05 (VERDICT r04 next-round #1). Exactly the 32 registry
-    #       queries absent from CORRECTNESS_r04.json.
-    "doc_fingerprint",
-    "corpus_source_cap",
-    "benchmark_contamination",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_staged",
-    "dedup_incremental",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "similarity_ivf_topk",
-    "similarity_ivf_topk_nprobe",
-    "similarity_batch_topk",
-    "embedding_kmeans_assign",
-    "embedding_kmeans",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "large_order_customers",
-    "order_priority_counts",
-    "dedup_apply_minhash",
-    "promo_revenue",
-    "similarity_lsh_topk",
-    "size_quantiles_approx",
-    "daily_distinct_gtids_approx",
-    "dedup_connected_components",
-    "dedup_apply_connected_components",
-    "daily_count_anomalies",
-    "embedding_quantization_error",
-    "doc_chunks",
-    "language_mixture_weights",
-    "retention_cohorts",
+    #       in r06 (VERDICT r05 next-round #1). Exactly the 42 registry
+    #       queries absent from CORRECTNESS_r05.json.
+    "asof_trade_quote",
+    "binlog_gap_report",
+    "ch_dashboard_rollup",
+    "corpus_curate",
+    "corpus_curate_materialize",
+    "corpus_length_histogram",
+    "corpus_sample_stratified",
+    "corpus_top_bigrams",
+    "corpus_train_test_split",
+    "daily_counts_gapfilled",
+    "daily_counts_moving_avg",
+    "daily_counts_pivot",
+    "day_over_day_counts",
+    "dedup_ngram_jaccard",
+    "event_count_cube",
+    "event_type_decode_dim_join",
+    "gtid_set_operations",
+    "idempotent_window_antijoin",
+    "ingest_transform",
+    "multi_cluster_daily_counts",
+    "multimodal_metadata",
+    "nation_revenue",
+    "nation_top_customer",
+    "pricing_summary",
+    "range_join_maintenance_windows",
+    "retention_filter",
+    "scalar_functions",
+    "session_windows",
+    "similarity_topk_bruteforce",
+    "size_mad_per_type",
+    "size_quantiles",
+    "skew_salted_table_profile",
+    "summing_rollup_reaggregate",
+    "text_language_id",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_repetition_score",
+    "text_token_count",
+    "tokens_per_source_stats",
+    "top_revenue_orders",
+    "window_funnel",
+    "windowed_running_size",
     # -- 3. reference-core headline queries (verified every round)
     "transaction_stats",
     "top_transaction_by_size",
     "top_transaction_by_spend_time",
     "top_transaction_by_affected_rows",
     "transaction_result_table",
-    # -- (no rotation fill this round: 11 changed + 32 stale + 5 headline
-    #       = 48 priority entries; window positions 49-50 fall to the
-    #       first definition-order queries (daily_event_counts and
-    #       daily_event_counts_by_table — r04-green, so they get a bonus
-    #       re-proof). Everything else keeps definition order, is
-    #       r04-green, and ages out in r06 — see ROTATION BUDGET above.)
+    # -- (up to 3 changed + 42 stale + 5 headline = 50 priority entries:
+    #       the window is exactly full once the round-6 budget is spent.
+    #       Everything else keeps definition order, is r05-green, and
+    #       ages out in r07 — see ROTATION BUDGET above.)
 ]
 
 
