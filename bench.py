@@ -50,6 +50,17 @@ BENCH_QUERIES = [
     "transaction_result_table",
 ]
 
+# Non-headline queries gated by bench_compare.py (VERDICT r03 #3/#7): the
+# historically slowest/most volatile heavies. They get the same min-of-2
+# treatment as the headline set (VERDICT r05 #2: single-pass gating on a
+# box with 4 s vs 37 s same-code swings produced a false watched-query
+# gate FAIL in round 5).
+WATCHED_QUERIES = [
+    "dedup_apply_connected_components",
+    "benchmark_contamination",
+    "dedup_ngram_jaccard",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,15 +92,17 @@ def main() -> None:
         R.QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # The headline metric gets a second timed pass, keeping the MINIMUM —
-    # standard min-of-N benching: the minimum estimates the true cost with
-    # scheduler/GC noise stripped, which matters on a shared box where
-    # identical runs have been observed to swing far more than the code
-    # ever changes (round 5: same query 4 s vs 37 s across back-to-back
-    # runs). Single-pass numbers stay authoritative for the 90-query tail
-    # (2x the full sweep would double the driver's bench wall time);
-    # "headline_passes" in the output records the methodology.
-    for name in (n for n in BENCH_QUERIES if n in timings):
+    # The headline metric and the gated WATCHED trio get a second timed
+    # pass, keeping the MINIMUM — standard min-of-N benching: the minimum
+    # estimates the true cost with scheduler/GC noise stripped, which
+    # matters on a shared box where identical runs have been observed to
+    # swing far more than the code ever changes (round 5: same query 4 s
+    # vs 37 s across back-to-back runs). Single-pass numbers stay
+    # authoritative for the ungated tail (2x the full sweep would double
+    # the driver's bench wall time); "headline_passes" in the output
+    # records the methodology and covers the watched trio too from
+    # round 6 on.
+    for name in (n for n in BENCH_QUERIES + WATCHED_QUERIES if n in timings):
         t0 = time.perf_counter()
         R.QUERIES[name](spark, sf_dir).count()
         timings[name] = min(
@@ -110,16 +123,35 @@ def main() -> None:
     # twice: the stable name (gitignored — a scratch handle for tools) and
     # a round+sf-stamped snapshot (VERDICT r04 #7) so per-query history
     # survives at full precision across rounds. The current round is the
-    # newest committed CORRECTNESS_r{N}.json plus one (the driver writes
-    # that file at the END of a round); the sf suffix keeps local runs at
-    # other scale factors from clobbering the driver's sf0.1 snapshot.
+    # newest GIT-TRACKED CORRECTNESS_r{N}.json plus one: the driver
+    # writes CORRECTNESS_r{N}.json to disk (untracked) BEFORE its
+    # end-of-round bench run, so globbing the working tree stamped that
+    # run N+1 (the r05→"r06" off-by-one, VERDICT r05 #6); files already
+    # committed are one round behind by construction for both the
+    # builder's mid-round runs and the driver's end-of-round run. The
+    # HEAD sha is embedded so provenance never depends on the stamp; the
+    # sf suffix keeps local runs at other scale factors from clobbering
+    # the driver's sf0.1 snapshot.
     repo = os.path.dirname(os.path.abspath(__file__))
     import glob
     import re as _re
+    import subprocess
 
+    try:
+        tracked = subprocess.run(
+            ["git", "-C", repo, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.split()
+        git_sha = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.strip()
+    except Exception:  # not a git checkout: fall back to the working tree
+        tracked = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        git_sha = None
     rounds = [
         int(m.group(1))
-        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        for p in tracked
         if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))
     ]
     this_round = (max(rounds) + 1) if rounds else 0
@@ -132,6 +164,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "round": this_round,
+        "git_sha": git_sha,
         "headline_passes": 2,
     }
     for fname in (

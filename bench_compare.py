@@ -32,16 +32,8 @@ import json
 import re
 import sys
 
-from bench import BENCH_QUERIES
+from bench import BENCH_QUERIES, WATCHED_QUERIES
 from use_clickhouse_2_analyze_mysql_binlog_spark import benchfmt
-
-# Non-headline queries whose trend is gated like the headline set (VERDICT
-# r03 #3/#7): the historically slowest two plus the one real r03 regression.
-WATCHED_QUERIES = [
-    "dedup_apply_connected_components",
-    "benchmark_contamination",
-    "dedup_ngram_jaccard",
-]
 
 
 def _normalize(doc: dict) -> dict:
