@@ -63,6 +63,12 @@ def make_merge_batch(
                 existing.unionByName(partial), keys=keys, metrics=("event_count",)
             )
         snapshot_dir = f"{rollup_path}/snapshots/{run_id}-{epoch}"
+        # coalesce(1) is deliberate and SAFE here, unlike the upsert job's
+        # row-state snapshot (which is partitioned, upsert_job.py): this
+        # state is the rollup itself, bounded by the key space
+        # |days| x |event_type| (x |table|) — a few thousand rows forever,
+        # regardless of fact volume — and one file keeps the per-epoch
+        # read path a single-footer open.
         merged.coalesce(1).write.mode("overwrite").parquet(snapshot_dir)
         epochs.publish_snapshot(rollup_path, epoch, snapshot_dir, run_id=run_id)
 
