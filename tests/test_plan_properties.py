@@ -271,3 +271,32 @@ def test_ch_prewhere_pushes_scan_filter(spark):
     assert "PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,1000)" in plan or \
            "GreaterThan(event_id,1000)" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_corpus_curate_gopher_keeps_two_shuffle_shape(spark):
+    """The --gopher pre-gate is row-local: it must fuse into the scan and
+    add ZERO exchanges to corpus_curate's pinned 2-shuffle plan (window on
+    content_hash + stats groupBy), and still no joins."""
+    plan = _plan(spark, "corpus_curate_gopher")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_ch_if_combinators_single_aggregate(spark):
+    """Translated -If/JSONExtract query: one partial+final aggregate on
+    event_type; the JSON extraction stays row-local (no extra exchange,
+    no Expand — the count(DISTINCT if(...)) plans as a two-phase
+    aggregate, not a multi-distinct Expand)."""
+    plan = _plan(spark, "ch_if_combinators_json")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_ngram_jaccard_staged_never_scans_documents(spark):
+    """The staged ngram-jaccard read path must consume ONLY the posting
+    parquet — the documents table never appears in the pair query's scan
+    set (the 100 TB contract of the staged front door)."""
+    df = R.QUERIES["dedup_ngram_jaccard_staged"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, plan
+    assert "spark_graft_posting_" in plan, plan

@@ -30,10 +30,12 @@ from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
     hash60,
 )
 from use_clickhouse_2_analyze_mysql_binlog_spark.operators.text import (
+    GOPHER_FLAGS_SQL,
     QUALITY_SCORE_SQL,
     STOPWORDS,
     TOKENS_SQL,
     _in_list_sql,
+    gopher_gate,
     tokens,
     with_quality,
 )
@@ -214,6 +216,59 @@ def curate_corpus(
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(F.avg("quality_score"), 4).alias("avg_quality"),
     )
+
+
+def curate_corpus_gopher(
+    documents: DataFrame,
+    min_quality: float = 0.55,
+    min_tokens: int = 8,
+) -> DataFrame:
+    """The corpus pipeline's ``--gopher`` path end-to-end (cli.py
+    ``pipeline --gopher``): Gopher rule pre-gate, then the standard
+    quality gate + exact dedup (keep-first) + per-language stats.
+
+    The pre-gate must run BEFORE the keep-first dedup — it changes the
+    survivor set per content_hash group, so gating after the window would
+    keep different representatives. Row-local, so it fuses into the scan:
+    the plan stays curate_corpus's exact 2-shuffle shape (window on
+    content_hash + stats groupBy; pinned in tests/test_plan_properties.py).
+    """
+    return curate_corpus(
+        gopher_gate(documents), min_quality=min_quality, min_tokens=min_tokens
+    )
+
+
+def CURATE_CORPUS_GOPHER_SQL(
+    min_quality: float = 0.55, min_tokens: int = 8
+) -> str:
+    """DuckDB twin of curate_corpus_gopher. The Gopher keep-set joins in
+    as an extra doc_id restriction on the ``gated`` stage — equivalent to
+    pre-filtering the input, since every rule is row-local — so the
+    keep-first dedup groups over exactly the pre-gated survivor set."""
+    return f"""
+WITH q AS ({QUALITY_SCORE_SQL}),
+gf AS (SELECT doc_id FROM ({GOPHER_FLAGS_SQL}) WHERE keep = 1),
+gated AS (
+  SELECT d.doc_id, d.lang, d.text, q.quality_score, q.n_tokens
+  FROM documents d
+  JOIN q ON d.doc_id = q.doc_id
+  JOIN gf ON d.doc_id = gf.doc_id
+  WHERE q.quality_score >= {min_quality} AND q.n_tokens >= {min_tokens}
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, {HASH60_SQL('text')} AS content_hash FROM gated)
+  GROUP BY content_hash
+),
+survivors AS (
+  SELECT g.lang, g.quality_score, g.n_tokens
+  FROM keep JOIN gated g ON keep.doc_id = g.doc_id
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality_score), 4) AS avg_quality
+FROM survivors GROUP BY lang
+"""
 
 
 def curated_documents(

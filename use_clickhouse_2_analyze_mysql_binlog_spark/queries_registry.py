@@ -587,6 +587,17 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curate_corpus(schemas.load_table(spark, sf_dir, "documents"))
 
 
+@register("corpus_curate_gopher", curation.CURATE_CORPUS_GOPHER_SQL())
+def corpus_curate_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``pipeline --gopher`` path end-to-end (cli.py): Gopher rule
+    pre-gate, then quality gate + exact dedup keep-first + per-language
+    stats. The pre-gate is row-local and fuses into the scan, so the plan
+    keeps corpus_curate's exact 2-shuffle shape (pinned)."""
+    return curation.curate_corpus_gopher(
+        schemas.load_table(spark, sf_dir, "documents")
+    )
+
+
 @register("corpus_curate_materialize", curation.CURATED_DOCUMENTS_SQL())
 def corpus_curate_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized curation output: the surviving documents themselves,
@@ -672,6 +683,27 @@ def dedup_minhash_lsh_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dedup.write_shingle_posting(docs, path)
     return dedup.minhash_lsh_pairs(docs, threshold=0.5, posting_path=path)
+
+
+@register("dedup_ngram_jaccard_staged", dedup.NGRAM_JACCARD_SQL(threshold=0.5))
+def dedup_ngram_jaccard_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard pairs over the MATERIALIZED shingle posting — the
+    second consumer of the staged front door (dedup_minhash_lsh_staged is
+    the first): at 100 TB every dedup family member reads the pre-hashed
+    two-long-column posting table instead of re-shingling the raw corpus.
+    Staging is semantics-preserving, so the oracle is the plain
+    ngram-jaccard twin; same tmp path as the minhash staged query (same
+    posting, deterministic overwrite)."""
+    import os
+    import tempfile
+
+    docs = schemas.load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_posting_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    dedup.write_shingle_posting(docs, path)
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5, posting_path=path)
 
 
 @register("dedup_incremental", dedup.INCREMENTAL_DEDUP_SQL(threshold=0.5))
@@ -1362,6 +1394,64 @@ def ch_prewhere_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -If combinators + the JSONExtract family through the translator — the
+# round-5 late batches' first driver-oracle row (they had 37 unit tests
+# but no hash-checked driver signal, VERDICT r05 #4c). maxIf/minIf/
+# uniqExactIf translate to NULL-skipping Spark aggregates; every group at
+# sf>=0.001 has rows on both sides of the value split, so the CH
+# empty-group divergence (CH returns the type default, Spark NULL) never
+# shows in the output.
+CH_IF_JSON_SQL = """
+SELECT event_type,
+       maxIf(JSONExtractInt(props, 'k'), value > 0.5) AS max_k_high,
+       minIf(JSONExtractInt(props, 'k'), value <= 0.5) AS min_k_low,
+       uniqExactIf(user_id, JSONExtractInt(props, 'k') >= 50) AS n_users_topk,
+       countIf(JSONHas(props, 'k')) AS n_with_k,
+       count() AS n_events
+FROM dashboard.events_all
+GROUP BY event_type
+"""
+
+CH_IF_JSON_ORACLE = """
+SELECT event_type,
+       CAST(max(CASE WHEN value > 0.5
+            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END)
+         AS BIGINT) AS max_k_high,
+       CAST(min(CASE WHEN value <= 0.5
+            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END)
+         AS BIGINT) AS min_k_low,
+       CAST(count(DISTINCT CASE
+            WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+            THEN user_id END) AS BIGINT) AS n_users_topk,
+       CAST(count(*) FILTER (
+            WHERE json_extract_string(props, '$.k') IS NOT NULL)
+         AS BIGINT) AS n_with_k,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("ch_if_combinators_json", CH_IF_JSON_ORACLE)
+def ch_if_combinators_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type JSON-payload profile written with ClickHouse's -If
+    combinators (maxIf/minIf/uniqExactIf/countIf) and the JSONExtract
+    family, executed through the dialect translator: JSONExtractInt maps
+    to a CAST over get_json_object, JSONHas to IS NOT NULL, the -If
+    combinators to NULL-skipping conditional aggregates. One partial+final
+    aggregate on event_type; JSON extraction is row-local."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.functions import ch_compat
+
+    schemas.load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events"
+    )
+    return ch_compat.run_clickhouse_sql(
+        spark,
+        CH_IF_JSON_SQL,
+        table_map={"dashboard.events_all": "events"},
+    )
+
+
 TOKENS_PER_SOURCE_SQL = f"""
 WITH toks AS (
   SELECT source, len({text.TOKENS_SQL("text")}) AS ntok
@@ -1416,9 +1506,10 @@ def tokens_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries added this round or whose implementation changed, so their prior
 # driver proof (if any) no longer describes the shipped code.
 CHANGED_THIS_ROUND = [
-    # round-6 budget: at most 3 entries (see ROTATION BUDGET below).
-    # Planned: corpus_curate_gopher, dedup_staged_posting_roundtrip,
-    # ch_if_combinators_json — appended here as each lands.
+    # round-6 budget: exactly 3 entries (see ROTATION BUDGET below).
+    "corpus_curate_gopher",  # new: pipeline --gopher pre-gate end-to-end
+    "dedup_ngram_jaccard_staged",  # new: 2nd staged-posting consumer
+    "ch_if_combinators_json",  # new: -If combinators + JSONExtract driver row
 ]
 # ROTATION BUDGET (round 7): at 95 registry entries and a 50-entry window,
 # the 45 queries outside this round's window carry r05-green proof that
