@@ -599,8 +599,14 @@ def test_array_hof_lambda_order():
     assert t("arrayCount(x -> x > 1, arr)") == "size(filter(arr, x -> x > 1))"
     import pytest
 
+    # two-array arrayMap -> zip_with (VERDICT r05 #5); 3+ arrays stay loud
+    assert t("arrayMap((x, y) -> x + y, a, b)") == (
+        "zip_with(a, b, (x, y) -> x + y)"
+    )
+    with pytest.raises(ValueError, match="two-array"):
+        t("arrayMap((x, y, z) -> x + y + z, a, b, c)")
     with pytest.raises(ValueError, match="single-array"):
-        t("arrayMap((x, y) -> x + y, a, b)")
+        t("arrayFilter((x, y) -> x > y, a, b)")
     # GLOBAL is a distribution hint only; strictness keywords survive
     assert t("SELECT 1 FROM a GLOBAL JOIN b USING (k)") == (
         "SELECT 1 FROM a JOIN b USING (k)"
@@ -655,7 +661,10 @@ def test_scalar_with_and_sample_execute(spark, binlog_view):
     n_sample = ch_compat.run_clickhouse_sql(
         spark, "SELECT count() AS n FROM binlog SAMPLE 0.2"
     ).collect()[0]["n"]
-    assert 0 < n_sample < n_total
+    # Bernoulli 20% sampling: only n <= total is guaranteed — strict
+    # 0 < n < total was flaky on small regenerated-per-round testdata
+    # (ADVICE r05 #5); the translation shape itself is pinned elsewhere
+    assert 0 <= n_sample <= n_total
 
 
 def test_third_review_fixes():
@@ -881,3 +890,100 @@ def test_limit_offset_form(spark, binlog_view):
         for r in binlog_view.orderBy("binlog_pos").limit(5).collect()
     ][3:5]
     assert [r.binlog_pos for r in got] == want
+
+
+def test_json_compound_paths(spark):
+    """VERDICT r05 #5: CH's variadic path elements — string keys chain
+    into $.a.b, 1-based integer indices become JSONPath's 0-based [i]."""
+    t = ch_compat.translate
+    assert t("JSONExtractString(j, 'a', 'b')") == (
+        "get_json_object(j, '$.a.b')"
+    )
+    assert t("JSONExtractInt(j, 'a', 2, 'b')") == (
+        "CAST(get_json_object(j, '$.a[1].b') AS BIGINT)"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="from-the-end"):
+        t("JSONExtractString(j, 'a', 0)")
+    with _pytest.raises(ValueError, match="dynamic"):
+        t("JSONExtractString(j, col)")
+
+    # runnable: nested object + array indexing
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        """SELECT JSONExtractString(j, 'a', 'b') AS ab,
+                  JSONExtractInt(j, 'xs', 2) AS x2
+           FROM (SELECT '{"a": {"b": "deep"}, "xs": [10, 20, 30]}' AS j)""",
+    ).collect()[0]
+    assert row.ab == "deep" and row.x2 == 20
+
+
+def test_json_extract_raw_keeps_quotes(spark):
+    """ADVICE r05 #3: Raw returns the raw JSON token — string scalars
+    KEEP their quotes (get_json_object would strip them), objects come
+    back verbatim, missing keys give CH's ''."""
+    rows = ch_compat.run_clickhouse_sql(
+        spark,
+        """SELECT JSONExtractRaw(j, 's') AS raw_str,
+                  JSONExtractRaw(j, 'n') AS raw_num,
+                  JSONExtractRaw(j, 'o') AS raw_obj,
+                  JSONExtractRaw(j, 'missing') AS raw_missing
+           FROM (SELECT '{"s": "x", "n": 87, "o": {"a": 1}}' AS j)""",
+    ).collect()[0]
+    assert rows.raw_str == '"x"'
+    assert rows.raw_num == "87"
+    assert rows.raw_obj == '{"a":1}'
+    assert rows.raw_missing == ""
+
+
+def test_to_day_of_week_modes(spark):
+    """ADVICE r05 #2: the mode argument was silently dropped (every mode
+    computed as mode 0). All four CH modes now map; timezone arg and
+    non-literal modes raise."""
+    t = ch_compat.translate
+    assert t("toDayOfWeek(d)") == "(weekday(d) + 1)"
+    assert t("toDayOfWeek(d, 0)") == "(weekday(d) + 1)"
+    assert t("toDayOfWeek(d, 1)") == "(weekday(d))"
+    assert t("toDayOfWeek(d, 2)") == "(dayofweek(d))"
+    assert t("toDayOfWeek(d, 3)") == "(dayofweek(d) - 1)"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        t("toDayOfWeek(d, 9)")
+    with _pytest.raises(ValueError, match="timezone"):
+        t("toDayOfWeek(d, 1, 'UTC')")
+
+    # runnable: 2024-02-05 is a Monday
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT toDayOfWeek(d) AS m0, toDayOfWeek(d, 1) AS m1, "
+        "toDayOfWeek(d, 2) AS m2, toDayOfWeek(d, 3) AS m3 "
+        "FROM (SELECT to_date('2024-02-05') AS d)",
+    ).collect()[0]
+    assert (row.m0, row.m1, row.m2, row.m3) == (1, 0, 2, 1)
+
+
+def test_case_insensitive_standard_names(spark):
+    """ADVICE r05 #1: CH resolves standard-SQL function names
+    case-insensitively; POSITION/Any uppercase spellings previously
+    BYPASSED the rewrites — POSITION hit Spark's swapped-role position()
+    and ANY hit bool_or, both silently wrong."""
+    t = ch_compat.translate
+    assert t("POSITION(haystack, needle)") == "instr(haystack, needle)"
+    assert t("Position(haystack, needle)") == "instr(haystack, needle)"
+    assert t("ANY(x)") == "any_value(x)"
+    assert t("Any(x)") == "any_value(x)"
+    # the ANY JOIN strictness keyword is not a call site: still loud
+    assert "ANY LEFT JOIN" in t("SELECT 1 FROM a ANY LEFT JOIN b USING (k)")
+    # inside string literals nothing changes
+    assert t("SELECT 'Any(x) POSITION(a,b)' AS s") == (
+        "SELECT 'Any(x) POSITION(a,b)' AS s"
+    )
+
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT POSITION('hello world', 'world') AS p, ANY(v) AS a "
+        "FROM (SELECT 42 AS v)",
+    ).collect()[0]
+    assert row.p == 7 and row.a == 42

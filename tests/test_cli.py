@@ -156,6 +156,20 @@ def test_cli_analyze_list_and_run(capsys):
     assert rc == 2
 
 
+def test_cli_analyze_check_rows_only_writes_output(capsys, tmp_path):
+    """ADVICE r05 #4: analyze --check --output on a rows-only query used
+    to return before the write, silently producing no parquet."""
+    out = str(tmp_path / "kmeans_out")
+    rc = cli.main([
+        "analyze", "--data-dir", SF_DIR, "--check", "--output", out,
+        "embedding_kmeans",
+    ])
+    assert rc == 0 and "rows-only" in capsys.readouterr().out
+    import os
+
+    assert os.path.isdir(out)
+
+
 def test_cli_sql_clickhouse_dialect(capsys):
     rc = cli.main([
         "sql", "--data-dir", SF_DIR, "--dialect", "clickhouse",

@@ -388,6 +388,10 @@ def main(argv: list[str] | None = None) -> int:
         result = queries_registry.QUERIES[args.name](spark, args.data_dir)
         if args.check:
             if args.name not in queries_registry.ORACLES:
+                # rows-only queries still honor --output (ADVICE r05 #4:
+                # the early return used to silently skip the write)
+                if args.output:
+                    result.write.mode("overwrite").parquet(args.output)
                 print(f"{args.name}: rows-only (no oracle twin); "
                       f"rows={result.count()}")
                 return 0

@@ -32,9 +32,10 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   IS the scan-stage filtering PREWHERE hand-implements);
 - ``any``/``anyLast`` -> ``any_value`` (same nondeterministic contract;
   Spark's bare ``any()`` is bool_or, so the rename is also a guard);
-- date-part extractors (``toYear``..``toSecond``; ``toDayOfWeek`` via
-  ``weekday()+1`` to keep CH's Monday=1 contract), ``toStartOfQuarter/
-  Year``, ``toUnixTimestamp``/``fromUnixTimestamp``;
+- date-part extractors (``toYear``..``toSecond``; ``toDayOfWeek`` with
+  all four CH modes via ``weekday``/``dayofweek`` arithmetic — Monday=1
+  default), ``toStartOfQuarter/Year``,
+  ``toUnixTimestamp``/``fromUnixTimestamp``;
 - date arithmetic: ``addDays``/``subtractHours``-family ->
   ``timestampadd``, ``dateDiff`` -> ``timestampdiff`` over
   unit-truncated operands (CH counts boundary CROSSINGS, not elapsed
@@ -48,8 +49,9 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   through), ``startsWith/endsWith``, ``leftPad/rightPad``, the ``*UTF8``
   aliases, ``ifNull/nullIf/assumeNotNull``;
 - higher-order array functions ``arrayMap/Filter/Exists/All/Count``
-  (lambda-first in CH -> array-first in Spark; multi-array forms fail
-  loudly), ``[..]`` array literals -> ``array(..)``;
+  (lambda-first in CH -> array-first in Spark; two-array ``arrayMap``
+  -> ``zip_with``, three-plus arrays fail loudly), ``[..]`` array
+  literals -> ``array(..)``;
 - ``GLOBAL`` join/IN distribution hints dropped (Spark's planner owns
   broadcast-vs-shuffle; ANY/ASOF strictness keywords are NOT dropped —
   they change row multiplicity and fail loudly instead);
@@ -57,9 +59,15 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   CTE-only; non-constant items pass through), ``SAMPLE <fraction>`` ->
   ``TABLESAMPLE (pct PERCENT)`` (row-count parity; both sample
   non-deterministically);
-- JSON extraction: ``JSONExtractString/Int/UInt/Float/Bool/Raw``,
+- JSON extraction: ``JSONExtractString/Int/UInt/Float/Bool``,
   ``visitParamExtract*``, ``JSONHas`` -> ``get_json_object`` with a
-  ``$.key`` path (+casts); simple keys only, compound keys fail loudly.
+  ``$.a.b[i]`` path (+casts) — compound paths from CH's variadic
+  string-key / 1-based-integer-index elements; ``JSONExtractRaw``
+  round-trips through Spark 4's VARIANT so string scalars keep their
+  quotes (raw-token contract), missing/malformed -> CH's ``''``;
+- standard-SQL names CH resolves case-insensitively whose bypass would
+  be silently wrong in Spark (``POSITION`` arg roles, ``ANY`` ->
+  bool_or) are normalized to the rewritten lowercase spelling first.
 
 This is a deliberate TEXTUAL translator for the documented subset, not a
 CH grammar: constructs outside the table raise nothing and pass through,
@@ -316,6 +324,22 @@ def translate(
     # names appearing inside string VALUES
     out = re.sub(r"'(?:[^'\\]|\\.|'')*'", _mask, sql)
 
+    # CH resolves function names that exist in standard SQL
+    # case-INSENSITIVELY (POSITION, ANY, COUNT, SUM, ...). Two of them
+    # have case-sensitive rewrite rules below whose bypass is silently
+    # wrong in Spark (ADVICE r05 #1): POSITION(haystack, needle) would
+    # hit Spark's position(substr, str) with swapped roles, and
+    # Any(x)/ANY(x) would hit Spark's any = bool_or. Normalize every
+    # casing to the lowercase spelling the rules match. Only applied to
+    # NAME( call sites, so the ANY JOIN strictness keyword (followed by
+    # join keywords, never '(') keeps failing loudly. The other
+    # case-insensitive names either translate identically in Spark
+    # (count/sum/min/max/avg/coalesce) or are CH-specific camelCase
+    # (countIf, anyLast, ...) that CH itself treats case-sensitively.
+    out = re.sub(r"\bposition(?=\s*\()", "position", out,
+                 flags=re.IGNORECASE)
+    out = re.sub(r"\bany(?=\s*\()", "any", out, flags=re.IGNORECASE)
+
     # clause strips (before function work: SETTINGS may contain '=')
     out = re.sub(r"\bSETTINGS\b[^;]*$", "", out, flags=re.IGNORECASE)
     out = re.sub(r"\bFORMAT\s+\w+\s*$", "", out, flags=re.IGNORECASE)
@@ -482,10 +506,33 @@ def translate(
     out = _rewrite_calls(
         out, "toYYYYMM", lambda a: f"int(date_format({a[0]}, 'yyyyMM'))"
     )
-    # CH toDayOfWeek: Monday=1..Sunday=7; Spark weekday: Monday=0
-    out = _rewrite_calls(
-        out, "toDayOfWeek", lambda a: f"(weekday({a[0]}) + 1)"
-    )
+    # CH toDayOfWeek: default (mode 0) Monday=1..Sunday=7; Spark weekday
+    # is Monday=0, dayofweek is Sunday=1. All four CH modes map cleanly
+    # onto weekday/dayofweek arithmetic; a non-literal mode or the
+    # timezone third argument raises instead of silently computing
+    # mode 0 (ADVICE r05 #2 — previously extra arguments were DROPPED).
+    def _day_of_week(a):
+        if len(a) == 1:
+            return f"(weekday({a[0]}) + 1)"
+        if len(a) == 2:
+            forms = {
+                "0": f"(weekday({a[0]}) + 1)",   # Monday = 1 .. 7
+                "1": f"(weekday({a[0]}))",        # Monday = 0 .. 6
+                "2": f"(dayofweek({a[0]}))",      # Sunday = 1 .. 7
+                "3": f"(dayofweek({a[0]}) - 1)",  # Sunday = 0 .. 6
+            }
+            mode = a[1].strip()
+            if mode in forms:
+                return forms[mode]
+            raise ValueError(
+                f"toDayOfWeek mode {mode!r} is not a literal 0-3; not "
+                "translated"
+            )
+        raise ValueError(
+            "toDayOfWeek with a timezone argument is not translated"
+        )
+
+    out = _rewrite_calls(out, "toDayOfWeek", _day_of_week)
     # CH match(s, re) is a boolean regexp test
     out = _rewrite_calls(
         out, "match", lambda a: f"({a[0]} RLIKE {a[1]})"
@@ -555,26 +602,44 @@ def translate(
     out = re.sub(r"(?<=[\w)\]])\[(\d+)\]", _shift_subscript, out)
 
     # CH higher-order array functions put the LAMBDA FIRST; Spark's
-    # equivalents take the array first. Single-array forms only (the
-    # multi-array zip variants would need zip_with and are outside the
-    # documented subset — they pass through and fail loudly). The lambda
-    # body survives verbatim: `x -> expr` is valid in both dialects, and
-    # _find_call's depth tracking keeps `(x, y) ->` lambdas one argument.
-    def _hof(spark_fn, ch_fn, one_arg=None):
+    # equivalents take the array first. Single-array forms everywhere;
+    # arrayMap additionally translates the TWO-array zip form via
+    # zip_with (VERDICT r05 #5). Semantics note: CH requires equal array
+    # sizes and throws otherwise, Spark's zip_with NULL-pads the shorter
+    # side — inputs that are valid in CH (equal sizes) behave
+    # identically, and CH-invalid inputs yield NULL-padded rows here
+    # instead of a query error. Three-plus arrays have no Spark
+    # equivalent and stay loud. The lambda body survives verbatim:
+    # `x -> expr` / `(x, y) -> expr` are valid in both dialects, and
+    # _find_call's depth tracking keeps parenthesized lambdas one
+    # argument.
+    def _hof(spark_fn, ch_fn, one_arg=None, two_arrays=None):
         def build(a):
             if len(a) == 2:
                 return f"{spark_fn}({a[1]}, {a[0]})"
             if len(a) == 1 and one_arg is not None:
                 # CH 1-arg form: predicate over truthiness of elements
                 return one_arg(a[0])
+            if len(a) == 3 and two_arrays is not None:
+                return two_arrays(a[0], a[1], a[2])
             raise ValueError(
                 f"{ch_fn} with {len(a)} argument(s) is not translated "
-                "(single-array lambda form only)"
+                + ("(one- or two-array lambda forms only)"
+                   if two_arrays is not None
+                   else "(single-array lambda form only)")
             )
 
         return build
 
-    out = _rewrite_calls(out, "arrayMap", _hof("transform", "arrayMap"))
+    out = _rewrite_calls(
+        out,
+        "arrayMap",
+        _hof(
+            "transform",
+            "arrayMap",
+            two_arrays=lambda lam, a1, a2: f"zip_with({a1}, {a2}, {lam})",
+        ),
+    )
     out = _rewrite_calls(out, "arrayFilter", _hof("filter", "arrayFilter"))
     out = _rewrite_calls(
         out, "arrayExists",
@@ -605,25 +670,64 @@ def translate(
     out = re.sub(r"\bGLOBAL\s+(?=JOIN\b|IN\b|ANY\b|ALL\b|LEFT\b|RIGHT\b|"
                  r"INNER\b|FULL\b|NOT\b)", "", out, flags=re.IGNORECASE)
 
-    # CH JSON extraction -> get_json_object with a $.key path. The key
-    # arrives as a masked literal; simple keys only (no dots/quotes —
-    # those need full JSONPath and are outside the documented subset,
-    # failing loudly here). Typed variants wrap in casts; JSONHas tests
-    # for presence.
+    # CH JSON extraction -> get_json_object with a $.a.b[i] path. CH's
+    # variadic path elements (VERDICT r05 #5): each STRING element is an
+    # object key (must itself be simple — no dots/quotes/brackets, which
+    # would change meaning inside a JSONPath), each bare INTEGER element
+    # is a 1-based array index (CH) shifted to JSONPath's 0-based [i];
+    # CH's 0 / negative (from-the-end) indices have no JSONPath
+    # equivalent and fail loudly. Typed variants wrap in casts; JSONHas
+    # tests for presence.
     def _json_path(a):
-        m2 = re.fullmatch(r"\x00L(\d+)\x00", a[1].strip())
-        key = literals[int(m2.group(1))][1:-1] if m2 else a[1].strip("'\" ")
-        if re.search(r"[.'\"\[\]]", key):
+        if len(a) < 2:
             raise ValueError(
-                f"JSONExtract key {key!r} needs full JSONPath; only "
-                "simple keys are translated"
+                "JSONExtract needs (json, key[, key|index ...])"
             )
-        return f"get_json_object({a[0]}, '$.{key}')"
+        path = "$"
+        for arg in a[1:]:
+            arg = arg.strip()
+            m2 = re.fullmatch(r"\x00L(\d+)\x00", arg)
+            if m2 or arg[:1] in "'\"":
+                key = literals[int(m2.group(1))][1:-1] if m2 else arg.strip(
+                    "'\" "
+                )
+                if re.search(r"[.'\"\[\]]", key):
+                    raise ValueError(
+                        f"JSONExtract key {key!r} needs full JSONPath; "
+                        "only simple keys are translated"
+                    )
+                path += f".{key}"
+            elif re.fullmatch(r"-?\d+", arg):
+                idx = int(arg)
+                if idx < 1:
+                    raise ValueError(
+                        f"JSONExtract index {idx}: CH's 0/negative "
+                        "(from-the-end) indices have no JSONPath "
+                        "equivalent"
+                    )
+                path += f"[{idx - 1}]"
+            else:
+                raise ValueError(
+                    f"JSONExtract path element {arg!r} is not a string "
+                    "literal or integer index; dynamic paths are not "
+                    "translated"
+                )
+        return f"get_json_object({a[0]}, '{path}')", a[0], path
+
+    # JSONExtractRaw must return the raw JSON token — including the
+    # quotes of string scalars, where get_json_object unquotes — so it
+    # round-trips through Spark 4's VARIANT (to_json(variant) re-renders
+    # the raw token); missing keys / malformed JSON yield CH's ''.
+    def _json_raw(a):
+        _, j, path = _json_path(a)
+        return (
+            f"coalesce(to_json(try_variant_get(try_parse_json({j}), "
+            f"'{path}')), '')"
+        )
 
     for _ch, _wrap in (
         ("JSONExtractString", "{0}"),
         ("visitParamExtractString", "{0}"),
-        ("JSONExtractRaw", "{0}"),
         ("JSONExtractInt", "CAST({0} AS BIGINT)"),
         ("visitParamExtractInt", "CAST({0} AS BIGINT)"),
         ("JSONExtractUInt", "CAST({0} AS BIGINT)"),
@@ -632,8 +736,10 @@ def translate(
         ("JSONHas", "({0} IS NOT NULL)"),
     ):
         out = _rewrite_calls(
-            out, _ch, lambda a, w=_wrap: w.format(_json_path(a))
+            out, _ch, lambda a, w=_wrap: w.format(_json_path(a)[0])
         )
+    out = _rewrite_calls(out, "JSONExtractRaw", _json_raw)
+    out = _rewrite_calls(out, "visitParamExtractRaw", _json_raw)
 
     # CH date arithmetic family. addX(ts, n) keeps the argument order of
     # CH but Spark's timestampadd wants (unit, n, ts); subtractX negates.
