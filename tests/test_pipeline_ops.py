@@ -304,6 +304,40 @@ def test_kmeans_matches_numpy_reference(spark):
     assert all(0 < r.purity <= 1 for r in rows)
 
 
+def test_kmeans_fit_memo_serves_convergence_twin(spark):
+    """VERDICT r05 #7: the convergence-check twin must reuse the fit's
+    iteration history instead of re-running Lloyd's. A second fit over the
+    same (input, k, iters) is a _FIT_MEMO hit with byte-identical
+    centroids and inertia log, even though load_table mints fresh
+    expression ids; a different k misses."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import clustering
+    from tests.conftest import SF_DIR
+
+    clustering._FIT_MEMO.clear()
+    emb_df = schemas.load_table(spark, SF_DIR, "embeddings")
+    log1: list = []
+    cents1, _ = clustering.kmeans_fit(emb_df, k=4, iters=2, inertia_log=log1)
+    assert len(clustering._FIT_MEMO) == 1
+    # fresh DataFrame object (new expr ids) -> still a hit
+    log2: list = []
+    cents2, assigned2 = clustering.kmeans_fit(
+        schemas.load_table(spark, SF_DIR, "embeddings"),
+        k=4, iters=2, inertia_log=log2,
+    )
+    assert len(clustering._FIT_MEMO) == 1
+    assert cents2 == cents1 and log2 == log1 and len(log1) == 3
+    assert assigned2.count() > 0  # assignment rebuilt row-locally
+    # different hyperparameters miss
+    clustering.kmeans_fit(emb_df, k=5, iters=2)
+    assert len(clustering._FIT_MEMO) == 2
+    # the convergence report over memoized params does no new fit
+    report = clustering.kmeans_convergence_report(emb_df, k=4, iters=2)
+    assert [r.non_increasing for r in report.collect()] == [1, 1]
+    assert len(clustering._FIT_MEMO) == 2
+    clustering._FIT_MEMO.clear()
+
+
 def test_pii_scrub_redacts_planted(spark):
     from use_clickhouse_2_analyze_mysql_binlog_spark.operators import curation
 
