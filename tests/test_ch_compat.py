@@ -987,3 +987,119 @@ def test_case_insensitive_standard_names(spark):
         "FROM (SELECT 42 AS v)",
     ).collect()[0]
     assert row.p == 7 and row.a == 42
+
+
+def test_round6_array_surface():
+    t = ch_compat.translate
+    assert t("arrayFirst(x -> x > 2, arr)") == (
+        "try_element_at(filter(arr, x -> x > 2), 1)"
+    )
+    assert t("arrayLast(x -> x > 2, arr)") == (
+        "try_element_at(filter(arr, x -> x > 2), -1)"
+    )
+    assert t("arrayFirstIndex(x -> x > 2, arr)") == (
+        "array_position(transform(arr, x -> x > 2), true)"
+    )
+    assert t("arraySlice(arr, 2, 3)") == "slice(arr, 2, 3)"
+    assert t("arraySlice(arr, 2)") == "slice(arr, 2, size(arr))"
+    assert t("arrayUniq(arr)") == "size(array_distinct(arr))"
+    assert t("arrayWithConstant(3, 'x')") == "array_repeat('x', 3)"
+    assert t("arrayPushBack(arr, 9)") == "concat(arr, array(9))"
+    assert t("arrayPushFront(arr, 9)") == "concat(array(9), arr)"
+    assert t("arrayPopBack(arr)") == (
+        "slice(arr, 1, greatest(size(arr) - 1, 0))"
+    )
+    assert t("arrayPopFront(arr)") == (
+        "slice(arr, 2, greatest(size(arr) - 1, 0))"
+    )
+    assert t("hasAll(a, b)") == "(size(array_except(b, a)) = 0)"
+    assert t("hasAny(a, b)") == "arrays_overlap(a, b)"
+    assert t("arrayFlatten(a)") == "flatten(a)"
+    assert t("arrayMin(a)") == "array_min(a)"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="arrayUniq"):
+        t("arrayUniq(a, b)")
+
+
+def test_round6_string_regexp_surface():
+    t = ch_compat.translate
+    # capture group in the literal pattern -> group 1; plain -> whole match
+    assert t(r"extract(s, 'ab(\d+)')") == r"regexp_extract(s, 'ab(\d+)', 1)"
+    assert t("extract(s, 'abc')") == "regexp_extract(s, 'abc', 0)"
+    assert t("extractAll(s, '(\\d+)')") == (
+        "regexp_extract_all(s, '(\\d+)', 1)"
+    )
+    # ANSI extract passes through
+    assert t("extract(YEAR FROM ts)") == "extract(YEAR FROM ts)"
+    assert t("replaceAll(s, 'a', 'b')") == "replace(s, 'a', 'b')"
+    # CH \1 backreference becomes Spark's $1
+    assert t(r"replaceRegexpAll(s, '(\d+)', '<\1>')") == (
+        r"regexp_replace(s, '(\d+)', '<$1>')"
+    )
+    assert t("splitByString('::', s)") == (
+        "split(s, concat('\\\\Q', '::', '\\\\E'))"
+    )
+    assert t("alphaTokens(s)") == (
+        "filter(split(s, '[^a-zA-Z]+'), __tok -> __tok != '')"
+    )
+    assert t("notLike(s, '%x%')") == "(s NOT LIKE '%x%')"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="literal pattern"):
+        t("extract(s, p)")
+
+
+def test_round6_hash_bits_agg_surface():
+    t = ch_compat.translate
+    assert t("MD5(s)") == "unhex(md5(s))"
+    assert t("SHA256(s)") == "unhex(sha2(s, 256))"
+    assert t("base64Encode(s)") == "base64(s)"
+    assert t("base64Decode(s)") == "CAST(unbase64(s) AS STRING)"
+    assert t("bitAnd(a, b)") == "(a & b)"
+    assert t("bitXor(a, b)") == "(a ^ b)"
+    assert t("bitShiftLeft(a, 2)") == "shiftleft(a, 2)"
+    assert t("sipHash64(s)") == "xxhash64(s)"
+    assert t("toMonday(d)") == "to_date(date_trunc('week', d))"
+    assert t("median(x)") == "percentile(x, 0.5)"
+    assert t("medianExact(x)") == "percentile(x, 0.5)"
+    assert t("avgWeighted(x, w)") == "(sum((x) * (w)) / sum(w))"
+    assert t("stddevPop(x)") == "stddev_pop(x)"
+    assert t("skewPop(x)") == "skewness(x)"
+    assert t("lagInFrame(x, 1, 0)") == "lag(x, 1, 0)"
+    assert t("JSONExtractKeys(j)") == "json_object_keys(j)"
+    assert t("JSONExtractKeys(j, 'a')") == (
+        "json_object_keys(get_json_object(j, '$.a'))"
+    )
+
+
+def test_round6_batch_executes(spark):
+    """Runnable cross-check of the round-6 surface in one query."""
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        r"""SELECT arrayFirst(x -> x > 1, [1, 2, 3]) AS first_gt1,
+                  arrayFirstIndex(x -> x > 1, [1, 2, 3]) AS idx_gt1,
+                  arraySlice([1, 2, 3, 4], 2, 2) AS mid,
+                  arrayUniq([1, 1, 2]) AS nuniq,
+                  arrayPopBack(arrayPushBack([1, 2], 9)) AS roundtrip,
+                  hasAll([1, 2, 3], [1, 3]) AS has_all,
+                  hasAny([1, 2], [2, 9]) AS has_any,
+                  extract('ab12cd', '(\\d+)') AS digits,
+                  replaceRegexpAll('a1b2', '(\\d)', '<\\1>') AS tagged,
+                  alphaTokens('ab12cd') AS alpha,
+                  hex(MD5('abc')) AS md5_hex,
+                  bitXor(5, 3) AS bx,
+                  toMonday(toDate('2024-02-08')) AS mon,
+                  median(v) AS med
+           FROM (SELECT explode(array(1.0, 2.0, 3.0)) AS v)""",
+    ).collect()[0]
+    assert row.first_gt1 == 2 and row.idx_gt1 == 2
+    assert row.mid == [2, 3] and row.nuniq == 2
+    assert row.roundtrip == [1, 2]
+    assert row.has_all and row.has_any
+    assert row.digits == "12" and row.tagged == "a<1>b<2>"
+    assert row.alpha == ["ab", "cd"]
+    # CH: SELECT hex(MD5('abc')) = '900150983CD24FB0D6963F7D28E17F72'
+    assert row.md5_hex == "900150983CD24FB0D6963F7D28E17F72"
+    assert row.bx == 6
+    assert str(row.mon) == "2024-02-05" and row.med == 2.0

@@ -67,7 +67,19 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   quotes (raw-token contract), missing/malformed -> CH's ``''``;
 - standard-SQL names CH resolves case-insensitively whose bypass would
   be silently wrong in Spark (``POSITION`` arg roles, ``ANY`` ->
-  bool_or) are normalized to the rewritten lowercase spelling first.
+  bool_or) are normalized to the rewritten lowercase spelling first;
+- round-6 everyday surface: array editing/picking (``arraySlice/Uniq/
+  With Constant/Push*/Pop*/First/Last/FirstIndex``, ``hasAll/hasAny``,
+  ``arrayFlatten/Concat/Min/Max/Zip/Intersect``), ``splitByString``/
+  ``alphaTokens``, regexp ``extract/extractAll`` (capture-group-aware
+  from the literal pattern; ANSI ``extract(unit FROM ts)`` passes
+  through) and ``replaceAll/replaceRegexpAll`` (``\\N`` backrefs ->
+  ``$N``), binary-exact ``MD5/SHA256`` (raw bytes via ``unhex``),
+  ``base64Encode/Decode``, bit ops, ``toMonday``, ``lagInFrame/
+  leadInFrame``, moment aggregates (``stddevPop``-family, ``skewPop/
+  kurtPop``), ``median/medianExact/avgWeighted``, ``JSONExtractKeys``,
+  and the 64-bit hash role-matches ``sipHash64/cityHash64/farmHash64``
+  -> ``xxhash64`` (persisted-value contract as ``halfMD5``).
 
 This is a deliberate TEXTUAL translator for the documented subset, not a
 CH grammar: constructs outside the table raise nothing and pass through,
@@ -152,6 +164,41 @@ _RENAMES = {
     "ifNull": "coalesce",
     "nullIf": "nullif",
     "assumeNotNull": "",  # identity wrapper (nullability hint only)
+    # array surface, round 6 (same argument order/semantics)
+    "arrayFlatten": "flatten",
+    "arrayConcat": "concat",
+    "arrayMin": "array_min",
+    "arrayMax": "array_max",
+    "arrayZip": "arrays_zip",  # CH tuples -> Spark structs; downstream
+    # tuple access (t.1) is not Spark syntax and fails loudly
+    "hasAny": "arrays_overlap",
+    "arrayIntersect": "array_intersect",  # 2-array form; CH's variadic
+    # 3+ form hits Spark's 2-arg signature and fails loudly
+    "groupArrayDistinct": "collect_set",
+    "concatWithSeparator": "concat_ws",
+    # bit surface
+    "bitShiftLeft": "shiftleft",
+    "bitShiftRight": "shiftright",
+    "bitCount": "bit_count",
+    # 64-bit hash family: role match (bucketing/sampling/fingerprints),
+    # values differ — same documented contract as halfMD5 above
+    "sipHash64": "xxhash64",
+    "cityHash64": "xxhash64",
+    "farmHash64": "xxhash64",
+    # window helpers (CH's in-frame variants are Spark's lag/lead
+    # contract: (col, offset, default) over the window frame)
+    "lagInFrame": "lag",
+    "leadInFrame": "lead",
+    # moment aggregates (identical definitions; skewPop/kurtPop are the
+    # population moments, which is what Spark's skewness/kurtosis compute)
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
+    "skewPop": "skewness",
+    "kurtPop": "kurtosis",
 }
 
 
@@ -662,6 +709,170 @@ def translate(
 
     out = _rewrite_calls(out, "arrayCount", _array_count)
 
+    # --- round-6 batch: everyday array/string/hash/aggregate surface ---
+    # arrayFirst/arrayLast/arrayFirstIndex: lambda-first like the HOFs
+    # above. CH returns the element-type DEFAULT (0/'') when nothing
+    # matches; Spark's try_element_at gives NULL there — the one
+    # divergence, documented (arrayFirstIndex is exact: both give 0).
+    def _array_pick(pos, ch_fn):
+        def build(a):
+            if len(a) != 2:
+                raise ValueError(
+                    f"{ch_fn} expects (lambda, array); {len(a)} arguments"
+                )
+            return f"try_element_at(filter({a[1]}, {a[0]}), {pos})"
+
+        return build
+
+    out = _rewrite_calls(out, "arrayFirstIndex", lambda a: (
+        f"array_position(transform({a[1]}, {a[0]}), true)"
+        if len(a) == 2
+        else (_ for _ in ()).throw(
+            ValueError("arrayFirstIndex expects (lambda, array)")
+        )
+    ))
+    out = _rewrite_calls(out, "arrayFirst", _array_pick(1, "arrayFirst"))
+    out = _rewrite_calls(out, "arrayLast", _array_pick(-1, "arrayLast"))
+
+    # array construction/editing
+    out = _rewrite_calls(
+        out, "arrayWithConstant", lambda a: f"array_repeat({a[1]}, {a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "arrayPushBack", lambda a: f"concat({a[0]}, array({a[1]}))"
+    )
+    out = _rewrite_calls(
+        out, "arrayPushFront", lambda a: f"concat(array({a[1]}), {a[0]})"
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayPopBack",
+        lambda a: f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))",
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayPopFront",
+        lambda a: f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))",
+    )
+
+    def _array_slice(a):
+        if len(a) == 3:
+            return f"slice({a[0]}, {a[1]}, {a[2]})"
+        if len(a) == 2:
+            # CH 2-arg form runs to the end; a length past the end is
+            # fine on both engines, so size() is a safe upper bound
+            return f"slice({a[0]}, {a[1]}, size({a[0]}))"
+        raise ValueError(f"arraySlice expects 2 or 3 arguments, got {len(a)}")
+
+    out = _rewrite_calls(out, "arraySlice", _array_slice)
+    out = _rewrite_calls(
+        out, "arrayUniq", lambda a: (
+            f"size(array_distinct({a[0]}))"
+            if len(a) == 1
+            else (_ for _ in ()).throw(ValueError(
+                "arrayUniq over multiple arrays is not translated"
+            ))
+        )
+    )
+    out = _rewrite_calls(
+        out, "hasAll", lambda a: f"(size(array_except({a[1]}, {a[0]})) = 0)"
+    )
+
+    # splitByString: same swapped-args + \Q..\E literal quoting as
+    # splitByChar (rewritten later); alphaTokens drops the empty edge
+    # tokens split() produces where CH yields none
+    out = _rewrite_calls(
+        out,
+        "splitByString",
+        lambda a: f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))",
+    )
+    out = _rewrite_calls(
+        out,
+        "alphaTokens",
+        lambda a: (
+            f"filter(split({a[0]}, '[^a-zA-Z]+'), __tok -> __tok != '')"
+        ),
+    )
+
+    # regexp extract/replace. CH extract() returns the first capture
+    # group when the pattern has one, else the whole match — decided
+    # here from the pattern LITERAL (dynamic patterns raise rather than
+    # guess). NOTE the ANSI extract(unit FROM ts) form parses as ONE
+    # argument and passes through untouched.
+    def _group_idx(parg):
+        m2 = re.fullmatch(r"\x00L(\d+)\x00", parg.strip())
+        if not m2:
+            raise ValueError(
+                "extract/extractAll need a literal pattern (the capture-"
+                "group-vs-whole-match choice depends on it)"
+            )
+        pat = literals[int(m2.group(1))][1:-1]
+        return 1 if re.search(r"(?<!\\)\((?!\?:)", pat) else 0
+
+    def _extract(a):
+        if len(a) == 1:  # ANSI extract(YEAR FROM ts): not the CH function
+            return f"\x01extract\x01({a[0]})"
+        return f"regexp_extract({a[0]}, {a[1]}, {_group_idx(a[1])})"
+
+    out = _rewrite_calls(out, "extractAll", lambda a: (
+        f"regexp_extract_all({a[0]}, {a[1]}, {_group_idx(a[1])})"
+    ))
+    out = _rewrite_calls(out, "extract", _extract)
+    out = out.replace("\x01extract\x01", "extract")
+    out = _rewrite_calls(
+        out, "replaceAll", lambda a: f"replace({a[0]}, {a[1]}, {a[2]})"
+    )
+
+    def _replace_regexp_all(a):
+        # CH backreferences are \1..\9; Spark's are $1..$9. Transform the
+        # replacement LITERAL and re-mask it as a fresh literal token.
+        # The canonical CH spelling is '\\1' (escaped backslash in the
+        # literal), so the doubled form is consumed first; a lone '\1'
+        # is handled too.
+        m2 = re.fullmatch(r"\x00L(\d+)\x00", a[2].strip())
+        if m2:
+            rep = literals[int(m2.group(1))]
+            rep = re.sub(r"\\\\(\d)", r"$\1", rep)
+            rep = re.sub(r"\\(\d)", r"$\1", rep)
+            literals.append(rep)
+            a = [a[0], a[1], f"\x00L{len(literals) - 1}\x00"]
+        return f"regexp_replace({a[0]}, {a[1]}, {a[2]})"
+
+    out = _rewrite_calls(out, "replaceRegexpAll", _replace_regexp_all)
+
+    # binary-exact hash/codec maps: CH MD5/SHA256 return raw bytes (users
+    # hex() them — hex(unhex(md5)) reproduces CH's uppercase hex exactly);
+    # base64Decode returns String in CH, so the unbase64 binary is cast
+    out = _rewrite_calls(out, "MD5", lambda a: f"unhex(md5({a[0]}))")
+    out = _rewrite_calls(out, "SHA256", lambda a: f"unhex(sha2({a[0]}, 256))")
+    out = _rewrite_calls(out, "base64Encode", lambda a: f"base64({a[0]})")
+    out = _rewrite_calls(
+        out, "base64Decode", lambda a: f"CAST(unbase64({a[0]}) AS STRING)"
+    )
+
+    # bit operators and misc scalar forms (parenthesized: a substituted
+    # operator expression must not re-associate with its surroundings)
+    out = _rewrite_calls(out, "bitAnd", lambda a: f"({a[0]} & {a[1]})")
+    out = _rewrite_calls(out, "bitOr", lambda a: f"({a[0]} | {a[1]})")
+    out = _rewrite_calls(out, "bitXor", lambda a: f"({a[0]} ^ {a[1]})")
+    out = _rewrite_calls(
+        out, "notLike", lambda a: f"({a[0]} NOT LIKE {a[1]})"
+    )
+    out = _rewrite_calls(
+        out, "toMonday", lambda a: f"to_date(date_trunc('week', {a[0]}))"
+    )
+
+    # aggregate forms
+    out = _rewrite_calls(
+        out, "medianExact", lambda a: f"percentile({a[0]}, 0.5)"
+    )
+    out = _rewrite_calls(out, "median", lambda a: f"percentile({a[0]}, 0.5)")
+    out = _rewrite_calls(
+        out,
+        "avgWeighted",
+        lambda a: f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))",
+    )
+
     # GLOBAL is a pure ClickHouse distribution hint (ship the right side
     # to every shard) — Spark's broadcast/shuffle planning owns that
     # decision, so the keyword drops. ANY/ASOF join strictness keywords
@@ -740,6 +951,14 @@ def translate(
         )
     out = _rewrite_calls(out, "JSONExtractRaw", _json_raw)
     out = _rewrite_calls(out, "visitParamExtractRaw", _json_raw)
+
+    # JSONExtractKeys: object keys, optionally at a compound path
+    def _json_keys(a):
+        if len(a) == 1:
+            return f"json_object_keys({a[0]})"
+        return f"json_object_keys({_json_path(a)[0]})"
+
+    out = _rewrite_calls(out, "JSONExtractKeys", _json_keys)
 
     # CH date arithmetic family. addX(ts, n) keeps the argument order of
     # CH but Spark's timestampadd wants (unit, n, ts); subtractX negates.
