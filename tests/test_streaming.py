@@ -929,3 +929,36 @@ def test_upsert_snapshot_write_is_partitioned(spark, tmp_path, binlog_df):
     assert got.columns[:3] == ["schema", "table", "row_pk"]
     assert dict(got.dtypes)["schema"] == "string"
     assert dict(got.dtypes)["table"] == "string"
+
+
+def test_upsert_empty_first_epoch_publishes_nothing(spark, tmp_path):
+    """An all-DDL (zero-DML) FIRST micro-batch must not publish an empty
+    partitioned snapshot (no data files -> unreadable schema); the
+    manifest stays unset and a later DML epoch bootstraps the state."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import merge_tree
+    from use_clickhouse_2_analyze_mysql_binlog_spark.sources.transform import (
+        canal_entries_to_binlog,
+    )
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import (
+        epochs,
+        upsert_job,
+    )
+
+    binlog = canal_entries_to_binlog(
+        schemas.canal_entries_view(schemas.load_table(spark, SF_DIR, "events")),
+        ctime=F.to_timestamp(F.lit("2024-02-01 00:00:00")),
+    )
+    ddl_only = binlog.filter(
+        ~F.col("event_type").isin(*merge_tree.DML_EVENT_TYPES)
+    )
+    dml = binlog.filter(
+        F.col("event_type").isin(*merge_tree.DML_EVENT_TYPES)
+    ).limit(200)
+    state = str(tmp_path / "state")
+    body = upsert_job.make_upsert_batch(spark, state)
+    body(ddl_only, 0)
+    assert epochs.read_manifest(state) is None  # nothing published
+    body(dml, 1)
+    got = upsert_job.read_state(spark, state)
+    want = merge_tree.replacing_merge_final(merge_tree.dml_rows(dml))
+    assert got.count() == want.count() > 0

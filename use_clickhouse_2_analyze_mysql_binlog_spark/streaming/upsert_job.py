@@ -98,6 +98,15 @@ def make_upsert_batch(
         if latest is not None:
             prev = _read_snapshot(spark, latest["dir"])
             merged = merge(prev, finals)
+        elif merged.isEmpty():
+            # Nothing to publish yet (e.g. an all-DDL first micro-batch):
+            # a zero-row PARTITIONED write leaves no data files, and the
+            # next epoch's _read_snapshot could not infer a schema from
+            # the empty directory (the old coalesce(1) wrote one empty
+            # schema-carrying file). Leaving the manifest unset is
+            # equivalent: the state has no keys, and this epoch's replay
+            # recomputes the same no-op.
+            return
         snapshot_dir = f"{state_path}/snapshots/{run_id}-{epoch}"
         # Partitioned multi-task write straight off the MERGE aggregate's
         # sort-key exchange — the state is the live-key working set of the
