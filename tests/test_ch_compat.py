@@ -1103,3 +1103,22 @@ def test_round6_batch_executes(spark):
     assert row.md5_hex == "900150983CD24FB0D6963F7D28E17F72"
     assert row.bx == 6
     assert str(row.mon) == "2024-02-05" and row.med == 2.0
+
+
+def test_round6_batch2(spark):
+    t = ch_compat.translate
+    assert t("countDistinct(x)") == "count(DISTINCT x)"
+    assert t("notILike(s, '%X%')") == "(s NOT ILIKE '%X%')"
+    assert t("uniqHLL12(x)") == "approx_count_distinct(x)"
+    assert t("uniqCombined64(x)") == "approx_count_distinct(x)"
+
+    rows = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT arrayDifference([1, 3, 7]) AS d, "
+        "arrayDifference(arraySlice([1], 1, 0)) AS empty, "
+        "countDistinct(v) AS cd, notILike('abc', '%B%') AS nl "
+        "FROM (SELECT explode(array(1, 1, 2)) AS v)",
+    ).collect()[0]
+    assert rows.d == [0, 2, 4]
+    assert rows.empty == []
+    assert rows.cd == 2 and rows.nl is False

@@ -79,7 +79,10 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   leadInFrame``, moment aggregates (``stddevPop``-family, ``skewPop/
   kurtPop``), ``median/medianExact/avgWeighted``, ``JSONExtractKeys``,
   and the 64-bit hash role-matches ``sipHash64/cityHash64/farmHash64``
-  -> ``xxhash64`` (persisted-value contract as ``halfMD5``).
+  -> ``xxhash64`` (persisted-value contract as ``halfMD5``); also
+  ``countDistinct`` -> ``count(DISTINCT ..)``, ``notILike``,
+  ``arrayDifference`` (zip-with-shifted, empty-safe), and the legacy
+  ``uniqHLL12``/``uniqCombined64`` approx aliases.
 
 This is a deliberate TEXTUAL translator for the documented subset, not a
 CH grammar: constructs outside the table raise nothing and pass through,
@@ -111,6 +114,8 @@ _RENAMES = {
     "countIf": "count_if",
     "uniq": "approx_count_distinct",
     "uniqCombined": "approx_count_distinct",
+    "uniqCombined64": "approx_count_distinct",
+    "uniqHLL12": "approx_count_distinct",
     "halfMD5": "xxhash64",  # 64-bit string hash; value differs, role matches
     "materialize": "",  # identity wrapper
     "has": "array_contains",
@@ -858,6 +863,30 @@ def translate(
     out = _rewrite_calls(
         out, "notLike", lambda a: f"({a[0]} NOT LIKE {a[1]})"
     )
+    out = _rewrite_calls(
+        out, "notILike", lambda a: f"({a[0]} NOT ILIKE {a[1]})"
+    )
+    # countDistinct: CH alias of uniqExact (exact distinct count)
+    out = _rewrite_calls(
+        out, "countDistinct", lambda a: f"count(DISTINCT {a[0]})"
+    )
+
+    # arrayDifference: [0, a2-a1, ...] — zip the array against itself
+    # shifted right by one. zip_with pads to the LONGER side, so the
+    # empty-array case is guarded explicitly (slice(a, 1, 0) is a typed
+    # empty array).
+    def _array_difference(a):
+        arr = a[0]
+        shifted = (
+            f"concat(array(try_element_at({arr}, 1)), "
+            f"slice({arr}, 1, greatest(size({arr}) - 1, 0)))"
+        )
+        return (
+            f"if(size({arr}) = 0, slice({arr}, 1, 0), "
+            f"zip_with({arr}, {shifted}, (__x, __y) -> __x - __y))"
+        )
+
+    out = _rewrite_calls(out, "arrayDifference", _array_difference)
     out = _rewrite_calls(
         out, "toMonday", lambda a: f"to_date(date_trunc('week', {a[0]}))"
     )
