@@ -1122,3 +1122,30 @@ def test_round6_batch2(spark):
     assert rows.d == [0, 2, 4]
     assert rows.empty == []
     assert rows.cd == 2 and rows.nl is False
+
+
+def test_json_path_property():
+    """Property: any chain of simple string keys and positive integer
+    indices builds the expected JSONPath, and translation stays
+    idempotent over it."""
+    from hypothesis import given, settings, strategies as st
+
+    elem = st.one_of(
+        st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True).map(
+            lambda k: (f"'{k}'", f".{k}")
+        ),
+        st.integers(min_value=1, max_value=9).map(
+            lambda i: (str(i), f"[{i - 1}]")
+        ),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(elem, min_size=1, max_size=4))
+    def prop(elems):
+        args = ", ".join(e[0] for e in elems)
+        path = "".join(e[1] for e in elems)
+        got = ch_compat.translate(f"JSONExtractString(j, {args})")
+        assert got == f"get_json_object(j, '${path}')", (args, got)
+        assert ch_compat.translate(got) == got
+
+    prop()
