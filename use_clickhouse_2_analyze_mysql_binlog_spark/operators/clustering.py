@@ -163,11 +163,12 @@ def kmeans_fit(
     actions over the same rows, and without the cache each action re-runs
     the scan + decode + rebalance lineage.
 
-    The per-iteration inertia is always recorded (iters+1 scalar
-    aggregates over the persisted input — noise next to the fit) so a
-    repeat fit over the same (input, k, iters) within the session is a
-    ``_FIT_MEMO`` hit: centroids and inertia history come back instantly
-    and only the final row-local assignment is rebuilt.
+    The per-iteration inertia is always recorded — FUSED into each
+    iteration's centroid-update aggregate (one job per iteration, plus
+    one final objective pass), so the log costs one extra pass total —
+    and a repeat fit over the same (input, k, iters) within the session
+    is a ``_FIT_MEMO`` hit: centroids and inertia history come back
+    instantly and only the final row-local assignment is rebuilt.
     """
     memo_key = _fit_memo_key(embeddings, k, iters)
     if memo_key in _FIT_MEMO:
@@ -187,22 +188,23 @@ def kmeans_fit(
     dim = len(centroids[0])
     assigned = kmeans_assign(emb, centroids)
 
-    def _log_inertia() -> None:
-        # per-iteration objective: one extra scalar aggregate per
-        # iteration over the persisted input (cheap) — recorded
-        # unconditionally so the memo can serve the convergence twin
-        log.append(assigned.agg(F.sum("sq_dist").alias("j")).first()["j"])
-
-    _log_inertia()
     for _ in range(iters):
+        # ONE job per iteration: the (cluster, pos) centroid means AND the
+        # current assignment's objective come out of the same aggregate —
+        # every row contributes its sq_dist once per position, so
+        # sum(sq_dist over the exploded frame) = dim * inertia. (The
+        # division reorders float accumulation vs a direct sum(sq_dist);
+        # the convergence twin's rel_tol exists for exactly this class of
+        # jitter, and neither driver query's OUTPUT depends on the log.)
         new_rows = (
             assigned.select(
-                "cluster_id", F.posexplode("emb").alias("pos", "v")
+                "cluster_id", "sq_dist", F.posexplode("emb").alias("pos", "v")
             )
             .groupBy("cluster_id", "pos")
-            .agg(F.avg("v").alias("m"))
+            .agg(F.avg("v").alias("m"), F.sum("sq_dist").alias("sd"))
             .collect()
         )
+        log.append(sum(r.sd for r in new_rows) / dim)  # pre-update J
         by_cluster: dict[int, list[float]] = {}
         for r in new_rows:
             by_cluster.setdefault(r.cluster_id, [0.0] * dim)[r.pos] = r.m
@@ -211,8 +213,9 @@ def kmeans_fit(
             by_cluster.get(c, centroids[c]) for c in range(k)
         ]
         assigned = kmeans_assign(emb, centroids)
-        _log_inertia()
-    # the iters+2 in-loop actions are done; release the cache so the fit
+    # final objective (no update follows, so it needs its own pass)
+    log.append(assigned.agg(F.sum("sq_dist").alias("j")).first()["j"])
+    # the iters+1 in-loop actions are done; release the cache so the fit
     # doesn't pin executor memory for the session (the final assignment's
     # consumers recompute the cheap scan+rebalance lineage once)
     emb.unpersist()
