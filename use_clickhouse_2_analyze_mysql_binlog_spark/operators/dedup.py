@@ -542,10 +542,18 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # Persisted like the shingle posting: the verified pair set is the
+    # shared input of the whole downstream family (apply-dedup, connected
+    # components, CC-apply all start from the SAME pair plan), and
+    # CacheManager dedupes by canonicalized plan — the first consumer
+    # materializes, the rest reuse instead of re-running the LSH
+    # pipeline. Pair tables are near-dup-sized (<< corpus), so the entry
+    # is small; at 100 TB the equivalent is staging pairs to a table.
     return (
         _pair_jaccard(cand, _doc_hash_sets(documents, posting))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
