@@ -193,7 +193,14 @@ def _doc_hash_sets(
     scan with other pipeline stages."""
     if posting is None:
         posting = _shingle_posting(documents)
-    return posting.groupBy("doc_id").agg(F.collect_list("sh").alias("sh_set"))
+    # persisted: the exact-Jaccard verify of every LSH variant (all-pairs,
+    # incremental, staged) ends in this same groupBy — one cache entry,
+    # posting-sized, reused across the family by plan canonicalization
+    return (
+        posting.groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("sh_set"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 
 _DOC_SHINGLES_SQL = f"""
@@ -508,7 +515,11 @@ def _band_buckets(sigs: DataFrame, max_bucket: int | None) -> DataFrame:
             .select("band_id", "band_hash")
         )
         bands = bands.join(small, ["band_id", "band_hash"])
-    return bands
+    # persisted: the capped band-bucket table is the shared candidate
+    # source of the all-pairs AND incremental LSH variants (incremental
+    # filters it into new/old sides) — one small (docs x bands) cache
+    # entry, reused by plan canonicalization
+    return bands.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def minhash_lsh_pairs(
