@@ -118,8 +118,10 @@ def make_dedup_batch(
         finally:
             # per-epoch caches must not accumulate across a long-running
             # stream (LRU eviction would save memory but thrash; explicit
-            # release keeps the epoch's footprint bounded)
-            for df in (survivors, new_bands, posting, batch):
+            # release keeps the epoch's footprint bounded). new_sets is in
+            # the list because _doc_hash_sets persists internally since
+            # the family-reuse change in operators/dedup.py.
+            for df in (survivors, new_bands, new_sets, posting, batch):
                 df.unpersist()
 
     return process_batch
