@@ -731,8 +731,14 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
             F.lit(0).cast("long")
         )
         sim = term if sim is None else sim + term
-    return tok.groupBy("doc_id").agg(*bit_sums).select(
-        "doc_id", sim.alias("simhash")
+    # persisted: the signature table is consumed by the per-doc listing
+    # query AND the pigeonhole pair query (plan-canonical reuse, same
+    # pattern as the minhash family); one docs-sized long column
+    return (
+        tok.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select("doc_id", sim.alias("simhash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
