@@ -120,13 +120,25 @@ def assign_ivf_buckets(embeddings: DataFrame, num_centroids: int = 16) -> DataFr
         "centroid_id",
         _cosine("emb", "c_emb").alias("c_cos"),
     )
-    return scored.groupBy("vec_id").agg(
-        F.max_by(
-            "centroid_id", F.struct(F.col("c_cos"), (-F.col("centroid_id")).alias("nc"))
-        ).alias("centroid_id"),
-        F.first("label").alias("label"),
-        F.first("emb").alias("emb"),
-    ).select("vec_id", "label", "emb", "centroid_id")
+    from pyspark import StorageLevel
+
+    # persisted: the bucket assignment is the shared front of the whole
+    # IVF family (single/multi-probe search, embedding near-dup pairs,
+    # the index write) — plan-canonical CacheManager reuse, one
+    # embeddings-sized entry (same pattern as the dedup family caches)
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("c_cos"), (-F.col("centroid_id")).alias("nc")),
+            ).alias("centroid_id"),
+            F.first("label").alias("label"),
+            F.first("emb").alias("emb"),
+        )
+        .select("vec_id", "label", "emb", "centroid_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 
 def _ASSIGN_SQL(num_centroids: int) -> str:
