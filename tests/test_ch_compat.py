@@ -1149,3 +1149,34 @@ def test_json_path_property():
         assert ch_compat.translate(got) == got
 
     prop()
+
+
+def test_round6_batch3_datetime(spark):
+    t = ch_compat.translate
+    # age = ELAPSED complete units (Spark's native timestampdiff
+    # contract), unlike dateDiff's boundary crossings
+    assert t("age('month', a, b)") == "timestampdiff(MONTH, a, b)"
+    assert t("dateDiff('month', a, b)") == (
+        "timestampdiff(MONTH, date_trunc('MONTH', a), date_trunc('MONTH', b))"
+    )
+    assert t("timeSlot(ts)") == "window(ts, '30 minutes').start"
+    assert t("toStartOfTenMinutes(ts)") == "window(ts, '10 minutes').start"
+    assert t("toStartOfFifteenMinutes(ts)") == (
+        "window(ts, '15 minutes').start"
+    )
+    assert t("monthName(d)") == "date_format(d, 'MMMM')"
+    assert t("toISOWeek(d)") == "weekofyear(d)"
+
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT age('month', toDateTime('2024-01-31 00:00:00'), "
+        "toDateTime('2024-02-01 00:00:00')) AS a, "
+        "dateDiff('month', toDateTime('2024-01-31 00:00:00'), "
+        "toDateTime('2024-02-01 00:00:00')) AS dd, "
+        "timeSlot(toDateTime('2024-02-01 10:47:00')) AS slot, "
+        "monthName(toDate('2024-02-01')) AS mn, "
+        "toISOWeek(toDate('2024-01-04')) AS w",
+    ).collect()[0]
+    assert row.a == 0 and row.dd == 1  # the CH-documented divergence pair
+    assert str(row.slot) == "2024-02-01 10:30:00"
+    assert row.mn == "February" and row.w == 1

@@ -149,6 +149,7 @@ _RENAMES = {
     "toMinute": "minute",
     "toSecond": "second",
     "toUnixTimestamp": "unix_timestamp",
+    "toISOWeek": "weekofyear",  # both ISO-8601 week numbering
     # fromUnixTimestamp returns DateTime in CH; Spark's from_unixtime
     # returns a formatted STRING, so timestamp_seconds is the honest map
     "fromUnixTimestamp": "timestamp_seconds",
@@ -1040,6 +1041,35 @@ def translate(
         )
 
     out = _rewrite_calls(out, "dateDiff", _date_diff)
+
+    def _age(a):
+        # age('unit', start, end): CH's ELAPSED-complete-units twin of
+        # dateDiff (age('month', Jan-31, Feb-01) = 0 where dateDiff = 1),
+        # which is exactly Spark's timestampdiff contract — no truncation.
+        if len(a) != 3:
+            raise ValueError("age expects ('unit', start, end)")
+        m2 = re.fullmatch(r"\x00L(\d+)\x00", a[0].strip())
+        unit = (
+            literals[int(m2.group(1))][1:-1] if m2 else a[0].strip("'\" ")
+        ).upper()
+        return f"timestampdiff({unit}, {a[1]}, {a[2]})"
+
+    out = _rewrite_calls(out, "age", _age)
+    # timeSlot rounds down to the half-hour (CH's legacy dashboard bucket)
+    out = _rewrite_calls(
+        out, "timeSlot", lambda a: f"window({a[0]}, '30 minutes').start"
+    )
+    out = _rewrite_calls(
+        out, "toStartOfTenMinutes",
+        lambda a: f"window({a[0]}, '10 minutes').start",
+    )
+    out = _rewrite_calls(
+        out, "toStartOfFifteenMinutes",
+        lambda a: f"window({a[0]}, '15 minutes').start",
+    )
+    out = _rewrite_calls(
+        out, "monthName", lambda a: f"date_format({a[0]}, 'MMMM')"
+    )
 
     # toStartOfQuarter/Year return Dates in CH, like toStartOfMonth
     out = _rewrite_calls(
