@@ -1180,3 +1180,26 @@ def test_round6_batch3_datetime(spark):
     assert row.a == 0 and row.dd == 1  # the CH-documented divergence pair
     assert str(row.slot) == "2024-02-01 10:30:00"
     assert row.mn == "February" and row.w == 1
+
+
+def test_with_totals(spark, binlog_view):
+    t = ch_compat.translate
+    assert t("SELECT a, count() FROM t GROUP BY a WITH TOTALS") == (
+        "SELECT a, count(*) FROM t GROUP BY GROUPING SETS ((a), ())"
+    )
+    # multi-key + trailing ORDER BY survives
+    assert t(
+        "SELECT a, b, count() FROM t GROUP BY a, b WITH TOTALS ORDER BY a"
+    ) == (
+        "SELECT a, b, count(*) FROM t "
+        "GROUP BY GROUPING SETS ((a, b), ()) ORDER BY a"
+    )
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT event_type, count() AS n FROM binlog "
+        "GROUP BY event_type WITH TOTALS",
+    ).collect()
+    per_type = {r.event_type: r.n for r in got if r.event_type is not None}
+    totals = [r.n for r in got if r.event_type is None]
+    assert totals == [sum(per_type.values())]
+    assert per_type and len(got) == len(per_type) + 1

@@ -81,8 +81,13 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   and the 64-bit hash role-matches ``sipHash64/cityHash64/farmHash64``
   -> ``xxhash64`` (persisted-value contract as ``halfMD5``); also
   ``countDistinct`` -> ``count(DISTINCT ..)``, ``notILike``,
-  ``arrayDifference`` (zip-with-shifted, empty-safe), and the legacy
-  ``uniqHLL12``/``uniqCombined64`` approx aliases.
+  ``arrayDifference`` (zip-with-shifted, empty-safe), the legacy
+  ``uniqHLL12``/``uniqCombined64`` approx aliases, ``age`` (elapsed
+  complete units — Spark's native ``timestampdiff``, vs ``dateDiff``'s
+  boundary crossings), ``timeSlot``/``toStartOfTen/FifteenMinutes``,
+  ``monthName``, ``toISOWeek``, and ``GROUP BY .. WITH TOTALS`` ->
+  ``GROUPING SETS ((keys), ())`` (totals-row keys are NULL in Spark vs
+  CH's type defaults — detect with ``grouping()``).
 
 This is a deliberate TEXTUAL translator for the documented subset, not a
 CH grammar: constructs outside the table raise nothing and pass through,
@@ -411,6 +416,20 @@ def translate(
         flags=re.IGNORECASE | re.DOTALL,
     )
     out = re.sub(r"\bPREWHERE\b", "WHERE", out, flags=re.IGNORECASE)
+
+    # GROUP BY ... WITH TOTALS: the totals row is exactly the () grouping
+    # set, so the modifier rewrites to GROUPING SETS ((keys), ()).
+    # Divergence, documented: Spark's totals row carries NULL keys where
+    # CH shows the type default ('' / 0) — the grouping() marker is the
+    # portable way to detect it on both engines. WITH ROLLUP / WITH CUBE
+    # pass through (valid Spark syntax with identical semantics). One
+    # outermost GROUP BY per statement, like PREWHERE / LIMIT BY.
+    out = re.sub(
+        r"\bGROUP\s+BY\s+(.*?)\s+WITH\s+TOTALS\b",
+        lambda m: f"GROUP BY GROUPING SETS (({m.group(1).strip()}), ())",
+        out,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
 
     # qualified table names
     for ch_name, spark_name in (table_map or {}).items():
