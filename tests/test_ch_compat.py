@@ -1203,3 +1203,20 @@ def test_with_totals(spark, binlog_view):
     totals = [r.n for r in got if r.event_type is None]
     assert totals == [sum(per_type.values())]
     assert per_type and len(got) == len(per_type) + 1
+
+
+def test_arith_function_aliases(spark):
+    t = ch_compat.translate
+    assert t("plus(a, 1)") == "(a + 1)"
+    assert t("minus(a, b)") == "(a - b)"
+    assert t("multiply(a, b)") == "(a * b)"
+    assert t("divide(a, b)") == "(a / b)"
+    assert t("negate(a)") == "(-(a))"
+    assert t("intDivOrZero(a, b)") == "if((b) = 0, 0, (a div b))"
+    assert t("moduloOrZero(a, b)") == "if((b) = 0, 0, (a % b))"
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT plus(2, multiply(3, 4)) AS x, intDivOrZero(7, 0) AS z, "
+        "moduloOrZero(7, 3) AS m, negate(5) AS n",
+    ).collect()[0]
+    assert (row.x, row.z, row.m, row.n) == (14, 0, 1, -5)

@@ -573,6 +573,23 @@ def translate(
     )
     out = _rewrite_calls(out, "intDiv", lambda a: f"({a[0]} div {a[1]})")
     out = _rewrite_calls(out, "modulo", lambda a: f"({a[0]} % {a[1]})")
+    # arithmetic function aliases (ORM-generated CH SQL spells operators
+    # as calls); *OrZero forms guard the zero divisor like CH
+    out = _rewrite_calls(out, "plus", lambda a: f"({a[0]} + {a[1]})")
+    out = _rewrite_calls(out, "minus", lambda a: f"({a[0]} - {a[1]})")
+    out = _rewrite_calls(out, "multiply", lambda a: f"({a[0]} * {a[1]})")
+    out = _rewrite_calls(out, "divide", lambda a: f"({a[0]} / {a[1]})")
+    out = _rewrite_calls(out, "negate", lambda a: f"(-({a[0]}))")
+    out = _rewrite_calls(
+        out,
+        "intDivOrZero",
+        lambda a: f"if(({a[1]}) = 0, 0, ({a[0]} div {a[1]}))",
+    )
+    out = _rewrite_calls(
+        out,
+        "moduloOrZero",
+        lambda a: f"if(({a[1]}) = 0, 0, ({a[0]} % {a[1]}))",
+    )
     out = _rewrite_calls(out, "empty", lambda a: f"(length({a[0]}) = 0)")
     out = _rewrite_calls(out, "notEmpty", lambda a: f"(length({a[0]}) > 0)")
     out = _rewrite_calls(
