@@ -1220,3 +1220,26 @@ def test_arith_function_aliases(spark):
         "moduloOrZero(7, 3) AS m, negate(5) AS n",
     ).collect()[0]
     assert (row.x, row.z, row.m, row.n) == (14, 0, 1, -5)
+
+
+def test_comparison_logical_aliases(spark):
+    t = ch_compat.translate
+    assert t("equals(a, b)") == "((a) = (b))"
+    assert t("notEquals(a, b)") == "((a) <> (b))"
+    assert t("less(a, b)") == "((a) < (b))"
+    assert t("greaterOrEquals(a, b)") == "((a) >= (b))"
+    assert t("and(a, b, c)") == "((a) AND (b) AND (c))"
+    assert t("or(equals(a, 1), less(b, 2))") == (
+        "((((a) = (1))) OR (((b) < (2))))"
+    )
+    assert t("not(equals(a, 1))") == "(NOT (((a) = (1))))"
+    # the ONE-argument parse is SQL's infix keyword + parenthesized
+    # operand, not the function form — must pass through untouched
+    assert t("x BETWEEN 1 and (y + 1)") == "x BETWEEN 1 and (y + 1)"
+    assert t("a or (b = 1)") == "a or (b = 1)"
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT and(equals(1, 1), not(greater(2, 3))) AS t, "
+        "or(less(5, 1), notEquals(1, 2)) AS u",
+    ).collect()[0]
+    assert row.t is True and row.u is True

@@ -590,6 +590,36 @@ def translate(
         "moduloOrZero",
         lambda a: f"if(({a[1]}) = 0, 0, ({a[0]} % {a[1]}))",
     )
+    # comparison / logical function aliases (same ORM-generated surface).
+    # and/or are variadic in CH; the ONE-argument parse is NOT the
+    # function form — it is SQL's infix keyword followed by a
+    # parenthesized operand (`BETWEEN x and (y)`, `a or (b = 1)`), which
+    # must pass through untouched (the \x01 passthrough trick, as with
+    # 1-arg position/extract). not(x) rewrites to the keyword form with
+    # identical semantics either way.
+    for _ch, _op in (
+        ("notEquals", "<>"), ("equals", "="),
+        ("lessOrEquals", "<="), ("greaterOrEquals", ">="),
+        ("less", "<"), ("greater", ">"),
+    ):
+        out = _rewrite_calls(
+            out, _ch, lambda a, op=_op: f"(({a[0]}) {op} ({a[1]}))"
+        )
+
+    def _logical(keyword, ch_fn):
+        def build(a):
+            if len(a) < 2:
+                # infix keyword + parenthesized operand, not the function
+                # form; re-emit with the conventional space
+                return f"\x01{ch_fn}\x01 ({a[0] if a else ''})"
+            return "(" + f" {keyword} ".join(f"({x})" for x in a) + ")"
+
+        return build
+
+    out = _rewrite_calls(out, "and", _logical("AND", "and"))
+    out = _rewrite_calls(out, "or", _logical("OR", "or"))
+    out = _rewrite_calls(out, "not", lambda a: f"(NOT ({a[0]}))")
+    out = out.replace("\x01and\x01", "and").replace("\x01or\x01", "or")
     out = _rewrite_calls(out, "empty", lambda a: f"(length({a[0]}) = 0)")
     out = _rewrite_calls(out, "notEmpty", lambda a: f"(length({a[0]}) > 0)")
     out = _rewrite_calls(
