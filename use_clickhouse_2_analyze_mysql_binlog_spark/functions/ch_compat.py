@@ -85,9 +85,15 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   ``uniqHLL12``/``uniqCombined64`` approx aliases, ``age`` (elapsed
   complete units — Spark's native ``timestampdiff``, vs ``dateDiff``'s
   boundary crossings), ``timeSlot``/``toStartOfTen/FifteenMinutes``,
-  ``monthName``, ``toISOWeek``, and ``GROUP BY .. WITH TOTALS`` ->
+  ``monthName``, ``toISOWeek``, ``GROUP BY .. WITH TOTALS`` ->
   ``GROUPING SETS ((keys), ())`` (totals-row keys are NULL in Spark vs
-  CH's type defaults — detect with ``grouping()``).
+  CH's type defaults — detect with ``grouping()``), and the
+  ORM-generated operator-function aliases: arithmetic
+  (``plus/minus/multiply/divide/negate``, ``intDivOrZero/moduloOrZero``),
+  comparisons (``equals/notEquals/less/greater/lessOrEquals/
+  greaterOrEquals``), and variadic ``and``/``or`` + ``not`` (the
+  one-argument ``and (..)`` parse is SQL's infix keyword and passes
+  through).
 
 This is a deliberate TEXTUAL translator for the documented subset, not a
 CH grammar: constructs outside the table raise nothing and pass through,
