@@ -300,3 +300,16 @@ def test_ngram_jaccard_staged_never_scans_documents(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "documents.parquet" not in plan, plan
     assert "spark_graft_posting_" in plan, plan
+
+
+def test_dedup_family_reuses_cached_pair_plan(spark):
+    """The family caches (PLANS.md 'Shared family caches'): after one
+    consumer materializes the MinHash pair set, the OTHER consumers'
+    physical plans read the InMemoryRelation instead of rebuilding the
+    LSH pipeline (CacheManager canonicalized-plan reuse)."""
+    R.QUERIES["dedup_minhash_lsh"](spark, SF_DIR).count()
+    plan = _plan(spark, "dedup_apply_minhash")
+    assert "InMemoryTableScan" in plan, plan
+    # (dedup_connected_components consumes the same cached pairs too, but
+    # its final plan is a driver-built label DataFrame — the union-find
+    # fast path — so the reuse is not visible in its plan text.)
