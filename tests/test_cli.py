@@ -248,3 +248,16 @@ def test_cli_analyze_check(capsys):
     rc = cli.main(["analyze", "--data-dir", SF_DIR, "--check", "embedding_kmeans"])
     out = capsys.readouterr().out
     assert rc == 0 and "rows-only" in out
+
+
+def test_cli_analyze_check_all_subset(capsys):
+    """The full differential sweep as one CLI command, restricted with
+    --only; exit 0 with all-green oracles."""
+    rc = cli.main([
+        "analyze", "--data-dir", SF_DIR, "--check", "--all",
+        "--only", "daily_event_counts",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "daily_event_counts:" in out and "MISMATCH" not in out
+    assert "mismatches: none" in out

@@ -193,6 +193,13 @@ def build_parser() -> argparse.ArgumentParser:
                     "same parquet files and report row/schema/value match "
                     "(exit 1 on mismatch) — the driver-style differential "
                     "check as a user-facing tool")
+    an.add_argument("--all", action="store_true", dest="check_all",
+                    help="with --check: sweep EVERY registry query against "
+                    "its oracle (the full driver-style differential run as "
+                    "one command; exit 1 if any mismatches)")
+    an.add_argument("--only", default=None,
+                    help="with --check --all: restrict the sweep to query "
+                    "names containing this substring")
     an.add_argument("name", nargs="?", default=None,
                     help="registry query name (see --list)")
     return ap
@@ -376,6 +383,51 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     elif args.cmd == "analyze":
         from use_clickhouse_2_analyze_mysql_binlog_spark import queries_registry
+
+        if args.check and args.check_all:
+            # full differential sweep — every registry query vs its
+            # DuckDB oracle on the same parquet (rows-only queries are
+            # executed and row-counted); the driver-style correctness
+            # pass as ONE user-facing command
+            import duckdb
+
+            from use_clickhouse_2_analyze_mysql_binlog_spark import (
+                oracle_compare,
+                schemas,
+            )
+
+            con = duckdb.connect()
+            for t in schemas.TESTDATA_TABLES:
+                path = f"{args.data_dir}/{t}.parquet"
+                if os.path.exists(path):
+                    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+            names = [
+                n for n in queries_registry.QUERIES
+                if args.only is None or args.only in n
+            ]
+            mismatches: list[str] = []
+            for n in names:
+                try:
+                    pdf = queries_registry.QUERIES[n](
+                        spark, args.data_dir
+                    ).toPandas()
+                    if n not in queries_registry.ORACLES:
+                        print(f"{n}: rows-only rows={len(pdf)}")
+                        continue
+                    v = oracle_compare.compare(
+                        pdf, con.sql(queries_registry.ORACLES[n]).fetchdf()
+                    )
+                    ok = v["values_ok"] and v["schema_ok"]
+                    print(f"{n}: rows={v['rows'][0]}/{v['rows'][1]} "
+                          f"{'ok' if ok else 'MISMATCH'}")
+                    if not ok:
+                        mismatches.append(n)
+                except Exception as ex:  # keep sweeping; report at the end
+                    print(f"{n}: ERROR {str(ex)[:160]}")
+                    mismatches.append(n)
+            print(f"checked {len(names)} queries; "
+                  f"mismatches: {mismatches or 'none'}")
+            return 1 if mismatches else 0
 
         if args.list_queries or args.name is None:
             for name in sorted(queries_registry.QUERIES):
