@@ -261,3 +261,32 @@ def test_cli_analyze_check_all_subset(capsys):
     assert rc == 0
     assert "daily_event_counts:" in out and "MISMATCH" not in out
     assert "mismatches: none" in out
+
+
+def test_cli_dedup_stream_end_to_end(spark, tmp_path):
+    """dedup-stream CLI: documents parquet -> incremental LSH dedup ->
+    committed corpus, with --gopher pre-gating each batch."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import (
+        incremental_dedup_job,
+    )
+
+    src = str(tmp_path / "docs_src")
+    good = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the window and the birds sing in the morning light over the "
+        "hills beyond the river where children play and dogs bark at noon"
+    )
+    spark.createDataFrame(
+        [(1, good), (2, "tooshort"), (3, good)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    corpus = str(tmp_path / "corpus")
+    rc = cli.main([
+        "dedup-stream", "--source", src, "--corpus", corpus,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--available-now", "--gopher",
+    ])
+    assert rc == 0
+    got = incremental_dedup_job.read_corpus(spark, corpus)
+    # gopher dropped doc 2; exact dedup collapsed 1/3 to one survivor
+    assert got.count() == 1

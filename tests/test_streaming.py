@@ -962,3 +962,38 @@ def test_upsert_empty_first_epoch_publishes_nothing(spark, tmp_path):
     got = upsert_job.read_state(spark, state)
     want = merge_tree.replacing_merge_final(merge_tree.dml_rows(dml))
     assert got.count() == want.count() > 0
+
+
+def test_incremental_dedup_gopher_pre_gate(spark, tmp_path):
+    """gopher=True: the streaming twin of pipeline --gopher — docs failing
+    the hard rules never enter the corpus, its bands, or its hash sets."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import text as T
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import (
+        incremental_dedup_job,
+    )
+
+    root = str(tmp_path / "incg")
+    body = incremental_dedup_job.make_dedup_batch(
+        root, threshold=0.5, gopher=True
+    )
+    good = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the window and the birds sing in the morning light over the "
+        "hills beyond the river where children play and dogs bark at noon"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "tooshort"),  # fails the word-count rule
+            (3, "zz " * 200),  # no stopwords, low diversity
+        ],
+        "doc_id long, text string",
+    )
+    # sanity: the gate itself keeps exactly doc 1
+    kept = {r.doc_id for r in T.gopher_gate(batch).select("doc_id").collect()}
+    assert kept == {1}
+    body(batch, 0)
+    sink = epochs.TxnSink(root, incremental_dedup_job.TABLES)
+    assert {r.doc_id for r in sink.read(spark, "corpus").collect()} == {1}
+    assert {r.doc_id for r in sink.read(spark, "bands").collect()} == {1}
+    assert {r.doc_id for r in sink.read(spark, "sh_sets").collect()} == {1}

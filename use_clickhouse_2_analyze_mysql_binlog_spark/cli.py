@@ -101,6 +101,23 @@ def build_parser() -> argparse.ArgumentParser:
                      "at read")
     _add_common(ups)
 
+    dds = sub.add_parser(
+        "dedup-stream",
+        help="streaming incremental near-dup dedup: each micro-batch of "
+        "documents is LSH-matched against the accumulated corpus before "
+        "appending (streaming/incremental_dedup_job.py)",
+    )
+    dds.add_argument("--source", required=True,
+                     help="documents parquet path (doc_id, text, ... stream)")
+    dds.add_argument("--corpus", required=True,
+                     help="transactional corpus root (corpus/bands/sh_sets)")
+    dds.add_argument("--threshold", type=float, default=0.5,
+                     help="Jaccard near-dup threshold")
+    dds.add_argument("--gopher", action="store_true",
+                     help="apply the Gopher hard-rule pre-gate per batch "
+                     "(streaming twin of `pipeline --gopher`)")
+    _add_common(dds)
+
     ses = sub.add_parser(
         "sessions", help="stateful per-gtid gap-delimited transaction sessionizer"
     )
@@ -258,6 +275,21 @@ def main(argv: list[str] | None = None) -> int:
             pk_mod=args.pk_mod,
             available_now=args.available_now,
             mode=args.mode,
+        )
+    elif args.cmd == "dedup-stream":
+        from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import (
+            incremental_dedup_job,
+        )
+
+        doc_schema = spark.read.parquet(args.source).schema
+        stream = spark.readStream.schema(doc_schema).parquet(args.source)
+        q = incremental_dedup_job.run_incremental_dedup_stream(
+            stream,
+            args.corpus,
+            args.checkpoint,
+            threshold=args.threshold,
+            available_now=args.available_now,
+            gopher=args.gopher,
         )
     elif args.cmd == "sessions":
         from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import (

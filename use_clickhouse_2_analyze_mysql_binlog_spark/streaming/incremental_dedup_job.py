@@ -54,9 +54,14 @@ def make_dedup_batch(
     threshold: float = 0.5,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     run_id: str = "local",
+    gopher: bool = False,
 ):
     """Per-epoch body (module-level so replay behavior is unit-testable,
-    same pattern as ingest_job.make_append_batch)."""
+    same pattern as ingest_job.make_append_batch). ``gopher=True`` applies
+    the Gopher hard-rule pre-gate to each batch BEFORE dedup — the
+    streaming twin of the batch pipeline's ``--gopher`` (row-local, fuses
+    into the batch scan; gated-out docs never enter the corpus, its bands,
+    or its hash sets)."""
 
     sink = epochs.TxnSink(root, TABLES, run_id)
 
@@ -64,6 +69,12 @@ def make_dedup_batch(
         if sink.epoch_committed(epoch):
             return
         spark = batch.sparkSession
+        if gopher:
+            from use_clickhouse_2_analyze_mysql_binlog_spark.operators.text import (
+                gopher_gate,
+            )
+
+            batch = gopher_gate(batch)
         # exact dups inside the batch: keep-first on content hash
         batch = (
             batch.withColumn("_ch", hash60(F.col("text")))
@@ -133,6 +144,7 @@ def run_incremental_dedup_stream(
     checkpoint_path: str,
     threshold: float = 0.5,
     available_now: bool = False,
+    gopher: bool = False,
 ) -> StreamingQuery:
     """Start the stream: documents -> batch-vs-corpus LSH dedup -> corpus
     append (exactly-once: per-epoch staging + one atomic commit across the
@@ -146,6 +158,7 @@ def run_incremental_dedup_stream(
                 root,
                 threshold=threshold,
                 run_id=epochs.run_id_for(checkpoint_path),
+                gopher=gopher,
             )
         )
     )
