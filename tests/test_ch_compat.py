@@ -201,11 +201,19 @@ def test_translate_idempotent_over_generated_expressions():
                 + (f", {t[1]})" if t[0].endswith("2") else ")")
             ),
             st.tuples(inner, inner).map(lambda t: f"multiIf({t[0]} > 1, {t[1]}, {t[1]})"),
+            # round-6 operator-function aliases (incl. the infix-keyword
+            # collision class: 2-arg and/or are calls, 1-arg is SQL's
+            # infix keyword + parenthesized operand and must survive)
+            st.tuples(st.sampled_from(
+                ["plus", "minus", "equals", "less", "and", "or"]),
+                inner, inner).map(lambda t: f"{t[0]}({t[1]}, {t[2]})"),
+            inner.map(lambda x: f"negate({x})"),
+            inner.map(lambda x: f"x BETWEEN 1 and ({x})"),
         )
 
     exprs = st.recursive(atoms, wrap, max_leaves=6)
 
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=80, deadline=None)
     @given(exprs)
     def check(e):
         sql = f"SELECT {e} FROM t"
@@ -213,8 +221,12 @@ def test_translate_idempotent_over_generated_expressions():
         assert ch_compat.translate(once) == once
         body = re.sub(r"'(?:[^']|'')*'", "", once)  # ignore literals
         for tok in ("toUInt32(", "argMax(", "countIf(", "uniqExact(",
-                    "multiIf(", "toYYYYMM("):
+                    "multiIf(", "toYYYYMM(", "plus(", "minus(", "equals(",
+                    "negate("):
             assert tok not in body, (sql, once)
+        # the infix keyword form survives verbatim
+        if "BETWEEN 1 and (" in sql:
+            assert "BETWEEN 1 and (" in once, (sql, once)
 
     check()
 
