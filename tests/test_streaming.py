@@ -997,3 +997,33 @@ def test_incremental_dedup_gopher_pre_gate(spark, tmp_path):
     assert {r.doc_id for r in sink.read(spark, "corpus").collect()} == {1}
     assert {r.doc_id for r in sink.read(spark, "bands").collect()} == {1}
     assert {r.doc_id for r in sink.read(spark, "sh_sets").collect()} == {1}
+
+
+def test_upsert_read_state_per_table_partition_pruning(spark, tmp_path, binlog_df):
+    """Per-table reads of the partitioned snapshot must prune to that
+    table's partition directories (PartitionFilters on schema/table),
+    and return exactly the batch-computed per-table state."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import merge_tree
+    from use_clickhouse_2_analyze_mysql_binlog_spark.sources.transform import (
+        canal_entries_to_binlog,
+    )
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import upsert_job
+
+    binlog = canal_entries_to_binlog(
+        schemas.canal_entries_view(schemas.load_table(spark, SF_DIR, "events")),
+        ctime=F.to_timestamp(F.lit("2024-02-01 00:00:00")),
+    ).filter(F.col("binlog_pos") % 5 == 0)
+    state = str(tmp_path / "state")
+    upsert_job.make_upsert_batch(spark, state)(binlog, 0)
+
+    got = upsert_job.read_state(spark, state, schema="appdb", table="t_1")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "t_1" in plan, plan
+
+    want = merge_tree.replacing_merge_final(
+        merge_tree.dml_rows(binlog)
+    ).filter(F.col("table") == "t_1")
+    assert got.count() == want.count() > 0
+    assert {r.row_pk for r in got.collect()} == {
+        r.row_pk for r in want.collect()
+    }

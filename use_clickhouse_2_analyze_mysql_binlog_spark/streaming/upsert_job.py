@@ -148,16 +148,33 @@ def run_upsert_stream(
     return writer.start()
 
 
-def read_state(spark: SparkSession, state_path: str) -> DataFrame:
+def read_state(
+    spark: SparkSession,
+    state_path: str,
+    schema: str | None = None,
+    table: str | None = None,
+) -> DataFrame:
     """Latest published row-state snapshot (fully merged; one row per key
     ever seen — ``is_deleted`` marks tombstones in replacing mode).
 
-    Column order and partition-column types are restored by
+    ``schema``/``table`` restrict the read to one source table's live
+    keys: because the snapshot is directory-partitioned on exactly these
+    columns, the filters land as PartitionFilters and the scan touches
+    only that table's files — the per-table read path a CDC consumer
+    actually wants (plan pinned in tests/test_streaming.py). Column
+    order and partition-column types are restored by
     :func:`_read_snapshot`."""
     latest = epochs.read_manifest(state_path)
     if latest is None:
         raise FileNotFoundError(f"no published state under {state_path}")
-    return _read_snapshot(spark, latest["dir"])
+    from pyspark.sql import functions as F
+
+    out = _read_snapshot(spark, latest["dir"])
+    if schema is not None:
+        out = out.filter(F.col("schema") == schema)
+    if table is not None:
+        out = out.filter(F.col("table") == table)
+    return out
 
 
 def read_collapsed_state(spark: SparkSession, state_path: str) -> DataFrame:
