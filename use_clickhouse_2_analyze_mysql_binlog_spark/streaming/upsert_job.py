@@ -177,9 +177,18 @@ def read_state(
     return out
 
 
-def read_collapsed_state(spark: SparkSession, state_path: str) -> DataFrame:
+def read_collapsed_state(
+    spark: SparkSession,
+    state_path: str,
+    schema: str | None = None,
+    table: str | None = None,
+) -> DataFrame:
     """Collapsing-mode FINAL read: the maintained state minus the keys
-    whose signs net to <= 0 (the read-time filter ClickHouse applies)."""
+    whose signs net to <= 0 (the read-time filter ClickHouse applies).
+    ``schema``/``table`` prune to one source table, as in
+    :func:`read_state`."""
     from pyspark.sql import functions as F
 
-    return read_state(spark, state_path).filter(F.col("net_rows") > 0)
+    return read_state(spark, state_path, schema=schema, table=table).filter(
+        F.col("net_rows") > 0
+    )
