@@ -126,6 +126,15 @@ def main() -> int:
     drift = (
         statistics.median(n / b for _, b, n in shared) if shared else 1.0
     )
+    # Gate with drift clamped at >= 1: the median corrects a SLOWER
+    # box/run (divide inflated ratios back down), but a median BELOW 1 —
+    # e.g. when a perf round genuinely speeds up much of the registry —
+    # must not make untouched queries look regressed relative to their
+    # newly-faster neighbors (round 6: a 0.91x median turned an unchanged
+    # headline query's 1.11x raw into a 1.22x "adjusted" FAIL). Speedups
+    # elsewhere are not evidence that this query got slower; the raw
+    # threshold and hard cap still govern.
+    gate_drift = max(drift, 1.0)
 
     failures: list[str] = []
     rows = []
@@ -135,7 +144,7 @@ def main() -> int:
             rows.append((name, b, n, None, "added" if b is None else "removed"))
             continue
         ratio = n / b if b else float("inf")
-        adj = ratio / drift
+        adj = ratio / gate_drift
         gated = name in BENCH_QUERIES or name in WATCHED_QUERIES
         status = "ok"
         if adj > threshold or ratio > hard_cap:
@@ -158,9 +167,9 @@ def main() -> int:
     # the run-level speed difference between the two boxes/runs; gating
     # above divides every ratio by it before comparing to the threshold.
     print(
-        f"median per-query ratio (run-level drift): {drift:.2f}x — "
-        f"gate fires on ratio/median > {threshold}x OR raw ratio > "
-        f"{hard_cap}x"
+        f"median per-query ratio (run-level drift): {drift:.2f}x "
+        f"(gating divisor clamped to {gate_drift:.2f}x) — gate fires on "
+        f"ratio/divisor > {threshold}x OR raw ratio > {hard_cap}x"
     )
     print(
         f"headline total: {base.get('value')}s -> {new.get('value')}s; "
