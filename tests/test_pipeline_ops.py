@@ -1418,3 +1418,51 @@ def test_merge_collapsing_states_associative(spark):
             acc = merge_tree.merge_collapsing_states(acc, chunks[i])
         assert acc.exceptAll(want).count() == 0
         assert want.exceptAll(acc).count() == 0, (nparts, order)
+
+
+def test_line_dedup_boilerplate_removal(spark):
+    """Cross-doc line dedup: lines shared by >= min_df docs vanish from
+    every doc, prose survives in order; exact DuckDB parity on the same
+    fixture (the testdata documents are single-line, so the fixture
+    plants real multi-line boilerplate)."""
+    import duckdb
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import dedup
+
+    rows = [
+        (1, "unique prose about rivers\nsubscribe to our newsletter\n"
+            "more thoughts on water"),
+        (2, "subscribe to our newsletter\ndifferent essay entirely\n"
+            "all rights reserved"),
+        (3, "all rights reserved\nsubscribe to our newsletter\n"
+            "a third unrelated text\nall rights reserved"),
+        (4, "subscribe to our newsletter"),  # becomes empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_lines, r.n_removed)
+        for r in dedup.line_dedup(docs, min_df=2).collect()
+    }
+    assert got[1] == (
+        "unique prose about rivers\nmore thoughts on water", 3, 1
+    )
+    assert got[2] == ("different essay entirely", 3, 2)
+    # in-doc repeats count once toward df but every occurrence is removed
+    assert got[3] == ("a third unrelated text", 4, 3)
+    assert got[4] == ("", 1, 1)
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = {
+        int(d): (t, int(n), int(rm))
+        for d, t, n, rm in con.sql(dedup.LINE_DEDUP_SQL(min_df=2)).fetchall()
+    }
+    assert got == want
+
+    # keep_empty_docs=False drops fully-boilerplate docs
+    kept = {
+        r.doc_id
+        for r in dedup.line_dedup(docs, min_df=2, keep_empty_docs=False)
+        .select("doc_id").collect()
+    }
+    assert kept == {1, 2, 3}

@@ -998,3 +998,88 @@ reach(a, b) AS (
 SELECT a AS doc_id, least(a, min(b)) AS cluster_id
 FROM reach GROUP BY a
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    documents: DataFrame, min_df: int = 2, keep_empty_docs: bool = True
+) -> DataFrame:
+    """Remove lines shared by >= ``min_df`` DISTINCT documents — the
+    RefinedWeb/CCNet-style boilerplate filter (nav bars, cookie banners,
+    license footers repeat across a crawl; prose lines don't).
+
+    Returns (doc_id, text, n_lines, n_removed) with ``text`` rebuilt from
+    the surviving lines in original order.
+
+    Scale shape: explode lines once -> hash -> document frequency by ONE
+    groupBy on the line hash (count of distinct docs; map-side combined
+    after an in-doc distinct) -> hash-join the df back onto the line rows
+    (both sides partitioned by the hash from the same exchange) -> ONE
+    doc_id groupBy reassembles. No windows over unbounded groups, no
+    driver state; a mega-boilerplate line costs one counter, not a pair
+    explosion — this is the cheap exact complement to the shingle-level
+    ``crossdoc_span_stats``.
+    """
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+    ).withColumn("lh", hash60(F.col("line")))
+    df_tab = (
+        lines.select("doc_id", "lh")
+        .distinct()  # in-doc repeats count once toward document frequency
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+    )
+    joined = lines.join(df_tab, "lh")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("line_df") >= min_df).cast("long")).alias("n_removed"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("line_df") < min_df,
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+            ).alias("text"),
+        )
+        .filter(F.lit(keep_empty_docs) | (F.col("n_removed") < F.col("n_lines")))
+        .select("doc_id", "text", "n_lines", "n_removed")
+    )
+
+
+def LINE_DEDUP_SQL(min_df: int = 2) -> str:
+    """DuckDB twin of :func:`line_dedup` (keep_empty_docs=True form);
+    keyed by the same 60-bit line hash as the Spark join."""
+    return f"""
+WITH lines AS (
+  SELECT doc_id, u.i - 1 AS pos, u.line, {HASH60_SQL('u.line')} AS lh
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+        FROM documents) s,
+       LATERAL (SELECT unnest(parts) AS line,
+                       generate_subscripts(parts, 1) AS i) u
+),
+df AS (
+  SELECT lh, COUNT(DISTINCT doc_id) AS line_df
+  FROM lines GROUP BY lh
+)
+SELECT l.doc_id,
+       COALESCE(string_agg(CASE WHEN d.line_df < {min_df} THEN l.line END,
+                           chr(10) ORDER BY l.pos), '') AS text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN d.line_df >= {min_df} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_removed
+FROM lines l JOIN df d ON l.lh = d.lh
+GROUP BY l.doc_id
+"""
