@@ -290,3 +290,27 @@ def test_cli_dedup_stream_end_to_end(spark, tmp_path):
     got = incremental_dedup_job.read_corpus(spark, corpus)
     # gopher dropped doc 2; exact dedup collapsed 1/3 to one survivor
     assert got.count() == 1
+
+
+def test_cli_pipeline_line_dedup(spark, tmp_path):
+    """pipeline --line-dedup-df N: planted boilerplate lines vanish from
+    the written corpus while the prose survives curation + near-dup."""
+    import pyspark.sql.functions as F
+
+    src_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    boiler = "subscribe to our newsletter for more updates every week"
+    planted = src_docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit("\n" + boiler))
+    )
+    src = str(tmp_path / "docs_boiler")
+    planted.write.parquet(src)
+    out = str(tmp_path / "pipeline_ld")
+    rc = cli.main([
+        "pipeline", "--source", src, "--output", out, "--line-dedup-df", "2",
+    ])
+    assert rc == 0
+    result = spark.read.parquet(out)
+    assert result.count() > 0
+    assert result.filter(F.col("text").contains(boiler)).count() == 0
+    # prose text survived (some doc still has multi-word content)
+    assert result.filter(F.length("text") > 50).count() > 0

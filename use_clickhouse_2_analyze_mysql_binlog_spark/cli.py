@@ -164,6 +164,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="pre-gate on the Gopher hard rules "
                     "(word count / mean word length / stopwords / "
                     "uniqueness) before the blended quality gate")
+    pl.add_argument("--line-dedup-df", type=int, default=0, metavar="N",
+                    help="remove lines shared by >= N distinct documents "
+                    "(cross-doc boilerplate filter) between curation and "
+                    "near-dup dedup; 0 = off")
     pl.add_argument("--val-pct", type=float, default=2.5)
     pl.add_argument("--test-pct", type=float, default=2.5)
     pl.add_argument("--no-scrub", action="store_true")
@@ -341,6 +345,17 @@ def main(argv: list[str] | None = None) -> int:
             min_tokens=args.min_tokens,
             scrub=not args.no_scrub,
         )
+        if args.line_dedup_df > 0:
+            # 1b. cross-doc boilerplate-line removal: rebuild text minus
+            #     lines shared by >= N docs, then re-attach the curated
+            #     metadata columns (one doc_id equi-join; the rebuilt
+            #     corpus is what shingles into the posting below, so
+            #     boilerplate never reaches the near-dup candidates).
+            #     Docs whose every line was boilerplate are dropped.
+            rebuilt = dedup.line_dedup(
+                curated, min_df=args.line_dedup_df, keep_empty_docs=False
+            ).select("doc_id", "text")
+            curated = curated.drop("text").join(rebuilt, "doc_id")
         # 2. near-dup removal over the survivors. The shingle posting is
         #    materialized once to staging first: the LSH pair query then
         #    reads only the pre-hashed posting parquet, so the curated
