@@ -1466,3 +1466,22 @@ def test_line_dedup_boilerplate_removal(spark):
         .select("doc_id").collect()
     }
     assert kept == {1, 2, 3}
+
+
+def test_line_dedup_paragraph_separator(spark):
+    """sep='\\n\\n' (or any literal separator — regex-quoted) turns the
+    operator into paragraph dedup."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "an essay paragraph\n\nshared legal disclaimer text"),
+            (2, "another essay entirely\n\nshared legal disclaimer text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.text
+        for r in dedup.line_dedup(docs, min_df=2, sep="\n\n").collect()
+    }
+    assert got == {1: "an essay paragraph", 2: "another essay entirely"}

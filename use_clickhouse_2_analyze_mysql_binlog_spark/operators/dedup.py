@@ -1005,11 +1005,15 @@ FROM reach GROUP BY a
 # ---------------------------------------------------------------------------
 
 def line_dedup(
-    documents: DataFrame, min_df: int = 2, keep_empty_docs: bool = True
+    documents: DataFrame,
+    min_df: int = 2,
+    keep_empty_docs: bool = True,
+    sep: str = "\n",
 ) -> DataFrame:
     """Remove lines shared by >= ``min_df`` DISTINCT documents — the
     RefinedWeb/CCNet-style boilerplate filter (nav bars, cookie banners,
     license footers repeat across a crawl; prose lines don't).
+    ``sep="\\n\\n"`` turns the same operator into PARAGRAPH dedup.
 
     Returns (doc_id, text, n_lines, n_removed) with ``text`` rebuilt from
     the surviving lines in original order.
@@ -1025,7 +1029,11 @@ def line_dedup(
     """
     lines = documents.select(
         "doc_id",
-        F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+        F.posexplode(
+            # \Q..\E-quote the separator: split() takes a REGEX, and a
+            # literal separator like "||" must not be one
+            F.split(F.col("text"), "\\Q" + sep + "\\E")
+        ).alias("pos", "line"),
     ).withColumn("lh", hash60(F.col("line")))
     df_tab = (
         lines.select("doc_id", "lh")
@@ -1040,7 +1048,7 @@ def line_dedup(
             F.count(F.lit(1)).alias("n_lines"),
             F.sum((F.col("line_df") >= min_df).cast("long")).alias("n_removed"),
             F.concat_ws(
-                "\n",
+                sep,
                 F.transform(
                     F.array_sort(
                         F.collect_list(
