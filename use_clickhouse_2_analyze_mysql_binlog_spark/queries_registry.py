@@ -1505,80 +1505,81 @@ def tokens_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derives everything else from the two newest committed CORRECTNESS files):
 # queries added this round or whose implementation changed, so their prior
 # driver proof (if any) no longer describes the shipped code.
-CHANGED_THIS_ROUND = [
-    # round-6 budget: exactly 3 entries (see ROTATION BUDGET below).
-    "corpus_curate_gopher",  # new: pipeline --gopher pre-gate end-to-end
-    "dedup_ngram_jaccard_staged",  # new: 2nd staged-posting consumer
-    "ch_if_combinators_json",  # new: -If combinators + JSONExtract driver row
+CHANGED_THIS_ROUND: list[str] = [
+    # round-7 budget: ZERO entries (see ROTATION BUDGET below) — no
+    # registry queries were added or implementation-changed this round.
 ]
-# ROTATION BUDGET (round 7): at 95 registry entries and a 50-entry window,
-# the 45 queries outside this round's window carry r05-green proof that
-# ages out in r07, so r07's window must hold all 45 + the 5 headline = 50
-# — leaving room for ZERO new or changed registry queries in round 7.
-# Adding any requires either retiring queries or accepting a one-round
-# proof gap; prefer spending round-7 breadth on streaming/storage/
-# translator work, which proves out in tests.
+# ROTATION BUDGET (round 8): at 95 registry entries and a 50-entry window,
+# round 7's window holds exactly the 45 r05-only-green queries + the 5
+# headline queries (zero budget, as pre-computed in round 6). Once the
+# driver's CORRECTNESS_r07.json lands, the 45 queries green only in r06
+# (the r06 window minus the headline 5) age out in r08 — so ROUND 8 IS
+# ANOTHER ZERO-BUDGET ROUND: 45 r06-only-green + 5 headline = 50. The
+# treadmill alternates these two 45-query halves forever at 95 entries.
+# See COVERAGE.md "Driver-window rotation" for the retire-or-widen
+# decision recorded in round 7.
 
 DRIVER_WINDOW_PRIORITY = [
-    # -- 1. added or implementation-changed this round (round 6): no
-    #       current driver proof
-    *CHANGED_THIS_ROUND,
-    # -- 2. green only in CORRECTNESS_r04 (rotated out of the r05 window);
-    #       their proof ages out of the 2-round window unless re-verified
-    #       in r06 (VERDICT r05 next-round #1). Exactly the 42 registry
-    #       queries absent from CORRECTNESS_r05.json.
-    "asof_trade_quote",
-    "binlog_gap_report",
-    "ch_dashboard_rollup",
-    "corpus_curate",
-    "corpus_curate_materialize",
-    "corpus_length_histogram",
-    "corpus_sample_stratified",
-    "corpus_top_bigrams",
-    "corpus_train_test_split",
-    "daily_counts_gapfilled",
-    "daily_counts_moving_avg",
-    "daily_counts_pivot",
-    "day_over_day_counts",
-    "dedup_ngram_jaccard",
-    "event_count_cube",
-    "event_type_decode_dim_join",
-    "gtid_set_operations",
-    "idempotent_window_antijoin",
-    "ingest_transform",
-    "multi_cluster_daily_counts",
-    "multimodal_metadata",
-    "nation_revenue",
-    "nation_top_customer",
-    "pricing_summary",
-    "range_join_maintenance_windows",
-    "retention_filter",
-    "scalar_functions",
-    "session_windows",
-    "similarity_topk_bruteforce",
-    "size_mad_per_type",
-    "size_quantiles",
-    "skew_salted_table_profile",
-    "summing_rollup_reaggregate",
-    "text_language_id",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_repetition_score",
-    "text_token_count",
-    "tokens_per_source_stats",
-    "top_revenue_orders",
-    "window_funnel",
-    "windowed_running_size",
+    # -- 1. added or implementation-changed this round (round 7): none.
+    # -- 2. green only in CORRECTNESS_r05 (rotated out of the r06 window);
+    #       their proof ages out of the 2-round invariant unless
+    #       re-verified in r07. Exactly the 45 registry queries green in
+    #       r05 but absent from CORRECTNESS_r06.json's green set.
+    "aggregating_rollup_merge",
+    "benchmark_contamination",
+    "ch_prewhere_profile",
+    "ch_top_event_limit_by",
+    "collapsing_merge_state",
+    "corpus_source_cap",
+    "daily_count_anomalies",
+    "daily_distinct_gtids_approx",
+    "daily_distinct_gtids_approx_check",
+    "daily_event_counts",
+    "daily_event_counts_by_table",
+    "dedup_apply_connected_components",
+    "dedup_apply_minhash",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_staged",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_span_crossdoc",
+    "doc_chunks",
+    "doc_fingerprint",
+    "embedding_kmeans",
+    "embedding_kmeans_assign",
+    "embedding_kmeans_inertia_check",
+    "embedding_quantization_error",
+    "language_mixture_weights",
+    "large_order_customers",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "order_priority_counts",
+    "promo_revenue",
+    "quality_gopher_flags",
+    "replacing_merge_final",
+    "retention_cohorts",
+    "sequence_pack",
+    "similarity_batch_topk",
+    "similarity_ivf_topk",
+    "similarity_ivf_topk_nprobe",
+    "similarity_lsh_topk",
+    "size_quantiles_approx",
+    "size_quantiles_approx_check",
     # -- 3. reference-core headline queries (verified every round)
     "transaction_stats",
     "top_transaction_by_size",
     "top_transaction_by_spend_time",
     "top_transaction_by_affected_rows",
     "transaction_result_table",
-    # -- (up to 3 changed + 42 stale + 5 headline = 50 priority entries:
-    #       the window is exactly full once the round-6 budget is spent.
-    #       Everything else keeps definition order, is r05-green, and
-    #       ages out in r07 — see ROTATION BUDGET above.)
+    # -- (0 changed + 45 stale + 5 headline = 50 priority entries: the
+    #       window is exactly full with zero budget. Everything else keeps
+    #       definition order, is r06-green, and ages out in r08 — see
+    #       ROTATION BUDGET above.)
 ]
 
 
