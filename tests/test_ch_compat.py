@@ -626,7 +626,9 @@ def test_array_hof_lambda_order():
     assert t("WHERE x GLOBAL IN (SELECT k FROM b)") == (
         "WHERE x IN (SELECT k FROM b)"
     )
-    assert "ANY LEFT JOIN" in t("SELECT 1 FROM a ANY LEFT JOIN b USING (k)")
+    # ANY strictness now TRANSLATES (r07): deduped right side
+    got = t("SELECT 1 FROM a ANY LEFT JOIN b USING (k)")
+    assert "ANY LEFT JOIN" not in got and "row_number() OVER" in got
 
 
 def test_array_hof_executes(spark):
@@ -986,8 +988,10 @@ def test_case_insensitive_standard_names(spark):
     assert t("Position(haystack, needle)") == "instr(haystack, needle)"
     assert t("ANY(x)") == "any_value(x)"
     assert t("Any(x)") == "any_value(x)"
-    # the ANY JOIN strictness keyword is not a call site: still loud
-    assert "ANY LEFT JOIN" in t("SELECT 1 FROM a ANY LEFT JOIN b USING (k)")
+    # the ANY JOIN strictness keyword is not a call site: the any->
+    # any_value normalization must not touch it (the join rewriter does)
+    got = t("SELECT 1 FROM a ANY LEFT JOIN b USING (k)")
+    assert "any_value" not in got and "row_number() OVER" in got
     # inside string literals nothing changes
     assert t("SELECT 'Any(x) POSITION(a,b)' AS s") == (
         "SELECT 'Any(x) POSITION(a,b)' AS s"
@@ -1255,3 +1259,111 @@ def test_comparison_logical_aliases(spark):
         "or(less(5, 1), notEquals(1, 2)) AS u",
     ).collect()[0]
     assert row.t is True and row.u is True
+
+
+def test_infix_keyword_before_tuple_passthrough(spark):
+    """ADVICE r06 #1: infix and/or and prefix not followed by a
+    parenthesized TUPLE must pass through — the arity-only guard used to
+    consume the keyword (`x = 1 ((a) AND (b)) IN ...`, unparseable) or
+    silently drop tuple elements (`not (a, b) IN ...` became `a IN`)."""
+    t = ch_compat.translate
+    q = "SELECT * FROM t WHERE x = 1 and (a, b) IN (SELECT a, b FROM u)"
+    assert t(q) == q
+    q = "SELECT * FROM t WHERE not (a, b) IN (SELECT a, b FROM u)"
+    assert t(q) == q
+    q = "SELECT * FROM t WHERE y or (a, b) IN ((1, 2), (3, 4))"
+    assert t(q) == q
+    # expression-ending tokens other than identifiers: ')', literal mask
+    q = "SELECT * FROM t WHERE f(x) and (a, b) IN ((1, 2))"
+    assert t(q) == q
+    q = "SELECT * FROM t WHERE s = 'v' and (a, b) IN ((1, 2))"
+    assert t(q) == q
+    # function form still rewrites in every expression-opening context
+    assert t("SELECT and(a, b) FROM t") == "SELECT ((a) AND (b)) FROM t"
+    assert (
+        t("SELECT 1 WHERE and(a, b)") == "SELECT 1 WHERE ((a) AND (b))"
+    )
+    assert t("SELECT x, or(a, b) FROM t") == (
+        "SELECT x, ((a) OR (b)) FROM t"
+    )
+    # end-to-end: tuple-IN with infix and actually runs on Spark
+    rows = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT c FROM (SELECT 1 AS c, 2 AS d) "
+        "WHERE c = 1 and (c, d) IN ((1, 2))",
+    ).collect()
+    assert [r.c for r in rows] == [1]
+    rows = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT c FROM (SELECT 1 AS c, 2 AS d) "
+        "WHERE not (c, d) IN ((5, 6))",
+    ).collect()
+    assert [r.c for r in rows] == [1]
+
+
+def test_any_join_strictness_translates(spark):
+    """VERDICT r06 next-round #4: CH ANY LEFT/INNER JOIN = at most ONE
+    right-side match per left row. Translated to a row_number()=1-deduped
+    right side; verified against a hand-built expected table where plain
+    LEFT JOIN would fan out (key 1 has TWO right rows)."""
+    t = ch_compat.translate
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, lv string"
+    ).createOrReplaceTempView("anyl")
+    spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "k int, rv int"
+    ).createOrReplaceTempView("anyr")
+
+    # USING form, both keyword orders
+    for q in (
+        "SELECT k, lv, rv FROM anyl ANY LEFT JOIN anyr USING (k) ORDER BY k",
+        "SELECT k, lv, rv FROM anyl LEFT ANY JOIN anyr USING (k) ORDER BY k",
+    ):
+        rows = [tuple(r) for r in ch_compat.run_clickhouse_sql(spark, q).collect()]
+        # one row per LEFT row (no fan-out on k=1), unmatched k=3 keeps NULL
+        assert [r[0] for r in rows] == [1, 2, 3]
+        assert rows[0][2] in (10, 11) and rows[1][2] == 20 and rows[2][2] is None
+
+    # ON form with alias + multi-key equi-condition
+    rows = [
+        tuple(r)
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT l.k, r.rv FROM anyl AS l ANY INNER JOIN anyr AS r "
+            "ON l.k = r.k ORDER BY l.k",
+        ).collect()
+    ]
+    assert [r[0] for r in rows] == [1, 2]  # inner: k=3 dropped, k=1 NOT doubled
+    assert rows[0][1] in (10, 11) and rows[1][1] == 20
+
+    # subquery right side
+    rows = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT anyl.k, r.rv FROM anyl ANY LEFT JOIN "
+        "(SELECT k, rv FROM anyr WHERE rv < 100) AS r ON anyl.k = r.k "
+        "ORDER BY anyl.k",
+    ).collect()
+    assert len(rows) == 3
+
+    # contrast: withOUT ANY the same join fans out to 4 rows
+    plain = ch_compat.run_clickhouse_sql(
+        spark, "SELECT k FROM anyl LEFT JOIN anyr USING (k)"
+    ).collect()
+    assert len(plain) == 4
+
+    # loud-fail matrix: constructs whose multiplicity a local rewrite
+    # cannot express
+    import pytest
+
+    with pytest.raises(ValueError, match="ANY RIGHT JOIN"):
+        t("SELECT 1 FROM a ANY RIGHT JOIN b USING (k)")
+    with pytest.raises(ValueError, match="ANY FULL JOIN"):
+        t("SELECT 1 FROM a FULL ANY JOIN b USING (k)")
+    with pytest.raises(ValueError, match="simple qualified equality"):
+        t("SELECT 1 FROM a ANY LEFT JOIN b ON a.k > b.k")
+    with pytest.raises(ValueError, match="exactly one side"):
+        t("SELECT 1 FROM a ANY LEFT JOIN b ON a.k = a.j")
+    with pytest.raises(ValueError, match="ASOF JOIN"):
+        t("SELECT 1 FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
+    with pytest.raises(ValueError, match="needs an alias"):
+        t("SELECT 1 FROM a ANY LEFT JOIN (SELECT k FROM b) ON a.k = k")

@@ -314,3 +314,11 @@ def test_cli_pipeline_line_dedup(spark, tmp_path):
     assert result.filter(F.col("text").contains(boiler)).count() == 0
     # prose text survived (some doc still has multi-word content)
     assert result.filter(F.length("text") > 50).count() > 0
+    # ADVICE r06 #4: n_tokens describes the SHIPPED (rebuilt) text, not
+    # the pre-dedup text the quality gate saw
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import text as t
+
+    stale = result.filter(
+        F.col("n_tokens") != F.size(t.tokens("text"))
+    ).count()
+    assert stale == 0

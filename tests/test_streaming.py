@@ -931,6 +931,37 @@ def test_upsert_snapshot_write_is_partitioned(spark, tmp_path, binlog_df):
     assert dict(got.dtypes)["table"] == "string"
 
 
+def test_upsert_snapshot_numeric_table_names_roundtrip(spark, tmp_path):
+    """ADVICE r06 #3: partition values that LOOK numeric or date-like
+    must round-trip verbatim — with type inference on, a table named
+    '0123' reads back as int 123 ('123' after the string cast),
+    corrupting the upsert key and read_state filters."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import upsert_job
+
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [
+            ("001", "0123", 1, "a"),
+            ("001", "2024-01-01", 2, "b"),
+            ("shop", "t_1", 3, "c"),
+        ],
+        "schema string, table string, row_pk int, v string",
+    ).write.partitionBy("schema", "table").parquet(snap)
+
+    got = upsert_job._read_snapshot(spark, snap)
+    assert got.columns[:2] == ["schema", "table"]
+    assert dict(got.dtypes)["schema"] == "string"
+    vals = {(r["schema"], r["table"]) for r in got.collect()}
+    assert vals == {("001", "0123"), ("001", "2024-01-01"), ("shop", "t_1")}
+    # the session conf is restored after the read
+    assert (
+        spark.conf.get(
+            "spark.sql.sources.partitionColumnTypeInference.enabled"
+        )
+        == "true"
+    )
+
+
 def test_upsert_empty_first_epoch_publishes_nothing(spark, tmp_path):
     """An all-DDL (zero-DML) FIRST micro-batch must not publish an empty
     partitioned snapshot (no data files -> unreadable schema); the

@@ -324,6 +324,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"dropped={len(dropped)} compacted={len(compacted)}")
         return 0
     elif args.cmd == "pipeline":
+        from pyspark.sql import functions as F  # local: keep CLI import light
+
         from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
             curation,
             dedup,
@@ -352,10 +354,24 @@ def main(argv: list[str] | None = None) -> int:
             #     corpus is what shingles into the posting below, so
             #     boilerplate never reaches the near-dup candidates).
             #     Docs whose every line was boilerplate are dropped.
+            from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
+                text as text_ops,
+            )
+
             rebuilt = dedup.line_dedup(
                 curated, min_df=args.line_dedup_df, keep_empty_docs=False
             ).select("doc_id", "text")
-            curated = curated.drop("text").join(rebuilt, "doc_id")
+            # n_tokens is recomputed on the REBUILT text (ADVICE r06 #4)
+            # so the split report and downstream per-language stats count
+            # the shipped corpus, not the pre-dedup one. quality_score
+            # intentionally stays the GATE-time score: it records why the
+            # document passed curation, and re-scoring post-removal would
+            # let boilerplate-heavy docs dodge the quality floor.
+            curated = (
+                curated.drop("text", "n_tokens")
+                .join(rebuilt, "doc_id")
+                .withColumn("n_tokens", F.size(text_ops.tokens("text")))
+            )
         # 2. near-dup removal over the survivors. The shingle posting is
         #    materialized once to staging first: the LSH pair query then
         #    reads only the pre-hashed posting parquet, so the curated
@@ -377,8 +393,6 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").partitionBy("split", "lang").parquet(
             args.output
         )
-        from pyspark.sql import functions as F  # local: keep CLI import light
-
         report = (
             spark.read.parquet(args.output)
             .groupBy("split")

@@ -53,8 +53,13 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   -> ``zip_with``, three-plus arrays fail loudly), ``[..]`` array
   literals -> ``array(..)``;
 - ``GLOBAL`` join/IN distribution hints dropped (Spark's planner owns
-  broadcast-vs-shuffle; ANY/ASOF strictness keywords are NOT dropped —
-  they change row multiplicity and fail loudly instead);
+  broadcast-vs-shuffle); ``ANY LEFT/INNER JOIN`` strictness -> the right
+  side deduped to one row per join key (``row_number() = 1`` subquery —
+  CH's any-pick is arbitrary, so Spark's first-per-key is inside the
+  contract), both keyword orders, ``USING`` and simple equi-``ON``;
+  ``ANY RIGHT/FULL`` (left-side dedup needs the whole FROM context),
+  non-equi ``ON``, and ``ASOF`` strictness still fail loudly — they
+  change row multiplicity in ways a local rewrite can't express;
 - CH scalar ``WITH const AS name`` aliases inlined (Spark WITH is
   CTE-only; non-constant items pass through), ``SAMPLE <fraction>`` ->
   ``TABLESAMPLE (pct PERCENT)`` (row-count parity; both sample
@@ -369,6 +374,291 @@ def _rewrite_calls(sql: str, name: str, build) -> str:
         pos = s
 
 
+# --------------------------------------------------------------------------
+# ANY JOIN strictness (CH: at most ONE right-side match per left row).
+# Translated to a row_number()=1-deduped right side + plain join — CH's
+# any-pick is arbitrary, so picking Spark's first row per key is inside
+# the same contract (deterministic modulo CH's own any-pick). ASOF joins
+# stay loud: they need the asof operator's bucket shape, not SQL rewrite.
+# --------------------------------------------------------------------------
+
+_ANY_JOIN_PAT = re.compile(
+    r"\b(?:ANY\s+(?P<d1>LEFT|INNER|RIGHT|FULL)(?:\s+OUTER)?\s+JOIN"
+    r"|(?P<d2>LEFT|INNER|RIGHT|FULL)(?:\s+OUTER)?\s+ANY\s+JOIN"
+    r"|ANY\s+JOIN)\b",
+    re.IGNORECASE,
+)
+
+#: keywords that terminate an ON condition at paren-depth 0
+_ON_END_KEYWORDS = frozenset(
+    {
+        "where", "group", "order", "having", "limit", "union", "except",
+        "intersect", "settings", "format", "window", "join", "left",
+        "right", "inner", "full", "cross", "any", "asof", "global",
+        "semi", "anti",
+    }
+)
+
+
+def _skip_ws(s: str, i: int) -> int:
+    while i < len(s) and s[i].isspace():
+        i += 1
+    return i
+
+
+def _balanced_paren_end(s: str, i: int) -> int:
+    """``s[i]`` is ``(``; return the index just past its matching ``)``."""
+    depth = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < n and s[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses after ANY JOIN")
+
+
+def _on_condition_end(sql: str, i: int) -> int:
+    depth = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n and sql[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return i  # closing the enclosing subquery
+            depth -= 1
+        elif c == "," and depth == 0:
+            return i
+        elif depth == 0 and (c.isalpha() or c == "_"):
+            mw = re.match(r"[A-Za-z_]\w*", sql[i:])
+            if mw.group(0).lower() in _ON_END_KEYWORDS:
+                return i
+            i += mw.end()
+            continue
+        i += 1
+    return n
+
+
+def _split_and_top_level(cond: str) -> list[str]:
+    parts: list[str] = []
+    depth, i, start, n = 0, 0, 0, len(cond)
+    while i < n:
+        c = cond[i]
+        if c == "'":
+            j = i + 1
+            while j < n and cond[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c in "aA":
+            mm = re.match(r"AND\b", cond[i:], re.IGNORECASE)
+            prev_ok = i == 0 or not (cond[i - 1].isalnum() or cond[i - 1] == "_")
+            if mm and prev_ok:
+                parts.append(cond[start:i])
+                i += 3
+                start = i
+                continue
+        i += 1
+    parts.append(cond[start:])
+    return parts
+
+
+def _right_keys_from_on(cond: str, right_name: str) -> list[str]:
+    """Right-side join-key columns from a simple equi-join ON condition;
+    anything fancier fails loudly (loud beats silently-wrong
+    multiplicity)."""
+    names = {right_name.lower()}
+    if "." in right_name:
+        names.add(right_name.rsplit(".", 1)[-1].lower())
+    keys: list[str] = []
+    for term in _split_and_top_level(cond):
+        mm = re.fullmatch(
+            r"\s*([A-Za-z_][\w.]*)\s*=\s*([A-Za-z_][\w.]*)\s*", term
+        )
+        if not mm:
+            raise ValueError(
+                f"ANY JOIN ON term {term.strip()!r} is not a simple "
+                "qualified equality; not translated"
+            )
+        sides = [mm.group(1), mm.group(2)]
+        right_cols = [
+            s
+            for s in sides
+            if "." in s and s.rsplit(".", 1)[0].lower() in names
+        ]
+        if len(right_cols) != 1:
+            raise ValueError(
+                f"ANY JOIN ON term {term.strip()!r}: exactly one side "
+                f"must be a column qualified by the right table "
+                f"{right_name!r}; not translated"
+            )
+        keys.append(right_cols[0].rsplit(".", 1)[1])
+    return keys
+
+
+def _rewrite_any_joins(sql: str) -> str:
+    """CH ``ANY LEFT/INNER JOIN`` -> right side deduped to one row per
+    join key (``row_number() = 1``) + plain LEFT/INNER join. ``ANY
+    RIGHT/FULL`` (dedupes the LEFT side — needs the whole FROM context)
+    fails loudly; so does a non-equi ON."""
+    if re.search(r"\bASOF\s+(?:LEFT\s+|INNER\s+)?JOIN\b", sql, re.IGNORECASE):
+        # explicit, not parser-delegated: Spark would read `l ASOF` as a
+        # table alias and silently run a PLAIN join if the column
+        # references happened to still resolve
+        raise ValueError(
+            "ASOF JOIN is not translated — use the asof_join operator "
+            "(operators/asof.py) for merge-asof semantics"
+        )
+    pos = 0
+    while True:
+        m = _ANY_JOIN_PAT.search(sql, pos)
+        if m is None:
+            return sql
+        direction = (m.group("d1") or m.group("d2") or "INNER").upper()
+        if direction in ("RIGHT", "FULL"):
+            raise ValueError(
+                f"ANY {direction} JOIN dedupes the LEFT side per key; "
+                "not translated (rewrite with the tables swapped as "
+                "LEFT ANY JOIN)"
+            )
+        i = _skip_ws(sql, m.end())
+        if i < len(sql) and sql[i] == "(":
+            j = _balanced_paren_end(sql, i)
+            rel = sql[i:j]
+            rel_is_subquery = True
+        else:
+            mr = re.match(r"[A-Za-z_][\w.]*", sql[i:])
+            if not mr:
+                raise ValueError("cannot parse relation after ANY JOIN")
+            rel = mr.group(0)
+            rel_is_subquery = False
+            j = i + mr.end()
+        k = _skip_ws(sql, j)
+        alias = None
+        ma = re.match(r"(?:AS\s+)?([A-Za-z_]\w*)", sql[k:], re.IGNORECASE)
+        if ma and ma.group(1).lower() not in ("on", "using"):
+            alias = ma.group(1)
+            k = _skip_ws(sql, k + ma.end())
+        out_alias = alias or (None if rel_is_subquery else rel.split(".")[-1])
+        if out_alias is None:
+            raise ValueError(
+                "ANY JOIN over a subquery needs an alias; not translated"
+            )
+        mk = re.match(r"(ON|USING)\b", sql[k:], re.IGNORECASE)
+        if not mk:
+            raise ValueError(
+                "ANY JOIN without ON/USING is not translated"
+            )
+        c = _skip_ws(sql, k + mk.end())
+        if mk.group(1).upper() == "USING":
+            if c < len(sql) and sql[c] == "(":
+                e = _balanced_paren_end(sql, c)
+                cols_text = sql[c + 1 : e - 1]
+                clause_end = e
+            else:
+                mu = re.match(r"[A-Za-z_]\w*", sql[c:])
+                if not mu:
+                    raise ValueError("cannot parse USING columns")
+                cols_text = mu.group(0)
+                clause_end = c + mu.end()
+            keys = [x.strip() for x in cols_text.split(",") if x.strip()]
+            tail = f"USING ({', '.join(keys)})"
+        else:
+            clause_end = _on_condition_end(sql, c)
+            cond = sql[c:clause_end].strip()
+            keys = _right_keys_from_on(cond, out_alias)
+            tail = f"ON {cond}"
+        part = ", ".join(keys)
+        join_kw = "LEFT JOIN" if direction == "LEFT" else "JOIN"
+        deduped = (
+            f"(SELECT * EXCEPT (__ch_any_rn) FROM (SELECT *, "
+            f"row_number() OVER (PARTITION BY {part} ORDER BY {part}) "
+            f"AS __ch_any_rn FROM {rel} AS __ch_any_src) "
+            f"WHERE __ch_any_rn = 1)"
+        )
+        repl = f"{join_kw} {deduped} AS {out_alias} {tail} "
+        sql = sql[: m.start()] + repl + sql[clause_end:]
+        pos = m.start() + len(repl)
+
+
+# SQL words after which `and(...)` / `or(...)` / `not(...)` can only be the
+# CH FUNCTION form (they open an expression slot). A preceding token that
+# instead ENDS an expression — a non-keyword identifier, literal, `)`, `]`,
+# or a masked string literal — means the match is SQL's infix/prefix
+# keyword followed by a parenthesized operand or tuple, which must pass
+# through untouched (ADVICE r06 #1: `x = 1 and (a, b) IN (...)`).
+_EXPR_OPENING_KEYWORDS = frozenset(
+    {
+        "select", "where", "having", "when", "then", "else", "on", "by",
+        "and", "or", "not", "in", "all", "any", "some", "distinct", "as",
+        "case", "if", "between", "like", "rlike", "ilike", "regexp",
+        "from", "join", "set", "limit", "offset", "union", "except",
+        "intersect", "values", "over", "filter", "exists", "is",
+    }
+)
+
+
+def _is_infix_context(sql: str, call_start: int) -> bool:
+    """True when the token immediately before ``call_start`` ends an
+    expression, so a following ``and/or/not (...)`` is the SQL keyword
+    form rather than the CH variadic-function form."""
+    i = call_start - 1
+    while i >= 0 and sql[i].isspace():
+        i -= 1
+    if i < 0:
+        return False
+    c = sql[i]
+    if c in ")]'\"`\x00":  # close-paren / array / literal / masked literal
+        return True
+    if c.isdigit():
+        return True
+    if c.isalpha() or c == "_":
+        j = i
+        while j >= 0 and (sql[j].isalnum() or sql[j] == "_"):
+            j -= 1
+        word = sql[j + 1 : i + 1].lower()
+        return word not in _EXPR_OPENING_KEYWORDS
+    return False  # operator chars, '(', ',' etc. open an expression
+
+
+def _rewrite_logical_calls(sql: str, name: str, build) -> str:
+    """Like :func:`_rewrite_calls` but the builder also receives whether
+    the call site sits in infix-keyword context (see
+    :func:`_is_infix_context`); builders emit a ``\\x01``-wrapped
+    passthrough there, which never re-matches, so the rescan terminates."""
+    pos = 0
+    while True:
+        found = _find_call(sql, name, pos)
+        if found is None:
+            return sql
+        s, e, args = found
+        repl = build(args, _is_infix_context(sql, s))
+        sql = sql[:s] + repl + sql[e:]
+        pos = s
+
+
 def translate(
     sql: str,
     table_map: dict[str, str] | None = None,
@@ -613,19 +903,33 @@ def translate(
         )
 
     def _logical(keyword, ch_fn):
-        def build(a):
-            if len(a) < 2:
-                # infix keyword + parenthesized operand, not the function
-                # form; re-emit with the conventional space
-                return f"\x01{ch_fn}\x01 ({a[0] if a else ''})"
+        def build(a, infix):
+            if infix or len(a) < 2:
+                # infix keyword + parenthesized operand/tuple, not the
+                # function form (`BETWEEN x and (y)`, `x = 1 and (a, b)
+                # IN (...)`): re-emit the keyword plus the ORIGINAL
+                # parenthesized list so tuple elements survive (ADVICE
+                # r06 #1 — the arity-only guard consumed the keyword and
+                # dropped list structure for 2+-element tuples)
+                return f"\x01{ch_fn}\x01 ({', '.join(a)})"
             return "(" + f" {keyword} ".join(f"({x})" for x in a) + ")"
 
         return build
 
-    out = _rewrite_calls(out, "and", _logical("AND", "and"))
-    out = _rewrite_calls(out, "or", _logical("OR", "or"))
-    out = _rewrite_calls(out, "not", lambda a: f"(NOT ({a[0]}))")
-    out = out.replace("\x01and\x01", "and").replace("\x01or\x01", "or")
+    def _not(a, infix):
+        if infix or len(a) != 1:
+            # prefix keyword before a parenthesized tuple (`not (a, b)
+            # IN (...)`) — CH's not() function is strictly unary, so a
+            # 2+-arg parse can only be the keyword form; previously a[0]
+            # was used silently, dropping the other tuple elements
+            return f"\x01not\x01 ({', '.join(a)})"
+        return f"(NOT ({a[0]}))"
+
+    out = _rewrite_logical_calls(out, "and", _logical("AND", "and"))
+    out = _rewrite_logical_calls(out, "or", _logical("OR", "or"))
+    out = _rewrite_logical_calls(out, "not", _not)
+    for _kw in ("and", "or", "not"):
+        out = out.replace(f"\x01{_kw}\x01", _kw)
     out = _rewrite_calls(out, "empty", lambda a: f"(length({a[0]}) = 0)")
     out = _rewrite_calls(out, "notEmpty", lambda a: f"(length({a[0]}) > 0)")
     out = _rewrite_calls(
@@ -977,11 +1281,13 @@ def translate(
 
     # GLOBAL is a pure ClickHouse distribution hint (ship the right side
     # to every shard) — Spark's broadcast/shuffle planning owns that
-    # decision, so the keyword drops. ANY/ASOF join strictness keywords
-    # are NOT dropped: they change row multiplicity, so they pass
-    # through and fail loudly in Spark's parser instead.
+    # decision, so the keyword drops. ANY LEFT/INNER join strictness
+    # translates to a deduped right side (below); ANY RIGHT/FULL and
+    # ASOF still change row multiplicity in ways this rewriter can't
+    # express, so they fail loudly instead.
     out = re.sub(r"\bGLOBAL\s+(?=JOIN\b|IN\b|ANY\b|ALL\b|LEFT\b|RIGHT\b|"
                  r"INNER\b|FULL\b|NOT\b)", "", out, flags=re.IGNORECASE)
+    out = _rewrite_any_joins(out)
 
     # CH JSON extraction -> get_json_object with a $.a.b[i] path. CH's
     # variadic path elements (VERDICT r05 #5): each STRING element is an

@@ -138,10 +138,26 @@ _FIT_MEMO: dict[tuple[str, int, int], tuple[list[list[float]], list[float]]] = {
 
 
 def _fit_memo_key(embeddings: DataFrame, k: int, iters: int):
+    import os
     import re
 
     plan = embeddings._jdf.queryExecution().logical().toString()
-    return (re.sub(r"#\d+", "", plan), k, iters)
+    # Cheap data fingerprint (ADVICE r06 #5): the plan text names the
+    # input PATH but not its contents, so a parquet dir rewritten within
+    # the session (testdata regeneration, pipeline rerun) would silently
+    # replay stale centroids. Folding the resolved file listing with
+    # sizes + mtimes into the key makes any rewrite a memo miss. For
+    # non-file inputs (createDataFrame) inputFiles() is empty and the
+    # rows live in the plan text itself, so the plan key alone suffices.
+    fingerprint = []
+    for uri in sorted(embeddings.inputFiles()):
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            st = os.stat(path)
+            fingerprint.append((uri, st.st_size, st.st_mtime_ns))
+        except OSError:
+            fingerprint.append((uri, -1, -1))
+    return (re.sub(r"#\d+", "", plan), tuple(fingerprint), k, iters)
 
 
 def kmeans_fit(

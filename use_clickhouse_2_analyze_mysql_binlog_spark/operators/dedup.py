@@ -1009,11 +1009,19 @@ def line_dedup(
     min_df: int = 2,
     keep_empty_docs: bool = True,
     sep: str = "\n",
+    min_removable_chars: int = 1,
 ) -> DataFrame:
     """Remove lines shared by >= ``min_df`` DISTINCT documents — the
     RefinedWeb/CCNet-style boilerplate filter (nav bars, cookie banners,
     license footers repeat across a crawl; prose lines don't).
     ``sep="\\n\\n"`` turns the same operator into PARAGRAPH dedup.
+
+    Lines whose TRIMMED length is below ``min_removable_chars`` (default:
+    empty / whitespace-only lines) are exempt from removal and never
+    count toward ``n_removed`` (ADVICE r06 #2): a blank line's hash is
+    shared by virtually every multi-paragraph document, so without the
+    floor the filter silently collapses paragraph structure corpus-wide.
+    CCNet-style filters apply the same short-line exemption.
 
     Returns (doc_id, text, n_lines, n_removed) with ``text`` rebuilt from
     the surviving lines in original order.
@@ -1041,19 +1049,23 @@ def line_dedup(
         .groupBy("lh")
         .agg(F.count(F.lit(1)).alias("line_df"))
     )
-    joined = lines.join(df_tab, "lh")
+    joined = lines.join(df_tab, "lh").withColumn(
+        "rm",
+        (F.col("line_df") >= min_df)
+        & (F.length(F.trim(F.col("line"))) >= min_removable_chars),
+    )
     return (
         joined.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum((F.col("line_df") >= min_df).cast("long")).alias("n_removed"),
+            F.sum(F.col("rm").cast("long")).alias("n_removed"),
             F.concat_ws(
                 sep,
                 F.transform(
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("line_df") < min_df,
+                                ~F.col("rm"),
                                 F.struct("pos", "line"),
                             )
                         )
@@ -1067,9 +1079,11 @@ def line_dedup(
     )
 
 
-def LINE_DEDUP_SQL(min_df: int = 2) -> str:
+def LINE_DEDUP_SQL(min_df: int = 2, min_removable_chars: int = 1) -> str:
     """DuckDB twin of :func:`line_dedup` (keep_empty_docs=True form);
-    keyed by the same 60-bit line hash as the Spark join."""
+    keyed by the same 60-bit line hash as the Spark join. Mirrors the
+    short-line exemption: trimmed length below ``min_removable_chars``
+    never removes (ADVICE r06 #2)."""
     return f"""
 WITH lines AS (
   SELECT doc_id, u.i - 1 AS pos, u.line, {HASH60_SQL('u.line')} AS lh
@@ -1081,13 +1095,18 @@ WITH lines AS (
 df AS (
   SELECT lh, COUNT(DISTINCT doc_id) AS line_df
   FROM lines GROUP BY lh
+),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (d.line_df >= {min_df}
+          AND length(trim(l.line)) >= {min_removable_chars}) AS rm
+  FROM lines l JOIN df d ON l.lh = d.lh
 )
-SELECT l.doc_id,
-       COALESCE(string_agg(CASE WHEN d.line_df < {min_df} THEN l.line END,
-                           chr(10) ORDER BY l.pos), '') AS text,
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN NOT rm THEN line END,
+                           chr(10) ORDER BY pos), '') AS text,
        CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(sum(CASE WHEN d.line_df >= {min_df} THEN 1 ELSE 0 END)
-         AS BIGINT) AS n_removed
-FROM lines l JOIN df d ON l.lh = d.lh
-GROUP BY l.doc_id
+       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM flagged
+GROUP BY doc_id
 """

@@ -63,10 +63,24 @@ def _read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     surfaces those as TRAILING, type-inferred partition columns. Restore
     the canonical leading position and string type so snapshot consumers
     (the epoch MERGE's ``unionByName``, ``exceptAll``-style comparisons)
-    see the exact pre-write schema."""
+    see the exact pre-write schema.
+
+    Partition-column TYPE INFERENCE is disabled for the read (ADVICE r06
+    #3): inference round-trips numeric-looking names lossily — a table
+    named ``0123`` comes back as int ``123`` and the cast-to-string
+    below would re-corrupt the upsert key and every ``read_state``
+    filter on it. The conf is toggled only around the eager
+    ``spark.read.parquet`` call (schema resolution happens there) and
+    restored after."""
     from pyspark.sql import functions as F
 
-    raw = spark.read.parquet(snapshot_dir)
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        raw = spark.read.parquet(snapshot_dir)
+    finally:
+        spark.conf.set(conf_key, prev)
     part_cols = [c for c in ("schema", "table") if c in raw.columns]
     return raw.select(
         *[F.col(c).cast("string").alias(c) for c in part_cols],
