@@ -498,11 +498,12 @@ def test_review_fixes_round5():
     assert t("SELECT arr[1], m['k1'] FROM t") == (
         "SELECT arr[0], m['k1'] FROM t"
     )
-    # 3-arg position fails loudly instead of silently swapping roles
-    import pytest
-
-    with pytest.raises(ValueError, match="start offset"):
-        t("SELECT position(s, 'x', 3) FROM t")
+    # 3-arg position translates to locate with the first two roles
+    # swapped (r07; previously loud — passing through would hit Spark's
+    # position(substr, str, pos) with silently-swapped roles)
+    assert t("SELECT position(s, 'x', 3) FROM t") == (
+        "SELECT locate('x', s, 3) FROM t"
+    )
 
 
 def test_format_datetime_literal_letters_execute(spark, binlog_view):
@@ -1367,3 +1368,53 @@ def test_any_join_strictness_translates(spark):
         t("SELECT 1 FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
     with pytest.raises(ValueError, match="needs an alias"):
         t("SELECT 1 FROM a ANY LEFT JOIN (SELECT k FROM b) ON a.k = k")
+
+
+def test_array_join_clause_translates(spark):
+    """CH's ARRAY JOIN clause (r07): aliased single-array form maps to
+    LATERAL VIEW explode with exact multiplicity; LEFT keeps empty-array
+    rows with a NULL element; in-place (no AS) and lockstep multi-array
+    forms fail loudly."""
+    t = ch_compat.translate
+    spark.createDataFrame(
+        [(1, [10, 20]), (2, [])], "id int, arr array<int>"
+    ).createOrReplaceTempView("aj_t")
+
+    rows = sorted(
+        tuple(r)
+        for r in ch_compat.run_clickhouse_sql(
+            spark, "SELECT id, x FROM aj_t ARRAY JOIN arr AS x"
+        ).collect()
+    )
+    assert rows == [(1, 10), (1, 20)]
+    rows = sorted(
+        (r.id, r.x)
+        for r in ch_compat.run_clickhouse_sql(
+            spark, "SELECT id, x FROM aj_t LEFT ARRAY JOIN arr AS x"
+        ).collect()
+    )
+    assert rows == [(1, 10), (1, 20), (2, None)]
+    # expression arrays compose with the HOF rewrites
+    rows = sorted(
+        tuple(r)
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT id, v FROM aj_t ARRAY JOIN "
+            "arrayMap(e -> e * 2, arr) AS v",
+        ).collect()
+    )
+    assert rows == [(1, 20), (1, 40)]
+    # 3-arg position end-to-end (locate role swap)
+    row = ch_compat.run_clickhouse_sql(
+        spark, "SELECT position('abcabc', 'b', 3) AS p"
+    ).collect()[0]
+    assert row.p == 5
+
+    import pytest
+
+    with pytest.raises(ValueError, match="without AS"):
+        t("SELECT 1 FROM t ARRAY JOIN arr")
+    with pytest.raises(ValueError, match="LOCKSTEP"):
+        t("SELECT 1 FROM t ARRAY JOIN a AS x, b AS y")
+    with pytest.raises(ValueError, match="followed by another JOIN"):
+        t("SELECT 1 FROM t ARRAY JOIN a AS x JOIN u ON t.k = u.k")

@@ -45,13 +45,18 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   — no Spark equivalent);
 - string surface: ``splitByChar`` (swapped args, ``\\Q``-quoted separator
   so regex metachars split literally), ``match`` -> RLIKE, 2-arg
-  ``position`` -> ``instr`` (the SQL-standard ``position(x IN y)`` passes
+  ``position`` -> ``instr``, 3-arg ``position(h, n, start)`` ->
+  ``locate(n, h, start)`` (the SQL-standard ``position(x IN y)`` passes
   through), ``startsWith/endsWith``, ``leftPad/rightPad``, the ``*UTF8``
   aliases, ``ifNull/nullIf/assumeNotNull``;
 - higher-order array functions ``arrayMap/Filter/Exists/All/Count``
   (lambda-first in CH -> array-first in Spark; two-array ``arrayMap``
   -> ``zip_with``, three-plus arrays fail loudly), ``[..]`` array
   literals -> ``array(..)``;
+- ``[LEFT] ARRAY JOIN arr AS x`` clause -> ``LATERAL VIEW [OUTER]
+  explode(arr) AS x`` (exact multiplicity incl. the empty-array NULL row
+  of LEFT); the no-alias in-place form and lockstep multi-array form
+  fail loudly;
 - ``GLOBAL`` join/IN distribution hints dropped (Spark's planner owns
   broadcast-vs-shuffle); ``ANY LEFT/INNER JOIN`` strictness -> the right
   side deduped to one row per join key (``row_number() = 1`` subquery —
@@ -603,6 +608,107 @@ def _rewrite_any_joins(sql: str) -> str:
         pos = m.start() + len(repl)
 
 
+# --------------------------------------------------------------------------
+# ARRAY JOIN clause (CH's explode-in-FROM). ``ARRAY JOIN arr AS x`` ->
+# ``LATERAL VIEW explode(arr) __ch_aj AS x``; LEFT ARRAY JOIN (rows with
+# empty arrays survive with NULL element) -> LATERAL VIEW OUTER. The
+# function form arrayJoin(x) maps separately to explode (rename table).
+# --------------------------------------------------------------------------
+
+_ARRAY_JOIN_PAT = re.compile(
+    r"\b(?:(LEFT|INNER)\s+)?ARRAY\s+JOIN\b", re.IGNORECASE
+)
+
+_JOIN_STARTERS = frozenset(
+    {"join", "left", "right", "inner", "full", "cross", "any", "asof",
+     "global", "semi", "anti", "array"}
+)
+
+
+def _array_join_expr_end(sql: str, i: int) -> int:
+    """End of one ARRAY JOIN item expression: top-level ``,``, ``AS``, a
+    clause/join keyword, an enclosing ``)``, or end of string."""
+    depth = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n and sql[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            if depth == 0:
+                return i
+            depth -= 1
+        elif c == "," and depth == 0:
+            return i
+        elif depth == 0 and (c.isalpha() or c == "_"):
+            mw = re.match(r"[A-Za-z_]\w*", sql[i:])
+            w = mw.group(0).lower()
+            if w == "as" or w in _ON_END_KEYWORDS:
+                return i
+            i += mw.end()
+            continue
+        i += 1
+    return n
+
+
+def _rewrite_array_joins(sql: str) -> str:
+    pos = 0
+    while True:
+        m = _ARRAY_JOIN_PAT.search(sql, pos)
+        if m is None:
+            return sql
+        direction = (m.group(1) or "INNER").upper()
+        outer = "OUTER " if direction == "LEFT" else ""
+        items: list[tuple[str, str]] = []
+        i = _skip_ws(sql, m.end())
+        while True:
+            e = _array_join_expr_end(sql, i)
+            expr = sql[i:e].strip()
+            if not expr:
+                raise ValueError("cannot parse ARRAY JOIN expression")
+            i = _skip_ws(sql, e)
+            alias = None
+            ma = re.match(r"AS\s+([A-Za-z_]\w*)", sql[i:], re.IGNORECASE)
+            if ma:
+                alias = ma.group(1)
+                i = _skip_ws(sql, i + ma.end())
+            if alias is None:
+                raise ValueError(
+                    f"ARRAY JOIN {expr!r} without AS: CH replaces the "
+                    "array column in place, which would need every later "
+                    "reference rewritten; alias the element "
+                    "(ARRAY JOIN arr AS x) instead"
+                )
+            items.append((expr, alias))
+            if i < len(sql) and sql[i] == ",":
+                i = _skip_ws(sql, i + 1)
+                continue
+            break
+        if len(items) > 1:
+            raise ValueError(
+                "multi-array ARRAY JOIN iterates arrays in LOCKSTEP (zip), "
+                "which a LATERAL VIEW per array cannot express; zip with "
+                "arrays_zip and a single ARRAY JOIN instead"
+            )
+        nxt = re.match(r"[A-Za-z_]\w*", sql[i:])
+        if nxt and nxt.group(0).lower() in _JOIN_STARTERS:
+            raise ValueError(
+                "ARRAY JOIN followed by another JOIN is not translated "
+                "(Spark's LATERAL VIEW attaches after all joins); move "
+                "ARRAY JOIN after the join or into a subquery"
+            )
+        expr, alias = items[0]
+        repl = f"LATERAL VIEW {outer}explode({expr}) __ch_aj AS {alias} "
+        sql = sql[: m.start()] + repl + sql[i:]
+        pos = m.start() + len(repl)
+
+
 # SQL words after which `and(...)` / `or(...)` / `not(...)` can only be the
 # CH FUNCTION form (they open an expression slot). A preceding token that
 # instead ENDS an expression — a non-keyword identifier, literal, `)`, `]`,
@@ -966,25 +1072,26 @@ def translate(
     out = _rewrite_calls(
         out, "match", lambda a: f"({a[0]} RLIKE {a[1]})"
     )
-    # CH position(haystack, needle) is 1-based (0 = absent), same contract
-    # as Spark instr — but only the 2-arg form; the 3-arg start-pos form
-    # and SQL-standard position(x IN y) pass through untouched
-    # CH position(haystack, needle) == Spark instr (same order, 1-based,
-    # 0 = absent). The 3-arg start-pos form would hit Spark's
-    # position(substr, str, pos) with SWAPPED argument roles — silently
-    # wrong results — so it fails loudly instead of passing through. The
-    # SQL-standard 1-arg position(x IN y) passes through untouched via a
-    # \x01-wrapped name (restored just below; _rewrite_calls requires
-    # every builder to eliminate the searched name or the rescan loops).
+    # CH position(haystack, needle[, start]) is 1-based (0 = absent) —
+    # 2-arg maps to Spark instr (same order), 3-arg to locate with the
+    # first two roles swapped (passing through would hit Spark's
+    # position(substr, str, pos) with SWAPPED roles — silently wrong).
+    # The SQL-standard 1-arg position(x IN y) passes through untouched
+    # via a \x01-wrapped name (restored just below; _rewrite_calls
+    # requires every builder to eliminate the searched name or the
+    # rescan loops).
     def _position(a):
         if len(a) == 2:
             return f"instr({a[0]}, {a[1]})"
+        if len(a) == 3:
+            # CH position(haystack, needle, start) == Spark locate(needle,
+            # haystack, start) — same 1-based contract, 0 = absent, match
+            # searched from `start`; only the first two roles swap
+            return f"locate({a[1]}, {a[0]}, {a[2]})"
         if len(a) == 1:
             return f"\x01position\x01({a[0]})"
         raise ValueError(
-            "CH position() with a start offset has swapped argument roles "
-            "in Spark's position(); rewrite as locate(needle, haystack, "
-            "start) explicitly"
+            f"position() with {len(a)} arguments is not translated"
         )
 
     out = _rewrite_calls(out, "position", _position)
@@ -1288,6 +1395,7 @@ def translate(
     out = re.sub(r"\bGLOBAL\s+(?=JOIN\b|IN\b|ANY\b|ALL\b|LEFT\b|RIGHT\b|"
                  r"INNER\b|FULL\b|NOT\b)", "", out, flags=re.IGNORECASE)
     out = _rewrite_any_joins(out)
+    out = _rewrite_array_joins(out)
 
     # CH JSON extraction -> get_json_object with a $.a.b[i] path. CH's
     # variadic path elements (VERDICT r05 #5): each STRING element is an
