@@ -322,3 +322,75 @@ def test_cli_pipeline_line_dedup(spark, tmp_path):
         F.col("n_tokens") != F.size(t.tokens("text"))
     ).count()
     assert stale == 0
+
+
+def test_cli_chain_runs_full_pipeline(spark, tmp_path):
+    """`chain` runs the reference's whole system in one process: ingest
+    drains the entries stream into the fact table, then the upsert
+    row-state, rollup MV, and windowed result tables are maintained off
+    the ingested fact — each final state equals the batch truth."""
+    from pyspark.sql import functions as F
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
+        merge_tree,
+        rollups,
+        transactions,
+    )
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import (
+        rollup_job,
+        upsert_job,
+        window_job,
+    )
+
+    entries = str(tmp_path / "entries")
+    schemas.canal_entries_view(
+        schemas.load_table(spark, SF_DIR, "events")
+    ).write.parquet(entries)
+    fact = str(tmp_path / "fact")
+    state, rollup = str(tmp_path / "state"), str(tmp_path / "rollup")
+    results = str(tmp_path / "results")
+
+    rc = cli.main([
+        "chain", "--entries", entries, "--fact", fact, "--state", state,
+        "--rollup", rollup, "--results", results,
+        "--checkpoint", str(tmp_path / "ckpt"), "--available-now",
+    ])
+    assert rc == 0
+
+    binlog = spark.read.parquet(fact).drop("day")
+
+    # fact table == batch transform of the entries
+    from use_clickhouse_2_analyze_mysql_binlog_spark.sources.transform import (
+        canal_entries_to_binlog,
+    )
+
+    assert binlog.count() == canal_entries_to_binlog(
+        spark.read.parquet(entries)
+    ).count()
+
+    # upsert state == batch replacing merge over the ingested fact
+    want_state = merge_tree.replacing_merge_final(merge_tree.dml_rows(binlog))
+    got_state = upsert_job.read_state(spark, state)
+    assert got_state.exceptAll(want_state).count() == 0
+    assert want_state.exceptAll(got_state).count() == 0
+
+    # rollup MV == batch daily counts
+    got_rollup = rollup_job.read_rollup(spark, rollup)
+    want_rollup = rollups.daily_event_counts(binlog)
+    assert got_rollup.exceptAll(want_rollup).count() == 0
+    assert want_rollup.exceptAll(got_rollup).count() == 0
+
+    # window results == batch result tables up to the final watermark
+    import datetime as dt
+
+    max_ts = binlog.agg(F.max("execute_time")).collect()[0][0]
+    cutoff = (max_ts - dt.timedelta(minutes=5)).strftime("%Y-%m-%d %H:%M:%S")
+    stats = transactions.transaction_stats(binlog)
+    for metric, stem in transactions.METRICS.items():
+        got = window_job.read_results(spark, results, stem)
+        want = transactions.transaction_result_table(stats, metric).filter(
+            F.col("end_time") <= F.lit(cutoff)
+        )
+        assert got.count() == want.count(), stem
+        w = want.select(*got.columns)
+        assert got.exceptAll(w).count() == 0 and w.exceptAll(got).count() == 0, stem

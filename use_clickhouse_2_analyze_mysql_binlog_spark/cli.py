@@ -118,6 +118,27 @@ def build_parser() -> argparse.ArgumentParser:
                      "(streaming twin of `pipeline --gopher`)")
     _add_common(dds)
 
+    chn = sub.add_parser(
+        "chain",
+        help="the reference's full pipeline in ONE process (reference "
+        "README.md:13-31): canal entries -> ingest -> fact table, plus "
+        "the CDC row-state upsert, incremental daily-rollup MV, and "
+        "watermarked windowed top-1 job all consuming the ingested fact",
+    )
+    chn.add_argument("--entries", required=True,
+                     help="canal entries source dir (file stream; "
+                     "production wires the Kafka reader via `ingest`)")
+    chn.add_argument("--fact", required=True, help="fact-table parquet path")
+    chn.add_argument("--state", required=True,
+                     help="upsert snapshot/manifest dir")
+    chn.add_argument("--rollup", required=True, help="rollup MV dir")
+    chn.add_argument("--results", required=True,
+                     help="windowed result-tables dir")
+    chn.add_argument("--interval", type=int, default=300)
+    chn.add_argument("--by-table", action="store_true",
+                     help="4-key rollup (day, schema, table, event_type)")
+    _add_common(chn)
+
     ses = sub.add_parser(
         "sessions", help="stateful per-gtid gap-delimited transaction sessionizer"
     )
@@ -295,6 +316,73 @@ def main(argv: list[str] | None = None) -> int:
             available_now=args.available_now,
             gopher=args.gopher,
         )
+    elif args.cmd == "chain":
+        import os as _os
+
+        from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import (
+            BINLOG_EVENT_SCHEMA,
+            CANAL_ENTRY_SCHEMA,
+        )
+        from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import (
+            ingest_job,
+            rollup_job,
+            upsert_job,
+            window_job,
+        )
+
+        ckpt = args.checkpoint.rstrip("/")
+        entries = spark.readStream.schema(CANAL_ENTRY_SCHEMA).parquet(
+            args.entries
+        )
+        iq = ingest_job.run_ingest_stream(
+            entries, args.fact, f"{ckpt}/ingest",
+            available_now=args.available_now,
+        )
+        # the fact dir must exist before the downstream file sources start
+        # (continuous mode can reach them before ingest's first commit)
+        _os.makedirs(args.fact, exist_ok=True)
+
+        def _fact_stream():
+            return spark.readStream.schema(BINLOG_EVENT_SCHEMA).parquet(
+                args.fact
+            )
+
+        def _start_downstream():
+            keys = (
+                ("day", "schema", "table", "event_type")
+                if args.by_table
+                else ("day", "event_type")
+            )
+            return [
+                upsert_job.run_upsert_stream(
+                    _fact_stream(), args.state, f"{ckpt}/upsert",
+                    available_now=args.available_now,
+                ),
+                rollup_job.run_daily_rollup_stream(
+                    _fact_stream(), args.rollup, f"{ckpt}/rollup",
+                    keys=keys, available_now=args.available_now,
+                ),
+                window_job.run_window_job(
+                    _fact_stream(), args.results, f"{ckpt}/window",
+                    window_duration=f"{args.interval} seconds",
+                    interval_seconds=args.interval,
+                    available_now=args.available_now,
+                ),
+            ]
+
+        if args.available_now:
+            # backfill: drain ingest FIRST so the downstream availableNow
+            # snapshots see every committed fact file, then drain the
+            # three downstream jobs
+            iq.awaitTermination()
+            for q in _start_downstream():
+                q.awaitTermination()
+            return 0
+        # continuous: all four queries share the session; downstream
+        # discovers new fact files as ingest commits epochs
+        _start_downstream()
+        spark.streams.awaitAnyTermination()
+        return 0
     elif args.cmd == "sessions":
         from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import (
             BINLOG_EVENT_SCHEMA,
