@@ -616,8 +616,11 @@ def test_array_hof_lambda_order():
     assert t("arrayMap((x, y) -> x + y, a, b)") == (
         "zip_with(a, b, (x, y) -> x + y)"
     )
-    with pytest.raises(ValueError, match="two-array"):
-        t("arrayMap((x, y, z) -> x + y + z, a, b, c)")
+    # 3+-array form now translates (r07, test_array_map_three_plus_arrays)
+    assert t("arrayMap((x, y, z) -> x + y + z, a, b, c)") == (
+        "transform(arrays_zip(a, b, c), "
+        "__ch_z -> (__ch_z.a + __ch_z.b + __ch_z.c))"
+    )
     with pytest.raises(ValueError, match="single-array"):
         t("arrayFilter((x, y) -> x > y, a, b)")
     # GLOBAL is a distribution hint only; strictness keywords survive
@@ -1418,3 +1421,33 @@ def test_array_join_clause_translates(spark):
         t("SELECT 1 FROM t ARRAY JOIN a AS x, b AS y")
     with pytest.raises(ValueError, match="followed by another JOIN"):
         t("SELECT 1 FROM t ARRAY JOIN a AS x JOIN u ON t.k = u.k")
+
+
+def test_array_map_three_plus_arrays(spark):
+    """r07: 3+-array arrayMap -> transform over arrays_zip with lambda-
+    parameter substitution (the last r05 loud-fail residue); ambiguous or
+    non-column arrays and nested lambdas stay loud."""
+    t = ch_compat.translate
+    assert t("SELECT arrayMap((x, y, z) -> x + y * z, a, b, c) FROM t") == (
+        "SELECT transform(arrays_zip(a, b, c), "
+        "__ch_z -> (__ch_z.a + __ch_z.b * __ch_z.c)) FROM t"
+    )
+    spark.createDataFrame(
+        [([1, 2], [10, 20], [100, 200])],
+        "a array<int>, b array<int>, c array<int>",
+    ).createOrReplaceTempView("amap_t")
+    r = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT arrayMap((x, y, z) -> x + y + z, a, b, c) AS s FROM amap_t",
+    ).collect()[0]
+    assert list(r.s) == [111, 222]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="colliding column names"):
+        t("SELECT arrayMap((x, y, z) -> x, a, b, a) FROM t")
+    with pytest.raises(ValueError, match="plain column references"):
+        t("SELECT arrayMap((x, y, z) -> x, a, b, c || d) FROM t")
+    with pytest.raises(ValueError, match="NESTED lambda"):
+        t("SELECT arrayMap((x, y, z) -> arrayMap(q -> q + x, x), a, b, c) "
+          "FROM t")

@@ -51,7 +51,9 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   aliases, ``ifNull/nullIf/assumeNotNull``;
 - higher-order array functions ``arrayMap/Filter/Exists/All/Count``
   (lambda-first in CH -> array-first in Spark; two-array ``arrayMap``
-  -> ``zip_with``, three-plus arrays fail loudly), ``[..]`` array
+  -> ``zip_with``; three-plus arrays -> ``transform`` over
+  ``arrays_zip`` with lambda-parameter substitution — column-reference
+  arrays without nested lambdas only, else loud), ``[..]`` array
   literals -> ``array(..)``;
 - ``[LEFT] ARRAY JOIN arr AS x`` clause -> ``LATERAL VIEW [OUTER]
   explode(arr) AS x`` (exact multiplicity incl. the empty-array NULL row
@@ -1167,15 +1169,66 @@ def translate(
 
         return build
 
-    out = _rewrite_calls(
-        out,
-        "arrayMap",
-        _hof(
-            "transform",
-            "arrayMap",
-            two_arrays=lambda lam, a1, a2: f"zip_with({a1}, {a2}, {lam})",
-        ),
-    )
+    def _array_map_n(lam: str, arrays: list[str]) -> str:
+        """3+-array arrayMap -> transform over arrays_zip (r07; closes the
+        last r05 loud-fail). Restricted to column-reference arrays (the
+        zip struct's field names must be predictable) and lambda bodies
+        without nested lambdas (textual param substitution would capture
+        shadowed names)."""
+        mm = re.fullmatch(
+            r"\s*\(([^)]*)\)\s*->\s*(.*)", lam, flags=re.DOTALL
+        )
+        if not mm:
+            raise ValueError(
+                f"arrayMap over {len(arrays)} arrays: cannot parse the "
+                f"multi-parameter lambda {lam!r}"
+            )
+        params = [p.strip() for p in mm.group(1).split(",")]
+        body = mm.group(2).strip()
+        if len(params) != len(arrays):
+            raise ValueError(
+                f"arrayMap lambda has {len(params)} parameters for "
+                f"{len(arrays)} arrays"
+            )
+        if "->" in body:
+            raise ValueError(
+                "arrayMap over 3+ arrays with a NESTED lambda is not "
+                "translated (parameter substitution would capture "
+                "shadowed names); zip with arrays_zip explicitly"
+            )
+        fields = []
+        for arr in arrays:
+            if not re.fullmatch(r"[A-Za-z_][\w.]*", arr.strip()):
+                raise ValueError(
+                    f"arrayMap over 3+ arrays needs plain column "
+                    f"references (got {arr.strip()!r}); zip with "
+                    "arrays_zip explicitly"
+                )
+            fields.append(arr.strip().rsplit(".", 1)[-1])
+        if len(set(fields)) != len(fields):
+            raise ValueError(
+                "arrayMap over 3+ arrays with colliding column names "
+                f"{fields}: the zip struct's fields would be ambiguous"
+            )
+        for p, f in zip(params, fields):
+            body = re.sub(rf"\b{re.escape(p)}\b", f"__ch_z.{f}", body)
+        return (
+            f"transform(arrays_zip({', '.join(a.strip() for a in arrays)}), "
+            f"__ch_z -> ({body}))"
+        )
+
+    def _array_map(a):
+        if len(a) == 2:
+            return f"transform({a[1]}, {a[0]})"
+        if len(a) == 3:
+            return f"zip_with({a[1]}, {a[2]}, {a[0]})"
+        if len(a) >= 4:
+            return _array_map_n(a[0], a[1:])
+        raise ValueError(
+            f"arrayMap with {len(a)} argument(s) is not translated"
+        )
+
+    out = _rewrite_calls(out, "arrayMap", _array_map)
     out = _rewrite_calls(out, "arrayFilter", _hof("filter", "arrayFilter"))
     out = _rewrite_calls(
         out, "arrayExists",
