@@ -1372,6 +1372,19 @@ def test_any_join_strictness_translates(spark):
     with pytest.raises(ValueError, match="needs an alias"):
         t("SELECT 1 FROM a ANY LEFT JOIN (SELECT k FROM b) ON a.k = k")
 
+    # scale shape: the deduped right side plans with a PARTIAL
+    # WindowGroupLimit below its exchange (map-side top-1 per key — the
+    # right side never ships more than one row per key per task), and
+    # the row_number window's hash exchange on the join key is the only
+    # repartitioning of the right side (reused by the join)
+    plan = (
+        spark.sql(t("SELECT k, lv, rv FROM anyl ANY LEFT JOIN anyr USING (k)"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
 
 def test_array_join_clause_translates(spark):
     """CH's ARRAY JOIN clause (r07): aliased single-array form maps to
