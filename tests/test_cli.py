@@ -394,3 +394,50 @@ def test_cli_chain_runs_full_pipeline(spark, tmp_path):
         assert got.count() == want.count(), stem
         w = want.select(*got.columns)
         assert got.exceptAll(w).count() == 0 and w.exceptAll(got).count() == 0, stem
+
+
+def test_cli_chain_continuous_mode(spark, tmp_path, monkeypatch):
+    """The chain's continuous branch (production path): all four queries
+    run concurrently on one session, downstream discovers fact files as
+    ingest commits epochs. awaitAnyTermination is stubbed so the CLI
+    returns while the queries stay live; the test then drains them and
+    checks the rollup reflects the ingested fact."""
+    from pyspark.sql.streaming import StreamingQueryManager
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import rollups
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import rollup_job
+
+    entries = str(tmp_path / "entries")
+    schemas.canal_entries_view(
+        schemas.load_table(spark, SF_DIR, "events")
+    ).repartition(3).write.parquet(entries)
+    fact = str(tmp_path / "fact")
+
+    monkeypatch.setattr(
+        StreamingQueryManager, "awaitAnyTermination", lambda self: None
+    )
+    rc = cli.main([
+        "chain", "--entries", entries, "--fact", fact,
+        "--state", str(tmp_path / "state"),
+        "--rollup", str(tmp_path / "rollup"),
+        "--results", str(tmp_path / "results"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    live = [q for q in spark.streams.active]
+    try:
+        assert len(live) >= 4  # ingest + upsert + rollup + window
+        for q in live:
+            q.processAllAvailable()
+        # one more pass: downstream file sources list the fact dir again
+        # AFTER ingest finished its drain
+        for q in live:
+            q.processAllAvailable()
+        binlog = spark.read.parquet(fact).drop("day")
+        got = rollup_job.read_rollup(spark, str(tmp_path / "rollup"))
+        want = rollups.daily_event_counts(binlog)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    finally:
+        for q in live:
+            q.stop()

@@ -343,9 +343,16 @@ def main(argv: list[str] | None = None) -> int:
         _os.makedirs(args.fact, exist_ok=True)
 
         def _fact_stream():
-            return spark.readStream.schema(BINLOG_EVENT_SCHEMA).parquet(
-                args.fact
+            # the day PARTITION column is named explicitly: when the
+            # stream starts before ingest's first commit (continuous
+            # mode) the dir is empty, so discovery can't append it and a
+            # 12-column pinned schema would reject the first real batch
+            from pyspark.sql.types import DateType, StructField, StructType
+
+            schema = StructType(  # copy: StructType.add mutates in place
+                BINLOG_EVENT_SCHEMA.fields + [StructField("day", DateType())]
             )
+            return spark.readStream.schema(schema).parquet(args.fact)
 
         def _start_downstream():
             keys = (
