@@ -62,3 +62,66 @@ def test_retention_cutoff_properties(today, months):
     assert cut.day <= today.day
     # monotone: longer retention -> earlier (or equal) cutoff
     assert retention_cutoff(today, months + 1) <= cut
+
+
+# ---------------------------------------------------------------------------
+# CH translator join-rewriter parsers (r07): text-level properties
+# ---------------------------------------------------------------------------
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s not in {"on", "using", "as", "any", "join", "left", "inner",
+                        "array", "not", "and", "or", "in", "is"}
+)
+
+
+@given(
+    left=_ident, right=_ident, alias=st.none() | _ident,
+    keys=st.lists(_ident, min_size=1, max_size=4, unique=True),
+    n_ws=st.integers(1, 3),
+    kw=st.sampled_from(["ANY LEFT JOIN", "LEFT ANY JOIN", "any left join",
+                        "ANY INNER JOIN", "ANY JOIN"]),
+)
+@settings(max_examples=150, deadline=None)
+def test_any_join_rewrite_parser_properties(left, right, alias, keys, n_ws, kw):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.functions import ch_compat
+
+    ws = " " * n_ws
+    alias_sql = f" AS {alias}" if alias else ""
+    q = (
+        f"SELECT 1 FROM {left}{ws}{kw}{ws}{right}{alias_sql}{ws}"
+        f"USING ({', '.join(keys)}) WHERE x = 1"
+    )
+    out = ch_compat.translate(q)
+    # exactly one dedup window, partitioned by ALL the USING keys
+    assert out.count("row_number() OVER") == 1
+    assert f"PARTITION BY {', '.join(keys)}" in out
+    # the strictness keyword is consumed; direction is preserved
+    import re as _re
+
+    assert not _re.search(r"\bANY\b", out, _re.IGNORECASE)
+    if kw.upper().startswith(("ANY LEFT", "LEFT")):
+        assert "LEFT JOIN (SELECT" in out
+    # right side re-aliased so later references still resolve
+    assert f"AS {alias or right} USING" in out
+    # the trailing clause survives
+    assert out.rstrip().endswith("WHERE x = 1")
+
+
+@given(
+    tbl=_ident, arr=_ident, alias=_ident, n_ws=st.integers(1, 3),
+    kw=st.sampled_from(["ARRAY JOIN", "LEFT ARRAY JOIN", "left array join",
+                        "INNER ARRAY JOIN"]),
+)
+@settings(max_examples=100, deadline=None)
+def test_array_join_rewrite_parser_properties(tbl, arr, alias, n_ws, kw):
+    from use_clickhouse_2_analyze_mysql_binlog_spark.functions import ch_compat
+
+    ws = " " * n_ws
+    q = f"SELECT 1 FROM {tbl}{ws}{kw}{ws}{arr} AS {alias} WHERE y = 2"
+    out = ch_compat.translate(q)
+    outer = "OUTER " if kw.lower().startswith("left") else ""
+    assert f"LATERAL VIEW {outer}explode({arr}) __ch_aj AS {alias}" in out
+    import re as _re
+
+    assert not _re.search(r"\bARRAY\b", out, _re.IGNORECASE)
+    assert out.rstrip().endswith("WHERE y = 2")
