@@ -1464,3 +1464,35 @@ def test_array_map_three_plus_arrays(spark):
     with pytest.raises(ValueError, match="NESTED lambda"):
         t("SELECT arrayMap((x, y, z) -> arrayMap(q -> q + x, x), a, b, c) "
           "FROM t")
+
+
+def test_any_join_randomized_semantics(spark):
+    """Seeded randomized check: for random (left, right) tables, the
+    translated ANY LEFT JOIN emits exactly one row per left row, with rv
+    drawn from the right rows of that key (or NULL when unmatched) —
+    CH's at-most-one-match contract, independent of which row the
+    any-pick chose."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        left = [(rng.randint(0, 8), f"l{i}") for i in range(rng.randint(1, 30))]
+        right = [(rng.randint(0, 8), rng.randint(0, 99))
+                 for _ in range(rng.randint(0, 40))]
+        spark.createDataFrame(left, "k int, lv string") \
+            .createOrReplaceTempView("rl")
+        rdf = spark.createDataFrame(right, "k int, rv int") \
+            if right else spark.createDataFrame([], "k int, rv int")
+        rdf.createOrReplaceTempView("rr")
+        rows = ch_compat.run_clickhouse_sql(
+            spark, "SELECT k, lv, rv FROM rl ANY LEFT JOIN rr USING (k)"
+        ).collect()
+        assert sorted((r.k, r.lv) for r in rows) == sorted(left), trial
+        by_key: dict[int, set] = {}
+        for k, rv in right:
+            by_key.setdefault(k, set()).add(rv)
+        for r in rows:
+            if r.k in by_key:
+                assert r.rv in by_key[r.k], (trial, r)
+            else:
+                assert r.rv is None, (trial, r)
