@@ -1367,8 +1367,6 @@ def test_any_join_strictness_translates(spark):
         t("SELECT 1 FROM a ANY LEFT JOIN b ON a.k > b.k")
     with pytest.raises(ValueError, match="exactly one side"):
         t("SELECT 1 FROM a ANY LEFT JOIN b ON a.k = a.j")
-    with pytest.raises(ValueError, match="ASOF JOIN"):
-        t("SELECT 1 FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
     with pytest.raises(ValueError, match="needs an alias"):
         t("SELECT 1 FROM a ANY LEFT JOIN (SELECT k FROM b) ON a.k = k")
 
@@ -1496,3 +1494,239 @@ def test_any_join_randomized_semantics(spark):
                 assert r.rv in by_key[r.k], (trial, r)
             else:
                 assert r.rv is None, (trial, r)
+
+
+def test_asof_join_translates(spark):
+    """r07: CH ASOF [LEFT] JOIN -> right side augmented with a per-key
+    lead/lag neighbor of the asof column + equi+range join (at most one
+    match per left row). Verified against a hand-built expected table
+    covering matched/unmatched/exact-tie rows, both directions and both
+    keyword orders."""
+    t = ch_compat.translate
+    spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 25, 2.0), ("b", 5, 3.0), ("c", 7, 4.0)],
+        "sym string, ts int, px double",
+    ).createOrReplaceTempView("asof_l")
+    spark.createDataFrame(
+        [("a", 8, 100), ("a", 10, 101), ("a", 20, 102), ("b", 6, 200)],
+        "sym string, ts int, bid int",
+    ).createOrReplaceTempView("asof_r")
+
+    # >= : latest right ts <= left ts (exact tie at a/10 MATCHES 101)
+    for q in (
+        "SELECT l.sym, l.ts, r.bid FROM asof_l AS l ASOF LEFT JOIN "
+        "asof_r AS r ON l.sym = r.sym AND l.ts >= r.ts",
+        "SELECT l.sym, l.ts, r.bid FROM asof_l AS l LEFT ASOF JOIN "
+        "asof_r AS r ON l.sym = r.sym AND l.ts >= r.ts",
+        # flipped spelling of the same predicate
+        "SELECT l.sym, l.ts, r.bid FROM asof_l AS l ASOF LEFT JOIN "
+        "asof_r AS r ON l.sym = r.sym AND r.ts <= l.ts",
+    ):
+        rows = sorted(
+            tuple(r)
+            for r in ch_compat.run_clickhouse_sql(spark, q).collect()
+        )
+        assert rows == [
+            ("a", 10, 101),  # exact tie picks ts=10, not 8
+            ("a", 25, 102),
+            ("b", 5, None),  # b has only ts=6 > 5 -> unmatched, kept
+            ("c", 7, None),  # no right key -> kept
+        ], q
+
+    # inner drops the unmatched rows
+    rows = sorted(
+        tuple(r)
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT l.sym, l.ts, r.bid FROM asof_l AS l ASOF JOIN "
+            "asof_r AS r ON l.sym = r.sym AND l.ts >= r.ts",
+        ).collect()
+    )
+    assert rows == [("a", 10, 101), ("a", 25, 102)]
+
+    # strict > : exact tie must NOT match ts=10, falls back to ts=8
+    rows = sorted(
+        tuple(r)
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT l.sym, l.ts, r.bid FROM asof_l AS l ASOF LEFT JOIN "
+            "asof_r AS r ON l.sym = r.sym AND l.ts > r.ts",
+        ).collect()
+    )
+    assert rows == [
+        ("a", 10, 100),
+        ("a", 25, 102),
+        ("b", 5, None),
+        ("c", 7, None),
+    ]
+
+    # <= : earliest right ts >= left ts
+    rows = sorted(
+        tuple(r)
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT l.sym, l.ts, r.bid FROM asof_l AS l ASOF LEFT JOIN "
+            "asof_r AS r ON l.sym = r.sym AND l.ts <= r.ts",
+        ).collect()
+    )
+    assert rows == [
+        ("a", 10, 101),  # tie matches ts=10
+        ("a", 25, None),  # nothing at/after 25
+        ("b", 5, 200),
+        ("c", 7, None),
+    ]
+
+    # loud-fail matrix (forms whose semantics the rewrite can't keep)
+    import pytest
+
+    for bad, msg in [
+        ("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t",
+         "bare '[*]'"),
+        ("SELECT b.* FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t",
+         "bare '[*]'"),
+        ("SELECT 1 FROM a ASOF JOIN b USING (k, t)", "USING"),
+        ("SELECT 1 FROM a ASOF JOIN b ON a.t >= b.t", "equality term"),
+        ("SELECT 1 FROM a ASOF JOIN b ON a.k = b.k", "needs an inequality"),
+        ("SELECT 1 FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t "
+         "AND a.u < b.u", "exactly ONE inequality"),
+        ("SELECT 1 FROM a ASOF JOIN b ON a.k = b.k AND toDate(a.t) >= b.t",
+         "not a simple"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            t(bad)
+
+    # the LEFT table's qualified star is fine (helper col lives on the
+    # right side only)
+    assert "l.*" in t(
+        "SELECT l.* FROM asof_l AS l ASOF JOIN asof_r AS r "
+        "ON l.sym = r.sym AND l.ts >= r.ts"
+    )
+
+    # scale shape: ONE exchange of the right side on the equality key,
+    # shared by the neighbor window and the sort-merge join (no second
+    # repartitioning of the right side)
+    plan = (
+        spark.sql(
+            t(
+                "SELECT l.sym, l.ts, r.bid FROM asof_l AS l ASOF LEFT "
+                "JOIN asof_r AS r ON l.sym = r.sym AND l.ts >= r.ts"
+            )
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan  # 1/side
+
+
+def _py_asof_reference(left, right, op):
+    """Pure-Python ASOF LEFT JOIN reference: per left row, the closest
+    right ts among rows with the same key satisfying l.ts OP r.ts."""
+    import operator as _op
+
+    cmp = {">=": _op.ge, ">": _op.gt, "<=": _op.le, "<": _op.lt}[op]
+    out = []
+    for k, lts in left:
+        cands = [rts for rk, rts, _ in right if rk == k and cmp(lts, rts)]
+        if not cands:
+            out.append((k, lts, None))
+            continue
+        pick = max(cands) if op in (">=", ">") else min(cands)
+        vals = sorted(v for rk, rts, v in right if rk == k and rts == pick)
+        out.append((k, lts, vals))  # any of the tied rows is a valid pick
+    return out
+
+
+def test_asof_join_randomized_semantics(spark):
+    """Seeded randomized cross-check of all four inequality directions
+    against a pure-Python closest-match reference, including duplicate
+    asof values on the right (any tied row is a valid pick — CH's own
+    contract)."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        left = [
+            (rng.randint(0, 4), rng.randint(0, 30))
+            for _ in range(rng.randint(1, 25))
+        ]
+        right = [
+            (rng.randint(0, 4), rng.randint(0, 30), i)
+            for i in range(rng.randint(0, 35))
+        ]
+        spark.createDataFrame(
+            [(k, ts, i) for i, (k, ts) in enumerate(left)],
+            "k int, ts int, lid int",
+        ).createOrReplaceTempView("ral")
+        rdf = (
+            spark.createDataFrame(right, "k int, ts int, rv int")
+            if right
+            else spark.createDataFrame([], "k int, ts int, rv int")
+        )
+        rdf.createOrReplaceTempView("rar")
+        for op in (">=", ">", "<=", "<"):
+            rows = ch_compat.run_clickhouse_sql(
+                spark,
+                f"SELECT l.k, l.ts, l.lid, r.rv FROM ral AS l ASOF LEFT "
+                f"JOIN rar AS r ON l.k = r.k AND l.ts {op} r.ts",
+            ).collect()
+            assert len(rows) == len(left), (trial, op)  # no fan-out ever
+            expect = _py_asof_reference(left, right, op)
+            for r in rows:
+                k, lts, valid = expect[r.lid]
+                assert (r.k, r.ts) == (k, lts), (trial, op, r)
+                if valid is None:
+                    assert r.rv is None, (trial, op, r)
+                else:
+                    assert r.rv in valid, (trial, op, r, valid)
+
+
+def test_asof_join_vs_duckdb_oracle(spark):
+    """The translated >= ASOF LEFT JOIN agrees row-for-row with DuckDB's
+    native ASOF LEFT JOIN on the same seeded data (DuckDB implements the
+    same latest-at-or-before semantics)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(23)
+    left = [(rng.randint(0, 5), rng.randint(0, 50)) for _ in range(40)]
+    # distinct (k, ts) on the right so the pick is unique and the
+    # comparison can be exact row-for-row
+    seen = set()
+    right = []
+    for _ in range(60):
+        k, ts = rng.randint(0, 5), rng.randint(0, 50)
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            right.append((k, ts, len(right)))
+    spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)],
+        "k int, ts int, lid int",
+    ).createOrReplaceTempView("dal")
+    spark.createDataFrame(right, "k int, ts int, rv int") \
+        .createOrReplaceTempView("dar")
+    got = sorted(
+        tuple(r)
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT l.lid, r.rv FROM dal AS l ASOF LEFT JOIN dar AS r "
+            "ON l.k = r.k AND l.ts >= r.ts",
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k INT, ts INT, lid INT)")
+    con.execute("CREATE TABLE r (k INT, ts INT, rv INT)")
+    con.executemany(
+        "INSERT INTO l VALUES (?, ?, ?)",
+        [(k, ts, i) for i, (k, ts) in enumerate(left)],
+    )
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", right)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT l.lid, r.rv FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+    )
+    assert got == want

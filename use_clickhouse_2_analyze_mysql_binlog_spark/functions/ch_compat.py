@@ -64,9 +64,15 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   side deduped to one row per join key (``row_number() = 1`` subquery —
   CH's any-pick is arbitrary, so Spark's first-per-key is inside the
   contract), both keyword orders, ``USING`` and simple equi-``ON``;
-  ``ANY RIGHT/FULL`` (left-side dedup needs the whole FROM context),
-  non-equi ``ON``, and ``ASOF`` strictness still fail loudly — they
-  change row multiplicity in ways a local rewrite can't express;
+  ``ASOF [LEFT] JOIN`` -> the right side augmented with a per-key
+  lead/lag neighbor of the asof column + an equi+range join (closest
+  match as an interval hit — at most one right row per left row, no
+  left-row id needed; one exchange per side, reused by the sort-merge
+  join); ``ANY RIGHT/FULL`` (left-side dedup needs the whole FROM
+  context), non-equi ANY ``ON``, ASOF ``USING`` (CH coalesces the
+  columns) and ASOF under a bare-star select list still fail loudly —
+  they change row multiplicity or schema in ways a local rewrite can't
+  express;
 - CH scalar ``WITH const AS name`` aliases inlined (Spark WITH is
   CTE-only; non-constant items pass through), ``SAMPLE <fraction>`` ->
   ``TABLESAMPLE (pct PERCENT)`` (row-count parity; both sample
@@ -525,19 +531,43 @@ def _right_keys_from_on(cond: str, right_name: str) -> list[str]:
     return keys
 
 
+def _parse_joined_relation(
+    sql: str, i: int, what: str
+) -> tuple[str, bool, str, int]:
+    """Parse the relation (table name or parenthesized subquery) plus its
+    optional alias at ``sql[i:]``, for the joined side of a rewritten
+    join. Returns ``(rel, rel_is_subquery, out_alias, next_pos)``."""
+    if i < len(sql) and sql[i] == "(":
+        j = _balanced_paren_end(sql, i)
+        rel = sql[i:j]
+        rel_is_subquery = True
+    else:
+        mr = re.match(r"[A-Za-z_][\w.]*", sql[i:])
+        if not mr:
+            raise ValueError(f"cannot parse relation after {what}")
+        rel = mr.group(0)
+        rel_is_subquery = False
+        j = i + mr.end()
+    k = _skip_ws(sql, j)
+    alias = None
+    ma = re.match(r"(?:AS\s+)?([A-Za-z_]\w*)", sql[k:], re.IGNORECASE)
+    if ma and ma.group(1).lower() not in ("on", "using"):
+        alias = ma.group(1)
+        k = _skip_ws(sql, k + ma.end())
+    out_alias = alias or (None if rel_is_subquery else rel.split(".")[-1])
+    if out_alias is None:
+        raise ValueError(
+            f"{what} over a subquery needs an alias; not translated"
+        )
+    return rel, rel_is_subquery, out_alias, k
+
+
 def _rewrite_any_joins(sql: str) -> str:
     """CH ``ANY LEFT/INNER JOIN`` -> right side deduped to one row per
     join key (``row_number() = 1``) + plain LEFT/INNER join. ``ANY
     RIGHT/FULL`` (dedupes the LEFT side — needs the whole FROM context)
-    fails loudly; so does a non-equi ON."""
-    if re.search(r"\bASOF\s+(?:LEFT\s+|INNER\s+)?JOIN\b", sql, re.IGNORECASE):
-        # explicit, not parser-delegated: Spark would read `l ASOF` as a
-        # table alias and silently run a PLAIN join if the column
-        # references happened to still resolve
-        raise ValueError(
-            "ASOF JOIN is not translated — use the asof_join operator "
-            "(operators/asof.py) for merge-asof semantics"
-        )
+    fails loudly; so does a non-equi ON. ASOF joins are rewritten
+    separately (``_rewrite_asof_joins``, which runs first)."""
     pos = 0
     while True:
         m = _ANY_JOIN_PAT.search(sql, pos)
@@ -551,28 +581,9 @@ def _rewrite_any_joins(sql: str) -> str:
                 "LEFT ANY JOIN)"
             )
         i = _skip_ws(sql, m.end())
-        if i < len(sql) and sql[i] == "(":
-            j = _balanced_paren_end(sql, i)
-            rel = sql[i:j]
-            rel_is_subquery = True
-        else:
-            mr = re.match(r"[A-Za-z_][\w.]*", sql[i:])
-            if not mr:
-                raise ValueError("cannot parse relation after ANY JOIN")
-            rel = mr.group(0)
-            rel_is_subquery = False
-            j = i + mr.end()
-        k = _skip_ws(sql, j)
-        alias = None
-        ma = re.match(r"(?:AS\s+)?([A-Za-z_]\w*)", sql[k:], re.IGNORECASE)
-        if ma and ma.group(1).lower() not in ("on", "using"):
-            alias = ma.group(1)
-            k = _skip_ws(sql, k + ma.end())
-        out_alias = alias or (None if rel_is_subquery else rel.split(".")[-1])
-        if out_alias is None:
-            raise ValueError(
-                "ANY JOIN over a subquery needs an alias; not translated"
-            )
+        rel, rel_is_subquery, out_alias, k = _parse_joined_relation(
+            sql, i, "ANY JOIN"
+        )
         mk = re.match(r"(ON|USING)\b", sql[k:], re.IGNORECASE)
         if not mk:
             raise ValueError(
@@ -606,6 +617,263 @@ def _rewrite_any_joins(sql: str) -> str:
             f"WHERE __ch_any_rn = 1)"
         )
         repl = f"{join_kw} {deduped} AS {out_alias} {tail} "
+        sql = sql[: m.start()] + repl + sql[clause_end:]
+        pos = m.start() + len(repl)
+
+
+# --------------------------------------------------------------------------
+# ASOF JOIN strictness (CH: per left row, the single closest right match
+# by ONE inequality, among rows matching the equality keys; reference CH
+# usage shape README.md:300-320-style trade/quote alignment). Rewritten
+# as a pure RIGHT-SIDE transform — the interval form: each right row gets
+# its per-key neighbor asof value (lead for >=/>, lag for <=/<), turning
+# "closest match" into an equi+range join that matches AT MOST ONE right
+# row per left row with no left-row id needed (same locality contract as
+# the ANY JOIN dedup). At scale this costs one hash exchange of the right
+# side on the equality keys — the same partitioning the sort-merge join
+# needs, so the exchange is reused; the high-performance path for big
+# symmetric as-of workloads remains operators/asof.py.
+#
+# The neighbor column ``__ch_asof_nbr`` must be visible at join scope, so
+# a bare ``SELECT *`` (or ``<right_alias>.*``) in the owning SELECT would
+# leak it into the result — that narrow case fails loudly instead of
+# returning a wider schema than CH would.
+# --------------------------------------------------------------------------
+
+_ASOF_JOIN_PAT = re.compile(
+    r"\b(?:ASOF\s+(?P<d1>LEFT|INNER)(?:\s+OUTER)?\s+JOIN"
+    r"|(?P<d2>LEFT|INNER)(?:\s+OUTER)?\s+ASOF\s+JOIN"
+    r"|ASOF\s+JOIN)\b",
+    re.IGNORECASE,
+)
+
+_SIMPLE_EQ_PAT = re.compile(
+    r"\s*([A-Za-z_][\w.]*)\s*=\s*([A-Za-z_][\w.]*)\s*"
+)
+_ASOF_INEQ_PAT = re.compile(
+    r"\s*([A-Za-z_][\w.]*)\s*(>=|<=|>|<)\s*([A-Za-z_][\w.]*)\s*"
+)
+
+#: inequality flipped when the right column is written on the LEFT of the
+#: operator (``r.t <= l.t`` == ``l.t >= r.t``)
+_FLIP_OP = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}
+
+#: closest-match bound on the neighbor value, per (left-op) orientation:
+#: for ``l.t >= r.t`` the pick is the LARGEST r.t <= l.t, i.e. the match
+#: holds iff the NEXT r.t (lead) is absent or past l.t; mirrored for the
+#: other three. Values are (window function, bound operator on l-expr vs
+#: the neighbor column).
+_ASOF_NEIGHBOR = {
+    ">=": ("lead", "<"),
+    ">": ("lead", "<="),
+    "<=": ("lag", ">"),
+    "<": ("lag", ">="),
+}
+
+
+def _classify_asof_on(
+    cond: str, right_name: str
+) -> tuple[list[str], tuple[str, str, str]]:
+    """Split an ASOF ``ON`` condition into equality right-key columns and
+    the single inequality term, normalized to ``(left_expr, op,
+    right_col)`` orientation. Anything fancier fails loudly — a
+    misclassified term would silently change which row is "closest"."""
+    names = {right_name.lower()}
+    if "." in right_name:
+        names.add(right_name.rsplit(".", 1)[-1].lower())
+
+    def is_right(s: str) -> bool:
+        return "." in s and s.rsplit(".", 1)[0].lower() in names
+
+    keys: list[str] = []
+    ineq: tuple[str, str, str] | None = None
+    for term in _split_and_top_level(cond):
+        me = _SIMPLE_EQ_PAT.fullmatch(term)
+        if me:
+            sides = [me.group(1), me.group(2)]
+            right_cols = [s for s in sides if is_right(s)]
+            if len(right_cols) != 1:
+                raise ValueError(
+                    f"ASOF JOIN ON term {term.strip()!r}: exactly one "
+                    f"side must be a column qualified by the right table "
+                    f"{right_name!r}; not translated"
+                )
+            keys.append(right_cols[0].rsplit(".", 1)[1])
+            continue
+        mi = _ASOF_INEQ_PAT.fullmatch(term)
+        if not mi:
+            raise ValueError(
+                f"ASOF JOIN ON term {term.strip()!r} is not a simple "
+                "qualified equality or inequality; not translated"
+            )
+        if ineq is not None:
+            raise ValueError(
+                "ASOF JOIN ON must contain exactly ONE inequality; "
+                f"found a second: {term.strip()!r}"
+            )
+        a, op, b = mi.group(1), mi.group(2), mi.group(3)
+        if is_right(a) == is_right(b):
+            raise ValueError(
+                f"ASOF JOIN inequality {term.strip()!r}: exactly one "
+                f"side must be a column qualified by the right table "
+                f"{right_name!r}; not translated"
+            )
+        if is_right(a):
+            a, op, b = b, _FLIP_OP[op], a
+        ineq = (a, op, b.rsplit(".", 1)[1])
+    if ineq is None:
+        raise ValueError(
+            "ASOF JOIN ON needs an inequality (the asof term); "
+            "not translated"
+        )
+    if not keys:
+        raise ValueError(
+            "ASOF JOIN ON needs at least one equality term (CH requires "
+            "it too); not translated"
+        )
+    return keys, ineq
+
+
+def _owning_select_items(sql: str, pos: int) -> list[str]:
+    """Top-level select-list items of the SELECT that owns position
+    ``pos`` (the innermost SELECT at the same paren depth). Empty list if
+    none found (defensive — a join always follows a SELECT's FROM)."""
+    depth = 0
+    sel_at_depth: dict[int, int] = {}
+    i = 0
+    while i < pos:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < pos and sql[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            sel_at_depth.pop(depth, None)
+            depth -= 1
+        elif c.isalpha() or c == "_":
+            mw = re.match(r"[A-Za-z_]\w*", sql[i:])
+            if mw.group(0).lower() == "select":
+                sel_at_depth[depth] = i + mw.end()
+            i += mw.end()
+            continue
+        i += 1
+    start = sel_at_depth.get(depth)
+    if start is None:
+        return []
+    # select list runs to the owning FROM at the same depth
+    d2 = 0
+    i = start
+    n = len(sql)
+    end = n
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n and sql[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            d2 += 1
+        elif c == ")":
+            if d2 == 0:
+                end = i
+                break
+            d2 -= 1
+        elif d2 == 0 and (c.isalpha() or c == "_"):
+            mw = re.match(r"[A-Za-z_]\w*", sql[i:])
+            if mw.group(0).lower() == "from":
+                end = i
+                break
+            i += mw.end()
+            continue
+        i += 1
+    items = _split_top_level_commas(sql[start:end])
+    return [x.strip() for x in items if x.strip()]
+
+
+def _split_top_level_commas(text: str) -> list[str]:
+    parts: list[str] = []
+    depth, start, i, n = 0, 0, 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < n and text[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+        i += 1
+    parts.append(text[start:])
+    return parts
+
+
+def _rewrite_asof_joins(sql: str) -> str:
+    """CH ``ASOF [LEFT|INNER] JOIN`` (both keyword orders) -> right side
+    augmented with a per-key lead/lag neighbor of the asof column + an
+    equi+range join that matches at most one right row per left row.
+    ``USING`` form (implicit >= on the last column, coalesced output
+    columns) and bare-star select lists fail loudly."""
+    pos = 0
+    while True:
+        m = _ASOF_JOIN_PAT.search(sql, pos)
+        if m is None:
+            return sql
+        direction = (m.group("d1") or m.group("d2") or "INNER").upper()
+        i = _skip_ws(sql, m.end())
+        rel, rel_is_subquery, out_alias, k = _parse_joined_relation(
+            sql, i, "ASOF JOIN"
+        )
+        mk = re.match(r"(ON|USING)\b", sql[k:], re.IGNORECASE)
+        if not mk:
+            raise ValueError("ASOF JOIN without ON is not translated")
+        if mk.group(1).upper() == "USING":
+            raise ValueError(
+                "ASOF JOIN ... USING is not translated (CH coalesces the "
+                "USING columns in the output; rewrite with an explicit "
+                "ON ... AND l.t >= r.t)"
+            )
+        c = _skip_ws(sql, k + mk.end())
+        clause_end = _on_condition_end(sql, c)
+        cond = sql[c:clause_end].strip()
+        keys, (left_expr, op, asof_col) = _classify_asof_on(
+            cond, out_alias
+        )
+        for item in _owning_select_items(sql, m.start()):
+            bare = re.match(r"(?is)^(?:DISTINCT\s+|ALL\s+)?\*", item)
+            q = re.match(
+                r"(?is)^([A-Za-z_]\w*)\s*\.\s*\*", item
+            )
+            if bare or (q and q.group(1).lower() == out_alias.lower()):
+                raise ValueError(
+                    "ASOF JOIN with a bare '*' select list is not "
+                    "translated (the rewrite adds a helper column the "
+                    "star would leak); list the columns explicitly"
+                )
+        win_fn, bound_op = _ASOF_NEIGHBOR[op]
+        part = ", ".join(keys)
+        nbr = f"{out_alias}.__ch_asof_nbr"
+        augmented = (
+            f"(SELECT __ch_asof_src.*, {win_fn}({asof_col}) OVER "
+            f"(PARTITION BY {part} ORDER BY {asof_col}) AS __ch_asof_nbr "
+            f"FROM {rel} AS __ch_asof_src)"
+        )
+        join_kw = "LEFT JOIN" if direction == "LEFT" else "JOIN"
+        tail = (
+            f"ON {cond} AND ({nbr} IS NULL OR {left_expr} {bound_op} {nbr})"
+        )
+        repl = f"{join_kw} {augmented} AS {out_alias} {tail} "
         sql = sql[: m.start()] + repl + sql[clause_end:]
         pos = m.start() + len(repl)
 
@@ -1447,6 +1715,7 @@ def translate(
     # express, so they fail loudly instead.
     out = re.sub(r"\bGLOBAL\s+(?=JOIN\b|IN\b|ANY\b|ALL\b|LEFT\b|RIGHT\b|"
                  r"INNER\b|FULL\b|NOT\b)", "", out, flags=re.IGNORECASE)
+    out = _rewrite_asof_joins(out)
     out = _rewrite_any_joins(out)
     out = _rewrite_array_joins(out)
 
