@@ -1730,3 +1730,46 @@ def test_asof_join_vs_duckdb_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_asof_translation_agrees_with_asof_operator(spark):
+    """Two independent implementations cross-check: the translated CH
+    ``ASOF JOIN`` (interval rewrite, inner, >=) and the native
+    ``operators.asof.asof_join`` (union-bucket merge shape, backward
+    inclusive, inner) must return identical rows on the same seeded data
+    with unique (key, ts) right rows."""
+    import random
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators.asof import (
+        asof_join,
+    )
+
+    rng = random.Random(41)
+    left = [(rng.randint(0, 5), rng.randint(0, 60), i) for i in range(50)]
+    seen, right = set(), []
+    for _ in range(80):
+        k, ts = rng.randint(0, 5), rng.randint(0, 60)
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            right.append((k, ts, len(right)))
+    ldf = spark.createDataFrame(left, "k int, ts int, lid int")
+    rdf = spark.createDataFrame(right, "k int, ts int, rv int")
+    ldf.createOrReplaceTempView("xal")
+    rdf.createOrReplaceTempView("xar")
+
+    via_operator = sorted(
+        (r.lid, r.rv)
+        for r in asof_join(
+            ldf, rdf, on="k", left_time="ts", right_time="ts",
+            right_payload=["rv"],
+        ).collect()
+    )
+    via_translation = sorted(
+        tuple(r)
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT l.lid, r.rv FROM xal AS l ASOF JOIN xar AS r "
+            "ON l.k = r.k AND l.ts >= r.ts",
+        ).collect()
+    )
+    assert via_operator == via_translation
