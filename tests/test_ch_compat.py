@@ -1426,12 +1426,103 @@ def test_array_join_clause_translates(spark):
 
     import pytest
 
-    with pytest.raises(ValueError, match="without AS"):
-        t("SELECT 1 FROM t ARRAY JOIN arr")
-    with pytest.raises(ValueError, match="LOCKSTEP"):
-        t("SELECT 1 FROM t ARRAY JOIN a AS x, b AS y")
     with pytest.raises(ValueError, match="followed by another JOIN"):
         t("SELECT 1 FROM t ARRAY JOIN a AS x JOIN u ON t.k = u.k")
+
+
+def test_array_join_inplace_and_lockstep(spark):
+    """r07 second batch: the in-place (no AS) form keeps the array
+    column's NAME with the element value per row (bare references
+    qualified through the lateral alias), and the lockstep multi-array
+    form zips via right-folded zip_with into an exploded struct whose
+    field accesses restore the user's aliases as output names."""
+    t = ch_compat.translate
+    spark.createDataFrame(
+        [(1, [10, 20], ["a", "b"]), (2, [], [])],
+        "id int, arr array<int>, brr array<string>",
+    ).createOrReplaceTempView("aj_m")
+
+    # in-place: column name survives, value is the element
+    df = ch_compat.run_clickhouse_sql(
+        spark, "SELECT id, arr FROM aj_m ARRAY JOIN arr ORDER BY id, arr"
+    )
+    assert df.columns == ["id", "arr"]
+    assert [tuple(r) for r in df.collect()] == [(1, 10), (1, 20)]
+
+    # in-place in GROUP BY (the canonical CH counting pattern)
+    rows = sorted(
+        tuple(r)
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT arr, count() AS c FROM aj_m ARRAY JOIN arr GROUP BY arr",
+        ).collect()
+    )
+    assert rows == [(10, 1), (20, 1)]
+
+    # lockstep two arrays: exact pairing, output names = aliases
+    df = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT id, x, y FROM aj_m ARRAY JOIN arr AS x, brr AS y "
+        "ORDER BY id, x",
+    )
+    assert df.columns == ["id", "x", "y"]
+    assert [tuple(r) for r in df.collect()] == [
+        (1, 10, "a"),
+        (1, 20, "b"),
+    ]
+
+    # LEFT lockstep keeps the empty-array row with NULL elements
+    rows = sorted(
+        (r.id, r.x, r.y)
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT id, x, y FROM aj_m LEFT ARRAY JOIN arr AS x, brr AS y",
+        ).collect()
+    )
+    assert rows == [(1, 10, "a"), (1, 20, "b"), (2, None, None)]
+
+    # three arrays via the nested zip_with fold; WHERE sees the aliases
+    rows = sorted(
+        tuple(r)
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT x, y, z FROM aj_m ARRAY JOIN arr AS x, brr AS y, "
+            "arr AS z WHERE x > 5",
+        ).collect()
+    )
+    assert rows == [(10, "a", 10), (20, "b", 20)]
+
+    # mixed in-place + aliased lockstep
+    df = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT arr, y FROM aj_m ARRAY JOIN arr, brr AS y ORDER BY arr",
+    )
+    assert df.columns == ["arr", "y"]
+    assert [tuple(r) for r in df.collect()] == [(10, "a"), (20, "b")]
+
+    # loud residue: constructs whose meaning the reference rewrite could
+    # silently change
+    import pytest
+
+    with pytest.raises(ValueError, match="bare '\\*'"):
+        t("SELECT * FROM t ARRAY JOIN arr")
+    with pytest.raises(ValueError, match="bare '\\*'"):
+        t("SELECT * FROM t ARRAY JOIN a AS x, b AS y")
+    with pytest.raises(ValueError, match="qualified"):
+        t("SELECT id FROM t ARRAY JOIN arr WHERE length(t.arr) = 1")
+    with pytest.raises(ValueError, match="computed expression"):
+        t("SELECT 1 FROM t ARRAY JOIN arrayMap(e -> e, arr)")
+    with pytest.raises(ValueError, match="collide"):
+        t("SELECT x FROM t ARRAY JOIN a AS x, b AS x")
+
+    # substitution is scoped to the owning SELECT block: an outer x is
+    # untouched
+    out = t(
+        "SELECT x FROM (SELECT id AS x FROM u) WHERE x IN "
+        "(SELECT x FROM t ARRAY JOIN a AS x, b AS y)"
+    )
+    assert out.startswith("SELECT x FROM (SELECT id AS x FROM u)")
+    assert "__ch_ajz.x" in out
 
 
 def test_array_map_three_plus_arrays(spark):

@@ -57,8 +57,13 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   literals -> ``array(..)``;
 - ``[LEFT] ARRAY JOIN arr AS x`` clause -> ``LATERAL VIEW [OUTER]
   explode(arr) AS x`` (exact multiplicity incl. the empty-array NULL row
-  of LEFT); the no-alias in-place form and lockstep multi-array form
-  fail loudly;
+  of LEFT); the no-alias in-place form keeps the column NAME with the
+  element value (bare references re-qualified through the lateral
+  alias), and the lockstep multi-array form zips via right-folded
+  ``zip_with`` into one exploded struct whose field accesses restore
+  the aliases as output names — bare-star select lists, qualified
+  references to an in-place column, computed in-place expressions and
+  colliding element names fail loudly;
 - ``GLOBAL`` join/IN distribution hints dropped (Spark's planner owns
   broadcast-vs-shuffle); ``ANY LEFT/INNER JOIN`` strictness -> the right
   side deduped to one row per join key (``row_number() = 1`` subquery —
@@ -927,6 +932,112 @@ def _array_join_expr_end(sql: str, i: int) -> int:
     return n
 
 
+def _owning_select_block(sql: str, pos: int) -> tuple[int, int]:
+    """Span ``(start, end)`` of the SELECT block that owns position
+    ``pos``: from its SELECT keyword to the ``)`` closing the block (or
+    end of string). ``(0, len(sql))`` if no owning SELECT is found."""
+    depth = 0
+    sel_at_depth: dict[int, int] = {}
+    i = 0
+    while i < pos:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < pos and sql[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            sel_at_depth.pop(depth, None)
+            depth -= 1
+        elif c.isalpha() or c == "_":
+            mw = re.match(r"[A-Za-z_]\w*", sql[i:])
+            if mw.group(0).lower() == "select":
+                sel_at_depth[depth] = i
+            i += mw.end()
+            continue
+        i += 1
+    start = sel_at_depth.get(depth, 0)
+    d2 = 0
+    i = pos
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n and sql[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            d2 += 1
+        elif c == ")":
+            if d2 == 0:
+                return start, i
+            d2 -= 1
+        i += 1
+    return start, n
+
+
+def _replace_bare_ident(text: str, name: str, repl: str) -> str:
+    """Replace standalone identifier occurrences of ``name`` (not
+    qualified by ``.``, not part of a longer word, not a function call)
+    outside string literals."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < n and text[j] != "'":
+                j += 1
+            out.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if (c.isalpha() or c == "_") and text.startswith(name, i):
+            prev = text[i - 1] if i > 0 else ""
+            nxt = text[i + len(name)] if i + len(name) < n else ""
+            if (
+                not (prev.isalnum() or prev in "_.$")
+                and not (nxt.isalnum() or nxt == "_")
+            ):
+                k = _skip_ws(text, i + len(name))
+                if not (k < n and text[k] == "("):
+                    out.append(repl)
+                    i += len(name)
+                    continue
+            mw = re.match(r"[A-Za-z_]\w*", text[i:])
+            out.append(mw.group(0))
+            i += mw.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _zip_fold(items: list[tuple[str, str]]) -> str:
+    """Lockstep-zip N array expressions into one ``array<struct>`` whose
+    field names are the element aliases, via right-folded ``zip_with``
+    (explicit struct field names — ``arrays_zip`` can't name fields for
+    non-column expressions)."""
+    (e1, n1), (e2, n2) = items[-2], items[-1]
+    acc = (
+        f"zip_with({e1}, {e2}, (__p, __q) -> "
+        f"struct(__p AS {n1}, __q AS {n2}))"
+    )
+    fields = [n1, n2]
+    for e, a in reversed(items[:-2]):
+        inner = ", ".join(f"__s.{f} AS {f}" for f in fields)
+        acc = (
+            f"zip_with({e}, {acc}, (__p, __s) -> "
+            f"struct(__p AS {a}, {inner}))"
+        )
+        fields = [a] + fields
+    return acc
+
+
 def _rewrite_array_joins(sql: str) -> str:
     pos = 0
     while True:
@@ -935,7 +1046,8 @@ def _rewrite_array_joins(sql: str) -> str:
             return sql
         direction = (m.group(1) or "INNER").upper()
         outer = "OUTER " if direction == "LEFT" else ""
-        items: list[tuple[str, str]] = []
+        # (expr, element name, was in-place) per item
+        items: list[tuple[str, str, bool]] = []
         i = _skip_ws(sql, m.end())
         while True:
             e = _array_join_expr_end(sql, i)
@@ -949,23 +1061,22 @@ def _rewrite_array_joins(sql: str) -> str:
                 alias = ma.group(1)
                 i = _skip_ws(sql, i + ma.end())
             if alias is None:
-                raise ValueError(
-                    f"ARRAY JOIN {expr!r} without AS: CH replaces the "
-                    "array column in place, which would need every later "
-                    "reference rewritten; alias the element "
-                    "(ARRAY JOIN arr AS x) instead"
-                )
-            items.append((expr, alias))
+                # CH in-place form: the array column keeps its name, its
+                # value per output row is the element
+                if not re.fullmatch(r"[A-Za-z_][\w.]*", expr):
+                    raise ValueError(
+                        f"ARRAY JOIN {expr!r} without AS over a computed "
+                        "expression: CH names the in-place column by the "
+                        "expression text, which Spark can't reproduce; "
+                        "alias the element (ARRAY JOIN expr AS x)"
+                    )
+                items.append((expr, expr.rsplit(".", 1)[-1], True))
+            else:
+                items.append((expr, alias, False))
             if i < len(sql) and sql[i] == ",":
                 i = _skip_ws(sql, i + 1)
                 continue
             break
-        if len(items) > 1:
-            raise ValueError(
-                "multi-array ARRAY JOIN iterates arrays in LOCKSTEP (zip), "
-                "which a LATERAL VIEW per array cannot express; zip with "
-                "arrays_zip and a single ARRAY JOIN instead"
-            )
         nxt = re.match(r"[A-Za-z_]\w*", sql[i:])
         if nxt and nxt.group(0).lower() in _JOIN_STARTERS:
             raise ValueError(
@@ -973,10 +1084,65 @@ def _rewrite_array_joins(sql: str) -> str:
                 "(Spark's LATERAL VIEW attaches after all joins); move "
                 "ARRAY JOIN after the join or into a subquery"
             )
-        expr, alias = items[0]
-        repl = f"LATERAL VIEW {outer}explode({expr}) __ch_aj AS {alias} "
-        sql = sql[: m.start()] + repl + sql[i:]
-        pos = m.start() + len(repl)
+        names = [n for _, n, _ in items]
+        if len(set(names)) != len(names):
+            raise ValueError(
+                f"ARRAY JOIN element names collide: {names}; not "
+                "translated"
+            )
+        multi = len(items) > 1
+        inplace = any(p for _, _, p in items)
+        if not multi and not inplace:
+            # fast path: one aliased array — a plain named explode, no
+            # reference rewriting needed (the alias is a fresh name)
+            expr, alias, _ = items[0]
+            repl = (
+                f"LATERAL VIEW {outer}explode({expr}) __ch_aj AS {alias} "
+            )
+            sql = sql[: m.start()] + repl + sql[i:]
+            pos = m.start() + len(repl)
+            continue
+        # in-place and/or lockstep forms rewrite references inside the
+        # owning SELECT block, so guard the constructs whose meaning the
+        # rewrite could silently change
+        bs, be = _owning_select_block(sql, m.start())
+        pre, post = sql[bs : m.start()], sql[i:be]
+        for item_text in _owning_select_items(sql, m.start()):
+            if re.match(r"(?is)^(?:DISTINCT\s+|ALL\s+)?\*", item_text):
+                raise ValueError(
+                    "ARRAY JOIN (in-place or lockstep form) with a bare "
+                    "'*' select list is not translated — CH's '*' would "
+                    "include the replaced/zipped element columns; list "
+                    "the columns explicitly"
+                )
+        for expr, name, is_inplace in items:
+            if is_inplace and re.search(
+                rf"\.\s*{re.escape(name)}\b", pre + post
+            ):
+                raise ValueError(
+                    f"in-place ARRAY JOIN {expr!r}: a qualified "
+                    f"'.{name}' reference elsewhere in the block is "
+                    "ambiguous between the array and its element; "
+                    "alias the element (ARRAY JOIN arr AS x)"
+                )
+        if multi:
+            zipped = _zip_fold([(e, n) for e, n, _ in items])
+            repl = (
+                f"LATERAL VIEW {outer}explode({zipped}) "
+                f"__ch_aj AS __ch_ajz "
+            )
+            subs = [(n, f"__ch_ajz.{n}") for _, n, _ in items]
+        else:
+            expr, name, _ = items[0]
+            repl = (
+                f"LATERAL VIEW {outer}explode({expr}) __ch_aj AS {name} "
+            )
+            subs = [(name, f"__ch_aj.{name}")]
+        for name, target in subs:
+            pre = _replace_bare_ident(pre, name, target)
+            post = _replace_bare_ident(post, name, target)
+        sql = sql[:bs] + pre + repl + post + sql[be:]
+        pos = bs + len(pre) + len(repl)
 
 
 # SQL words after which `and(...)` / `or(...)` / `not(...)` can only be the
