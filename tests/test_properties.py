@@ -7,7 +7,7 @@ can't isolate.
 
 import datetime as dt
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from use_clickhouse_2_analyze_mysql_binlog_spark.plans.storage import retention_cutoff
@@ -125,3 +125,63 @@ def test_array_join_rewrite_parser_properties(tbl, arr, alias, n_ws, kw):
 
     assert not _re.search(r"\bARRAY\b", out, _re.IGNORECASE)
     assert out.rstrip().endswith("WHERE y = 2")
+
+
+@given(
+    left=_ident, right=_ident,
+    alias=_ident,
+    keys=st.lists(_ident, min_size=1, max_size=3, unique=True),
+    tcol=_ident,
+    n_ws=st.integers(1, 3),
+    op=st.sampled_from([">=", ">", "<=", "<"]),
+    kw=st.sampled_from(["ASOF JOIN", "ASOF LEFT JOIN", "LEFT ASOF JOIN",
+                        "asof left join", "ASOF INNER JOIN"]),
+    flipped=st.booleans(),
+)
+@settings(max_examples=150, deadline=None)
+def test_asof_join_rewrite_parser_properties(
+    left, right, alias, keys, tcol, n_ws, op, kw, flipped
+):
+    """Text-level invariants of the ASOF interval rewrite across random
+    identifiers, whitespace, case, keyword order, inequality direction
+    and operand orientation."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.functions import ch_compat
+
+    assume(tcol not in keys and alias != left)
+    ws = " " * n_ws
+    eq = " AND ".join(f"{left}.{k} = {alias}.{k}" for k in keys)
+    flip = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}
+    ineq = (
+        f"{alias}.{tcol} {flip[op]} {left}.{tcol}"
+        if flipped
+        else f"{left}.{tcol} {op} {alias}.{tcol}"
+    )
+    q = (
+        f"SELECT {left}.a, {alias}.b FROM {left}{ws}{kw}{ws}{right} AS "
+        f"{alias}{ws}ON {eq} AND {ineq} WHERE x = 1"
+    )
+    out = ch_compat.translate(q)
+    import re as _re
+
+    # ASOF keyword consumed; direction preserved
+    assert not _re.search(r"\bASOF\b", out, _re.IGNORECASE)
+    if "left" in kw.lower():
+        assert "LEFT JOIN (SELECT" in out
+    # exactly one neighbor window: lead for >=/>, lag for <=/<,
+    # partitioned by ALL equality keys, ordered by the asof column
+    win = "lead" if op in (">=", ">") else "lag"
+    # definition + IS NULL guard + bound, exactly once each
+    assert out.count("__ch_asof_nbr") == 3
+    assert (
+        f"{win}({tcol}) OVER (PARTITION BY {', '.join(keys)} "
+        f"ORDER BY {tcol})" in out
+    )
+    # the neighbor bound closes the interval with the matching operator
+    bound = {">=": " < ", ">": " <= ", "<=": " > ", "<": " >= "}[op]
+    assert (
+        f"({alias}.__ch_asof_nbr IS NULL OR "
+        f"{left}.{tcol}{bound}{alias}.__ch_asof_nbr)" in out
+    )
+    # original ON condition survives verbatim; right side re-aliased
+    assert eq in out and f"AS {alias} ON" in out
+    assert out.rstrip().endswith("WHERE x = 1")
