@@ -181,6 +181,32 @@ def test_cli_sql_clickhouse_dialect(capsys):
     assert rc == 0 and "2024-01-01" in out
 
 
+def test_cli_sql_clickhouse_dialect_join_rewrites(capsys):
+    """The r07 join rewrites (ASOF strictness, in-place ARRAY JOIN) work
+    through the CLI's --dialect clickhouse path end-to-end."""
+    rc = cli.main([
+        "sql", "--data-dir", SF_DIR, "--dialect", "clickhouse",
+        "SELECT t.gtid, q.quote_size FROM "
+        "(SELECT gtid, execute_time AS trade_time FROM "
+        "mysql_monitor.broker_binlog_local WHERE binlog_pos % 2 = 0) AS t "
+        "ASOF JOIN (SELECT gtid, execute_time AS quote_time, "
+        "max(single_statement_size) AS quote_size FROM "
+        "mysql_monitor.broker_binlog_local WHERE binlog_pos % 2 = 1 "
+        "GROUP BY gtid, execute_time) AS q "
+        "ON t.gtid = q.gtid AND t.trade_time >= q.quote_time LIMIT 3",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "quote_size" in out
+    rc = cli.main([
+        "sql", "--data-dir", SF_DIR, "--dialect", "clickhouse",
+        "SELECT gtid, hit, count() AS n FROM mysql_monitor.broker_binlog_local "
+        "ARRAY JOIN splitByChar(':', gtid) AS hit "
+        "GROUP BY gtid, hit ORDER BY gtid, hit LIMIT 3",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "hit" in out
+
+
 def test_cli_upsert_end_to_end(spark, tmp_path):
     """CLI upsert: maintained ReplacingMergeTree snapshot over a binlog
     stream; DML-only, tombstones surfaced."""
