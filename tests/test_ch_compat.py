@@ -231,6 +231,23 @@ def test_translate_idempotent_over_generated_expressions():
     check()
 
 
+def test_translate_idempotent_over_join_rewrites():
+    """The r07 join rewrites are idempotent too: their output (LATERAL
+    VIEW / zip_with / neighbor-window subqueries) re-entering the
+    translator must pass through unchanged."""
+    for q in (
+        "SELECT l.a, r.b FROM l ASOF LEFT JOIN r ON l.k = r.k "
+        "AND l.t >= r.t",
+        "SELECT l.a, r.b FROM l ASOF JOIN r ON l.k = r.k AND r.t <= l.t",
+        "SELECT k, lv, rv FROM anyl ANY LEFT JOIN anyr USING (k)",
+        "SELECT id, x, y FROM t ARRAY JOIN arr AS x, brr AS y",
+        "SELECT id, arr FROM t ARRAY JOIN arr",
+        "SELECT id, x FROM t LEFT ARRAY JOIN arr AS x",
+    ):
+        once = ch_compat.translate(q)
+        assert ch_compat.translate(once) == once, q
+
+
 import re  # noqa: E402  (used by the property test above)
 
 
