@@ -74,10 +74,12 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   match as an interval hit — at most one right row per left row, no
   left-row id needed; one exchange per side, reused by the sort-merge
   join); ``ANY RIGHT/FULL`` (left-side dedup needs the whole FROM
-  context), non-equi ANY ``ON``, ASOF ``USING`` (CH coalesces the
-  columns) and ASOF under a bare-star select list still fail loudly —
-  they change row multiplicity or schema in ways a local rewrite can't
-  express;
+  context; CH itself deprecated these behind
+  ``any_join_distinct_right_table_keys`` — the loud message's
+  swap-the-tables advice is also CH's own migration path), non-equi
+  ANY ``ON``, ASOF ``USING`` (CH coalesces the columns) and ASOF under
+  a bare-star select list still fail loudly — they change row
+  multiplicity or schema in ways a local rewrite can't express;
 - CH scalar ``WITH const AS name`` aliases inlined (Spark WITH is
   CTE-only; non-constant items pass through), ``SAMPLE <fraction>`` ->
   ``TABLESAMPLE (pct PERCENT)`` (row-count parity; both sample
