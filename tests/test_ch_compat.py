@@ -1542,6 +1542,93 @@ def test_array_join_inplace_and_lockstep(spark):
     assert "__ch_ajz.x" in out
 
 
+def test_array_join_substitution_hazards(spark):
+    """Review-pass regressions (r07): the reference-substitution rewrite
+    must not descend into nested subquery scopes, corrupt masked string
+    literals, rewrite shadowing lambda parameters, or silently pad
+    unequal lockstep arrays."""
+    t = ch_compat.translate
+    import pytest
+
+    # a bare alias reference inside a NESTED subquery of the same block
+    # resolves to the inner relation in CH — loud, not hijacked
+    with pytest.raises(ValueError, match="nested subquery"):
+        t(
+            "SELECT x FROM t ARRAY JOIN a AS x, b AS y "
+            "WHERE id IN (SELECT x FROM u)"
+        )
+    # ...but a nested subquery NOT using the alias still translates
+    out = t(
+        "SELECT x FROM t ARRAY JOIN a AS x, b AS y "
+        "WHERE id IN (SELECT q FROM u)"
+    )
+    assert "__ch_ajz.x" in out and "(SELECT q FROM u)" in out
+
+    # an element alias shaped like a mask token (L0) must not corrupt
+    # masked string literals
+    out = t("SELECT x, 'hello' AS s FROM t ARRAY JOIN a AS x, b AS L0 "
+            "WHERE L0 > 1")
+    assert "'hello'" in out and "\x00" not in out
+    assert "__ch_ajz.L0 > 1" in out
+
+    # a lambda parameter shadowing the alias is ambiguous for a text
+    # rewrite — loud; a non-shadowing lambda still substitutes its body
+    with pytest.raises(ValueError, match="shadowed by a lambda"):
+        t("SELECT y, arrayMap(x -> x + 1, o) AS m FROM t "
+          "ARRAY JOIN a AS x, b AS y")
+    out = t("SELECT y, arrayMap(p -> p + x, o) AS m FROM t "
+            "ARRAY JOIN a AS x, b AS y")
+    assert "p + __ch_ajz.x" in out
+
+    # trailing occurrence at end-of-string (the '' -in- str sentinel
+    # bug) is substituted
+    out = t("SELECT arr, count() AS c FROM m ARRAY JOIN arr GROUP BY arr")
+    assert out.endswith("GROUP BY __ch_aj.arr")
+
+    # CH errors on unequal lockstep sizes; zip_with would pad — the
+    # translation reproduces the error, row-local
+    spark.createDataFrame(
+        [(1, [10, 20, 30], ["a", "b"])],
+        "id int, arr array<int>, brr array<string>",
+    ).createOrReplaceTempView("aj_uneq")
+    with pytest.raises(Exception, match="different sizes"):
+        ch_compat.run_clickhouse_sql(
+            spark, "SELECT id, x, y FROM aj_uneq ARRAY JOIN arr AS x, brr AS y"
+        ).collect()
+    # NULL arrays stay the silent no-op they were (no error)
+    spark.createDataFrame(
+        [(1, None, ["z"]), (2, [5], ["w"])],
+        "id int, arr array<int>, brr array<string>",
+    ).createOrReplaceTempView("aj_null")
+    rows = ch_compat.run_clickhouse_sql(
+        spark, "SELECT id, x, y FROM aj_null ARRAY JOIN arr AS x, brr AS y"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(2, 5, "w")]
+
+
+def test_asof_join_hazards():
+    """Review-pass regressions (r07): RIGHT/FULL ASOF (invalid CH) fails
+    loudly instead of silently running a RIGHT/FULL join, and columns
+    NAMED like clause keywords (asof, window, order) parse as ON-term
+    fields, not clause terminators."""
+    t = ch_compat.translate
+    import pytest
+
+    for q in (
+        "SELECT l.a, r.b FROM l RIGHT ASOF JOIN r ON l.k = r.k AND l.t >= r.t",
+        "SELECT l.a, r.b FROM l ASOF FULL JOIN r ON l.k = r.k AND l.t >= r.t",
+    ):
+        with pytest.raises(ValueError, match="ASOF (RIGHT|FULL) JOIN"):
+            t(q)
+
+    out = t("SELECT l.a, r.b FROM l ASOF JOIN r "
+            "ON l.k = r.k AND l.asof >= r.asof")
+    assert "lead(asof) OVER (PARTITION BY k ORDER BY asof)" in out
+    out = t("SELECT l.a, r.b FROM l ASOF JOIN r "
+            "ON l.k = r.k AND r.window <= l.window")
+    assert "lead(window)" in out
+
+
 def test_array_map_three_plus_arrays(spark):
     """r07: 3+-array arrayMap -> transform over arrays_zip with lambda-
     parameter substitution (the last r05 loud-fail residue); ambiguous or

@@ -399,7 +399,8 @@ def _rewrite_calls(sql: str, name: str, build) -> str:
 # Translated to a row_number()=1-deduped right side + plain join — CH's
 # any-pick is arbitrary, so picking Spark's first row per key is inside
 # the same contract (deterministic modulo CH's own any-pick). ASOF joins
-# stay loud: they need the asof operator's bucket shape, not SQL rewrite.
+# are rewritten separately (_rewrite_asof_joins below, which runs FIRST
+# in translate() so no ASOF keyword ever reaches this rewriter).
 # --------------------------------------------------------------------------
 
 _ANY_JOIN_PAT = re.compile(
@@ -469,7 +470,12 @@ def _on_condition_end(sql: str, i: int) -> int:
             return i
         elif depth == 0 and (c.isalpha() or c == "_"):
             mw = re.match(r"[A-Za-z_]\w*", sql[i:])
-            if mw.group(0).lower() in _ON_END_KEYWORDS:
+            # a keyword-looking token right after '.' is the field part
+            # of a qualified name (l.asof, t.window), not a clause end
+            if (
+                mw.group(0).lower() in _ON_END_KEYWORDS
+                and not (i > 0 and sql[i - 1] == ".")
+            ):
                 return i
             i += mw.end()
             continue
@@ -494,7 +500,9 @@ def _split_and_top_level(cond: str) -> list[str]:
             depth -= 1
         elif depth == 0 and c in "aA":
             mm = re.match(r"AND\b", cond[i:], re.IGNORECASE)
-            prev_ok = i == 0 or not (cond[i - 1].isalnum() or cond[i - 1] == "_")
+            prev_ok = i == 0 or not (
+                cond[i - 1].isalnum() or cond[i - 1] in "_."
+            )
             if mm and prev_ok:
                 parts.append(cond[start:i])
                 i += 3
@@ -648,8 +656,8 @@ def _rewrite_any_joins(sql: str) -> str:
 # --------------------------------------------------------------------------
 
 _ASOF_JOIN_PAT = re.compile(
-    r"\b(?:ASOF\s+(?P<d1>LEFT|INNER)(?:\s+OUTER)?\s+JOIN"
-    r"|(?P<d2>LEFT|INNER)(?:\s+OUTER)?\s+ASOF\s+JOIN"
+    r"\b(?:ASOF\s+(?P<d1>LEFT|INNER|RIGHT|FULL)(?:\s+OUTER)?\s+JOIN"
+    r"|(?P<d2>LEFT|INNER|RIGHT|FULL)(?:\s+OUTER)?\s+ASOF\s+JOIN"
     r"|ASOF\s+JOIN)\b",
     re.IGNORECASE,
 )
@@ -684,13 +692,17 @@ def _classify_asof_on(
     """Split an ASOF ``ON`` condition into equality right-key columns and
     the single inequality term, normalized to ``(left_expr, op,
     right_col)`` orientation. Anything fancier fails loudly — a
-    misclassified term would silently change which row is "closest"."""
-    names = {right_name.lower()}
-    if "." in right_name:
-        names.add(right_name.rsplit(".", 1)[-1].lower())
+    misclassified term would silently change which row is "closest".
+
+    ``right_name`` is always a bare alias (``_parse_joined_relation``
+    returns either an explicit alias or the table name's last
+    component)."""
 
     def is_right(s: str) -> bool:
-        return "." in s and s.rsplit(".", 1)[0].lower() in names
+        return (
+            "." in s
+            and s.rsplit(".", 1)[0].lower() == right_name.lower()
+        )
 
     keys: list[str] = []
     ineq: tuple[str, str, str] | None = None
@@ -741,10 +753,9 @@ def _classify_asof_on(
     return keys, ineq
 
 
-def _owning_select_items(sql: str, pos: int) -> list[str]:
-    """Top-level select-list items of the SELECT that owns position
-    ``pos`` (the innermost SELECT at the same paren depth). Empty list if
-    none found (defensive — a join always follows a SELECT's FROM)."""
+def _owning_select_kw(sql: str, pos: int) -> int | None:
+    """Index of the SELECT keyword owning position ``pos`` (the
+    innermost SELECT at the same paren depth), or None."""
     depth = 0
     sel_at_depth: dict[int, int] = {}
     i = 0
@@ -763,14 +774,24 @@ def _owning_select_items(sql: str, pos: int) -> list[str]:
             depth -= 1
         elif c.isalpha() or c == "_":
             mw = re.match(r"[A-Za-z_]\w*", sql[i:])
-            if mw.group(0).lower() == "select":
-                sel_at_depth[depth] = i + mw.end()
+            if mw.group(0).lower() == "select" and not (
+                i > 0 and sql[i - 1] == "."
+            ):
+                sel_at_depth[depth] = i
             i += mw.end()
             continue
         i += 1
-    start = sel_at_depth.get(depth)
-    if start is None:
+    return sel_at_depth.get(depth)
+
+
+def _owning_select_items(sql: str, pos: int) -> list[str]:
+    """Top-level select-list items of the SELECT that owns position
+    ``pos`` (the innermost SELECT at the same paren depth). Empty list if
+    none found (defensive — a join always follows a SELECT's FROM)."""
+    kw = _owning_select_kw(sql, pos)
+    if kw is None:
         return []
+    start = kw + len("select")
     # select list runs to the owning FROM at the same depth
     d2 = 0
     i = start
@@ -838,6 +859,13 @@ def _rewrite_asof_joins(sql: str) -> str:
         if m is None:
             return sql
         direction = (m.group("d1") or m.group("d2") or "INNER").upper()
+        if direction in ("RIGHT", "FULL"):
+            # not valid ClickHouse either — reject rather than silently
+            # running a RIGHT/FULL join with asof residual conditions
+            raise ValueError(
+                f"ASOF {direction} JOIN is not supported (ClickHouse "
+                "allows only ASOF [LEFT|INNER] JOIN); not translated"
+            )
         i = _skip_ws(sql, m.end())
         rel, rel_is_subquery, out_alias, k = _parse_joined_relation(
             sql, i, "ASOF JOIN"
@@ -926,7 +954,9 @@ def _array_join_expr_end(sql: str, i: int) -> int:
         elif depth == 0 and (c.isalpha() or c == "_"):
             mw = re.match(r"[A-Za-z_]\w*", sql[i:])
             w = mw.group(0).lower()
-            if w == "as" or w in _ON_END_KEYWORDS:
+            if (w == "as" or w in _ON_END_KEYWORDS) and not (
+                i > 0 and sql[i - 1] == "."
+            ):
                 return i
             i += mw.end()
             continue
@@ -938,30 +968,8 @@ def _owning_select_block(sql: str, pos: int) -> tuple[int, int]:
     """Span ``(start, end)`` of the SELECT block that owns position
     ``pos``: from its SELECT keyword to the ``)`` closing the block (or
     end of string). ``(0, len(sql))`` if no owning SELECT is found."""
-    depth = 0
-    sel_at_depth: dict[int, int] = {}
-    i = 0
-    while i < pos:
-        c = sql[i]
-        if c == "'":
-            j = i + 1
-            while j < pos and sql[j] != "'":
-                j += 1
-            i = j + 1
-            continue
-        if c == "(":
-            depth += 1
-        elif c == ")":
-            sel_at_depth.pop(depth, None)
-            depth -= 1
-        elif c.isalpha() or c == "_":
-            mw = re.match(r"[A-Za-z_]\w*", sql[i:])
-            if mw.group(0).lower() == "select":
-                sel_at_depth[depth] = i
-            i += mw.end()
-            continue
-        i += 1
-    start = sel_at_depth.get(depth, 0)
+    kw = _owning_select_kw(sql, pos)
+    start = 0 if kw is None else kw
     d2 = 0
     i = pos
     n = len(sql)
@@ -983,10 +991,44 @@ def _owning_select_block(sql: str, pos: int) -> tuple[int, int]:
     return start, n
 
 
+def _contains_bare_ident(text: str, name: str) -> bool:
+    """True when a standalone (unqualified, non-call, unmasked)
+    occurrence of ``name`` exists outside string literals."""
+    for m in re.finditer(rf"(?<![\w.$\x00]){re.escape(name)}(?![\w\x00])",
+                         text):
+        k = _skip_ws(text, m.end())
+        if k < len(text) and text[k] == "(":
+            continue
+        # inside a string literal?
+        if text.count("'", 0, m.start()) % 2 == 1:
+            continue
+        return True
+    return False
+
+
 def _replace_bare_ident(text: str, name: str, repl: str) -> str:
     """Replace standalone identifier occurrences of ``name`` (not
-    qualified by ``.``, not part of a longer word, not a function call)
-    outside string literals."""
+    qualified by ``.``, not part of a longer word, not a function call,
+    not inside a ``\\x00``-masked literal token) outside string
+    literals. Fails loudly when the rewrite would be ambiguous: a
+    nested ``(SELECT ...)`` scope or a lambda parameter that shadows
+    ``name`` resolves differently in CH than a blind substitution
+    would."""
+    # a lambda parameter named ``name`` (single or parenthesized list)
+    # shadows the element alias inside its body — a text substitution
+    # would rewrite both declaration and body uses
+    for pm in re.finditer(
+        rf"(?:\b{re.escape(name)}\s*->"
+        rf"|\(([^()]*)\)\s*->)", text
+    ):
+        params = pm.group(1)
+        if params is None or re.search(
+            rf"(?<![\w.]){re.escape(name)}(?![\w])", params
+        ):
+            raise ValueError(
+                f"ARRAY JOIN element {name!r} is shadowed by a lambda "
+                "parameter of the same name; rename one of them"
+            )
     out: list[str] = []
     i, n = 0, len(text)
     while i < n:
@@ -998,12 +1040,34 @@ def _replace_bare_ident(text: str, name: str, repl: str) -> str:
             out.append(text[i : j + 1])
             i = j + 1
             continue
+        if c == "(":
+            # a nested subquery is its own name scope: a bare ``name``
+            # inside it resolves to the INNER relation's column in CH
+            # (or correlates outward only when absent there) — a text
+            # rewriter can't know which, so substitution must not
+            # descend; loud when the name appears inside
+            k = _skip_ws(text, i + 1)
+            if re.match(r"SELECT\b", text[k:], re.IGNORECASE):
+                j = _balanced_paren_end(text, i)
+                if _contains_bare_ident(text[i:j], name):
+                    raise ValueError(
+                        f"ARRAY JOIN element {name!r} is referenced "
+                        "inside a nested subquery, where CH scoping "
+                        "rules are ambiguous for a text rewrite; "
+                        "qualify or rename the inner column"
+                    )
+                out.append(text[i:j])
+                i = j
+                continue
         if (c.isalpha() or c == "_") and text.startswith(name, i):
-            prev = text[i - 1] if i > 0 else ""
-            nxt = text[i + len(name)] if i + len(name) < n else ""
+            # space sentinels: '' is a substring of every string, so a
+            # bare boundary test with "" would treat begin/end-of-input
+            # as a word character and skip trailing occurrences
+            prev = text[i - 1] if i > 0 else " "
+            nxt = text[i + len(name)] if i + len(name) < n else " "
             if (
-                not (prev.isalnum() or prev in "_.$")
-                and not (nxt.isalnum() or nxt == "_")
+                not (prev.isalnum() or prev in "_.$\x00")
+                and not (nxt.isalnum() or nxt in "_\x00")
             ):
                 k = _skip_ws(text, i + len(name))
                 if not (k < n and text[k] == "("):
@@ -1129,6 +1193,23 @@ def _rewrite_array_joins(sql: str) -> str:
                 )
         if multi:
             zipped = _zip_fold([(e, n) for e, n, _ in items])
+            # CH errors on unequal lockstep sizes where zip_with would
+            # silently pad with NULLs — reproduce the error (row-local
+            # check; the message avoids rewriter keywords so the raw
+            # literal is inert to later passes and re-masks on re-entry)
+            first = items[0][0]
+            # NULL arrays stay the no-op they already were (zip_with
+            # propagates NULL, explode drops it); only a real size
+            # mismatch errors
+            sizechk = " AND ".join(
+                f"(size({first}) = size({e}) OR {first} IS NULL "
+                f"OR {e} IS NULL)"
+                for e, _, _ in items[1:]
+            )
+            zipped = (
+                f"if({sizechk}, {zipped}, "
+                f"raise_error('lockstep arrays have different sizes'))"
+            )
             repl = (
                 f"LATERAL VIEW {outer}explode({zipped}) "
                 f"__ch_aj AS __ch_ajz "
@@ -1877,10 +1958,10 @@ def translate(
 
     # GLOBAL is a pure ClickHouse distribution hint (ship the right side
     # to every shard) — Spark's broadcast/shuffle planning owns that
-    # decision, so the keyword drops. ANY LEFT/INNER join strictness
-    # translates to a deduped right side (below); ANY RIGHT/FULL and
-    # ASOF still change row multiplicity in ways this rewriter can't
-    # express, so they fail loudly instead.
+    # decision, so the keyword drops. ASOF joins translate to the
+    # neighbor-interval form, ANY LEFT/INNER to a deduped right side
+    # (below); ANY RIGHT/FULL still changes row multiplicity in ways a
+    # local rewrite can't express, so it fails loudly instead.
     out = re.sub(r"\bGLOBAL\s+(?=JOIN\b|IN\b|ANY\b|ALL\b|LEFT\b|RIGHT\b|"
                  r"INNER\b|FULL\b|NOT\b)", "", out, flags=re.IGNORECASE)
     out = _rewrite_asof_joins(out)
