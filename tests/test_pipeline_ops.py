@@ -632,6 +632,67 @@ def test_asof_join_tolerance_and_semantics(spark):
     assert tol == {1: 100}
 
 
+def test_asof_join_interval_equivalent(spark):
+    """r07 (prep for the r08 default swap, ROUND7_NOTES): the interval
+    form returns byte-identical rows to the union-window form on seeded
+    random data — same schema, same tolerance behavior, same empty-right
+    result — and exchanges each side exactly once."""
+    import random
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators.asof import (
+        asof_join,
+        asof_join_interval,
+    )
+
+    rng = random.Random(97)
+    left_rows = [
+        (f"k{rng.randint(0, 5)}",
+         f"2024-01-01 {rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:00",
+         i)
+        for i in range(60)
+    ]
+    seen, right_rows = set(), []
+    for _ in range(90):
+        k = f"k{rng.randint(0, 5)}"
+        ts = f"2024-01-01 {rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:00"
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            right_rows.append((k, ts, len(right_rows)))
+    left = spark.createDataFrame(
+        left_rows, "k string, lt string, lid int"
+    ).selectExpr("k", "CAST(lt AS TIMESTAMP) AS lt", "lid")
+    right = spark.createDataFrame(
+        right_rows, "k string, rt string, payload int"
+    ).selectExpr("k", "CAST(rt AS TIMESTAMP) AS rt", "payload")
+
+    a = asof_join(left, right, "k", "lt", "rt", ["payload"])
+    b = asof_join_interval(left, right, "k", "lt", "rt", ["payload"])
+    assert a.columns == b.columns
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    for tol in (0, 600, 3600):
+        ta = asof_join(left, right, "k", "lt", "rt", ["payload"],
+                       tolerance_seconds=tol)
+        tb = asof_join_interval(left, right, "k", "lt", "rt", ["payload"],
+                                tolerance_seconds=tol)
+        assert sorted(map(tuple, ta.collect())) == sorted(
+            map(tuple, tb.collect())
+        ), tol
+
+    no_right = spark.createDataFrame([], "k string, rt timestamp, payload int")
+    assert asof_join_interval(
+        left, no_right, "k", "lt", "rt", ["payload"]
+    ).count() == 0
+
+    # scale shape: in the AQE final plan, at most one hash exchange per
+    # side (AQE may instead broadcast the small right side — also fine)
+    # and exactly one neighbor window; no extra repartitioning anywhere
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2, final
+    assert final.count("Window") == 1, final
+
+
 def test_operators_on_empty_inputs(spark):
     """Every core operator must return an empty, correctly-schemed result
     on empty input — the empty-window case the reference special-cases in
