@@ -128,6 +128,46 @@ def test_array_join_rewrite_parser_properties(tbl, arr, alias, n_ws, kw):
 
 
 @given(
+    tbl=_ident,
+    arrs=st.lists(_ident, min_size=2, max_size=4, unique=True),
+    aliases=st.lists(_ident, min_size=4, max_size=4, unique=True),
+    n_ws=st.integers(1, 3),
+    kw=st.sampled_from(["ARRAY JOIN", "LEFT ARRAY JOIN",
+                        "left array join"]),
+)
+@settings(max_examples=100, deadline=None)
+def test_array_join_lockstep_parser_properties(tbl, arrs, aliases, n_ws, kw):
+    """Text-level invariants of the lockstep rewrite: one explode, a
+    zip_with fold naming every alias as a struct field, a size guard per
+    extra array, and every select-list reference rewritten to the struct
+    access."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.functions import ch_compat
+
+    assume(not set(arrs) & set(aliases) and tbl not in aliases)
+    aliases = aliases[: len(arrs)]
+    ws = " " * n_ws
+    items = ", ".join(f"{a} AS {x}" for a, x in zip(arrs, aliases))
+    sel = ", ".join(aliases)
+    q = f"SELECT {sel} FROM {tbl}{ws}{kw}{ws}{items} WHERE z9 = 1"
+    out = ch_compat.translate(q)
+    import re as _re
+
+    assert not _re.search(r"\bARRAY\b", out, _re.IGNORECASE)
+    outer = "OUTER " if kw.lower().startswith("left") else ""
+    assert f"LATERAL VIEW {outer}explode(" in out
+    assert out.count("explode(") == 1 and out.count("zip_with(") == len(arrs) - 1
+    # one size guard comparing the first array against every other
+    for a in arrs[1:]:
+        assert f"size({arrs[0]}) = size({a})" in out
+    # every alias is a struct field and its select-list reference is
+    # rewritten to the struct access (output name preserved)
+    for x in aliases:
+        assert f"AS {x}" in out
+        assert f"__ch_ajz.{x}" in out
+    assert out.rstrip().endswith("WHERE z9 = 1")
+
+
+@given(
     left=_ident, right=_ident,
     alias=_ident,
     keys=st.lists(_ident, min_size=1, max_size=3, unique=True),
