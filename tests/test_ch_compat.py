@@ -1557,12 +1557,23 @@ def test_array_join_substitution_hazards(spark):
             "SELECT x FROM t ARRAY JOIN a AS x, b AS y "
             "WHERE id IN (SELECT x FROM u)"
         )
+    # ...including the CTE and parenthesized set-op subquery spellings
+    with pytest.raises(ValueError, match="nested subquery"):
+        t("SELECT x FROM t ARRAY JOIN a AS x, b AS y "
+          "WHERE id IN (WITH q AS (SELECT 1) SELECT x FROM u)")
+    with pytest.raises(ValueError, match="nested subquery"):
+        t("SELECT x FROM t ARRAY JOIN a AS x, b AS y "
+          "WHERE id IN ((SELECT x FROM u) UNION ALL SELECT 1)")
     # ...but a nested subquery NOT using the alias still translates
     out = t(
         "SELECT x FROM t ARRAY JOIN a AS x, b AS y "
         "WHERE id IN (SELECT q FROM u)"
     )
     assert "__ch_ajz.x" in out and "(SELECT q FROM u)" in out
+    # ...and a parenthesized arithmetic group is NOT a scope
+    out = t("SELECT x FROM t ARRAY JOIN a AS x, b AS y "
+            "WHERE ((x + 1) * 2) > 3")
+    assert "((__ch_ajz.x + 1) * 2) > 3" in out
 
     # an element alias shaped like a mask token (L0) must not corrupt
     # masked string literals

@@ -446,7 +446,7 @@ def _balanced_paren_end(s: str, i: int) -> int:
             if depth == 0:
                 return i + 1
         i += 1
-    raise ValueError("unbalanced parentheses after ANY JOIN")
+    raise ValueError("unbalanced parentheses in join clause rewrite")
 
 
 def _on_condition_end(sql: str, i: int) -> int:
@@ -1045,9 +1045,14 @@ def _replace_bare_ident(text: str, name: str, repl: str) -> str:
             # inside it resolves to the INNER relation's column in CH
             # (or correlates outward only when absent there) — a text
             # rewriter can't know which, so substitution must not
-            # descend; loud when the name appears inside
+            # descend; loud when the name appears inside. Covers the
+            # plain, CTE (WITH ... SELECT) and parenthesized set-op
+            # ((SELECT ...) UNION ...) spellings; a parenthesized
+            # arithmetic group is NOT a scope and substitutes normally.
             k = _skip_ws(text, i + 1)
-            if re.match(r"SELECT\b", text[k:], re.IGNORECASE):
+            while k < len(text) and text[k] == "(":
+                k = _skip_ws(text, k + 1)
+            if re.match(r"(?:SELECT|WITH)\b", text[k:], re.IGNORECASE):
                 j = _balanced_paren_end(text, i)
                 if _contains_bare_ident(text[i:j], name):
                     raise ValueError(
