@@ -814,7 +814,10 @@ def _owning_select_items(sql: str, pos: int) -> list[str]:
             d2 -= 1
         elif d2 == 0 and (c.isalpha() or c == "_"):
             mw = re.match(r"[A-Za-z_]\w*", sql[i:])
-            if mw.group(0).lower() == "from":
+            # same dot-guard as the clause scanners: t.from is a field
+            if mw.group(0).lower() == "from" and not (
+                i > 0 and sql[i - 1] == "."
+            ):
                 end = i
                 break
             i += mw.end()
