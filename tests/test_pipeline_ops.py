@@ -684,6 +684,36 @@ def test_asof_join_interval_equivalent(spark):
         left, no_right, "k", "lt", "rt", ["payload"]
     ).count() == 0
 
+    # how='left': every left row survives; unmatched and
+    # tolerance-missed rows carry NULL as-of columns (merge_asof / CH
+    # ASOF LEFT semantics)
+    lj = asof_join_interval(left, right, "k", "lt", "rt", ["payload"],
+                            how="left")
+    assert lj.count() == len(left_rows)
+    inner = {
+        (r.k, r.lt): r.payload
+        for r in asof_join_interval(
+            left, right, "k", "lt", "rt", ["payload"]
+        ).collect()
+    }
+    for r in lj.collect():
+        assert r.payload == inner.get((r.k, r.lt)), r
+    ltol = asof_join_interval(left, right, "k", "lt", "rt", ["payload"],
+                              tolerance_seconds=600, how="left")
+    assert ltol.count() == len(left_rows)
+    inner_tol = {
+        (r.k, r.lt): r.payload
+        for r in asof_join_interval(
+            left, right, "k", "lt", "rt", ["payload"],
+            tolerance_seconds=600,
+        ).collect()
+    }
+    for r in ltol.collect():
+        assert r.payload == inner_tol.get((r.k, r.lt)), r
+    assert asof_join_interval(
+        left, no_right, "k", "lt", "rt", ["payload"], how="left"
+    ).count() == len(left_rows)
+
     # scale shape: in the AQE final plan, at most one hash exchange per
     # side (AQE may instead broadcast the small right side — also fine)
     # and exactly one neighbor window; no extra repartitioning anywhere

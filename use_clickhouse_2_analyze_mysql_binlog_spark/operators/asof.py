@@ -105,19 +105,26 @@ def asof_join_interval(
     right_time: str,
     right_payload: list[str],
     tolerance_seconds: int | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Backward as-of join, interval form: the right side gets its
     per-key ``lead(right_time)`` neighbor, so "latest right row at or
     before left_time" becomes an equi+range join hitting each left row's
     unique validity interval — at most one match, no post-join dedup.
 
-    Same contract as :func:`asof_join` (inner semantics, right rows
-    unique per (key, time) — byte-equivalent output, property-tested).
-    Measured 2× faster at sf0.1 (r07 notes): the left rows never pass
-    through a window, and the neighbor window's hash exchange on the key
-    is the same partitioning the sort-merge join needs, so each side is
-    exchanged exactly once. Candidate for the :func:`trade_quote_asof`
-    default in round 8 (registry-window constraint, ROUND7_NOTES)."""
+    ``how='inner'`` is the same contract as :func:`asof_join` (right
+    rows unique per (key, time) — byte-equivalent output,
+    property-tested). ``how='left'`` keeps unmatched left rows with
+    NULL as-of columns (pandas ``merge_asof`` / CH ``ASOF LEFT JOIN``
+    semantics); a tolerance miss likewise NULLs the match instead of
+    dropping the row. Measured 2× faster at sf0.1 (r07 notes): the left
+    rows never pass through a window, and the neighbor window's hash
+    exchange on the key is the same partitioning the sort-merge join
+    needs, so each side is exchanged exactly once. Candidate for the
+    :func:`trade_quote_asof` default in round 8 (registry-window
+    constraint, ROUND7_NOTES)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     w = Window.partitionBy("__k").orderBy("__rt")
     r = right.select(
         F.col(on).alias("__k"),
@@ -129,17 +136,26 @@ def asof_join_interval(
         & (left[left_time] >= r["__rt"])
         & (r["__nxt"].isNull() | (left[left_time] < r["__nxt"]))
     )
-    out = left.join(r, cond, "inner")
+    out = left.join(r, cond, how)
+    in_tol = None
     if tolerance_seconds is not None:
-        out = out.filter(
+        in_tol = (
             F.unix_timestamp(left[left_time]) - F.unix_timestamp("__rt")
             <= tolerance_seconds
         )
+        if how == "inner":
+            out = out.filter(in_tol)
+
+    def _masked(col, name):
+        if how == "left" and in_tol is not None:
+            return F.when(in_tol, col).alias(name)
+        return col.alias(name)
+
     return out.select(
         left[on],
         *[left[c] for c in left.columns if c != on],
-        F.col("__rt").alias(f"asof_{right_time}"),
-        *[r[c] for c in right_payload],
+        _masked(F.col("__rt"), f"asof_{right_time}"),
+        *[_masked(r[c], c) for c in right_payload],
     )
 
 
