@@ -1979,3 +1979,27 @@ def test_asof_translation_agrees_with_asof_operator(spark):
         ).collect()
     )
     assert via_operator == via_translation
+
+    # LEFT direction too: translated ASOF LEFT JOIN vs the operator's
+    # how='left'
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators.asof import (
+        asof_join_interval,
+    )
+
+    left_op = sorted(
+        (r.lid, r.rv)
+        for r in asof_join_interval(
+            ldf, rdf, on="k", left_time="ts", right_time="ts",
+            right_payload=["rv"], how="left",
+        ).collect()
+    )
+    left_tr = sorted(
+        tuple(r)
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT l.lid, r.rv FROM xal AS l ASOF LEFT JOIN xar AS r "
+            "ON l.k = r.k AND l.ts >= r.ts",
+        ).collect()
+    )
+    assert left_op == left_tr
+    assert len(left_tr) == ldf.count()  # every left row survives
