@@ -231,6 +231,62 @@ def test_translate_idempotent_over_generated_expressions():
     check()
 
 
+def test_round7_everyday_batch(spark):
+    """r07 final batch: array folds, tokenizers, finiteness, tuple
+    access, readable sizes — value-asserted end-to-end on Spark."""
+    d = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT arrayCompact([1,1,2,2,1]) AS ac, arraySum([1,2,3]) AS s, "
+        "arrayAvg([1,2,3]) AS av, arrayProduct([2,3]) AS pr, "
+        "arrayReverseSort([3,1,2]) AS rs, arrayEnumerate([9,9]) AS en, "
+        "countEqual([1,2,1], 1) AS ce, arrayResize([1,2], 4, 0) AS rz, "
+        "splitByWhitespace(' a  b ') AS sw, tokens('a-b_c') AS tk, "
+        "ngrams('abcd', 2) AS ng, ngrams('ab', 5) AS ngs, "
+        "multiSearchAny('hello', ['xx','ell']) AS ms, "
+        "positionCaseInsensitive('Hello', 'he') AS pc, "
+        "countSubstrings('ababab', 'ab') AS cs, "
+        "formatReadableSize(1536) AS fr, formatReadableSize(0) AS fr0, "
+        "formatReadableSize(1073741824) AS frg, "
+        "bitTest(5, 0) AS bt, bitTest(5, 1) AS bt1, "
+        "toRelativeDayNum(toDate('1970-01-03')) AS rd, "
+        "isFinite(1.0) AS fi, isFinite(exp2(10000)) AS fi0, "
+        "isInfinite(exp2(10000)) AS ii, ifNotFinite(exp2(10000), 42.0) AS nf, "
+        "exp2(3) AS e2, tupleElement(tuple(1, 'x'), 2) AS te, "
+        "emptyArrayString() AS ea, xxHash64('a') AS xh, reverseUTF8('ab') AS rv",
+    ).collect()[0].asDict()
+    expect = dict(
+        ac=[1, 2, 1], s=6.0, av=2.0, pr=6.0, rs=[3, 2, 1], en=[1, 2],
+        ce=2, rz=[1, 2, 0, 0], sw=["a", "b"], tk=["a", "b", "c"],
+        ng=["ab", "bc", "cd"], ngs=[], ms=True, pc=1, cs=3,
+        fr="1.50 KiB", fr0="0.00 B", frg="1.00 GiB", bt=1, bt1=0, rd=2,
+        fi=True, fi0=False, ii=True, nf=42.0, e2=8.0, te="x", ea=[],
+        rv="ba",
+    )
+    for k, v in expect.items():
+        got = d[k]
+        got = list(got) if isinstance(got, (list, tuple)) else got
+        assert got == v, (k, got, v)
+    assert isinstance(d["xh"], int)
+
+    # loud residue
+    import pytest
+
+    t = ch_compat.translate
+    with pytest.raises(ValueError, match="explicit filler"):
+        t("SELECT arrayResize(a, 4)")
+    with pytest.raises(ValueError, match="comparator lambda"):
+        t("SELECT arrayReverseSort(x -> -x, a)")
+    with pytest.raises(ValueError, match="literal index or name"):
+        t("SELECT tupleElement(tp, n)")
+
+    # tupleElement by NAME reaches through a named struct
+    r = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT tupleElement(named_struct('a', 7, 'b', 8), 'b') AS v",
+    ).collect()[0]
+    assert r.v == 8
+
+
 def test_translate_idempotent_over_join_rewrites():
     """The r07 join rewrites are idempotent too: their output (LATERAL
     VIEW / zip_with / neighbor-window subqueries) re-entering the

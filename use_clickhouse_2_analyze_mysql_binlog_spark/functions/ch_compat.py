@@ -100,7 +100,15 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   from the literal pattern; ANSI ``extract(unit FROM ts)`` passes
   through) and ``replaceAll/replaceRegexpAll`` (``\\N`` backrefs ->
   ``$N``), binary-exact ``MD5/SHA256`` (raw bytes via ``unhex``),
-  ``base64Encode/Decode``, bit ops, ``toMonday``, ``lagInFrame/
+  ``base64Encode/Decode``, bit ops, ``toMonday``, round-7 everyday
+  batch: ``arrayCompact/Sum/Avg/Product/ReverseSort/Enumerate/Resize``
+  (numeric folds accumulate in DOUBLE), ``countEqual``, ``exp2``,
+  ``bitTest``, ``splitByWhitespace``/``tokens``/``ngrams``,
+  ``multiSearchAny``/``positionCaseInsensitive``/``countSubstrings``,
+  ``formatReadableSize``, ``isFinite/isInfinite/ifNotFinite``,
+  ``tuple``->``struct`` + ``tupleElement`` (index or literal name),
+  ``emptyArray*``, ``toRelativeDayNum``, ``toNullable``,
+  ``xxHash64``/``reverseUTF8``, ``lagInFrame/
   leadInFrame``, moment aggregates (``stddevPop``-family, ``skewPop/
   kurtPop``), ``median/medianExact/avgWeighted``, ``JSONExtractKeys``,
   and the 64-bit hash role-matches ``sipHash64/cityHash64/farmHash64``
@@ -157,6 +165,10 @@ _RENAMES = {
     "has": "array_contains",
     "indexOf": "array_position",
     "lcase": "lower",
+    "xxHash64": "xxhash64",  # same documented contract as halfMD5 above
+    "reverseUTF8": "reverse",
+    "toNullable": "",  # identity wrapper (all Spark types are nullable)
+    "tuple": "struct",  # field names col1, col2... match CH 1-based idx
     "ucase": "upper",
     # arrays: explode covers the single-arrayJoin-per-SELECT case (several
     # per SELECT fail loudly in Spark's analyzer, per the pass-through
@@ -1952,6 +1964,189 @@ def translate(
     out = _rewrite_calls(
         out, "toMonday", lambda a: f"to_date(date_trunc('week', {a[0]}))"
     )
+
+    # ------------------------------------------------------------------
+    # round-7 everyday batch: array folds, string tokenizers, finiteness,
+    # tuple access, readable sizes. Numeric array folds accumulate in
+    # DOUBLE (Spark's aggregate() needs one accumulator type; values
+    # match CH, the printed type may differ for integer arrays).
+    # ------------------------------------------------------------------
+    out = _rewrite_calls(out, "exp2", lambda a: f"pow(2, {a[0]})")
+    out = _rewrite_calls(
+        out, "arrayCompact",
+        lambda a: (
+            f"aggregate({a[0]}, slice({a[0]}, 1, 0), (__acc, __x) -> "
+            f"if(size(__acc) > 0 AND element_at(__acc, -1) <=> __x, "
+            f"__acc, array_append(__acc, __x)))"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "arraySum",
+        lambda a: (
+            f"aggregate({a[0]}, CAST(0 AS DOUBLE), "
+            f"(__acc, __x) -> __acc + __x)"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "arrayAvg",
+        lambda a: (
+            f"aggregate({a[0]}, CAST(0 AS DOUBLE), "
+            f"(__acc, __x) -> __acc + __x, "
+            f"__acc -> __acc / size({a[0]}))"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "arrayProduct",
+        lambda a: (
+            f"aggregate({a[0]}, CAST(1 AS DOUBLE), "
+            f"(__acc, __x) -> __acc * __x)"
+        ),
+    )
+
+    def _array_reverse_sort(a):
+        if len(a) != 1:
+            raise ValueError(
+                "arrayReverseSort with a comparator lambda is not "
+                "translated; use arraySort + reverse"
+            )
+        return f"reverse(array_sort({a[0]}))"
+
+    out = _rewrite_calls(out, "arrayReverseSort", _array_reverse_sort)
+    out = _rewrite_calls(
+        out, "arrayEnumerate",
+        lambda a: f"transform({a[0]}, (__x, __i) -> __i + 1)",
+    )
+    out = _rewrite_calls(
+        out, "countEqual",
+        lambda a: f"size(filter({a[0]}, __x -> __x <=> {a[1]}))",
+    )
+
+    def _array_resize(a):
+        if len(a) != 3:
+            raise ValueError(
+                "arrayResize without an explicit filler pads with the CH "
+                "type default, which Spark can't infer; pass the filler "
+                "(arrayResize(arr, n, x))"
+            )
+        arr, n, fill = a
+        return (
+            f"if({n} <= size({arr}), slice({arr}, 1, {n}), "
+            f"concat({arr}, array_repeat({fill}, "
+            f"CAST({n} AS INT) - size({arr}))))"
+        )
+
+    out = _rewrite_calls(out, "arrayResize", _array_resize)
+    for _ch_t, _spark_t in (
+        ("String", "string"), ("Date", "date"), ("DateTime", "timestamp"),
+        ("Int8", "int"), ("Int16", "int"), ("Int32", "int"),
+        ("Int64", "bigint"), ("UInt8", "int"), ("UInt16", "int"),
+        ("UInt32", "bigint"), ("UInt64", "bigint"),
+        ("Float32", "float"), ("Float64", "double"),
+    ):
+        out = _rewrite_calls(
+            out, f"emptyArray{_ch_t}",
+            lambda a, t=_spark_t: f"CAST(array() AS array<{t}>)",
+        )
+    out = _rewrite_calls(
+        out, "toRelativeDayNum",
+        lambda a: f"datediff({a[0]}, DATE '1970-01-01')",
+    )
+    out = _rewrite_calls(
+        out, "bitTest",
+        lambda a: (
+            f"(shiftright(CAST({a[0]} AS BIGINT), "
+            f"CAST({a[1]} AS INT)) & 1)"
+        ),
+    )
+    # whitespace/token splitters never emit empty tokens in CH
+    out = _rewrite_calls(
+        out, "splitByWhitespace",
+        lambda a: f"filter(split({a[0]}, '\\\\s+'), __x -> __x != '')",
+    )
+    out = _rewrite_calls(
+        out, "tokens",
+        lambda a: f"filter(split({a[0]}, '[^A-Za-z0-9]+'), __x -> __x != '')",
+    )
+    out = _rewrite_calls(
+        out, "ngrams",
+        lambda a: (
+            f"if(length({a[0]}) < {a[1]}, CAST(array() AS array<string>), "
+            f"transform(sequence(1, length({a[0]}) - {a[1]} + 1), "
+            f"__i -> substring({a[0]}, __i, {a[1]})))"
+        ),
+    )
+    # multiSearchAny(haystack, [needles]); positionCaseInsensitive keeps
+    # CH's (haystack, needle) role order -> locate's (substr, str)
+    out = _rewrite_calls(
+        out, "multiSearchAny",
+        lambda a: f"exists({a[1]}, __p -> instr({a[0]}, __p) > 0)",
+    )
+    out = _rewrite_calls(
+        out, "positionCaseInsensitive",
+        lambda a: f"locate(lower({a[1]}), lower({a[0]}))",
+    )
+    out = _rewrite_calls(
+        out, "countSubstrings",
+        lambda a: (
+            f"CAST(if(length({a[1]}) = 0, 0, (length({a[0]}) - "
+            f"length(replace({a[0]}, {a[1]}, ''))) / length({a[1]})) "
+            f"AS BIGINT)"
+        ),
+    )
+
+    def _format_readable_size(a):
+        b = f"CAST({a[0]} AS DOUBLE)"
+        e = (
+            f"greatest(0, least(6, CAST(floor(log(1024, "
+            f"greatest({b}, 1))) AS INT)))"
+        )
+        units = "array('B', 'KiB', 'MiB', 'GiB', 'TiB', 'PiB', 'EiB')"
+        return (
+            f"format_string('%.2f %s', {b} / pow(1024, {e}), "
+            f"element_at({units}, {e} + 1))"
+        )
+
+    out = _rewrite_calls(out, "formatReadableSize", _format_readable_size)
+    out = _rewrite_calls(
+        out, "isFinite",
+        lambda a: (
+            f"(NOT isnan(CAST({a[0]} AS DOUBLE)) AND "
+            f"abs(CAST({a[0]} AS DOUBLE)) != double('Infinity'))"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "isInfinite",
+        lambda a: f"(abs(CAST({a[0]} AS DOUBLE)) = double('Infinity'))",
+    )
+    out = _rewrite_calls(
+        out, "ifNotFinite",
+        lambda a: (
+            f"if(isnan(CAST({a[0]} AS DOUBLE)) OR "
+            f"abs(CAST({a[0]} AS DOUBLE)) = double('Infinity'), "
+            f"{a[1]}, {a[0]})"
+        ),
+    )
+
+    def _tuple_element(a):
+        idx = a[1].strip()
+        m2 = re.fullmatch(r"\x00L(\d+)\x00", idx)
+        if m2:
+            name = literals[int(m2.group(1))][1:-1]
+            if not re.fullmatch(r"[A-Za-z_]\w*", name):
+                raise ValueError(
+                    f"tupleElement name {name!r} is not a simple "
+                    "identifier; not translated"
+                )
+            return f"{a[0]}.{name}"
+        if re.fullmatch(r"\d+", idx):
+            # tuple() -> struct() names fields col1, col2, ... (1-based,
+            # same as CH tuple indices)
+            return f"{a[0]}.col{idx}"
+        raise ValueError(
+            "tupleElement needs a literal index or name; not translated"
+        )
+
+    out = _rewrite_calls(out, "tupleElement", _tuple_element)
 
     # aggregate forms
     out = _rewrite_calls(
