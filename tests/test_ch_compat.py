@@ -2059,3 +2059,107 @@ def test_asof_translation_agrees_with_asof_operator(spark):
     )
     assert left_op == left_tr
     assert len(left_tr) == ldf.count()  # every left row survives
+
+
+def test_round7_batch2_translation_text():
+    t = ch_compat.translate
+    # to<T>OrNull / OrZero: exactly try_cast / coalesce(try_cast, default)
+    assert t("toUInt32OrNull(s)") == "try_cast(s AS bigint)"
+    assert t("toInt64OrZero(s)") == "coalesce(try_cast(s AS bigint), 0)"
+    assert t("toFloat64OrNull(s)") == "try_cast(s AS double)"
+    assert t("toDateOrZero(s)") == (
+        "coalesce(try_cast(s AS date), DATE '1970-01-01')"
+    )
+    assert t("toDateTimeOrNull(s)") == "try_cast(s AS timestamp)"
+    assert t("toDecimal64(x, 2)") == "cast(x AS decimal(18, 2))"
+    # URL family
+    assert t("domain(u)") == "parse_url(u, 'HOST')"
+    assert t("protocol(u)") == "parse_url(u, 'PROTOCOL')"
+    assert t("pathFull(u)") == "parse_url(u, 'FILE')"
+    assert t("queryString(u)") == "parse_url(u, 'QUERY')"
+    assert t("fragment(u)") == "parse_url(u, 'REF')"
+    assert t("extractURLParameter(u, 'y')") == "parse_url(u, 'QUERY', 'y')"
+    assert t("decodeURLComponent(s)") == "url_decode(s)"
+    # date_add function forms: bare and quoted unit, INTERVAL form,
+    # Spark's own 2-arg days form untouched
+    assert t("date_add(DAY, 3, ts)") == "timestampadd(DAY, 3, ts)"
+    assert t("dateSub('day', 1, ts)") == "timestampadd(DAY, -(1), ts)"
+    assert t("date_add(d, INTERVAL 1 MONTH)") == "(d + INTERVAL 1 MONTH)"
+    assert t("date_add(d, 3)") == "date_add(d, 3)"
+    # renames
+    assert t("toLastDayOfMonth(d)") == "last_day(d)"
+    assert t("roundBankers(x, 1)") == "bround(x, 1)"
+    assert t("arrayElement(a, 2)") == "element_at(a, 2)"
+    assert t("mapKeys(m)") == "map_keys(m)"
+    assert t("groupBitAnd(x)") == "bit_and(x)"
+    assert t("countMatches(s, 'aa')") == "regexp_count(s, 'aa')"
+    assert t("dayName(d)") == "date_format(d, 'EEEE')"
+    assert t("positionUTF8(h, n)") == "instr(h, n)"
+    assert t("positionCaseInsensitiveUTF8(h, n)") == (
+        "locate(lower(n), lower(h))"
+    )
+    assert t("parseDateTimeBestEffortOrNull(s)") == "try_to_timestamp(s)"
+    assert t("intHash64(x)") == "xxhash64(x)"
+    # camelCase 2-arg without unit/INTERVAL has no CH meaning -> loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t("dateAdd(d, 3)")
+
+
+def test_round7_batch2_executes(spark):
+    """Runnable cross-check of the round-7 second batch in one query."""
+    url = "'https://www.example.com/a/b?x=1&y=2#frag'"
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        f"""SELECT toUInt32OrNull('12x') AS bad_n,
+                  toUInt32OrNull('42') AS ok_n,
+                  toUInt32OrZero('12x') AS zero_n,
+                  toDateOrZero('nope') AS zero_d,
+                  toDecimal64('3.5', 2) AS dec_v,
+                  protocol({url}) AS proto,
+                  domain({url}) AS host,
+                  domainWithoutWWW({url}) AS host_nw,
+                  path({url}) AS pth,
+                  pathFull({url}) AS pthq,
+                  queryString({url}) AS qs,
+                  fragment({url}) AS frag,
+                  extractURLParameter({url}, 'y') AS yval,
+                  decodeURLComponent('a%20b') AS dec_url,
+                  date_add(DAY, 3, toDate('2024-01-01')) AS plus3,
+                  dateSub('day', 1, toDateTime('2024-01-02 00:00:00'))
+                      AS minus1,
+                  dayName(toDate('2024-02-05')) AS dn,
+                  arrayElement([10, 20], 2) AS ae,
+                  arrayElement([10, 20], -1) AS ae_neg,
+                  mapKeys(map('a', 1)) AS mk,
+                  toLastDayOfMonth(toDate('2024-02-10')) AS eom,
+                  roundBankers(2.5) AS rb,
+                  countMatches('aaa', 'aa') AS cm,
+                  positionUTF8('hello', 'll') AS pos8,
+                  parseDateTimeBestEffortOrNull('nope') AS bad_ts,
+                  parseDateTimeBestEffort('2024-01-02 03:04:05') AS ok_ts,
+                  bit_and_agg AS gba
+           FROM (SELECT groupBitAnd(v) AS bit_and_agg
+                 FROM (SELECT explode(array(6, 7)) AS v))""",
+    ).collect()[0]
+    assert row.bad_n is None and row.ok_n == 42 and row.zero_n == 0
+    assert str(row.zero_d) == "1970-01-01"
+    assert float(row.dec_v) == 3.5
+    assert row.proto == "https" and row.host == "www.example.com"
+    assert row.host_nw == "example.com"
+    assert row.pth == "/a/b" and row.pthq == "/a/b?x=1&y=2"
+    assert row.qs == "x=1&y=2" and row.frag == "frag"
+    assert row.yval == "2" and row.dec_url == "a b"
+    assert str(row.plus3) == "2024-01-04 00:00:00"
+    assert str(row.minus1) == "2024-01-01 00:00:00"
+    assert row.dn == "Monday"
+    assert row.ae == 20 and row.ae_neg == 20
+    assert row.mk == ["a"]
+    assert str(row.eom) == "2024-02-29"
+    assert row.rb == 2.0  # banker's: 2.5 -> 2
+    assert row.cm == 1
+    assert row.pos8 == 3
+    assert row.bad_ts is None
+    assert str(row.ok_ts) == "2024-01-02 03:04:05"
+    assert row.gba == 6

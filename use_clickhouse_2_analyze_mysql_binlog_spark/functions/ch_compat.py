@@ -118,7 +118,26 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   ``uniqHLL12``/``uniqCombined64`` approx aliases, ``age`` (elapsed
   complete units — Spark's native ``timestampdiff``, vs ``dateDiff``'s
   boundary crossings), ``timeSlot``/``toStartOfTen/FifteenMinutes``,
-  ``monthName``, ``toISOWeek``, ``GROUP BY .. WITH TOTALS`` ->
+  ``monthName``, ``toISOWeek``; round-7 second batch: the
+  ``to<T>OrNull``/``to<T>OrZero`` conversion families (exactly ANSI
+  ``try_cast`` / ``coalesce(try_cast, default)``), ``toDecimal32/64/
+  128`` (precision from the CH width), the URL family (``protocol/
+  domain/domainWithoutWWW/path/pathFull/queryString/fragment/
+  extractURLParameter`` -> ``parse_url`` parts — absolute URLs only,
+  CH also accepts scheme-less; ``decodeURLComponent/encodeURLComponent``
+  -> ``url_decode/url_encode``), 3-arg ``date_add/dateAdd/date_sub/
+  dateSub(unit, n, ts)`` -> ``timestampadd`` (+ the 2-arg INTERVAL
+  form -> ``+/-``; Spark's own 2-arg days form passes through),
+  ``dayName``, the ``positionUTF8`` aliases, ``toLastDayOfMonth`` ->
+  ``last_day``, ``roundBankers`` -> ``bround``, ``arrayElement`` ->
+  ``element_at`` (both 1-based, negative-from-end in both),
+  ``mapKeys/mapValues/mapContains/mapFromArrays``, ``groupBitAnd/Or/
+  Xor`` -> ``bit_and/bit_or/bit_xor``, ``countMatches`` ->
+  ``regexp_count``, ``generateUUIDv4`` -> ``uuid``,
+  ``parseDateTimeBestEffort[OrNull]`` -> ``to_timestamp``/
+  ``try_to_timestamp`` (ISO-ish core formats), ``intHash32/64`` ->
+  ``xxhash64`` (role match, as the hash family above),
+  ``GROUP BY .. WITH TOTALS`` ->
   ``GROUPING SETS ((keys), ())`` (totals-row keys are NULL in Spark vs
   CH's type defaults — detect with ``grouping()``), and the
   ORM-generated operator-function aliases: arithmetic
@@ -239,6 +258,31 @@ _RENAMES = {
     "sipHash64": "xxhash64",
     "cityHash64": "xxhash64",
     "farmHash64": "xxhash64",
+    "intHash64": "xxhash64",
+    "intHash32": "xxhash64",
+    # round-7 second batch: pure renames
+    "toLastDayOfMonth": "last_day",
+    "roundBankers": "bround",  # both are banker's rounding, same [, n]
+    "generateUUIDv4": "uuid",
+    "countMatches": "regexp_count",  # both count non-overlapping matches
+    # arrayElement: both 1-based, both accept negative from-the-end
+    # indices; out-of-range is an ANSI error here vs CH's type default —
+    # the same narrowing the subscript shift above already documents
+    "arrayElement": "element_at",
+    # map surface (same argument order/semantics)
+    "mapKeys": "map_keys",
+    "mapValues": "map_values",
+    "mapContains": "map_contains_key",
+    "mapFromArrays": "map_from_arrays",
+    # parseDateTimeBestEffort: Spark's to_timestamp parses the ISO-ish
+    # core of CH's best-effort formats; both throw on unparseable input
+    # (ANSI), and the OrNull twin maps to try_to_timestamp's NULL
+    "parseDateTimeBestEffort": "to_timestamp",
+    "parseDateTimeBestEffortOrNull": "try_to_timestamp",
+    # grouped bitwise aggregates (identical definitions)
+    "groupBitAnd": "bit_and",
+    "groupBitOr": "bit_or",
+    "groupBitXor": "bit_xor",
     # window helpers (CH's in-frame variants are Spark's lag/lead
     # contract: (col, offset, default) over the window frame)
     "lagInFrame": "lag",
@@ -2427,6 +2471,120 @@ def translate(
         "toStartOfInterval",
         lambda a: f"window({a[0]}, '{_interval_text(a[1])}').start",
     )
+
+    # round-7 second everyday batch ------------------------------------
+    # to<T>OrNull / to<T>OrZero conversion families: CH yields NULL /
+    # the type default on unparseable input while the plain to<T> throws
+    # — exactly Spark's ANSI try_cast vs cast split, so the mapping is
+    # semantics-exact (coalesce supplies the OrZero default).
+    _OR_TYPES = {
+        "UInt64": ("bigint", "0"), "UInt32": ("bigint", "0"),
+        "Int64": ("bigint", "0"), "Int32": ("bigint", "0"),
+        "UInt8": ("int", "0"), "Int8": ("int", "0"),
+        "Float64": ("double", "0.0"), "Float32": ("float", "0.0"),
+        "Date": ("date", "DATE '1970-01-01'"),
+        "DateTime": ("timestamp", "TIMESTAMP '1970-01-01 00:00:00'"),
+    }
+    for _t, (_sql_t, _zero) in _OR_TYPES.items():
+        out = _rewrite_calls(
+            out, f"to{_t}OrNull",
+            lambda a, t=_sql_t: f"try_cast({a[0]} AS {t})",
+        )
+        out = _rewrite_calls(
+            out, f"to{_t}OrZero",
+            lambda a, t=_sql_t, z=_zero: (
+                f"coalesce(try_cast({a[0]} AS {t}), {z})"
+            ),
+        )
+    # toDecimal32/64/128(x, scale): precision from the CH width (9/18/38
+    # digits); the scale must be a literal (Spark's decimal type is
+    # compile-time) — a non-literal fails loudly in Spark's parser
+    for _fn, _prec in (
+        ("toDecimal32", 9), ("toDecimal64", 18), ("toDecimal128", 38),
+    ):
+        out = _rewrite_calls(
+            out, _fn,
+            lambda a, p=_prec: f"cast({a[0]} AS decimal({p}, {a[1]}))",
+        )
+    # URL family -> parse_url. Narrowing: CH's parsers accept scheme-less
+    # URLs (best-effort host/path extraction); parse_url wants an
+    # absolute URL and yields NULL otherwise — valid absolute URLs
+    # behave identically. pathFull (path + query string) is parse_url's
+    # FILE part; fragment is REF.
+    for _ch, _part in (
+        ("protocol", "PROTOCOL"), ("domain", "HOST"), ("path", "PATH"),
+        ("pathFull", "FILE"), ("queryString", "QUERY"),
+        ("fragment", "REF"),
+    ):
+        out = _rewrite_calls(
+            out, _ch, lambda a, p=_part: f"parse_url({a[0]}, '{p}')"
+        )
+    out = _rewrite_calls(
+        out, "domainWithoutWWW",
+        lambda a: (
+            f"regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', '')"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "extractURLParameter",
+        lambda a: f"parse_url({a[0]}, 'QUERY', {a[1]})",
+    )
+    out = _rewrite_calls(
+        out, "decodeURLComponent", lambda a: f"url_decode({a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "encodeURLComponent", lambda a: f"url_encode({a[0]})"
+    )
+    # positionUTF8 aliases: Spark strings are UTF-8 native, so these are
+    # the already-translated position/positionCaseInsensitive contracts
+    out = _rewrite_calls(
+        out, "positionUTF8", lambda a: f"instr({a[0]}, {a[1]})"
+    )
+    out = _rewrite_calls(
+        out, "positionCaseInsensitiveUTF8",
+        lambda a: f"locate(lower({a[1]}), lower({a[0]}))",
+    )
+    out = _rewrite_calls(
+        out, "dayName", lambda a: f"date_format({a[0]}, 'EEEE')"
+    )
+
+    # CH date_add/dateAdd(unit, n, ts) and date_sub/dateSub 3-arg
+    # function forms -> timestampadd (unit arrives bare or as a masked
+    # string literal — unmask to the bare keyword, as _date_diff does).
+    # The 2-arg INTERVAL form maps to +/- arithmetic; Spark's own 2-arg
+    # date_add(ts, days) passes through untouched (camelCase 2-arg
+    # non-INTERVAL has no CH meaning and fails loudly).
+    def _date_addsub(name, sign):
+        def build(a):
+            if len(a) == 3:
+                m2 = re.fullmatch(r"\x00L(\d+)\x00", a[0].strip())
+                unit = (
+                    literals[int(m2.group(1))][1:-1]
+                    if m2 else a[0].strip()
+                ).upper()
+                n = a[1] if sign > 0 else f"-({a[1]})"
+                return f"timestampadd({unit}, {n}, {a[2]})"
+            if len(a) == 2 and re.match(
+                r"(?i)\s*INTERVAL\b", a[1]
+            ):
+                op = "+" if sign > 0 else "-"
+                return f"({a[0]} {op} {a[1]})"
+            if name in ("date_add", "date_sub") and len(a) == 2:
+                # Spark's native days form — re-emit untouched
+                return f"\x01{name}\x01({', '.join(a)})"
+            raise ValueError(
+                f"{name}() with {len(a)} argument(s) and no unit/"
+                "INTERVAL is not translated"
+            )
+
+        return build
+
+    for _name, _sign in (
+        ("dateAdd", 1), ("date_add", 1), ("dateSub", -1), ("date_sub", -1),
+    ):
+        out = _rewrite_calls(out, _name, _date_addsub(_name, _sign))
+    for _name in ("date_add", "date_sub"):
+        out = out.replace(f"\x01{_name}\x01", _name)
 
     # bare count() -> count(*)
     out = re.sub(r"\bcount\(\s*\)", "count(*)", out)
