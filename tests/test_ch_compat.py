@@ -2163,3 +2163,72 @@ def test_round7_batch2_executes(spark):
     assert row.bad_ts is None
     assert str(row.ok_ts) == "2024-01-02 03:04:05"
     assert row.gba == 6
+
+
+def test_behavioral_parametric_translation_text():
+    t = ch_compat.translate
+    assert t("uniqUpTo(3)(x)") == "least(count(DISTINCT x), 4)"
+    assert t("retention(a = 1, b = 2)") == (
+        "array(int(bool_or(a = 1)), int(bool_or(a = 1) AND bool_or(b = 2)))"
+    )
+    got = t("windowFunnel(3600)(ts, e = 'a', e = 'b')")
+    assert got.startswith("aggregate(sort_array(collect_list(")
+    assert got.endswith(".level") and "3600000000" in got
+    # mode flags change chain semantics -> loud
+    with pytest.raises(ValueError):
+        t("windowFunnel(3600, 'strict_order')(ts, e = 'a', e = 'b')")
+    with pytest.raises(ValueError):
+        t("windowFunnel(3600)(ts, e = 'a')")  # < 2 conditions
+    with pytest.raises(ValueError):
+        t("uniqUpTo(n)(x)")  # non-literal N
+
+
+def test_window_funnel_translated_matches_operator(spark):
+    """The CH-SQL windowFunnel a migrating user brings must agree with
+    the native window_funnel operator on the same data (both implement
+    the documented anchored-greedy automaton)."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import funnels
+
+    events = schemas.load_table(spark, SF_DIR, "events")
+    events.createOrReplaceTempView("events")
+    per_user = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT user_id, windowFunnel(3600)(ts, "
+        "event_type = 'view', event_type = 'click', "
+        "event_type = 'purchase') AS level "
+        "FROM events GROUP BY user_id",
+    )
+    translated = {
+        k: sum(1 for lv in levels if lv >= k)
+        for levels in [[r.level for r in per_user.collect()]]
+        for k in (1, 2, 3)
+    }
+    native = {
+        r.step: r.users_reached
+        for r in funnels.window_funnel(
+            events, ("view", "click", "purchase"), window_seconds=3600
+        ).collect()
+    }
+    assert translated == native and native[1] > 0
+
+
+def test_retention_uniq_up_to_execute(spark):
+    # 3 users: u1 does a then b; u2 does a only; u3 does b only (no
+    # anchor, so r = [0, 0] for them and they don't dilute r[1])
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT retention(e = 'a', e = 'b') AS r, "
+        "uniqUpTo(1)(u) AS capped, uniqUpTo(5)(u) AS exact_n "
+        "FROM (SELECT stack(4, 1, 'a', 1, 'b', 2, 'a', 3, 'b') AS (u, e))",
+    ).collect()[0]
+    assert row.r == [1, 1]  # some user hit the anchor; some hit a AND b
+    assert row.capped == 2  # 3 distinct users, N=1 -> N+1 = 2
+    assert row.exact_n == 3  # under the cap: exact
+    # per-user retention matrix
+    rows = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT u, retention(e = 'a', e = 'b') AS r "
+        "FROM (SELECT stack(4, 1, 'a', 1, 'b', 2, 'a', 3, 'b') AS (u, e)) "
+        "GROUP BY u ORDER BY u",
+    ).collect()
+    assert [r.r for r in rows] == [[1, 1], [1, 0], [0, 0]]

@@ -12,6 +12,13 @@ onto Spark SQL equivalents that stay entirely JVM-side:
 - ``argMax/argMin`` -> ``max_by/min_by`` (identical semantics incl.
   nondeterministic ties);
 - parametric aggregates ``quantile(p)(x)`` -> ``percentile(x, p)``;
+  behavioral parametric aggregates: ``windowFunnel(W)(ts, c1, c2, ..)``
+  -> the engine's documented anchored-greedy automaton as an inline
+  JVM-side ``aggregate`` fold (same contract as the native
+  ``window_funnel`` operator; CH mode flags stay loud),
+  ``retention(c1, .., cn)`` -> ``array(int(bool_or(c1)), int(bool_or(c1)
+  AND bool_or(ci)), ..)`` (exact CH semantics), ``uniqUpTo(N)(x)`` ->
+  ``least(count(DISTINCT x), N + 1)`` (exact);
 - conditional aggregates (``countIf``, ``sumIf``, ``avgIf``);
 - ``uniq``/``uniqExact`` -> ``approx_count_distinct``/``count(DISTINCT)``
   (preserving the approximate-vs-exact contract);
@@ -300,14 +307,10 @@ _RENAMES = {
 }
 
 
-def _find_call(sql: str, name: str, start: int = 0) -> tuple[int, int, list[str]] | None:
-    """Locate ``name( ... )`` at word boundary from ``start``; return
-    (call_start, call_end_exclusive, top_level_args)."""
-    pat = re.compile(r"\b" + re.escape(name) + r"\s*\(")
-    m = pat.search(sql, start)
-    if not m:
-        return None
-    i = m.end()
+def _parse_args(sql: str, i: int) -> tuple[int, list[str]] | None:
+    """Parse a parenthesized argument list whose opening ``(`` sits just
+    before ``i``; return (end_exclusive, top_level_args), or None when
+    the parens never balance."""
     depth, args, cur = 1, [], []
     while i < len(sql):
         c = sql[i]
@@ -330,7 +333,7 @@ def _find_call(sql: str, name: str, start: int = 0) -> tuple[int, int, list[str]
             depth -= 1
             if depth == 0:
                 args.append("".join(cur).strip())
-                return (m.start(), i + 1, [a for a in args if a != ""])
+                return (i + 1, [a for a in args if a != ""])
         elif c == "," and depth == 1:
             args.append("".join(cur).strip())
             cur = []
@@ -339,6 +342,20 @@ def _find_call(sql: str, name: str, start: int = 0) -> tuple[int, int, list[str]
         cur.append(c)
         i += 1
     return None
+
+
+def _find_call(sql: str, name: str, start: int = 0) -> tuple[int, int, list[str]] | None:
+    """Locate ``name( ... )`` at word boundary from ``start``; return
+    (call_start, call_end_exclusive, top_level_args)."""
+    pat = re.compile(r"\b" + re.escape(name) + r"\s*\(")
+    m = pat.search(sql, start)
+    if not m:
+        return None
+    parsed = _parse_args(sql, m.end())
+    if parsed is None:
+        return None
+    end, args = parsed
+    return (m.start(), end, args)
 
 
 # ClickHouse formatDateTime uses MySQL-style % tokens; Spark date_format
@@ -1511,6 +1528,90 @@ def translate(
         r"percentile(\2, \1)",
         out,
     )
+
+    # CH behavioral parametric aggregates: name(params)(args) with
+    # depth-aware parsing on BOTH lists (funnel conditions contain
+    # parens/commas the quantile regexes above can't see)
+    def _rewrite_parametric(sql, name, builder):
+        while True:
+            hit = _find_call(sql, name)
+            if hit is None:
+                return sql
+            start, mid, params = hit
+            m2 = re.compile(r"\s*\(").match(sql, mid)
+            parsed = _parse_args(sql, m2.end()) if m2 else None
+            if parsed is None:
+                raise ValueError(
+                    f"{name}(...) without its (args) list is not translated"
+                )
+            end, args = parsed
+            sql = sql[:start] + builder(params, args) + sql[end:]
+
+    def _window_funnel_agg(params, args):
+        """windowFunnel(window)(ts, c1, c2, ...) -> the engine's
+        documented anchored-greedy automaton (operators/funnels.py), as
+        an inline JVM-side aggregate: collect the matching (t, step)
+        events (non-matching rows never enter the per-user state), sort,
+        fold. Narrowing vs CH: CH retries later c1 events as chain
+        anchors, this engine anchors at the EARLIEST c1 event — same
+        contract as the native window_funnel operator, documented there.
+        An event satisfying several conditions counts as the FIRST
+        matching step (CASE priority). CH mode flags (strict_order,
+        strict_dedup, ...) change chain semantics and stay loud."""
+        if len(params) != 1 or not re.fullmatch(r"\d+", params[0].strip()):
+            raise ValueError(
+                "windowFunnel: only a literal window-seconds parameter "
+                "is translated (mode flags change chain semantics)"
+            )
+        if len(args) < 3:
+            raise ValueError(
+                "windowFunnel needs a time column and >= 2 conditions"
+            )
+        ts, conds = args[0], args[1:]
+        win_us = int(params[0]) * 1_000_000
+        pos = (
+            "CASE "
+            + " ".join(
+                f"WHEN ({c}) THEN {i + 1}" for i, c in enumerate(conds)
+            )
+            + " ELSE 0 END"
+        )
+        return (
+            f"aggregate(sort_array(collect_list(CASE WHEN ({pos}) > 0 "
+            f"THEN named_struct('t', unix_micros({ts}), 'pos', {pos}) "
+            "END)), named_struct('level', CAST(0 AS BIGINT), 't1', "
+            "CAST(0 AS BIGINT), 'prev', CAST(0 AS BIGINT)), "
+            "(acc, x) -> IF(x.pos = acc.level + 1 AND (acc.level = 0 OR "
+            f"(x.t > acc.prev AND x.t <= acc.t1 + {win_us})), "
+            "named_struct('level', acc.level + 1, 't1', "
+            "IF(acc.level = 0, x.t, acc.t1), 'prev', x.t), acc)).level"
+        )
+
+    out = _rewrite_parametric(out, "windowFunnel", _window_funnel_agg)
+
+    def _uniq_up_to(params, args):
+        # exact CH contract: precise count up to N, N+1 past it
+        if len(params) != 1 or not re.fullmatch(r"\d+", params[0].strip()):
+            raise ValueError("uniqUpTo needs a literal N parameter")
+        return (
+            f"least(count(DISTINCT {', '.join(args)}), {int(params[0]) + 1})"
+        )
+
+    out = _rewrite_parametric(out, "uniqUpTo", _uniq_up_to)
+
+    # retention(c1, ..., cn): r[1] = c1 ever held in the group; r[i>1] =
+    # c1 AND ci both held (CH imposes no event ordering here) — exact
+    # semantics via bool_or, 0/1 ints like CH's UInt8 array
+    def _retention(a):
+        if not a:
+            raise ValueError("retention needs at least one condition")
+        first = f"bool_or({a[0]})"
+        elems = [f"int({first})"] + [
+            f"int({first} AND bool_or({c}))" for c in a[1:]
+        ]
+        return f"array({', '.join(elems)})"
+
+    out = _rewrite_calls(out, "retention", _retention)
 
     # restructured calls
     out = _rewrite_calls(
