@@ -2232,3 +2232,16 @@ def test_retention_uniq_up_to_execute(spark):
         "GROUP BY u ORDER BY u",
     ).collect()
     assert [r.r for r in rows] == [[1, 1], [1, 0], [0, 0]]
+
+
+def test_round_is_bankers(spark):
+    """CH round() is banker's rounding on floats (round(2.5) = 2); the
+    half-up passthrough would silently diverge on every half."""
+    assert ch_compat.translate("round(x, 2)") == "bround(x, 2)"
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT round(2.5) AS a, round(3.5) AS b, round(2.567, 2) AS c, "
+        "roundBankers(2.5) AS d",
+    ).collect()[0]
+    assert float(row.a) == 2.0 and float(row.b) == 4.0
+    assert abs(float(row.c) - 2.57) < 1e-9 and float(row.d) == 2.0

@@ -270,6 +270,12 @@ _RENAMES = {
     # round-7 second batch: pure renames
     "toLastDayOfMonth": "last_day",
     "roundBankers": "bround",  # both are banker's rounding, same [, n]
+    # CH round() is BANKER'S rounding for float types (round(2.5) = 2,
+    # documented) — Spark's round is half-up, so the passthrough would be
+    # silently wrong on every half. Narrowing: CH rounds Decimal/integer
+    # inputs away from zero; float usage (the dominant analytics case —
+    # CH numeric literals and aggregate results are Float64) is exact.
+    "round": "bround",
     "generateUUIDv4": "uuid",
     "countMatches": "regexp_count",  # both count non-overlapping matches
     # arrayElement: both 1-based, both accept negative from-the-end
