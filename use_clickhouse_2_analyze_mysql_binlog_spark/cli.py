@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--sync", type=int, default=5000,
                      help="max events per micro-batch (reference --sync)")
     ing.add_argument("--sink", required=True, help="fact-table parquet path")
+    ing.add_argument(
+        "--dead-letter",
+        default=None,
+        help="poison-message DLQ dir: undecodable packets are routed "
+        "here (error + raw bytes, idempotent per-epoch) instead of "
+        "failing the stream",
+    )
     _add_common(ing)
 
     win = sub.add_parser("window", help="watermarked 5-min window job")
@@ -266,9 +273,17 @@ def main(argv: list[str] | None = None) -> int:
             max_offsets_per_trigger=args.sync,
         )
         raw = kafka.read_stream(spark, cfg)
-        entries = canal.decode_packets(raw)  # pb2 if installed, else wire codec
+        # pb2 if installed, else wire codec; --dead-letter switches the
+        # poison-message contract from fail-loud to route-and-drain
+        entries = canal.decode_packets(
+            raw, on_error="route" if args.dead_letter else "fail"
+        )
         q = ingest_job.run_ingest_stream(
-            entries, args.sink, args.checkpoint, available_now=args.available_now
+            entries,
+            args.sink,
+            args.checkpoint,
+            available_now=args.available_now,
+            dead_letter_path=args.dead_letter,
         )
     elif args.cmd == "window":
         from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import (

@@ -24,6 +24,7 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
 from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import CANAL_ENTRY_SCHEMA
 
@@ -83,37 +84,91 @@ def parse_packet_canal(raw: bytes) -> list[dict[str, Any]]:
     return out
 
 
-def decode_packets_with(raw_df: DataFrame, parser: PacketParser) -> DataFrame:
+#: CANAL_ENTRY_SCHEMA plus the dead-letter routing columns: good entries
+#: carry NULLs in both; an undecodable packet yields exactly ONE row with
+#: the error text and the verbatim packet bytes (so the message can be
+#: replayed through a fixed decoder later) and NULLs elsewhere.
+ROUTED_ENTRY_SCHEMA = T.StructType(
+    list(CANAL_ENTRY_SCHEMA.fields)
+    + [
+        T.StructField("_decode_error", T.StringType(), True),
+        T.StructField("_raw", T.BinaryType(), True),
+    ]
+)
+
+_ENTRY_COLS = ["entryType", "header", "isDdl", "rowDatas"]
+
+
+def decode_packets_with(
+    raw_df: DataFrame, parser: PacketParser, on_error: str = "fail"
+) -> DataFrame:
     """Decode a ``value: binary`` DataFrame into canal entries via
     ``mapInPandas`` (Arrow-batched; one python worker per input partition —
-    scales with Kafka partition count, no shuffle)."""
+    scales with Kafka partition count, no shuffle).
+
+    ``on_error`` controls the poison-message contract:
+
+    - ``"fail"`` (default): a malformed packet raises, the task fails and
+      Spark retries it — loud, but ONE corrupt Kafka message wedges the
+      stream forever (every retry replays the same offsets). This is also
+      the reference consumer's behavior (its decode loop has no guard,
+      ``mon_mysql_dml.py:254-316``).
+    - ``"route"``: the output gains ``_decode_error``/``_raw`` columns
+      (:data:`ROUTED_ENTRY_SCHEMA`); malformed packets become single
+      dead-letterable rows instead of task failures, and the stream keeps
+      draining. Pair with ``run_ingest_stream(dead_letter_path=...)``.
+    """
+    if on_error not in ("fail", "route"):
+        raise ValueError(f"on_error must be 'fail' or 'route', got {on_error!r}")
+    route = on_error == "route"
+    schema = ROUTED_ENTRY_SCHEMA if route else CANAL_ENTRY_SCHEMA
+    cols = _ENTRY_COLS + (["_decode_error", "_raw"] if route else [])
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [e for raw in pdf["value"] for e in parser(bytes(raw))]
-            yield pd.DataFrame(
-                rows, columns=["entryType", "header", "isDdl", "rowDatas"]
-            )
+            rows: list[dict[str, Any]] = []
+            for raw in pdf["value"]:
+                b = bytes(raw)
+                if not route:
+                    rows.extend(parser(b))
+                    continue
+                try:
+                    entries = parser(b)
+                except Exception as exc:  # noqa: BLE001 — routed, not lost
+                    # explicit Nones: pandas fills absent keys with NaN,
+                    # which Arrow rejects for struct/array columns
+                    rows.append(
+                        dict.fromkeys(_ENTRY_COLS)
+                        | {
+                            "_decode_error": f"{type(exc).__name__}: {exc}",
+                            "_raw": b,
+                        }
+                    )
+                    continue
+                for e in entries:
+                    rows.append({**e, "_decode_error": None, "_raw": None})
+            yield pd.DataFrame(rows, columns=cols)
 
-    return raw_df.select("value").mapInPandas(decode, schema=CANAL_ENTRY_SCHEMA)
+    return raw_df.select("value").mapInPandas(decode, schema=schema)
 
 
-def decode_packets(raw_df: DataFrame) -> DataFrame:
+def decode_packets(raw_df: DataFrame, on_error: str = "fail") -> DataFrame:
     """Production decode path.
 
     Prefers the real canal pb2 modules when installed; otherwise falls back
     to :func:`canal_wire.parse_packet_wire`, a dependency-free pure-Python
     codec for the same public wire format (identical output dicts — pinned
     by a golden-bytes test). Either way the parse runs Arrow-batched inside
-    ``mapInPandas``, one python worker per Kafka partition.
+    ``mapInPandas``, one python worker per Kafka partition. See
+    :func:`decode_packets_with` for the ``on_error`` poison-message modes.
     """
     if _try_import_canal() is None:
         from use_clickhouse_2_analyze_mysql_binlog_spark.sources.canal_wire import (
             parse_packet_wire,
         )
 
-        return decode_packets_with(raw_df, parse_packet_wire)
-    return decode_packets_with(raw_df, parse_packet_canal)
+        return decode_packets_with(raw_df, parse_packet_wire, on_error=on_error)
+    return decode_packets_with(raw_df, parse_packet_canal, on_error=on_error)
 
 
 # NOTE on the from_protobuf alternative (removed; VERDICT r04 #2): Spark

@@ -95,6 +95,7 @@ def run_ingest_stream(
     available_now: bool = False,
     files_per_batch_day: int = 1,
     txn: bool = False,
+    dead_letter_path: str | None = None,
 ) -> StreamingQuery:
     """Start the ingest stream: entries -> binlog rows -> partitioned append.
 
@@ -102,20 +103,66 @@ def run_ingest_stream(
     (used by tests and backfills); otherwise the stream runs continuously.
     ``txn=True`` selects the exactly-once transactional sink mode (see
     :func:`make_append_batch`).
+
+    ``dead_letter_path`` enables the poison-message route: pair with
+    ``decode_packets(raw, on_error="route")`` so undecodable packets
+    arrive as ``_decode_error``/``_raw`` rows (sources/canal.py). Each
+    epoch's dead letters are written to their own
+    ``epoch=<run_id>-<id>`` directory with overwrite — a replayed epoch
+    overwrites the same directory, so the DLQ is idempotent under
+    crash/replay like the main sink. Good rows then flow through the
+    identical transform + append as the plain path. Without routed
+    columns in the stream the flag is a no-op.
     """
-    binlog = canal_entries_to_binlog(entries_stream).withColumn(
-        "day", F.to_date("execute_time")
-    )
+    run_id = epochs.run_id_for(checkpoint_path)
     append_batch = make_append_batch(
         sink_path,
         files_per_batch_day,
         txn=txn,
-        run_id=epochs.run_id_for(checkpoint_path),
+        run_id=run_id,
     )
+    routed = (
+        dead_letter_path is not None
+        and "_decode_error" in entries_stream.columns
+    )
+    if not routed:
+        binlog = canal_entries_to_binlog(entries_stream).withColumn(
+            "day", F.to_date("execute_time")
+        )
+        writer = (
+            binlog.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_path)
+            .foreachBatch(append_batch)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def routed_batch(batch: DataFrame, epoch: int) -> None:
+        bad = batch.filter(F.col("_decode_error").isNotNull()).select(
+            F.current_timestamp().alias("dead_lettered_at"),
+            "_decode_error",
+            "_raw",
+        )
+        if not bad.isEmpty():
+            # per-epoch overwrite directory: replay rewrites, never dups.
+            # coalesce(1) is bounded by MALFORMED-message volume (normally
+            # zero rows), never by stream volume — not a data-sized rail.
+            bad.coalesce(1).write.mode("overwrite").parquet(
+                f"{dead_letter_path}/epoch={run_id}-{epoch}"
+            )
+        good = batch.filter(F.col("_decode_error").isNull()).drop(
+            "_decode_error", "_raw"
+        )
+        rows = canal_entries_to_binlog(good).withColumn(
+            "day", F.to_date("execute_time")
+        )
+        append_batch(rows, epoch)
+
     writer = (
-        binlog.writeStream.outputMode("append")
+        entries_stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_path)
-        .foreachBatch(append_batch)
+        .foreachBatch(routed_batch)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
