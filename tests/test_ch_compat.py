@@ -2245,3 +2245,68 @@ def test_round_is_bankers(spark):
     ).collect()[0]
     assert float(row.a) == 2.0 and float(row.b) == 4.0
     assert abs(float(row.c) - 2.57) < 1e-9 and float(row.d) == 2.0
+
+
+def test_transform_mapping_and_array_folds(spark):
+    t = ch_compat.translate
+    # CH transform = the enum-decode idiom; Spark's 2-arg HOF untouched
+    assert t("transform(x, [1, 2], ['a', 'b'], '?')") == (
+        "(CASE x WHEN 1 THEN 'a' WHEN 2 THEN 'b' ELSE '?' END)"
+    )
+    assert t("transform(x, [1], [9])") == "(CASE x WHEN 1 THEN 9 ELSE x END)"
+    assert t("transform(a, v -> v + 1)") == "transform(a, v -> v + 1)"
+    with pytest.raises(ValueError):
+        t("transform(x, from_col, to_col, 0)")  # non-literal arrays
+    assert t("arrayFold((acc, x) -> acc + x, arr, 0)") == (
+        "aggregate(arr, 0, (acc, x) -> acc + x)"
+    )
+    assert t("arrayReduce('max', arr)") == "array_max(arr)"
+    assert t("substringIndex('a.b.c', '.', 2)") == (
+        "substring_index('a.b.c', '.', 2)"
+    )
+    with pytest.raises(ValueError):
+        t("arrayReduce('median', arr)")
+
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT transform(2, [1, 2, 3], ['a', 'b', 'c'], '?') AS hit, "
+        "transform(9, [1, 2], ['a', 'b'], '?') AS miss, "
+        "transform(9, [1, 2], [10, 20]) AS keep, "
+        "arrayFold((acc, x) -> acc + x, [1, 2, 3], 100) AS folded, "
+        "arrayReduce('sum', [1.5, 2.5]) AS rsum, "
+        "arrayReduce('count', [1, 2]) AS rcount, "
+        "arrayReduce('uniqExact', [1, 1, 2]) AS runiq, "
+        "arrayCumSum([1, 2, 3]) AS cs, "
+        "substringIndex('a.b.c', '.', 2) AS si",
+    ).collect()[0]
+    assert row.hit == "b" and row.miss == "?" and row.keep == 9
+    assert row.folded == 106
+    assert row.rsum == 4.0 and row.rcount == 2 and row.runiq == 2
+    assert row.cs == [1.0, 3.0, 6.0]
+    assert row.si == "a.b"
+
+
+def test_parametric_parser_property():
+    """Property: windowFunnel conditions containing commas, parens and
+    string literals (with commas/parens INSIDE the literals) survive the
+    depth-aware parametric parse — every condition appears verbatim in
+    the emitted CASE chain — and translation is idempotent over it."""
+    from hypothesis import given, settings, strategies as st
+
+    ident = st.from_regex(r"zz[a-z0-9_]{0,5}", fullmatch=True)
+    lit = st.sampled_from(["a,b", "x(y", "p)q", "s", "a'' ,)b"])
+    cond = st.tuples(ident, ident, st.integers(0, 9), lit).map(
+        lambda t: f"{t[0]}({t[1]}, {t[2]}) = '{t[3]}'"
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(cond, min_size=2, max_size=4), st.integers(1, 9999))
+    def prop(conds, w):
+        sql = f"windowFunnel({w})(ts, {', '.join(conds)})"
+        got = ch_compat.translate(sql)
+        for c in conds:
+            assert f"WHEN ({c})" in got, (sql, got)
+        assert got.endswith(".level") and str(w * 1_000_000) in got
+        assert ch_compat.translate(got) == got
+
+    prop()

@@ -143,7 +143,14 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   ``regexp_count``, ``generateUUIDv4`` -> ``uuid``,
   ``parseDateTimeBestEffort[OrNull]`` -> ``to_timestamp``/
   ``try_to_timestamp`` (ISO-ish core formats), ``intHash32/64`` ->
-  ``xxhash64`` (role match, as the hash family above),
+  ``xxhash64`` (role match, as the hash family above), CH ``round`` ->
+  ``bround`` (CH is banker's on floats — the passthrough was silently
+  wrong on halves; Decimal away-from-zero narrowing documented),
+  ``transform(x, [from], [to][, default])`` -> a ``CASE x WHEN`` chain
+  (the enum-decode idiom; Spark's 2-arg HOF form passes through),
+  ``arrayFold`` -> ``aggregate`` (arg reorder), ``arrayReduce`` for the
+  everyday aggregate names, ``arrayCumSum`` (row-local O(n^2) prefix
+  re-aggregation — no scan HOF in Spark), ``substringIndex``,
   ``GROUP BY .. WITH TOTALS`` ->
   ``GROUPING SETS ((keys), ())`` (totals-row keys are NULL in Spark vs
   CH's type defaults — detect with ``grouping()``), and the
@@ -278,6 +285,7 @@ _RENAMES = {
     "round": "bround",
     "generateUUIDv4": "uuid",
     "countMatches": "regexp_count",  # both count non-overlapping matches
+    "substringIndex": "substring_index",  # both MySQL semantics
     # arrayElement: both 1-based, both accept negative from-the-end
     # indices; out-of-range is an ANSI error here vs CH's type default —
     # the same narrowing the subscript shift above already documents
@@ -1618,6 +1626,91 @@ def translate(
         return f"array({', '.join(elems)})"
 
     out = _rewrite_calls(out, "retention", _retention)
+
+    # CH transform(x, [from...], [to...][, default]): the enum-decode
+    # idiom (the reference's P6 event_type mapping is exactly this shape
+    # in CH deployments) -> a CASE x WHEN chain. Literal equal-length
+    # from/to arrays only; the 3-arg form keeps x unmatched, like CH.
+    # Spark's own 2-arg HOF transform(arr, lambda) passes through.
+    def _split_bracket_list(text):
+        t = text.strip()
+        if not (t.startswith("[") and t.endswith("]")):
+            return None
+        inner = t[1:-1]
+        parsed = _parse_args(inner + ")", 0)
+        if parsed is None or parsed[0] != len(inner) + 1:
+            return None  # stray ')' — not a plain literal list
+        return parsed[1]
+
+    def _transform_fn(a):
+        if len(a) == 2:
+            return f"\x01transform\x01({a[0]}, {a[1]})"
+        if len(a) not in (3, 4):
+            raise ValueError(
+                "transform() takes 2 (Spark HOF) or 3/4 (CH mapping) args"
+            )
+        src = _split_bracket_list(a[1])
+        dst = _split_bracket_list(a[2])
+        if src is None or dst is None or len(src) != len(dst) or not src:
+            raise ValueError(
+                "transform(x, from, to[, default]) needs literal "
+                "equal-length array arguments"
+            )
+        whens = " ".join(f"WHEN {f} THEN {t}" for f, t in zip(src, dst))
+        default = a[3] if len(a) == 4 else a[0]
+        return f"(CASE {a[0]} {whens} ELSE {default} END)"
+
+    out = _rewrite_calls(out, "transform", _transform_fn)
+    out = out.replace("\x01transform\x01", "transform")
+
+    # arrayFold(lambda, arr, init): CH is lambda-first with the
+    # accumulator LAST; Spark's aggregate is (arr, init, lambda) with the
+    # identical (acc, x) lambda contract. Single-array form only.
+    def _array_fold(a):
+        if len(a) != 3:
+            raise ValueError("arrayFold: single-array form only")
+        return f"aggregate({a[1]}, {a[2]}, {a[0]})"
+
+    out = _rewrite_calls(out, "arrayFold", _array_fold)
+
+    # arrayReduce('agg', arr) for the everyday aggregate names. avg
+    # divides by the FULL size (NULL-free arrays; CH's avg skips NULLs).
+    def _array_reduce(a):
+        if len(a) != 2:
+            raise ValueError("arrayReduce: single-array form only")
+        m2 = re.fullmatch(r"\x00L(\d+)\x00", a[0].strip())
+        name = (
+            literals[int(m2.group(1))][1:-1] if m2 else a[0].strip("'\" ")
+        ).lower()
+        arr = a[1]
+        dsum = f"aggregate({arr}, CAST(0 AS DOUBLE), (__s, __x) -> __s + __x)"
+        forms = {
+            "sum": dsum,
+            "max": f"array_max({arr})",
+            "min": f"array_min({arr})",
+            "avg": f"({dsum} / size({arr}))",
+            "count": f"size(filter({arr}, __x -> __x IS NOT NULL))",
+            "uniqexact": (
+                f"size(array_distinct(filter({arr}, __x -> __x IS NOT NULL)))"
+            ),
+        }
+        if name in forms:
+            return forms[name]
+        raise ValueError(f"arrayReduce({name!r}) is not translated")
+
+    out = _rewrite_calls(out, "arrayReduce", _array_reduce)
+
+    # arrayCumSum: Spark has no scan HOF, so each prefix re-aggregates —
+    # O(n^2) in array LENGTH (row-local; fine for the short arrays CH
+    # dashboards cumsum). DOUBLE accumulator, same policy as arraySum.
+    out = _rewrite_calls(
+        out,
+        "arrayCumSum",
+        lambda a: (
+            f"transform({a[0]}, (__v, __i) -> aggregate(slice({a[0]}, 1, "
+            f"__i + 1), CAST(0 AS DOUBLE), (__s, __x) -> __s + __x))"
+        ),
+    )
 
     # restructured calls
     out = _rewrite_calls(
