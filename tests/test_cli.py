@@ -467,3 +467,21 @@ def test_cli_chain_continuous_mode(spark, tmp_path, monkeypatch):
     finally:
         for q in live:
             q.stop()
+
+
+def test_cli_sql_explain_and_show_sql(capsys):
+    """--show-sql prints the translated Spark SQL (what the CH query
+    became); --explain prints the formatted physical plan WITHOUT
+    executing — the pushdown/join-strategy inspection surface."""
+    rc = cli.main([
+        "sql", "--data-dir", SF_DIR, "--dialect", "clickhouse",
+        "--show-sql", "--explain",
+        "SELECT toDate(execute_time) AS day, countIf(is_ddl = 1) AS n "
+        "FROM mysql_monitor.broker_binlog_local GROUP BY day",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # the translation is visible...
+    assert "to_date(execute_time)" in out and "count_if" in out
+    # ...and the formatted plan (not rows) follows
+    assert "== Physical Plan ==" in out and "HashAggregate" in out

@@ -222,6 +222,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="'clickhouse' translates CH SQL (toUInt32, argMax, "
                     "countIf, quantile(p)(x), FINAL/SETTINGS, ...) before "
                     "running — the reference user's queries run verbatim")
+    sq.add_argument("--show-sql", action="store_true",
+                    help="print the (translated) Spark SQL before running "
+                    "— see what your ClickHouse query became")
+    sq.add_argument("--explain", action="store_true",
+                    help="print the optimized physical plan instead of "
+                    "executing (scan pushdown / join strategy / shuffle "
+                    "inspection)")
     sq.add_argument("query", help="SQL text; tables are registered as views")
 
     an = sub.add_parser(
@@ -541,11 +548,19 @@ def main(argv: list[str] | None = None) -> int:
                 "mysql_monitor.broker_binlog_all": "binlog",
                 "mysql_monitor.broker_binlog_local": "binlog",
             }
-            result = ch_compat.run_clickhouse_sql(
-                spark, args.query, table_map=table_map
-            )
+            translated = ch_compat.translate(args.query, table_map=table_map)
+            if args.show_sql:
+                print(translated)
+            result = spark.sql(translated)
         else:
+            if args.show_sql:
+                print(args.query)
             result = spark.sql(args.query)
+        if args.explain:
+            # plan only, no execution: the .explain-and-iterate loop the
+            # engine's own operators go through, as a user surface
+            result.explain(mode="formatted")
+            return 0
         if args.output:
             result.write.mode("overwrite").parquet(args.output)
             print(f"rows={spark.read.parquet(args.output).count()}")
