@@ -2071,7 +2071,7 @@ def test_round7_batch2_translation_text():
         "coalesce(try_cast(s AS date), DATE '1970-01-01')"
     )
     assert t("toDateTimeOrNull(s)") == "try_cast(s AS timestamp)"
-    assert t("toDecimal64(x, 2)") == "cast(x AS decimal(18, 2))"
+    assert t("toDecimal64(x, 2)") == "CAST(x AS decimal(18, 2))"
     # URL family
     assert t("domain(u)") == "parse_url(u, 'HOST')"
     assert t("protocol(u)") == "parse_url(u, 'PROTOCOL')"
@@ -2310,3 +2310,37 @@ def test_parametric_parser_property():
         assert ch_compat.translate(got) == got
 
     prop()
+
+
+def test_cast_function_form_and_ch_type_names(spark):
+    t = ch_compat.translate
+    assert t("CAST(x, 'UInt64')") == "CAST(x AS bigint)"
+    assert t("cast(x, 'Nullable(String)')") == "CAST(x AS string)"
+    assert t("CAST(x, 'DateTime64(3)')") == "CAST(x AS timestamp)"
+    assert t("CAST(x, 'Decimal64(2)')") == "CAST(x AS decimal(18, 2))"
+    assert t("CAST(x, 'Array(UInt8)')") == "CAST(x AS array<int>)"
+    # AS form with CH type names; Spark-native names untouched
+    assert t("CAST(x AS UInt32)") == "CAST(x AS bigint)"
+    assert t("CAST(x AS LowCardinality(String))") == "CAST(x AS string)"
+    assert t("CAST(x AS BIGINT)") == "CAST(x AS BIGINT)"
+    assert t("CAST(CAST(x AS int) AS UInt64)") == (
+        "CAST(CAST(x AS int) AS bigint)"
+    )
+    assert t("accurateCast(x, 'UInt64')") == "CAST(x AS bigint)"
+    assert t("accurateCastOrNull(x, 'UInt64')") == "try_cast(x AS bigint)"
+    with pytest.raises(ValueError):
+        t("CAST(x, 'AggregateFunction(sum, UInt64)')")
+    with pytest.raises(ValueError):
+        t("CAST(x, col)")  # non-literal type
+
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT CAST('42', 'UInt64') AS n, "
+        "CAST('2024-01-02 03:04:05', 'DateTime') AS ts, "
+        "accurateCastOrNull('12x', 'UInt64') AS bad, "
+        "CAST('3.5' AS Float64) AS f",
+    ).collect()[0]
+    assert row.n == 42
+    assert str(row.ts) == "2024-01-02 03:04:05"
+    assert row.bad is None
+    assert row.f == 3.5

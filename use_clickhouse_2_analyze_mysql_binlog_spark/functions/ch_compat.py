@@ -151,6 +151,11 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   ``arrayFold`` -> ``aggregate`` (arg reorder), ``arrayReduce`` for the
   everyday aggregate names, ``arrayCumSum`` (row-local O(n^2) prefix
   re-aggregation — no scan HOF in Spark), ``substringIndex``,
+  function-form ``CAST(x, 'Type')`` and CH type names in ``CAST(x AS
+  Type)`` (UInt*/DateTime[64]/Nullable/LowCardinality/Decimal widths/
+  Array — mapped via ``_ch_type_to_spark``; unknown CH types loud),
+  ``accurateCast`` -> ``CAST`` (both throw) / ``accurateCastOrNull`` ->
+  ``try_cast``,
   ``GROUP BY .. WITH TOTALS`` ->
   ``GROUPING SETS ((keys), ())`` (totals-row keys are NULL in Spark vs
   CH's type defaults — detect with ``grouping()``), and the
@@ -319,6 +324,44 @@ _RENAMES = {
     "skewPop": "skewness",
     "kurtPop": "kurtosis",
 }
+
+
+#: CH scalar type names -> Spark SQL type names (for the function-form
+#: CAST(x, 'T') and CH type names in CAST(x AS T))
+_CH_SIMPLE_TYPES = {
+    "uint8": "int", "int8": "int", "uint16": "int", "int16": "int",
+    "int32": "int", "uint32": "bigint", "uint64": "bigint",
+    "int64": "bigint", "float32": "float", "float64": "double",
+    "string": "string", "date": "date", "date32": "date",
+    "datetime": "timestamp", "bool": "boolean", "boolean": "boolean",
+    "uuid": "string",
+}
+
+
+def _ch_type_to_spark(t: str) -> str | None:
+    """Map a CH type name to Spark's, or None when unknown. Nullable/
+    LowCardinality wrappers unwrap (all Spark types are nullable; LC is
+    an encoding hint), Decimal32/64/128 widths become precisions."""
+    t = t.strip()
+    m = re.fullmatch(r"(?is)(?:nullable|lowcardinality)\s*\((.*)\)", t)
+    if m:
+        return _ch_type_to_spark(m.group(1))
+    m = re.fullmatch(r"(?is)array\s*\((.*)\)", t)
+    if m:
+        inner = _ch_type_to_spark(m.group(1))
+        return None if inner is None else f"array<{inner}>"
+    if re.fullmatch(r"(?i)datetime64\s*(?:\([^()]*\))?", t):
+        return "timestamp"
+    if re.fullmatch(r"(?i)fixedstring\s*\(\s*\d+\s*\)", t):
+        return "string"
+    m = re.fullmatch(r"(?i)decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if m:
+        return f"decimal({m.group(1)}, {m.group(2)})"
+    m = re.fullmatch(r"(?i)decimal(32|64|128)\s*\(\s*(\d+)\s*\)", t)
+    if m:
+        prec = {"32": 9, "64": 18, "128": 38}[m.group(1)]
+        return f"decimal({prec}, {m.group(2)})"
+    return _CH_SIMPLE_TYPES.get(t.lower())
 
 
 def _parse_args(sql: str, i: int) -> tuple[int, list[str]] | None:
@@ -2746,6 +2789,58 @@ def translate(
     )
     out = _rewrite_calls(
         out, "dayName", lambda a: f"date_format({a[0]}, 'EEEE')"
+    )
+
+    # CH function-form CAST(x, 'Type') (the ORM-generated spelling) and
+    # CH type names inside standard CAST(x AS Type): UInt64/DateTime/
+    # Nullable(..)/Decimal64(s)/Array(..) etc. map onto Spark types
+    # (_ch_type_to_spark); Spark-native type names pass through, unknown
+    # CH types stay loud. accurateCast follows CH's contract split:
+    # plain -> CAST (ANSI, throws), OrNull -> try_cast.
+    def _cast_fn(try_cast=False):
+        kw = "try_cast" if try_cast else "CAST"
+
+        def build(a):
+            if len(a) == 2:
+                m2 = re.fullmatch(r"\x00L(\d+)\x00", a[1].strip())
+                if not m2:
+                    raise ValueError(
+                        "CAST(x, type): the type must be a string literal"
+                    )
+                t = literals[int(m2.group(1))][1:-1]
+                spark_t = _ch_type_to_spark(t)
+                if spark_t is None:
+                    raise ValueError(
+                        f"CAST to CH type {t!r} is not translated"
+                    )
+                return f"\x01{kw}\x01({a[0]} AS {spark_t})"
+            if len(a) == 1 and not try_cast:
+                # AS form: rewrite only when the trailing type name is a
+                # CH spelling that maps to something ELSE in Spark
+                m2 = re.search(
+                    r"(?is)\sAS\s+([A-Za-z]\w*(?:\s*\([^()]*\))?)\s*$",
+                    a[0],
+                )
+                if m2:
+                    spark_t = _ch_type_to_spark(m2.group(1))
+                    if (
+                        spark_t is not None
+                        and spark_t.lower()
+                        != re.sub(r"\s+", " ", m2.group(1).strip()).lower()
+                    ):
+                        return (
+                            f"\x01{kw}\x01({a[0][: m2.start()]} AS {spark_t})"
+                        )
+                return f"\x01{kw}\x01({a[0]})"
+            raise ValueError(f"{kw} with {len(a)} arguments is not translated")
+
+        return build
+
+    for _name in ("CAST", "cast", "Cast", "accurateCast"):
+        out = _rewrite_calls(out, _name, _cast_fn())
+    out = _rewrite_calls(out, "accurateCastOrNull", _cast_fn(try_cast=True))
+    out = out.replace("\x01CAST\x01", "CAST").replace(
+        "\x01try_cast\x01", "try_cast"
     )
 
     # CH date_add/dateAdd(unit, n, ts) and date_sub/dateSub 3-arg
