@@ -5,6 +5,8 @@ Sources are file streams of pre-decoded canal entries / binlog rows
 (no Kafka in this environment); the jobs are source-agnostic.
 """
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -1198,3 +1200,42 @@ def test_cdc_chain_end_to_end_with_midstream_crashes(spark, tmp_path):
         assert got.count() == want.count(), stem
         w = want.select(*got.columns)
         assert got.exceptAll(w).count() == 0 and w.exceptAll(got).count() == 0, stem
+
+
+def test_epoch_metrics_listener(spark, entries_dir, tmp_path):
+    """The observability feed: one JSONL line per micro-batch, named by
+    queryName, with rows/durations/state fields — chartable without the
+    Spark UI."""
+    import json
+    import time
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import metrics
+
+    mdir = str(tmp_path / "metrics")
+    listener = metrics.attach_metrics(spark, mdir)
+    try:
+        q = ingest_job.run_ingest_stream(
+            _stream_entries(spark, entries_dir),
+            str(tmp_path / "fact"),
+            str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        # listener callbacks are async on a driver thread — poll briefly
+        path = os.path.join(mdir, "ingest.jsonl")
+        for _ in range(50):
+            if os.path.exists(path):
+                break
+            time.sleep(0.2)
+        assert os.path.exists(path)
+        lines = [
+            json.loads(ln)
+            for ln in open(path, encoding="utf-8")
+            if ln.strip()
+        ]
+        assert lines, "no metrics lines written"
+        total_rows = sum(ln["num_input_rows"] for ln in lines)
+        assert total_rows > 0
+        assert all("batch_id" in ln and "trigger_ms" in ln for ln in lines)
+    finally:
+        metrics.detach_metrics(spark, listener)

@@ -44,6 +44,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         action="store_true",
         help="drain available input and stop (backfill mode)",
     )
+    p.add_argument(
+        "--metrics",
+        default=None,
+        help="append per-epoch query metrics (rows, durations, watermark, "
+        "state size) as JSONL under this directory — the dashboard feed",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -264,6 +270,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = get_spark(app_name=f"binlog-{args.cmd}")
+
+    if getattr(args, "metrics", None):
+        from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import metrics
+
+        # session-wide: one listener covers every query the command
+        # starts (chain starts four)
+        metrics.attach_metrics(spark, args.metrics)
 
     if args.cmd == "ingest":
         from use_clickhouse_2_analyze_mysql_binlog_spark.sources import canal, kafka

@@ -130,7 +130,7 @@ def run_ingest_stream(
             "day", F.to_date("execute_time")
         )
         writer = (
-            binlog.writeStream.outputMode("append")
+            binlog.writeStream.queryName("ingest").outputMode("append")
             .option("checkpointLocation", checkpoint_path)
             .foreachBatch(append_batch)
         )
@@ -160,7 +160,7 @@ def run_ingest_stream(
         append_batch(rows, epoch)
 
     writer = (
-        entries_stream.writeStream.outputMode("append")
+        entries_stream.writeStream.queryName("ingest").outputMode("append")
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(routed_batch)
     )

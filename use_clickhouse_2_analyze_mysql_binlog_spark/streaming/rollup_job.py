@@ -103,7 +103,7 @@ def run_daily_rollup_stream(
         run_id=epochs.run_id_for(checkpoint_path),
     )
     writer = (
-        binlog_stream.writeStream.outputMode("append")
+        binlog_stream.writeStream.queryName("rollup_mv").outputMode("append")
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(merge_batch)
     )

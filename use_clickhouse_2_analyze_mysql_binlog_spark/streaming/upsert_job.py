@@ -153,7 +153,7 @@ def run_upsert_stream(
         mode=mode,
     )
     writer = (
-        binlog_stream.writeStream.outputMode("append")
+        binlog_stream.writeStream.queryName("cdc_upsert").outputMode("append")
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(upsert_batch)
     )

@@ -132,7 +132,7 @@ def run_window_job(
         run_id=epochs.run_id_for(checkpoint_path),
     )
     writer = (
-        stats.writeStream.outputMode("append")
+        stats.writeStream.queryName("window_top1").outputMode("append")
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(publish_batch)
     )
