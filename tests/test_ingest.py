@@ -454,3 +454,37 @@ def test_ingest_stream_dead_letter_route(spark, tmp_path):
     run()
     assert spark.read.parquet(sink).count() == 3
     assert spark.read.parquet(dlq).count() == 1
+
+
+def test_dlq_replay(spark, tmp_path):
+    """After a decoder fix the operator replays the DLQ: recoverable
+    packets land in the fact table, unrecoverable ones are counted (and
+    optionally requeued); the source DLQ is never mutated."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import ingest_job
+
+    garbage = b"\x01still broken"
+    dlq = str(tmp_path / "dlq")
+    # a DLQ as the routed ingest writes it: error text + verbatim bytes
+    spark.createDataFrame(
+        [("E1", _wire_packet()), ("E2", garbage)],
+        "_decode_error string, _raw binary",
+    ).write.parquet(dlq)
+    sink = str(tmp_path / "fact")
+
+    n_ok, n_bad = ingest_job.replay_dead_letters(
+        spark, dlq, sink, requeue_path=str(tmp_path / "requeue")
+    )
+    assert (n_ok, n_bad) == (3, 1)  # _wire_packet -> 3 post-transform rows
+    assert spark.read.parquet(sink).count() == 3
+    requeued = spark.read.parquet(str(tmp_path / "requeue")).collect()
+    assert len(requeued) == 1 and bytes(requeued[0]._raw) == garbage
+    # source DLQ untouched (audit trail; archiving is the operator's step)
+    assert spark.read.parquet(dlq).count() == 2
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark import cli
+
+    rc = cli.main([
+        "dlq-replay", "--dead-letter", dlq, "--sink", str(tmp_path / "fact2"),
+    ])
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "fact2")).count() == 3

@@ -84,6 +84,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     _add_common(ing)
 
+    rep = sub.add_parser(
+        "dlq-replay",
+        help="re-decode dead-lettered packets (after a decoder fix) and "
+        "append the recovered rows to the fact table",
+    )
+    rep.add_argument("--dead-letter", required=True, help="DLQ directory")
+    rep.add_argument("--sink", required=True, help="fact-table parquet path")
+    rep.add_argument(
+        "--requeue",
+        default=None,
+        help="write still-undecodable packets here (same DLQ schema); "
+        "default: report the count and leave the source DLQ untouched",
+    )
+
     win = sub.add_parser("window", help="watermarked 5-min window job")
     win.add_argument("--source", required=True, help="fact-table parquet path")
     win.add_argument("--results", required=True)
@@ -305,6 +319,19 @@ def main(argv: list[str] | None = None) -> int:
             available_now=args.available_now,
             dead_letter_path=args.dead_letter,
         )
+    elif args.cmd == "dlq-replay":
+        from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import ingest_job
+
+        n_ok, n_bad = ingest_job.replay_dead_letters(
+            spark, args.dead_letter, args.sink, requeue_path=args.requeue
+        )
+        print(f"replayed_rows={n_ok} still_bad_packets={n_bad}")
+        if n_bad == 0:
+            print(
+                "all packets decoded — archive the DLQ directory so a "
+                "second replay cannot double-append"
+            )
+        return 0
     elif args.cmd == "window":
         from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import (
             BINLOG_EVENT_SCHEMA,

@@ -81,6 +81,63 @@ def make_append_batch(
     return append_batch
 
 
+def replay_dead_letters(
+    spark,
+    dead_letter_path: str,
+    sink_path: str,
+    requeue_path: str | None = None,
+    files_per_batch_day: int = 1,
+) -> tuple[int, int]:
+    """Re-decode dead-lettered packets (e.g. after a decoder fix) and
+    append the recovered rows to the fact table; returns
+    ``(rows_appended, packets_still_bad)``.
+
+    The DLQ keeps the verbatim packet bytes exactly for this: a decoder
+    bug is fixed, the operator replays, the data loss window closes.
+    Still-undecodable packets are reported (and optionally written to
+    ``requeue_path`` in the same DLQ schema) — the source DLQ directory
+    is never mutated here; archive it after a satisfactory replay so a
+    second replay cannot double-append.
+    """
+    from pyspark.sql import functions as F
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.sources import canal
+
+    raw = spark.read.parquet(dead_letter_path).select(
+        F.col("_raw").alias("value")
+    )
+    decoded = canal.decode_packets(raw, on_error="route").cache()
+    try:
+        still_bad = decoded.filter(F.col("_decode_error").isNotNull())
+        n_bad = still_bad.count()
+        if requeue_path is not None and n_bad:
+            still_bad.select(
+                F.current_timestamp().alias("dead_lettered_at"),
+                "_decode_error",
+                "_raw",
+            ).coalesce(1).write.mode("append").parquet(requeue_path)
+        good = decoded.filter(F.col("_decode_error").isNull()).drop(
+            "_decode_error", "_raw"
+        )
+        rows = canal_entries_to_binlog(good).withColumn(
+            "day", F.to_date("execute_time")
+        )
+        n_ok = rows.count()
+        if n_ok:
+            (
+                rows.repartition(files_per_batch_day, "day")
+                .sortWithinPartitions(
+                    "execute_time", "gtid", "table", "schema"
+                )
+                .write.mode("append")
+                .partitionBy("day")
+                .parquet(sink_path)
+            )
+        return n_ok, n_bad
+    finally:
+        decoded.unpersist()
+
+
 def read_fact(spark, sink_path: str) -> DataFrame:
     """Read a ``txn=True`` ingest sink: committed epochs only (uncommitted
     staging directories are invisible). Day partition discovery still
