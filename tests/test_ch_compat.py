@@ -2344,3 +2344,16 @@ def test_cast_function_form_and_ch_type_names(spark):
     assert str(row.ts) == "2024-01-02 03:04:05"
     assert row.bad is None
     assert row.f == 3.5
+
+
+def test_quantile_variant_aliases():
+    t = ch_compat.translate
+    assert t("quantileTiming(0.95)(ms)") == "percentile(ms, 0.95)"
+    assert t("quantileBFloat16(0.5)(x)") == "percentile(x, 0.5)"
+    assert t("quantilesTiming(0.5, 0.9)(ms)") == (
+        "percentile(ms, array(0.5, 0.9))"
+    )
+    assert t("uniqTheta(x)") == "approx_count_distinct(x)"
+    # Deterministic (extra determinator arg) and Weighted stay loud
+    assert "quantileDeterministic" in t("quantileDeterministic(0.5)(x, d)")
+    assert "quantileTimingWeighted" in t("quantileTimingWeighted(0.5)(x, w)")

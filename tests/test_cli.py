@@ -276,6 +276,20 @@ def test_cli_analyze_check(capsys):
     assert rc == 0 and "rows-only" in out
 
 
+def test_cli_analyze_explain(capsys):
+    """analyze --explain prints the registry operator's formatted physical
+    plan without executing — the same pushdown-inspection surface the sql
+    command grew in r07, for named operators."""
+    rc = cli.main([
+        "analyze", "--data-dir", SF_DIR, "--explain", "daily_event_counts",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "== Physical Plan ==" in out and "HashAggregate" in out
+    # no execution: the row-count footer of the normal path is absent
+    assert "rows=" not in out
+
+
 def test_cli_analyze_check_all_subset(capsys):
     """The full differential sweep as one CLI command, restricted with
     --only; exit 0 with all-green oracles."""

@@ -276,6 +276,9 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--only", default=None,
                     help="with --check --all: restrict the sweep to query "
                     "names containing this substring")
+    an.add_argument("--explain", action="store_true",
+                    help="print the operator's optimized physical plan "
+                    "instead of executing")
     an.add_argument("name", nargs="?", default=None,
                     help="registry query name (see --list)")
     return ap
@@ -701,6 +704,9 @@ def main(argv: list[str] | None = None) -> int:
             if args.output:
                 result.write.mode("overwrite").parquet(args.output)
             return 0 if v["values_ok"] else 1
+        if args.explain:
+            result.explain(mode="formatted")
+            return 0
         if args.output:
             result.write.mode("overwrite").parquet(args.output)
             print(f"rows={spark.read.parquet(args.output).count()}")

@@ -198,6 +198,7 @@ _RENAMES = {
     "uniqCombined": "approx_count_distinct",
     "uniqCombined64": "approx_count_distinct",
     "uniqHLL12": "approx_count_distinct",
+    "uniqTheta": "approx_count_distinct",
     "halfMD5": "xxhash64",  # 64-bit string hash; value differs, role matches
     "materialize": "",  # identity wrapper
     "has": "array_contains",
@@ -1575,13 +1576,19 @@ def translate(
     # parametric aggregates: quantile(p)(x) -> percentile(x, p);
     # the plural quantiles(p1, p2, ...)(x) returns an array in both
     # engines -> percentile(x, array(p1, p2, ...))
+    # Exact/TDigest/Timing/Deterministic/BFloat16 variants all map to the
+    # exact percentile — stronger than (or equal to) each CH estimator's
+    # contract. Deterministic's determinator argument and the *Weighted
+    # forms change arity/semantics and stay loud.
     out = re.sub(
-        r"\bquantiles(?:Exact|TDigest)?\(([^()]*)\)\s*\(([^()]*)\)",
+        r"\bquantiles(?:Exact|TDigest|Timing|BFloat16)?"
+        r"\(([^()]*)\)\s*\(([^()]*)\)",
         r"percentile(\2, array(\1))",
         out,
     )
     out = re.sub(
-        r"\bquantile(?:Exact|TDigest)?\(([^()]*)\)\s*\(([^()]*)\)",
+        r"\bquantile(?:Exact|TDigest|Timing|BFloat16)?"
+        r"\(([^()]*)\)\s*\(([^()]*)\)",
         r"percentile(\2, \1)",
         out,
     )
