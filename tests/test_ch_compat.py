@@ -2357,3 +2357,100 @@ def test_quantile_variant_aliases():
     # Deterministic (extra determinator arg) and Weighted stay loud
     assert "quantileDeterministic" in t("quantileDeterministic(0.5)(x, d)")
     assert "quantileTimingWeighted" in t("quantileTimingWeighted(0.5)(x, w)")
+
+
+def test_topk_any_heavy_execute(spark):
+    """topK(N) translates to the EXACT top-N-by-frequency array
+    (deterministic value-asc tie-break); anyHeavy -> mode."""
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT topK(2)(x) AS tk, anyHeavy(x) AS ah "
+        "FROM (SELECT stack(6, 1, 1, 1, 2, 2, 3) AS (x))",
+    ).collect()[0]
+    assert row.tk == [1, 2] and row.ah == 1
+    # tie on frequency: value ascending wins deterministically
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT topK(1)(x) AS tk "
+        "FROM (SELECT stack(4, 9, 9, 4, 4) AS (x))",
+    ).collect()[0]
+    assert row.tk == [4]
+    with pytest.raises(ValueError, match="topK"):
+        ch_compat.translate("SELECT topK(n)(x) FROM t")  # non-literal N
+
+
+def test_sum_map_families_execute(spark):
+    """sumMap/minMap/maxMap aggregate per-row parallel arrays per key;
+    CH's ([keys], [values]) tuple becomes struct(keys, values), keys
+    sorted ascending."""
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT sumMap(k, v) AS s, minMap(k, v) AS mn, maxMap(k, v) AS mx "
+        "FROM (SELECT stack(2, array(1, 2), array(10.0D, 10.0D), "
+        "array(2, 3), array(5.0D, 5.0D)) AS (k, v))",
+    ).collect()[0]
+    assert row.s.keys == [1, 2, 3] and row.s.values == [10.0, 15.0, 5.0]
+    assert row.mn.values == [10.0, 5.0, 5.0]
+    assert row.mx.values == [10.0, 10.0, 5.0]
+    with pytest.raises(ValueError, match="sumMap"):
+        ch_compat.translate("SELECT sumMap(k) FROM t")
+
+
+def test_sequence_match_count_execute(spark):
+    """sequenceMatch: greedy subsequence existence over time-ordered
+    events — exact for '.*'-separated (?i) references, any order, an
+    event satisfying several conditions can serve any of them.
+    sequenceCount counts non-overlapping completions."""
+    data = (
+        "FROM (SELECT stack(4, TIMESTAMP'2024-01-01 00:00:01', 1, "
+        "TIMESTAMP'2024-01-01 00:00:02', 2, "
+        "TIMESTAMP'2024-01-01 00:00:03', 1, "
+        "TIMESTAMP'2024-01-01 00:00:04', 2) AS (ts, a))"
+    )
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT sequenceMatch('(?1).*(?2)')(ts, a = 1, a = 2) AS fwd, "
+        "sequenceMatch('(?2).*(?1)')(ts, a = 1, a = 2) AS rev, "
+        "sequenceMatch('(?1).*(?2)')(ts, a = 1, a = 9) AS miss, "
+        "sequenceCount('(?1).*(?2)')(ts, a = 1, a = 2) AS n " + data,
+    ).collect()[0]
+    assert (row.fwd, row.rev, row.miss, row.n) == (1, 1, 0, 2)
+    # an event matching BOTH conditions serves either step (bitmap, not
+    # windowFunnel's CASE priority)
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT sequenceMatch('(?1).*(?2)')(ts, a >= 1, a = 1) AS m "
+        "FROM (SELECT stack(2, TIMESTAMP'2024-01-01 00:00:01', 1, "
+        "TIMESTAMP'2024-01-01 00:00:02', 1) AS (ts, a))",
+    ).collect()[0]
+    assert row.m == 1
+    # loud: strict adjacency, time constraints, out-of-range reference
+    for bad in (
+        "sequenceMatch('(?1)(?2)')(ts, a, b)",
+        "sequenceMatch('(?1)(?t<10)(?2)')(ts, a, b)",
+        "sequenceMatch('(?1).*(?3)')(ts, a, b)",
+    ):
+        with pytest.raises(ValueError, match="sequence"):
+            ch_compat.translate(f"SELECT {bad} FROM t")
+
+
+def test_arg_and_any_if_combinators_execute(spark):
+    """argMaxIf/argMinIf drop non-matching rows by NULLing the ordering
+    key (max_by skips NULL keys); anyIf ignores NULLed non-matches;
+    boundingRatio is the min/max-x slope."""
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT argMaxIf(a, b, c > 0) AS amx, "
+        "argMinIf(a, b, c > 0) AS amn, anyIf(a, b = 2) AS ai, "
+        "boundingRatio(b, c) AS br "
+        "FROM (SELECT stack(3, 'x', 9, 0, 'y', 2, 1, 'z', 1, 2) "
+        "AS (a, b, c))",
+    ).collect()[0]
+    # row 'x' has c = 0 -> excluded despite the max b
+    assert (row.amx, row.amn, row.ai) == ("y", "z", "y")
+    # slope over b: c at max b (9 -> 0) minus c at min b (1 -> 2) over 8
+    assert row.br == pytest.approx((0 - 2) / (9 - 1))
+    with pytest.raises(ValueError, match="argMaxIf"):
+        ch_compat.translate("SELECT argMaxIf(a, b) FROM t")
+    with pytest.raises(ValueError, match="anyIf"):
+        ch_compat.translate("SELECT anyIf(a) FROM t")

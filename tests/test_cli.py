@@ -499,3 +499,36 @@ def test_cli_sql_explain_and_show_sql(capsys):
     assert "to_date(execute_time)" in out and "count_if" in out
     # ...and the formatted plan (not rows) follows
     assert "== Physical Plan ==" in out and "HashAggregate" in out
+
+
+def test_cli_migrate_ddl(capsys, tmp_path):
+    """migrate-ddl translates a CH bootstrap script (the reference
+    deployment's setup surface) into the storage/streaming plan, no
+    SparkSession needed."""
+    script = tmp_path / "setup.sql"
+    script.write_text(
+        "CREATE TABLE db.binlog_local (\n"
+        "  `execute_time` DateTime, `gtid` String, `event_type` String\n"
+        ") ENGINE = MergeTree() PARTITION BY toDate(execute_time) "
+        "ORDER BY (execute_time, gtid) TTL execute_time + "
+        "toIntervalMonth(30);\n"
+        "CREATE TABLE db.daily (day Date, n UInt64) "
+        "ENGINE = SummingMergeTree() ORDER BY (day);\n"
+        "CREATE MATERIALIZED VIEW db.mv TO db.daily AS SELECT "
+        "toDate(execute_time) AS day, count(*) AS n FROM db.binlog_local "
+        "GROUP BY day\n",
+        encoding="utf-8",
+    )
+    rc = cli.main(["migrate-ddl", str(script)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "parsed 3 DDL objects" in out
+    assert "[fact_table] db.binlog_local" in out
+    assert "plans.storage.write_fact_table" in out
+    assert "[retention] db.binlog_local" in out
+    assert "[rollup_store] db.daily" in out
+    assert "[materialized_view] db.mv" in out
+    assert "streaming.rollup_job" in out
+    rc = cli.main(["migrate-ddl", "--show-sql", str(script)])
+    out = capsys.readouterr().out
+    assert rc == 0 and "to_date(execute_time) AS day" in out

@@ -251,6 +251,18 @@ def build_parser() -> argparse.ArgumentParser:
                     "inspection)")
     sq.add_argument("query", help="SQL text; tables are registered as views")
 
+    md = sub.add_parser(
+        "migrate-ddl",
+        help="translate a ClickHouse DDL script (CREATE TABLE / CREATE "
+        "MATERIALIZED VIEW, the reference deployment's bootstrap surface) "
+        "into this engine's storage + streaming plan",
+    )
+    md.add_argument("script", help="path to a .sql DDL script, or '-' "
+                    "for stdin")
+    md.add_argument("--show-sql", action="store_true",
+                    help="also print each materialized view's translated "
+                    "Spark SQL batch twin in full")
+
     an = sub.add_parser(
         "analyze",
         help="run a named registry query (any operator in queries_registry) "
@@ -286,6 +298,36 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.cmd == "migrate-ddl":
+        # pure parsing/planning — no SparkSession needed
+        import sys
+
+        from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
+            ddl_compat,
+        )
+
+        text = (
+            sys.stdin.read()
+            if args.script == "-"
+            else open(args.script, encoding="utf-8").read()
+        )
+        objects, actions = ddl_compat.migrate_script(text)
+        print(f"parsed {len(objects)} DDL objects -> {len(actions)} actions")
+        for a in actions:
+            print(f"\n[{a.kind}] {a.target}")
+            print(f"  api:    {a.api}")
+            print(f"  detail: {a.detail}")
+            if a.sql:
+                if args.show_sql:
+                    print("  batch twin SQL:")
+                    for line in a.sql.splitlines():
+                        print(f"    {line}")
+                else:
+                    first = " ".join(a.sql.split())[:100]
+                    print(f"  batch twin SQL: {first}...")
+        return 0
+
     spark = get_spark(app_name=f"binlog-{args.cmd}")
 
     if getattr(args, "metrics", None):

@@ -18,8 +18,17 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   ``window_funnel`` operator; CH mode flags stay loud),
   ``retention(c1, .., cn)`` -> ``array(int(bool_or(c1)), int(bool_or(c1)
   AND bool_or(ci)), ..)`` (exact CH semantics), ``uniqUpTo(N)(x)`` ->
-  ``least(count(DISTINCT x), N + 1)`` (exact);
-- conditional aggregates (``countIf``, ``sumIf``, ``avgIf``);
+  ``least(count(DISTINCT x), N + 1)`` (exact),
+  ``sequenceMatch/sequenceCount('(?i).*(?j)..')(ts, c1, ..)`` ->
+  greedy-subsequence bitmap folds (exact for ``.*``-separated
+  references; strict ``.`` and ``(?t..)`` stay loud), ``topK(N)(x)``
+  -> exact top-N-by-frequency array (deterministic value-asc ties;
+  ``topKWeighted`` stays loud), ``sumMap/minMap/maxMap(k, v)`` ->
+  per-key fold returning ``struct(keys, values)`` sorted by key,
+  ``boundingRatio`` -> the max_by/min_by slope form, ``anyHeavy`` ->
+  ``mode``;
+- conditional aggregates (``countIf``, ``sumIf``, ``avgIf``,
+  ``anyIf/anyLastIf``, ``argMaxIf/argMinIf`` via NULLed ordering keys);
 - ``uniq``/``uniqExact`` -> ``approx_count_distinct``/``count(DISTINCT)``
   (preserving the approximate-vs-exact contract);
 - the CH DateTime-difference idiom ``max(ts) - min(ts)`` (CH DateTime
@@ -199,6 +208,7 @@ _RENAMES = {
     "uniqCombined64": "approx_count_distinct",
     "uniqHLL12": "approx_count_distinct",
     "uniqTheta": "approx_count_distinct",
+    "anyHeavy": "mode",  # heavy-hitter pick -> exact most-frequent
     "halfMD5": "xxhash64",  # 64-bit string hash; value differs, role matches
     "materialize": "",  # identity wrapper
     "has": "array_contains",
@@ -1677,6 +1687,160 @@ def translate(
 
     out = _rewrite_calls(out, "retention", _retention)
 
+    # topK(N)(x): CH's SpaceSaving heavy-hitter sketch returns ~N most
+    # frequent values. The translation is the EXACT top-N by frequency
+    # (stronger contract), ties broken by value ascending (deterministic;
+    # CH's tie order is unspecified). Row-local post-aggregation cost is
+    # O(distinct * n) per group over the collected list — fine for the
+    # dashboard-cardinality groups topK is used on; a corpus-scale
+    # heavy-hitter job belongs in an operator, not a scalar translation.
+    # topKWeighted changes the ranking input and stays loud.
+    def _top_k(params, args):
+        if len(params) != 1 or not re.fullmatch(r"\d+", params[0].strip()):
+            raise ValueError("topK needs a literal N parameter")
+        if len(args) != 1:
+            raise ValueError("topK translates the single-column form only")
+        n, x = int(params[0]), args[0]
+        return (
+            f"slice(transform(array_sort(transform("
+            f"array_distinct(collect_list({x})), __d -> named_struct("
+            f"'neg', -size(filter(collect_list({x}), __v -> __v <=> __d)), "
+            f"'v', __d))), __s -> __s.v), 1, {n})"
+        )
+
+    out = _rewrite_parametric(out, "topK", _top_k)
+
+    # sequenceMatch('(?1).*(?2)...')(ts, c1, ..., cn): existence of a
+    # time-ordered subsequence of events hitting the referenced
+    # conditions in pattern order. Greedy earliest-match over the
+    # time-sorted per-group events is exact for subsequence existence,
+    # so the fold collects each matching event's full condition BITMAP
+    # (an event satisfying several conditions can serve any of them —
+    # unlike windowFunnel's CASE priority) and advances one step
+    # whenever the current event satisfies the next needed condition.
+    # Only `.*`-separated `(?i)` references translate (any order,
+    # repeats allowed); strict-`.` adjacency and `(?t...)` time
+    # constraints change the automaton and stay loud. sequenceCount
+    # is the same fold counting non-overlapping completions.
+    def _parse_seq_pattern(raw, n_conds, fn):
+        m2 = re.fullmatch(r"\x00L(\d+)\x00", raw.strip())
+        pat = (
+            literals[int(m2.group(1))][1:-1] if m2 else raw.strip("'\" ")
+        )
+        if not re.fullmatch(r"\(\?\d+\)(?:\.\*\(\?\d+\))*", pat):
+            raise ValueError(
+                f"{fn}: only '.*'-separated (?i) condition references "
+                "are translated (strict '.' and (?t...) constraints "
+                "change the automaton)"
+            )
+        steps = [int(s) for s in re.findall(r"\(\?(\d+)\)", pat)]
+        if any(s < 1 or s > n_conds for s in steps):
+            raise ValueError(
+                f"{fn}: pattern references condition (?{max(steps)}) "
+                f"but only {n_conds} conditions were given"
+            )
+        return steps
+
+    def _seq_events(ts, conds):
+        any_cond = " OR ".join(f"({c})" for c in conds)
+        bitmap = ", ".join(conds)
+        return (
+            f"array_sort(collect_list(IF({any_cond}, named_struct("
+            f"'t', unix_micros({ts}), 'c', array({bitmap})), NULL)))"
+        )
+
+    def _sequence_match(params, args):
+        if len(params) != 1:
+            raise ValueError("sequenceMatch takes exactly one pattern")
+        if len(args) < 2:
+            raise ValueError(
+                "sequenceMatch needs a time column and >= 1 condition"
+            )
+        ts, conds = args[0], args[1:]
+        steps = _parse_seq_pattern(params[0], len(conds), "sequenceMatch")
+        step0 = ", ".join(str(s - 1) for s in steps)
+        return (
+            f"IF(aggregate({_seq_events(ts, conds)}, 0, (__acc, __x) -> "
+            f"IF(__acc < {len(steps)} AND __x.c[element_at("
+            f"array({step0}), __acc + 1)], __acc + 1, __acc)) = "
+            f"{len(steps)}, 1, 0)"
+        )
+
+    out = _rewrite_parametric(out, "sequenceMatch", _sequence_match)
+
+    def _sequence_count(params, args):
+        if len(params) != 1:
+            raise ValueError("sequenceCount takes exactly one pattern")
+        if len(args) < 2:
+            raise ValueError(
+                "sequenceCount needs a time column and >= 1 condition"
+            )
+        ts, conds = args[0], args[1:]
+        steps = _parse_seq_pattern(params[0], len(conds), "sequenceCount")
+        step0 = ", ".join(str(s - 1) for s in steps)
+        k = len(steps)
+        return (
+            f"aggregate({_seq_events(ts, conds)}, "
+            f"named_struct('n', 0, 'lvl', 0), (__a, __x) -> "
+            f"IF(__x.c[element_at(array({step0}), __a.lvl + 1)], "
+            f"IF(__a.lvl + 1 = {k}, named_struct('n', __a.n + 1, "
+            f"'lvl', 0), named_struct('n', __a.n, 'lvl', __a.lvl + 1)), "
+            f"__a)).n"
+        )
+
+    out = _rewrite_parametric(out, "sequenceCount", _sequence_count)
+
+    # sumMap/minMap/maxMap(keys, values): per-row parallel arrays,
+    # aggregated per key across the group; CH returns a tuple
+    # ([sorted keys], [aggregated values]) -> here a struct with fields
+    # `keys` and `values` (tuple positional access is loud anyway).
+    # DOUBLE accumulator for sumMap (same policy as arraySum); min/max
+    # keep the value type. Row-local post-aggregation cost
+    # O(distinct * total entries) per group — map-state cardinality in
+    # CH deployments is metric-name sized, not data sized.
+    def _agg_map(which, ch_fn):
+        def build(a):
+            if len(a) != 2:
+                raise ValueError(f"{ch_fn} expects (keys, values) arrays")
+            flat = (
+                f"flatten(collect_list(zip_with({a[0]}, {a[1]}, "
+                "(__x, __y) -> named_struct('k', __x, 'v', __y))))"
+            )
+            keys = (
+                f"array_sort(array_distinct(transform({flat}, "
+                "__e -> __e.k)))"
+            )
+            vals_of = f"transform(filter({flat}, __e -> __e.k <=> __kk), __e -> __e.v)"
+            per_key = {
+                "sum": (
+                    f"aggregate({vals_of}, CAST(0 AS DOUBLE), "
+                    "(__s, __v) -> __s + __v)"
+                ),
+                "min": f"array_min({vals_of})",
+                "max": f"array_max({vals_of})",
+            }[which]
+            return (
+                f"named_struct('keys', {keys}, 'values', "
+                f"transform({keys}, __kk -> {per_key}))"
+            )
+
+        return build
+
+    out = _rewrite_calls(out, "sumMap", _agg_map("sum", "sumMap"))
+    out = _rewrite_calls(out, "minMap", _agg_map("min", "minMap"))
+    out = _rewrite_calls(out, "maxMap", _agg_map("max", "maxMap"))
+
+    # boundingRatio(x, y): slope between the leftmost and rightmost
+    # points — (y at max x - y at min x) / (max x - min x), Float64
+    out = _rewrite_calls(
+        out,
+        "boundingRatio",
+        lambda a: (
+            f"((max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]})) / "
+            f"CAST(max({a[0]}) - min({a[0]}) AS DOUBLE))"
+        ),
+    )
+
     # CH transform(x, [from...], [to...][, default]): the enum-decode
     # idiom (the reference's P6 event_type mapping is exactly this shape
     # in CH deployments) -> a CASE x WHEN chain. Literal equal-length
@@ -1790,6 +1954,35 @@ def translate(
 
     out = _rewrite_calls(out, "maxIf", _agg_if("max", "maxIf"))
     out = _rewrite_calls(out, "minIf", _agg_if("min", "minIf"))
+    # any/anyLast pick an unspecified matching row in CH, so one mapping
+    # serves both; ignoreNulls=true keeps NULLed-out non-matching rows
+    # from being the "any" pick
+    def _any_if(ch_fn):
+        def build(a):
+            if len(a) != 2:
+                raise ValueError(
+                    f"{ch_fn} expects (expr, cond); {len(a)} arguments "
+                    "(tuple forms are not translated)"
+                )
+            return f"any_value(if({a[1]}, {a[0]}, NULL), true)"
+
+        return build
+
+    out = _rewrite_calls(out, "anyIf", _any_if("anyIf"))
+    out = _rewrite_calls(out, "anyLastIf", _any_if("anyLastIf"))
+
+    # argMax/argMin If-combinators: NULLing the ordering key on
+    # non-matching rows removes them (max_by skips NULL keys)
+    def _arg_agg_if(spark_fn, ch_fn):
+        def build(a):
+            if len(a) != 3:
+                raise ValueError(f"{ch_fn} expects (arg, val, cond)")
+            return f"{spark_fn}({a[0]}, if({a[2]}, {a[1]}, NULL))"
+
+        return build
+
+    out = _rewrite_calls(out, "argMaxIf", _arg_agg_if("max_by", "argMaxIf"))
+    out = _rewrite_calls(out, "argMinIf", _arg_agg_if("min_by", "argMinIf"))
     out = _rewrite_calls(
         out, "uniqIf", _agg_if("approx_count_distinct", "uniqIf")
     )

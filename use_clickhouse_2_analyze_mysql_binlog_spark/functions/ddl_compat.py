@@ -1,0 +1,623 @@
+"""ClickHouse DDL migration: ``CREATE TABLE`` / ``CREATE MATERIALIZED
+VIEW`` -> this engine's storage + streaming objects.
+
+The reference deployment is bootstrapped by a DDL script (reference
+``README.md:99-320``): a ReplicatedMergeTree fact table + Distributed
+wrapper, then per-rollup ReplicatedSummingMergeTree result tables fed by
+MATERIALIZED VIEWs. A migrating user brings exactly that script; this
+module parses it and emits the equivalent Spark-side plan:
+
+- ``(Replicated)MergeTree`` table -> day-partitioned, sort-key-clustered
+  parquet (``plans.storage.write_fact_table`` semantics): ``PARTITION BY
+  toDate(col)`` -> ``partitionBy`` day column, ``ORDER BY (...)`` ->
+  ``sortWithinPartitions`` (row-group min/max stats = the sparse index's
+  data-skipping), ``TTL col + toIntervalMonth(N)`` ->
+  ``plans.storage.retention_sweep(months=N)`` partition drops.
+  Replication args are durability config -> the storage layer's job
+  (HDFS/S3 replication) in Spark; recorded, not acted on.
+- ``(Replicated)SummingMergeTree`` -> a rollup store whose reads re-sum
+  (``operators.rollups.summing_merge`` with keys = ORDER BY, metrics =
+  the numeric non-key columns) — CH merges lazily, so correct CH reads
+  need ``GROUP BY``-on-read too; the contract carries over unchanged.
+- ``ReplacingMergeTree`` / ``CollapsingMergeTree`` /
+  ``AggregatingMergeTree`` -> the corresponding
+  ``operators.merge_tree`` merge semantics.
+- ``Distributed(cluster, db, table, shard)`` -> no object: Spark's
+  planner owns distribution (the ``rand()`` sharding analogue is the
+  salted ``repartition`` inside the fact-table writer). The wrapper is
+  recorded so MVs targeting it resolve to the local table.
+- ``CREATE MATERIALIZED VIEW ... TO target AS SELECT`` -> the SELECT is
+  translated by :mod:`ch_compat` (the batch twin, runnable immediately);
+  when the resolved target is a Summing family the MV maps onto the
+  continuous incremental rollup (``streaming.rollup_job``), whose
+  epoch-published merged state is the strictly-stronger version of CH's
+  insert-triggered partial-aggregate appends. ``POPULATE`` -> run the
+  batch twin once as backfill.
+
+Loud policy matches :mod:`ch_compat`: constructs outside the table
+(unknown engines, exotic TTL expressions, projections) raise
+``ValueError`` rather than translating silently-wrong.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from use_clickhouse_2_analyze_mysql_binlog_spark.functions.ch_compat import (
+    _ch_type_to_spark,
+    translate,
+)
+
+# ------------------------------------------------------------------ model
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    ch_type: str
+    spark_type: str | None  # None = unknown CH type (kept, flagged)
+    default: str | None = None
+    comment: str | None = None
+
+
+@dataclass
+class TableDdl:
+    kind = "table"
+    database: str | None
+    name: str
+    columns: list[ColumnDef]
+    engine: str
+    engine_family: str  # Replicated prefix stripped
+    engine_args: str
+    replicated: bool
+    on_cluster: str | None = None
+    partition_by: str | None = None
+    order_by: tuple[str, ...] = ()
+    ttl: str | None = None
+    ttl_months: int | None = None
+    ttl_days: int | None = None
+    settings: str | None = None
+    distributed_target: str | None = None  # "db.table" for Distributed
+
+    @property
+    def full_name(self) -> str:
+        return f"{self.database}.{self.name}" if self.database else self.name
+
+    def metric_columns(self) -> list[str]:
+        """Summing-family metrics: numeric columns outside the sort key."""
+        numeric = {"int", "bigint", "float", "double"}
+        return [
+            c.name
+            for c in self.columns
+            if c.name not in self.order_by
+            and c.spark_type is not None
+            and (c.spark_type in numeric or c.spark_type.startswith("decimal"))
+        ]
+
+
+@dataclass
+class MatViewDdl:
+    kind = "materialized_view"
+    database: str | None
+    name: str
+    select_ch: str
+    select_spark: str
+    to_target: str | None = None
+    on_cluster: str | None = None
+    populate: bool = False
+    columns: list[ColumnDef] = field(default_factory=list)
+
+    @property
+    def full_name(self) -> str:
+        return f"{self.database}.{self.name}" if self.database else self.name
+
+
+@dataclass
+class Action:
+    """One migration step: what to build with which package surface."""
+
+    kind: str  # fact_table | rollup_store | merge_semantics |
+    #            distributed_noop | materialized_view | retention
+    target: str
+    api: str  # the package function(s) implementing it
+    detail: str
+    sql: str | None = None  # runnable translated SQL where applicable
+
+
+# ---------------------------------------------------------------- parsing
+
+_IDENT = r"(?:`[^`]+`|[A-Za-z_][\w]*)"
+_QNAME = rf"{_IDENT}(?:\.{_IDENT})?"
+
+_CLAUSE_KEYWORDS = (
+    "ENGINE", "PARTITION BY", "PRIMARY KEY", "ORDER BY", "SAMPLE BY",
+    "TTL", "SETTINGS", "COMMENT",
+)
+
+
+def _unquote(ident: str) -> str:
+    ident = ident.strip()
+    return ident[1:-1] if ident.startswith("`") else ident
+
+
+def _split_name(qname: str) -> tuple[str | None, str]:
+    parts = [_unquote(p) for p in re.findall(_IDENT, qname)]
+    return (parts[0], parts[1]) if len(parts) == 2 else (None, parts[0])
+
+
+def _mask_literals(sql: str) -> tuple[str, list[str]]:
+    lits: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00L{len(lits) - 1}\x00"
+
+    return re.sub(r"'(?:[^'\\]|\\.|'')*'", repl, sql), lits
+
+
+def _unmask(text: str, lits: list[str]) -> str:
+    return re.sub(r"\x00L(\d+)\x00", lambda m: lits[int(m.group(1))], text)
+
+
+def _balanced_span(s: str, open_idx: int) -> int:
+    """Index just past the ')' matching the '(' at ``open_idx``."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise ValueError("unbalanced parentheses in DDL")
+
+
+def _split_top_commas(text: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+_COL_RE = re.compile(
+    rf"^({_IDENT})\s+([A-Za-z]\w*(?:\s*\([^)]*\))?)"
+    r"(?:\s+(?:DEFAULT|MATERIALIZED|ALIAS)\s+(.*?))??"
+    r"(?:\s+CODEC\s*\([^)]*\))?"
+    r"(?:\s+COMMENT\s+(\x00L\d+\x00))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_columns(body: str, lits: list[str]) -> list[ColumnDef]:
+    cols = []
+    for item in _split_top_commas(body):
+        if re.match(r"(?i)^(INDEX|PROJECTION|CONSTRAINT)\b", item):
+            raise ValueError(
+                f"table-level {item.split()[0].upper()} definitions are "
+                "not translated (no parquet-side equivalent is chosen "
+                "silently)"
+            )
+        m = _COL_RE.match(item)
+        if not m:
+            raise ValueError(f"cannot parse column definition: {item!r}")
+        name = _unquote(m.group(1))
+        ch_type = _unmask(m.group(2).strip(), lits)
+        cols.append(
+            ColumnDef(
+                name=name,
+                ch_type=ch_type,
+                spark_type=_ch_type_to_spark(ch_type),
+                default=_unmask(m.group(3), lits) if m.group(3) else None,
+                comment=(
+                    _unmask(m.group(4), lits)[1:-1] if m.group(4) else None
+                ),
+            )
+        )
+    return cols
+
+
+def _clause_split(tail: str) -> dict[str, str]:
+    """Split the post-column-list tail into its top-level clauses."""
+    kw_re = re.compile(
+        r"(?i)\b(ENGINE\s*=|(?:PARTITION\s+BY|PRIMARY\s+KEY|ORDER\s+BY|"
+        r"SAMPLE\s+BY|TTL|SETTINGS|COMMENT)\b)"
+    )
+    hits = []
+    depth = 0
+    i = 0
+    while i < len(tail):
+        ch = tail[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0:
+            m = kw_re.match(tail, i)
+            if m:
+                hits.append((i, m.end(), m.group(1)))
+                i = m.end()
+                continue
+        i += 1
+    out: dict[str, str] = {}
+    for j, (start, vstart, kw) in enumerate(hits):
+        vend = hits[j + 1][0] if j + 1 < len(hits) else len(tail)
+        key = re.sub(r"\s+", " ", kw.upper()).rstrip(" =").strip()
+        key = {"ENGINE": "ENGINE"}.get(key, key)
+        out[key] = tail[vstart:vend].strip().rstrip(";").strip()
+    return out
+
+
+def _parse_order_by(text: str) -> tuple[str, ...]:
+    t = text.strip()
+    if t.startswith("("):
+        t = t[1 : t.rindex(")")]
+    cols = []
+    for item in _split_top_commas(t):
+        item = re.sub(r"(?i)\s+(ASC|DESC)$", "", item.strip())
+        if not re.fullmatch(_IDENT, item):
+            raise ValueError(
+                f"ORDER BY item {item!r} is an expression; only plain "
+                "column sort keys are translated"
+            )
+        cols.append(_unquote(item))
+    return tuple(cols)
+
+
+def _as_select_pos(rest: str) -> int:
+    m = re.search(r"(?is)\bAS\s+SELECT\b", rest)
+    return m.start() if m else len(rest)
+
+
+def parse_statement(sql: str):
+    """Parse one CH DDL statement -> :class:`TableDdl` | :class:`MatViewDdl`.
+
+    Raises ``ValueError`` for anything that is not a CREATE TABLE /
+    CREATE MATERIALIZED VIEW, and for constructs with no honest mapping.
+    """
+    masked, lits = _mask_literals(sql.strip().rstrip(";"))
+
+    mv = re.match(
+        rf"(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        rf"({_QNAME})(\s+ON\s+CLUSTER\s+(\S+))?(\s+TO\s+({_QNAME}))?\s*",
+        masked,
+    )
+    if mv:
+        db, name = _split_name(mv.group(1))
+        rest = masked[mv.end():]
+        columns: list[ColumnDef] = []
+        if rest.lstrip().startswith("("):
+            open_idx = rest.index("(")
+            close = _balanced_span(rest, open_idx)
+            columns = _parse_columns(rest[open_idx + 1 : close - 1], lits)
+            rest = rest[close:]
+        # inner-store ENGINE/layout clauses and POPULATE may precede AS
+        # SELECT; the inner store's layout is the TO-table's job here, so
+        # only POPULATE is acted on (one-shot batch backfill)
+        populate = re.search(
+            r"(?is)\bPOPULATE\b", rest[: _as_select_pos(rest)]
+        ) is not None
+        as_m = re.search(r"(?is)\bAS\s+(SELECT\b.*)$", rest)
+        if not as_m:
+            raise ValueError(
+                "CREATE MATERIALIZED VIEW without AS SELECT is not "
+                "translated"
+            )
+        select_ch = _unmask(as_m.group(1), lits)
+        return MatViewDdl(
+            database=db,
+            name=name,
+            on_cluster=mv.group(3),
+            to_target=(
+                ".".join(p for p in _split_name(mv.group(5)) if p)
+                if mv.group(5)
+                else None
+            ),
+            populate=populate,
+            columns=columns,
+            select_ch=select_ch,
+            select_spark=translate(select_ch),
+        )
+
+    tb = re.match(
+        rf"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_QNAME})"
+        rf"(\s+ON\s+CLUSTER\s+(\S+))?\s*\(",
+        masked,
+    )
+    if not tb:
+        raise ValueError(
+            "only CREATE TABLE / CREATE MATERIALIZED VIEW statements are "
+            "translated"
+        )
+    db, name = _split_name(tb.group(1))
+    open_idx = masked.index("(", tb.end() - 1)
+    close = _balanced_span(masked, open_idx)
+    columns = _parse_columns(masked[open_idx + 1 : close - 1], lits)
+    clauses = _clause_split(masked[close:])
+
+    if "ENGINE" not in clauses:
+        raise ValueError(f"CREATE TABLE {name}: ENGINE clause is required")
+    em = re.match(r"(?s)^(\w+)\s*(\((.*)\))?\s*$", clauses["ENGINE"].strip())
+    if not em:
+        raise ValueError(f"cannot parse ENGINE clause: {clauses['ENGINE']!r}")
+    engine = em.group(1)
+    engine_args = _unmask(em.group(3) or "", lits).strip()
+    replicated = engine.startswith("Replicated")
+    family = engine[len("Replicated"):] if replicated else engine
+
+    known = {
+        "MergeTree", "SummingMergeTree", "ReplacingMergeTree",
+        "CollapsingMergeTree", "AggregatingMergeTree", "Distributed",
+    }
+    if family not in known:
+        raise ValueError(
+            f"ENGINE {engine} has no translated equivalent (known: "
+            f"{', '.join(sorted(known))})"
+        )
+
+    distributed_target = None
+    if family == "Distributed":
+        args = [a.strip().strip("'") for a in engine_args.split(",")]
+        if len(args) < 3:
+            raise ValueError(
+                "Distributed(cluster, database, table[, sharding]) "
+                "needs at least 3 arguments"
+            )
+        distributed_target = f"{args[1]}.{args[2]}"
+
+    ttl = _unmask(clauses["TTL"], lits) if "TTL" in clauses else None
+    ttl_months = ttl_days = None
+    if ttl is not None:
+        tm = re.fullmatch(
+            r"(?is)\s*\w+\s*\+\s*toInterval(Month|Day)\s*\(\s*(\d+)\s*\)\s*",
+            ttl,
+        )
+        if not tm:
+            raise ValueError(
+                f"TTL {ttl!r}: only 'col + toIntervalMonth/Day(N)' "
+                "retention maps to partition sweeps; row-level TTL "
+                "actions (DELETE WHERE, GROUP BY, TO DISK) do not"
+            )
+        if tm.group(1).lower() == "month":
+            ttl_months = int(tm.group(2))
+        else:
+            ttl_days = int(tm.group(2))
+
+    return TableDdl(
+        database=db,
+        name=name,
+        on_cluster=tb.group(3),
+        columns=columns,
+        engine=engine,
+        engine_family=family,
+        engine_args=engine_args,
+        replicated=replicated,
+        partition_by=(
+            _unmask(clauses["PARTITION BY"], lits)
+            if "PARTITION BY" in clauses
+            else None
+        ),
+        order_by=(
+            _parse_order_by(_unmask(clauses["ORDER BY"], lits))
+            if "ORDER BY" in clauses
+            else ()
+        ),
+        ttl=ttl,
+        ttl_months=ttl_months,
+        ttl_days=ttl_days,
+        settings=clauses.get("SETTINGS"),
+        distributed_target=distributed_target,
+    )
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a DDL script on top-level ';' (quote-aware); '--' line
+    comments are stripped first."""
+    masked, lits = _mask_literals(script)
+    masked = re.sub(r"--[^\n]*", "", masked)
+    return [
+        _unmask(s, lits).strip()
+        for s in masked.split(";")
+        if s.strip()
+    ]
+
+
+# ------------------------------------------------------------------- plan
+
+
+def plan_actions(objects: list) -> list[Action]:
+    """Map parsed DDL objects onto this engine's surfaces.
+
+    Distributed wrappers resolve to their local tables (and contribute no
+    action beyond a documented no-op); MVs targeting a Summing store
+    become streaming-rollup recommendations with the batch twin SQL.
+    """
+    by_name: dict[str, TableDdl] = {
+        o.full_name: o for o in objects if isinstance(o, TableDdl)
+    }
+
+    def resolve(name: str | None) -> TableDdl | None:
+        o = by_name.get(name) if name else None
+        if o is not None and o.engine_family == "Distributed":
+            return by_name.get(o.distributed_target, o)
+        return o
+
+    actions: list[Action] = []
+    for o in objects:
+        if isinstance(o, TableDdl):
+            if o.engine_family == "Distributed":
+                actions.append(
+                    Action(
+                        kind="distributed_noop",
+                        target=o.full_name,
+                        api="(none)",
+                        detail=(
+                            f"Distributed wrapper over "
+                            f"{o.distributed_target}: Spark's planner owns "
+                            "distribution; the rand()-sharding analogue is "
+                            "the salted repartition inside "
+                            "plans.storage.write_fact_table"
+                        ),
+                    )
+                )
+                continue
+            unknown = [c.name for c in o.columns if c.spark_type is None]
+            if unknown:
+                raise ValueError(
+                    f"{o.full_name}: columns with untranslated CH types: "
+                    f"{unknown}"
+                )
+            schema = ", ".join(
+                f"{c.name} {c.spark_type}" for c in o.columns
+            )
+            if o.engine_family == "MergeTree":
+                part = ""
+                pm = (
+                    re.fullmatch(
+                        r"(?is)\s*toDate\s*\(\s*(\w+)\s*\)\s*|\s*(\w+)\s*",
+                        o.partition_by or "",
+                    )
+                    if o.partition_by
+                    else None
+                )
+                if o.partition_by and not pm:
+                    raise ValueError(
+                        f"{o.full_name}: PARTITION BY {o.partition_by!r} — "
+                        "only toDate(col) / a plain column map to parquet "
+                        "partition columns"
+                    )
+                if pm:
+                    part = pm.group(1) or pm.group(2)
+                actions.append(
+                    Action(
+                        kind="fact_table",
+                        target=o.full_name,
+                        api="plans.storage.write_fact_table",
+                        detail=(
+                            f"schema: {schema}; "
+                            + (
+                                f"partitionBy day column from "
+                                f"{'toDate(' + part + ')' if o.partition_by and 'toDate' in o.partition_by else part}; "
+                                if part
+                                else ""
+                            )
+                            + f"sortWithinPartitions{o.order_by} (row-group "
+                            "min/max stats = sparse-index data skipping)"
+                            + (
+                                "; replication -> storage layer (HDFS/S3)"
+                                if o.replicated
+                                else ""
+                            )
+                        ),
+                    )
+                )
+            elif o.engine_family == "SummingMergeTree":
+                metrics = o.metric_columns()
+                actions.append(
+                    Action(
+                        kind="rollup_store",
+                        target=o.full_name,
+                        api="operators.rollups.summing_merge",
+                        detail=(
+                            f"schema: {schema}; reads re-aggregate with "
+                            f"keys={list(o.order_by)} metrics={metrics} "
+                            "(CH merges lazily, so CH reads need the same "
+                            "GROUP BY-on-read; contract carries over)"
+                        ),
+                    )
+                )
+            else:
+                api = {
+                    "ReplacingMergeTree":
+                        "operators.merge_tree.replacing_merge_final",
+                    "CollapsingMergeTree":
+                        "operators.merge_tree.collapsing_merge_state",
+                    "AggregatingMergeTree":
+                        "operators.rollups.aggregating_merge",
+                }[o.engine_family]
+                actions.append(
+                    Action(
+                        kind="merge_semantics",
+                        target=o.full_name,
+                        api=api,
+                        detail=(
+                            f"schema: {schema}; keys={list(o.order_by)}; "
+                            f"{o.engine_family} merge semantics on read"
+                        ),
+                    )
+                )
+            if o.ttl_months is not None or o.ttl_days is not None:
+                months = o.ttl_months or 0
+                actions.append(
+                    Action(
+                        kind="retention",
+                        target=o.full_name,
+                        api="plans.storage.retention_sweep",
+                        detail=(
+                            f"TTL {o.ttl}: drop day partitions older than "
+                            + (
+                                f"{months} months"
+                                if o.ttl_months is not None
+                                else f"{o.ttl_days} days"
+                            )
+                            + " (metadata-only partition deletes)"
+                        ),
+                    )
+                )
+        else:  # MatViewDdl
+            target = resolve(o.to_target)
+            if target is not None and target.engine_family == "SummingMergeTree":
+                keys = list(target.order_by)
+                actions.append(
+                    Action(
+                        kind="materialized_view",
+                        target=o.full_name,
+                        api="streaming.rollup_job.run_rollup_stream",
+                        detail=(
+                            f"continuous incremental rollup keyed "
+                            f"{keys} into {target.full_name} (epoch-"
+                            "published MERGED state — strictly stronger "
+                            "than CH's partial-aggregate appends, same "
+                            "answers)"
+                            + ("; POPULATE -> run the batch twin once "
+                               "as backfill" if o.populate else "")
+                        ),
+                        sql=o.select_spark,
+                    )
+                )
+            else:
+                actions.append(
+                    Action(
+                        kind="materialized_view",
+                        target=o.full_name,
+                        api="spark.sql (batch twin)",
+                        detail=(
+                            "translated SELECT runs as a batch/foreachBatch "
+                            "view"
+                            + (
+                                f" into {o.to_target}"
+                                if o.to_target
+                                else ""
+                            )
+                        ),
+                        sql=o.select_spark,
+                    )
+                )
+    return actions
+
+
+def migrate_script(script: str) -> tuple[list, list[Action]]:
+    """Parse a whole DDL script -> (objects, actions)."""
+    objects = [parse_statement(s) for s in split_statements(script)]
+    return objects, plan_actions(objects)
