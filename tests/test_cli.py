@@ -532,3 +532,38 @@ def test_cli_migrate_ddl(capsys, tmp_path):
     rc = cli.main(["migrate-ddl", "--show-sql", str(script)])
     out = capsys.readouterr().out
     assert rc == 0 and "to_date(execute_time) AS day" in out
+
+
+def test_cli_migrate_ddl_execute(spark, tmp_path, capsys):
+    """--execute runs the MV batch twins (the POPULATE backfill) against
+    a data dir with a user-supplied table mapping and writes each store."""
+    script = tmp_path / "setup.sql"
+    script.write_text(
+        "CREATE TABLE db.daily (day Date, n UInt64) "
+        "ENGINE = SummingMergeTree() ORDER BY (day);\n"
+        "CREATE MATERIALIZED VIEW db.daily_mv TO db.daily AS SELECT "
+        "toDate(execute_time) AS day, count(*) AS n "
+        "FROM mysql_monitor.broker_binlog_local GROUP BY day\n",
+        encoding="utf-8",
+    )
+    out = tmp_path / "stores"
+    rc = cli.main([
+        "migrate-ddl", str(script), "--execute",
+        "--data-dir", SF_DIR, "--output-dir", str(out),
+        "--table-map", "mysql_monitor.broker_binlog_local=binlog",
+    ])
+    printed = capsys.readouterr().out
+    assert rc == 0 and "executed db.daily_mv: rows=" in printed
+    got = spark.read.parquet(str(out / "daily_mv"))
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    want = binlog.groupBy(
+        __import__("pyspark.sql.functions", fromlist=["to_date"]).to_date(
+            "execute_time"
+        ).alias("day")
+    ).count()
+    assert got.count() == want.count() > 0
+    assert {r.day: r.n for r in got.collect()} == {
+        r.day: r["count"] for r in want.collect()
+    }
+    # missing --data-dir/--output-dir is a usage error, not a crash
+    assert cli.main(["migrate-ddl", str(script), "--execute"]) == 2

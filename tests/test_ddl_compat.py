@@ -208,3 +208,63 @@ SELECT toDate(ts) AS day, count(*) AS n FROM src GROUP BY day
     _, actions = ddl_compat.migrate_script(script)
     mv = next(a for a in actions if a.kind == "materialized_view")
     assert "rollup_job" in mv.api and "db.store_local" in mv.detail
+
+
+def test_ddl_parse_property_random_shapes():
+    """Property: a generated CREATE TABLE with random identifiers, CH
+    types, case/whitespace noise, comments, and clause subsets parses to
+    exactly the generated structure (names, Spark types, order-by, TTL)."""
+    from hypothesis import given, settings, strategies as st
+
+    ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True)
+    ch_types = st.sampled_from([
+        ("String", "string"), ("UInt8", "int"), ("UInt32", "bigint"),
+        ("UInt64", "bigint"), ("DateTime", "timestamp"), ("Date", "date"),
+        ("Float64", "double"), ("Nullable(String)", "string"),
+        ("LowCardinality(String)", "string"),
+        ("Array(UInt32)", "array<bigint>"), ("Decimal(10, 2)", "decimal(10, 2)"),
+    ])
+    col = st.tuples(ident, ch_types, st.booleans(), st.booleans())
+    ws = st.sampled_from([" ", "\n", "\n    "])
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(col, min_size=1, max_size=6,
+                 unique_by=lambda c: c[0].lower()),
+        st.booleans(),  # backtick names
+        st.booleans(),  # replicated engine
+        st.integers(min_value=0, max_value=3),  # how many order-by cols
+        st.one_of(st.none(), st.integers(min_value=1, max_value=99)),  # ttl
+        ws,
+    )
+    def check(cols, backtick, replicated, n_order, ttl_months, sep):
+        names = [c[0] for c in cols]
+        order = names[: min(n_order, len(names))]
+        q = (lambda n: f"`{n}`") if backtick else (lambda n: n)
+        defs = []
+        for name, (cht, _), with_default, with_comment in cols:
+            d = f"{q(name)} {cht}"
+            if with_default and cht == "String":
+                d += " DEFAULT 'x, y'"  # comma inside literal
+            if with_comment:
+                d += " COMMENT 'c (,) quote'''"
+            defs.append(d)
+        engine = ("ReplicatedMergeTree('/zk/{shard}', '{replica}')"
+                  if replicated else "MergeTree()")
+        sql = (
+            f"CREATE TABLE db.t{sep}({sep}" + f",{sep}".join(defs)
+            + f"{sep}){sep}ENGINE = {engine}"
+        )
+        if order:
+            sql += f"{sep}ORDER BY ({', '.join(q(c) for c in order)})"
+        if ttl_months is not None and cols[0][1][0] == "DateTime":
+            sql += f"{sep}TTL {q(names[0])} + toIntervalMonth({ttl_months})"
+        t = ddl_compat.parse_statement(sql)
+        assert [c.name for c in t.columns] == names
+        assert [c.spark_type for c in t.columns] == [c[1][1] for c in cols]
+        assert t.order_by == tuple(order)
+        assert t.replicated == replicated
+        if ttl_months is not None and cols[0][1][0] == "DateTime":
+            assert t.ttl_months == ttl_months
+
+    check()

@@ -262,6 +262,22 @@ def build_parser() -> argparse.ArgumentParser:
     md.add_argument("--show-sql", action="store_true",
                     help="also print each materialized view's translated "
                     "Spark SQL batch twin in full")
+    md.add_argument("--execute", action="store_true",
+                    help="run each materialized view's batch twin over "
+                    "--data-dir and write its store under --output-dir "
+                    "(the POPULATE backfill, done Spark-side)")
+    md.add_argument("--data-dir", default=None,
+                    help="with --execute: directory of <table>.parquet "
+                    "files; tables register as views and the binlog view "
+                    "is available")
+    md.add_argument("--output-dir", default=None,
+                    help="with --execute: each MV writes parquet to "
+                    "<output-dir>/<view-name>")
+    md.add_argument("--table-map", action="append", default=[],
+                    metavar="CH_NAME=VIEW",
+                    help="with --execute: map a DDL source table name to "
+                    "a registered view (repeatable), e.g. "
+                    "mysql_monitor.broker_binlog_local=binlog")
 
     an = sub.add_parser(
         "analyze",
@@ -300,9 +316,7 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
     if args.cmd == "migrate-ddl":
-        # pure parsing/planning — no SparkSession needed
-        import sys
-
+        # parsing/planning needs no SparkSession; --execute creates one
         from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
             ddl_compat,
         )
@@ -326,6 +340,44 @@ def main(argv: list[str] | None = None) -> int:
                 else:
                     first = " ".join(a.sql.split())[:100]
                     print(f"  batch twin SQL: {first}...")
+        if not args.execute:
+            return 0
+        if not (args.data_dir and args.output_dir):
+            print("migrate-ddl --execute needs --data-dir and --output-dir")
+            return 2
+        from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+        from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
+            ch_compat,
+        )
+
+        spark = get_spark(app_name="binlog-migrate-ddl")
+        for name in schemas.TESTDATA_TABLES:
+            if os.path.exists(f"{args.data_dir}/{name}.parquet"):
+                schemas.load_table(
+                    spark, args.data_dir, name
+                ).createOrReplaceTempView(name)
+        if os.path.exists(f"{args.data_dir}/events.parquet"):
+            schemas.binlog_view(
+                schemas.load_table(spark, args.data_dir, "events")
+            ).createOrReplaceTempView("binlog")
+        table_map = dict(
+            pair.split("=", 1) for pair in args.table_map
+        )
+        # the POPULATE backfill: each MV's batch twin runs once and
+        # writes its store (a Summing store's state is exactly the
+        # twin's full-history aggregate — merged, not partial)
+        for o in objects:
+            if not isinstance(o, ddl_compat.MatViewDdl):
+                continue
+            dest = f"{args.output_dir}/{o.name}"
+            result = spark.sql(
+                ch_compat.translate(o.select_ch, table_map=table_map)
+            )
+            result.write.mode("overwrite").parquet(dest)
+            print(
+                f"executed {o.full_name}: "
+                f"rows={spark.read.parquet(dest).count()} -> {dest}"
+            )
         return 0
 
     spark = get_spark(app_name=f"binlog-{args.cmd}")

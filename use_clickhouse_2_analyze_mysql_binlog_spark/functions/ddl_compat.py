@@ -380,7 +380,8 @@ def parse_statement(sql: str):
     ttl_months = ttl_days = None
     if ttl is not None:
         tm = re.fullmatch(
-            r"(?is)\s*\w+\s*\+\s*toInterval(Month|Day)\s*\(\s*(\d+)\s*\)\s*",
+            rf"(?is)\s*{_IDENT}\s*\+\s*toInterval(Month|Day)"
+            r"\s*\(\s*(\d+)\s*\)\s*",
             ttl,
         )
         if not tm:
