@@ -567,3 +567,41 @@ def test_cli_migrate_ddl_execute(spark, tmp_path, capsys):
     }
     # missing --data-dir/--output-dir is a usage error, not a crash
     assert cli.main(["migrate-ddl", str(script), "--execute"]) == 2
+
+
+def test_cli_migrate_ddl_stream(spark, tmp_path, capsys):
+    """migrate-ddl --stream runs one migrated MV as a streaming job
+    (available-now) and publishes the merged Summing store."""
+    script = tmp_path / "setup.sql"
+    script.write_text(
+        "CREATE TABLE db.daily (day Date, event_type String, n UInt64) "
+        "ENGINE = SummingMergeTree() ORDER BY (day, event_type);\n"
+        "CREATE MATERIALIZED VIEW db.daily_mv TO db.daily AS SELECT "
+        "toDate(execute_time) AS day, event_type, count(*) AS n "
+        "FROM mysql_monitor.broker_binlog_local GROUP BY day, event_type\n",
+        encoding="utf-8",
+    )
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    src = str(tmp_path / "fact")
+    binlog.write.parquet(src)
+    out = tmp_path / "stores"
+    rc = cli.main([
+        "migrate-ddl", str(script), "--stream", "db.daily_mv",
+        "--source", src, "--checkpoint", str(tmp_path / "ckpt"),
+        "--output-dir", str(out), "--available-now",
+    ])
+    printed = capsys.readouterr().out
+    assert rc == 0 and "streaming db.daily_mv" in printed
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import rollup_job
+
+    got = rollup_job.read_rollup(spark, str(out / "daily_mv"))
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import rollups
+
+    want = rollups.daily_event_counts(binlog).withColumnRenamed(
+        "event_count", "n"
+    )
+    assert {(str(r.day), r.event_type): r.n for r in got.collect()} == {
+        (str(r.day), r.event_type): r.n for r in want.collect()
+    }
+    # missing required args is a usage error
+    assert cli.main(["migrate-ddl", str(script), "--stream", "db.daily_mv"]) == 2

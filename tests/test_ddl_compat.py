@@ -268,3 +268,124 @@ def test_ddl_parse_property_random_shapes():
             assert t.ttl_months == ttl_months
 
     check()
+
+
+def test_ddl_everyday_idioms():
+    """ORDER BY tuple() (keyless tables) and toYYYYMM/toYYYYMMDD
+    partitioning (the most common CH partition grains) map cleanly."""
+    t = ddl_compat.parse_statement(
+        "CREATE TABLE t (x String) ENGINE = MergeTree() ORDER BY tuple()"
+    )
+    assert t.order_by == ()
+    t = ddl_compat.parse_statement(
+        "CREATE TABLE t (ts DateTime, x String) ENGINE = MergeTree() "
+        "PARTITION BY toYYYYMM(ts) ORDER BY (ts)"
+    )
+    (a,) = [x for x in ddl_compat.plan_actions([t]) if x.kind == "fact_table"]
+    assert "partitionBy month column from toYYYYMM(ts)" in a.detail
+    t = ddl_compat.parse_statement(
+        "CREATE TABLE t (ts DateTime) ENGINE = MergeTree() "
+        "PARTITION BY toYYYYMMDD(ts) ORDER BY (ts)"
+    )
+    (a,) = ddl_compat.plan_actions([t])
+    assert "partitionBy day column from toYYYYMMDD(ts)" in a.detail
+    with pytest.raises(ValueError, match="PARTITION BY"):
+        ddl_compat.plan_actions([ddl_compat.parse_statement(
+            "CREATE TABLE t (ts DateTime) ENGINE = MergeTree() "
+            "PARTITION BY intHash32(ts) ORDER BY (ts)"
+        )])
+
+
+def test_split_statements_comment_and_literal_hazards():
+    """An apostrophe inside a '--' comment must not open a phantom
+    literal (it used to swallow the next statement), and ';' / '--'
+    inside real literals must not split/truncate."""
+    script = (
+        "-- don't partition this one\n"
+        "CREATE TABLE a (x String COMMENT 'has -- dashes; and a ;') "
+        "ENGINE = MergeTree() ORDER BY tuple();\n"
+        "-- it's the user's note\n"
+        "CREATE TABLE b (y String) ENGINE = MergeTree() ORDER BY tuple()\n"
+    )
+    stmts = ddl_compat.split_statements(script)
+    assert len(stmts) == 2
+    a = ddl_compat.parse_statement(stmts[0])
+    assert a.columns[0].comment == "has -- dashes; and a ;"
+    assert ddl_compat.parse_statement(stmts[1]).name == "b"
+
+
+def test_mv_stream_spec_and_loud_paths():
+    objects, _ = ddl_compat.migrate_script(SCRIPT)
+    spec = ddl_compat.mv_stream_spec(objects, "daily_count_mv")
+    assert spec["keys"] == ("day", "event_type")
+    assert spec["metrics"] == ("event_count",)
+    # the MV's source table now reads from the per-epoch batch view
+    assert "__mv_source__" in spec["select_sql"]
+    assert "broker_binlog_local" not in spec["select_sql"]
+    with pytest.raises(ValueError, match="no MATERIALIZED VIEW"):
+        ddl_compat.mv_stream_spec(objects, "nope")
+    # an MV without a Summing target cannot stream
+    objs2, _ = ddl_compat.migrate_script(
+        "CREATE MATERIALIZED VIEW mv TO tgt AS SELECT 1 AS x"
+    )
+    with pytest.raises(ValueError, match="SummingMergeTree TO-target"):
+        ddl_compat.mv_stream_spec(objs2, "mv")
+
+
+def test_migrated_mv_streams_and_matches_batch(spark, tmp_path):
+    """A migrated CH MATERIALIZED VIEW with count + sum metrics runs as a
+    streaming job (per-micro-batch select + eager Summing merge) and its
+    final published store equals the batch truth — including a
+    checkpoint-replay restart that must not double-sum."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import rollup_job
+
+    script = """
+CREATE TABLE db.store (day Date, event_type String, event_count UInt64, rows_sum UInt64)
+ENGINE = SummingMergeTree() ORDER BY (day, event_type);
+CREATE MATERIALIZED VIEW db.mv TO db.store AS
+SELECT toDate(execute_time) AS day, event_type,
+       count(*) AS event_count,
+       sum(single_statement_affected_rows) AS rows_sum
+FROM mysql_monitor.broker_binlog_local
+GROUP BY day, event_type
+"""
+    objects, _ = ddl_compat.migrate_script(script)
+    spec = ddl_compat.mv_stream_spec(objects, "db.mv")
+    assert spec["metrics"] == ("event_count", "rows_sum")
+
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    src = str(tmp_path / "src")
+    binlog.write.parquet(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(binlog.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = rollup_job.run_mv_rollup_stream(
+            stream, spec["select_sql"], store, ckpt,
+            keys=spec["keys"], metrics=spec["metrics"],
+            source_view=spec["source_view"], available_now=True,
+        )
+        q.awaitTermination(180)
+
+    run()
+    got = rollup_job.read_rollup(spark, store)
+    binlog.createOrReplaceTempView("b")
+    want = spark.sql(
+        "SELECT to_date(execute_time) AS day, event_type, "
+        "count(*) AS event_count, "
+        "CAST(sum(single_statement_affected_rows) AS BIGINT) AS rows_sum "
+        "FROM b GROUP BY day, event_type"
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    run()  # restart on the same checkpoint: no new input, no double-sum
+    again = rollup_job.read_rollup(spark, store)
+    assert again.exceptAll(want).count() == 0
+    assert want.exceptAll(again).count() == 0

@@ -313,3 +313,25 @@ def test_dedup_family_reuses_cached_pair_plan(spark):
     # (dedup_connected_components consumes the same cached pairs too, but
     # its final plan is a driver-built label DataFrame — the union-find
     # fast path — so the reuse is not visible in its plan text.)
+
+
+def test_translated_fold_aggregates_single_shuffle(spark):
+    """The r07 behavioral aggregate translations (sequenceMatch/Count,
+    topK, sumMap) are inline aggregate folds — one hash shuffle on the
+    group key, no joins/windows snuck in by the rewrite."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+    from use_clickhouse_2_analyze_mysql_binlog_spark.functions import ch_compat
+
+    schemas.load_table(spark, SF_DIR, "events").createOrReplaceTempView(
+        "events"
+    )
+    df = spark.sql(ch_compat.translate(
+        "SELECT user_id, "
+        "sequenceCount('(?1).*(?2)')(ts, event_type = 'view', "
+        "event_type = 'click') AS n, "
+        "topK(2)(event_type) AS tk "
+        "FROM events GROUP BY user_id"
+    ))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan

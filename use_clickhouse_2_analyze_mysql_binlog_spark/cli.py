@@ -278,6 +278,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with --execute: map a DDL source table name to "
                     "a registered view (repeatable), e.g. "
                     "mysql_monitor.broker_binlog_local=binlog")
+    md.add_argument("--stream", default=None, metavar="MV_NAME",
+                    help="run ONE materialized view as a streaming job "
+                    "(CH fires the MV per inserted block; here the "
+                    "translated select runs per micro-batch and each "
+                    "epoch publishes the fully-merged Summing store); "
+                    "needs --source, --checkpoint, --output-dir")
+    md.add_argument("--source", default=None,
+                    help="with --stream: binlog fact-table parquet dir "
+                    "to stream from")
+    md.add_argument("--checkpoint", default=None,
+                    help="with --stream: checkpoint location")
+    md.add_argument("--available-now", action="store_true",
+                    help="with --stream: drain available input then stop")
 
     an = sub.add_parser(
         "analyze",
@@ -340,6 +353,41 @@ def main(argv: list[str] | None = None) -> int:
                 else:
                     first = " ".join(a.sql.split())[:100]
                     print(f"  batch twin SQL: {first}...")
+        if args.stream:
+            if not (args.source and args.checkpoint and args.output_dir):
+                print("migrate-ddl --stream needs --source, --checkpoint "
+                      "and --output-dir")
+                return 2
+            from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import (
+                BINLOG_EVENT_SCHEMA,
+            )
+            from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import (
+                rollup_job,
+            )
+
+            spec = ddl_compat.mv_stream_spec(objects, args.stream)
+            spark = get_spark(app_name="binlog-migrate-ddl")
+            stream = (
+                spark.readStream.schema(BINLOG_EVENT_SCHEMA)
+                .parquet(args.source)
+            )
+            store = f"{args.output_dir}/{spec['store_name']}"
+            print(
+                f"streaming {args.stream} -> {store} "
+                f"keys={list(spec['keys'])} metrics={list(spec['metrics'])}"
+            )
+            q = rollup_job.run_mv_rollup_stream(
+                stream,
+                spec["select_sql"],
+                store,
+                args.checkpoint,
+                keys=spec["keys"],
+                metrics=spec["metrics"],
+                source_view=spec["source_view"],
+                available_now=args.available_now,
+            )
+            q.awaitTermination()
+            return 0
         if not args.execute:
             return 0
         if not (args.data_dir and args.output_dir):
@@ -360,6 +408,10 @@ def main(argv: list[str] | None = None) -> int:
             schemas.binlog_view(
                 schemas.load_table(spark, args.data_dir, "events")
             ).createOrReplaceTempView("binlog")
+        bad = [p for p in args.table_map if "=" not in p]
+        if bad:
+            print(f"--table-map entries need CH_NAME=VIEW form: {bad}")
+            return 2
         table_map = dict(
             pair.split("=", 1) for pair in args.table_map
         )

@@ -261,6 +261,8 @@ def _clause_split(tail: str) -> dict[str, str]:
 
 def _parse_order_by(text: str) -> tuple[str, ...]:
     t = text.strip()
+    if re.fullmatch(r"(?i)tuple\s*\(\s*\)", t):
+        return ()  # CH's keyless-table idiom
     if t.startswith("("):
         t = t[1 : t.rindex(")")]
     cols = []
@@ -423,15 +425,55 @@ def parse_statement(sql: str):
 
 
 def split_statements(script: str) -> list[str]:
-    """Split a DDL script on top-level ';' (quote-aware); '--' line
-    comments are stripped first."""
-    masked, lits = _mask_literals(script)
-    masked = re.sub(r"--[^\n]*", "", masked)
-    return [
-        _unmask(s, lits).strip()
-        for s in masked.split(";")
-        if s.strip()
-    ]
+    """Split a DDL script on ';' outside string literals / backticked
+    identifiers, stripping '--' line comments. One left-to-right scan:
+    regex-masking literals first would let an apostrophe INSIDE a
+    comment (``-- don't``) open a phantom literal that swallows
+    statements, and stripping comments first would truncate a literal
+    containing ``--``."""
+    out: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(script)
+    while i < n:
+        ch = script[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if script[j] == "\\":
+                    j += 2
+                    continue
+                if script[j] == "'":
+                    if j + 1 < n and script[j + 1] == "'":
+                        j += 2  # '' escape
+                        continue
+                    break
+                j += 1
+            cur.append(script[i : min(j + 1, n)])
+            i = j + 1
+            continue
+        if ch == "`":
+            j = script.find("`", i + 1)
+            j = n - 1 if j == -1 else j
+            cur.append(script[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "-" and script[i : i + 2] == "--":
+            j = script.find("\n", i)
+            i = n if j == -1 else j  # the newline itself is kept
+            continue
+        if ch == ";":
+            s = "".join(cur).strip()
+            if s:
+                out.append(s)
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    s = "".join(cur).strip()
+    if s:
+        out.append(s)
+    return out
 
 
 # ------------------------------------------------------------------- plan
@@ -483,23 +525,30 @@ def plan_actions(objects: list) -> list[Action]:
                 f"{c.name} {c.spark_type}" for c in o.columns
             )
             if o.engine_family == "MergeTree":
-                part = ""
-                pm = (
-                    re.fullmatch(
-                        r"(?is)\s*toDate\s*\(\s*(\w+)\s*\)\s*|\s*(\w+)\s*",
-                        o.partition_by or "",
+                part_desc = ""
+                if o.partition_by:
+                    pm = re.fullmatch(
+                        r"(?is)\s*(toDate|toYYYYMM|toYYYYMMDD)\s*\(\s*"
+                        r"(\w+)\s*\)\s*|\s*(\w+)\s*",
+                        o.partition_by,
                     )
-                    if o.partition_by
-                    else None
-                )
-                if o.partition_by and not pm:
-                    raise ValueError(
-                        f"{o.full_name}: PARTITION BY {o.partition_by!r} — "
-                        "only toDate(col) / a plain column map to parquet "
-                        "partition columns"
+                    if not pm:
+                        raise ValueError(
+                            f"{o.full_name}: PARTITION BY "
+                            f"{o.partition_by!r} — only toDate/toYYYYMM/"
+                            "toYYYYMMDD(col) / a plain column map to "
+                            "parquet partition columns"
+                        )
+                    grain = {
+                        "todate": "day", "toyyyymm": "month",
+                        "toyyyymmdd": "day", None: "",
+                    }[(pm.group(1) or "").lower() or None]
+                    part_desc = (
+                        f"partitionBy {grain} column from "
+                        f"{o.partition_by.strip()}; "
+                        if grain
+                        else f"partitionBy({pm.group(3)}); "
                     )
-                if pm:
-                    part = pm.group(1) or pm.group(2)
                 actions.append(
                     Action(
                         kind="fact_table",
@@ -507,12 +556,7 @@ def plan_actions(objects: list) -> list[Action]:
                         api="plans.storage.write_fact_table",
                         detail=(
                             f"schema: {schema}; "
-                            + (
-                                f"partitionBy day column from "
-                                f"{'toDate(' + part + ')' if o.partition_by and 'toDate' in o.partition_by else part}; "
-                                if part
-                                else ""
-                            )
+                            + part_desc
                             + f"sortWithinPartitions{o.order_by} (row-group "
                             "min/max stats = sparse-index data skipping)"
                             + (
@@ -622,3 +666,69 @@ def migrate_script(script: str) -> tuple[list, list[Action]]:
     """Parse a whole DDL script -> (objects, actions)."""
     objects = [parse_statement(s) for s in split_statements(script)]
     return objects, plan_actions(objects)
+
+
+def mv_stream_spec(
+    objects: list, mv_name: str, source_view: str = "__mv_source__"
+) -> dict:
+    """Build ``streaming.rollup_job.run_mv_rollup_stream`` arguments for
+    one parsed MATERIALIZED VIEW: keys/metrics come from the resolved
+    Summing target's DDL (ORDER BY / numeric non-key columns — the
+    SummingMergeTree contract), and the select is translated with every
+    non-target table name in the script mapped to ``source_view`` (the
+    per-epoch batch registers under that name)."""
+    tables = {o.full_name: o for o in objects if isinstance(o, TableDdl)}
+    mvs = [o for o in objects if isinstance(o, MatViewDdl)]
+    mv = next(
+        (m for m in mvs if m.full_name == mv_name or m.name == mv_name),
+        None,
+    )
+    if mv is None:
+        raise ValueError(
+            f"no MATERIALIZED VIEW named {mv_name!r} in the script "
+            f"(have: {[m.full_name for m in mvs]})"
+        )
+    target = tables.get(mv.to_target) if mv.to_target else None
+    if target is not None and target.engine_family == "Distributed":
+        target = tables.get(target.distributed_target, target)
+    if target is None or target.engine_family != "SummingMergeTree":
+        raise ValueError(
+            f"{mv.full_name}: streaming requires a resolvable "
+            "SummingMergeTree TO-target (keys/metrics come from its DDL); "
+            "other MVs run as batch twins"
+        )
+    metrics = tuple(target.metric_columns())
+    if not metrics:
+        raise ValueError(
+            f"{target.full_name}: no numeric non-key columns to sum — "
+            "not a meaningful Summing store"
+        )
+    # every FROM/JOIN source in the MV select IS the stream in streaming
+    # mode (CH fires the MV per block inserted into its source table), so
+    # each one maps to the per-epoch batch view — except the target
+    # itself. Position-restricted (FROM/JOIN only — a blanket rename
+    # could clobber an identically-named column), and a BARE name is
+    # only rewritten when the script defines that table (`EXTRACT(YEAR
+    # FROM ts)`-style column refs after the FROM keyword must survive).
+    select_ch = mv.select_ch
+    skip = {target.full_name, mv.to_target or ""}
+    bare_tables = {t.name for t in tables.values()}
+
+    def _src_repl(m: re.Match) -> str:
+        name = ".".join(_unquote(p) for p in re.findall(_IDENT, m.group(2)))
+        if name in skip or ("." not in name and name not in bare_tables):
+            return m.group(0)
+        return f"{m.group(1)} {source_view}"
+
+    select_ch = re.sub(
+        rf"(?i)\b(FROM|JOIN)\s+({_QNAME})",
+        _src_repl,
+        select_ch,
+    )
+    return {
+        "select_sql": translate(select_ch),
+        "keys": target.order_by,
+        "metrics": metrics,
+        "source_view": source_view,
+        "store_name": mv.name,
+    }

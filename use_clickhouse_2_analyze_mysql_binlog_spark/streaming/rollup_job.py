@@ -44,6 +44,33 @@ def make_merge_batch(
     for the same reason (a new run's epoch=0 must not overwrite a retained
     old-run snapshot generation)."""
 
+    def partials(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(
+            F.date_format("execute_time", DAY_FMT).alias("day"),
+            *[c for c in keys if c != "day"],
+        ).agg(F.count(F.lit(1)).alias("event_count"))
+
+    return make_mv_merge_batch(
+        spark, rollup_path, partials, keys, ("event_count",), run_id=run_id
+    )
+
+
+def make_mv_merge_batch(
+    spark: SparkSession,
+    rollup_path: str,
+    partials_fn,
+    keys: tuple[str, ...],
+    metrics: tuple[str, ...],
+    run_id: str = "local",
+):
+    """Generalized SummingMergeTree-MV merge body: ``partials_fn(batch)``
+    produces this epoch's partial aggregate rows (in ClickHouse terms,
+    the MV select over the inserted block), and the merge re-sums
+    ``metrics`` over ``keys`` into the published snapshot. Metrics must
+    be sum-mergeable (count / sum — exactly the SummingMergeTree
+    contract; ``summing_merge`` keeps them integral like CH's UInt64
+    metric columns). Same epoch/replay guard as the daily rollup."""
+
     def merge_batch(batch: DataFrame, epoch: int) -> None:
         latest = epochs.read_manifest(rollup_path)
         if (
@@ -52,15 +79,12 @@ def make_merge_batch(
             and epoch <= latest["epoch"]
         ):
             return  # replay of an already-published epoch of THIS run
-        partial = batch.groupBy(
-            F.date_format("execute_time", DAY_FMT).alias("day"),
-            *[c for c in keys if c != "day"],
-        ).agg(F.count(F.lit(1)).alias("event_count"))
+        partial = partials_fn(batch)
         merged = partial
         if latest is not None:
             existing = spark.read.parquet(latest["dir"])
             merged = summing_merge(
-                existing.unionByName(partial), keys=keys, metrics=("event_count",)
+                existing.unionByName(partial), keys=keys, metrics=metrics
             )
         snapshot_dir = f"{rollup_path}/snapshots/{run_id}-{epoch}"
         # coalesce(1) is deliberate and SAFE here, unlike the upsert job's
@@ -104,6 +128,60 @@ def run_daily_rollup_stream(
     )
     writer = (
         binlog_stream.writeStream.queryName("rollup_mv").outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(merge_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_mv_rollup_stream(
+    binlog_stream: DataFrame,
+    select_sql: str,
+    rollup_path: str,
+    checkpoint_path: str,
+    keys: tuple[str, ...],
+    metrics: tuple[str, ...],
+    source_view: str = "__mv_source__",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """A migrated ClickHouse MATERIALIZED VIEW, running as a stream.
+
+    ClickHouse fires the MV select per inserted block and appends the
+    *partial* aggregates to a SummingMergeTree that merges lazily
+    (reference README.md:168-184). Here each micro-batch registers as
+    ``source_view`` and the (translated) MV select runs over it — the
+    per-block partials — then the merge publishes the fully-merged
+    rollup per epoch: the strictly-stronger contract with the same
+    answers. ``select_sql`` must reference ``source_view`` (migrate-ddl
+    maps the MV's source table name) and produce the target store's
+    ``keys`` + ``metrics`` columns; metrics must be count/sum
+    aggregates, the Summing contract.
+
+    Same crash/replay guarantees as :func:`run_daily_rollup_stream`
+    (epoch guard + versioned snapshot + atomic manifest flip).
+    """
+    spark = binlog_stream.sparkSession
+
+    def partials(batch: DataFrame) -> DataFrame:
+        # the temp view registers on the MICRO-BATCH's session (a clone
+        # of the main one) — the select must run there too, or the view
+        # is invisible
+        batch.createOrReplaceTempView(source_view)
+        return batch.sparkSession.sql(select_sql)
+
+    merge_batch = make_mv_merge_batch(
+        spark,
+        rollup_path,
+        partials,
+        keys,
+        metrics,
+        run_id=epochs.run_id_for(checkpoint_path),
+    )
+    writer = (
+        binlog_stream.writeStream.queryName("mv_rollup")
+        .outputMode("append")
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(merge_batch)
     )
