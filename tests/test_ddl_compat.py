@@ -389,3 +389,48 @@ GROUP BY day, event_type
     again = rollup_job.read_rollup(spark, store)
     assert again.exceptAll(want).count() == 0
     assert want.exceptAll(again).count() == 0
+
+
+def test_review_fixes_nested_types_joins_schema():
+    """Post-review regressions: nested type parens parse; MV joins are
+    loud (CH streams only the FROM side); the stream source schema comes
+    from the script's own fact DDL."""
+    t = ddl_compat.parse_statement(
+        "CREATE TABLE t (a Array(Nullable(String)), "
+        "b Nullable(Decimal(18, 4)), c Array(Nullable(Decimal(10, 2)))) "
+        "ENGINE = MergeTree() ORDER BY tuple()"
+    )
+    assert [c.spark_type for c in t.columns] == [
+        "array<string>", "decimal(18, 4)", "array<decimal(10, 2)>",
+    ]
+
+    script = """
+CREATE TABLE db.src (ts DateTime, user_id UInt64, k String) ENGINE = MergeTree() ORDER BY (ts);
+CREATE TABLE db.dims (k String, grp String) ENGINE = MergeTree() ORDER BY (k);
+CREATE TABLE db.store (day Date, n UInt64) ENGINE = SummingMergeTree() ORDER BY (day);
+CREATE MATERIALIZED VIEW db.mv TO db.store AS
+SELECT toDate(ts) AS day, count(*) AS n FROM db.src s JOIN db.dims d ON s.k = d.k GROUP BY day;
+CREATE MATERIALIZED VIEW db.mv2 TO db.store AS
+SELECT toDate(ts) AS day, count(*) AS n FROM db.src GROUP BY day
+"""
+    objects, _ = ddl_compat.migrate_script(script)
+    with pytest.raises(ValueError, match="joins table 'db.dims'"):
+        ddl_compat.mv_stream_spec(objects, "db.mv")
+    spec = ddl_compat.mv_stream_spec(objects, "db.mv2")
+    # schema derived from db.src's DDL, not the engine's binlog default
+    assert spec["source_schema_ddl"] == (
+        "`ts` timestamp, `user_id` bigint, `k` string"
+    )
+    # EXTRACT-style FROM survives; anchor not defined in script -> no
+    # schema, falls back to the binlog default at the CLI
+    objs2, _ = ddl_compat.migrate_script(
+        "CREATE TABLE db.store2 (y UInt16, n UInt64) "
+        "ENGINE = SummingMergeTree() ORDER BY (y);\n"
+        "CREATE MATERIALIZED VIEW db.mv3 TO db.store2 AS SELECT "
+        "EXTRACT(YEAR FROM execute_time) AS y, count(*) AS n "
+        "FROM other.binlog GROUP BY y"
+    )
+    spec3 = ddl_compat.mv_stream_spec(objs2, "db.mv3")
+    assert spec3["source_schema_ddl"] is None
+    assert "EXTRACT(YEAR FROM execute_time)" in spec3["select_sql"]
+    assert "__mv_source__" in spec3["select_sql"]

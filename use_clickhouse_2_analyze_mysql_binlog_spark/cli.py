@@ -367,10 +367,12 @@ def main(argv: list[str] | None = None) -> int:
 
             spec = ddl_compat.mv_stream_spec(objects, args.stream)
             spark = get_spark(app_name="binlog-migrate-ddl")
-            stream = (
-                spark.readStream.schema(BINLOG_EVENT_SCHEMA)
-                .parquet(args.source)
-            )
+            # the source schema comes from the script's own fact-table
+            # DDL when it defines the MV's anchor (columns outside the
+            # default binlog schema would otherwise read as all-NULL
+            # silently); the engine's binlog schema is only a fallback
+            schema = spec["source_schema_ddl"] or BINLOG_EVENT_SCHEMA
+            stream = spark.readStream.schema(schema).parquet(args.source)
             store = f"{args.output_dir}/{spec['store_name']}"
             print(
                 f"streaming {args.stream} -> {store} "

@@ -1734,10 +1734,12 @@ def translate(
                 "change the automaton)"
             )
         steps = [int(s) for s in re.findall(r"\(\?(\d+)\)", pat)]
-        if any(s < 1 or s > n_conds for s in steps):
+        out_of_range = sorted({s for s in steps if s < 1 or s > n_conds})
+        if out_of_range:
+            refs = ", ".join(f"(?{s})" for s in out_of_range)
             raise ValueError(
-                f"{fn}: pattern references condition (?{max(steps)}) "
-                f"but only {n_conds} conditions were given"
+                f"{fn}: pattern references {refs} but conditions are "
+                f"numbered 1..{n_conds}"
             )
         return steps
 
@@ -1832,14 +1834,17 @@ def translate(
 
     # boundingRatio(x, y): slope between the leftmost and rightmost
     # points — (y at max x - y at min x) / (max x - min x), Float64
-    out = _rewrite_calls(
-        out,
-        "boundingRatio",
-        lambda a: (
+    def _bounding_ratio(a):
+        if len(a) != 2:
+            raise ValueError(
+                f"boundingRatio expects (x, y); {len(a)} arguments"
+            )
+        return (
             f"((max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]})) / "
             f"CAST(max({a[0]}) - min({a[0]}) AS DOUBLE))"
-        ),
-    )
+        )
+
+    out = _rewrite_calls(out, "boundingRatio", _bounding_ratio)
 
     # CH transform(x, [from...], [to...][, default]): the enum-decode
     # idiom (the reference's P6 event_type mapping is exactly this shape

@@ -191,9 +191,9 @@ def _split_top_commas(text: str) -> list[str]:
     return out
 
 
-_COL_RE = re.compile(
-    rf"^({_IDENT})\s+([A-Za-z]\w*(?:\s*\([^)]*\))?)"
-    r"(?:\s+(?:DEFAULT|MATERIALIZED|ALIAS)\s+(.*?))??"
+_COL_HEAD = re.compile(rf"^({_IDENT})\s+([A-Za-z]\w*)")
+_COL_TAIL = re.compile(
+    r"^(?:\s+(?:DEFAULT|MATERIALIZED|ALIAS)\s+(.*?))??"
     r"(?:\s+CODEC\s*\([^)]*\))?"
     r"(?:\s+COMMENT\s+(\x00L\d+\x00))?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -209,19 +209,29 @@ def _parse_columns(body: str, lits: list[str]) -> list[ColumnDef]:
                 "not translated (no parquet-side equivalent is chosen "
                 "silently)"
             )
-        m = _COL_RE.match(item)
+        m = _COL_HEAD.match(item)
         if not m:
             raise ValueError(f"cannot parse column definition: {item!r}")
-        name = _unquote(m.group(1))
-        ch_type = _unmask(m.group(2).strip(), lits)
+        # type arguments are taken with a balanced scan, not a regex —
+        # nesting like Array(Nullable(Decimal(18, 4))) is everyday DDL
+        pos = m.end()
+        rest = item[pos:]
+        stripped = len(rest) - len(rest.lstrip())
+        type_end = pos
+        if rest[stripped : stripped + 1] == "(":
+            type_end = _balanced_span(item, pos + stripped)
+        ch_type = _unmask(item[m.start(2) : type_end] or m.group(2), lits)
+        t = _COL_TAIL.match(item[type_end:] if type_end > pos else rest)
+        if not t:
+            raise ValueError(f"cannot parse column definition: {item!r}")
         cols.append(
             ColumnDef(
-                name=name,
-                ch_type=ch_type,
+                name=_unquote(m.group(1)),
+                ch_type=ch_type.strip(),
                 spark_type=_ch_type_to_spark(ch_type),
-                default=_unmask(m.group(3), lits) if m.group(3) else None,
+                default=_unmask(t.group(1), lits) if t.group(1) else None,
                 comment=(
-                    _unmask(m.group(4), lits)[1:-1] if m.group(4) else None
+                    _unmask(t.group(2), lits)[1:-1] if t.group(2) else None
                 ),
             )
         )
@@ -491,10 +501,7 @@ def plan_actions(objects: list) -> list[Action]:
     }
 
     def resolve(name: str | None) -> TableDdl | None:
-        o = by_name.get(name) if name else None
-        if o is not None and o.engine_family == "Distributed":
-            return by_name.get(o.distributed_target, o)
-        return o
+        return _resolve_target(by_name, name)
 
     actions: list[Action] = []
     for o in objects:
@@ -668,15 +675,30 @@ def migrate_script(script: str) -> tuple[list, list[Action]]:
     return objects, plan_actions(objects)
 
 
+def _resolve_target(
+    tables: dict[str, TableDdl], name: str | None
+) -> TableDdl | None:
+    """Follow a Distributed wrapper through to its local table (shared by
+    plan_actions and mv_stream_spec so the resolution rule can't diverge)."""
+    o = tables.get(name) if name else None
+    if o is not None and o.engine_family == "Distributed":
+        return tables.get(o.distributed_target, o)
+    return o
+
+
 def mv_stream_spec(
     objects: list, mv_name: str, source_view: str = "__mv_source__"
 ) -> dict:
     """Build ``streaming.rollup_job.run_mv_rollup_stream`` arguments for
     one parsed MATERIALIZED VIEW: keys/metrics come from the resolved
     Summing target's DDL (ORDER BY / numeric non-key columns — the
-    SummingMergeTree contract), and the select is translated with every
-    non-target table name in the script mapped to ``source_view`` (the
-    per-epoch batch registers under that name)."""
+    SummingMergeTree contract); the MV's FROM table maps to
+    ``source_view`` (the per-epoch batch registers under that name).
+
+    ClickHouse fires an MV only on inserts into its FROM table —
+    JOINed tables are read in full at fire time, NOT streamed — so a
+    select referencing any OTHER table raises rather than silently
+    self-joining micro-batches."""
     tables = {o.full_name: o for o in objects if isinstance(o, TableDdl)}
     mvs = [o for o in objects if isinstance(o, MatViewDdl)]
     mv = next(
@@ -688,9 +710,7 @@ def mv_stream_spec(
             f"no MATERIALIZED VIEW named {mv_name!r} in the script "
             f"(have: {[m.full_name for m in mvs]})"
         )
-    target = tables.get(mv.to_target) if mv.to_target else None
-    if target is not None and target.engine_family == "Distributed":
-        target = tables.get(target.distributed_target, target)
+    target = _resolve_target(tables, mv.to_target)
     if target is None or target.engine_family != "SummingMergeTree":
         raise ValueError(
             f"{mv.full_name}: streaming requires a resolvable "
@@ -703,21 +723,40 @@ def mv_stream_spec(
             f"{target.full_name}: no numeric non-key columns to sum — "
             "not a meaningful Summing store"
         )
-    # every FROM/JOIN source in the MV select IS the stream in streaming
-    # mode (CH fires the MV per block inserted into its source table), so
-    # each one maps to the per-epoch batch view — except the target
-    # itself. Position-restricted (FROM/JOIN only — a blanket rename
-    # could clobber an identically-named column), and a BARE name is
-    # only rewritten when the script defines that table (`EXTRACT(YEAR
-    # FROM ts)`-style column refs after the FROM keyword must survive).
+    # The MV's anchor is its first FROM table; only that name rewrites
+    # to the stream view. Position-restricted (FROM/JOIN only — a
+    # blanket rename could clobber an identically-named column), and a
+    # BARE name only counts as a table when the script defines it
+    # (`EXTRACT(YEAR FROM ts)`-style column refs after the FROM keyword
+    # must survive). Any DIFFERENT table reference is loud: CH reads
+    # JOINed tables in full per fire, which a single-stream rewrite
+    # cannot honor.
     select_ch = mv.select_ch
-    skip = {target.full_name, mv.to_target or ""}
     bare_tables = {t.name for t in tables.values()}
+    anchor: list[str | None] = [None]
 
     def _src_repl(m: re.Match) -> str:
         name = ".".join(_unquote(p) for p in re.findall(_IDENT, m.group(2)))
-        if name in skip or ("." not in name and name not in bare_tables):
-            return m.group(0)
+        if "." not in name and name not in bare_tables:
+            return m.group(0)  # a column/keyword after FROM, not a table
+        if m.group(1).upper() == "JOIN":
+            # CH reads JOINed tables IN FULL per MV fire (even a join
+            # back to the source table sees the stored table, not the
+            # block) — a single-stream rewrite cannot honor that
+            raise ValueError(
+                f"{mv.full_name}: joins table {name!r} — ClickHouse MVs "
+                "stream only the FROM side and read joined tables in "
+                "full per fire; run the batch twin or maintain the join "
+                "input as its own store"
+            )
+        if anchor[0] is None:
+            anchor[0] = name
+        if name != anchor[0]:
+            raise ValueError(
+                f"{mv.full_name}: references table {name!r} besides its "
+                f"anchor {anchor[0]!r}; only the single FROM source "
+                "streams"
+            )
         return f"{m.group(1)} {source_view}"
 
     select_ch = re.sub(
@@ -725,10 +764,19 @@ def mv_stream_spec(
         _src_repl,
         select_ch,
     )
+    src_table = tables.get(anchor[0]) if anchor[0] else None
+    source_schema_ddl = None
+    if src_table is not None and all(
+        c.spark_type is not None for c in src_table.columns
+    ):
+        source_schema_ddl = ", ".join(
+            f"`{c.name}` {c.spark_type}" for c in src_table.columns
+        )
     return {
         "select_sql": translate(select_ch),
         "keys": target.order_by,
         "metrics": metrics,
         "source_view": source_view,
         "store_name": mv.name,
+        "source_schema_ddl": source_schema_ddl,
     }
