@@ -434,3 +434,33 @@ SELECT toDate(ts) AS day, count(*) AS n FROM db.src GROUP BY day
     assert spec3["source_schema_ddl"] is None
     assert "EXTRACT(YEAR FROM execute_time)" in spec3["select_sql"]
     assert "__mv_source__" in spec3["select_sql"]
+
+
+def test_split_without_semicolons_and_todate_ttl():
+    """Real bootstrap scripts (the reference README's own blocks)
+    separate statements with blank lines and NO semicolons; two CREATEs
+    used to merge with the LAST ENGINE clause winning — silently wrong.
+    TTL may wrap its column in toDate()."""
+    script = """
+CREATE TABLE db.binlog_local
+( `ts` DateTime, `gtid` String )
+ENGINE = MergeTree()
+PARTITION BY toDate(ts)
+ORDER BY (ts, gtid)
+TTL toDate(ts) + toIntervalMonth(30)
+
+-- wrapper
+CREATE TABLE db.binlog
+( `ts` DateTime, `gtid` String )
+ENGINE = Distributed('c', 'db', 'binlog_local', rand())
+"""
+    objs = [ddl_compat.parse_statement(s)
+            for s in ddl_compat.split_statements(script)]
+    assert [o.engine_family for o in objs] == ["MergeTree", "Distributed"]
+    assert objs[0].ttl_months == 30
+    # a ') CREATE' inside the column list must NOT split (depth guard)
+    one = ddl_compat.split_statements(
+        "CREATE TABLE t (x String DEFAULT 'a',\nCREATE_flag UInt8)\n"
+        "ENGINE = MergeTree() ORDER BY tuple()"
+    )
+    assert len(one) == 1

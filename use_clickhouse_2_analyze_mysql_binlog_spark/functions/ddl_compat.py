@@ -392,8 +392,8 @@ def parse_statement(sql: str):
     ttl_months = ttl_days = None
     if ttl is not None:
         tm = re.fullmatch(
-            rf"(?is)\s*{_IDENT}\s*\+\s*toInterval(Month|Day)"
-            r"\s*\(\s*(\d+)\s*\)\s*",
+            rf"(?is)\s*(?:toDate\s*\(\s*{_IDENT}\s*\)|{_IDENT})"
+            r"\s*\+\s*toInterval(Month|Day)\s*\(\s*(\d+)\s*\)\s*",
             ttl,
         )
         if not tm:
@@ -436,16 +436,32 @@ def parse_statement(sql: str):
 
 def split_statements(script: str) -> list[str]:
     """Split a DDL script on ';' outside string literals / backticked
-    identifiers, stripping '--' line comments. One left-to-right scan:
-    regex-masking literals first would let an apostrophe INSIDE a
-    comment (``-- don't``) open a phantom literal that swallows
-    statements, and stripping comments first would truncate a literal
-    containing ``--``."""
+    identifiers, stripping '--' line comments. A line STARTING with
+    CREATE (outside parens) also opens a new statement: real bootstrap
+    scripts (the reference README's own blocks) separate statements
+    with blank lines and no semicolons, and without this boundary two
+    CREATEs merge into one whose LAST ENGINE clause wins — silently
+    wrong. One left-to-right scan: regex-masking literals first would
+    let an apostrophe INSIDE a comment (``-- don't``) open a phantom
+    literal that swallows statements, and stripping comments first
+    would truncate a literal containing ``--``."""
     out: list[str] = []
     cur: list[str] = []
+    depth = 0
+    at_line_start = True
     i, n = 0, len(script)
     while i < n:
         ch = script[i]
+        if (
+            at_line_start
+            and depth == 0
+            and re.match(r"(?i)CREATE\s", script[i : i + 7])
+            and "".join(cur).strip()
+        ):
+            out.append("".join(cur).strip())
+            cur = []
+        if ch not in " \t":
+            at_line_start = ch == "\n"
         if ch == "'":
             j = i + 1
             while j < n:
@@ -478,6 +494,10 @@ def split_statements(script: str) -> list[str]:
             cur = []
             i += 1
             continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
         cur.append(ch)
         i += 1
     s = "".join(cur).strip()
