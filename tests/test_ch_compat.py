@@ -2454,3 +2454,39 @@ def test_arg_and_any_if_combinators_execute(spark):
         ch_compat.translate("SELECT argMaxIf(a, b) FROM t")
     with pytest.raises(ValueError, match="anyIf"):
         ch_compat.translate("SELECT anyIf(a) FROM t")
+
+
+def test_geo_datename_uuid_misc_batch(spark):
+    """Round-7 close-out scalar batch: greatCircleDistance (6371 km
+    sphere haversine — Paris-London ~343.5 km), dateName parts,
+    formatReadableDecimalSize (1000-base), toRelativeHour/Minute/
+    SecondNum, toUUIDOrNull validation, simpleJSON* aliases,
+    randUniform/randNormal parameter contracts."""
+    def run(sel):
+        return spark.sql(ch_compat.translate(f"SELECT {sel}")).collect()[0][0]
+
+    km = run("greatCircleDistance(2.3522, 48.8566, -0.1276, 51.5072)") / 1000
+    assert abs(km - 343.5) < 1.0
+    assert run("formatReadableDecimalSize(1234567)") == "1.23 MB"
+    assert run("toRelativeHourNum(TIMESTAMP'1970-01-02 01:00:00')") == 25
+    assert run("toRelativeMinuteNum(TIMESTAMP'1970-01-01 00:02:30')") == 2
+    assert run("dateName('month', DATE'2024-03-05')") == "March"
+    assert run("dateName('weekday', DATE'2024-03-05')") == "Tuesday"
+    assert run("dateName('day', DATE'2024-03-05')") == "5"
+    assert run(
+        "toUUIDOrNull('61f0c404-5CB3-11E7-907B-A6006AD3DBA0')"
+    ) == "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+    assert run("toUUIDOrNull('nope')") is None
+    assert run(
+        'simpleJSONExtractString(\'{"k": "v"}\', \'k\')'
+    ) == "v"
+    u = run("randUniform(5, 6)")
+    assert 5 <= u < 6
+    assert abs(run("randNormal(100, 0.001)") - 100) < 1
+    # loud paths
+    with pytest.raises(ValueError, match="dateName"):
+        ch_compat.translate("SELECT dateName('era', d) FROM t")
+    with pytest.raises(ValueError, match="greatCircleDistance"):
+        ch_compat.translate("SELECT greatCircleDistance(a, b) FROM t")
+    # geoDistance's ellipsoid variant stays untouched (loud in Spark)
+    assert "geoDistance" in ch_compat.translate("SELECT geoDistance(a,b,c,d)")

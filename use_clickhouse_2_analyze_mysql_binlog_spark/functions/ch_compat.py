@@ -134,7 +134,12 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   ``uniqHLL12``/``uniqCombined64`` approx aliases, ``age`` (elapsed
   complete units — Spark's native ``timestampdiff``, vs ``dateDiff``'s
   boundary crossings), ``timeSlot``/``toStartOfTen/FifteenMinutes``,
-  ``monthName``, ``toISOWeek``; round-7 second batch: the
+  ``monthName``, ``toISOWeek``, ``dateName`` (literal parts),
+  ``toRelativeHour/Minute/SecondNum``, ``greatCircleDistance``
+  (6371 km-sphere haversine; ``geoDistance``'s ellipsoid variant stays
+  loud), ``formatReadableDecimalSize``, ``toUUIDOrNull``,
+  ``randUniform/randNormal``, the ``simpleJSON*`` aliases of
+  ``visitParam*``; round-7 second batch: the
   ``to<T>OrNull``/``to<T>OrZero`` conversion families (exactly ANSI
   ``try_cast`` / ``coalesce(try_cast, default)``), ``toDecimal32/64/
   128`` (precision from the CH width), the URL family (``protocol/
@@ -2544,6 +2549,18 @@ def translate(
         lambda a: f"datediff({a[0]}, DATE '1970-01-01')",
     )
     out = _rewrite_calls(
+        out, "toRelativeHourNum",
+        lambda a: f"(unix_timestamp({a[0]}) div 3600)",
+    )
+    out = _rewrite_calls(
+        out, "toRelativeMinuteNum",
+        lambda a: f"(unix_timestamp({a[0]}) div 60)",
+    )
+    out = _rewrite_calls(
+        out, "toRelativeSecondNum",
+        lambda a: f"unix_timestamp({a[0]})",
+    )
+    out = _rewrite_calls(
         out, "bitTest",
         lambda a: (
             f"(shiftright(CAST({a[0]} AS BIGINT), "
@@ -2599,6 +2616,52 @@ def translate(
         )
 
     out = _rewrite_calls(out, "formatReadableSize", _format_readable_size)
+
+    def _format_readable_decimal_size(a):
+        b = f"CAST({a[0]} AS DOUBLE)"
+        e = (
+            f"greatest(0, least(6, CAST(floor(log(1000, "
+            f"greatest({b}, 1))) AS INT)))"
+        )
+        units = "array('B', 'KB', 'MB', 'GB', 'TB', 'PB', 'EB')"
+        return (
+            f"format_string('%.2f %s', {b} / pow(1000, {e}), "
+            f"element_at({units}, {e} + 1))"
+        )
+
+    out = _rewrite_calls(
+        out, "formatReadableDecimalSize", _format_readable_decimal_size
+    )
+
+    # greatCircleDistance(lon1, lat1, lon2, lat2) -> meters on the
+    # 6371 km sphere (CH's documented formula); geoDistance's
+    # ellipsoid-corrected variant stays loud rather than diverge by
+    # a fraction of a percent silently
+    def _great_circle(a):
+        if len(a) != 4:
+            raise ValueError(
+                "greatCircleDistance expects (lon1, lat1, lon2, lat2)"
+            )
+        lon1, lat1, lon2, lat2 = a
+        return (
+            f"(2 * 6371000.0D * asin(sqrt("
+            f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+            f"cos(radians({lat1})) * cos(radians({lat2})) * "
+            f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+        )
+
+    out = _rewrite_calls(out, "greatCircleDistance", _great_circle)
+
+    # CH's parameterized random generators; nondeterministic in both
+    # engines, same distribution contracts
+    out = _rewrite_calls(
+        out, "randUniform",
+        lambda a: f"(rand() * (({a[1]}) - ({a[0]})) + ({a[0]}))",
+    )
+    out = _rewrite_calls(
+        out, "randNormal",
+        lambda a: f"(randn() * ({a[1]}) + ({a[0]}))",
+    )
     out = _rewrite_calls(
         out, "isFinite",
         lambda a: (
@@ -2721,18 +2784,25 @@ def translate(
     for _ch, _wrap in (
         ("JSONExtractString", "{0}"),
         ("visitParamExtractString", "{0}"),
+        ("simpleJSONExtractString", "{0}"),  # modern visitParam alias
         ("JSONExtractInt", "CAST({0} AS BIGINT)"),
         ("visitParamExtractInt", "CAST({0} AS BIGINT)"),
+        ("simpleJSONExtractInt", "CAST({0} AS BIGINT)"),
         ("JSONExtractUInt", "CAST({0} AS BIGINT)"),
+        ("simpleJSONExtractUInt", "CAST({0} AS BIGINT)"),
         ("JSONExtractFloat", "CAST({0} AS DOUBLE)"),
+        ("simpleJSONExtractFloat", "CAST({0} AS DOUBLE)"),
         ("JSONExtractBool", "CAST({0} AS BOOLEAN)"),
+        ("simpleJSONExtractBool", "CAST({0} AS BOOLEAN)"),
         ("JSONHas", "({0} IS NOT NULL)"),
+        ("simpleJSONHas", "({0} IS NOT NULL)"),
     ):
         out = _rewrite_calls(
             out, _ch, lambda a, w=_wrap: w.format(_json_path(a)[0])
         )
     out = _rewrite_calls(out, "JSONExtractRaw", _json_raw)
     out = _rewrite_calls(out, "visitParamExtractRaw", _json_raw)
+    out = _rewrite_calls(out, "simpleJSONExtractRaw", _json_raw)
 
     # JSONExtractKeys: object keys, optionally at a compound path
     def _json_keys(a):
@@ -2818,6 +2888,42 @@ def translate(
     out = _rewrite_calls(
         out, "toStartOfFifteenMinutes",
         lambda a: f"window({a[0]}, '15 minutes').start",
+    )
+    # dateName('part', t): String-typed date-part name — month/weekday
+    # give names, the rest give the number as a string (CH contract)
+    def _date_name(a):
+        if len(a) != 2:
+            raise ValueError("dateName expects ('part', date)")
+        m2 = re.fullmatch(r"\x00L(\d+)\x00", a[0].strip())
+        part = (
+            literals[int(m2.group(1))][1:-1] if m2 else a[0].strip("'\" ")
+        ).lower()
+        t = a[1]
+        forms = {
+            "year": f"CAST(year({t}) AS STRING)",
+            "quarter": f"CAST(quarter({t}) AS STRING)",
+            "month": f"date_format({t}, 'MMMM')",
+            "week": f"CAST(weekofyear({t}) AS STRING)",
+            "dayofyear": f"CAST(dayofyear({t}) AS STRING)",
+            "day": f"CAST(day({t}) AS STRING)",
+            "weekday": f"date_format({t}, 'EEEE')",
+            "hour": f"CAST(hour({t}) AS STRING)",
+            "minute": f"CAST(minute({t}) AS STRING)",
+            "second": f"CAST(second({t}) AS STRING)",
+        }
+        if part not in forms:
+            raise ValueError(f"dateName({part!r}) is not translated")
+        return forms[part]
+
+    out = _rewrite_calls(out, "dateName", _date_name)
+    # UUID is a string in this engine; OrNull validates the canonical form
+    out = _rewrite_calls(
+        out, "toUUIDOrNull",
+        lambda a: (
+            f"if({a[0]} rlike '^[0-9a-fA-F]{{8}}-[0-9a-fA-F]{{4}}-"
+            f"[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{12}}$', "
+            f"lower({a[0]}), NULL)"
+        ),
     )
     out = _rewrite_calls(
         out, "monthName", lambda a: f"date_format({a[0]}, 'MMMM')"
