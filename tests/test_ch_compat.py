@@ -2490,3 +2490,22 @@ def test_geo_datename_uuid_misc_batch(spark):
         ch_compat.translate("SELECT greatCircleDistance(a, b) FROM t")
     # geoDistance's ellipsoid variant stays untouched (loud in Spark)
     assert "geoDistance" in ch_compat.translate("SELECT geoDistance(a,b,c,d)")
+
+
+def test_array_combinators_execute(spark):
+    """-Array combinators apply the aggregate to ALL elements of the
+    group's arrays; sumDistinct and sumCount round out the family."""
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT sumArray(a) AS s, minArray(a) AS mn, maxArray(a) AS mx, "
+        "avgArray(a) AS av, uniqArray(a) AS u, "
+        "groupArrayArray(a) AS ga, groupUniqArrayArray(a) AS gu, "
+        "sumDistinct(x) AS sd, sumCount(x) AS sc "
+        "FROM (SELECT stack(2, array(1, 2), 5, array(2, 4), 5) AS (a, x))",
+    ).collect()[0]
+    assert (row.s, row.mn, row.mx, row.av) == (9.0, 1, 4, 2.25)
+    assert row.u == 3  # {1, 2, 4}
+    assert sorted(row.ga) == [1, 2, 2, 4]
+    assert sorted(row.gu) == [1, 2, 4]
+    assert row.sd == 5  # 5 appears twice, summed once
+    assert (row.sc.sum, row.sc["count"]) == (10, 2)

@@ -291,6 +291,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with --stream: checkpoint location")
     md.add_argument("--available-now", action="store_true",
                     help="with --stream: drain available input then stop")
+    md.add_argument("--metrics", default=None,
+                    help="with --stream: append per-epoch query metrics "
+                    "JSONL here (same dashboard feed as the other "
+                    "streaming commands)")
 
     an = sub.add_parser(
         "analyze",
@@ -367,6 +371,12 @@ def main(argv: list[str] | None = None) -> int:
 
             spec = ddl_compat.mv_stream_spec(objects, args.stream)
             spark = get_spark(app_name="binlog-migrate-ddl")
+            if args.metrics:
+                from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import (
+                    metrics,
+                )
+
+                metrics.attach_metrics(spark, args.metrics)
             # the source schema comes from the script's own fact-table
             # DDL when it defines the MV's anchor (columns outside the
             # default binlog schema would otherwise read as all-NULL

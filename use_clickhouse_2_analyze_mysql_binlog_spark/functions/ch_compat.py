@@ -29,6 +29,10 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   ``mode``;
 - conditional aggregates (``countIf``, ``sumIf``, ``avgIf``,
   ``anyIf/anyLastIf``, ``argMaxIf/argMinIf`` via NULLed ordering keys);
+- ``-Array`` combinators (``sumArray/minArray/maxArray/avgArray`` over
+  all elements, ``uniq(Exact)Array`` exact distinct,
+  ``groupArrayArray``/``groupUniqArrayArray`` flattens),
+  ``sumDistinct``, ``sumCount`` -> ``struct(sum, count)``;
 - ``uniq``/``uniqExact`` -> ``approx_count_distinct``/``count(DISTINCT)``
   (preserving the approximate-vs-exact contract);
 - the CH DateTime-difference idiom ``max(ts) - min(ts)`` (CH DateTime
@@ -1836,6 +1840,38 @@ def translate(
     out = _rewrite_calls(out, "sumMap", _agg_map("sum", "sumMap"))
     out = _rewrite_calls(out, "minMap", _agg_map("min", "minMap"))
     out = _rewrite_calls(out, "maxMap", _agg_map("max", "maxMap"))
+
+    # -Array combinators: the aggregate applies to ALL elements of all
+    # the group's arrays. DOUBLE accumulator for sums (same policy as
+    # arraySum); uniq(Exact)Array's exact-distinct form is stronger
+    # than CH's estimator. NULL-free arrays assumed, like arrayReduce.
+    _dsum = "aggregate({0}, CAST(0 AS DOUBLE), (__s, __x) -> __s + __x)"
+    for _ch, _form in (
+        ("sumArray", "sum(" + _dsum + ")"),
+        ("minArray", "min(array_min({0}))"),
+        ("maxArray", "max(array_max({0}))"),
+        ("avgArray", "(sum(" + _dsum + ") / sum(size({0})))"),
+        ("uniqArray", "size(array_distinct(flatten(collect_list({0}))))"),
+        ("uniqExactArray",
+         "size(array_distinct(flatten(collect_list({0}))))"),
+        ("groupArrayArray", "flatten(collect_list({0}))"),
+        ("groupUniqArrayArray",
+         "array_distinct(flatten(collect_list({0})))"),
+    ):
+        out = _rewrite_calls(
+            out, _ch, lambda a, f=_form: f.replace("{0}", a[0])
+        )
+    out = _rewrite_calls(
+        out, "sumDistinct", lambda a: f"sum(DISTINCT {a[0]})"
+    )
+    # sumCount returns CH's (sum, count) tuple -> a struct, same policy
+    # as sumMap
+    out = _rewrite_calls(
+        out, "sumCount",
+        lambda a: (
+            f"named_struct('sum', sum({a[0]}), 'count', count({a[0]}))"
+        ),
+    )
 
     # boundingRatio(x, y): slope between the leftmost and rightmost
     # points — (y at max x - y at min x) / (max x - min x), Float64
