@@ -539,6 +539,13 @@ def test_cli_migrate_ddl_execute(spark, tmp_path, capsys):
     a data dir with a user-supplied table mapping and writes each store."""
     script = tmp_path / "setup.sql"
     script.write_text(
+        "CREATE TABLE mysql_monitor.broker_binlog_local ("
+        "execute_time DateTime, gtid String, "
+        "INDEX ix_gtid gtid TYPE bloom_filter(0.01) GRANULARITY 4, "
+        "CONSTRAINT c_time CHECK execute_time >= "
+        "toDateTime('1970-01-02 00:00:00'), "
+        "CONSTRAINT c_gtid CHECK length(gtid) < 2"
+        ") ENGINE = MergeTree() ORDER BY (execute_time, gtid);\n"
         "CREATE TABLE db.daily (day Date, n UInt64) "
         "ENGINE = SummingMergeTree() ORDER BY (day);\n"
         "CREATE MATERIALIZED VIEW db.daily_mv TO db.daily AS SELECT "
@@ -554,6 +561,19 @@ def test_cli_migrate_ddl_execute(spark, tmp_path, capsys):
     ])
     printed = capsys.readouterr().out
     assert rc == 0 and "executed db.daily_mv: rows=" in printed
+    # constraint checks ran over the mapped view: the time invariant
+    # holds, the planted length one is violated by every row
+    assert ("constraint mysql_monitor.broker_binlog_local.c_time: "
+            "violations=0" in printed)
+    import re as _re
+
+    m = _re.search(
+        r"constraint mysql_monitor\.broker_binlog_local\.c_gtid: "
+        r"violations=(\d+)", printed)
+    assert m and int(m.group(1)) > 0
+    # the skip-index surfaced its writer mapping in the plan
+    assert "[skip_index] mysql_monitor.broker_binlog_local" in printed
+    assert "bloom_filters={'gtid': 0.01}" in printed
     got = spark.read.parquet(str(out / "daily_mv"))
     binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
     want = binlog.groupBy(

@@ -177,8 +177,8 @@ def test_ddl_loud_paths():
         ("CREATE TABLE t (x String) ENGINE = Kafka()", "no translated"),
         ("CREATE TABLE t (x Point) ENGINE = MergeTree() ORDER BY (x)",
          None),  # unknown type -> flagged at plan time
-        ("CREATE TABLE t (x String, INDEX i x TYPE minmax GRANULARITY 1) "
-         "ENGINE = MergeTree() ORDER BY (x)", "INDEX"),
+        ("CREATE TABLE t (x String, PROJECTION p (SELECT x ORDER BY x)) "
+         "ENGINE = MergeTree() ORDER BY (x)", "PROJECTION"),
         ("CREATE TABLE t (x String, ts DateTime) ENGINE = MergeTree() "
          "ORDER BY (cityHash64(x))", "expression"),
         ("CREATE TABLE t (ts DateTime) ENGINE = MergeTree() ORDER BY (ts) "
@@ -192,6 +192,125 @@ def test_ddl_loud_paths():
         else:
             with pytest.raises(ValueError, match=msg):
                 ddl_compat.parse_statement(bad)
+
+
+def test_skip_indexes_map_to_parquet_analogues():
+    """Data-skipping INDEX defs are performance-only, so every type gets
+    an honest parquet mapping instead of a refusal: bloom_filter -> the
+    writer's real per-column bloom option, minmax/set -> documented
+    subsumption by row-group stats, tokenbf -> documented loss."""
+    tbl = ddl_compat.parse_statement(
+        "CREATE TABLE db.binlog (gtid String, tbl String, msg String, "
+        "ts DateTime, "
+        "INDEX ix_gtid gtid TYPE bloom_filter(0.025) GRANULARITY 4, "
+        "INDEX ix_ts ts TYPE minmax GRANULARITY 1, "
+        "INDEX ix_tbl tbl TYPE set(100) GRANULARITY 4, "
+        "INDEX ix_msg msg TYPE tokenbf_v1(256, 2, 0) GRANULARITY 4, "
+        "INDEX ix_expr lower(gtid) TYPE bloom_filter GRANULARITY 4) "
+        "ENGINE = MergeTree() PARTITION BY toDate(ts) ORDER BY (ts, gtid)"
+    )
+    assert [(i.name, i.itype, i.granularity) for i in tbl.indexes] == [
+        ("ix_gtid", "bloom_filter", 4), ("ix_ts", "minmax", 1),
+        ("ix_tbl", "set", 4), ("ix_msg", "tokenbf_v1", 4),
+        ("ix_expr", "bloom_filter", 4),
+    ]
+    assert tbl.indexes[0].args == ("0.025",)
+    assert tbl.indexes[0].plain_column == "gtid"
+    assert tbl.indexes[4].plain_column is None  # expression
+
+    acts = {a.detail.split(":")[0]: a
+            for a in ddl_compat.plan_actions([tbl])
+            if a.kind == "skip_index"}
+    assert len(acts) == 5
+    bloom = acts["INDEX ix_gtid"]
+    assert bloom.api == "plans.storage.write_fact_table"
+    assert "bloom_filters={'gtid': 0.025}" in bloom.detail
+    assert "min/max" in acts["INDEX ix_ts (ts) TYPE minmax"].detail
+    # ts leads the sort key -> the stronger sorted-stats statement
+    assert "sort key" in acts["INDEX ix_ts (ts) TYPE minmax"].detail
+    assert "dictionary" in acts["INDEX ix_tbl (tbl) TYPE set(100)"].detail
+    tok = acts["INDEX ix_msg (msg) TYPE tokenbf_v1"]
+    assert "no parquet" in tok.api and "scan" in tok.detail
+    assert "materialize" in acts["INDEX ix_expr"].detail
+
+
+def test_constraint_maps_to_violation_check(spark):
+    """CONSTRAINT ... CHECK has no insert gate on append-only parquet;
+    the plan surfaces a runnable translated violation count."""
+    tbl = ddl_compat.parse_statement(
+        "CREATE TABLE db.binlog (sz UInt64, ts DateTime, "
+        "CONSTRAINT c_sz CHECK sz > 0, "
+        "CONSTRAINT c_ts CHECK toDate(ts) >= toDate('2020-01-01')) "
+        "ENGINE = MergeTree() ORDER BY (ts)"
+    )
+    assert [c[0] for c in tbl.constraints] == ["c_sz", "c_ts"]
+    checks = [a for a in ddl_compat.plan_actions([tbl])
+              if a.kind == "constraint_check"]
+    assert len(checks) == 2 and all(a.sql for a in checks)
+    assert "to_date" in checks[1].sql  # went through the translator
+    spark.range(5).selectExpr(
+        "id + 1 AS sz", "timestamp'2024-01-02 03:04:05' AS ts"
+    ).createOrReplaceTempView("binlog")
+    try:
+        for a in checks:
+            assert spark.sql(a.sql).collect()[0].violations == 0
+    finally:
+        spark.catalog.dropTempView("binlog")
+    # unknown CHECK function passes through verbatim (translator
+    # policy) and fails loudly at execution, never silently-wrong
+    bad = ddl_compat.parse_statement(
+        "CREATE TABLE t (x String, CONSTRAINT c CHECK hasToken(x, 'a')) "
+        "ENGINE = MergeTree() ORDER BY (x)"
+    )
+    (bad_check,) = [a for a in ddl_compat.plan_actions([bad])
+                    if a.kind == "constraint_check"]
+    assert "hasToken" in bad_check.sql
+    spark.range(1).selectExpr("'a' AS x").createOrReplaceTempView("t")
+    try:
+        with pytest.raises(Exception, match="hasToken"):
+            spark.sql(bad_check.sql).collect()
+    finally:
+        spark.catalog.dropTempView("t")
+
+
+def test_fact_table_bloom_filter_write(spark, tmp_path):
+    """write_fact_table(bloom_filters=) emits real parquet bloom bytes
+    on a high-cardinality column (the CH point-lookup skip index); the
+    data reads back identically with pushdown on."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.plans import storage
+
+    opts = storage.bloom_filter_options(
+        {"gtid": 0.025, "tbl": None}, ndv={"gtid": 1000}
+    )
+    assert opts == {
+        "parquet.bloom.filter.enabled#gtid": "true",
+        "parquet.bloom.filter.fpp#gtid": "0.025",
+        "parquet.bloom.filter.expected.ndv#gtid": "1000",
+        "parquet.bloom.filter.enabled#tbl": "true",
+    }
+
+    # high-cardinality strings so the chunk is NOT fully
+    # dictionary-encoded (parquet-mr elides the bloom there)
+    df = spark.range(40_000).selectExpr(
+        "timestamp'2024-01-02 03:04:05' AS execute_time",
+        "concat('g-', uuid()) AS gtid",
+        "concat('t', id % 3) AS table",
+        "'db' AS schema",
+    )
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    storage.write_fact_table(df, plain, mode="overwrite")
+    storage.write_fact_table(
+        df, bloomed, mode="overwrite",
+        bloom_filters={"gtid": 0.01}, bloom_ndv={"gtid": 40_000},
+    )
+    import pathlib
+
+    size = lambda p: sum(  # noqa: E731
+        f.stat().st_size for f in pathlib.Path(p).rglob("*.parquet")
+    )
+    assert size(bloomed) > size(plain) + 10_000  # bloom bytes present
+    got = spark.read.parquet(bloomed)
+    assert got.where("gtid LIKE 'g-%'").count() == 40_000
 
 
 def test_distributed_wrapper_resolution():

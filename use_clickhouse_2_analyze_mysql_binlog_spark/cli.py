@@ -442,6 +442,27 @@ def main(argv: list[str] | None = None) -> int:
                 f"executed {o.full_name}: "
                 f"rows={spark.read.parquet(dest).count()} -> {dest}"
             )
+        # CONSTRAINT ... CHECK defs run as data-quality checks over the
+        # same mapped views (0 violations = the CH invariant holds)
+        for o in objects:
+            if not isinstance(o, ddl_compat.TableDdl):
+                continue
+            for cname, cexpr in o.constraints:
+                src = (o.full_name if o.full_name in table_map
+                       else o.name)
+                if not (src in table_map
+                        or spark.catalog.tableExists(o.name)):
+                    print(f"constraint {o.full_name}.{cname}: skipped "
+                          f"(no view for {o.name}; add --table-map)")
+                    continue
+                n = spark.sql(
+                    ch_compat.translate(
+                        f"SELECT count(*) AS violations FROM {src} "
+                        f"WHERE NOT ({cexpr})",
+                        table_map=table_map,
+                    )
+                ).collect()[0].violations
+                print(f"constraint {o.full_name}.{cname}: violations={n}")
         return 0
 
     spark = get_spark(app_name=f"binlog-{args.cmd}")

@@ -34,6 +34,15 @@ module parses it and emits the equivalent Spark-side plan:
   insert-triggered partial-aggregate appends. ``POPULATE`` -> run the
   batch twin once as backfill.
 
+- Data-skipping ``INDEX`` definitions are performance-only (they never
+  change results), so each type maps to its honest parquet analogue
+  instead of refusing: ``bloom_filter(fpp)`` on a column -> a real
+  per-row-group parquet bloom filter (``write_fact_table``'s
+  ``bloom_filters=``, reader pushdown skips row groups on equality);
+  ``minmax`` / ``set(N)`` -> subsumed by row-group min/max stats +
+  dictionary pages; ``tokenbf/ngrambf`` -> documented loss (no parquet
+  token-skipping structure).
+
 Loud policy matches :mod:`ch_compat`: constructs outside the table
 (unknown engines, exotic TTL expressions, projections) raise
 ``ValueError`` rather than translating silently-wrong.
@@ -62,6 +71,24 @@ class ColumnDef:
 
 
 @dataclass
+class IndexDef:
+    """A data-skipping ``INDEX`` definition (performance-only: skip
+    indexes never change query results, so every type gets an honest
+    parquet-side mapping instead of a refusal)."""
+
+    name: str
+    expr: str
+    itype: str  # minmax | set | bloom_filter | tokenbf_v1 | ...
+    args: tuple[str, ...] = ()
+    granularity: int | None = None
+
+    @property
+    def plain_column(self) -> str | None:
+        m = re.fullmatch(rf"\s*({_IDENT})\s*", self.expr)
+        return _unquote(m.group(1)) if m else None
+
+
+@dataclass
 class TableDdl:
     kind = "table"
     database: str | None
@@ -79,6 +106,8 @@ class TableDdl:
     ttl_days: int | None = None
     settings: str | None = None
     distributed_target: str | None = None  # "db.table" for Distributed
+    indexes: list[IndexDef] = field(default_factory=list)
+    constraints: list[tuple[str, str]] = field(default_factory=list)
 
     @property
     def full_name(self) -> str:
@@ -118,7 +147,8 @@ class Action:
     """One migration step: what to build with which package surface."""
 
     kind: str  # fact_table | rollup_store | merge_semantics |
-    #            distributed_noop | materialized_view | retention
+    #            distributed_noop | materialized_view | retention |
+    #            skip_index
     target: str
     api: str  # the package function(s) implementing it
     detail: str
@@ -200,9 +230,53 @@ _COL_TAIL = re.compile(
 )
 
 
-def _parse_columns(body: str, lits: list[str]) -> list[ColumnDef]:
-    cols = []
+_INDEX_DEF = re.compile(
+    rf"(?is)^INDEX\s+({_IDENT})\s+(.+?)\s+TYPE\s+([A-Za-z]\w*)"
+    r"\s*(\(([^)]*)\))?\s*(?:GRANULARITY\s+(\d+))?\s*$"
+)
+
+_CONSTRAINT_DEF = re.compile(
+    rf"(?is)^CONSTRAINT\s+({_IDENT})\s+CHECK\s+(.+)$"
+)
+
+
+def _parse_columns(
+    body: str, lits: list[str]
+) -> tuple[list[ColumnDef], list[IndexDef], list[tuple[str, str]]]:
+    cols: list[ColumnDef] = []
+    indexes: list[IndexDef] = []
+    constraints: list[tuple[str, str]] = []
     for item in _split_top_commas(body):
+        cm = _CONSTRAINT_DEF.match(item)
+        if cm:
+            # CH CONSTRAINT ... CHECK rejects inserts; the append-only
+            # parquet path has no insert gate, so the plan surfaces it
+            # as a runnable data-quality check (violations counted)
+            constraints.append(
+                (_unquote(cm.group(1)), _unmask(cm.group(2), lits).strip())
+            )
+            continue
+        im = _INDEX_DEF.match(item)
+        if im:
+            # data-skipping indexes are performance-only (they never
+            # change results), so each type maps to its honest parquet
+            # analogue in plan_actions instead of failing loudly
+            indexes.append(
+                IndexDef(
+                    name=_unquote(im.group(1)),
+                    expr=_unmask(im.group(2), lits).strip(),
+                    itype=im.group(3).lower(),
+                    args=tuple(
+                        a.strip()
+                        for a in _unmask(im.group(5) or "", lits).split(",")
+                        if a.strip()
+                    ),
+                    granularity=(
+                        int(im.group(6)) if im.group(6) else None
+                    ),
+                )
+            )
+            continue
         if re.match(r"(?i)^(INDEX|PROJECTION|CONSTRAINT)\b", item):
             raise ValueError(
                 f"table-level {item.split()[0].upper()} definitions are "
@@ -235,7 +309,7 @@ def _parse_columns(body: str, lits: list[str]) -> list[ColumnDef]:
                 ),
             )
         )
-    return cols
+    return cols, indexes, constraints
 
 
 def _clause_split(tail: str) -> dict[str, str]:
@@ -312,7 +386,9 @@ def parse_statement(sql: str):
         if rest.lstrip().startswith("("):
             open_idx = rest.index("(")
             close = _balanced_span(rest, open_idx)
-            columns = _parse_columns(rest[open_idx + 1 : close - 1], lits)
+            columns, _, _ = _parse_columns(
+                rest[open_idx + 1 : close - 1], lits
+            )
             rest = rest[close:]
         # inner-store ENGINE/layout clauses and POPULATE may precede AS
         # SELECT; the inner store's layout is the TO-table's job here, so
@@ -355,7 +431,9 @@ def parse_statement(sql: str):
     db, name = _split_name(tb.group(1))
     open_idx = masked.index("(", tb.end() - 1)
     close = _balanced_span(masked, open_idx)
-    columns = _parse_columns(masked[open_idx + 1 : close - 1], lits)
+    columns, indexes, constraints = _parse_columns(
+        masked[open_idx + 1 : close - 1], lits
+    )
     clauses = _clause_split(masked[close:])
 
     if "ENGINE" not in clauses:
@@ -431,6 +509,8 @@ def parse_statement(sql: str):
         ttl_days=ttl_days,
         settings=clauses.get("SETTINGS"),
         distributed_target=distributed_target,
+        indexes=indexes,
+        constraints=constraints,
     )
 
 
@@ -507,6 +587,100 @@ def split_statements(script: str) -> list[str]:
 
 
 # ------------------------------------------------------------------- plan
+
+
+def _skip_index_action(o: TableDdl, ix: IndexDef) -> Action:
+    """Map one data-skipping INDEX to its honest parquet analogue.
+
+    Skip indexes are performance-only — they can never change a query's
+    results — so unlike unknown engines every type gets a mapping, with
+    the skipping power (or its loss) stated plainly:
+
+    - ``bloom_filter(fpp)`` on a plain column -> a real action: parquet
+      per-row-group bloom filters via the fact-table writer's
+      ``bloom_filters=`` option; the reader's pushdown skips row groups
+      on equality literals, the same point-lookup pruning CH gets.
+    - ``minmax`` -> already provided by parquet row-group min/max stats
+      (strongest when the column leads the sort key, like CH).
+    - ``set(N)`` -> subsumed by stats + dictionary pages (parquet
+      readers prune on min/max and dictionary-filter row groups).
+    - ``tokenbf_v1`` / ``ngrambf_v1`` -> no parquet equivalent for
+      token/substring skipping; equality still prunes via stats, but
+      LIKE/hasToken predicates scan. Stated, not silently dropped.
+    """
+    col = ix.plain_column
+    if ix.itype == "bloom_filter" and col is not None:
+        fpp = ix.args[0] if ix.args else "0.01"
+        return Action(
+            kind="skip_index",
+            target=o.full_name,
+            api="plans.storage.write_fact_table",
+            detail=(
+                f"INDEX {ix.name}: bloom_filters={{{col!r}: {fpp}}} -> "
+                "parquet per-row-group bloom filter; reader pushdown "
+                "skips row groups on equality literals (CH point-lookup "
+                "pruning carries over)"
+            ),
+        )
+    if ix.itype == "minmax":
+        where = (
+            "leads the sort key — row groups are range-disjoint"
+            if col is not None and o.order_by and o.order_by[0] == col
+            else "via row-group min/max stats"
+        )
+        return Action(
+            kind="skip_index",
+            target=o.full_name,
+            api="(no-op: parquet row-group statistics)",
+            detail=(
+                f"INDEX {ix.name} ({ix.expr}) TYPE minmax: parquet "
+                f"already stores min/max per row group ({where}); no "
+                "object to build"
+            ),
+        )
+    if ix.itype == "set":
+        return Action(
+            kind="skip_index",
+            target=o.full_name,
+            api="(no-op: parquet stats + dictionary pages)",
+            detail=(
+                f"INDEX {ix.name} ({ix.expr}) TYPE set"
+                f"({','.join(ix.args)}): low-cardinality skipping is "
+                "subsumed by row-group min/max stats and "
+                "dictionary-page filtering; no object to build"
+            ),
+        )
+    if ix.itype in ("tokenbf_v1", "ngrambf_v1"):
+        return Action(
+            kind="skip_index",
+            target=o.full_name,
+            api="(no parquet equivalent — documented loss)",
+            detail=(
+                f"INDEX {ix.name} ({ix.expr}) TYPE {ix.itype}: parquet "
+                "has no token/n-gram skip structure — LIKE/hasToken "
+                "predicates will scan (equality still prunes via "
+                "stats); consider materializing a token column if this "
+                "predicate is hot"
+            ),
+        )
+    detail = (
+        f"INDEX {ix.name} ({ix.expr}) TYPE {ix.itype}: performance-only "
+        "structure with no parquet analogue chosen; queries stay "
+        "correct, predicate evaluates as a scan filter"
+    )
+    if ix.itype == "bloom_filter":  # expression, not a plain column
+        detail = (
+            f"INDEX {ix.name}: parquet bloom filters attach to physical "
+            f"columns only — materialize {ix.expr!r} as a column to get "
+            "the skipping, otherwise the predicate evaluates as a scan "
+            "filter (results unchanged)"
+        )
+    return Action(
+        kind="skip_index",
+        target=o.full_name,
+        api="(no-op: documented)",
+        detail=detail,
+    )
 
 
 def plan_actions(objects: list) -> list[Action]:
@@ -627,6 +801,32 @@ def plan_actions(objects: list) -> list[Action]:
                             f"schema: {schema}; keys={list(o.order_by)}; "
                             f"{o.engine_family} merge semantics on read"
                         ),
+                    )
+                )
+            for ix in o.indexes:
+                actions.append(_skip_index_action(o, ix))
+            for cname, cexpr in o.constraints:
+                # insert-time rejection has no append-only parquet
+                # gate; the honest mapping is a runnable violation
+                # count (the expression goes through the translator,
+                # which stays loud on untranslatable functions)
+                check = translate(
+                    f"SELECT count(*) AS violations FROM "
+                    f"{o.name} WHERE NOT ({cexpr})"
+                )
+                actions.append(
+                    Action(
+                        kind="constraint_check",
+                        target=o.full_name,
+                        api="spark.sql (data-quality check)",
+                        detail=(
+                            f"CONSTRAINT {cname} CHECK {cexpr}: no "
+                            "insert gate on an append-only table — run "
+                            "as a violation count (0 rows = the CH "
+                            "invariant holds); wire into the ingest "
+                            "job's foreachBatch to reject epochs"
+                        ),
+                        sql=check,
                     )
                 )
             if o.ttl_months is not None or o.ttl_days is not None:

@@ -30,12 +30,45 @@ from pyspark.sql import functions as F
 SORT_KEY = ("execute_time", "gtid", "table", "schema")
 
 
+def bloom_filter_options(
+    bloom_filters: dict[str, float | None],
+    ndv: dict[str, int] | None = None,
+) -> dict[str, str]:
+    """Parquet writer options for per-column bloom filters.
+
+    The Spark-side equivalent of ClickHouse's ``INDEX ... TYPE
+    bloom_filter(fpp)`` skip index: parquet stores a bloom filter per
+    row group and the reader's predicate pushdown skips row groups whose
+    bloom rejects an equality literal — exactly the point-lookup
+    data-skipping the CH index provides for high-cardinality columns
+    (like ``gtid``) where min/max stats don't discriminate.
+
+    ``bloom_filters`` maps column -> false-positive rate (``None`` =
+    parquet's default 0.01). ``ndv`` optionally sizes the filter by
+    expected distinct values per row group; without it parquet caps the
+    filter at ``parquet.bloom.filter.max.bytes`` (1 MiB). Note
+    parquet-mr drops the bloom for chunks that stay fully
+    dictionary-encoded — the dictionary is already an exact filter
+    there, so tiny test writes won't show the bloom bytes.
+    """
+    opts: dict[str, str] = {}
+    for col, fpp in bloom_filters.items():
+        opts[f"parquet.bloom.filter.enabled#{col}"] = "true"
+        if fpp is not None:
+            opts[f"parquet.bloom.filter.fpp#{col}"] = repr(float(fpp))
+        if ndv and col in ndv:
+            opts[f"parquet.bloom.filter.expected.ndv#{col}"] = str(ndv[col])
+    return opts
+
+
 def write_fact_table(
     binlog: DataFrame,
     path: str,
     files_per_day: int = 4,
     mode: str = "append",
     shuffle_partitions: int | None = None,
+    bloom_filters: dict[str, float | None] | None = None,
+    bloom_ndv: dict[str, int] | None = None,
 ) -> None:
     """Write binlog events day-partitioned + clustered by the sort key.
 
@@ -62,12 +95,12 @@ def write_fact_table(
         df = df.repartition(shuffle_partitions, F.col("day"), salt)
     else:
         df = df.repartition(F.col("day"), salt)
-    (
-        df.sortWithinPartitions(*SORT_KEY)
-        .write.mode(mode)
-        .partitionBy("day")
-        .parquet(path)
-    )
+    writer = df.sortWithinPartitions(*SORT_KEY).write.mode(mode)
+    if bloom_filters:
+        writer = writer.options(
+            **bloom_filter_options(bloom_filters, bloom_ndv)
+        )
+    writer.partitionBy("day").parquet(path)
 
 
 def read_fact_table(spark: SparkSession, path: str) -> DataFrame:
