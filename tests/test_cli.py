@@ -544,7 +544,9 @@ def test_cli_migrate_ddl_execute(spark, tmp_path, capsys):
         "INDEX ix_gtid gtid TYPE bloom_filter(0.01) GRANULARITY 4, "
         "CONSTRAINT c_time CHECK execute_time >= "
         "toDateTime('1970-01-02 00:00:00'), "
-        "CONSTRAINT c_gtid CHECK length(gtid) < 2"
+        "CONSTRAINT c_gtid CHECK length(gtid) < 2, "
+        "PROJECTION p_hourly (SELECT toHour(execute_time) AS hour, "
+        "count() AS n GROUP BY toHour(execute_time))"
         ") ENGINE = MergeTree() ORDER BY (execute_time, gtid);\n"
         "CREATE TABLE db.daily (day Date, n UInt64) "
         "ENGINE = SummingMergeTree() ORDER BY (day);\n"
@@ -574,8 +576,22 @@ def test_cli_migrate_ddl_execute(spark, tmp_path, capsys):
     # the skip-index surfaced its writer mapping in the plan
     assert "[skip_index] mysql_monitor.broker_binlog_local" in printed
     assert "bloom_filters={'gtid': 0.01}" in printed
+    # the aggregate projection materialized like an in-table MV and
+    # matches a direct groupBy over the same mapped view
+    assert ("materialized projection "
+            "mysql_monitor.broker_binlog_local.p_hourly" in printed)
+    proj = spark.read.parquet(
+        str(out / "broker_binlog_local__p_hourly")
+    )
     got = spark.read.parquet(str(out / "daily_mv"))
     binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    want_proj = {
+        (r.hour, r.n)
+        for r in binlog.selectExpr("hour(execute_time) AS hour")
+        .groupBy("hour").count()
+        .selectExpr("hour", "count AS n").collect()
+    }
+    assert {(r.hour, r.n) for r in proj.collect()} == want_proj
     want = binlog.groupBy(
         __import__("pyspark.sql.functions", fromlist=["to_date"]).to_date(
             "execute_time"
@@ -587,6 +603,49 @@ def test_cli_migrate_ddl_execute(spark, tmp_path, capsys):
     }
     # missing --data-dir/--output-dir is a usage error, not a crash
     assert cli.main(["migrate-ddl", str(script), "--execute"]) == 2
+
+
+def test_cli_migrate_ddl_stream_projection(spark, tmp_path, capsys):
+    """--stream accepts an aggregate PROJECTION (the in-table MV form)
+    and publishes the merged store, equal to the batch truth."""
+    script = tmp_path / "setup.sql"
+    script.write_text(
+        "CREATE TABLE mysql_monitor.broker_binlog_local ("
+        "event_type String, execute_time DateTime, gtid String, "
+        "single_statement_size UInt64, "
+        "PROJECTION p_by_type (SELECT event_type, count() AS n, "
+        "sum(single_statement_size) AS bytes GROUP BY event_type)) "
+        "ENGINE = MergeTree() ORDER BY (execute_time, gtid)\n",
+        encoding="utf-8",
+    )
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    src = str(tmp_path / "fact")
+    binlog.write.parquet(src)
+    out = tmp_path / "stores"
+    rc = cli.main([
+        "migrate-ddl", str(script), "--stream",
+        "broker_binlog_local.p_by_type",
+        "--source", src, "--checkpoint", str(tmp_path / "ckpt"),
+        "--output-dir", str(out), "--available-now",
+    ])
+    printed = capsys.readouterr().out
+    assert rc == 0 and "broker_binlog_local__p_by_type" in printed
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import (
+        rollup_job,
+    )
+
+    got = rollup_job.read_rollup(
+        spark, str(out / "broker_binlog_local__p_by_type")
+    )
+    from pyspark.sql import functions as F
+
+    want = binlog.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("single_statement_size").alias("bytes"),
+    )
+    assert {(r.event_type, r.n, r.bytes) for r in got.collect()} == {
+        (r.event_type, r.n, r.bytes) for r in want.collect()
+    }
 
 
 def test_cli_migrate_ddl_stream(spark, tmp_path, capsys):

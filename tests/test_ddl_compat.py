@@ -177,8 +177,10 @@ def test_ddl_loud_paths():
         ("CREATE TABLE t (x String) ENGINE = Kafka()", "no translated"),
         ("CREATE TABLE t (x Point) ENGINE = MergeTree() ORDER BY (x)",
          None),  # unknown type -> flagged at plan time
-        ("CREATE TABLE t (x String, PROJECTION p (SELECT x ORDER BY x)) "
-         "ENGINE = MergeTree() ORDER BY (x)", "PROJECTION"),
+        ("CREATE TABLE t (x String, PROJECTION p (x, sum(x))) "
+         "ENGINE = MergeTree() ORDER BY (x)", "PROJECTION"),  # no SELECT
+        ("CREATE TABLE t (x String, PROJECTION p (SELECT ORDER BY x)) "
+         "ENGINE = MergeTree() ORDER BY (x)", "empty select list"),
         ("CREATE TABLE t (x String, ts DateTime) ENGINE = MergeTree() "
          "ORDER BY (cityHash64(x))", "expression"),
         ("CREATE TABLE t (ts DateTime) ENGINE = MergeTree() ORDER BY (ts) "
@@ -271,6 +273,120 @@ def test_constraint_maps_to_violation_check(spark):
             spark.sql(bad_check.sql).collect()
     finally:
         spark.catalog.dropTempView("t")
+
+
+def test_projections_map_by_kind(spark):
+    """PROJECTION defs are performance-only (CH picks them automatically;
+    answers never change), so each shape maps honestly: aggregate ->
+    runnable pre-aggregated batch twin (the in-table MV), sort -> an
+    alternate-sort-key layout, column subset -> documented no-op."""
+    tbl = ddl_compat.parse_statement(
+        "CREATE TABLE db.binlog (gtid String, tbl String, sz UInt64, "
+        "ts DateTime, "
+        "PROJECTION p_by_table (SELECT tbl, count() AS n, "
+        "sum(sz) AS bytes GROUP BY tbl), "
+        "PROJECTION p_by_gtid (SELECT * ORDER BY gtid), "
+        "PROJECTION p_expr_sort (SELECT gtid ORDER BY lower(gtid)), "
+        "PROJECTION p_cols (SELECT gtid, ts)) "
+        "ENGINE = MergeTree() ORDER BY (ts)"
+    )
+    assert [p.name for p in tbl.projections] == [
+        "p_by_table", "p_by_gtid", "p_expr_sort", "p_cols",
+    ]
+    agg, srt, esort, cols = tbl.projections
+    assert agg.group_by == "tbl" and agg.order_by is None
+    assert srt.select_list == "*" and srt.order_key_columns == ("gtid",)
+    assert esort.order_key_columns is None  # expression key
+    assert cols.group_by is None and cols.order_by is None
+
+    acts = [a for a in ddl_compat.plan_actions([tbl])
+            if a.kind == "projection"]
+    assert [a.target for a in acts] == [
+        f"db.binlog.{p.name}" for p in tbl.projections
+    ]
+    agg_a, srt_a, esort_a, cols_a = acts
+    assert "summing_merge" in agg_a.api and "GROUP BY" in agg_a.sql
+    assert "write_fact_table" in srt_a.api and "['gtid']" in srt_a.detail
+    assert "materialize" in esort_a.detail and esort_a.sql is None
+    assert "column pruning" in cols_a.api
+
+    # the aggregate twin went through the translator and is runnable:
+    # it reproduces the projection's content exactly
+    assert "count(*)" in agg_a.sql
+    spark.range(12).selectExpr(
+        "concat('g', id) AS gtid", "concat('t', id % 3) AS tbl",
+        "id AS sz", "timestamp'2024-01-02 03:04:05' AS ts",
+    ).createOrReplaceTempView("binlog")
+    try:
+        got = {
+            (r.tbl, r.n, r.bytes) for r in spark.sql(agg_a.sql).collect()
+        }
+        want = {
+            (r.tbl, r.n, r.bytes)
+            for r in spark.sql(
+                "SELECT tbl, count(*) AS n, sum(sz) AS bytes "
+                "FROM binlog GROUP BY tbl"
+            ).collect()
+        }
+        assert got == want and len(got) == 3
+    finally:
+        spark.catalog.dropTempView("binlog")
+
+
+def test_projection_parse_depth_awareness():
+    """GROUP BY / ORDER BY inside parenthesized calls in the select list
+    must not be taken as the projection's own clauses."""
+    tbl = ddl_compat.parse_statement(
+        "CREATE TABLE t (x String, ts DateTime, "
+        "PROJECTION p (SELECT x, arrayStringConcat(groupArray(x), "
+        "' ORDER BY ') AS joined GROUP BY x ORDER BY x)) "
+        "ENGINE = MergeTree() ORDER BY (ts)"
+    )
+    (pr,) = tbl.projections
+    assert pr.group_by == "x" and pr.order_by == "x"
+    assert "groupArray" in pr.select_list
+    assert pr.batch_twin_ch("t").endswith("FROM t GROUP BY x")
+    # a TOP-LEVEL string literal spelling a clause keyword must not
+    # hijack the clause split either (clauses are found on masked text)
+    tbl2 = ddl_compat.parse_statement(
+        "CREATE TABLE t (x String, "
+        "PROJECTION p (SELECT ' ORDER BY ' AS sep, x GROUP BY x)) "
+        "ENGINE = MergeTree() ORDER BY (x)"
+    )
+    (pr2,) = tbl2.projections
+    assert pr2.order_by is None and pr2.group_by == "x"
+    assert pr2.select_list == "' ORDER BY ' AS sep, x"
+
+
+def test_projection_stream_spec():
+    """An aggregate projection streams through the same rollup machinery
+    as a TO-Summing MV: keys = GROUP BY items (by expression or alias),
+    metrics = count/sum aliases; anything non-sum-mergeable is loud."""
+    objects = [ddl_compat.parse_statement(
+        "CREATE TABLE db.binlog (tbl String, sz UInt64, ts DateTime, "
+        "PROJECTION p_hourly (SELECT tbl, toHour(ts) AS hour, "
+        "count() AS n, sum(sz) AS bytes GROUP BY tbl, toHour(ts)), "
+        "PROJECTION p_sorted (SELECT * ORDER BY tbl), "
+        "PROJECTION p_minmax (SELECT tbl, max(sz) AS mx GROUP BY tbl)) "
+        "ENGINE = MergeTree() ORDER BY (ts)"
+    )]
+    spec = ddl_compat.projection_stream_spec(objects, "binlog.p_hourly")
+    assert spec["keys"] == ("tbl", "hour")
+    assert spec["metrics"] == ("n", "bytes")
+    assert spec["store_name"] == "binlog__p_hourly"
+    assert "hour(" in spec["select_sql"]
+    assert "__mv_source__" in spec["select_sql"]
+    assert "`sz` bigint" in spec["source_schema_ddl"]
+    # the dispatcher finds it too (no MV by that name)
+    assert ddl_compat.stream_spec(objects, "p_hourly")["keys"] == (
+        "tbl", "hour",
+    )
+    with pytest.raises(ValueError, match="not an aggregate projection"):
+        ddl_compat.projection_stream_spec(objects, "p_sorted")
+    with pytest.raises(ValueError, match="neither a GROUP BY key nor"):
+        ddl_compat.projection_stream_spec(objects, "p_minmax")
+    with pytest.raises(ValueError, match="no PROJECTION named"):
+        ddl_compat.projection_stream_spec(objects, "nope")
 
 
 def test_fact_table_bloom_filter_write(spark, tmp_path):

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import sys
 
 from use_clickhouse_2_analyze_mysql_binlog_spark.session import get_spark
@@ -278,12 +279,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with --execute: map a DDL source table name to "
                     "a registered view (repeatable), e.g. "
                     "mysql_monitor.broker_binlog_local=binlog")
-    md.add_argument("--stream", default=None, metavar="MV_NAME",
-                    help="run ONE materialized view as a streaming job "
-                    "(CH fires the MV per inserted block; here the "
-                    "translated select runs per micro-batch and each "
-                    "epoch publishes the fully-merged Summing store); "
-                    "needs --source, --checkpoint, --output-dir")
+    md.add_argument("--stream", default=None, metavar="MV_OR_PROJECTION",
+                    help="run ONE materialized view — or one aggregate "
+                    "PROJECTION (table.name), the in-table MV form — as "
+                    "a streaming job (CH fires it per inserted block; "
+                    "here the translated select runs per micro-batch and "
+                    "each epoch publishes the fully-merged Summing "
+                    "store); needs --source, --checkpoint, --output-dir")
     md.add_argument("--source", default=None,
                     help="with --stream: binlog fact-table parquet dir "
                     "to stream from")
@@ -369,7 +371,9 @@ def main(argv: list[str] | None = None) -> int:
                 rollup_job,
             )
 
-            spec = ddl_compat.mv_stream_spec(objects, args.stream)
+            # an MV name or an aggregate PROJECTION name — projections
+            # are the in-table MV form and stream identically
+            spec = ddl_compat.stream_spec(objects, args.stream)
             spark = get_spark(app_name="binlog-migrate-ddl")
             if args.metrics:
                 from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import (
@@ -463,6 +467,39 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 ).collect()[0].violations
                 print(f"constraint {o.full_name}.{cname}: violations={n}")
+        # aggregate PROJECTIONs are in-table MVs: materialize each one's
+        # batch twin the same way (sort/column projections are layout
+        # advice only — nothing to execute)
+        for o in objects:
+            if not isinstance(o, ddl_compat.TableDdl):
+                continue
+            for pr in o.projections:
+                if pr.group_by is None:
+                    continue
+                src = (o.full_name if o.full_name in table_map
+                       else o.name)
+                if not (src in table_map
+                        or spark.catalog.tableExists(o.name)):
+                    print(f"projection {o.full_name}.{pr.name}: skipped "
+                          f"(no view for {o.name}; add --table-map)")
+                    continue
+                dest = f"{args.output_dir}/{o.name}__{pr.name}"
+                result = spark.sql(
+                    ch_compat.translate(
+                        pr.batch_twin_ch(src), table_map=table_map
+                    )
+                )
+                # unaliased computed items yield names parquet rejects
+                # (parens/spaces); sanitize like CH's own part columns
+                result = result.toDF(*[
+                    re.sub(r"[ ,;{}()\n\t=]", "_", c)
+                    for c in result.columns
+                ])
+                result.write.mode("overwrite").parquet(dest)
+                print(
+                    f"materialized projection {o.full_name}.{pr.name}: "
+                    f"rows={spark.read.parquet(dest).count()} -> {dest}"
+                )
         return 0
 
     spark = get_spark(app_name=f"binlog-{args.cmd}")

@@ -43,9 +43,23 @@ module parses it and emits the equivalent Spark-side plan:
   dictionary pages; ``tokenbf/ngrambf`` -> documented loss (no parquet
   token-skipping structure).
 
+- ``PROJECTION`` definitions (the modern in-table materialized views;
+  also performance-only — CH picks the projection automatically and
+  answers are unchanged) map by kind: an aggregate projection
+  (``SELECT ... GROUP BY ...``) -> a pre-aggregated store with a
+  runnable translated batch twin (``migrate-ddl --execute``
+  materializes it; reads re-aggregate via ``summing_merge``, and
+  ``streaming.rollup_job`` keeps it continuously fresh — the same
+  machinery as a TO-Summing MV); a sort projection (``SELECT ...
+  ORDER BY key``) -> an alternate-sort-key parquet copy
+  (``write_fact_table`` layout; row-group min/max stats prune on the
+  alternate key exactly like the projection's own primary index); a
+  plain column-subset projection -> documented no-op (parquet is
+  columnar, readers already prune columns).
+
 Loud policy matches :mod:`ch_compat`: constructs outside the table
-(unknown engines, exotic TTL expressions, projections) raise
-``ValueError`` rather than translating silently-wrong.
+(unknown engines, exotic TTL expressions, malformed projection
+bodies) raise ``ValueError`` rather than translating silently-wrong.
 """
 
 from __future__ import annotations
@@ -89,6 +103,42 @@ class IndexDef:
 
 
 @dataclass
+class ProjectionDef:
+    """A ``PROJECTION`` definition (performance-only: CH chooses the
+    projection automatically and query answers never change, so every
+    shape gets an honest mapping instead of a refusal).
+
+    ``group_by`` set -> aggregate projection (pre-aggregated copy);
+    ``order_by`` set without ``group_by`` -> sort projection (alternate
+    sort-key copy); neither -> plain column-subset copy."""
+
+    name: str
+    select_list: str
+    group_by: str | None = None
+    order_by: str | None = None
+
+    def batch_twin_ch(self, table: str) -> str:
+        """The projection's defining SELECT as runnable CH SQL over its
+        parent table (projections reference the parent implicitly)."""
+        sql = f"SELECT {self.select_list} FROM {table}"
+        if self.group_by:
+            sql += f" GROUP BY {self.group_by}"
+        return sql
+
+    @property
+    def order_key_columns(self) -> tuple[str, ...] | None:
+        """ORDER BY as plain columns, or None if any item is an
+        expression (no alternate physical layout is chosen silently)."""
+        cols = []
+        for item in _split_top_commas(self.order_by or ""):
+            item = re.sub(r"(?i)\s+(ASC|DESC)$", "", item.strip())
+            if not re.fullmatch(_IDENT, item):
+                return None
+            cols.append(_unquote(item))
+        return tuple(cols)
+
+
+@dataclass
 class TableDdl:
     kind = "table"
     database: str | None
@@ -108,6 +158,7 @@ class TableDdl:
     distributed_target: str | None = None  # "db.table" for Distributed
     indexes: list[IndexDef] = field(default_factory=list)
     constraints: list[tuple[str, str]] = field(default_factory=list)
+    projections: list[ProjectionDef] = field(default_factory=list)
 
     @property
     def full_name(self) -> str:
@@ -148,7 +199,7 @@ class Action:
 
     kind: str  # fact_table | rollup_store | merge_semantics |
     #            distributed_noop | materialized_view | retention |
-    #            skip_index
+    #            skip_index | constraint_check | projection
     target: str
     api: str  # the package function(s) implementing it
     detail: str
@@ -239,13 +290,69 @@ _CONSTRAINT_DEF = re.compile(
     rf"(?is)^CONSTRAINT\s+({_IDENT})\s+CHECK\s+(.+)$"
 )
 
+_PROJECTION_HEAD = re.compile(rf"(?is)^PROJECTION\s+({_IDENT})\s*\(")
+
+
+def _parse_projection(name: str, body: str, lits: list[str]) -> ProjectionDef:
+    """Parse a projection body: ``SELECT <list> [GROUP BY g] [ORDER BY o]``.
+
+    ``body`` arrives literal-MASKED and clauses are located by a
+    depth-aware scan — the select list routinely contains parenthesized
+    calls with their own commas/keywords, and a string literal spelling
+    ``' ORDER BY '`` must never hijack the clause split."""
+    m = re.match(r"(?is)^SELECT\s+(.*)$", body.strip())
+    if not m:
+        raise ValueError(
+            f"PROJECTION {name}: body must be "
+            "'SELECT ... [GROUP BY ...] [ORDER BY ...]'"
+        )
+    rest = m.group(1)
+    kw_re = re.compile(r"(?i)\b(GROUP\s+BY|ORDER\s+BY)\b")
+    hits: list[tuple[int, int, str]] = []
+    depth = 0
+    i = 0
+    while i < len(rest):
+        ch = rest[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0:
+            km = kw_re.match(rest, i)
+            if km:
+                hits.append(
+                    (i, km.end(), re.sub(r"\s+", " ", km.group(1).upper()))
+                )
+                i = km.end()
+                continue
+        i += 1
+    select_list = _unmask((rest[: hits[0][0]] if hits else rest), lits).strip()
+    group_by = order_by = None
+    for j, (_, vstart, kw) in enumerate(hits):
+        vend = hits[j + 1][0] if j + 1 < len(hits) else len(rest)
+        val = _unmask(rest[vstart:vend], lits).strip()
+        if kw == "GROUP BY":
+            group_by = val
+        else:
+            order_by = val
+    if not select_list:
+        raise ValueError(f"PROJECTION {name}: empty select list")
+    return ProjectionDef(
+        name=name, select_list=select_list,
+        group_by=group_by, order_by=order_by,
+    )
+
 
 def _parse_columns(
     body: str, lits: list[str]
-) -> tuple[list[ColumnDef], list[IndexDef], list[tuple[str, str]]]:
+) -> tuple[
+    list[ColumnDef], list[IndexDef], list[tuple[str, str]],
+    list[ProjectionDef],
+]:
     cols: list[ColumnDef] = []
     indexes: list[IndexDef] = []
     constraints: list[tuple[str, str]] = []
+    projections: list[ProjectionDef] = []
     for item in _split_top_commas(body):
         cm = _CONSTRAINT_DEF.match(item)
         if cm:
@@ -277,11 +384,29 @@ def _parse_columns(
                 )
             )
             continue
+        pm = _PROJECTION_HEAD.match(item)
+        if pm:
+            # projections are performance-only (CH picks them
+            # automatically; answers never change) — each shape maps
+            # to its honest analogue in plan_actions
+            close = _balanced_span(item, pm.end() - 1)
+            if item[close:].strip():
+                raise ValueError(
+                    f"PROJECTION: trailing content after body: "
+                    f"{item[close:].strip()!r}"
+                )
+            projections.append(
+                _parse_projection(
+                    _unquote(pm.group(1)),
+                    item[pm.end() : close - 1].strip(),
+                    lits,
+                )
+            )
+            continue
         if re.match(r"(?i)^(INDEX|PROJECTION|CONSTRAINT)\b", item):
             raise ValueError(
-                f"table-level {item.split()[0].upper()} definitions are "
-                "not translated (no parquet-side equivalent is chosen "
-                "silently)"
+                f"table-level {item.split()[0].upper()} definition is "
+                f"malformed or unsupported: {item!r}"
             )
         m = _COL_HEAD.match(item)
         if not m:
@@ -309,7 +434,7 @@ def _parse_columns(
                 ),
             )
         )
-    return cols, indexes, constraints
+    return cols, indexes, constraints, projections
 
 
 def _clause_split(tail: str) -> dict[str, str]:
@@ -386,7 +511,7 @@ def parse_statement(sql: str):
         if rest.lstrip().startswith("("):
             open_idx = rest.index("(")
             close = _balanced_span(rest, open_idx)
-            columns, _, _ = _parse_columns(
+            columns, _, _, _ = _parse_columns(
                 rest[open_idx + 1 : close - 1], lits
             )
             rest = rest[close:]
@@ -431,7 +556,7 @@ def parse_statement(sql: str):
     db, name = _split_name(tb.group(1))
     open_idx = masked.index("(", tb.end() - 1)
     close = _balanced_span(masked, open_idx)
-    columns, indexes, constraints = _parse_columns(
+    columns, indexes, constraints, projections = _parse_columns(
         masked[open_idx + 1 : close - 1], lits
     )
     clauses = _clause_split(masked[close:])
@@ -511,6 +636,7 @@ def parse_statement(sql: str):
         distributed_target=distributed_target,
         indexes=indexes,
         constraints=constraints,
+        projections=projections,
     )
 
 
@@ -683,6 +809,86 @@ def _skip_index_action(o: TableDdl, ix: IndexDef) -> Action:
     )
 
 
+def _projection_action(o: TableDdl, pr: ProjectionDef) -> Action:
+    """Map one PROJECTION to its honest Spark-side analogue.
+
+    Projections are performance-only (CH picks them automatically at
+    query time; answers never change), so every shape gets a mapping:
+
+    - aggregate (``GROUP BY``) -> a pre-aggregated store with a
+      runnable translated batch twin; reads re-aggregate through
+      ``summing_merge`` and ``streaming.rollup_job`` keeps it fresh —
+      the exact machinery already used for TO-Summing MVs (a
+      projection IS the in-table MV form).
+    - sort (``ORDER BY`` only) -> an alternate-sort-key parquet copy
+      via the fact-table writer; row-group min/max stats prune on the
+      alternate key the same way the projection's primary index does.
+    - plain column subset -> no object: parquet is columnar, readers
+      already prune to the selected columns.
+    """
+    target = f"{o.full_name}.{pr.name}"
+    if pr.group_by is not None:
+        return Action(
+            kind="projection",
+            target=target,
+            api=(
+                "spark.sql (batch twin) + operators.rollups."
+                "summing_merge / streaming.rollup_job"
+            ),
+            detail=(
+                f"PROJECTION {pr.name} (aggregate): CH maintains a "
+                f"pre-aggregated copy keyed by {pr.group_by} per "
+                "insert; migrate-ddl --execute materializes the batch "
+                "twin, reads re-aggregate via summing_merge, and the "
+                "streaming rollup keeps it continuously fresh — same "
+                "query answers either way"
+            ),
+            sql=translate(pr.batch_twin_ch(o.name)),
+        )
+    if pr.order_by is not None:
+        cols = pr.order_key_columns
+        if cols:
+            what = (
+                "all columns"
+                if pr.select_list.strip() == "*"
+                else pr.select_list
+            )
+            return Action(
+                kind="projection",
+                target=target,
+                api="plans.storage.write_fact_table (alternate layout)",
+                detail=(
+                    f"PROJECTION {pr.name} (sort): second parquet copy "
+                    f"of {what} sorted by {list(cols)} — row-group "
+                    "min/max stats prune on the alternate key, the "
+                    "same pruning CH gets from the projection's own "
+                    "primary index"
+                ),
+            )
+        return Action(
+            kind="projection",
+            target=target,
+            api="(no-op: documented)",
+            detail=(
+                f"PROJECTION {pr.name} (sort): ORDER BY "
+                f"{pr.order_by!r} is an expression — materialize it as "
+                "a column to get an alternate sorted layout; results "
+                "are unchanged either way (projections are "
+                "performance-only)"
+            ),
+        )
+    return Action(
+        kind="projection",
+        target=target,
+        api="(no-op: parquet column pruning)",
+        detail=(
+            f"PROJECTION {pr.name}: plain column-subset copy — parquet "
+            f"is columnar, so readers already scan only "
+            f"{pr.select_list}; no object to build"
+        ),
+    )
+
+
 def plan_actions(objects: list) -> list[Action]:
     """Map parsed DDL objects onto this engine's surfaces.
 
@@ -805,6 +1011,8 @@ def plan_actions(objects: list) -> list[Action]:
                 )
             for ix in o.indexes:
                 actions.append(_skip_index_action(o, ix))
+            for pr in o.projections:
+                actions.append(_projection_action(o, pr))
             for cname, cexpr in o.constraints:
                 # insert-time rejection has no append-only parquet
                 # gate; the honest mapping is a runnable violation
@@ -904,6 +1112,126 @@ def _resolve_target(
     if o is not None and o.engine_family == "Distributed":
         return tables.get(o.distributed_target, o)
     return o
+
+
+def _projection_keys_metrics(
+    pr: ProjectionDef,
+) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """Derive the store's (keys, metrics) output columns from an
+    aggregate projection's select list.
+
+    CH semantics decide the split: a select item is a KEY iff its
+    expression (or its alias) appears in the projection's GROUP BY;
+    everything else is an aggregate, and only count/sum are
+    sum-mergeable (the Summing/rollup-stream contract) — anything else
+    raises rather than merging wrong."""
+    gb_items = {
+        re.sub(r"\s+", "", g).lower()
+        for g in _split_top_commas(pr.group_by or "")
+    }
+    keys: list[str] = []
+    metrics: list[str] = []
+    for item in _split_top_commas(pr.select_list):
+        am = re.match(rf"(?is)^(.*?)\s+AS\s+({_IDENT})\s*$", item.strip())
+        expr, alias = (
+            (am.group(1).strip(), _unquote(am.group(2)))
+            if am
+            else (item.strip(), None)
+        )
+        norm = re.sub(r"\s+", "", expr).lower()
+        if norm in gb_items or (alias and alias.lower() in gb_items):
+            name = alias or (expr if re.fullmatch(_IDENT, expr) else None)
+            if name is None:
+                raise ValueError(
+                    f"projection {pr.name}: GROUP BY key {expr!r} needs "
+                    "an alias (it names a store column)"
+                )
+            keys.append(_unquote(name))
+        elif re.match(r"(?is)^(sum|count)\s*\(", expr):
+            if alias is None:
+                raise ValueError(
+                    f"projection {pr.name}: aggregate {expr!r} needs an "
+                    "alias (it names a store column)"
+                )
+            metrics.append(alias)
+        else:
+            raise ValueError(
+                f"projection {pr.name}: select item {expr!r} is neither "
+                "a GROUP BY key nor a count/sum aggregate — only "
+                "sum-mergeable projections stream (run the batch twin "
+                "for the rest)"
+            )
+    if not metrics:
+        raise ValueError(
+            f"projection {pr.name}: no count/sum metrics to merge"
+        )
+    return tuple(keys), tuple(metrics)
+
+
+def projection_stream_spec(
+    objects: list, ref: str, source_view: str = "__mv_source__"
+) -> dict:
+    """Build ``run_mv_rollup_stream`` arguments for one aggregate
+    PROJECTION (the in-table MV form): CH maintains the projection per
+    insert into its parent table, which is exactly the rollup stream's
+    contract. ``ref`` is ``proj``, ``table.proj`` or ``db.table.proj``."""
+    cands = []
+    for t in (o for o in objects if isinstance(o, TableDdl)):
+        for pr in t.projections:
+            if ref in (
+                pr.name, f"{t.name}.{pr.name}", f"{t.full_name}.{pr.name}"
+            ):
+                cands.append((t, pr))
+    if not cands:
+        have = [
+            f"{t.full_name}.{pr.name}"
+            for t in objects
+            if isinstance(t, TableDdl)
+            for pr in t.projections
+        ]
+        raise ValueError(
+            f"no PROJECTION named {ref!r} in the script (have: {have})"
+        )
+    if len(cands) > 1:
+        raise ValueError(
+            f"PROJECTION name {ref!r} is ambiguous: "
+            f"{[f'{t.full_name}.{p.name}' for t, p in cands]}"
+        )
+    table, pr = cands[0]
+    if pr.group_by is None:
+        raise ValueError(
+            f"projection {pr.name} is not an aggregate projection "
+            "(no GROUP BY); sort/column projections are layout advice, "
+            "nothing to stream"
+        )
+    keys, metrics = _projection_keys_metrics(pr)
+    source_schema_ddl = None
+    if all(c.spark_type is not None for c in table.columns):
+        source_schema_ddl = ", ".join(
+            f"`{c.name}` {c.spark_type}" for c in table.columns
+        )
+    return {
+        "select_sql": translate(pr.batch_twin_ch(source_view)),
+        "keys": keys,
+        "metrics": metrics,
+        "source_view": source_view,
+        "store_name": f"{table.name}__{pr.name}",
+        "source_schema_ddl": source_schema_ddl,
+    }
+
+
+def stream_spec(
+    objects: list, name: str, source_view: str = "__mv_source__"
+) -> dict:
+    """Resolve ``name`` as a MATERIALIZED VIEW first, then as an
+    aggregate PROJECTION — both stream through the same rollup-job
+    machinery (a projection IS the in-table MV form)."""
+    try:
+        return mv_stream_spec(objects, name, source_view)
+    except ValueError as e:
+        if "no MATERIALIZED VIEW" not in str(e):
+            raise
+        return projection_stream_spec(objects, name, source_view)
 
 
 def mv_stream_spec(
