@@ -1846,7 +1846,6 @@ def test_asof_join_translates(spark):
          "bare '[*]'"),
         ("SELECT b.* FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t",
          "bare '[*]'"),
-        ("SELECT 1 FROM a ASOF JOIN b USING (k, t)", "USING"),
         ("SELECT 1 FROM a ASOF JOIN b ON a.t >= b.t", "equality term"),
         ("SELECT 1 FROM a ASOF JOIN b ON a.k = b.k", "needs an inequality"),
         ("SELECT 1 FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t "
@@ -1988,6 +1987,132 @@ def test_asof_join_vs_duckdb_oracle(spark):
         tuple(r)
         for r in con.execute(
             "SELECT l.lid, r.rv FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_extract_groups_translates(spark):
+    """r07: extractGroups(haystack, 'pattern') -> per-capture-group
+    regexp_extract array, EMPTY array on no match (the CH contract);
+    non-literal patterns and group-less patterns stay loud."""
+    t = ch_compat.translate
+    out = t("SELECT extractGroups(s, '(\\\\w+)=(\\\\w+)') AS g FROM t")
+    assert "regexp_extract(s, '(\\\\w+)=(\\\\w+)', 2)" in out
+    assert "array())" in out  # the no-match branch
+    spark.sql(
+        "SELECT * FROM VALUES ('key=val x=1'), ('nothing here') AS t(s)"
+    ).createOrReplaceTempView("eg_t")
+    rows = {
+        r.s: list(r.g)
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT s, extractGroups(s, '(\\\\w+)=(\\\\w+)') AS g "
+            "FROM eg_t",
+        ).collect()
+    }
+    # first match's groups only; unmatched row -> []
+    assert rows == {"key=val x=1": ["key", "val"], "nothing here": []}
+    with pytest.raises(ValueError, match="string literal"):
+        t("SELECT extractGroups(s, p) FROM t")
+    with pytest.raises(ValueError, match="no capture groups"):
+        t("SELECT extractGroups(s, 'abc') FROM t")
+    with pytest.raises(ValueError, match="2 arguments"):
+        t("SELECT extractGroups(s) FROM t")
+
+
+def test_asof_join_using_translates(spark):
+    """r07: ASOF JOIN ... USING (keys..., t) translates — the right
+    side's USING columns are renamed inside the augmented subquery, so
+    unqualified outer refs resolve to the left side (CH's coalesced
+    output for LEFT/INNER); implicit >= on the last column."""
+    spark.createDataFrame(
+        [(1, "A", 5), (2, "A", 1), (3, "B", 3)],
+        "id int, sym string, ts int",
+    ).createOrReplaceTempView("u_trades")
+    spark.createDataFrame(
+        [("A", 0, 1.0), ("A", 4, 2.0), ("A", 5, 5.0), ("B", 10, 9.0)],
+        "sym string, ts int, bid double",
+    ).createOrReplaceTempView("u_quotes")
+    rows = {
+        (r.id, r.sym, r.ts, r.bid)
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT t.id, sym, ts, q.bid FROM u_trades t "
+            "ASOF LEFT JOIN u_quotes q USING (sym, ts)",
+        ).collect()
+    }
+    # exact-tie matches (ts=5 -> quote at 5), closest-below, unmatched
+    # NULL; sym/ts are the LEFT side's values (the coalesced columns)
+    assert rows == {
+        (1, "A", 5, 5.0), (2, "A", 1, 1.0), (3, "B", 3, None),
+    }
+    inner = {
+        (r.id, r.bid)
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT t.id, q.bid FROM u_trades t "
+            "ASOF INNER JOIN u_quotes q USING (sym, ts)",
+        ).collect()
+    }
+    assert inner == {(1, 5.0), (2, 1.0)}
+
+    t = ch_compat.translate
+    with pytest.raises(ValueError, match="at least 2 columns"):
+        t("SELECT 1 FROM l ASOF JOIN r USING (ts)")
+    with pytest.raises(ValueError, match="plain identifiers"):
+        t("SELECT 1 FROM l ASOF JOIN r USING (k, toDate(ts))")
+    with pytest.raises(ValueError, match="bare '\\*'"):
+        t("SELECT * FROM l ASOF JOIN r USING (k, ts)")
+    # a right-QUALIFIED ref to a USING column no longer exists after
+    # the rename — loud in the analyzer, never silently wrong
+    with pytest.raises(Exception, match="__ch_asof|cannot be resolved|q"):
+        ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT t.id, q.ts FROM u_trades t "
+            "ASOF LEFT JOIN u_quotes q USING (sym, ts)",
+        ).collect()
+
+
+def test_asof_join_using_vs_duckdb_oracle(spark):
+    """The translated ASOF LEFT JOIN USING agrees row-for-row with
+    DuckDB's native ASOF LEFT JOIN USING on seeded data (same implicit
+    >= on the last USING column, same coalesced output)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(41)
+    left = [(rng.randint(0, 5), rng.randint(0, 50), i) for i in range(40)]
+    seen = set()
+    right = []
+    for _ in range(60):
+        k, ts = rng.randint(0, 5), rng.randint(0, 50)
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            right.append((k, ts, len(right)))
+    spark.createDataFrame(left, "k int, ts int, lid int") \
+        .createOrReplaceTempView("dul")
+    spark.createDataFrame(right, "k int, ts int, rv int") \
+        .createOrReplaceTempView("dur")
+    got = sorted(
+        tuple(r)
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT lid, k, ts, r.rv FROM dul AS l "
+            "ASOF LEFT JOIN dur AS r USING (k, ts)",
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k INT, ts INT, lid INT)")
+    con.execute("CREATE TABLE r (k INT, ts INT, rv INT)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", left)
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", right)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT lid, l.k, l.ts, r.rv FROM l ASOF LEFT JOIN r "
             "ON l.k = r.k AND l.ts >= r.ts"
         ).fetchall()
     )
@@ -2354,9 +2479,36 @@ def test_quantile_variant_aliases():
         "percentile(ms, array(0.5, 0.9))"
     )
     assert t("uniqTheta(x)") == "approx_count_distinct(x)"
-    # Deterministic (extra determinator arg) and Weighted stay loud
+    # r07: *Weighted forms -> percentile's 3-arg frequency signature
+    # (exact weighted percentile — the stronger-contract rule)
+    assert t("quantileExactWeighted(0.5)(x, w)") == (
+        "percentile(x, 0.5, w)"
+    )
+    assert t("quantileTimingWeighted(0.95)(ms, n)") == (
+        "percentile(ms, 0.95, n)"
+    )
+    assert t("quantilesTDigestWeighted(0.5, 0.9)(x, w)") == (
+        "percentile(x, array(0.5, 0.9), w)"
+    )
+    # Deterministic (extra determinator arg) stays loud
     assert "quantileDeterministic" in t("quantileDeterministic(0.5)(x, d)")
-    assert "quantileTimingWeighted" in t("quantileTimingWeighted(0.5)(x, w)")
+
+
+def test_quantile_weighted_execute(spark):
+    """Weighted quantile equals the exact percentile over the
+    weight-expanded multiset (cross-checked by literal expansion)."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, 1L), (2, 3L), (10, 1L) AS t(x, w)"
+    ).createOrReplaceTempView("qw_t")
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT quantileExactWeighted(0.5)(x, w) AS p FROM qw_t",
+    ).collect()[0].p
+    want = spark.sql(
+        "SELECT percentile(x, 0.5) AS p FROM "
+        "(SELECT stack(5, 1, 2, 2, 2, 10) AS (x))"
+    ).collect()[0].p
+    assert got == want == 2.0
 
 
 def test_topk_any_heavy_execute(spark):

@@ -97,9 +97,13 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   context; CH itself deprecated these behind
   ``any_join_distinct_right_table_keys`` — the loud message's
   swap-the-tables advice is also CH's own migration path), non-equi
-  ANY ``ON``, ASOF ``USING`` (CH coalesces the columns) and ASOF under
-  a bare-star select list still fail loudly — they change row
-  multiplicity or schema in ways a local rewrite can't express;
+  ANY ``ON`` and ASOF under a bare-star select list still fail loudly
+  — they change row multiplicity or schema in ways a local rewrite
+  can't express. ASOF ``USING (keys..., t)`` translates: the right
+  side's USING columns are RENAMED inside the augmented subquery, so
+  unqualified outer references resolve to the left side alone — CH's
+  coalesced-USING output for LEFT/INNER; right-qualified refs to a
+  USING column fail loudly in the analyzer;
 - CH scalar ``WITH const AS name`` aliases inlined (Spark WITH is
   CTE-only; non-constant items pass through), ``SAMPLE <fraction>`` ->
   ``TABLESAMPLE (pct PERCENT)`` (row-count parity; both sample
@@ -142,6 +146,9 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   ``toRelativeHour/Minute/SecondNum``, ``greatCircleDistance``
   (6371 km-sphere haversine; ``geoDistance``'s ellipsoid variant stays
   loud), ``formatReadableDecimalSize``, ``toUUIDOrNull``,
+  ``extractGroups`` (literal pattern -> enumerated ``regexp_extract``
+  per capture group, empty array on no match; non-literal patterns
+  loud),
   ``randUniform/randNormal``, the ``simpleJSON*`` aliases of
   ``visitParam*``; round-7 second batch: the
   ``to<T>OrNull``/``to<T>OrZero`` conversion families (exactly ANSI
@@ -1004,8 +1011,11 @@ def _rewrite_asof_joins(sql: str) -> str:
     """CH ``ASOF [LEFT|INNER] JOIN`` (both keyword orders) -> right side
     augmented with a per-key lead/lag neighbor of the asof column + an
     equi+range join that matches at most one right row per left row.
-    ``USING`` form (implicit >= on the last column, coalesced output
-    columns) and bare-star select lists fail loudly."""
+    ``USING (keys..., t)`` (implicit ``>=`` on the last column,
+    coalesced output) translates by renaming the right side's USING
+    columns in the augmented subquery — unqualified outer refs then
+    resolve to the left side, which IS the coalesced value for
+    LEFT/INNER. Bare-star select lists fail loudly."""
     pos = 0
     while True:
         m = _ASOF_JOIN_PAT.search(sql, pos)
@@ -1026,18 +1036,6 @@ def _rewrite_asof_joins(sql: str) -> str:
         mk = re.match(r"(ON|USING)\b", sql[k:], re.IGNORECASE)
         if not mk:
             raise ValueError("ASOF JOIN without ON is not translated")
-        if mk.group(1).upper() == "USING":
-            raise ValueError(
-                "ASOF JOIN ... USING is not translated (CH coalesces the "
-                "USING columns in the output; rewrite with an explicit "
-                "ON ... AND l.t >= r.t)"
-            )
-        c = _skip_ws(sql, k + mk.end())
-        clause_end = _on_condition_end(sql, c)
-        cond = sql[c:clause_end].strip()
-        keys, (left_expr, op, asof_col) = _classify_asof_on(
-            cond, out_alias
-        )
         for item in _owning_select_items(sql, m.start()):
             bare = re.match(r"(?is)^(?:DISTINCT\s+|ALL\s+)?\*", item)
             q = re.match(
@@ -1049,6 +1047,68 @@ def _rewrite_asof_joins(sql: str) -> str:
                     "translated (the rewrite adds a helper column the "
                     "star would leak); list the columns explicitly"
                 )
+        if mk.group(1).upper() == "USING":
+            # CH ASOF USING: every column but the last is an equality
+            # key, the LAST is the asof column with an implicit
+            # ``left.t >= right.t``; the USING columns are coalesced in
+            # the output (= the LEFT side's values for LEFT and for
+            # matched INNER rows). Rewrite: RENAME the right side's
+            # USING columns inside the augmented subquery, so an
+            # unqualified outer reference resolves to the left side
+            # alone — exactly the coalesced value. A right-QUALIFIED
+            # reference to a USING column no longer exists and fails
+            # loudly in the analyzer (loud beats silently-wrong).
+            c = _skip_ws(sql, k + mk.end())
+            if c < len(sql) and sql[c] == "(":
+                e = _balanced_paren_end(sql, c)
+                cols_text = sql[c + 1 : e - 1]
+                clause_end = e
+            else:
+                mu = re.match(r"[A-Za-z_]\w*", sql[c:])
+                if not mu:
+                    raise ValueError("cannot parse ASOF USING columns")
+                cols_text = mu.group(0)
+                clause_end = c + mu.end()
+            cols = [x.strip() for x in cols_text.split(",") if x.strip()]
+            if len(cols) < 2:
+                raise ValueError(
+                    "ASOF JOIN USING needs at least 2 columns "
+                    "(equality keys first, the asof column last)"
+                )
+            if not all(re.fullmatch(r"[A-Za-z_]\w*", x) for x in cols):
+                raise ValueError(
+                    "ASOF JOIN USING columns must be plain identifiers"
+                )
+            keys, asof_col = cols[:-1], cols[-1]
+            win_fn, bound_op = _ASOF_NEIGHBOR[">="]
+            renamed = ", ".join(
+                f"{x} AS __ch_asof_u_{x}" for x in cols
+            )
+            augmented = (
+                f"(SELECT * EXCEPT ({', '.join(cols)}), {renamed}, "
+                f"{win_fn}({asof_col}) OVER "
+                f"(PARTITION BY {', '.join(keys)} ORDER BY {asof_col}) "
+                f"AS __ch_asof_nbr FROM {rel} AS __ch_asof_src)"
+            )
+            nbr = f"{out_alias}.__ch_asof_nbr"
+            on_parts = [
+                f"{x} = {out_alias}.__ch_asof_u_{x}" for x in keys
+            ] + [f"{asof_col} >= {out_alias}.__ch_asof_u_{asof_col}"]
+            tail = (
+                f"ON {' AND '.join(on_parts)} AND "
+                f"({nbr} IS NULL OR {asof_col} {bound_op} {nbr})"
+            )
+            join_kw = "LEFT JOIN" if direction == "LEFT" else "JOIN"
+            repl = f"{join_kw} {augmented} AS {out_alias} {tail} "
+            sql = sql[: m.start()] + repl + sql[clause_end:]
+            pos = m.start() + len(repl)
+            continue
+        c = _skip_ws(sql, k + mk.end())
+        clause_end = _on_condition_end(sql, c)
+        cond = sql[c:clause_end].strip()
+        keys, (left_expr, op, asof_col) = _classify_asof_on(
+            cond, out_alias
+        )
         win_fn, bound_op = _ASOF_NEIGHBOR[op]
         part = ", ".join(keys)
         nbr = f"{out_alias}.__ch_asof_nbr"
@@ -1597,8 +1657,22 @@ def translate(
     # engines -> percentile(x, array(p1, p2, ...))
     # Exact/TDigest/Timing/Deterministic/BFloat16 variants all map to the
     # exact percentile — stronger than (or equal to) each CH estimator's
-    # contract. Deterministic's determinator argument and the *Weighted
-    # forms change arity/semantics and stay loud.
+    # contract. The *Weighted forms map to percentile's 3-arg frequency
+    # signature (exact weighted percentile — the same stronger-contract
+    # rule; integral weights in both engines). Deterministic's
+    # determinator argument changes semantics and stays loud.
+    out = re.sub(
+        r"\bquantiles(?:Exact|TDigest|Timing|BFloat16)?Weighted"
+        r"\(([^()]*)\)\s*\(([^()]*),([^()]*)\)",
+        r"percentile(\2, array(\1),\3)",
+        out,
+    )
+    out = re.sub(
+        r"\bquantile(?:Exact|TDigest|Timing|BFloat16)?Weighted"
+        r"\(([^()]*)\)\s*\(([^()]*),([^()]*)\)",
+        r"percentile(\2, \1,\3)",
+        out,
+    )
     out = re.sub(
         r"\bquantiles(?:Exact|TDigest|Timing|BFloat16)?"
         r"\(([^()]*)\)\s*\(([^()]*)\)",
@@ -2168,6 +2242,45 @@ def translate(
 
     out = _rewrite_calls(out, "position", _position)
     out = out.replace("\x01position\x01", "position")
+
+    # CH extractGroups(haystack, pattern): array of the FIRST match's
+    # capture groups ('' per group when unmatched — exactly Spark's
+    # regexp_extract contract). The translation needs the group COUNT at
+    # translate time, so the pattern must be a string literal.
+    def _extract_groups(a):
+        if len(a) != 2:
+            raise ValueError(
+                "extractGroups(haystack, pattern) takes 2 arguments"
+            )
+        m2 = re.fullmatch(r"\x00L(\d+)\x00", a[1].strip())
+        if not m2:
+            raise ValueError(
+                "extractGroups: the pattern must be a string literal "
+                "(the rewrite enumerates its capture groups at "
+                "translate time)"
+            )
+        pat = literals[int(m2.group(1))][1:-1].replace("''", "'")
+        try:
+            n = re.compile(pat).groups
+        except re.error:
+            # re2-only syntax Python can't compile: count unescaped,
+            # non-'(?' capturing parens
+            n = len(re.findall(r"(?<!\\)\((?!\?)", pat))
+        if n == 0:
+            raise ValueError(
+                "extractGroups: the pattern has no capture groups"
+            )
+        parts = ", ".join(
+            f"regexp_extract({a[0]}, {a[1].strip()}, {i})"
+            for i in range(1, n + 1)
+        )
+        # no match -> CH returns the EMPTY array (not n empty strings)
+        return (
+            f"if({a[0]} RLIKE {a[1].strip()}, array({parts}), "
+            f"array())"
+        )
+
+    out = _rewrite_calls(out, "extractGroups", _extract_groups)
     # CH splitByChar(sep, s): note the swapped argument order vs Spark's
     # split(s, pattern); \Q..\E-quote the separator so regex metachars
     # ('|', '.') split literally
