@@ -275,6 +275,36 @@ def test_constraint_maps_to_violation_check(spark):
         spark.catalog.dropTempView("t")
 
 
+def test_ddl_constraints_helper(spark):
+    """ddl_constraints() extracts translated Spark boolean expressions
+    from the script's CONSTRAINT defs, ready for the ingest gate."""
+    objects = [ddl_compat.parse_statement(
+        "CREATE TABLE db.binlog (sz UInt64, ts DateTime, "
+        "CONSTRAINT c_sz CHECK sz > 0, "
+        "CONSTRAINT c_ts CHECK toDate(ts) >= toDate('2020-01-01')) "
+        "ENGINE = MergeTree() ORDER BY (ts)"
+    ), ddl_compat.parse_statement(
+        "CREATE TABLE db.other (x String, CONSTRAINT c_x CHECK "
+        "length(x) < 10) ENGINE = MergeTree() ORDER BY (x)"
+    )]
+    pairs = ddl_compat.ddl_constraints(objects)
+    assert [p[0] for p in pairs] == ["c_sz", "c_ts", "c_x"]
+    assert "to_date" in pairs[1][1]  # went through the translator
+    assert ddl_compat.ddl_constraints(objects, table="db.other") == [
+        ("c_x", "length(x) < 10")
+    ]
+    # the expressions evaluate as Spark boolean exprs
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .selectExpr("5 AS sz", "timestamp'2024-01-02' AS ts")
+        .select(*[F.expr(e).alias(n) for n, e in pairs[:2]])
+        .collect()[0]
+    )
+    assert row.c_sz is True and row.c_ts is True
+
+
 def test_projections_map_by_kind(spark):
     """PROJECTION defs are performance-only (CH picks them automatically;
     answers never change), so each shape maps honestly: aggregate ->

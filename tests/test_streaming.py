@@ -69,6 +69,75 @@ def test_ingest_stream_exactly_once(spark, entries_dir, tmp_path):
     assert spark.read.parquet(sink).count() == expected
 
 
+def test_ingest_constraint_gate_quarantine(spark, entries_dir, tmp_path):
+    """r07: CONSTRAINT gate (the live realization of CH's insert-time
+    CHECK) — violating rows divert to idempotent per-epoch quarantine
+    dirs with _violations naming the failed checks; only passing rows
+    reach the fact table; checkpoint replay adds nothing."""
+    sink = str(tmp_path / "fact")
+    ckpt = str(tmp_path / "ckpt")
+    quar = str(tmp_path / "quarantine")
+    constraints = [
+        ("c_insert_only", "event_type = 'INSERT'"),
+        ("c_nonneg_size", "single_statement_size >= 0"),
+    ]
+    q = ingest_job.run_ingest_stream(
+        _stream_entries(spark, entries_dir), sink, ckpt,
+        available_now=True, constraints=constraints,
+        quarantine_path=quar,
+    )
+    q.awaitTermination(120)
+
+    all_rows = canal_entries_to_binlog(spark.read.parquet(entries_dir))
+    n_pass = all_rows.where("event_type = 'INSERT'").count()
+    n_viol = all_rows.count() - n_pass
+    assert n_pass > 0 and n_viol > 0  # the gate actually splits
+    got = spark.read.parquet(sink)
+    assert got.count() == n_pass
+    assert got.where("event_type <> 'INSERT'").count() == 0
+    qrows = spark.read.parquet(quar)
+    assert qrows.count() == n_viol
+    # only the violated check is named (size is never negative here)
+    assert set(
+        r._violations for r in qrows.select("_violations").distinct()
+        .collect()
+    ) == {"c_insert_only"}
+
+    # replay from checkpoint: no new data -> sink and quarantine stable
+    q2 = ingest_job.run_ingest_stream(
+        _stream_entries(spark, entries_dir), sink, ckpt,
+        available_now=True, constraints=constraints,
+        quarantine_path=quar,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == n_pass
+    assert spark.read.parquet(quar).count() == n_viol
+
+
+def test_ingest_constraint_gate_fail_mode(spark, entries_dir, tmp_path):
+    """on_violation='fail' mirrors CH exactly: the epoch (INSERT block)
+    is rejected and the stream errors out — no partial progress."""
+    q = ingest_job.run_ingest_stream(
+        _stream_entries(spark, entries_dir),
+        str(tmp_path / "fact"), str(tmp_path / "ckpt"),
+        available_now=True,
+        constraints=[("c_insert_only", "event_type = 'INSERT'")],
+        on_violation="fail",
+    )
+    with pytest.raises(Exception, match="insert rejected|c_insert_only"):
+        q.awaitTermination(120)
+
+    # config errors are loud at construction time
+    with pytest.raises(ValueError, match="quarantine_path"):
+        ingest_job.make_constraint_gate(
+            [("c", "1 = 1")], None, "rid", "quarantine"
+        )
+    with pytest.raises(ValueError, match="on_violation"):
+        ingest_job.make_constraint_gate(
+            [("c", "1 = 1")], "/tmp/x", "rid", "explode"
+        )
+
+
 def test_rollup_stream_matches_batch(spark, tmp_path, binlog_df):
     src = str(tmp_path / "binlog_src")
     binlog_df.write.parquet(src)

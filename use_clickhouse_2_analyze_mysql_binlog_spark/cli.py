@@ -83,6 +83,26 @@ def build_parser() -> argparse.ArgumentParser:
         "here (error + raw bytes, idempotent per-epoch) instead of "
         "failing the stream",
     )
+    ing.add_argument(
+        "--ddl-constraints",
+        default=None,
+        metavar="SCRIPT",
+        help="CH DDL script whose CONSTRAINT ... CHECK defs gate the "
+        "stream (the live realization of CH's insert-time rejection)",
+    )
+    ing.add_argument(
+        "--quarantine",
+        default=None,
+        help="with --ddl-constraints: divert violating rows here "
+        "(idempotent per-epoch, _violations names the failed checks)",
+    )
+    ing.add_argument(
+        "--on-violation",
+        choices=("quarantine", "fail"),
+        default="quarantine",
+        help="'fail' rejects the whole epoch like CH rejects the "
+        "INSERT block; 'quarantine' (default) diverts and continues",
+    )
     _add_common(ing)
 
     rep = sub.add_parser(
@@ -531,12 +551,36 @@ def main(argv: list[str] | None = None) -> int:
         entries = canal.decode_packets(
             raw, on_error="route" if args.dead_letter else "fail"
         )
+        constraints = None
+        if args.ddl_constraints:
+            from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
+                ddl_compat,
+            )
+
+            objects = [
+                ddl_compat.parse_statement(s)
+                for s in ddl_compat.split_statements(
+                    open(args.ddl_constraints, encoding="utf-8").read()
+                )
+            ]
+            constraints = ddl_compat.ddl_constraints(objects)
+            if not constraints:
+                print(f"no CONSTRAINT defs in {args.ddl_constraints}")
+                return 2
+            print(
+                "constraint gate: "
+                + ", ".join(name for name, _ in constraints)
+                + f" (on_violation={args.on_violation})"
+            )
         q = ingest_job.run_ingest_stream(
             entries,
             args.sink,
             args.checkpoint,
             available_now=args.available_now,
             dead_letter_path=args.dead_letter,
+            constraints=constraints,
+            quarantine_path=args.quarantine,
+            on_violation=args.on_violation,
         )
     elif args.cmd == "dlq-replay":
         from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import ingest_job

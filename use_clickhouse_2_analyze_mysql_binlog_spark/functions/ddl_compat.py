@@ -1028,11 +1028,12 @@ def plan_actions(objects: list) -> list[Action]:
                         target=o.full_name,
                         api="spark.sql (data-quality check)",
                         detail=(
-                            f"CONSTRAINT {cname} CHECK {cexpr}: no "
-                            "insert gate on an append-only table — run "
-                            "as a violation count (0 rows = the CH "
-                            "invariant holds); wire into the ingest "
-                            "job's foreachBatch to reject epochs"
+                            f"CONSTRAINT {cname} CHECK {cexpr}: run as "
+                            "a violation count (0 rows = the CH "
+                            "invariant holds) and/or gate the live "
+                            "stream with ingest_job.make_constraint_"
+                            "gate via ddl_constraints() — quarantine "
+                            "or CH-style epoch rejection"
                         ),
                         sql=check,
                     )
@@ -1095,6 +1096,33 @@ def plan_actions(objects: list) -> list[Action]:
                     )
                 )
     return actions
+
+
+def constraint_condition_spark(cexpr: str) -> str:
+    """Translate one CH CONSTRAINT CHECK expression to a Spark boolean
+    expression string (row-local by CH rule — no subqueries), for use in
+    ``streaming.ingest_job.make_constraint_gate``."""
+    out = translate(f"SELECT 1 FROM __ch_t__ WHERE {cexpr}")
+    m = re.search(r"(?is)\bWHERE\b(.*)$", out)
+    return m.group(1).strip()
+
+
+def ddl_constraints(
+    objects: list, table: str | None = None
+) -> list[tuple[str, str]]:
+    """All ``(name, spark_boolean_expr)`` CONSTRAINT pairs from parsed
+    DDL objects (optionally one table's), ready for the ingest job's
+    constraint gate — the live-insert realization of CH's insert-time
+    CHECK rejection."""
+    pairs: list[tuple[str, str]] = []
+    for o in objects:
+        if not isinstance(o, TableDdl):
+            continue
+        if table is not None and table not in (o.name, o.full_name):
+            continue
+        for cname, cexpr in o.constraints:
+            pairs.append((cname, constraint_condition_spark(cexpr)))
+    return pairs
 
 
 def migrate_script(script: str) -> tuple[list, list[Action]]:

@@ -81,6 +81,86 @@ def make_append_batch(
     return append_batch
 
 
+def make_constraint_gate(
+    constraints: list[tuple[str, str]],
+    quarantine_path: str | None,
+    run_id: str,
+    on_violation: str = "quarantine",
+):
+    """The streaming realization of ClickHouse ``CONSTRAINT ... CHECK``
+    (``functions/ddl_compat.py`` maps the DDL; reference deployments
+    gate inserts with these, reference ``README.md:99-320`` table shape).
+
+    CH rejects the whole INSERT block when a constraint fails.
+    ``on_violation="fail"`` mirrors that exactly: the epoch raises and
+    the query stops — no partial progress, operator intervenes. The
+    default ``"quarantine"`` is the operationally-sane stream variant:
+    violating rows divert to a per-epoch overwrite directory (same
+    idempotent-replay contract as the decode DLQ) with a
+    ``_violations`` column naming the failed constraints, and only
+    passing rows continue to the sink. A NULL check result counts as a
+    violation (CH requires the expression be true).
+
+    Returns ``gate(rows, epoch) -> passing_rows``.
+    """
+    if on_violation not in ("quarantine", "fail"):
+        raise ValueError(
+            f"on_violation must be 'quarantine' or 'fail', "
+            f"got {on_violation!r}"
+        )
+    if on_violation == "quarantine" and quarantine_path is None:
+        raise ValueError(
+            "constraint quarantine needs a quarantine_path "
+            "(or use on_violation='fail')"
+        )
+    if not constraints:
+        raise ValueError("make_constraint_gate needs at least 1 constraint")
+    checks = [
+        (name, F.coalesce(F.expr(expr).cast("boolean"), F.lit(False)))
+        for name, expr in constraints
+    ]
+    viol_any = ~checks[0][1]
+    for _, ok in checks[1:]:
+        viol_any = viol_any | ~ok
+
+    def gate(rows: DataFrame, epoch: int) -> DataFrame:
+        bad = rows.filter(viol_any)
+        if on_violation == "fail":
+            n = bad.count()
+            if n:
+                raise ValueError(
+                    f"epoch {epoch}: {n} rows violate constraints "
+                    f"{[name for name, _ in constraints]} — insert "
+                    "rejected (ClickHouse CONSTRAINT semantics)"
+                )
+            return rows
+        if not bad.isEmpty():
+            # per-epoch overwrite: replay rewrites, never duplicates.
+            # coalesce(1) is bounded by VIOLATING-row volume (normally
+            # zero), never stream volume — not a data-sized rail.
+            (
+                bad.withColumn(
+                    "_violations",
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.when(~ok, F.lit(name))
+                            for name, ok in checks
+                        ],
+                    ),
+                )
+                .withColumn(
+                    "_quarantined_at", F.current_timestamp()
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{quarantine_path}/epoch={run_id}-{epoch}")
+            )
+        return rows.filter(~viol_any)
+
+    return gate
+
+
 def replay_dead_letters(
     spark,
     dead_letter_path: str,
@@ -153,6 +233,9 @@ def run_ingest_stream(
     files_per_batch_day: int = 1,
     txn: bool = False,
     dead_letter_path: str | None = None,
+    constraints: list[tuple[str, str]] | None = None,
+    quarantine_path: str | None = None,
+    on_violation: str = "quarantine",
 ) -> StreamingQuery:
     """Start the ingest stream: entries -> binlog rows -> partitioned append.
 
@@ -170,6 +253,14 @@ def run_ingest_stream(
     crash/replay like the main sink. Good rows then flow through the
     identical transform + append as the plain path. Without routed
     columns in the stream the flag is a no-op.
+
+    ``constraints`` (``[(name, spark_boolean_expr)]`` — e.g. from
+    ``ddl_compat.ddl_constraints`` over a migrated CREATE TABLE script)
+    gates the transformed rows per epoch: violations quarantine to
+    ``quarantine_path`` (idempotent per-epoch overwrite, a
+    ``_violations`` column names the failed checks) or, with
+    ``on_violation="fail"``, reject the epoch exactly like a CH
+    CONSTRAINT rejects the INSERT block.
     """
     run_id = epochs.run_id_for(checkpoint_path)
     append_batch = make_append_batch(
@@ -177,6 +268,13 @@ def run_ingest_stream(
         files_per_batch_day,
         txn=txn,
         run_id=run_id,
+    )
+    gate = (
+        make_constraint_gate(
+            constraints, quarantine_path, run_id, on_violation
+        )
+        if constraints
+        else (lambda rows, epoch: rows)
     )
     routed = (
         dead_letter_path is not None
@@ -186,10 +284,14 @@ def run_ingest_stream(
         binlog = canal_entries_to_binlog(entries_stream).withColumn(
             "day", F.to_date("execute_time")
         )
+
+        def gated_batch(batch: DataFrame, epoch: int) -> None:
+            append_batch(gate(batch, epoch), epoch)
+
         writer = (
             binlog.writeStream.queryName("ingest").outputMode("append")
             .option("checkpointLocation", checkpoint_path)
-            .foreachBatch(append_batch)
+            .foreachBatch(gated_batch)
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
@@ -214,7 +316,7 @@ def run_ingest_stream(
         rows = canal_entries_to_binlog(good).withColumn(
             "day", F.to_date("execute_time")
         )
-        append_batch(rows, epoch)
+        append_batch(gate(rows, epoch), epoch)
 
     writer = (
         entries_stream.writeStream.queryName("ingest").outputMode("append")
