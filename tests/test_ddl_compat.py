@@ -184,7 +184,10 @@ def test_ddl_loud_paths():
         ("CREATE TABLE t (x String, ts DateTime) ENGINE = MergeTree() "
          "ORDER BY (cityHash64(x))", "expression"),
         ("CREATE TABLE t (ts DateTime) ENGINE = MergeTree() ORDER BY (ts) "
-         "TTL ts + toIntervalMonth(1) DELETE WHERE 1", "TTL"),
+         "TTL ts + toIntervalMonth(1) RECOMPRESS CODEC(ZSTD)",
+         "TTL action"),
+        ("CREATE TABLE t (ts DateTime) ENGINE = MergeTree() ORDER BY (ts) "
+         "TTL ts + toIntervalMonth(1), ts + toIntervalDay(7)", "TTL"),
         ("CREATE MATERIALIZED VIEW mv TO tgt (x String)", "AS SELECT"),
     ]:
         if msg is None:
@@ -273,6 +276,55 @@ def test_constraint_maps_to_violation_check(spark):
             spark.sql(bad_check.sql).collect()
     finally:
         spark.catalog.dropTempView("t")
+
+
+def test_ttl_row_level_actions_parse_and_plan():
+    """r07: row-level TTL actions map instead of refusing — DELETE WHERE
+    -> bounded expired-partition rewrite, GROUP BY ... SET ->
+    rollup-on-expiry, TO DISK/VOLUME -> documented tiering (a MOVE,
+    never a delete); both interval spellings parse."""
+    dw = ddl_compat.parse_statement(
+        "CREATE TABLE t (ts DateTime, event_type String, sz UInt64) "
+        "ENGINE = MergeTree() ORDER BY (ts) "
+        "TTL ts + INTERVAL 90 DAY DELETE WHERE event_type = 'DELETE'"
+    )
+    assert dw.ttl_days == 90 and dw.ttl_where == "event_type = 'DELETE'"
+    (ra,) = [a for a in ddl_compat.plan_actions([dw])
+             if a.kind == "retention"]
+    assert ra.api == "plans.storage.ttl_row_sweep"
+    assert "where=" in ra.detail and "event_type = 'DELETE'" in ra.detail
+
+    gb = ddl_compat.parse_statement(
+        "CREATE TABLE t (day Date, event_type String, n UInt64, "
+        "sz UInt64) ENGINE = MergeTree() ORDER BY (day, event_type) "
+        "TTL day + toIntervalMonth(6) GROUP BY day, event_type "
+        "SET n = sum(n), sz = max(sz)"
+    )
+    assert gb.ttl_months == 6
+    assert gb.ttl_group_by == ("day", "event_type")
+    assert gb.ttl_set == (("n", "sum(n)"), ("sz", "max(sz)"))
+    (ra,) = [a for a in ddl_compat.plan_actions([gb])
+             if a.kind == "retention"]
+    assert "rollup-on-expiry" in ra.detail and "sum(n)" in ra.detail
+
+    tv = ddl_compat.parse_statement(
+        "CREATE TABLE t (ts DateTime) ENGINE = MergeTree() "
+        "ORDER BY (ts) TTL ts + toIntervalMonth(1) TO VOLUME 'cold'"
+    )
+    assert tv.ttl_to == "VOLUME 'cold'"
+    (ra,) = [a for a in ddl_compat.plan_actions([tv])
+             if a.kind == "retention"]
+    assert "tiering" in ra.detail and "retention_sweep" not in ra.api
+
+    # bare DELETE is CH's explicit default — plain partition drops
+    bd = ddl_compat.parse_statement(
+        "CREATE TABLE t (ts DateTime) ENGINE = MergeTree() "
+        "ORDER BY (ts) TTL ts + toIntervalDay(30) DELETE"
+    )
+    assert bd.ttl_where is None and bd.ttl_days == 30
+    (ra,) = [a for a in ddl_compat.plan_actions([bd])
+             if a.kind == "retention"]
+    assert ra.api == "plans.storage.retention_sweep"
 
 
 def test_ddl_constraints_helper(spark):

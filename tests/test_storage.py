@@ -3,6 +3,8 @@
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from use_clickhouse_2_analyze_mysql_binlog_spark.plans import storage
 from use_clickhouse_2_analyze_mysql_binlog_spark.schemas import binlog_view, load_table
 from tests.conftest import SF_DIR
@@ -58,6 +60,98 @@ def test_retention_cutoff_and_sweep(spark, tmp_path):
     assert all(d < "day=2024-01-10" for d in dropped)
     surviving = storage.read_fact_table(spark, path)
     assert surviving.filter("day < DATE'2024-01-10'").count() == 0
+
+
+def test_ttl_row_sweep_delete_where(spark, tmp_path):
+    """Row-level TTL DELETE WHERE: expired partitions are rewritten
+    without matching rows; unexpired partitions are untouched files."""
+    path = str(tmp_path / "fact")
+    binlog = binlog_view(load_table(spark, SF_DIR, "events"))
+    storage.write_fact_table(binlog, path, files_per_day=1, mode="overwrite")
+    all_days = sorted(
+        p.name for p in (tmp_path / "fact").glob("day=*")
+    )
+    cutoff = storage.retention_cutoff(dt.date(2026, 7, 10), 30)
+    expired = [d for d in all_days if d < f"day={cutoff}"]
+    assert expired and len(expired) < len(all_days)
+    before = storage.read_fact_table(spark, path)
+    n_total = before.count()
+    n_victims = before.filter(
+        f"day < DATE'{cutoff}' AND event_type = 'ERROR'"
+    ).count()
+    assert n_victims > 0
+    fresh_files = {
+        str(f)
+        for d in all_days
+        if d not in expired
+        for f in (tmp_path / "fact" / d).glob("*.parquet")
+    }
+
+    out = storage.ttl_row_sweep(
+        spark, path, today=dt.date(2026, 7, 10), months=30,
+        where="event_type = 'ERROR'",
+    )
+    assert out["rows_before"] - out["rows_after"] == n_victims
+    got = storage.read_fact_table(spark, path)
+    assert got.count() == n_total - n_victims
+    assert got.filter(
+        f"day < DATE'{cutoff}' AND event_type = 'ERROR'"
+    ).count() == 0
+    # unexpired rows (incl. their ERRORs) fully intact, files untouched
+    assert got.filter(f"day >= DATE'{cutoff}'").count() == before.filter(
+        f"day >= DATE'{cutoff}'"
+    ).count()
+    assert {
+        str(f)
+        for d in all_days
+        if d not in expired
+        for f in (tmp_path / "fact" / d).glob("*.parquet")
+    } == fresh_files
+    assert not (tmp_path / "fact" / ".ttl_staging").exists()
+
+
+def test_ttl_row_sweep_group_by_set(spark, tmp_path):
+    """Rollup-on-expiry: expired partitions collapse to one row per key
+    with the SET aggregates; equals a direct groupBy of the same rows."""
+    path = str(tmp_path / "fact")
+    binlog = binlog_view(load_table(spark, SF_DIR, "events"))
+    storage.write_fact_table(binlog, path, files_per_day=1, mode="overwrite")
+    cutoff = storage.retention_cutoff(dt.date(2026, 7, 10), 30)
+    before = storage.read_fact_table(spark, path)
+    want = {
+        (str(r.day), r.event_type): (r.n, r.sz)
+        for r in before.filter(f"day < DATE'{cutoff}'")
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("single_statement_size").alias("n"),
+            F.max("single_statement_size").alias("sz"),
+        )
+        .collect()
+    }
+    n_fresh = before.filter(f"day >= DATE'{cutoff}'").count()
+
+    storage.ttl_row_sweep(
+        spark, path, today=dt.date(2026, 7, 10), months=30,
+        group_by=("event_type",),
+        set_exprs=(("single_statement_size", "sum(single_statement_size)"),),
+    )
+    got = storage.read_fact_table(spark, path)
+    expired_rows = got.filter(f"day < DATE'{cutoff}'")
+    # one row per (day, event_type): day is the partition, event_type
+    # the group key within it
+    assert expired_rows.count() == len(want)
+    for r in expired_rows.collect():
+        assert r.single_statement_size == want[(str(r.day), r.event_type)][0]
+    assert got.filter(f"day >= DATE'{cutoff}'").count() == n_fresh
+
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one row-level action"):
+        storage.ttl_row_sweep(spark, path, months=30)
+    with pytest.raises(ValueError, match="SET column"):
+        storage.ttl_row_sweep(
+            spark, path, months=30, group_by=("event_type",)
+        )
 
 
 def test_sorted_export_total_order(spark, tmp_path):

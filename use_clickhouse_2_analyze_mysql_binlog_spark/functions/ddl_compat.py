@@ -12,7 +12,12 @@ module parses it and emits the equivalent Spark-side plan:
   toDate(col)`` -> ``partitionBy`` day column, ``ORDER BY (...)`` ->
   ``sortWithinPartitions`` (row-group min/max stats = the sparse index's
   data-skipping), ``TTL col + toIntervalMonth(N)`` ->
-  ``plans.storage.retention_sweep(months=N)`` partition drops.
+  ``plans.storage.retention_sweep(months=N)`` partition drops; the
+  row-level TTL actions map to ``plans.storage.ttl_row_sweep`` —
+  ``DELETE WHERE`` rewrites only the expired day partitions dropping
+  matching rows, ``GROUP BY ... SET`` collapses them to per-key
+  aggregates (rollup-on-expiry) — and ``TO DISK/VOLUME`` is documented
+  storage tiering (lifecycle policies), never a delete.
   Replication args are durability config -> the storage layer's job
   (HDFS/S3 replication) in Spark; recorded, not acted on.
 - ``(Replicated)SummingMergeTree`` -> a rollup store whose reads re-sum
@@ -154,6 +159,10 @@ class TableDdl:
     ttl: str | None = None
     ttl_months: int | None = None
     ttl_days: int | None = None
+    ttl_where: str | None = None  # DELETE WHERE predicate (CH text)
+    ttl_group_by: tuple[str, ...] = ()
+    ttl_set: tuple[tuple[str, str], ...] = ()  # SET col = agg expr
+    ttl_to: str | None = None  # "DISK 'x'" / "VOLUME 'x'" tiering
     settings: str | None = None
     distributed_target: str | None = None  # "db.table" for Distributed
     indexes: list[IndexDef] = field(default_factory=list)
@@ -593,22 +602,65 @@ def parse_statement(sql: str):
 
     ttl = _unmask(clauses["TTL"], lits) if "TTL" in clauses else None
     ttl_months = ttl_days = None
+    ttl_where = ttl_to = None
+    ttl_group_by: tuple[str, ...] = ()
+    ttl_set: tuple[tuple[str, str], ...] = ()
     if ttl is not None:
-        tm = re.fullmatch(
-            rf"(?is)\s*(?:toDate\s*\(\s*{_IDENT}\s*\)|{_IDENT})"
-            r"\s*\+\s*toInterval(Month|Day)\s*\(\s*(\d+)\s*\)\s*",
+        tm = re.match(
+            rf"(?is)^\s*(?:toDate\s*\(\s*{_IDENT}\s*\)|{_IDENT})\s*\+\s*"
+            r"(?:toInterval(Month|Day)\s*\(\s*(\d+)\s*\)"
+            r"|INTERVAL\s+(\d+)\s+(MONTH|DAY))\s*",
             ttl,
         )
         if not tm:
             raise ValueError(
-                f"TTL {ttl!r}: only 'col + toIntervalMonth/Day(N)' "
-                "retention maps to partition sweeps; row-level TTL "
-                "actions (DELETE WHERE, GROUP BY, TO DISK) do not"
+                f"TTL {ttl!r}: the age must be 'col + "
+                "toIntervalMonth/Day(N)' or 'col + INTERVAL N "
+                "MONTH/DAY' (multiple TTL clauses are not translated)"
             )
-        if tm.group(1).lower() == "month":
-            ttl_months = int(tm.group(2))
+        if (tm.group(1) or tm.group(4)).lower() == "month":
+            ttl_months = int(tm.group(2) or tm.group(3))
         else:
-            ttl_days = int(tm.group(2))
+            ttl_days = int(tm.group(2) or tm.group(3))
+        action = ttl[tm.end():].strip()
+        if action:
+            dm = re.match(r"(?is)^DELETE(?:\s+WHERE\s+(.+))?$", action)
+            gm = re.match(
+                r"(?is)^GROUP\s+BY\s+(.+?)\s+SET\s+(.+)$", action
+            )
+            vm = re.match(
+                r"(?is)^TO\s+(DISK|VOLUME)\s+('[^']*')\s*$", action
+            )
+            if dm:
+                # bare DELETE is CH's explicit default — same as none
+                ttl_where = (dm.group(1) or "").strip() or None
+            elif gm:
+                ks = [k.strip() for k in gm.group(1).split(",")]
+                if not all(re.fullmatch(_IDENT, k) for k in ks):
+                    raise ValueError(
+                        "TTL GROUP BY keys must be plain columns"
+                    )
+                ttl_group_by = tuple(_unquote(k) for k in ks)
+                sets = []
+                for item in _split_top_commas(gm.group(2)):
+                    sm = re.match(
+                        rf"(?s)^({_IDENT})\s*=\s*(.+)$", item.strip()
+                    )
+                    if not sm:
+                        raise ValueError(
+                            f"cannot parse TTL SET assignment: {item!r}"
+                        )
+                    sets.append(
+                        (_unquote(sm.group(1)), sm.group(2).strip())
+                    )
+                ttl_set = tuple(sets)
+            elif vm:
+                ttl_to = f"{vm.group(1).upper()} {vm.group(2)}"
+            else:
+                raise ValueError(
+                    f"TTL action {action!r} is not translated (have: "
+                    "DELETE [WHERE], GROUP BY ... SET, TO DISK/VOLUME)"
+                )
 
     return TableDdl(
         database=db,
@@ -632,6 +684,10 @@ def parse_statement(sql: str):
         ttl=ttl,
         ttl_months=ttl_months,
         ttl_days=ttl_days,
+        ttl_where=ttl_where,
+        ttl_group_by=ttl_group_by,
+        ttl_set=ttl_set,
+        ttl_to=ttl_to,
         settings=clauses.get("SETTINGS"),
         distributed_target=distributed_target,
         indexes=indexes,
@@ -1039,23 +1095,79 @@ def plan_actions(objects: list) -> list[Action]:
                     )
                 )
             if o.ttl_months is not None or o.ttl_days is not None:
-                months = o.ttl_months or 0
-                actions.append(
-                    Action(
-                        kind="retention",
-                        target=o.full_name,
-                        api="plans.storage.retention_sweep",
-                        detail=(
-                            f"TTL {o.ttl}: drop day partitions older than "
-                            + (
-                                f"{months} months"
-                                if o.ttl_months is not None
-                                else f"{o.ttl_days} days"
-                            )
-                            + " (metadata-only partition deletes)"
-                        ),
-                    )
+                age = (
+                    f"{o.ttl_months} months"
+                    if o.ttl_months is not None
+                    else f"{o.ttl_days} days"
                 )
+                if o.ttl_where is not None:
+                    actions.append(
+                        Action(
+                            kind="retention",
+                            target=o.full_name,
+                            api="plans.storage.ttl_row_sweep",
+                            detail=(
+                                f"TTL {o.ttl}: row-level DELETE WHERE — "
+                                "rewrite ONLY the day partitions older "
+                                f"than {age}, dropping expired rows "
+                                "matching the predicate (translated: "
+                                f"where="
+                                f"{constraint_condition_spark(o.ttl_where)!r}"
+                                "); rewrite cost bounded by the expired "
+                                "window, never the table"
+                            ),
+                        )
+                    )
+                elif o.ttl_group_by:
+                    sets = ", ".join(
+                        f"{c}={constraint_condition_spark(e)}"
+                        for c, e in o.ttl_set
+                    )
+                    actions.append(
+                        Action(
+                            kind="retention",
+                            target=o.full_name,
+                            api="plans.storage.ttl_row_sweep",
+                            detail=(
+                                f"TTL {o.ttl}: rollup-on-expiry — day "
+                                f"partitions older than {age} collapse "
+                                f"to one row per {list(o.ttl_group_by)} "
+                                f"(SET {sets}; other columns any_value, "
+                                "CH's pick-any rule); bounded by the "
+                                "expired window"
+                            ),
+                        )
+                    )
+                elif o.ttl_to is not None:
+                    # TO DISK/VOLUME: age means MOVE, never delete
+                    actions.append(
+                        Action(
+                            kind="retention",
+                            target=o.full_name,
+                            api="(no-op: storage layer)",
+                            detail=(
+                                f"TTL {o.ttl}: storage tiering — "
+                                f"partitions older than {age} move TO "
+                                f"{o.ttl_to}; map to the object "
+                                "store's lifecycle policy / HDFS "
+                                "storage policies (partitions stay "
+                                "readable, no engine object to build)"
+                            ),
+                        )
+                    )
+                else:
+                    actions.append(
+                        Action(
+                            kind="retention",
+                            target=o.full_name,
+                            api="plans.storage.retention_sweep",
+                            detail=(
+                                f"TTL {o.ttl}: drop day partitions older "
+                                f"than {age} (metadata-only partition "
+                                "deletes)"
+                            ),
+                        )
+                    )
         else:  # MatViewDdl
             target = resolve(o.to_target)
             if target is not None and target.engine_family == "SummingMergeTree":

@@ -169,6 +169,97 @@ def retention_sweep(
     return dropped
 
 
+def ttl_row_sweep(
+    spark: SparkSession,
+    path: str,
+    today: dt.date | None = None,
+    months: int = 0,
+    days: int = 0,
+    where: str | None = None,
+    group_by: tuple[str, ...] = (),
+    set_exprs: tuple[tuple[str, str], ...] = (),
+) -> dict:
+    """Row-level TTL actions: ClickHouse ``TTL base + INTERVAL n
+    (DELETE WHERE cond | GROUP BY keys SET col = agg(col), ...)``.
+
+    Whole-partition expiry stays :func:`retention_sweep` (metadata-only
+    drops). This sweep covers the two ROW-LEVEL actions, and touches
+    ONLY the day partitions older than the cutoff — at 100 TB the
+    rewrite cost is bounded by the expired window, never the table:
+
+    - ``where``: expired rows matching the predicate are deleted
+      (NULL predicate = kept, CH deletes only on true); survivors are
+      rewritten in place.
+    - ``group_by``/``set_exprs``: expired rows collapse to one row per
+      key group — ``set_exprs`` columns take their aggregate, every
+      other non-key column takes ``any_value`` (CH's documented
+      pick-any for non-SET columns). CH requires the keys be a sort-key
+      prefix so expired groups are contiguous; here the groupBy
+      shuffles only the expired partitions' rows.
+
+    Each affected partition is rewritten atomically: written to a
+    dot-prefixed staging dir (invisible to Spark readers), then swapped
+    in. Same local-FS note as :func:`retention_sweep` — production
+    swaps directory ops for the Hadoop FS API or a table format's
+    rewrite commands.
+
+    Returns ``{"rewritten": [...], "rows_before": n, "rows_after": n}``.
+    """
+    if (where is None) == (not group_by):
+        raise ValueError(
+            "ttl_row_sweep does exactly one row-level action: pass "
+            "where= (DELETE WHERE) or group_by=/set_exprs= (GROUP BY "
+            "SET); whole-partition deletes are retention_sweep's job"
+        )
+    if group_by and not set_exprs:
+        raise ValueError("TTL GROUP BY needs at least one SET column")
+    cutoff = retention_cutoff(today or dt.date.today(), months)
+    if days:
+        cutoff = cutoff - dt.timedelta(days=days)
+    expired = [
+        part
+        for part in sorted(Path(path).glob("day=*"))
+        if dt.date.fromisoformat(part.name.split("=", 1)[1]) < cutoff
+    ]
+    out = {"rewritten": [], "rows_before": 0, "rows_after": 0}
+    staging_root = Path(path) / ".ttl_staging"
+    for part in expired:
+        df = spark.read.parquet(str(part))
+        before = df.count()
+        if where is not None:
+            kept = df.filter(
+                ~F.coalesce(F.expr(where).cast("boolean"), F.lit(False))
+            )
+        else:
+            aggs = [F.expr(e).alias(c) for c, e in set_exprs]
+            set_cols = {c for c, _ in set_exprs}
+            others = [
+                c
+                for c in df.columns
+                if c not in group_by and c not in set_cols
+            ]
+            aggs += [F.any_value(F.col(c)).alias(c) for c in others]
+            kept = df.groupBy(*[F.col(k) for k in group_by]).agg(*aggs)
+            kept = kept.select(*df.columns)  # original column order
+        after = kept.count()
+        if after == before and where is not None:
+            out["rows_before"] += before
+            out["rows_after"] += after
+            continue  # nothing expired-and-matching: skip the rewrite
+        staged = staging_root / part.name
+        kept.coalesce(max(1, len(list(part.glob("*.parquet"))))).write.mode(
+            "overwrite"
+        ).parquet(str(staged))
+        shutil.rmtree(part)
+        staged.rename(part)
+        out["rewritten"].append(part.name)
+        out["rows_before"] += before
+        out["rows_after"] += after
+    if staging_root.exists():
+        shutil.rmtree(staging_root, ignore_errors=True)
+    return out
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
