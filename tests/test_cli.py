@@ -605,6 +605,45 @@ def test_cli_migrate_ddl_execute(spark, tmp_path, capsys):
     assert cli.main(["migrate-ddl", str(script), "--execute"]) == 2
 
 
+def test_cli_mutate(spark, tmp_path, capsys):
+    """mutate runs one CH ALTER statement against a parquet fact path:
+    DELETE WHERE (translated predicate), DROP PARTITION, and the
+    schema-evolution plan for ADD COLUMN."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.plans import storage
+
+    path = str(tmp_path / "fact")
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    storage.write_fact_table(binlog, path, files_per_day=1, mode="overwrite")
+    n_total = binlog.count()
+    n_err = binlog.where(
+        "event_type = 'ERROR' AND to_date(execute_time) = DATE'2024-01-05'"
+    ).count()
+    assert n_err > 0
+    rc = cli.main([
+        "mutate",
+        "ALTER TABLE db.binlog DELETE WHERE event_type = 'ERROR' AND "
+        "toDate(execute_time) = toDate('2024-01-05')",
+        "--path", path,
+    ])
+    printed = capsys.readouterr().out
+    assert rc == 0 and "mutated delete: partitions=1" in printed
+    assert storage.read_fact_table(spark, path).count() == n_total - n_err
+
+    rc = cli.main([
+        "mutate", "ALTER TABLE db.binlog DROP PARTITION '2024-01-06'",
+        "--path", path,
+    ])
+    assert rc == 0 and "dropped" in capsys.readouterr().out
+
+    rc = cli.main([
+        "mutate",
+        "ALTER TABLE db.binlog ADD COLUMN note String DEFAULT 'x'",
+        "--path", path,
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "schema evolution" in out and "coalesce" in out
+
+
 def test_cli_migrate_ddl_stream_projection(spark, tmp_path, capsys):
     """--stream accepts an aggregate PROJECTION (the in-table MV form)
     and publishes the merged store, equal to the batch truth."""

@@ -278,6 +278,60 @@ def test_constraint_maps_to_violation_check(spark):
         spark.catalog.dropTempView("t")
 
 
+def test_alter_table_parse_and_plan():
+    """r07: ALTER TABLE mutations and schema changes parse and map —
+    DELETE/UPDATE -> bounded mutate_rows rewrites, DROP PARTITION ->
+    metadata-only delete, ADD/DROP COLUMN -> parquet schema evolution;
+    unknown commands and comma-chained lists stay loud."""
+    d = ddl_compat.parse_statement(
+        "ALTER TABLE db.binlog DELETE WHERE event_type = 'ERROR' "
+        "AND toDate(ts) < toDate('2024-01-01')"
+    )
+    assert d.action == "delete" and "toDate(ts)" in d.where
+    u = ddl_compat.parse_statement(
+        "ALTER TABLE db.binlog ON CLUSTER main UPDATE "
+        "sz = sz * 2, tbl = upper(tbl) WHERE gtid = 'g1'"
+    )
+    assert u.action == "update"
+    assert u.set_exprs == (("sz", "sz * 2"), ("tbl", "upper(tbl)"))
+    assert u.where == "gtid = 'g1'"
+    p = ddl_compat.parse_statement(
+        "ALTER TABLE db.binlog DROP PARTITION '2024-01-03'"
+    )
+    assert p.action == "drop_partition" and p.partition == "2024-01-03"
+    a = ddl_compat.parse_statement(
+        "ALTER TABLE db.binlog ADD COLUMN IF NOT EXISTS "
+        "note String DEFAULT 'n/a'"
+    )
+    assert a.action == "add_column"
+    assert a.column.name == "note" and a.column.spark_type == "string"
+    assert a.column.default == "'n/a'"
+    x = ddl_compat.parse_statement(
+        "ALTER TABLE db.binlog DROP COLUMN IF EXISTS note"
+    )
+    assert x.action == "drop_column" and x.column.name == "note"
+
+    acts = ddl_compat.plan_actions([d, u, p, a, x])
+    assert [ac.kind for ac in acts] == ["mutation"] * 5
+    assert acts[0].api == "plans.storage.mutate_rows"
+    assert "to_date(ts)" in acts[0].detail  # translated predicate
+    assert "upper(tbl)" in acts[1].detail
+    assert acts[2].api == "plans.storage.drop_partition"
+    assert "schema evolution" in acts[3].api
+    assert "coalesce" in acts[3].detail  # the DEFAULT read-side form
+    assert "column pruning" in acts[4].api
+
+    for bad, msg in [
+        ("ALTER TABLE t MODIFY TTL ts + toIntervalDay(1)", "MODIFY"),
+        ("ALTER TABLE t FREEZE", "FREEZE"),
+        ("ALTER TABLE t UPDATE x = 1", "UPDATE"),  # no WHERE
+        ("ALTER TABLE t DELETE WHERE x = 1, DROP COLUMN y",
+         "comma-chained"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            ddl_compat.parse_statement(bad)
+
+
 def test_ttl_row_level_actions_parse_and_plan():
     """r07: row-level TTL actions map instead of refusing — DELETE WHERE
     -> bounded expired-partition rewrite, GROUP BY ... SET ->

@@ -154,6 +154,73 @@ def test_ttl_row_sweep_group_by_set(spark, tmp_path):
         )
 
 
+def test_mutate_rows_delete_and_update(spark, tmp_path):
+    """ALTER mutations as bounded partition rewrites: only partitions
+    containing matching rows are touched; DELETE drops matches, UPDATE
+    rewrites them in place; the partition column is protected."""
+    import pytest
+
+    path = str(tmp_path / "fact")
+    binlog = binlog_view(load_table(spark, SF_DIR, "events"))
+    storage.write_fact_table(binlog, path, files_per_day=1, mode="overwrite")
+    before = storage.read_fact_table(spark, path)
+    n_total = before.count()
+
+    # DELETE WHERE bounded to two days: other partitions' files untouched
+    where = (
+        "event_type = 'ERROR' AND "
+        "day BETWEEN DATE'2024-01-03' AND DATE'2024-01-04'"
+    )
+    n_victims = before.filter(where).count()
+    assert n_victims > 0
+    untouched_files = {
+        str(f)
+        for p in (tmp_path / "fact").glob("day=*")
+        if p.name not in ("day=2024-01-03", "day=2024-01-04")
+        for f in p.glob("*.parquet")
+    }
+    out = storage.mutate_rows(spark, path, where)
+    assert sorted(out["partitions"]) == [
+        "day=2024-01-03", "day=2024-01-04",
+    ]
+    assert out["rows_matched"] == n_victims
+    got = storage.read_fact_table(spark, path)
+    assert got.count() == n_total - n_victims
+    assert got.filter(where).count() == 0
+    assert {
+        str(f)
+        for p in (tmp_path / "fact").glob("day=*")
+        if p.name not in ("day=2024-01-03", "day=2024-01-04")
+        for f in p.glob("*.parquet")
+    } == untouched_files
+
+    # UPDATE: matched rows change, row count stays
+    n_clicks = got.filter("event_type = 'CLICK'").count()
+    out2 = storage.mutate_rows(
+        spark, path, "event_type = 'CLICK'",
+        set_exprs=(("event_type", "'TAP'"),),
+    )
+    assert out2["rows_matched"] == n_clicks
+    got2 = storage.read_fact_table(spark, path)
+    assert got2.count() == n_total - n_victims
+    assert got2.filter("event_type = 'CLICK'").count() == 0
+    assert got2.filter("event_type = 'TAP'").count() == n_clicks
+
+    with pytest.raises(ValueError, match="partition column"):
+        storage.mutate_rows(
+            spark, path, "1=1", set_exprs=(("day", "DATE'2020-01-01'"),)
+        )
+
+    # DROP PARTITION: metadata-only
+    n_dropped_day = got2.filter("day = DATE'2024-01-07'").count()
+    assert storage.drop_partition(path, "2024-01-07") is True
+    assert storage.drop_partition(path, "2024-01-07") is False
+    assert (
+        storage.read_fact_table(spark, path).count()
+        == n_total - n_victims - n_dropped_day
+    )
+
+
 def test_sorted_export_total_order(spark, tmp_path):
     """write_sorted_export must produce a TOTAL order: each file sorted,
     and files' key ranges disjoint and ordered (so a reader concatenating

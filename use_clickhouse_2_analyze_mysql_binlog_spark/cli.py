@@ -205,6 +205,21 @@ def build_parser() -> argparse.ArgumentParser:
     mnt.add_argument("--target-file-mb", type=int, default=512)
     mnt.add_argument("--skip-compaction", action="store_true")
 
+    mut = sub.add_parser(
+        "mutate",
+        help="run one ClickHouse ALTER TABLE mutation against a "
+        "fact-table parquet path (DELETE WHERE / UPDATE ... WHERE / "
+        "DROP PARTITION; ADD/DROP COLUMN print the schema-evolution "
+        "plan)",
+    )
+    mut.add_argument(
+        "statement",
+        help="the ALTER TABLE statement, verbatim CH syntax (the "
+        "statement's table name is informational; --path is "
+        "authoritative)",
+    )
+    mut.add_argument("--path", required=True, help="fact-table parquet path")
+
     cur = sub.add_parser(
         "curate",
         help="batch corpus curation: quality gate + exact dedup + PII scrub",
@@ -742,6 +757,41 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         print(f"dropped={len(dropped)} compacted={len(compacted)}")
+        return 0
+    elif args.cmd == "mutate":
+        from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
+            ddl_compat,
+        )
+        from use_clickhouse_2_analyze_mysql_binlog_spark.plans import storage
+
+        obj = ddl_compat.parse_statement(args.statement)
+        if not isinstance(obj, ddl_compat.AlterDdl):
+            print("mutate needs an ALTER TABLE statement")
+            return 2
+        if obj.action in ("delete", "update"):
+            out = storage.mutate_rows(
+                spark,
+                args.path,
+                ddl_compat.constraint_condition_spark(obj.where),
+                set_exprs=tuple(
+                    (c, ddl_compat.constraint_condition_spark(e))
+                    for c, e in obj.set_exprs
+                ),
+            )
+            print(
+                f"mutated {obj.action}: partitions="
+                f"{len(out['partitions'])} matched={out['rows_matched']}"
+            )
+        elif obj.action == "drop_partition":
+            ok = storage.drop_partition(args.path, obj.partition)
+            print(
+                f"drop partition {obj.partition!r}: "
+                + ("dropped" if ok else "not found")
+            )
+        else:  # add_column / drop_column: schema evolution, no rewrite
+            (act,) = ddl_compat.plan_actions([obj])
+            print(f"[{act.kind}] {act.target}\n  api:    {act.api}\n"
+                  f"  detail: {act.detail}")
         return 0
     elif args.cmd == "pipeline":
         from pyspark.sql import functions as F  # local: keep CLI import light

@@ -62,9 +62,19 @@ module parses it and emits the equivalent Spark-side plan:
   plain column-subset projection -> documented no-op (parquet is
   columnar, readers already prune columns).
 
+- ``ALTER TABLE`` (one command per statement): ``DELETE WHERE`` /
+  ``UPDATE ... WHERE`` -> ``plans.storage.mutate_rows`` bounded
+  partition rewrites (CH mutations rewrite whole parts — the same cost
+  model), ``DROP/DETACH PARTITION`` ->
+  ``plans.storage.drop_partition`` metadata-only deletes,
+  ``ADD/DROP COLUMN`` -> parquet schema evolution (lazy, no rewrite —
+  exactly CH's lazy ALTER ADD). The ``mutate`` CLI runs one statement
+  against a parquet path.
+
 Loud policy matches :mod:`ch_compat`: constructs outside the table
 (unknown engines, exotic TTL expressions, malformed projection
-bodies) raise ``ValueError`` rather than translating silently-wrong.
+bodies, comma-chained ALTER command lists) raise ``ValueError``
+rather than translating silently-wrong.
 """
 
 from __future__ import annotations
@@ -196,6 +206,29 @@ class MatViewDdl:
     on_cluster: str | None = None
     populate: bool = False
     columns: list[ColumnDef] = field(default_factory=list)
+
+    @property
+    def full_name(self) -> str:
+        return f"{self.database}.{self.name}" if self.database else self.name
+
+
+@dataclass
+class AlterDdl:
+    """One ``ALTER TABLE`` command (CH mutations + schema changes).
+
+    ``action``: ``delete`` | ``update`` (mutations — bounded partition
+    rewrites), ``drop_partition`` (metadata-only), ``add_column`` /
+    ``drop_column`` (parquet schema evolution). One command per
+    statement; comma-chained command lists stay loud."""
+
+    kind = "alter"
+    database: str | None
+    name: str
+    action: str
+    where: str | None = None
+    set_exprs: tuple[tuple[str, str], ...] = ()
+    partition: str | None = None
+    column: ColumnDef | None = None
 
     @property
     def full_name(self) -> str:
@@ -552,6 +585,14 @@ def parse_statement(sql: str):
             select_spark=translate(select_ch),
         )
 
+    al = re.match(
+        rf"(?is)^ALTER\s+TABLE\s+({_QNAME})"
+        rf"(?:\s+ON\s+CLUSTER\s+\S+)?\s+(.*)$",
+        masked,
+    )
+    if al:
+        return _parse_alter(al.group(1), al.group(2).strip(), lits)
+
     tb = re.match(
         rf"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_QNAME})"
         rf"(\s+ON\s+CLUSTER\s+(\S+))?\s*\(",
@@ -559,8 +600,8 @@ def parse_statement(sql: str):
     )
     if not tb:
         raise ValueError(
-            "only CREATE TABLE / CREATE MATERIALIZED VIEW statements are "
-            "translated"
+            "only CREATE TABLE / CREATE MATERIALIZED VIEW / ALTER TABLE "
+            "statements are translated"
         )
     db, name = _split_name(tb.group(1))
     open_idx = masked.index("(", tb.end() - 1)
@@ -696,10 +737,93 @@ def parse_statement(sql: str):
     )
 
 
+def _parse_alter(qname: str, cmd: str, lits: list[str]) -> AlterDdl:
+    """Parse ONE ALTER TABLE command (masked text; comma-chained command
+    lists are ambiguous with UPDATE's SET commas and stay loud)."""
+    db, name = _split_name(qname)
+
+    dm = re.match(r"(?is)^DELETE\s+WHERE\s+(.+)$", cmd)
+    if dm:
+        # a chained command list would silently become part of the
+        # predicate — reject it at parse time
+        if re.search(
+            r"(?i),\s*(DELETE|UPDATE|ADD|DROP|DETACH|MODIFY|CLEAR|"
+            r"RENAME)\s",
+            dm.group(1),
+        ):
+            raise ValueError(
+                "ALTER TABLE with a comma-chained command list is not "
+                "translated (one command per statement)"
+            )
+        return AlterDdl(
+            database=db, name=name, action="delete",
+            where=_unmask(dm.group(1), lits).strip(),
+        )
+    um = re.match(r"(?is)^UPDATE\s+(.+?)\s+WHERE\s+(.+)$", cmd)
+    if um:
+        sets = []
+        for item in _split_top_commas(um.group(1)):
+            sm = re.match(rf"(?s)^({_IDENT})\s*=\s*(.+)$", item.strip())
+            if not sm:
+                raise ValueError(
+                    f"cannot parse UPDATE assignment: {item!r}"
+                )
+            sets.append(
+                (
+                    _unquote(sm.group(1)),
+                    _unmask(sm.group(2), lits).strip(),
+                )
+            )
+        return AlterDdl(
+            database=db, name=name, action="update",
+            set_exprs=tuple(sets),
+            where=_unmask(um.group(2), lits).strip(),
+        )
+    pm = re.match(
+        r"(?is)^(?:DROP|DETACH)\s+PARTITION\s+('[^']*'|\x00L\d+\x00|\S+)"
+        r"\s*$",
+        cmd,
+    )
+    if pm:
+        part = _unmask(pm.group(1), lits).strip().strip("'")
+        return AlterDdl(
+            database=db, name=name, action="drop_partition",
+            partition=part,
+        )
+    am = re.match(
+        rf"(?is)^ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        rf"({_IDENT})\s+(.+)$",
+        cmd,
+    )
+    if am:
+        (cols, _, _, _) = _parse_columns(
+            f"{am.group(1)} {am.group(2)}", lits
+        )
+        return AlterDdl(
+            database=db, name=name, action="add_column", column=cols[0]
+        )
+    xm = re.match(
+        rf"(?is)^DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?({_IDENT})\s*$", cmd
+    )
+    if xm:
+        return AlterDdl(
+            database=db, name=name, action="drop_column",
+            column=ColumnDef(
+                name=_unquote(xm.group(1)), ch_type="", spark_type=None
+            ),
+        )
+    raise ValueError(
+        f"ALTER TABLE command {cmd.split()[0].upper()!r} is not "
+        "translated (have: DELETE WHERE, UPDATE ... WHERE, "
+        "DROP/DETACH PARTITION, ADD COLUMN, DROP COLUMN — one command "
+        "per statement)"
+    )
+
+
 def split_statements(script: str) -> list[str]:
     """Split a DDL script on ';' outside string literals / backticked
     identifiers, stripping '--' line comments. A line STARTING with
-    CREATE (outside parens) also opens a new statement: real bootstrap
+    CREATE/ALTER (outside parens) also opens a new statement: real bootstrap
     scripts (the reference README's own blocks) separate statements
     with blank lines and no semicolons, and without this boundary two
     CREATEs merge into one whose LAST ENGINE clause wins — silently
@@ -717,7 +841,7 @@ def split_statements(script: str) -> list[str]:
         if (
             at_line_start
             and depth == 0
-            and re.match(r"(?i)CREATE\s", script[i : i + 7])
+            and re.match(r"(?i)(CREATE|ALTER)\s", script[i : i + 7])
             and "".join(cur).strip()
         ):
             out.append("".join(cur).strip())
@@ -945,6 +1069,86 @@ def _projection_action(o: TableDdl, pr: ProjectionDef) -> Action:
     )
 
 
+def _alter_action(o: AlterDdl) -> Action:
+    """Map one ALTER TABLE command onto the storage surfaces.
+
+    Mutations carry CH's own cost model over: DELETE/UPDATE rewrite
+    whole partitions (CH rewrites whole parts), bounded to the
+    partitions that contain matching rows; DROP PARTITION is the
+    metadata-only delete; column changes are parquet schema evolution
+    (new files carry the column, old files read NULL / prune it) — no
+    rewrite unless backfilled deliberately."""
+    if o.action == "delete":
+        return Action(
+            kind="mutation",
+            target=o.full_name,
+            api="plans.storage.mutate_rows",
+            detail=(
+                f"ALTER DELETE WHERE {o.where}: bounded partition "
+                "rewrite (pass 1 finds partitions with matching rows "
+                "via a pruned skipping scan, pass 2 rewrites only "
+                "those); translated where="
+                f"{constraint_condition_spark(o.where)!r}"
+            ),
+        )
+    if o.action == "update":
+        sets = ", ".join(
+            f"{c}={constraint_condition_spark(e)}"
+            for c, e in o.set_exprs
+        )
+        return Action(
+            kind="mutation",
+            target=o.full_name,
+            api="plans.storage.mutate_rows",
+            detail=(
+                f"ALTER UPDATE WHERE {o.where}: bounded partition "
+                f"rewrite; set_exprs=[{sets}], translated where="
+                f"{constraint_condition_spark(o.where)!r} (updating "
+                "the partition column is refused — it would move rows)"
+            ),
+        )
+    if o.action == "drop_partition":
+        return Action(
+            kind="mutation",
+            target=o.full_name,
+            api="plans.storage.drop_partition",
+            detail=(
+                f"DROP PARTITION {o.partition!r}: metadata-only "
+                "directory delete, exactly CH's cheap partition drop"
+            ),
+        )
+    if o.action == "add_column":
+        c = o.column
+        default = (
+            f"; DEFAULT {c.default} -> read-side "
+            f"coalesce(`{c.name}`, {c.default}) or a one-off backfill "
+            "rewrite"
+            if c.default
+            else ""
+        )
+        return Action(
+            kind="mutation",
+            target=o.full_name,
+            api="(parquet schema evolution)",
+            detail=(
+                f"ADD COLUMN {c.name} {c.spark_type or c.ch_type}: new "
+                "files carry it, old files read NULL under "
+                "mergeSchema — the same lazy materialization CH uses "
+                f"for ALTER ADD{default}"
+            ),
+        )
+    return Action(
+        kind="mutation",
+        target=o.full_name,
+        api="(parquet column pruning)",
+        detail=(
+            f"DROP COLUMN {o.column.name}: stop selecting it — parquet "
+            "readers never touch unselected columns; physical removal "
+            "needs a rewrite (CH also rewrites parts for this)"
+        ),
+    )
+
+
 def plan_actions(objects: list) -> list[Action]:
     """Map parsed DDL objects onto this engine's surfaces.
 
@@ -961,6 +1165,9 @@ def plan_actions(objects: list) -> list[Action]:
 
     actions: list[Action] = []
     for o in objects:
+        if isinstance(o, AlterDdl):
+            actions.append(_alter_action(o))
+            continue
         if isinstance(o, TableDdl):
             if o.engine_family == "Distributed":
                 actions.append(

@@ -169,6 +169,100 @@ def retention_sweep(
     return dropped
 
 
+def _swap_rewrite(
+    part: Path, staging_root: Path, kept: DataFrame
+) -> None:
+    """Rewrite one partition directory atomically: write to a
+    dot-prefixed staging dir (invisible to Spark readers), remove the
+    old dir, rename the staged one in. File count is preserved so the
+    layout's size targets survive mutations."""
+    n_files = max(1, len(list(part.glob("*.parquet"))))
+    staged = staging_root / part.name
+    kept.coalesce(n_files).write.mode("overwrite").parquet(str(staged))
+    shutil.rmtree(part)
+    staged.rename(part)
+
+
+def drop_partition(path: str, day: str | dt.date) -> bool:
+    """``ALTER TABLE ... DROP PARTITION 'day'``: a metadata-only
+    directory delete, exactly CH's cheap partition drop. Returns whether
+    the partition existed."""
+    part = Path(path) / f"day={day}"
+    if not part.is_dir():
+        return False
+    shutil.rmtree(part)
+    return True
+
+
+def mutate_rows(
+    spark: SparkSession,
+    path: str,
+    where: str,
+    set_exprs: tuple[tuple[str, str], ...] = (),
+    partition_col: str = "day",
+) -> dict:
+    """ClickHouse mutations: ``ALTER TABLE ... DELETE WHERE cond``
+    (empty ``set_exprs``) and ``ALTER TABLE ... UPDATE c = e WHERE
+    cond`` — as bounded partition rewrites.
+
+    Two passes, both scale-shaped: pass 1 finds the day partitions
+    actually CONTAINING matching rows (one pruned, pushed-down skipping
+    scan — a predicate on ``day`` never touches other partitions' files);
+    pass 2 rewrites only those partitions. CH mutations rewrite whole
+    parts the same way — the cost model carries over. NULL predicate =
+    row untouched (CH mutates only on true). Updating the partition
+    column is refused (it would MOVE rows across partitions — run an
+    explicit repartition job for that).
+
+    Returns ``{"partitions": [...], "rows_matched": n, "rows_after": n}``.
+    """
+    if any(c == partition_col for c, _ in set_exprs):
+        raise ValueError(
+            f"UPDATE of the partition column {partition_col!r} would "
+            "move rows across partitions; rewrite the table instead"
+        )
+    cond = F.coalesce(F.expr(where).cast("boolean"), F.lit(False))
+    table = spark.read.parquet(path)
+    affected = [
+        r[0]
+        for r in table.filter(cond)
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    out = {"partitions": [], "rows_matched": 0, "rows_after": 0}
+    staging_root = Path(path) / ".mutation_staging"
+    for day in sorted(str(d) for d in affected):
+        part = Path(path) / f"{partition_col}={day}"
+        # partition dirs don't store the partition column — restore it
+        # so predicates referencing it evaluate, drop it before write
+        df = spark.read.parquet(str(part)).withColumn(
+            partition_col, F.lit(day).cast("date")
+        )
+        matched = df.filter(cond).count()
+        if not set_exprs:
+            kept = df.filter(~cond)
+        else:
+            kept = df.select(*[
+                (
+                    F.when(cond, F.expr(dict(set_exprs)[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in dict(set_exprs)
+                    else F.col(c)
+                )
+                for c in df.columns
+            ])
+        kept = kept.drop(partition_col)
+        out["rows_after"] += kept.count()
+        _swap_rewrite(part, staging_root, kept)
+        out["partitions"].append(f"{partition_col}={day}")
+        out["rows_matched"] += matched
+    if staging_root.exists():
+        shutil.rmtree(staging_root, ignore_errors=True)
+    return out
+
+
 def ttl_row_sweep(
     spark: SparkSession,
     path: str,
@@ -246,12 +340,7 @@ def ttl_row_sweep(
             out["rows_before"] += before
             out["rows_after"] += after
             continue  # nothing expired-and-matching: skip the rewrite
-        staged = staging_root / part.name
-        kept.coalesce(max(1, len(list(part.glob("*.parquet"))))).write.mode(
-            "overwrite"
-        ).parquet(str(staged))
-        shutil.rmtree(part)
-        staged.rename(part)
+        _swap_rewrite(part, staging_root, kept)
         out["rewritten"].append(part.name)
         out["rows_before"] += before
         out["rows_after"] += after
