@@ -643,6 +643,23 @@ def test_cli_mutate(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0 and "schema evolution" in out and "coalesce" in out
 
+    # OPTIMIZE DEDUPLICATE and TRUNCATE dispatch through the same command
+    rc = cli.main([
+        "mutate", "OPTIMIZE TABLE db.binlog FINAL DEDUPLICATE",
+        "--path", path,
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "optimize deduplicate" in out
+    assert "merge semantics" in out  # the FINAL note
+    rc = cli.main([
+        "mutate", "TRUNCATE TABLE db.binlog", "--path", path,
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "truncated: partitions=" in out
+    import pathlib
+
+    assert list(pathlib.Path(path).glob("day=*")) == []
+
 
 def test_cli_migrate_ddl_stream_projection(spark, tmp_path, capsys):
     """--stream accepts an aggregate PROJECTION (the in-table MV form)

@@ -278,6 +278,43 @@ def test_constraint_maps_to_violation_check(spark):
         spark.catalog.dropTempView("t")
 
 
+def test_optimize_truncate_parse_and_plan():
+    """r07: OPTIMIZE TABLE -> compaction (FINAL = documented no-op:
+    reads already apply merge semantics) / DEDUPLICATE -> per-partition
+    dedup rewrite; TRUNCATE -> drop every partition."""
+    o = ddl_compat.parse_statement(
+        "OPTIMIZE TABLE db.binlog PARTITION '2024-01-03' FINAL "
+        "DEDUPLICATE BY gtid, execute_time"
+    )
+    assert o.op == "optimize" and o.partition == "2024-01-03"
+    assert o.final and o.deduplicate
+    assert o.dedup_by == ("gtid", "execute_time")
+    (act,) = ddl_compat.plan_actions([o])
+    assert act.api == "plans.storage.optimize_deduplicate"
+    assert "'2024-01-03'" in act.detail and "merge semantics" in act.detail
+
+    p = ddl_compat.parse_statement("OPTIMIZE TABLE db.binlog FINAL")
+    assert p.final and not p.deduplicate and p.partition is None
+    (act,) = ddl_compat.plan_actions([p])
+    assert act.api == "plans.storage.compact_day_partitions"
+
+    t = ddl_compat.parse_statement(
+        "TRUNCATE TABLE IF EXISTS db.binlog ON CLUSTER main"
+    )
+    assert t.op == "truncate" and t.full_name == "db.binlog"
+    (act,) = ddl_compat.plan_actions([t])
+    assert act.api == "plans.storage.truncate_table"
+
+    with pytest.raises(ValueError, match="not translated"):
+        ddl_compat.parse_statement(
+            "OPTIMIZE TABLE t FINAL SETTINGS optimize_skip_merged=1"
+        )
+    with pytest.raises(ValueError, match="plain columns"):
+        ddl_compat.parse_statement(
+            "OPTIMIZE TABLE t DEDUPLICATE BY toDate(ts)"
+        )
+
+
 def test_alter_table_parse_and_plan():
     """r07: ALTER TABLE mutations and schema changes parse and map —
     DELETE/UPDATE -> bounded mutate_rows rewrites, DROP PARTITION ->

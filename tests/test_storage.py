@@ -221,6 +221,57 @@ def test_mutate_rows_delete_and_update(spark, tmp_path):
     )
 
 
+def test_optimize_deduplicate_and_truncate(spark, tmp_path):
+    """OPTIMIZE DEDUPLICATE removes exact duplicates per partition and
+    rewrites ONLY partitions that changed; TRUNCATE drops everything."""
+    path = str(tmp_path / "fact")
+    binlog = binlog_view(load_table(spark, SF_DIR, "events"))
+    storage.write_fact_table(binlog, path, files_per_day=1, mode="overwrite")
+    n_total = storage.read_fact_table(spark, path).count()
+
+    # plant exact duplicates in one day by appending its own rows
+    day = "2024-01-05"
+    part = spark.read.parquet(f"{path}/day={day}")
+    n_day = part.count()
+    assert n_day > 0
+    part.write.mode("append").parquet(f"{path}/day={day}")
+    clean_files = {
+        str(f)
+        for p in (tmp_path / "fact").glob("day=*")
+        if p.name != f"day={day}"
+        for f in p.glob("*.parquet")
+    }
+
+    out = storage.optimize_deduplicate(spark, path)
+    assert out["partitions"] == [f"day={day}"]
+    assert out["rows_removed"] == n_day
+    assert storage.read_fact_table(spark, path).count() == n_total
+    # untouched partitions kept their exact files
+    assert {
+        str(f)
+        for p in (tmp_path / "fact").glob("day=*")
+        if p.name != f"day={day}"
+        for f in p.glob("*.parquet")
+    } == clean_files
+
+    # BY variant bounded to one partition: one row per event_type
+    n_types = (
+        spark.read.parquet(f"{path}/day={day}")
+        .select("event_type").distinct().count()
+    )
+    out2 = storage.optimize_deduplicate(
+        spark, path, by=("event_type",), partition=day
+    )
+    assert out2["partitions"] == [f"day={day}"]
+    assert (
+        spark.read.parquet(f"{path}/day={day}").count() == n_types
+    )
+
+    n_parts = len(list((tmp_path / "fact").glob("day=*")))
+    assert storage.truncate_table(path) == n_parts
+    assert list((tmp_path / "fact").glob("day=*")) == []
+
+
 def test_sorted_export_total_order(spark, tmp_path):
     """write_sorted_export must produce a TOTAL order: each file sorted,
     and files' key ranges disjoint and ordered (so a reader concatenating

@@ -765,8 +765,32 @@ def main(argv: list[str] | None = None) -> int:
         from use_clickhouse_2_analyze_mysql_binlog_spark.plans import storage
 
         obj = ddl_compat.parse_statement(args.statement)
+        if isinstance(obj, ddl_compat.MaintenanceDdl):
+            if obj.op == "truncate":
+                n = storage.truncate_table(args.path)
+                print(f"truncated: partitions={n}")
+            elif obj.deduplicate:
+                out = storage.optimize_deduplicate(
+                    spark, args.path, by=obj.dedup_by,
+                    partition=obj.partition,
+                )
+                print(
+                    f"optimize deduplicate: partitions="
+                    f"{len(out['partitions'])} "
+                    f"removed={out['rows_removed']}"
+                )
+            else:
+                compacted = storage.compact_day_partitions(
+                    spark, args.path
+                )
+                print(f"optimize: compacted={len(compacted)}")
+            if getattr(obj, "final", False):
+                print("FINAL: reads already apply the engine's merge "
+                      "semantics; nothing further to rewrite")
+            return 0
         if not isinstance(obj, ddl_compat.AlterDdl):
-            print("mutate needs an ALTER TABLE statement")
+            print("mutate needs an ALTER/OPTIMIZE/TRUNCATE TABLE "
+                  "statement")
             return 2
         if obj.action in ("delete", "update"):
             out = storage.mutate_rows(

@@ -71,6 +71,14 @@ module parses it and emits the equivalent Spark-side plan:
   exactly CH's lazy ALTER ADD). The ``mutate`` CLI runs one statement
   against a parquet path.
 
+- ``OPTIMIZE TABLE`` -> on-demand compaction
+  (``compact_day_partitions``); ``DEDUPLICATE [BY cols]`` ->
+  ``optimize_deduplicate`` per-partition exact-dup rewrite; ``FINAL``
+  is a documented no-op — the merge-tree READ contracts
+  (``summing_merge``, Replacing FINAL, Collapsing state) already give
+  FINAL answers, which is what CH users force with OPTIMIZE FINAL.
+  ``TRUNCATE TABLE`` -> drop every partition (metadata-only).
+
 Loud policy matches :mod:`ch_compat`: constructs outside the table
 (unknown engines, exotic TTL expressions, malformed projection
 bodies, comma-chained ALTER command lists) raise ``ValueError``
@@ -229,6 +237,24 @@ class AlterDdl:
     set_exprs: tuple[tuple[str, str], ...] = ()
     partition: str | None = None
     column: ColumnDef | None = None
+
+    @property
+    def full_name(self) -> str:
+        return f"{self.database}.{self.name}" if self.database else self.name
+
+
+@dataclass
+class MaintenanceDdl:
+    """``OPTIMIZE TABLE`` / ``TRUNCATE TABLE`` maintenance statements."""
+
+    kind = "maintenance"
+    database: str | None
+    name: str
+    op: str  # optimize | truncate
+    partition: str | None = None
+    final: bool = False
+    deduplicate: bool = False
+    dedup_by: tuple[str, ...] = ()
 
     @property
     def full_name(self) -> str:
@@ -593,6 +619,23 @@ def parse_statement(sql: str):
     if al:
         return _parse_alter(al.group(1), al.group(2).strip(), lits)
 
+    om = re.match(
+        rf"(?is)^OPTIMIZE\s+TABLE\s+({_QNAME})"
+        rf"(?:\s+ON\s+CLUSTER\s+\S+)?\s*(.*)$",
+        masked,
+    )
+    if om:
+        return _parse_optimize(om.group(1), om.group(2).strip(), lits)
+
+    tr = re.match(
+        rf"(?is)^TRUNCATE\s+TABLE\s+(?:IF\s+EXISTS\s+)?({_QNAME})"
+        r"(?:\s+ON\s+CLUSTER\s+\S+)?\s*$",
+        masked,
+    )
+    if tr:
+        db, name = _split_name(tr.group(1))
+        return MaintenanceDdl(database=db, name=name, op="truncate")
+
     tb = re.match(
         rf"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_QNAME})"
         rf"(\s+ON\s+CLUSTER\s+(\S+))?\s*\(",
@@ -601,7 +644,7 @@ def parse_statement(sql: str):
     if not tb:
         raise ValueError(
             "only CREATE TABLE / CREATE MATERIALIZED VIEW / ALTER TABLE "
-            "statements are translated"
+            "/ OPTIMIZE TABLE / TRUNCATE TABLE statements are translated"
         )
     db, name = _split_name(tb.group(1))
     open_idx = masked.index("(", tb.end() - 1)
@@ -734,6 +777,49 @@ def parse_statement(sql: str):
         indexes=indexes,
         constraints=constraints,
         projections=projections,
+    )
+
+
+def _parse_optimize(
+    qname: str, rest: str, lits: list[str]
+) -> MaintenanceDdl:
+    """``OPTIMIZE TABLE t [PARTITION [ID] p] [FINAL]
+    [DEDUPLICATE [BY cols]]`` — parsed keyword-by-keyword (a PARTITION
+    value could otherwise swallow FINAL)."""
+    db, name = _split_name(qname)
+    partition = None
+    final = deduplicate = False
+    dedup_by: tuple[str, ...] = ()
+    pm = re.match(
+        r"(?is)^PARTITION\s+(?:ID\s+)?(\x00L\d+\x00|[\w.-]+)\s*(.*)$",
+        rest,
+    )
+    if pm and pm.group(1).upper() not in ("FINAL", "DEDUPLICATE"):
+        partition = _unmask(pm.group(1), lits).strip().strip("'")
+        rest = pm.group(2).strip()
+    fm = re.match(r"(?is)^FINAL\b\s*(.*)$", rest)
+    if fm:
+        final = True
+        rest = fm.group(1).strip()
+    dm = re.match(r"(?is)^DEDUPLICATE(?:\s+BY\s+(.+))?\s*$", rest)
+    if dm:
+        deduplicate = True
+        if dm.group(1):
+            cols = [c.strip() for c in dm.group(1).split(",")]
+            if not all(re.fullmatch(_IDENT, c) for c in cols):
+                raise ValueError(
+                    "OPTIMIZE ... DEDUPLICATE BY takes plain columns"
+                )
+            dedup_by = tuple(_unquote(c) for c in cols)
+        rest = ""
+    if rest:
+        raise ValueError(
+            f"OPTIMIZE TABLE tail {rest!r} is not translated "
+            "(have: PARTITION [ID] p, FINAL, DEDUPLICATE [BY cols])"
+        )
+    return MaintenanceDdl(
+        database=db, name=name, op="optimize", partition=partition,
+        final=final, deduplicate=deduplicate, dedup_by=dedup_by,
     )
 
 
@@ -1069,6 +1155,67 @@ def _projection_action(o: TableDdl, pr: ProjectionDef) -> Action:
     )
 
 
+def _maintenance_action(o: MaintenanceDdl) -> Action:
+    """OPTIMIZE/TRUNCATE -> compaction / dedup rewrite / partition drop.
+
+    ``FINAL`` needs no rewrite here: the merge-tree read contracts
+    (``summing_merge``, Replacing FINAL, Collapsing state) already give
+    FINAL answers on every read — CH users run OPTIMIZE FINAL to force
+    what this engine's reads do by construction."""
+    if o.op == "truncate":
+        return Action(
+            kind="maintenance",
+            target=o.full_name,
+            api="plans.storage.truncate_table",
+            detail=(
+                "TRUNCATE: drop every day partition (metadata-only "
+                "directory deletes; the empty table keeps its root)"
+            ),
+        )
+    scope = (
+        f"partition {o.partition!r}" if o.partition else "every partition"
+    )
+    if o.deduplicate:
+        by = (
+            f"BY {list(o.dedup_by)}"
+            if o.dedup_by
+            else "fully-identical rows"
+        )
+        return Action(
+            kind="maintenance",
+            target=o.full_name,
+            api="plans.storage.optimize_deduplicate",
+            detail=(
+                f"OPTIMIZE DEDUPLICATE over {scope}: per-partition "
+                f"exact-duplicate removal ({by}); unchanged partitions "
+                "are not rewritten — pass PARTITION to bound the cost "
+                "like CH"
+                + (
+                    "; FINAL: reads already apply the engine's merge "
+                    "semantics, no extra rewrite"
+                    if o.final
+                    else ""
+                )
+            ),
+        )
+    return Action(
+        kind="maintenance",
+        target=o.full_name,
+        api="plans.storage.compact_day_partitions",
+        detail=(
+            f"OPTIMIZE over {scope}: merge small files toward the "
+            "target size (CH's background part merge, run on demand)"
+            + (
+                "; FINAL: reads already apply the engine's merge "
+                "semantics (summing_merge / FINAL read contracts), no "
+                "dedicated rewrite needed"
+                if o.final
+                else ""
+            )
+        ),
+    )
+
+
 def _alter_action(o: AlterDdl) -> Action:
     """Map one ALTER TABLE command onto the storage surfaces.
 
@@ -1167,6 +1314,9 @@ def plan_actions(objects: list) -> list[Action]:
     for o in objects:
         if isinstance(o, AlterDdl):
             actions.append(_alter_action(o))
+            continue
+        if isinstance(o, MaintenanceDdl):
+            actions.append(_maintenance_action(o))
             continue
         if isinstance(o, TableDdl):
             if o.engine_family == "Distributed":

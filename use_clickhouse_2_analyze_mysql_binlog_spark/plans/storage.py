@@ -263,6 +263,60 @@ def mutate_rows(
     return out
 
 
+def optimize_deduplicate(
+    spark: SparkSession,
+    path: str,
+    by: tuple[str, ...] = (),
+    partition: str | None = None,
+) -> dict:
+    """``OPTIMIZE TABLE ... DEDUPLICATE [BY cols]``: exact-duplicate
+    removal, one partition at a time — fully-identical rows (or one
+    arbitrary row per ``by`` key, CH's BY contract) collapse to one.
+
+    Without ``partition`` this rewrites every partition, exactly as
+    costly as CH's own full OPTIMIZE — pass ``partition`` to bound it.
+    Partitions whose row count doesn't change are left untouched
+    (their files are not rewritten). Dedup is per-partition like CH's
+    per-part dedup; cross-partition duplicates survive by design (two
+    rows in different days are different events).
+
+    Returns ``{"partitions": [...], "rows_removed": n}``.
+    """
+    parts = (
+        [Path(path) / f"day={partition}"]
+        if partition is not None
+        else sorted(Path(path).glob("day=*"))
+    )
+    staging_root = Path(path) / ".optimize_staging"
+    out = {"partitions": [], "rows_removed": 0}
+    for part in parts:
+        if not part.is_dir():
+            continue
+        df = spark.read.parquet(str(part))
+        before = df.count()
+        kept = df.dropDuplicates(list(by)) if by else df.dropDuplicates()
+        after = kept.count()
+        if after == before:
+            continue
+        _swap_rewrite(part, staging_root, kept)
+        out["partitions"].append(part.name)
+        out["rows_removed"] += before - after
+    if staging_root.exists():
+        shutil.rmtree(staging_root, ignore_errors=True)
+    return out
+
+
+def truncate_table(path: str) -> int:
+    """``TRUNCATE TABLE``: drop every day partition (metadata-only
+    directory deletes, the empty table keeps its root). Returns the
+    number of partitions dropped."""
+    n = 0
+    for part in sorted(Path(path).glob("day=*")):
+        shutil.rmtree(part)
+        n += 1
+    return n
+
+
 def ttl_row_sweep(
     spark: SparkSession,
     path: str,
