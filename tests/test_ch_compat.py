@@ -2020,6 +2020,12 @@ def test_extract_groups_translates(spark):
         t("SELECT extractGroups(s, 'abc') FROM t")
     with pytest.raises(ValueError, match="2 arguments"):
         t("SELECT extractGroups(s) FROM t")
+    # dictGet is structural (a join), not a scalar — translate-time
+    # error with the migration path, not a bare unresolved-function
+    with pytest.raises(ValueError, match="broadcast-join"):
+        t("SELECT dictGet('db.names', 'name', event_type_id) FROM t")
+    with pytest.raises(ValueError, match="dictHas"):
+        t("SELECT 1 FROM t WHERE dictHas('d', k)")
 
 
 def test_asof_join_using_translates(spark):

@@ -552,7 +552,12 @@ def test_cli_migrate_ddl_execute(spark, tmp_path, capsys):
         "ENGINE = SummingMergeTree() ORDER BY (day);\n"
         "CREATE MATERIALIZED VIEW db.daily_mv TO db.daily AS SELECT "
         "toDate(execute_time) AS day, count(*) AS n "
-        "FROM mysql_monitor.broker_binlog_local GROUP BY day\n",
+        "FROM mysql_monitor.broker_binlog_local GROUP BY day;\n"
+        "CREATE VIEW recent AS SELECT * FROM "
+        "mysql_monitor.broker_binlog_local;\n"
+        "CREATE MATERIALIZED VIEW db.daily_mv2 TO db.daily AS SELECT "
+        "toDate(execute_time) AS day, count(*) AS n FROM recent "
+        "GROUP BY day\n",
         encoding="utf-8",
     )
     out = tmp_path / "stores"
@@ -563,6 +568,15 @@ def test_cli_migrate_ddl_execute(spark, tmp_path, capsys):
     ])
     printed = capsys.readouterr().out
     assert rc == 0 and "executed db.daily_mv: rows=" in printed
+    # the plain view registered first; the MV selecting FROM it ran
+    # and produced the same rollup as the direct MV
+    assert "registered view recent" in printed
+    assert "executed db.daily_mv2: rows=" in printed
+    mv2 = spark.read.parquet(str(out / "daily_mv2"))
+    mv1 = spark.read.parquet(str(out / "daily_mv"))
+    assert {(str(r.day), r.n) for r in mv2.collect()} == {
+        (str(r.day), r.n) for r in mv1.collect()
+    }
     # constraint checks ran over the mapped view: the time invariant
     # holds, the planted length one is violated by every row
     assert ("constraint mysql_monitor.broker_binlog_local.c_time: "

@@ -278,6 +278,56 @@ def test_constraint_maps_to_violation_check(spark):
         spark.catalog.dropTempView("t")
 
 
+def test_view_rename_dictionary_parse_and_plan():
+    """r07: plain CREATE VIEW (translated, registered before MV twins),
+    RENAME/EXCHANGE TABLES (filesystem moves), CREATE DICTIONARY (->
+    broadcast-dim join plan, the P6 enum-decode path)."""
+    v = ddl_compat.parse_statement(
+        "CREATE OR REPLACE VIEW db.v ON CLUSTER main AS "
+        "SELECT toDate(ts) AS day, count() AS n FROM db.binlog "
+        "GROUP BY day"
+    )
+    assert v.kind == "view" and v.full_name == "db.v"
+    assert "to_date" in v.select_spark and "count(*)" in v.select_spark
+
+    r = ddl_compat.parse_statement("RENAME TABLE db.a TO db.b, c TO d")
+    assert r.pairs == (("db.a", "db.b"), ("c", "d")) and not r.exchange
+    e = ddl_compat.parse_statement("EXCHANGE TABLES db.a AND db.b")
+    assert e.exchange and e.pairs == (("db.a", "db.b"),)
+
+    d = ddl_compat.parse_statement(
+        "CREATE DICTIONARY db.event_names ("
+        "event_type_id UInt64, name String DEFAULT 'unknown') "
+        "PRIMARY KEY event_type_id "
+        "SOURCE(MYSQL(host 'h' table 'names')) "
+        "LAYOUT(HASHED()) LIFETIME(MIN 300 MAX 600)"
+    )
+    assert d.kind == "dictionary"
+    assert d.primary_key == ("event_type_id",)
+    assert [c.name for c in d.columns] == ["event_type_id", "name"]
+    assert d.source.startswith("MYSQL") and d.layout == "HASHED()"
+    assert d.lifetime == "MIN 300 MAX 600"
+
+    acts = ddl_compat.plan_actions([v, r, e, d])
+    assert [a.kind for a in acts] == [
+        "view", "rename", "rename", "rename", "dictionary",
+    ]
+    assert acts[0].sql == v.select_spark
+    assert acts[1].target == "db.a -> db.b"
+    assert "temporary name" in acts[3].detail  # the EXCHANGE note
+    assert "broadcast" in acts[4].detail
+    assert "['event_type_id']" in acts[4].detail
+    assert "['name']" in acts[4].detail
+
+    with pytest.raises(ValueError, match="PRIMARY KEY is required"):
+        ddl_compat.parse_statement(
+            "CREATE DICTIONARY d (k UInt64) SOURCE(FILE(path 'x')) "
+            "LAYOUT(FLAT())"
+        )
+    with pytest.raises(ValueError, match="RENAME TABLE item"):
+        ddl_compat.parse_statement("RENAME TABLE a b")
+
+
 def test_optimize_truncate_parse_and_plan():
     """r07: OPTIMIZE TABLE -> compaction (FINAL = documented no-op:
     reads already apply merge semantics) / DEDUPLICATE -> per-partition

@@ -466,6 +466,14 @@ def main(argv: list[str] | None = None) -> int:
         table_map = dict(
             pair.split("=", 1) for pair in args.table_map
         )
+        # plain views register first (bare name) so the MV twins and
+        # constraint checks can select from them
+        for o in objects:
+            if isinstance(o, ddl_compat.ViewDdl):
+                spark.sql(
+                    ch_compat.translate(o.select_ch, table_map=table_map)
+                ).createOrReplaceTempView(o.name)
+                print(f"registered view {o.full_name} as {o.name}")
         # the POPULATE backfill: each MV's batch twin runs once and
         # writes its store (a Summing store's state is exactly the
         # twin's full-history aggregate — merged, not partial)

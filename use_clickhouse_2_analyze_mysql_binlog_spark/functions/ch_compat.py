@@ -2281,6 +2281,20 @@ def translate(
         )
 
     out = _rewrite_calls(out, "extractGroups", _extract_groups)
+
+    # dictGet* is structural (it implies a dictionary lookup JOIN), not
+    # expressional — fail at translate time with the migration path
+    # instead of Spark's bare unresolved-function error
+    for _dname in ("dictGet", "dictGetOrDefault", "dictGetOrNull",
+                   "dictHas"):
+        if re.search(rf"\b{_dname}\s*\(", out):
+            raise ValueError(
+                f"{_dname}: dictionary lookups are joins, not scalar "
+                "calls — load the dictionary SOURCE as a table "
+                "(migrate-ddl parses CREATE DICTIONARY into the "
+                "broadcast-join plan) and rewrite the call site as an "
+                "equi-join on the dictionary's PRIMARY KEY"
+            )
     # CH splitByChar(sep, s): note the swapped argument order vs Spark's
     # split(s, pattern); \Q..\E-quote the separator so regex metachars
     # ('|', '.') split literally

@@ -244,6 +244,55 @@ class AlterDdl:
 
 
 @dataclass
+class ViewDdl:
+    """A plain ``CREATE [OR REPLACE] VIEW``: nothing materializes — the
+    translated SELECT registers as a Spark view (``migrate-ddl
+    --execute`` registers it before MVs so they can select from it)."""
+
+    kind = "view"
+    database: str | None
+    name: str
+    select_ch: str
+    select_spark: str
+
+    @property
+    def full_name(self) -> str:
+        return f"{self.database}.{self.name}" if self.database else self.name
+
+
+@dataclass
+class RenameDdl:
+    """``RENAME TABLE a TO b[, ...]`` / ``EXCHANGE TABLES a AND b``:
+    directory moves at this layer."""
+
+    kind = "rename"
+    pairs: tuple[tuple[str, str], ...]
+    exchange: bool = False
+
+
+@dataclass
+class DictionaryDdl:
+    """``CREATE DICTIONARY``: CH's in-memory lookup table. The Spark
+    realization is a broadcast dimension join (``operators/dims.py`` —
+    the engine's P6 enum-decode path): load the SOURCE as a table,
+    broadcast it, and rewrite ``dictGet(dict, 'attr', key)`` call
+    sites as equi-joins on the PRIMARY KEY."""
+
+    kind = "dictionary"
+    database: str | None
+    name: str
+    columns: list[ColumnDef]
+    primary_key: tuple[str, ...]
+    source: str | None = None  # SOURCE(...) verbatim
+    layout: str | None = None
+    lifetime: str | None = None
+
+    @property
+    def full_name(self) -> str:
+        return f"{self.database}.{self.name}" if self.database else self.name
+
+
+@dataclass
 class MaintenanceDdl:
     """``OPTIMIZE TABLE`` / ``TRUNCATE TABLE`` maintenance statements."""
 
@@ -636,6 +685,57 @@ def parse_statement(sql: str):
         db, name = _split_name(tr.group(1))
         return MaintenanceDdl(database=db, name=name, op="truncate")
 
+    vw = re.match(
+        rf"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+"
+        rf"(?:IF\s+NOT\s+EXISTS\s+)?({_QNAME})"
+        r"(?:\s+ON\s+CLUSTER\s+\S+)?\s+AS\s+(SELECT\b.*)$",
+        masked,
+    )
+    if vw:
+        db, name = _split_name(vw.group(1))
+        select_ch = _unmask(vw.group(2), lits)
+        return ViewDdl(
+            database=db, name=name,
+            select_ch=select_ch, select_spark=translate(select_ch),
+        )
+
+    rn = re.match(r"(?is)^RENAME\s+TABLE\s+(.+)$", masked)
+    if rn:
+        pairs = []
+        for item in _split_top_commas(rn.group(1)):
+            m2 = re.match(
+                rf"(?is)^({_QNAME})\s+TO\s+({_QNAME})\s*$", item.strip()
+            )
+            if not m2:
+                raise ValueError(
+                    f"cannot parse RENAME TABLE item: {item!r}"
+                )
+            pairs.append(
+                (
+                    ".".join(p for p in _split_name(m2.group(1)) if p),
+                    ".".join(p for p in _split_name(m2.group(2)) if p),
+                )
+            )
+        return RenameDdl(pairs=tuple(pairs))
+
+    ex = re.match(
+        rf"(?is)^EXCHANGE\s+TABLES\s+({_QNAME})\s+AND\s+({_QNAME})"
+        r"(?:\s+ON\s+CLUSTER\s+\S+)?\s*$",
+        masked,
+    )
+    if ex:
+        a = ".".join(p for p in _split_name(ex.group(1)) if p)
+        b = ".".join(p for p in _split_name(ex.group(2)) if p)
+        return RenameDdl(pairs=((a, b),), exchange=True)
+
+    dc = re.match(
+        rf"(?is)^CREATE\s+DICTIONARY\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        rf"({_QNAME})(?:\s+ON\s+CLUSTER\s+\S+)?\s*\(",
+        masked,
+    )
+    if dc:
+        return _parse_dictionary(dc, masked, lits)
+
     tb = re.match(
         rf"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_QNAME})"
         rf"(\s+ON\s+CLUSTER\s+(\S+))?\s*\(",
@@ -777,6 +877,42 @@ def parse_statement(sql: str):
         indexes=indexes,
         constraints=constraints,
         projections=projections,
+    )
+
+
+def _parse_dictionary(
+    dc: re.Match, masked: str, lits: list[str]
+) -> DictionaryDdl:
+    db, name = _split_name(dc.group(1))
+    open_idx = masked.index("(", dc.end() - 1)
+    close = _balanced_span(masked, open_idx)
+    cols, _, _, _ = _parse_columns(masked[open_idx + 1 : close - 1], lits)
+    tail = masked[close:]
+    pk = re.search(
+        r"(?is)\bPRIMARY\s+KEY\s+([\w`,\s.]+?)"
+        r"(?=\b(?:SOURCE|LAYOUT|LIFETIME|RANGE|SETTINGS|COMMENT)\b|$)",
+        tail,
+    )
+    if not pk:
+        raise ValueError(
+            f"CREATE DICTIONARY {name}: PRIMARY KEY is required "
+            "(it becomes the broadcast-join key)"
+        )
+    keys = tuple(
+        _unquote(k.strip()) for k in pk.group(1).split(",") if k.strip()
+    )
+
+    def clause(kw: str) -> str | None:
+        m2 = re.search(rf"(?is)\b{kw}\s*\(", tail)
+        if not m2:
+            return None
+        end = _balanced_span(tail, m2.end() - 1)
+        return _unmask(tail[m2.end() : end - 1], lits).strip()
+
+    return DictionaryDdl(
+        database=db, name=name, columns=cols, primary_key=keys,
+        source=clause("SOURCE"), layout=clause("LAYOUT"),
+        lifetime=clause("LIFETIME"),
     )
 
 
@@ -1317,6 +1453,67 @@ def plan_actions(objects: list) -> list[Action]:
             continue
         if isinstance(o, MaintenanceDdl):
             actions.append(_maintenance_action(o))
+            continue
+        if isinstance(o, ViewDdl):
+            actions.append(
+                Action(
+                    kind="view",
+                    target=o.full_name,
+                    api="spark.catalog / CREATE TEMP VIEW",
+                    detail=(
+                        "plain view: register the translated SELECT "
+                        "(migrate-ddl --execute registers it before "
+                        "the MV twins so they can select from it)"
+                    ),
+                    sql=o.select_spark,
+                )
+            )
+            continue
+        if isinstance(o, RenameDdl):
+            verb = "EXCHANGE" if o.exchange else "RENAME"
+            for a, b in o.pairs:
+                actions.append(
+                    Action(
+                        kind="rename",
+                        target=f"{a} -> {b}",
+                        api="(filesystem move)",
+                        detail=(
+                            f"{verb}: a directory move at this layer "
+                            "(atomic on one filesystem; on object "
+                            "stores prefer a catalog/table-format "
+                            "rename)"
+                            + (
+                                "; EXCHANGE is two moves through a "
+                                "temporary name"
+                                if o.exchange
+                                else ""
+                            )
+                        ),
+                    )
+                )
+            continue
+        if isinstance(o, DictionaryDdl):
+            attrs = [
+                c.name for c in o.columns if c.name not in o.primary_key
+            ]
+            actions.append(
+                Action(
+                    kind="dictionary",
+                    target=o.full_name,
+                    api="sources (load) + broadcast join "
+                    "(operators/dims.py)",
+                    detail=(
+                        f"dictionary keyed {list(o.primary_key)} with "
+                        f"attributes {attrs}: load SOURCE"
+                        f"({(o.source or '?').split('(')[0].strip()}) "
+                        "as a table, broadcast it, and rewrite "
+                        "dictGet(dict, 'attr', key) call sites as "
+                        "equi-joins on the key — the engine's P6 "
+                        "enum-decode path; LIFETIME refresh = reload "
+                        "the small dim per batch/epoch"
+                    ),
+                )
+            )
             continue
         if isinstance(o, TableDdl):
             if o.engine_family == "Distributed":
