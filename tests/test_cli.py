@@ -557,7 +557,10 @@ def test_cli_migrate_ddl_execute(spark, tmp_path, capsys):
         "mysql_monitor.broker_binlog_local;\n"
         "CREATE MATERIALIZED VIEW db.daily_mv2 TO db.daily AS SELECT "
         "toDate(execute_time) AS day, count(*) AS n FROM recent "
-        "GROUP BY day\n",
+        "GROUP BY day;\n"
+        "CREATE TABLE db.type_counts ENGINE = MergeTree() ORDER BY (n) "
+        "AS SELECT event_type, count() AS n FROM recent "
+        "GROUP BY event_type\n",
         encoding="utf-8",
     )
     out = tmp_path / "stores"
@@ -572,6 +575,10 @@ def test_cli_migrate_ddl_execute(spark, tmp_path, capsys):
     # and produced the same rollup as the direct MV
     assert "registered view recent" in printed
     assert "executed db.daily_mv2: rows=" in printed
+    # CTAS materialized from the registered view
+    assert "created db.type_counts AS SELECT: rows=" in printed
+    ctas = spark.read.parquet(str(out / "type_counts"))
+    assert ctas.count() > 0 and set(ctas.columns) == {"event_type", "n"}
     mv2 = spark.read.parquet(str(out / "daily_mv2"))
     mv1 = spark.read.parquet(str(out / "daily_mv"))
     assert {(str(r.day), r.n) for r in mv2.collect()} == {

@@ -278,6 +278,40 @@ def test_constraint_maps_to_violation_check(spark):
         spark.catalog.dropTempView("t")
 
 
+def test_ctas_parse_and_plan():
+    """r07: CREATE TABLE ... AS SELECT parses (column list optional —
+    CH infers the schema from the select); the plan carries the
+    translated populate SELECT; the AS <table> schema-clone form and
+    empty definitions stay loud."""
+    t = ddl_compat.parse_statement(
+        "CREATE TABLE db.top_events ENGINE = MergeTree() ORDER BY (n) "
+        "AS SELECT event_type, count() AS n FROM db.binlog "
+        "GROUP BY event_type"
+    )
+    assert t.columns == [] and t.engine_family == "MergeTree"
+    assert "count(*)" in t.as_select_spark
+    (fa,) = [a for a in ddl_compat.plan_actions([t])
+             if a.kind == "fact_table"]
+    assert fa.sql == t.as_select_spark
+    assert "CTAS" in fa.detail and "inferred" in fa.detail
+
+    t2 = ddl_compat.parse_statement(
+        "CREATE TABLE t (n UInt64) ENGINE = MergeTree() ORDER BY (n) "
+        "AS SELECT 1 AS n"
+    )
+    assert t2.columns[0].name == "n" and t2.as_select_ch == "SELECT 1 AS n"
+
+    with pytest.raises(ValueError, match="schema clone"):
+        ddl_compat.parse_statement(
+            "CREATE TABLE a AS db.b ENGINE = "
+            "Distributed('c', 'db', 'b', rand())"
+        )
+    with pytest.raises(ValueError, match="column list or AS SELECT"):
+        ddl_compat.parse_statement(
+            "CREATE TABLE t ENGINE = MergeTree() ORDER BY (x)"
+        )
+
+
 def test_view_rename_dictionary_parse_and_plan():
     """r07: plain CREATE VIEW (translated, registered before MV twins),
     RENAME/EXCHANGE TABLES (filesystem moves), CREATE DICTIONARY (->

@@ -474,6 +474,23 @@ def main(argv: list[str] | None = None) -> int:
                     ch_compat.translate(o.select_ch, table_map=table_map)
                 ).createOrReplaceTempView(o.name)
                 print(f"registered view {o.full_name} as {o.name}")
+        # CTAS tables materialize next (and register under their bare
+        # name so later MV twins can select from them)
+        for o in objects:
+            if not (
+                isinstance(o, ddl_compat.TableDdl) and o.as_select_ch
+            ):
+                continue
+            dest = f"{args.output_dir}/{o.name}"
+            spark.sql(
+                ch_compat.translate(o.as_select_ch, table_map=table_map)
+            ).write.mode("overwrite").parquet(dest)
+            df = spark.read.parquet(dest)
+            df.createOrReplaceTempView(o.name)
+            print(
+                f"created {o.full_name} AS SELECT: rows={df.count()} "
+                f"-> {dest}"
+            )
         # the POPULATE backfill: each MV's batch twin runs once and
         # writes its store (a Summing store's state is exactly the
         # twin's full-history aggregate — merged, not partial)

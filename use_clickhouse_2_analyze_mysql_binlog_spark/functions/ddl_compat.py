@@ -71,6 +71,13 @@ module parses it and emits the equivalent Spark-side plan:
   exactly CH's lazy ALTER ADD). The ``mutate`` CLI runs one statement
   against a parquet path.
 
+- ``CREATE TABLE ... AS SELECT`` (CTAS; column list optional — CH
+  infers the schema): the plan carries the translated populate SELECT
+  and ``migrate-ddl --execute`` materializes it (registered under the
+  bare name for later MV twins). Plain ``CREATE VIEW`` registers its
+  translated SELECT the same way; the ``AS <table>`` schema-clone
+  form stays loud.
+
 - ``OPTIMIZE TABLE`` -> on-demand compaction
   (``compact_day_partitions``); ``DEDUPLICATE [BY cols]`` ->
   ``optimize_deduplicate`` per-partition exact-dup rewrite; ``FINAL``
@@ -181,6 +188,8 @@ class TableDdl:
     ttl_group_by: tuple[str, ...] = ()
     ttl_set: tuple[tuple[str, str], ...] = ()  # SET col = agg expr
     ttl_to: str | None = None  # "DISK 'x'" / "VOLUME 'x'" tiering
+    as_select_ch: str | None = None  # CTAS: the populating SELECT
+    as_select_spark: str | None = None
     settings: str | None = None
     distributed_target: str | None = None  # "db.table" for Distributed
     indexes: list[IndexDef] = field(default_factory=list)
@@ -738,7 +747,7 @@ def parse_statement(sql: str):
 
     tb = re.match(
         rf"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_QNAME})"
-        rf"(\s+ON\s+CLUSTER\s+(\S+))?\s*\(",
+        rf"(\s+ON\s+CLUSTER\s+(\S+))?\s*",
         masked,
     )
     if not tb:
@@ -747,12 +756,37 @@ def parse_statement(sql: str):
             "/ OPTIMIZE TABLE / TRUNCATE TABLE statements are translated"
         )
     db, name = _split_name(tb.group(1))
-    open_idx = masked.index("(", tb.end() - 1)
-    close = _balanced_span(masked, open_idx)
-    columns, indexes, constraints, projections = _parse_columns(
-        masked[open_idx + 1 : close - 1], lits
-    )
-    clauses = _clause_split(masked[close:])
+    columns: list[ColumnDef] = []
+    indexes, constraints, projections = [], [], []
+    tail_start = tb.end()
+    if masked[tb.end() : tb.end() + 1] == "(":
+        open_idx = tb.end()
+        close = _balanced_span(masked, open_idx)
+        columns, indexes, constraints, projections = _parse_columns(
+            masked[open_idx + 1 : close - 1], lits
+        )
+        tail_start = close
+    tail = masked[tail_start:]
+    # CTAS: ENGINE/layout clauses, then AS SELECT (the column list is
+    # optional — CH infers the schema from the select)
+    as_pos = _as_select_pos(tail)
+    as_select_ch = as_select_spark = None
+    if as_pos < len(tail):
+        as_m = re.search(r"(?is)\bAS\s+(SELECT\b.*)$", tail)
+        as_select_ch = _unmask(as_m.group(1), lits)
+        as_select_spark = translate(as_select_ch)
+        tail = tail[:as_pos]
+    elif re.search(r"(?is)\bAS\s", tail):
+        raise ValueError(
+            f"CREATE TABLE {name} AS <table> (schema clone) is not "
+            "translated — re-state the columns or use AS SELECT * "
+            "with LIMIT 0"
+        )
+    if not columns and as_select_ch is None:
+        raise ValueError(
+            f"CREATE TABLE {name}: needs a column list or AS SELECT"
+        )
+    clauses = _clause_split(tail)
 
     if "ENGINE" not in clauses:
         raise ValueError(f"CREATE TABLE {name}: ENGINE clause is required")
@@ -877,6 +911,8 @@ def parse_statement(sql: str):
         indexes=indexes,
         constraints=constraints,
         projections=projections,
+        as_select_ch=as_select_ch,
+        as_select_spark=as_select_spark,
     )
 
 
@@ -1540,7 +1576,7 @@ def plan_actions(objects: list) -> list[Action]:
                 )
             schema = ", ".join(
                 f"{c.name} {c.spark_type}" for c in o.columns
-            )
+            ) or "(inferred from AS SELECT)"
             if o.engine_family == "MergeTree":
                 part_desc = ""
                 if o.partition_by:
@@ -1581,7 +1617,15 @@ def plan_actions(objects: list) -> list[Action]:
                                 if o.replicated
                                 else ""
                             )
+                            + (
+                                "; CTAS: populate once by running the "
+                                "translated SELECT (migrate-ddl "
+                                "--execute writes it)"
+                                if o.as_select_spark
+                                else ""
+                            )
                         ),
+                        sql=o.as_select_spark,
                     )
                 )
             elif o.engine_family == "SummingMergeTree":
