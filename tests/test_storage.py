@@ -211,6 +211,14 @@ def test_mutate_rows_delete_and_update(spark, tmp_path):
             spark, path, "1=1", set_exprs=(("day", "DATE'2020-01-01'"),)
         )
 
+    # a partition whose EVERY row matches must vanish from disk
+    # (dynamic overwrite alone would leave its old files)
+    n_day2 = got2.filter("day = DATE'2024-01-02'").count()
+    out3 = storage.mutate_rows(spark, path, "day = DATE'2024-01-02'")
+    assert out3["rows_matched"] == n_day2 and out3["rows_after"] == 0
+    assert not (tmp_path / "fact" / "day=2024-01-02").exists()
+    n_total -= n_day2
+
     # DROP PARTITION: metadata-only
     n_dropped_day = got2.filter("day = DATE'2024-01-07'").count()
     assert storage.drop_partition(path, "2024-01-07") is True
