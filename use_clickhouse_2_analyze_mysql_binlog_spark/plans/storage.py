@@ -313,31 +313,46 @@ def optimize_deduplicate(
     removal, one partition at a time — fully-identical rows (or one
     arbitrary row per ``by`` key, CH's BY contract) collapse to one.
 
-    Without ``partition`` this rewrites every partition, exactly as
-    costly as CH's own full OPTIMIZE — pass ``partition`` to bound it.
-    Partitions whose row count doesn't change are left untouched
-    (their files are not rewritten). Dedup is per-partition like CH's
-    per-part dedup; cross-partition duplicates survive by design (two
-    rows in different days are different events).
+    Scale shape: pass 1 finds the partitions that actually CONTAIN
+    duplicates with ONE aggregation over the (pruned) scan — the
+    common nothing-duplicated case costs one scan and zero rewrite
+    jobs; pass 2 rewrites only those partitions. Dedup is
+    per-partition like CH's per-part dedup; cross-partition duplicates
+    survive by design (two rows in different days are different
+    events). Pass ``partition`` to bound the scan to one day.
 
     Returns ``{"partitions": [...], "rows_removed": n}``.
     """
-    parts = (
-        [Path(path) / f"day={partition}"]
-        if partition is not None
-        else sorted(Path(path).glob("day=*"))
+    root = Path(path)
+    if partition is not None and not (root / f"day={partition}").is_dir():
+        return {"partitions": [], "rows_removed": 0}
+    table = spark.read.parquet(path)
+    if partition is not None:
+        table = table.filter(F.col("day") == partition)
+    cols = list(by) if by else [c for c in table.columns if c != "day"]
+    # shuffle (day, 64-bit hash) instead of every column — a collision
+    # at worst flags a clean day, and the rewrite loop skips days where
+    # dedup removes nothing, so correctness is unaffected
+    keys = [F.col("day"), F.xxhash64(*[F.col(c) for c in cols])]
+    dup_days = sorted(
+        str(r[0])
+        for r in table.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .select("day")
+        .distinct()
+        .collect()
     )
-    staging_root = Path(path) / ".optimize_staging"
+    staging_root = root / ".optimize_staging"
     out = {"partitions": [], "rows_removed": 0}
-    for part in parts:
-        if not part.is_dir():
-            continue
+    for day in dup_days:
+        part = root / f"day={day}"
         df = spark.read.parquet(str(part))
         before = df.count()
         kept = df.dropDuplicates(list(by)) if by else df.dropDuplicates()
         after = kept.count()
         if after == before:
-            continue
+            continue  # hash-collision false positive: nothing to do
         _swap_rewrite(part, staging_root, kept)
         out["partitions"].append(part.name)
         out["rows_removed"] += before - after
