@@ -682,6 +682,57 @@ def test_cli_mutate(spark, tmp_path, capsys):
     assert list(pathlib.Path(path).glob("day=*")) == []
 
 
+def test_cli_maintain_ddl_ttl(spark, tmp_path, capsys):
+    """maintain --ddl runs the table's own TTL action: the row-level
+    DELETE WHERE form sweeps expired partitions dropping matching rows
+    (the 2024-01 testdata is long past the 30-day TTL)."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.plans import storage
+
+    path = str(tmp_path / "fact")
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    storage.write_fact_table(binlog, path, files_per_day=1, mode="overwrite")
+    n_total = binlog.count()
+    n_err = binlog.where("event_type = 'ERROR'").count()
+    script = tmp_path / "setup.sql"
+    script.write_text(
+        "CREATE TABLE db.binlog (event_type String, execute_time "
+        "DateTime, gtid String) ENGINE = MergeTree() "
+        "ORDER BY (execute_time) "
+        "TTL execute_time + toIntervalDay(30) "
+        "DELETE WHERE event_type = 'ERROR'\n",
+        encoding="utf-8",
+    )
+    rc = cli.main([
+        "maintain", "--path", path, "--ddl", str(script),
+        "--skip-compaction",
+    ])
+    printed = capsys.readouterr().out
+    assert rc == 0 and "ttl delete-where:" in printed
+    assert f"removed={n_err}" in printed
+    got = storage.read_fact_table(spark, path)
+    assert got.count() == n_total - n_err
+    assert got.where("event_type = 'ERROR'").count() == 0
+    # ambiguity is a usage error
+    script2 = tmp_path / "two.sql"
+    script2.write_text(
+        script.read_text()
+        + ";\nCREATE TABLE db.other (ts DateTime) ENGINE = MergeTree() "
+        "ORDER BY (ts) TTL ts + toIntervalDay(7)\n",
+        encoding="utf-8",
+    )
+    assert cli.main([
+        "maintain", "--path", path, "--ddl", str(script2),
+        "--skip-compaction",
+    ]) == 2
+    # --table disambiguates to the plain partition-drop form
+    rc = cli.main([
+        "maintain", "--path", path, "--ddl", str(script2),
+        "--table", "db.other", "--skip-compaction",
+    ])
+    printed = capsys.readouterr().out
+    assert rc == 0 and "dropped=" in printed
+
+
 def test_cli_migrate_ddl_stream_projection(spark, tmp_path, capsys):
     """--stream accepts an aggregate PROJECTION (the in-table MV form)
     and publishes the merged store, equal to the batch truth."""

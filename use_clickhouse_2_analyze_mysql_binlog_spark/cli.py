@@ -204,6 +204,20 @@ def build_parser() -> argparse.ArgumentParser:
     mnt.add_argument("--retention-months", type=int, default=30)
     mnt.add_argument("--target-file-mb", type=int, default=512)
     mnt.add_argument("--skip-compaction", action="store_true")
+    mnt.add_argument(
+        "--ddl",
+        default=None,
+        metavar="SCRIPT",
+        help="drive retention from the table's own CH DDL: its TTL "
+        "clause (incl. row-level DELETE WHERE / GROUP BY ... SET) "
+        "runs instead of --retention-months",
+    )
+    mnt.add_argument(
+        "--table",
+        default=None,
+        help="with --ddl: which table's TTL to run (default: the "
+        "single TTL-bearing table in the script)",
+    )
 
     mut = sub.add_parser(
         "mutate",
@@ -773,7 +787,72 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "maintain":
         from use_clickhouse_2_analyze_mysql_binlog_spark.plans import storage
 
-        dropped = storage.retention_sweep(args.path, months=args.retention_months)
+        if args.ddl:
+            from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
+                ddl_compat,
+            )
+
+            objects = [
+                ddl_compat.parse_statement(s)
+                for s in ddl_compat.split_statements(
+                    open(args.ddl, encoding="utf-8").read()
+                )
+            ]
+            with_ttl = [
+                o
+                for o in objects
+                if isinstance(o, ddl_compat.TableDdl)
+                and (o.ttl_months is not None or o.ttl_days is not None)
+                and (
+                    args.table is None
+                    or args.table in (o.name, o.full_name)
+                )
+            ]
+            if len(with_ttl) != 1:
+                print(
+                    f"--ddl needs exactly one TTL-bearing table "
+                    f"(found {[o.full_name for o in with_ttl]}; "
+                    "narrow with --table)"
+                )
+                return 2
+            (o,) = with_ttl
+            months, days = o.ttl_months or 0, o.ttl_days or 0
+            if o.ttl_to is not None:
+                print(f"TTL ... TO {o.ttl_to}: storage tiering — map "
+                      "to a lifecycle policy; nothing swept here")
+                dropped = []
+            elif o.ttl_where is not None:
+                out = storage.ttl_row_sweep(
+                    spark, args.path, months=months, days=days,
+                    where=ddl_compat.constraint_condition_spark(
+                        o.ttl_where
+                    ),
+                )
+                print(f"ttl delete-where: rewritten="
+                      f"{len(out['rewritten'])} removed="
+                      f"{out['rows_before'] - out['rows_after']}")
+                dropped = out["rewritten"]
+            elif o.ttl_group_by:
+                out = storage.ttl_row_sweep(
+                    spark, args.path, months=months, days=days,
+                    group_by=o.ttl_group_by,
+                    set_exprs=tuple(
+                        (c, ddl_compat.constraint_condition_spark(e))
+                        for c, e in o.ttl_set
+                    ),
+                )
+                print(f"ttl rollup-on-expiry: rewritten="
+                      f"{len(out['rewritten'])} collapsed="
+                      f"{out['rows_before'] - out['rows_after']}")
+                dropped = out["rewritten"]
+            else:
+                dropped = storage.retention_sweep(
+                    args.path, months=months, days=days
+                )
+        else:
+            dropped = storage.retention_sweep(
+                args.path, months=args.retention_months
+            )
         compacted = (
             []
             if args.skip_compaction

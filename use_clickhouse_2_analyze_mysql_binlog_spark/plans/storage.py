@@ -146,7 +146,10 @@ def retention_cutoff(today: dt.date, months: int = 30) -> dt.date:
 
 
 def retention_sweep(
-    path: str, today: dt.date | None = None, months: int = 30
+    path: str,
+    today: dt.date | None = None,
+    months: int = 30,
+    days: int = 0,
 ) -> list[str]:
     """Drop expired ``day=`` partition directories; returns dropped names.
 
@@ -160,6 +163,8 @@ def retention_sweep(
     semantics are identical.
     """
     cutoff = retention_cutoff(today or dt.date.today(), months)
+    if days:
+        cutoff = cutoff - dt.timedelta(days=days)
     dropped: list[str] = []
     for part in sorted(Path(path).glob("day=*")):
         day = dt.date.fromisoformat(part.name.split("=", 1)[1])
