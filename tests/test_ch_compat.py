@@ -2028,6 +2028,40 @@ def test_extract_groups_translates(spark):
         t("SELECT 1 FROM t WHERE dictHas('d', k)")
 
 
+def test_probe_batch_fifth_session(spark):
+    """r07 fifth-session probe batch: hasToken (CH token semantics —
+    alnum-bounded match, separator needles loud like CH), DateTime64
+    epoch families, JSONLength, toValidUTF8 identity."""
+    t = ch_compat.translate
+    spark.sql(
+        "SELECT 'hello world_x' AS s, "
+        "timestamp'2024-01-02 03:04:05' AS ts"
+    ).createOrReplaceTempView("pb_t")
+    r = ch_compat.run_clickhouse_sql(spark, """
+        SELECT hasToken(s, 'world') AS h1, hasToken(s, 'worl') AS h2,
+               hasToken(s, 'x') AS h3,
+               hasTokenCaseInsensitive(s, 'WORLD') AS h4,
+               toUnixTimestamp64Milli(ts) AS ms,
+               toUnixTimestamp64Nano(ts) AS ns,
+               fromUnixTimestamp64Milli(1704164645000) AS back,
+               JSONLength('[1,2,3]') AS jl,
+               JSONLength('{"a":1,"b":2}') AS jo,
+               toValidUTF8(s) AS v
+        FROM pb_t""").collect()[0]
+    # 'world' and 'x' are whole tokens ('_' separates in CH);
+    # 'worl' is a prefix, not a token
+    assert r.h1 is True and r.h2 is False and r.h3 is True
+    assert r.h4 is True
+    assert r.ms == 1704164645000 and r.ns == 1704164645000 * 1_000_000
+    assert str(r.back).startswith("2024-01-02 03:04:05")
+    assert r.jl == 3 and r.jo == 2 and r.v == "hello world_x"
+    # CH throws on separator needles; so does the translation
+    with pytest.raises(ValueError, match="single token"):
+        t("SELECT hasToken(s, 'a.b') FROM t")
+    # JSONLength with a path arg stays loud (passes through)
+    assert "JSONLength" in t("SELECT JSONLength(j, 'a') FROM t")
+
+
 def test_asof_join_using_translates(spark):
     """r07: ASOF JOIN ... USING (keys..., t) translates — the right
     side's USING columns are renamed inside the augmented subquery, so

@@ -264,15 +264,16 @@ def test_constraint_maps_to_violation_check(spark):
     # unknown CHECK function passes through verbatim (translator
     # policy) and fails loudly at execution, never silently-wrong
     bad = ddl_compat.parse_statement(
-        "CREATE TABLE t (x String, CONSTRAINT c CHECK hasToken(x, 'a')) "
+        "CREATE TABLE t (x String, "
+        "CONSTRAINT c CHECK ngramDistance(x, 'a') < 0.5) "
         "ENGINE = MergeTree() ORDER BY (x)"
     )
     (bad_check,) = [a for a in ddl_compat.plan_actions([bad])
                     if a.kind == "constraint_check"]
-    assert "hasToken" in bad_check.sql
+    assert "ngramDistance" in bad_check.sql
     spark.range(1).selectExpr("'a' AS x").createOrReplaceTempView("t")
     try:
-        with pytest.raises(Exception, match="hasToken"):
+        with pytest.raises(Exception, match="ngramDistance"):
             spark.sql(bad_check.sql).collect()
     finally:
         spark.catalog.dropTempView("t")

@@ -308,6 +308,12 @@ _RENAMES = {
     "intHash32": "xxhash64",
     # round-7 second batch: pure renames
     "toLastDayOfMonth": "last_day",
+    # round-7 fifth-session probe batch: epoch-precision families
+    # (CH DateTime64 <-> integer; Spark's unix_/timestamp_ twins)
+    "toUnixTimestamp64Milli": "unix_millis",
+    "toUnixTimestamp64Micro": "unix_micros",
+    "fromUnixTimestamp64Milli": "timestamp_millis",
+    "fromUnixTimestamp64Micro": "timestamp_micros",
     "roundBankers": "bround",  # both are banker's rounding, same [, n]
     # CH round() is BANKER'S rounding for float types (round(2.5) = 2,
     # documented) — Spark's round is half-up, so the passthrough would be
@@ -2281,6 +2287,69 @@ def translate(
         )
 
     out = _rewrite_calls(out, "extractGroups", _extract_groups)
+
+    # hasToken: CH tokens are maximal runs of alphanumeric ASCII, so a
+    # token hit = the needle bounded by non-alphanumerics (or ends);
+    # \Q..\E-quote the needle so regex metachars match literally
+    def _has_token(lowered):
+        def build(a):
+            if len(a) != 2:
+                raise ValueError(
+                    "hasToken(haystack, token) takes 2 arguments"
+                )
+            h, tok = a[0], a[1]
+            lm = re.fullmatch(r"\x00L(\d+)\x00", tok.strip())
+            if lm and not re.fullmatch(
+                r"[0-9A-Za-z]+", literals[int(lm.group(1))][1:-1]
+            ):
+                # CH itself throws here: the needle must BE a token
+                raise ValueError(
+                    "hasToken: the needle must be a single token "
+                    "(alphanumeric ASCII only) — ClickHouse rejects "
+                    "separator characters too"
+                )
+            if lowered:
+                h, tok = f"lower({h})", f"lower({tok})"
+            # \P{Alnum} (Java regex: NOT ASCII-alphanumeric) instead of
+            # a [^...] class — the array-literal pass would rewrite
+            # brackets emitted here into array(..)
+            return (
+                f"({h} RLIKE concat('(^|\\\\P{{Alnum}})\\\\Q', {tok}, "
+                f"'\\\\E($|\\\\P{{Alnum}})'))"
+            )
+
+        return build
+
+    out = _rewrite_calls(out, "hasToken", _has_token(False))
+    out = _rewrite_calls(
+        out, "hasTokenCaseInsensitive", _has_token(True)
+    )
+    # nanosecond epoch twins: Spark's finest grain is micros — the
+    # documented narrowing (CH DateTime64(9) truncates to micros)
+    out = _rewrite_calls(
+        out, "toUnixTimestamp64Nano",
+        lambda a: f"(unix_micros({a[0]}) * 1000)",
+    )
+    out = _rewrite_calls(
+        out, "fromUnixTimestamp64Nano",
+        lambda a: f"timestamp_micros(cast(({a[0]}) / 1000 AS bigint))",
+    )
+    # JSONLength: array length, or key count for objects (CH returns
+    # either depending on the node; the 1-arg root form only — path
+    # args fall through loud)
+    out = _rewrite_calls(
+        out, "JSONLength",
+        lambda a: (
+            f"coalesce(json_array_length({a[0]}), "
+            f"size(json_object_keys({a[0]})))"
+            if len(a) == 1
+            else f"\x01JSONLength\x01({', '.join(a)})"
+        ),
+    )
+    out = out.replace("\x01JSONLength\x01", "JSONLength")
+    # toValidUTF8: Spark strings are already valid UTF-8 (invalid
+    # sequences were replaced at read time) — identity here
+    out = _rewrite_calls(out, "toValidUTF8", lambda a: f"({a[0]})")
 
     # dictGet* is structural (it implies a dictionary lookup JOIN), not
     # expressional — fail at translate time with the migration path
