@@ -703,6 +703,107 @@ SELECT toDate(ts) AS day, count(*) AS n FROM src GROUP BY day
     assert "rollup_job" in mv.api and "db.store_local" in mv.detail
 
 
+def test_full_migration_rehearsal_composes():
+    """One realistic modern-CH bootstrap exercising EVERY migration
+    surface in one script: fact table with INDEX + CONSTRAINT +
+    PROJECTION + row-level TTL, Summing store + MV, plain view, CTAS,
+    dictionary, ALTER mutation, OPTIMIZE, TRUNCATE — every statement
+    parses and every expected action kind lands."""
+    script = """
+    CREATE TABLE db.binlog (
+        gtid String,
+        event_type String,
+        execute_time DateTime,
+        sz UInt64,
+        INDEX ix_gtid gtid TYPE bloom_filter(0.01) GRANULARITY 4,
+        CONSTRAINT c_sz CHECK sz >= 0,
+        PROJECTION p_by_type (SELECT event_type, count() AS n
+                              GROUP BY event_type)
+    ) ENGINE = ReplicatedMergeTree('/zk/{shard}', '{replica}')
+    PARTITION BY toDate(execute_time)
+    ORDER BY (execute_time, gtid)
+    TTL execute_time + toIntervalMonth(30)
+        DELETE WHERE event_type = 'NOOP';
+
+    CREATE TABLE db.daily (day Date, n UInt64)
+    ENGINE = SummingMergeTree() ORDER BY (day);
+
+    CREATE MATERIALIZED VIEW db.daily_mv TO db.daily AS
+    SELECT toDate(execute_time) AS day, count(*) AS n
+    FROM db.binlog GROUP BY day;
+
+    CREATE VIEW db.recent AS SELECT * FROM db.binlog
+    WHERE execute_time >= now() - toIntervalDay(7);
+
+    CREATE TABLE db.type_counts ENGINE = MergeTree() ORDER BY (n)
+    AS SELECT event_type, count() AS n FROM db.binlog
+    GROUP BY event_type;
+
+    CREATE DICTIONARY db.names (id UInt64, name String)
+    PRIMARY KEY id SOURCE(MYSQL(host 'h' table 'names'))
+    LAYOUT(HASHED()) LIFETIME(600);
+
+    ALTER TABLE db.binlog DELETE WHERE event_type = 'PURGE';
+    OPTIMIZE TABLE db.binlog FINAL DEDUPLICATE;
+    TRUNCATE TABLE db.type_counts
+    """
+    objects, actions = ddl_compat.migrate_script(script)
+    assert len(objects) == 9
+    kinds = sorted(a.kind for a in actions)
+    for k in ("fact_table", "skip_index", "constraint_check",
+              "projection", "retention", "rollup_store",
+              "materialized_view", "view", "dictionary", "mutation",
+              "maintenance"):
+        assert k in kinds, f"missing action kind {k}"
+    # the MV resolved its Summing target -> streaming recommendation
+    mv = next(a for a in actions if a.kind == "materialized_view")
+    assert "rollup_job" in mv.api
+    # the row-level TTL routed to ttl_row_sweep, not the plain sweep
+    ret = next(a for a in actions if a.kind == "retention")
+    assert "ttl_row_sweep" in ret.api
+    # every runnable SQL actually translated (no CH-isms left)
+    for a in actions:
+        if a.sql:
+            assert "toDate(" not in a.sql and "count()" not in a.sql
+
+
+def test_alter_optimize_parse_properties():
+    """Property: random identifiers/case/whitespace around ALTER and
+    OPTIMIZE statements parse to exactly the generated structure."""
+    from hypothesis import given, settings, strategies as st
+
+    ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True)
+    ws = st.sampled_from([" ", "  ", "\n", "\n  "])
+
+    @settings(max_examples=60, deadline=None)
+    @given(ident, ident, ident, st.booleans(), st.booleans(),
+           st.booleans(), ws)
+    def check(tbl, col, val, qualified, upper, exchange, sep):
+        name = f"db.{tbl}" if qualified else tbl
+        kw = (lambda s: s.upper()) if upper else (lambda s: s.lower())
+        d = ddl_compat.parse_statement(
+            f"{kw('alter table')}{sep}{name}{sep}{kw('delete where')}"
+            f"{sep}{col} = '{val}'"
+        )
+        assert d.action == "delete" and d.name == tbl
+        assert d.where == f"{col} = '{val}'"
+        o = ddl_compat.parse_statement(
+            f"{kw('optimize table')}{sep}{name}{sep}{kw('final')}"
+            f"{sep}{kw('deduplicate by')}{sep}{col}"
+        )
+        assert o.final and o.deduplicate and o.dedup_by == (col,)
+        r = ddl_compat.parse_statement(
+            f"{kw('exchange tables')}{sep}{name}{sep}{kw('and')}"
+            f"{sep}{tbl}2"
+            if not exchange
+            else f"{kw('rename table')}{sep}{name}{sep}{kw('to')}"
+            f"{sep}{tbl}2"
+        )
+        assert r.kind == "rename" and r.pairs[0][1] == f"{tbl}2"
+
+    check()
+
+
 def test_ddl_parse_property_random_shapes():
     """Property: a generated CREATE TABLE with random identifiers, CH
     types, case/whitespace noise, comments, and clause subsets parses to
