@@ -2060,6 +2060,16 @@ def test_probe_batch_fifth_session(spark):
         t("SELECT hasToken(s, 'a.b') FROM t")
     # JSONLength with a path arg stays loud (passes through)
     assert "JSONLength" in t("SELECT JSONLength(j, 'a') FROM t")
+    # second probe batch: bitNot, toTime, toWeek mode 3, to*OrDefault
+    r2 = ch_compat.run_clickhouse_sql(spark, """
+        SELECT bitNot(5) AS bn, toTime(ts) AS tt, toWeek(ts, 3) AS w,
+               toInt64OrDefault('x', 7) AS d1,
+               toInt64OrDefault('42', 7) AS d2
+        FROM pb_t""").collect()[0]
+    assert r2.bn == -6 and str(r2.tt) == "1970-01-02 03:04:05"
+    assert r2.w == 1 and r2.d1 == 7 and r2.d2 == 42
+    with pytest.raises(ValueError, match="mode 3"):
+        t("SELECT toWeek(ts) FROM t")
 
 
 def test_asof_join_using_translates(spark):

@@ -2350,6 +2350,29 @@ def translate(
     # toValidUTF8: Spark strings are already valid UTF-8 (invalid
     # sequences were replaced at read time) — identity here
     out = _rewrite_calls(out, "toValidUTF8", lambda a: f"({a[0]})")
+    # bitNot: Spark spells it ~
+    out = _rewrite_calls(out, "bitNot", lambda a: f"(~({a[0]}))")
+    # toTime: CH moves the date to 1970-01-02, keeping the time of day
+    out = _rewrite_calls(
+        out, "toTime",
+        lambda a: (
+            f"timestamp(concat('1970-01-02 ', "
+            f"date_format({a[0]}, 'HH:mm:ss')))"
+        ),
+    )
+
+    # toWeek: only ISO mode 3 matches Spark's weekofyear; CH's default
+    # mode 0 (Sunday-start, 0-based) has no Spark twin — loud
+    def _to_week(a):
+        if len(a) >= 2 and a[1].strip() == "3":
+            return f"weekofyear({a[0]})"
+        raise ValueError(
+            "toWeek: only mode 3 (ISO, = Spark weekofyear) is "
+            "translated; CH's default mode 0 weeks are Sunday-based "
+            "and 0-indexed — use toISOWeek or toWeek(x, 3)"
+        )
+
+    out = _rewrite_calls(out, "toWeek", _to_week)
 
     # dictGet* is structural (it implies a dictionary lookup JOIN), not
     # expressional — fail at translate time with the migration path
@@ -3280,6 +3303,15 @@ def translate(
             out, f"to{_t}OrZero",
             lambda a, t=_sql_t, z=_zero: (
                 f"coalesce(try_cast({a[0]} AS {t}), {z})"
+            ),
+        )
+        # OrDefault: caller-supplied fallback instead of the type zero
+        out = _rewrite_calls(
+            out, f"to{_t}OrDefault",
+            lambda a, t=_sql_t: (
+                f"coalesce(try_cast({a[0]} AS {t}), {a[1]})"
+                if len(a) == 2
+                else f"try_cast({a[0]} AS {t})"
             ),
         )
     # toDecimal32/64/128(x, scale): precision from the CH width (9/18/38
