@@ -395,21 +395,22 @@ def ttl_row_sweep(
     ONLY the day partitions older than the cutoff — at 100 TB the
     rewrite cost is bounded by the expired window, never the table:
 
-    - ``where``: expired rows matching the predicate are deleted
-      (NULL predicate = kept, CH deletes only on true); survivors are
-      rewritten in place.
+    - ``where``: expired rows matching the predicate are deleted.
+      Delegates to :func:`mutate_rows` with the age bound ANDed in —
+      one pruned skipping scan finds the partitions actually
+      containing victims (a strict subset of the expired window when
+      most expired days have no matches), then ONE dynamic-overwrite
+      job rewrites exactly those.
     - ``group_by``/``set_exprs``: expired rows collapse to one row per
-      key group — ``set_exprs`` columns take their aggregate, every
-      other non-key column takes ``any_value`` (CH's documented
-      pick-any for non-SET columns). CH requires the keys be a sort-key
-      prefix so expired groups are contiguous; here the groupBy
-      shuffles only the expired partitions' rows.
+      (day, keys) group — ``set_exprs`` columns take their aggregate,
+      every other non-key column ``any_value`` (CH's documented
+      pick-any for non-SET columns). One groupBy over the pruned
+      expired window, one dynamic-overwrite write; CH requires the
+      keys be a sort-key prefix so its expired groups are contiguous —
+      here the shuffle is bounded by the expired window's rows.
 
-    Each affected partition is rewritten atomically: written to a
-    dot-prefixed staging dir (invisible to Spark readers), then swapped
-    in. Same local-FS note as :func:`retention_sweep` — production
-    swaps directory ops for the Hadoop FS API or a table format's
-    rewrite commands.
+    Same crash semantics as :func:`mutate_rows` (Spark's commit
+    protocol; rerunning is idempotent — both actions are).
 
     Returns ``{"rewritten": [...], "rows_before": n, "rows_after": n}``.
     """
@@ -424,42 +425,57 @@ def ttl_row_sweep(
     cutoff = retention_cutoff(today or dt.date.today(), months)
     if days:
         cutoff = cutoff - dt.timedelta(days=days)
-    expired = [
-        part
-        for part in sorted(Path(path).glob("day=*"))
+    if where is not None:
+        m = mutate_rows(
+            spark, path, f"({where}) AND day < DATE'{cutoff}'"
+        )
+        return {
+            "rewritten": m["partitions"],
+            "rows_before": m["rows_after"] + m["rows_matched"],
+            "rows_after": m["rows_after"],
+        }
+    expired = sorted(
+        part.name.split("=", 1)[1]
+        for part in Path(path).glob("day=*")
         if dt.date.fromisoformat(part.name.split("=", 1)[1]) < cutoff
-    ]
+    )
     out = {"rewritten": [], "rows_before": 0, "rows_after": 0}
-    staging_root = Path(path) / ".ttl_staging"
-    for part in expired:
-        df = spark.read.parquet(str(part))
-        before = df.count()
-        if where is not None:
-            kept = df.filter(
-                ~F.coalesce(F.expr(where).cast("boolean"), F.lit(False))
-            )
-        else:
-            aggs = [F.expr(e).alias(c) for c, e in set_exprs]
-            set_cols = {c for c, _ in set_exprs}
-            others = [
-                c
-                for c in df.columns
-                if c not in group_by and c not in set_cols
-            ]
-            aggs += [F.any_value(F.col(c)).alias(c) for c in others]
-            kept = df.groupBy(*[F.col(k) for k in group_by]).agg(*aggs)
-            kept = kept.select(*df.columns)  # original column order
-        after = kept.count()
-        if after == before and where is not None:
-            out["rows_before"] += before
-            out["rows_after"] += after
-            continue  # nothing expired-and-matching: skip the rewrite
-        _swap_rewrite(part, staging_root, kept)
-        out["rewritten"].append(part.name)
-        out["rows_before"] += before
-        out["rows_after"] += after
-    if staging_root.exists():
-        shutil.rmtree(staging_root, ignore_errors=True)
+    if not expired:
+        return out
+    scoped = spark.read.parquet(path).filter(
+        F.col("day").isin(expired)
+    )
+    out["rows_before"] = scoped.count()
+    cols = [c for c in scoped.columns if c != "day"]
+    aggs = [F.expr(e).alias(c) for c, e in set_exprs]
+    set_cols = {c for c, _ in set_exprs}
+    aggs += [
+        F.any_value(F.col(c)).alias(c)
+        for c in cols
+        if c not in group_by and c not in set_cols
+    ]
+    kept = (
+        scoped.groupBy(F.col("day"), *[F.col(k) for k in group_by])
+        .agg(*aggs)
+        .select("day", *cols)
+    )
+    out["rows_after"] = kept.count()
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            kept.repartition(max(1, len(expired)), F.col("day"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev
+        )
+    out["rewritten"] = [f"day={d}" for d in expired]
     return out
 
 
