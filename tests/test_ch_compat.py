@@ -2070,6 +2070,16 @@ def test_probe_batch_fifth_session(spark):
     assert r2.w == 1 and r2.d1 == 7 and r2.d2 == 42
     with pytest.raises(ValueError, match="mode 3"):
         t("SELECT toWeek(ts) FROM t")
+    # SETTINGS strip freely — except result-changing ones, which are
+    # loud instead of silently ignored
+    assert "SETTINGS" not in t(
+        "SELECT 1 FROM t SETTINGS max_threads = 8, join_use_nulls = 1"
+    )
+    with pytest.raises(ValueError, match="join_use_nulls=0"):
+        t("SELECT 1 FROM t SETTINGS join_use_nulls = 0")
+    with pytest.raises(ValueError, match="changes query RESULTS"):
+        t("SELECT 1 FROM t SETTINGS "
+          "aggregate_functions_null_for_empty = 1")
 
 
 def test_asof_join_using_translates(spark):

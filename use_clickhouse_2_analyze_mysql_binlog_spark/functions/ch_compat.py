@@ -41,7 +41,13 @@ onto Spark SQL equivalents that stay entirely JVM-side:
 - ``db.table`` qualified names -> registered view names, ``FINAL``
   dropped (rollups here are fully merged — stronger than CH's read-time
   merge contract, same answers), ``SETTINGS``/``FORMAT`` clauses dropped
-  (two-level/distributed-agg settings are Catalyst's job);
+  (two-level/distributed-agg settings are Catalyst's job) — EXCEPT the
+  result-changing settings (explicit ``join_use_nulls=0``,
+  ``any_join_distinct_right_table_keys=1``,
+  ``aggregate_functions_null_for_empty=1``,
+  ``empty_result_for_aggregation_by_empty_set=1``) which fail loudly.
+  Standing narrowing: translated outer joins use ANSI NULL fills
+  (= ``join_use_nulls=1``); CH's default 0 fills type defaults;
 - ``LIMIT n BY exprs`` (the reference's top-1-per-group family) -> a
   ``row_number`` window subquery (``_rewrite_limit_by`` for the subset);
 - relative-time arithmetic ``now() - 3600`` / ``ts_col + 60`` (CH
@@ -1543,7 +1549,31 @@ def translate(
                  flags=re.IGNORECASE)
     out = re.sub(r"\bany(?=\s*\()", "any", out, flags=re.IGNORECASE)
 
-    # clause strips (before function work: SETTINGS may contain '=')
+    # clause strips (before function work: SETTINGS may contain '=').
+    # SETTINGS are engine hints and strip freely — EXCEPT the handful
+    # that change query RESULTS, which fail loudly rather than being
+    # silently ignored. Note the standing narrowing: CH's DEFAULT
+    # join_use_nulls=0 fills unmatched outer-join columns with type
+    # defaults (0, '') where Spark yields NULL — translated joins use
+    # NULL (ANSI) semantics, i.e. behave as join_use_nulls=1.
+    sm = re.search(r"(?is)\bSETTINGS\b([^;]*)$", out)
+    if sm:
+        for name, want in (
+            ("join_use_nulls", "0"),
+            ("any_join_distinct_right_table_keys", "1"),
+            ("aggregate_functions_null_for_empty", "1"),
+            ("empty_result_for_aggregation_by_empty_set", "1"),
+        ):
+            if re.search(
+                rf"(?i)\b{name}\s*=\s*{want}\b", sm.group(1)
+            ):
+                raise ValueError(
+                    f"SETTINGS {name}={want} changes query RESULTS "
+                    "and has no Spark equivalent (translated joins/"
+                    "aggregates use ANSI NULL semantics = "
+                    "join_use_nulls=1); drop the setting or adapt "
+                    "the query"
+                )
     out = re.sub(r"\bSETTINGS\b[^;]*$", "", out, flags=re.IGNORECASE)
     out = re.sub(r"\bFORMAT\s+\w+\s*$", "", out, flags=re.IGNORECASE)
     out = re.sub(r"\bFINAL\b", "", out)
