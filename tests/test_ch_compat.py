@@ -2064,10 +2064,17 @@ def test_probe_batch_fifth_session(spark):
     r2 = ch_compat.run_clickhouse_sql(spark, """
         SELECT bitNot(5) AS bn, toTime(ts) AS tt, toWeek(ts, 3) AS w,
                toInt64OrDefault('x', 7) AS d1,
-               toInt64OrDefault('42', 7) AS d2
+               toInt64OrDefault('42', 7) AS d2,
+               toInt64OrDefault('x') AS d3,
+               JSONLength('123') AS js,
+               JSONLength(CAST(NULL AS STRING)) AS jn
         FROM pb_t""").collect()[0]
     assert r2.bn == -6 and str(r2.tt) == "1970-01-02 03:04:05"
     assert r2.w == 1 and r2.d1 == 7 and r2.d2 == 42
+    # 1-arg OrDefault = the TYPE default (CH contract), never NULL
+    assert r2.d3 == 0
+    # scalar/invalid JSON -> 0 like CH; NULL input stays NULL
+    assert r2.js == 0 and r2.jn is None
     with pytest.raises(ValueError, match="mode 3"):
         t("SELECT toWeek(ts) FROM t")
     # SETTINGS strip freely — except result-changing ones, which are

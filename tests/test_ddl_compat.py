@@ -311,6 +311,14 @@ def test_ctas_parse_and_plan():
         ddl_compat.parse_statement(
             "CREATE TABLE t ENGINE = MergeTree() ORDER BY (x)"
         )
+    # an AS deeper in the tail (CAST inside a TTL WHERE) is ordinary
+    # expression syntax, never a clone
+    t3 = ddl_compat.parse_statement(
+        "CREATE TABLE db.t (d Date, flag String) ENGINE = MergeTree() "
+        "ORDER BY (d) TTL d + INTERVAL 1 DAY "
+        "DELETE WHERE CAST(flag AS UInt8) = 1"
+    )
+    assert t3.ttl_where == "CAST(flag AS UInt8) = 1"
 
 
 def test_view_rename_dictionary_parse_and_plan():
@@ -421,6 +429,17 @@ def test_alter_table_parse_and_plan():
         "ALTER TABLE db.binlog DROP PARTITION '2024-01-03'"
     )
     assert p.action == "drop_partition" and p.partition == "2024-01-03"
+    # DETACH is NOT a delete (CH keeps detached parts for ATTACH)
+    dt_ = ddl_compat.parse_statement(
+        "ALTER TABLE db.binlog DETACH PARTITION '2024-01-03'"
+    )
+    assert dt_.action == "detach_partition"
+    at = ddl_compat.parse_statement(
+        "ALTER TABLE db.binlog ATTACH PARTITION '2024-01-03'"
+    )
+    assert at.action == "attach_partition"
+    (da,) = ddl_compat.plan_actions([dt_])
+    assert "detach_partition" in da.api and "NOT deleted" in da.detail
     a = ddl_compat.parse_statement(
         "ALTER TABLE db.binlog ADD COLUMN IF NOT EXISTS "
         "note String DEFAULT 'n/a'"

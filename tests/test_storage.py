@@ -130,11 +130,20 @@ def test_ttl_row_sweep_group_by_set(spark, tmp_path):
     }
     n_fresh = before.filter(f"day >= DATE'{cutoff}'").count()
 
-    storage.ttl_row_sweep(
+    first = storage.ttl_row_sweep(
         spark, path, today=dt.date(2026, 7, 10), months=30,
         group_by=("event_type",),
         set_exprs=(("single_statement_size", "sum(single_statement_size)"),),
     )
+    assert first["rewritten"]
+    # idempotent: a second run finds every group already collapsed and
+    # rewrites NOTHING (one aggregation, zero write jobs)
+    second = storage.ttl_row_sweep(
+        spark, path, today=dt.date(2026, 7, 10), months=30,
+        group_by=("event_type",),
+        set_exprs=(("single_statement_size", "sum(single_statement_size)"),),
+    )
+    assert second["rewritten"] == [] and second["rows_before"] == 0
     got = storage.read_fact_table(spark, path)
     expired_rows = got.filter(f"day < DATE'{cutoff}'")
     # one row per (day, event_type): day is the partition, event_type
@@ -227,6 +236,22 @@ def test_mutate_rows_delete_and_update(spark, tmp_path):
         storage.read_fact_table(spark, path).count()
         == n_total - n_victims - n_dropped_day
     )
+
+    # DETACH moves aside (recoverable), ATTACH brings it back intact
+    n_day8 = got2.filter("day = DATE'2024-01-08'").count()
+    assert storage.detach_partition(path, "2024-01-08") is True
+    assert not (tmp_path / "fact" / "day=2024-01-08").exists()
+    assert (tmp_path / "fact" / ".detached" / "day=2024-01-08").is_dir()
+    assert (
+        storage.read_fact_table(spark, path)
+        .filter("day = DATE'2024-01-08'").count() == 0
+    )
+    assert storage.attach_partition(path, "2024-01-08") is True
+    assert (
+        storage.read_fact_table(spark, path)
+        .filter("day = DATE'2024-01-08'").count() == n_day8
+    )
+    assert storage.attach_partition(path, "2024-01-08") is False
 
 
 def test_optimize_deduplicate_and_truncate(spark, tmp_path):

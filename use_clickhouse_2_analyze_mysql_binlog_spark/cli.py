@@ -97,6 +97,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(idempotent per-epoch, _violations names the failed checks)",
     )
     ing.add_argument(
+        "--constraints-table",
+        default=None,
+        help="with --ddl-constraints: which table's CONSTRAINTs gate "
+        "the stream (required when several tables define them — other "
+        "tables' checks reference columns the stream doesn't have)",
+    )
+    ing.add_argument(
         "--on-violation",
         choices=("quarantine", "fail"),
         default="quarantine",
@@ -589,6 +596,45 @@ def main(argv: list[str] | None = None) -> int:
         from use_clickhouse_2_analyze_mysql_binlog_spark.sources import canal, kafka
         from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import ingest_job
 
+        constraints = None
+        if args.ddl_constraints:
+            from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
+                ddl_compat,
+            )
+
+            objects = [
+                ddl_compat.parse_statement(s)
+                for s in ddl_compat.split_statements(
+                    open(args.ddl_constraints, encoding="utf-8").read()
+                )
+            ]
+            tables_with = sorted(
+                o.full_name
+                for o in objects
+                if isinstance(o, ddl_compat.TableDdl) and o.constraints
+            )
+            if len(tables_with) > 1 and args.constraints_table is None:
+                # another table's checks reference columns the stream
+                # doesn't carry — applying them would crash epoch 1
+                print(
+                    f"several tables define CONSTRAINTs "
+                    f"({tables_with}); pick the stream's table with "
+                    "--constraints-table"
+                )
+                return 2
+            constraints = ddl_compat.ddl_constraints(
+                objects, table=args.constraints_table
+            )
+            if not constraints:
+                print(f"no CONSTRAINT defs in {args.ddl_constraints}"
+                      + (f" for table {args.constraints_table}"
+                         if args.constraints_table else ""))
+                return 2
+            print(
+                "constraint gate: "
+                + ", ".join(name for name, _ in constraints)
+                + f" (on_violation={args.on_violation})"
+            )
         cfg = kafka.KafkaSourceConfig(
             bootstrap_servers=args.bootstrap_servers,
             topic=args.topic,
@@ -605,27 +651,6 @@ def main(argv: list[str] | None = None) -> int:
         entries = canal.decode_packets(
             raw, on_error="route" if args.dead_letter else "fail"
         )
-        constraints = None
-        if args.ddl_constraints:
-            from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
-                ddl_compat,
-            )
-
-            objects = [
-                ddl_compat.parse_statement(s)
-                for s in ddl_compat.split_statements(
-                    open(args.ddl_constraints, encoding="utf-8").read()
-                )
-            ]
-            constraints = ddl_compat.ddl_constraints(objects)
-            if not constraints:
-                print(f"no CONSTRAINT defs in {args.ddl_constraints}")
-                return 2
-            print(
-                "constraint gate: "
-                + ", ".join(name for name, _ in constraints)
-                + f" (on_violation={args.on_violation})"
-            )
         q = ingest_job.run_ingest_stream(
             entries,
             args.sink,
@@ -885,7 +910,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
             else:
                 compacted = storage.compact_day_partitions(
-                    spark, args.path
+                    spark, args.path, partition=obj.partition
                 )
                 print(f"optimize: compacted={len(compacted)}")
             if getattr(obj, "final", False):
@@ -910,11 +935,19 @@ def main(argv: list[str] | None = None) -> int:
                 f"mutated {obj.action}: partitions="
                 f"{len(out['partitions'])} matched={out['rows_matched']}"
             )
-        elif obj.action == "drop_partition":
-            ok = storage.drop_partition(args.path, obj.partition)
+        elif obj.action in (
+            "drop_partition", "detach_partition", "attach_partition"
+        ):
+            verb = obj.action.split("_")[0]
+            fn = getattr(storage, f"{verb}_partition")
+            ok = fn(args.path, obj.partition)
+            done = {
+                "drop": "dropped", "detach": "detached",
+                "attach": "attached",
+            }[verb]
             print(
-                f"drop partition {obj.partition!r}: "
-                + ("dropped" if ok else "not found")
+                f"{verb} partition {obj.partition!r}: "
+                + (done if ok else "not found")
             )
         else:  # add_column / drop_column: schema evolution, no rewrite
             (act,) = ddl_compat.plan_actions([obj])

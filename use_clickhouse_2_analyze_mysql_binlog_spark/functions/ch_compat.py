@@ -2364,14 +2364,15 @@ def translate(
         out, "fromUnixTimestamp64Nano",
         lambda a: f"timestamp_micros(cast(({a[0]}) / 1000 AS bigint))",
     )
-    # JSONLength: array length, or key count for objects (CH returns
-    # either depending on the node; the 1-arg root form only — path
-    # args fall through loud)
+    # JSONLength: array length, or key count for objects; scalars and
+    # invalid JSON give 0 like CH (NULL input stays NULL). 1-arg root
+    # form only — path args fall through loud.
     out = _rewrite_calls(
         out, "JSONLength",
         lambda a: (
+            f"if({a[0]} IS NULL, NULL, "
             f"coalesce(json_array_length({a[0]}), "
-            f"size(json_object_keys({a[0]})))"
+            f"size(json_object_keys({a[0]})), 0))"
             if len(a) == 1
             else f"\x01JSONLength\x01({', '.join(a)})"
         ),
@@ -3335,13 +3336,15 @@ def translate(
                 f"coalesce(try_cast({a[0]} AS {t}), {z})"
             ),
         )
-        # OrDefault: caller-supplied fallback instead of the type zero
+        # OrDefault: caller-supplied fallback; WITHOUT the second arg
+        # CH falls back to the TYPE default (= the OrZero contract),
+        # never NULL
         out = _rewrite_calls(
             out, f"to{_t}OrDefault",
-            lambda a, t=_sql_t: (
+            lambda a, t=_sql_t, z=_zero: (
                 f"coalesce(try_cast({a[0]} AS {t}), {a[1]})"
                 if len(a) == 2
-                else f"try_cast({a[0]} AS {t})"
+                else f"coalesce(try_cast({a[0]} AS {t}), {z})"
             ),
         )
     # toDecimal32/64/128(x, scale): precision from the CH width (9/18/38

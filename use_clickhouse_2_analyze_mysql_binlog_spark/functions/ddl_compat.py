@@ -776,7 +776,10 @@ def parse_statement(sql: str):
         as_select_ch = _unmask(as_m.group(1), lits)
         as_select_spark = translate(as_select_ch)
         tail = tail[:as_pos]
-    elif re.search(r"(?is)\bAS\s", tail):
+    elif re.match(r"(?is)^\s*AS\s", tail):
+        # the clone form's AS comes IMMEDIATELY after the table name —
+        # an AS later in the tail (CAST(x AS T) inside a TTL WHERE) is
+        # ordinary expression syntax, not a clone
         raise ValueError(
             f"CREATE TABLE {name} AS <table> (schema clone) is not "
             "translated — re-state the columns or use AS SELECT * "
@@ -1038,14 +1041,15 @@ def _parse_alter(qname: str, cmd: str, lits: list[str]) -> AlterDdl:
             where=_unmask(um.group(2), lits).strip(),
         )
     pm = re.match(
-        r"(?is)^(?:DROP|DETACH)\s+PARTITION\s+('[^']*'|\x00L\d+\x00|\S+)"
-        r"\s*$",
+        r"(?is)^(DROP|DETACH|ATTACH)\s+PARTITION\s+"
+        r"('[^']*'|\x00L\d+\x00|\S+)\s*$",
         cmd,
     )
     if pm:
-        part = _unmask(pm.group(1), lits).strip().strip("'")
+        part = _unmask(pm.group(2), lits).strip().strip("'")
         return AlterDdl(
-            database=db, name=name, action="drop_partition",
+            database=db, name=name,
+            action=f"{pm.group(1).lower()}_partition",
             partition=part,
         )
     am = re.match(
@@ -1434,6 +1438,28 @@ def _alter_action(o: AlterDdl) -> Action:
             detail=(
                 f"DROP PARTITION {o.partition!r}: metadata-only "
                 "directory delete, exactly CH's cheap partition drop"
+            ),
+        )
+    if o.action == "detach_partition":
+        return Action(
+            kind="mutation",
+            target=o.full_name,
+            api="plans.storage.detach_partition",
+            detail=(
+                f"DETACH PARTITION {o.partition!r}: moved to "
+                ".detached/ (invisible to readers, NOT deleted — CH "
+                "keeps detached parts for a later ATTACH, so do we)"
+            ),
+        )
+    if o.action == "attach_partition":
+        return Action(
+            kind="mutation",
+            target=o.full_name,
+            api="plans.storage.attach_partition",
+            detail=(
+                f"ATTACH PARTITION {o.partition!r}: move the detached "
+                "copy back into the table (refuses to clobber a live "
+                "partition)"
             ),
         )
     if o.action == "add_column":

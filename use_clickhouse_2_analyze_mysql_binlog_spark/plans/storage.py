@@ -199,6 +199,39 @@ def drop_partition(path: str, day: str | dt.date) -> bool:
     return True
 
 
+def detach_partition(path: str, day: str | dt.date) -> bool:
+    """``ALTER TABLE ... DETACH PARTITION 'day'``: move the partition
+    aside, NOT delete it — CH keeps detached parts on disk for a later
+    ATTACH, and so does this (``.detached/`` is dot-prefixed, invisible
+    to Spark readers). Returns whether the partition existed."""
+    part = Path(path) / f"day={day}"
+    if not part.is_dir():
+        return False
+    dest = Path(path) / ".detached" / f"day={day}"
+    dest.parent.mkdir(exist_ok=True)
+    if dest.exists():
+        shutil.rmtree(dest)  # re-detach replaces the older detached copy
+    part.rename(dest)
+    return True
+
+
+def attach_partition(path: str, day: str | dt.date) -> bool:
+    """``ALTER TABLE ... ATTACH PARTITION 'day'``: move a previously
+    detached partition back into the table. Refuses to clobber a live
+    partition of the same day. Returns whether a detached copy existed."""
+    src = Path(path) / ".detached" / f"day={day}"
+    if not src.is_dir():
+        return False
+    dest = Path(path) / f"day={day}"
+    if dest.exists():
+        raise ValueError(
+            f"partition day={day} already exists in the table; drop or "
+            "detach it before attaching the detached copy"
+        )
+    src.rename(dest)
+    return True
+
+
 def mutate_rows(
     spark: SparkSession,
     path: str,
@@ -404,8 +437,10 @@ def ttl_row_sweep(
     - ``group_by``/``set_exprs``: expired rows collapse to one row per
       (day, keys) group — ``set_exprs`` columns take their aggregate,
       every other non-key column ``any_value`` (CH's documented
-      pick-any for non-SET columns). One groupBy over the pruned
-      expired window, one dynamic-overwrite write; CH requires the
+      pick-any for non-SET columns). Pass 1 finds the days where some
+      group still has >1 row (a re-run over an already-collapsed
+      window is one aggregation, zero rewrites); pass 2 is one groupBy
+      over those days + one dynamic-overwrite write. CH requires the
       keys be a sort-key prefix so its expired groups are contiguous —
       here the shuffle is bounded by the expired window's rows.
 
@@ -442,9 +477,23 @@ def ttl_row_sweep(
     out = {"rewritten": [], "rows_before": 0, "rows_after": 0}
     if not expired:
         return out
-    scoped = spark.read.parquet(path).filter(
-        F.col("day").isin(expired)
+    # pass 1: only days where some (day, keys) group still has >1 row
+    # need collapsing — a re-run over an already-collapsed window is
+    # one aggregation and ZERO rewrites (idempotent maintenance)
+    table = spark.read.parquet(path)
+    need = sorted(
+        str(r[0])
+        for r in table.filter(F.col("day").isin(expired))
+        .groupBy(F.col("day"), *[F.col(k) for k in group_by])
+        .count()
+        .filter(F.col("count") > 1)
+        .select("day")
+        .distinct()
+        .collect()
     )
+    if not need:
+        return out
+    scoped = table.filter(F.col("day").isin(need))
     out["rows_before"] = scoped.count()
     cols = [c for c in scoped.columns if c != "day"]
     aggs = [F.expr(e).alias(c) for c, e in set_exprs]
@@ -466,7 +515,7 @@ def ttl_row_sweep(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            kept.repartition(max(1, len(expired)), F.col("day"))
+            kept.repartition(max(1, len(need)), F.col("day"))
             .write.mode("overwrite")
             .partitionBy("day")
             .parquet(path)
@@ -475,7 +524,7 @@ def ttl_row_sweep(
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", prev
         )
-    out["rewritten"] = [f"day={d}" for d in expired]
+    out["rewritten"] = [f"day={d}" for d in need]
     return out
 
 
@@ -516,6 +565,7 @@ def compact_day_partitions(
     path: str,
     target_file_bytes: int = 512 * 1024 * 1024,
     min_files: int = 2,
+    partition: str | None = None,
 ) -> list[str]:
     """Rewrite fragmented ``day=`` partitions into ~``target_file_bytes``
     files (ClickHouse's background merges, done as an explicit maintenance
@@ -528,7 +578,14 @@ def compact_day_partitions(
     partition either compacted or untouched — never half-written.
     """
     compacted: list[str] = []
-    for part in sorted(Path(path).glob("day=*")):
+    parts = (
+        [Path(path) / f"day={partition}"]
+        if partition is not None
+        else sorted(Path(path).glob("day=*"))
+    )
+    for part in parts:
+        if not part.is_dir():
+            continue
         files = [f for f in part.glob("*.parquet") if f.stat().st_size > 0]
         if len(files) < min_files:
             continue
