@@ -2075,6 +2075,20 @@ def test_probe_batch_fifth_session(spark):
     assert r2.d3 == 0
     # scalar/invalid JSON -> 0 like CH; NULL input stays NULL
     assert r2.js == 0 and r2.jn is None
+    # table functions: numbers -> range (column renamed), file/s3 ->
+    # direct-path queries for self-describing formats; remote/CSV loud
+    r3 = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT sum(number) AS s, max(number) AS m FROM numbers(5, 10)",
+    ).collect()[0]
+    assert r3.s == sum(range(5, 15)) and r3.m == 14
+    assert t("SELECT * FROM file('/d/x', 'Parquet')") == (
+        "SELECT * FROM parquet.`/d/x`"
+    )
+    with pytest.raises(ValueError, match="remote"):
+        t("SELECT 1 FROM remote('h', db.t)")
+    with pytest.raises(ValueError, match="CSV column names"):
+        t("SELECT 1 FROM file('/x.csv', 'CSV')")
     with pytest.raises(ValueError, match="mode 3"):
         t("SELECT toWeek(ts) FROM t")
     # SETTINGS strip freely — except result-changing ones, which are

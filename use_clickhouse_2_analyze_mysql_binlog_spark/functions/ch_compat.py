@@ -2405,6 +2405,67 @@ def translate(
 
     out = _rewrite_calls(out, "toWeek", _to_week)
 
+    # CH table functions -------------------------------------------------
+    # numbers(N) / numbers(start, N) -> range() (column renamed to CH's
+    # `number`; a parenthesized subquery keeps trailing aliases valid)
+    def _numbers(a):
+        if len(a) == 1:
+            rng = f"range({a[0]})"
+        elif len(a) == 2:
+            rng = f"range({a[0]}, ({a[0]}) + ({a[1]}))"
+        else:
+            raise ValueError(
+                "numbers() takes 1 or 2 arguments (N | start, N)"
+            )
+        return f"(SELECT id AS number FROM {rng})"
+
+    out = _rewrite_calls(out, "numbers", _numbers)
+
+    # file/s3(path, format) -> Spark's direct-path query for
+    # self-describing formats (parquet/orc/json carry their own column
+    # names; CH's CSV names c1.. diverge from Spark's _c0.. so CSV is
+    # loud — use sources/files.py with an explicit schema)
+    def _path_table(fn):
+        def build(a):
+            if len(a) != 2:
+                raise ValueError(
+                    f"{fn}(path, format) translates with exactly 2 "
+                    "arguments; credentialed/schema forms need the "
+                    "sources module"
+                )
+            pm = re.fullmatch(r"\x00L(\d+)\x00", a[0].strip())
+            fm2 = re.fullmatch(r"\x00L(\d+)\x00", a[1].strip())
+            if not (pm and fm2):
+                raise ValueError(
+                    f"{fn}: path and format must be string literals"
+                )
+            fmt = literals[int(fm2.group(1))][1:-1].lower()
+            fmt_map = {
+                "parquet": "parquet", "orc": "orc",
+                "jsoneachrow": "json", "json": "json",
+            }
+            if fmt not in fmt_map:
+                raise ValueError(
+                    f"{fn}: format {fmt!r} is not translated (parquet/"
+                    "ORC/JSONEachRow are self-describing; CSV column "
+                    "names diverge — read via sources/files.py)"
+                )
+            path = literals[int(pm.group(1))][1:-1]
+            return f"{fmt_map[fmt]}.`{path}`"
+
+        return build
+
+    out = _rewrite_calls(out, "file", _path_table("file"))
+    out = _rewrite_calls(out, "s3", _path_table("s3"))
+    for _tf in ("remote", "remoteSecure", "cluster", "clusterAllReplicas",
+                "url", "mysql", "postgresql"):
+        if re.search(rf"\b(?:FROM|JOIN)\s+{_tf}\s*\(", out, re.IGNORECASE):
+            raise ValueError(
+                f"table function {_tf}() is not translated — remote/"
+                "DB sources map to the sources module (JDBC reader / "
+                "spark.read) and distribution is Spark's own job"
+            )
+
     # dictGet* is structural (it implies a dictionary lookup JOIN), not
     # expressional — fail at translate time with the migration path
     # instead of Spark's bare unresolved-function error
