@@ -335,3 +335,40 @@ def test_translated_fold_aggregates_single_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_mutation_scans_prune_partitions(spark, tmp_path):
+    """The mutation primitives' scale claims rest on partition pruning:
+    pass 1's predicate (day-bounded) and pass 2's isin(affected) must
+    both reach the scan as PartitionFilters, never post-scan filters."""
+    from pyspark.sql import functions as F
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+    from use_clickhouse_2_analyze_mysql_binlog_spark.plans import storage
+
+    path = str(tmp_path / "fact")
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    storage.write_fact_table(binlog, path, files_per_day=1, mode="overwrite")
+    table = spark.read.parquet(path)
+
+    # pass 1 shape: the RAW where with a day bound (a coalesce wrapper
+    # here would evaluate post-scan and lose the PartitionFilters —
+    # the regression this test exists to catch)
+    cond = F.expr(
+        "event_type = 'ERROR' AND "
+        "day BETWEEN DATE'2024-01-03' AND DATE'2024-01-04'"
+    )
+    plan = (
+        table.filter(cond).select("day").distinct()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan, plan
+    assert "2024-01-03" in plan.split("PartitionFilters")[1][:400], plan
+
+    # pass 2 shape: isin over the affected-day list
+    plan2 = (
+        table.filter(F.col("day").isin(["2024-01-03", "2024-01-04"]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    seg = plan2.split("PartitionFilters")[1][:400]
+    assert "2024-01-03" in seg and "2024-01-04" in seg, plan2

@@ -271,7 +271,14 @@ def mutate_rows(
             f"UPDATE of the partition column {partition_col!r} would "
             "move rows across partitions; rewrite the table instead"
         )
-    cond = F.coalesce(F.expr(where).cast("boolean"), F.lit(False))
+    # the RAW predicate everywhere a true-match is selected: filter()
+    # and when() already treat NULL as false, and — critically — the
+    # raw conjunction is what Catalyst decomposes into PartitionFilters
+    # (a coalesce(...) wrapper evaluates post-scan and defeats pruning;
+    # plan-pinned in tests/test_plan_properties.py). The coalesce form
+    # is needed ONLY on the negated keep side, where ~NULL = NULL would
+    # silently drop unmatched rows.
+    cond = F.expr(where)
     table = spark.read.parquet(path)
     affected = sorted(
         str(r[0])
@@ -290,7 +297,9 @@ def mutate_rows(
     scoped = table.filter(F.col(partition_col).isin(affected))
     out["rows_matched"] = scoped.filter(cond).count()
     if not set_exprs:
-        kept = scoped.filter(~cond)
+        kept = scoped.filter(
+            ~F.coalesce(cond.cast("boolean"), F.lit(False))
+        )
     else:
         sets = dict(set_exprs)
         kept = scoped.select(*[
