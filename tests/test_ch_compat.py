@@ -2089,6 +2089,13 @@ def test_probe_batch_fifth_session(spark):
         t("SELECT 1 FROM remote('h', db.t)")
     with pytest.raises(ValueError, match="CSV column names"):
         t("SELECT 1 FROM file('/x.csv', 'CSV')")
+    # CH 'JSON' is a meta/data wrapper document, NOT line-delimited —
+    # mapping it to Spark's NDJSON reader would be silently wrong
+    with pytest.raises(ValueError, match="wrapper document"):
+        t("SELECT 1 FROM file('/x.json', 'JSON')")
+    assert t("SELECT 1 FROM file('/x.json', 'JSONEachRow')") == (
+        "SELECT 1 FROM json.`/x.json`"
+    )
     with pytest.raises(ValueError, match="mode 3"):
         t("SELECT toWeek(ts) FROM t")
     # SETTINGS strip freely — except result-changing ones, which are

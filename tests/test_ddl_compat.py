@@ -540,6 +540,19 @@ def test_ddl_constraints_helper(spark):
     assert ddl_compat.ddl_constraints(objects, table="db.other") == [
         ("c_x", "length(x) < 10")
     ]
+    # a bare-name filter hitting same-named tables in two databases is
+    # ambiguous — applying the wrong table's checks would crash the
+    # stream the filter exists to protect
+    objects2 = objects + [ddl_compat.parse_statement(
+        "CREATE TABLE db2.binlog (sz UInt64, "
+        "CONSTRAINT c2 CHECK sz < 100) "
+        "ENGINE = MergeTree() ORDER BY (sz)"
+    )]
+    with pytest.raises(ValueError, match="matches several"):
+        ddl_compat.ddl_constraints(objects2, table="binlog")
+    assert [p[0] for p in ddl_compat.ddl_constraints(
+        objects2, table="db2.binlog"
+    )] == ["c2"]
     # the expressions evaluate as Spark boolean exprs
     from pyspark.sql import functions as F
 

@@ -252,6 +252,47 @@ def test_mutate_rows_delete_and_update(spark, tmp_path):
         .filter("day = DATE'2024-01-08'").count() == n_day8
     )
     assert storage.attach_partition(path, "2024-01-08") is False
+    # re-detach with an older detached copy present refuses (CH never
+    # overwrites detached parts)
+    assert storage.detach_partition(path, "2024-01-08") is True
+    (tmp_path / "fact" / "day=2024-01-08").mkdir()  # new live data
+    with pytest.raises(ValueError, match="detached copy"):
+        storage.detach_partition(path, "2024-01-08")
+    # attach refuses to clobber the live partition
+    with pytest.raises(ValueError, match="already exists"):
+        storage.attach_partition(path, "2024-01-08")
+
+
+def test_ttl_group_by_non_identity_set_touches_singletons(spark, tmp_path):
+    """A non-identity SET (count(*)) must be applied to SINGLETON
+    groups too — CH applies TTL GROUP BY to every expired row, so the
+    rewrite-skip optimization only holds for identity aggregates."""
+    path = str(tmp_path / "fact")
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", "g1", "A", "db", 5),
+            ("2024-01-01 11:00:00", "g2", "B", "db", 2),
+            ("2024-01-01 12:00:00", "g3", "B", "db", 3),
+        ],
+        "execute_time_s string, gtid string, table string, "
+        "schema string, single_statement_size long",
+    ).selectExpr(
+        "timestamp(execute_time_s) AS execute_time", "gtid", "table",
+        "schema", "single_statement_size",
+    )
+    storage.write_fact_table(df, path, files_per_day=1, mode="overwrite")
+    out = storage.ttl_row_sweep(
+        spark, path, today=dt.date(2026, 7, 10), months=1,
+        group_by=("table",),
+        set_exprs=(("single_statement_size", "count(*)"),),
+    )
+    assert out["rewritten"] == ["day=2024-01-01"]
+    got = {
+        r.table: r.single_statement_size
+        for r in storage.read_fact_table(spark, path).collect()
+    }
+    # the singleton group A got SET to its count (1), B collapsed to 2
+    assert got == {"A": 1, "B": 2}
 
 
 def test_optimize_deduplicate_and_truncate(spark, tmp_path):

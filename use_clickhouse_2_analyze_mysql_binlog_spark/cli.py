@@ -940,7 +940,11 @@ def main(argv: list[str] | None = None) -> int:
         ):
             verb = obj.action.split("_")[0]
             fn = getattr(storage, f"{verb}_partition")
-            ok = fn(args.path, obj.partition)
+            try:
+                ok = fn(args.path, obj.partition)
+            except ValueError as e:
+                print(str(e))
+                return 2
             done = {
                 "drop": "dropped", "detach": "detached",
                 "attach": "attached",

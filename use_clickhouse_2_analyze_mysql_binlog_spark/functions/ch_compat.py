@@ -2440,15 +2440,19 @@ def translate(
                     f"{fn}: path and format must be string literals"
                 )
             fmt = literals[int(fm2.group(1))][1:-1].lower()
+            # CH 'JSON' is one meta/data WRAPPER document, not NDJSON —
+            # only the line-delimited spellings map to Spark's reader
             fmt_map = {
                 "parquet": "parquet", "orc": "orc",
-                "jsoneachrow": "json", "json": "json",
+                "jsoneachrow": "json", "jsonlines": "json",
+                "ndjson": "json",
             }
             if fmt not in fmt_map:
                 raise ValueError(
                     f"{fn}: format {fmt!r} is not translated (parquet/"
-                    "ORC/JSONEachRow are self-describing; CSV column "
-                    "names diverge — read via sources/files.py)"
+                    "ORC/JSONEachRow are self-describing; CH 'JSON' is "
+                    "a meta/data wrapper document and CSV column names "
+                    "diverge — read via sources/files.py)"
                 )
             path = literals[int(pm.group(1))][1:-1]
             return f"{fmt_map[fmt]}.`{path}`"

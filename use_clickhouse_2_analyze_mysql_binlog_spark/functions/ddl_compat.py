@@ -1850,12 +1850,23 @@ def ddl_constraints(
     DDL objects (optionally one table's), ready for the ingest job's
     constraint gate — the live-insert realization of CH's insert-time
     CHECK rejection."""
+    matched = [
+        o
+        for o in objects
+        if isinstance(o, TableDdl)
+        and (table is None or table in (o.name, o.full_name))
+    ]
+    if table is not None and sum(1 for o in matched if o.constraints) > 1:
+        # a bare name hitting several same-named tables across
+        # databases would apply another table's checks to this stream
+        raise ValueError(
+            f"table filter {table!r} matches several constraint-"
+            f"bearing tables "
+            f"({[o.full_name for o in matched if o.constraints]}); "
+            "use the db.name form"
+        )
     pairs: list[tuple[str, str]] = []
-    for o in objects:
-        if not isinstance(o, TableDdl):
-            continue
-        if table is not None and table not in (o.name, o.full_name):
-            continue
+    for o in matched:
         for cname, cexpr in o.constraints:
             pairs.append((cname, constraint_condition_spark(cexpr)))
     return pairs

@@ -21,6 +21,7 @@ per day.
 from __future__ import annotations
 
 import datetime as dt
+import re
 import shutil
 from pathlib import Path
 
@@ -210,7 +211,13 @@ def detach_partition(path: str, day: str | dt.date) -> bool:
     dest = Path(path) / ".detached" / f"day={day}"
     dest.parent.mkdir(exist_ok=True)
     if dest.exists():
-        shutil.rmtree(dest)  # re-detach replaces the older detached copy
+        # CH accumulates detached parts and never overwrites them —
+        # silently replacing the older copy would destroy data an
+        # ATTACH could still recover
+        raise ValueError(
+            f"a detached copy of day={day} already exists; ATTACH or "
+            "remove it before detaching again"
+        )
     part.rename(dest)
     return True
 
@@ -271,14 +278,16 @@ def mutate_rows(
             f"UPDATE of the partition column {partition_col!r} would "
             "move rows across partitions; rewrite the table instead"
         )
-    # the RAW predicate everywhere a true-match is selected: filter()
-    # and when() already treat NULL as false, and — critically — the
-    # raw conjunction is what Catalyst decomposes into PartitionFilters
-    # (a coalesce(...) wrapper evaluates post-scan and defeats pruning;
-    # plan-pinned in tests/test_plan_properties.py). The coalesce form
-    # is needed ONLY on the negated keep side, where ~NULL = NULL would
-    # silently drop unmatched rows.
-    cond = F.expr(where)
+    # cast("boolean") everywhere a true-match is selected: filter() and
+    # when() already treat NULL as false; the cast is simplified away
+    # for boolean predicates so Catalyst still decomposes the raw
+    # conjunction into PartitionFilters (plan-pinned in
+    # tests/test_plan_properties.py — a coalesce(...) wrapper would
+    # evaluate post-scan and defeat pruning), while CH-idiomatic
+    # integer-truthiness predicates (WHERE flag) still execute. The
+    # coalesce form is needed ONLY on the negated keep side, where
+    # ~NULL = NULL would silently drop unmatched rows.
+    cond = F.expr(where).cast("boolean")
     table = spark.read.parquet(path)
     affected = sorted(
         str(r[0])
@@ -297,9 +306,7 @@ def mutate_rows(
     scoped = table.filter(F.col(partition_col).isin(affected))
     out["rows_matched"] = scoped.filter(cond).count()
     if not set_exprs:
-        kept = scoped.filter(
-            ~F.coalesce(cond.cast("boolean"), F.lit(False))
-        )
+        kept = scoped.filter(~F.coalesce(cond, F.lit(False)))
     else:
         sets = dict(set_exprs)
         kept = scoped.select(*[
@@ -488,18 +495,34 @@ def ttl_row_sweep(
         return out
     # pass 1: only days where some (day, keys) group still has >1 row
     # need collapsing — a re-run over an already-collapsed window is
-    # one aggregation and ZERO rewrites (idempotent maintenance)
-    table = spark.read.parquet(path)
-    need = sorted(
-        str(r[0])
-        for r in table.filter(F.col("day").isin(expired))
-        .groupBy(F.col("day"), *[F.col(k) for k in group_by])
-        .count()
-        .filter(F.col("count") > 1)
-        .select("day")
-        .distinct()
-        .collect()
+    # one aggregation and ZERO rewrites. This skip is only sound when
+    # every SET aggregate is an IDENTITY on a single row (sum/min/max/
+    # any of the target column itself — e.g. ``n = sum(n)``); a
+    # non-identity SET (``c = count()``, computed expressions) must
+    # touch singleton groups too, exactly as CH does, so the skip is
+    # disabled and every expired day rewrites.
+    identity_sets = all(
+        re.fullmatch(
+            rf"(?is)(sum|min|max|any|any_value|anylast|first|last)"
+            rf"\s*\(\s*`?{re.escape(c)}`?\s*\)",
+            e.strip(),
+        )
+        for c, e in set_exprs
     )
+    table = spark.read.parquet(path)
+    if identity_sets:
+        need = sorted(
+            str(r[0])
+            for r in table.filter(F.col("day").isin(expired))
+            .groupBy(F.col("day"), *[F.col(k) for k in group_by])
+            .count()
+            .filter(F.col("count") > 1)
+            .select("day")
+            .distinct()
+            .collect()
+        )
+    else:
+        need = expired
     if not need:
         return out
     scoped = table.filter(F.col("day").isin(need))
