@@ -2089,6 +2089,19 @@ def test_probe_batch_fifth_session(spark):
         t("SELECT 1 FROM remote('h', db.t)")
     with pytest.raises(ValueError, match="CSV column names"):
         t("SELECT 1 FROM file('/x.csv', 'CSV')")
+    # combinator close-out: quantile -If twins, countDistinctIf,
+    # medianIf, countArray, integer exponent helpers
+    r4 = ch_compat.run_clickhouse_sql(spark, """
+        SELECT countDistinctIf(x, x > 1) AS cd,
+               medianIf(x, x > 1) AS md,
+               quantileTimingIf(0.5)(x, x > 1) AS q,
+               countArray(a) AS ca, intExp2(10) AS e2,
+               intExp10(3) AS e10
+        FROM (SELECT stack(3, 1, array(1,2), 2, array(3),
+                           3, array(4,5,6)) AS (x, a))
+    """).collect()[0]
+    assert (r4.cd, r4.md, r4.q) == (2, 2.5, 2.5)
+    assert (r4.ca, r4.e2, r4.e10) == (6, 1024, 1000)
     # CH 'JSON' is a meta/data wrapper document, NOT line-delimited —
     # mapping it to Spark's NDJSON reader would be silently wrong
     with pytest.raises(ValueError, match="wrapper document"):

@@ -1697,6 +1697,20 @@ def translate(
     # signature (exact weighted percentile — the same stronger-contract
     # rule; integral weights in both engines). Deterministic's
     # determinator argument changes semantics and stays loud.
+    # -If twins of the parametric quantiles: NULL out non-matching rows
+    # (percentile skips NULLs)
+    out = re.sub(
+        r"\bquantiles(?:Exact|TDigest|Timing|BFloat16)?If"
+        r"\(([^()]*)\)\s*\(([^()]*),([^()]*)\)",
+        r"percentile(if(\3, \2, NULL), array(\1))",
+        out,
+    )
+    out = re.sub(
+        r"\bquantile(?:Exact|TDigest|Timing|BFloat16)?If"
+        r"\(([^()]*)\)\s*\(([^()]*),([^()]*)\)",
+        r"percentile(if(\3, \2, NULL), \1)",
+        out,
+    )
     out = re.sub(
         r"\bquantiles(?:Exact|TDigest|Timing|BFloat16)?Weighted"
         r"\(([^()]*)\)\s*\(([^()]*),([^()]*)\)",
@@ -1957,6 +1971,7 @@ def translate(
     # than CH's estimator. NULL-free arrays assumed, like arrayReduce.
     _dsum = "aggregate({0}, CAST(0 AS DOUBLE), (__s, __x) -> __s + __x)"
     for _ch, _form in (
+        ("countArray", "sum(size({0}))"),
         ("sumArray", "sum(" + _dsum + ")"),
         ("minArray", "min(array_min({0}))"),
         ("maxArray", "max(array_max({0}))"),
@@ -2141,6 +2156,16 @@ def translate(
     out = _rewrite_calls(out, "argMinIf", _arg_agg_if("min_by", "argMinIf"))
     out = _rewrite_calls(
         out, "uniqIf", _agg_if("approx_count_distinct", "uniqIf")
+    )
+    # medianIf = quantileIf(0.5); exact percentile skips the NULLed
+    # non-matching rows (same stronger-contract rule as the estimators)
+    out = _rewrite_calls(
+        out, "medianIf",
+        lambda a: f"percentile(if({a[1]}, {a[0]}, NULL), 0.5)",
+    )
+    out = _rewrite_calls(
+        out, "countDistinctIf",
+        lambda a: f"count(DISTINCT if({a[1]}, {a[0]}, NULL))",
     )
 
     def _uniq_exact_if(a):
@@ -2383,6 +2408,15 @@ def translate(
     out = _rewrite_calls(out, "toValidUTF8", lambda a: f"({a[0]})")
     # bitNot: Spark spells it ~
     out = _rewrite_calls(out, "bitNot", lambda a: f"(~({a[0]}))")
+    # integer power-of-2/10 (CH returns UInt64)
+    out = _rewrite_calls(
+        out, "intExp2",
+        lambda a: f"shiftleft(CAST(1 AS BIGINT), {a[0]})",
+    )
+    out = _rewrite_calls(
+        out, "intExp10",
+        lambda a: f"CAST(round(pow(10, {a[0]})) AS BIGINT)",
+    )
     # toTime: CH moves the date to 1970-01-02, keeping the time of day
     out = _rewrite_calls(
         out, "toTime",
