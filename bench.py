@@ -58,7 +58,10 @@ BENCH_QUERIES = [
 WATCHED_QUERIES = [
     "dedup_apply_connected_components",
     "benchmark_contamination",
-    "dedup_ngram_jaccard",
+    # r08: dedup_ngram_jaccard retired from the registry (COVERAGE.md
+    # retire-on-demand); the staged twin runs the same operator and
+    # inherits the watched min-of-2 slot
+    "dedup_ngram_jaccard_staged",
     # r07: in-sweep single-pass systematically over-reported these two
     # (~2.2-2.4 s) vs isolated min-of-3 (1.15/1.28 s) — first-run cache
     # population + JIT inside the 95-query sweep, same class the r06

@@ -40,12 +40,21 @@ def test_antijoin_broadcasts(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
-def test_asof_join_single_key_shuffle(spark):
+def test_asof_join_interval_shape(spark):
     plan = _plan(spark, "asof_trade_quote")
-    # union + window: one hash shuffle on gtid for the as-of itself, one
-    # for the quote pre-aggregation — and crucially no join node at all
-    assert "Join" not in plan, plan
-    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    # interval form (round 8 default): quote side gets a lead-neighbor
+    # window, then an equi+range sort-merge join on gtid — at most one
+    # match per trade, so no post-join dedup node. Exchanges: quote
+    # pre-agg (gtid, quote_time), the lead window on gtid (which IS the
+    # join's right-side partitioning), and the trade side on gtid — the
+    # window's exchange is reused by the join, never doubled.
+    # an EQUI join strategy (broadcast at toy scale, sort-merge at
+    # scale) — never a nested-loop/cartesian fallback, which is what a
+    # naive theta-only as-of would produce
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
 
 
 def test_gtid_set_operations_single_pass(spark):

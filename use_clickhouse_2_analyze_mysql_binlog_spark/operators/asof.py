@@ -200,7 +200,14 @@ def range_join_binned(
 def trade_quote_asof(binlog: DataFrame) -> DataFrame:
     """Even-position statements ("trades") as-of joined to the latest
     preceding odd-position statement ("quotes") of the same transaction —
-    the canonical as-of shape, on binlog columns."""
+    the canonical as-of shape, on binlog columns.
+
+    Round 8: default switched from the union+window form
+    (:func:`asof_join`) to the interval form (:func:`asof_join_interval`)
+    — byte-equivalent (property-tested), measured ~2× faster at sf0.1
+    (ROUND7/8_NOTES): trades never pass through a window, and the quote
+    side's lead-neighbor window exchange on ``gtid`` is the same
+    partitioning the sort-merge join needs."""
     from use_clickhouse_2_analyze_mysql_binlog_spark.operators.transactions import TS_FMT
 
     trades = binlog.filter(F.col("binlog_pos") % 2 == 0).select(
@@ -214,7 +221,7 @@ def trade_quote_asof(binlog: DataFrame) -> DataFrame:
         .groupBy("gtid", F.col("execute_time").alias("quote_time"))
         .agg(F.max("single_statement_size").alias("quote_size"))
     )
-    out = asof_join(
+    out = asof_join_interval(
         trades,
         quotes,
         on="gtid",

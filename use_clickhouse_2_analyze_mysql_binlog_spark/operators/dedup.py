@@ -1079,6 +1079,78 @@ def line_dedup(
     )
 
 
+def derive_multiline_corpus(documents: DataFrame, groups: int = 40) -> DataFrame:
+    """Deterministic multi-line corpus DERIVED from the single-line
+    ``documents`` table so ``line_dedup`` has real paragraph structure to
+    chew on (the registry/driver twin of the parity fixture in
+    ``tests/test_pipeline_ops.py``): member texts of group
+    ``doc_id % groups`` become blank-line-separated paragraphs (sorted by
+    ``doc_id``), and the text of document ``rank g % 8`` (the first 8 docs
+    by ``doc_id``) is appended to group ``g`` as cross-group repeated
+    boilerplate — so every derived doc carries exactly one known-removable
+    line (df ≈ groups/8) plus exempt blank separators.
+
+    Scale shape: one groupBy on ``doc_id % groups`` (map-side combined
+    concat), the 8-row boiler dim broadcast-joined on ``g % 8``. The
+    8-row ``row_number`` window is driver-trivial (runs on a LIMIT-8
+    subtree, not the corpus)."""
+    b = (
+        documents.select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(8)
+        .withColumn(
+            "i", F.row_number().over(Window.orderBy("doc_id")) - F.lit(1)
+        )
+        .select(F.col("i"), F.col("text").alias("__boiler"))
+    )
+    grouped = (
+        documents.groupBy((F.col("doc_id") % groups).alias("g"))
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s.text,
+                ),
+            ).alias("__body")
+        )
+    )
+    return grouped.join(
+        F.broadcast(b), grouped["g"] % 8 == b["i"]
+    ).select(
+        F.col("g").alias("doc_id"),
+        F.concat(F.col("__body"), F.lit("\n\n"), F.col("__boiler")).alias(
+            "text"
+        ),
+    )
+
+
+def CORPUS_LINE_DEDUP_SQL(
+    groups: int = 40, min_df: int = 2, min_removable_chars: int = 1
+) -> str:
+    """DuckDB twin of ``line_dedup(derive_multiline_corpus(docs))``:
+    splices the derivation CTEs in front of :func:`LINE_DEDUP_SQL` with
+    its ``documents`` source swapped for the derived corpus."""
+    inner = LINE_DEDUP_SQL(min_df, min_removable_chars).replace(
+        "FROM documents", "FROM derived_docs"
+    )
+    derivation = f"""boiler AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS i, text
+  FROM documents ORDER BY doc_id LIMIT 8
+),
+grouped AS (
+  SELECT doc_id % {groups} AS g,
+         string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS body
+  FROM documents GROUP BY doc_id % {groups}
+),
+derived_docs AS (
+  SELECT g AS doc_id, body || chr(10) || chr(10) || b.text AS text
+  FROM grouped JOIN boiler b ON b.i = g % 8
+),
+"""
+    return inner.replace("WITH ", "WITH " + derivation, 1)
+
+
 def LINE_DEDUP_SQL(min_df: int = 2, min_removable_chars: int = 1) -> str:
     """DuckDB twin of :func:`line_dedup` (keep_empty_docs=True form);
     keyed by the same 60-bit line hash as the Spark join. Mirrors the

@@ -651,12 +651,12 @@ def dedup_span_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_ngram_jaccard", dedup.NGRAM_JACCARD_SQL(threshold=0.5))
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (shared-shingle candidates)."""
-    return dedup.ngram_jaccard_pairs(
-        schemas.load_table(spark, sf_dir, "documents"), threshold=0.5
-    )
+# `dedup_ngram_jaccard` RETIRED round 8 (COVERAGE.md retire-on-demand
+# candidate #1): the operator (`dedup.ngram_jaccard_pairs`), its oracle
+# (`NGRAM_JACCARD_SQL`) and its tests stay — `dedup_ngram_jaccard_staged`
+# below runs the SAME operator + oracle through the materialized-posting
+# front door, so the driver signal is preserved. The freed slot funds
+# `corpus_line_dedup`.
 
 
 @register("dedup_minhash_lsh", dedup.MINHASH_LSH_SQL(threshold=0.5))
@@ -704,6 +704,26 @@ def dedup_ngram_jaccard_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dedup.write_shingle_posting(docs, path)
     return dedup.ngram_jaccard_pairs(docs, threshold=0.5, posting_path=path)
+
+
+@register("corpus_line_dedup", dedup.CORPUS_LINE_DEDUP_SQL(groups=40, min_df=2))
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate-LINE removal (RefinedWeb/CCNet-style)
+    over a multi-line corpus derived deterministically from the documents
+    table (the generated text is single-line, so paragraph structure is
+    synthesized in-query identically on both engines — see
+    ``dedup.derive_multiline_corpus``). Blank separator lines are exempt
+    from removal (short-line floor); the appended cross-group boilerplate
+    (df ≈ groups/8) is removed from every derived doc.
+
+    Scale shape (``dedup.line_dedup``): explode lines once → 60-bit hash →
+    document frequency via ONE groupBy on the line hash → hash-join the df
+    back (same exchange) → ONE doc groupBy reassembles. No windows over
+    unbounded groups, no pair explosion."""
+    docs = schemas.load_table(spark, sf_dir, "documents")
+    return dedup.line_dedup(
+        dedup.derive_multiline_corpus(docs, groups=40), min_df=2
+    )
 
 
 @register("dedup_incremental", dedup.INCREMENTAL_DEDUP_SQL(threshold=0.5))
@@ -1506,80 +1526,90 @@ def tokens_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries added this round or whose implementation changed, so their prior
 # driver proof (if any) no longer describes the shipped code.
 CHANGED_THIS_ROUND: list[str] = [
-    # round-7 budget: ZERO entries (see ROTATION BUDGET below) — no
-    # registry queries were added or implementation-changed this round.
+    # round-8 budget: funded by retire-on-demand (COVERAGE.md candidate
+    # list) — `dedup_ngram_jaccard` retired (operator + tests stay; the
+    # `_staged` twin keeps the oracle signal), freeing the slot for:
+    "corpus_line_dedup",
+    # implementation-changed: asof_trade_quote swapped from the
+    # union+window form to the interval (lead-neighbor equi+range) form
+    # measured 2× faster at sf0.1 (r07 notes); byte-equivalence is
+    # property-tested, but the prior driver proof describes the old plan.
+    "asof_trade_quote",
 ]
-# ROTATION BUDGET (round 8): at 95 registry entries and a 50-entry window,
-# round 7's window holds exactly the 45 r05-only-green queries + the 5
-# headline queries (zero budget, as pre-computed in round 6). Once the
-# driver's CORRECTNESS_r07.json lands, the 45 queries green only in r06
-# (the r06 window minus the headline 5) age out in r08 — so ROUND 8 IS
-# ANOTHER ZERO-BUDGET ROUND: 45 r06-only-green + 5 headline = 50. The
-# treadmill alternates these two 45-query halves forever at 95 entries.
-# See COVERAGE.md "Driver-window rotation" for the retire-or-widen
-# decision recorded in round 7.
+# ROTATION BUDGET (round 8): as pre-computed in rounds 6–7, the r08 window
+# is exactly full at zero NET budget: 45 queries green only in
+# CORRECTNESS_r06 (they age out of the 2-round invariant unless re-proven
+# in r08) + the headline 5. Round 8 funded one addition by retirement:
+# `dedup_ngram_jaccard` (r06-only-green, in-window) was retired per the
+# COVERAGE.md candidate list, and `corpus_line_dedup` took its slot —
+# window stays exactly 50 at 95 registry entries. `asof_trade_quote` was
+# already window-resident (r06-only-green), so its implementation swap
+# costs no extra slot. Round-9 arithmetic: the 45 r07-only-green queries
+# + headline 5 fill the window again (zero budget; same treadmill).
 
 DRIVER_WINDOW_PRIORITY = [
-    # -- 1. added or implementation-changed this round (round 7): none.
-    # -- 2. green only in CORRECTNESS_r05 (rotated out of the r06 window);
+    # -- 1. added or implementation-changed this round (round 8):
+    "corpus_line_dedup",
+    "asof_trade_quote",
+    # -- 2. green only in CORRECTNESS_r06 (rotated out of the r07 window);
     #       their proof ages out of the 2-round invariant unless
-    #       re-verified in r07. Exactly the 45 registry queries green in
-    #       r05 but absent from CORRECTNESS_r06.json's green set.
-    "aggregating_rollup_merge",
-    "benchmark_contamination",
-    "ch_prewhere_profile",
-    "ch_top_event_limit_by",
-    "collapsing_merge_state",
-    "corpus_source_cap",
-    "daily_count_anomalies",
-    "daily_distinct_gtids_approx",
-    "daily_distinct_gtids_approx_check",
-    "daily_event_counts",
-    "daily_event_counts_by_table",
-    "dedup_apply_connected_components",
-    "dedup_apply_minhash",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_staged",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_span_crossdoc",
-    "doc_chunks",
-    "doc_fingerprint",
-    "embedding_kmeans",
-    "embedding_kmeans_assign",
-    "embedding_kmeans_inertia_check",
-    "embedding_quantization_error",
-    "language_mixture_weights",
-    "large_order_customers",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "order_priority_counts",
-    "promo_revenue",
-    "quality_gopher_flags",
-    "replacing_merge_final",
-    "retention_cohorts",
-    "sequence_pack",
-    "similarity_batch_topk",
-    "similarity_ivf_topk",
-    "similarity_ivf_topk_nprobe",
-    "similarity_lsh_topk",
-    "size_quantiles_approx",
-    "size_quantiles_approx_check",
+    #       re-verified in r08. Exactly the 45 registry queries green in
+    #       r06 but absent from CORRECTNESS_r07.json's green set, minus
+    #       the retired `dedup_ngram_jaccard` and `asof_trade_quote`
+    #       (already listed in section 1).
+    "binlog_gap_report",
+    "ch_dashboard_rollup",
+    "ch_if_combinators_json",
+    "corpus_curate",
+    "corpus_curate_gopher",
+    "corpus_curate_materialize",
+    "corpus_length_histogram",
+    "corpus_sample_stratified",
+    "corpus_top_bigrams",
+    "corpus_train_test_split",
+    "daily_counts_gapfilled",
+    "daily_counts_moving_avg",
+    "daily_counts_pivot",
+    "day_over_day_counts",
+    "dedup_ngram_jaccard_staged",
+    "event_count_cube",
+    "event_type_decode_dim_join",
+    "gtid_set_operations",
+    "idempotent_window_antijoin",
+    "ingest_transform",
+    "multi_cluster_daily_counts",
+    "multimodal_metadata",
+    "nation_revenue",
+    "nation_top_customer",
+    "pricing_summary",
+    "range_join_maintenance_windows",
+    "retention_filter",
+    "scalar_functions",
+    "session_windows",
+    "similarity_topk_bruteforce",
+    "size_mad_per_type",
+    "size_quantiles",
+    "skew_salted_table_profile",
+    "summing_rollup_reaggregate",
+    "text_language_id",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_repetition_score",
+    "text_token_count",
+    "tokens_per_source_stats",
+    "top_revenue_orders",
+    "window_funnel",
+    "windowed_running_size",
     # -- 3. reference-core headline queries (verified every round)
     "transaction_stats",
     "top_transaction_by_size",
     "top_transaction_by_spend_time",
     "top_transaction_by_affected_rows",
     "transaction_result_table",
-    # -- (0 changed + 45 stale + 5 headline = 50 priority entries: the
-    #       window is exactly full with zero budget. Everything else keeps
-    #       definition order, is r06-green, and ages out in r08 — see
-    #       ROTATION BUDGET above.)
+    # -- (2 changed + 43 stale + 5 headline = 50 priority entries: the
+    #       window is exactly full. Everything else keeps definition
+    #       order, is r07-green, and ages out in r09 — see ROTATION
+    #       BUDGET above.)
 ]
 
 
