@@ -2677,14 +2677,83 @@ def test_sequence_match_count_execute(spark):
         "TIMESTAMP'2024-01-01 00:00:02', 1) AS (ts, a))",
     ).collect()[0]
     assert row.m == 1
-    # loud: strict adjacency, time constraints, out-of-range reference
+    # loud: time constraints, out-of-range reference (strict adjacency
+    # TRANSLATES since round 8 — test below)
     for bad in (
-        "sequenceMatch('(?1)(?2)')(ts, a, b)",
         "sequenceMatch('(?1)(?t<10)(?2)')(ts, a, b)",
         "sequenceMatch('(?1).*(?3)')(ts, a, b)",
     ):
         with pytest.raises(ValueError, match="sequence"):
             ch_compat.translate(f"SELECT {bad} FROM t")
+
+
+def test_sequence_match_strict_adjacency_execute(spark):
+    """Strict adjacency '(?1)(?2)' (round 8): adjacency is over the
+    TRACKED sequence — CH's documented contract: an event matching no
+    condition is invisible, one matching any condition breaks the
+    chain. The regex-over-encoded-cells path supplies exact
+    backtracking a one-pass fold can't."""
+    # the ClickHouse docs example: events 1, 3, 2 — with 3 untracked
+    # the chain 1->2 is adjacent; tracking number=3 breaks it; .* still
+    # matches across the tracked 3
+    data3 = (
+        "FROM (SELECT stack(3, TIMESTAMP'2024-01-01 00:00:01', 1, "
+        "TIMESTAMP'2024-01-01 00:00:02', 3, "
+        "TIMESTAMP'2024-01-01 00:00:03', 2) AS (ts, a))"
+    )
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT sequenceMatch('(?1)(?2)')(ts, a = 1, a = 2) AS adj, "
+        "sequenceMatch('(?1)(?2)')(ts, a = 1, a = 2, a = 3) AS broken, "
+        "sequenceMatch('(?1).*(?2)')(ts, a = 1, a = 2, a = 3) AS loose "
+        + data3,
+    ).collect()[0]
+    assert (row.adj, row.broken, row.loose) == (1, 0, 1)
+    # the backtracking trap a greedy fold fails: '(?1)(?1)(?2)' over
+    # events 1,1,1,2 must match at the SECOND event (java regex
+    # backtracks; a naive restart-at-failure automaton misses it)
+    data4 = (
+        "FROM (SELECT stack(4, TIMESTAMP'2024-01-01 00:00:01', 1, "
+        "TIMESTAMP'2024-01-01 00:00:02', 1, "
+        "TIMESTAMP'2024-01-01 00:00:03', 1, "
+        "TIMESTAMP'2024-01-01 00:00:04', 2) AS (ts, a))"
+    )
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT sequenceMatch('(?1)(?1)(?2)')(ts, a = 1, a = 2) AS m "
+        + data4,
+    ).collect()[0]
+    assert row.m == 1
+    # sequenceCount with adjacency: non-overlapping earliest-completion
+    # scan (lazy gaps) — a=1,2,1,2 pairs twice; mixed strict+loose runs
+    data5 = (
+        "FROM (SELECT stack(4, TIMESTAMP'2024-01-01 00:00:01', 1, "
+        "TIMESTAMP'2024-01-01 00:00:02', 2, "
+        "TIMESTAMP'2024-01-01 00:00:03', 1, "
+        "TIMESTAMP'2024-01-01 00:00:04', 2) AS (ts, a))"
+    )
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT sequenceCount('(?1)(?2)')(ts, a = 1, a = 2) AS n, "
+        "sequenceCount('(?1).*(?2)(?2)')(ts, a = 1, a = 2) AS z "
+        + data5,
+    ).collect()[0]
+    assert (row.n, row.z) == (2, 0)
+
+
+def test_topk_weighted_execute(spark):
+    """topKWeighted: exact top-N by TOTAL WEIGHT, value-asc ties."""
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT topKWeighted(2)(v, w) AS t, topK(2)(v) AS f "
+        "FROM (SELECT stack(4, 'a', 1, 'b', 10, 'a', 2, 'c', 5) "
+        "AS (v, w))",
+    ).collect()[0]
+    # by weight: b=10, c=5, a=3 -> [b, c]; by frequency: a twice -> [a, ...]
+    assert row.t == ["b", "c"]
+    assert row.f[0] == "a"
+    with pytest.raises(ValueError, match="topKWeighted"):
+        ch_compat.translate("SELECT topKWeighted(2)(v) FROM t")
 
 
 def test_arg_and_any_if_combinators_execute(spark):
@@ -2762,3 +2831,61 @@ def test_array_combinators_execute(spark):
     assert sorted(row.gu) == [1, 2, 4]
     assert row.sd == 5  # 5 appears twice, summed once
     assert (row.sc.sum, row.sc["count"]) == (10, 2)
+
+
+def test_state_merge_combinators_translate(spark):
+    """-State/-Merge combinators (AggregatingMergeTree migration): states
+    are plain Spark-typed columns — sum/max/min/count ARE the value,
+    avg a struct<sum,cnt>, uniq a Datasketches HLL sketch."""
+    t = ch_compat.translate
+    assert t("sumState(x)") == "sum(x)"
+    assert t("countState()") == "count(*)"
+    assert t("countState(x)") == "count(x)"
+    assert t("maxState(x)") == "max(x)"
+    assert t("minState(x)") == "min(x)"
+    assert t("avgState(x)") == "named_struct('sum', sum(x), 'cnt', count(x))"
+    assert t("uniqState(x)") == "hll_sketch_agg(x)"
+    assert t("sumMerge(c)") == "sum(c)"
+    assert t("countMerge(c)") == "sum(c)"
+    assert t("maxMerge(c)") == "max(c)"
+    assert t("minMerge(c)") == "min(c)"
+    assert t("avgMerge(c)") == "(sum((c).sum) / sum((c).cnt))"
+    assert t("uniqMerge(c)") == "hll_sketch_estimate(hll_union_agg(c))"
+    with pytest.raises(ValueError, match="exactly one argument"):
+        t("sumState(x, y)")
+    # end-to-end: states written per block, merged exactly on read
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT sumMerge(s) AS s, countMerge(n) AS n, maxMerge(mx) AS mx, "
+        "avgMerge(av) AS av, uniqMerge(u) AS u FROM ("
+        "SELECT b, sumState(x) AS s, countState() AS n, maxState(x) AS mx, "
+        "avgState(x) AS av, uniqState(x) AS u "
+        "FROM (SELECT id % 3 AS b, id % 7 AS x FROM range(21)) GROUP BY b)",
+    ).collect()[0]
+    assert (row.s, row.n, row.mx, row.av, row.u) == (63, 21, 6, 3.0, 7)
+
+
+def test_round8_advice_fixes(spark):
+    t = ch_compat.translate
+    # ADVICE r07 #3: UInt64 family keeps the full unsigned range
+    assert t("toUInt64OrNull(s)") == "try_cast(s AS decimal(20,0))"
+    assert t("toUInt64OrZero(s)") == (
+        "coalesce(try_cast(s AS decimal(20,0)), 0)"
+    )
+    [r] = spark.sql(
+        t("SELECT toUInt64OrNull('9223372036854775809') AS v, "
+          "toUInt64OrZero('nope') AS z")
+    ).collect()
+    assert int(r.v) == 9223372036854775809  # > 2^63: bigint would NULL it
+    assert int(r.z) == 0
+    # ADVICE r07 #5: intExp2 loud outside 0..62 (Spark masks shifts mod 64)
+    assert t("intExp2(10)") == "shiftleft(CAST(1 AS BIGINT), 10)"
+    assert spark.sql(t("SELECT intExp2(62) AS v")).collect()[0].v == 2**62
+    with pytest.raises(ValueError, match="intExp2"):
+        t("intExp2(64)")
+    guarded = t("intExp2(n)")
+    assert "assert_true" in guarded
+    import py4j.protocol
+
+    with pytest.raises(Exception, match="exponent must be in 0..62"):
+        spark.sql(f"SELECT {guarded.replace('(n)', '(64)')} AS v").collect()

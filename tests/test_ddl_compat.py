@@ -950,11 +950,11 @@ def test_mv_stream_spec_and_loud_paths():
     assert "broker_binlog_local" not in spec["select_sql"]
     with pytest.raises(ValueError, match="no MATERIALIZED VIEW"):
         ddl_compat.mv_stream_spec(objects, "nope")
-    # an MV without a Summing target cannot stream
+    # an MV without a Summing/Aggregating target cannot stream
     objs2, _ = ddl_compat.migrate_script(
         "CREATE MATERIALIZED VIEW mv TO tgt AS SELECT 1 AS x"
     )
-    with pytest.raises(ValueError, match="SummingMergeTree TO-target"):
+    with pytest.raises(ValueError, match="AggregatingMergeTree TO-target"):
         ddl_compat.mv_stream_spec(objs2, "mv")
 
 
@@ -1015,6 +1015,179 @@ GROUP BY day, event_type
     again = rollup_job.read_rollup(spark, store)
     assert again.exceptAll(want).count() == 0
     assert want.exceptAll(again).count() == 0
+
+
+AGG_MV_SCRIPT = """
+CREATE TABLE db.agg_store (
+  day Date, event_type String,
+  sum_size AggregateFunction(sum, UInt64),
+  n_events AggregateFunction(count),
+  max_size AggregateFunction(max, UInt64),
+  avg_size AggregateFunction(avg, UInt64),
+  uniq_gtids AggregateFunction(uniq, String)
+) ENGINE = AggregatingMergeTree() ORDER BY (day, event_type);
+CREATE MATERIALIZED VIEW db.agg_mv TO db.agg_store AS
+SELECT toDate(execute_time) AS day, event_type,
+       sumState(single_statement_size) AS sum_size,
+       countState() AS n_events,
+       maxState(single_statement_size) AS max_size,
+       avgState(single_statement_size) AS avg_size,
+       uniqState(gtid) AS uniq_gtids
+FROM mysql_monitor.broker_binlog_local
+GROUP BY day, event_type
+"""
+
+
+def test_aggregating_target_parse_and_spec():
+    """AggregateFunction column types map to plain-column Spark states
+    (round 8, VERDICT r07 #4); keys derive from ORDER BY and merge
+    functions from the column types, mirroring the Summing derivation."""
+    objects, actions = ddl_compat.migrate_script(AGG_MV_SCRIPT)
+    store = objects[0]
+    assert store.agg_state_columns() == {
+        "sum_size": "sum",
+        "n_events": "count",
+        "max_size": "max",
+        "avg_size": "avg",
+        "uniq_gtids": "uniq",
+    }
+    assert {c.name: c.spark_type for c in store.columns} == {
+        "day": "date",
+        "event_type": "string",
+        "sum_size": "bigint",
+        "n_events": "bigint",
+        "max_size": "bigint",
+        "avg_size": "struct<sum:bigint,cnt:bigint>",
+        "uniq_gtids": "binary",
+    }
+    act = next(a for a in actions if a.target == "db.agg_store")
+    assert act.api == "operators.rollups.agg_state_merge"
+    spec = ddl_compat.mv_stream_spec(objects, "db.agg_mv")
+    assert spec["keys"] == ("day", "event_type")
+    assert spec["state_fns"] == store.agg_state_columns()
+    # -State combinators rewrote to the plain-column state producers
+    for frag in (
+        "sum(single_statement_size) AS sum_size",
+        "count(*) AS n_events",
+        "named_struct('sum', sum(single_statement_size), "
+        "'cnt', count(single_statement_size)) AS avg_size",
+        "hll_sketch_agg(gtid) AS uniq_gtids",
+    ):
+        assert frag in spec["select_sql"], spec["select_sql"]
+    # a state type with no plain-column representation stays loud at
+    # plan time (the untranslated-type path, same as any unknown CH type)
+    with pytest.raises(ValueError, match="untranslated CH types"):
+        ddl_compat.migrate_script(
+            "CREATE TABLE t (k UInt64, q AggregateFunction(quantileTiming, "
+            "UInt64)) ENGINE = AggregatingMergeTree() ORDER BY (k)"
+        )
+
+
+def test_migrated_aggregating_mv_streams_and_matches_batch(spark, tmp_path):
+    """An AggregatingMergeTree MV (uniqState/maxState/avgState...) runs as
+    a streaming job in multi-epoch chunks and equals the batch truth —
+    exactly for the value-typed states, within sketch tolerance for uniq
+    (CH's own uniq is approximate too) — and a checkpoint-replay restart
+    republishes the identical snapshot (VERDICT r07 next-round #4)."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import rollup_job
+
+    objects, _ = ddl_compat.migrate_script(AGG_MV_SCRIPT)
+    spec = ddl_compat.mv_stream_spec(objects, "db.agg_mv")
+
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    src = str(tmp_path / "src")
+    binlog.write.parquet(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(binlog.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = rollup_job.run_mv_rollup_stream(
+            stream, spec["select_sql"], store, ckpt,
+            keys=spec["keys"], metrics=spec["metrics"],
+            state_fns=spec["state_fns"],
+            source_view=spec["source_view"], available_now=True,
+        )
+        q.awaitTermination(180)
+
+    run()
+    got = {
+        (str(r.day), r.event_type): r
+        for r in rollup_job.read_agg_rollup(
+            spark, store, spec["state_fns"]
+        ).collect()
+    }
+    binlog.createOrReplaceTempView("b")
+    want = {
+        (str(r.day), r.event_type): r
+        for r in spark.sql(
+            "SELECT to_date(execute_time) AS day, event_type, "
+            "CAST(sum(single_statement_size) AS BIGINT) AS sum_size, "
+            "count(*) AS n_events, "
+            "max(single_statement_size) AS max_size, "
+            "sum(single_statement_size) / count(*) AS avg_size, "
+            "count(DISTINCT gtid) AS exact_gtids "
+            "FROM b GROUP BY day, event_type"
+        ).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k, g in got.items():
+        w = want[k]
+        assert (g.sum_size, g.n_events, g.max_size) == (
+            w.sum_size, w.n_events, w.max_size,
+        ), k
+        assert g.avg_size == pytest.approx(w.avg_size, abs=0), k
+        # HLL estimate: exact in sparse mode for small groups, bounded
+        # sketch error otherwise (same contract as CH's uniq)
+        assert abs(g.uniq_gtids - w.exact_gtids) <= max(
+            2, 0.02 * w.exact_gtids
+        ), (k, g.uniq_gtids, w.exact_gtids)
+
+    run()  # restart on the same checkpoint: no input → identical snapshot
+    again = {
+        (str(r.day), r.event_type): r
+        for r in rollup_job.read_agg_rollup(
+            spark, store, spec["state_fns"]
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+
+    # the -Merge combinator READ side: a migrated CH query over the state
+    # store re-aggregates states to the coarser day grain
+    rollup_job.read_rollup(spark, store).createOrReplaceTempView("agg_store")
+    merged = {
+        str(r.day): r
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT day, sumMerge(sum_size) AS s, "
+            "countMerge(n_events) AS n, maxMerge(max_size) AS mx, "
+            "avgMerge(avg_size) AS av, uniqMerge(uniq_gtids) AS u "
+            "FROM agg_store GROUP BY day",
+        ).collect()
+    }
+    daily = {
+        str(r.day): r
+        for r in spark.sql(
+            "SELECT to_date(execute_time) AS day, "
+            "CAST(sum(single_statement_size) AS BIGINT) AS s, count(*) AS n, "
+            "max(single_statement_size) AS mx, "
+            "sum(single_statement_size) / count(*) AS av, "
+            "count(DISTINCT gtid) AS exact "
+            "FROM b GROUP BY day"
+        ).collect()
+    }
+    assert set(merged) == set(daily)
+    for d, m in merged.items():
+        w = daily[d]
+        assert (m.s, m.n, m.mx) == (w.s, w.n, w.mx), d
+        assert m.av == pytest.approx(w.av, abs=0), d
+        assert abs(m.u - w.exact) <= max(2, 0.02 * w.exact), d
 
 
 def test_review_fixes_nested_types_joins_schema():
@@ -1090,3 +1263,24 @@ ENGINE = Distributed('c', 'db', 'binlog_local', rand())
         "ENGINE = MergeTree() ORDER BY tuple()"
     )
     assert len(one) == 1
+
+
+def test_split_statements_semicolonless_maintenance_boundaries():
+    """Blank-line-separated scripts: OPTIMIZE/TRUNCATE/RENAME/EXCHANGE at
+    line start open a new statement like CREATE/ALTER always did
+    (ADVICE r07 #2 — they previously merged into the preceding one)."""
+    stmts = ddl_compat.split_statements(
+        "CREATE TABLE a (x UInt8) ENGINE = MergeTree() ORDER BY (x)\n\n"
+        "OPTIMIZE TABLE a FINAL\n\n"
+        "TRUNCATE TABLE a\n\n"
+        "RENAME TABLE a TO b\n\n"
+        "EXCHANGE TABLES b AND c"
+    )
+    assert [s.split()[0] for s in stmts] == [
+        "CREATE", "OPTIMIZE", "TRUNCATE", "RENAME", "EXCHANGE",
+    ]
+    # ...but the keywords do NOT split inside parens or mid-line
+    assert len(ddl_compat.split_statements(
+        "CREATE TABLE t (x UInt8,\nrename_hint UInt8) "
+        "ENGINE = MergeTree() ORDER BY (x)"
+    )) == 1

@@ -488,3 +488,25 @@ def test_dlq_replay(spark, tmp_path):
     ])
     assert rc == 0
     assert spark.read.parquet(str(tmp_path / "fact2")).count() == 3
+
+
+def test_ingest_routed_stream_without_dlq_is_loud(spark, tmp_path):
+    """Loud-or-routed contract (ADVICE r07 #1): a stream carrying routed
+    decode errors ('_decode_error' column) MUST have a dead_letter_path —
+    without one the all-NULL poison rows would be silently discarded by
+    the TRANSACTIONBEGIN filter, losing both the data and the error."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import ingest_job
+
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(
+        [(_wire_packet(),)], "value binary"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("value binary").parquet(src)
+    routed = canal.decode_packets(stream, on_error="route")
+    with pytest.raises(ValueError, match="dead_letter_path"):
+        ingest_job.run_ingest_stream(
+            routed,
+            str(tmp_path / "fact"),
+            str(tmp_path / "ckpt"),
+            available_now=True,
+        )

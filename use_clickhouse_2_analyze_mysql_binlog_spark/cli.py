@@ -455,6 +455,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.checkpoint,
                 keys=spec["keys"],
                 metrics=spec["metrics"],
+                state_fns=spec.get("state_fns"),
                 source_view=spec["source_view"],
                 available_now=args.available_now,
             )

@@ -20,10 +20,13 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   AND bool_or(ci)), ..)`` (exact CH semantics), ``uniqUpTo(N)(x)`` ->
   ``least(count(DISTINCT x), N + 1)`` (exact),
   ``sequenceMatch/sequenceCount('(?i).*(?j)..')(ts, c1, ..)`` ->
-  greedy-subsequence bitmap folds (exact for ``.*``-separated
-  references; strict ``.`` and ``(?t..)`` stay loud), ``topK(N)(x)``
-  -> exact top-N-by-frequency array (deterministic value-asc ties;
-  ``topKWeighted`` stays loud), ``sumMap/minMap/maxMap(k, v)`` ->
+  greedy-subsequence bitmap folds for ``.*``-separated references, and
+  (round 8) a regex-over-encoded-event-cells path for STRICT ADJACENCY
+  ``(?i)(?j)`` patterns — adjacency over the tracked sequence per CH's
+  documented contract, with real regex backtracking; ``(?t..)`` stays
+  loud — ``topK(N)(x)`` -> exact top-N-by-frequency array
+  (deterministic value-asc ties), ``topKWeighted(N)(x, w)`` -> the
+  same fold ranked by total weight, ``sumMap/minMap/maxMap(k, v)`` ->
   per-key fold returning ``struct(keys, values)`` sorted by key,
   ``boundingRatio`` -> the max_by/min_by slope form, ``anyHeavy`` ->
   ``mode``;
@@ -323,9 +326,13 @@ _RENAMES = {
     "roundBankers": "bround",  # both are banker's rounding, same [, n]
     # CH round() is BANKER'S rounding for float types (round(2.5) = 2,
     # documented) — Spark's round is half-up, so the passthrough would be
-    # silently wrong on every half. Narrowing: CH rounds Decimal/integer
-    # inputs away from zero; float usage (the dominant analytics case —
-    # CH numeric literals and aggregate results are Float64) is exact.
+    # silently wrong on every half. NARROWING (documented in COVERAGE.md
+    # with the other behavioral deltas, ADVICE r07 #4): CH rounds
+    # Decimal/integer-typed halves away from zero, so a translated query
+    # over a Decimal column banker's-rounds where CH would not — a typed
+    # guard is impossible in text-level translation (no schema in view);
+    # float usage (the dominant analytics case — CH numeric literals and
+    # aggregate results are Float64) is exact.
     "round": "bround",
     "generateUUIDv4": "uuid",
     "countMatches": "regexp_count",  # both count non-overlapping matches
@@ -1827,7 +1834,7 @@ def translate(
     # O(distinct * n) per group over the collected list — fine for the
     # dashboard-cardinality groups topK is used on; a corpus-scale
     # heavy-hitter job belongs in an operator, not a scalar translation.
-    # topKWeighted changes the ranking input and stays loud.
+    # topKWeighted (below) is the same fold ranked by total weight.
     def _top_k(params, args):
         if len(params) != 1 or not re.fullmatch(r"\d+", params[0].strip()):
             raise ValueError("topK needs a literal N parameter")
@@ -1843,30 +1850,72 @@ def translate(
 
     out = _rewrite_parametric(out, "topK", _top_k)
 
+    # topKWeighted(N)(x, w): rank by TOTAL WEIGHT instead of frequency —
+    # the same exact fold with the count replaced by a weight sum
+    # (round 8, VERDICT r07 #5). Ties break by value ascending, inside
+    # CH's unspecified-tie contract. Weights sum as DOUBLE (CH widens
+    # its UInt weights to UInt64; analytics weights are numeric either
+    # way).
+    def _top_k_weighted(params, args):
+        if len(params) != 1 or not re.fullmatch(r"\d+", params[0].strip()):
+            raise ValueError("topKWeighted needs a literal N parameter")
+        if len(args) != 2:
+            raise ValueError(
+                "topKWeighted translates the (x, weight) form only"
+            )
+        n, x, w = int(params[0]), args[0], args[1]
+        pairs = f"collect_list(named_struct('v', {x}, 'w', {w}))"
+        return (
+            f"slice(transform(array_sort(transform("
+            f"array_distinct(transform({pairs}, __p -> __p.v)), "
+            f"__d -> named_struct('neg', -aggregate(filter({pairs}, "
+            f"__p -> __p.v <=> __d), CAST(0 AS DOUBLE), "
+            f"(__a, __p) -> __a + __p.w), "
+            f"'v', __d))), __s -> __s.v), 1, {n})"
+        )
+
+    out = _rewrite_parametric(out, "topKWeighted", _top_k_weighted)
+
     # sequenceMatch('(?1).*(?2)...')(ts, c1, ..., cn): existence of a
-    # time-ordered subsequence of events hitting the referenced
-    # conditions in pattern order. Greedy earliest-match over the
-    # time-sorted per-group events is exact for subsequence existence,
-    # so the fold collects each matching event's full condition BITMAP
-    # (an event satisfying several conditions can serve any of them —
-    # unlike windowFunnel's CASE priority) and advances one step
-    # whenever the current event satisfies the next needed condition.
-    # Only `.*`-separated `(?i)` references translate (any order,
-    # repeats allowed); strict-`.` adjacency and `(?t...)` time
-    # constraints change the automaton and stay loud. sequenceCount
-    # is the same fold counting non-overlapping completions.
-    def _parse_seq_pattern(raw, n_conds, fn):
+    # time-ordered chain of events hitting the referenced conditions in
+    # pattern order. The automaton runs over the TRACKED sequence — the
+    # time-sorted events matching at least one condition (CH's
+    # documented contract: an event matching no condition is invisible,
+    # one matching ANY condition breaks strict adjacency).
+    #
+    # Two translation paths:
+    # - `.*`-separated references (subsequence existence): a greedy
+    #   earliest-match fold over each event's condition BITMAP — exact,
+    #   no backtracking needed.
+    # - patterns with STRICT ADJACENCY `(?1)(?2)` (round 8, VERDICT r07
+    #   #5): each tracked event encodes as a fixed-width '0'/'1' flag
+    #   cell + ';', the pattern compiles to a real regex over that
+    #   string (refs pin one flag, `.*` becomes a LAZY any-cell gap),
+    #   and the JVM regex engine supplies the exact backtracking a
+    #   one-pass fold cannot (e.g. '(?1)(?1)(?2)' on events 1,1,1,2
+    #   needs a restart at the SECOND event). Cell alignment is
+    #   structural: flag atoms never match ';', so a match can only
+    #   start on a cell boundary. Lazy gaps make regexp_count's
+    #   non-overlapping scan equal CH's earliest-completion restart.
+    #
+    # `(?t...)` time constraints change the automaton and stay loud.
+    # sequenceCount is the same machinery counting non-overlapping
+    # completions.
+    def _parse_seq_tokens(raw, n_conds, fn):
         m2 = re.fullmatch(r"\x00L(\d+)\x00", raw.strip())
         pat = (
             literals[int(m2.group(1))][1:-1] if m2 else raw.strip("'\" ")
         )
-        if not re.fullmatch(r"\(\?\d+\)(?:\.\*\(\?\d+\))*", pat):
+        if not re.fullmatch(r"(?:\(\?\d+\)|\.\*)+", pat):
             raise ValueError(
-                f"{fn}: only '.*'-separated (?i) condition references "
-                "are translated (strict '.' and (?t...) constraints "
-                "change the automaton)"
+                f"{fn}: only (?i) condition references and '.*' are "
+                "translated ((?t...) time constraints change the "
+                "automaton)"
             )
-        steps = [int(s) for s in re.findall(r"\(\?(\d+)\)", pat)]
+        toks = re.findall(r"\(\?\d+\)|\.\*", pat)
+        steps = [int(t[2:-1]) for t in toks if t != ".*"]
+        if not steps:
+            raise ValueError(f"{fn}: pattern has no condition references")
         out_of_range = sorted({s for s in steps if s < 1 or s > n_conds})
         if out_of_range:
             refs = ", ".join(f"(?{s})" for s in out_of_range)
@@ -1874,7 +1923,38 @@ def translate(
                 f"{fn}: pattern references {refs} but conditions are "
                 f"numbered 1..{n_conds}"
             )
-        return steps
+        return toks
+
+    def _seq_is_loose(toks):
+        """True when every pair of refs is '.*'-separated (the proven
+        bitmap-fold path); False when any strict adjacency appears."""
+        return all(
+            not (a != ".*" and b != ".*") for a, b in zip(toks, toks[1:])
+        )
+
+    def _seq_encoded(ts, conds):
+        any_cond = " OR ".join(f"({c})" for c in conds)
+        flags = ", ".join(f"IF({c}, '1', '0')" for c in conds)
+        return (
+            f"array_join(transform(array_sort(collect_list(IF({any_cond}, "
+            f"named_struct('t', unix_micros({ts}), "
+            f"'s', concat({flags}, ';')), NULL))), __e -> __e.s), '')"
+        )
+
+    def _seq_regex(toks, n_conds):
+        cell = "[01]" * n_conds
+        parts = []
+        for t in toks:
+            if t == ".*":
+                parts.append(f"(?:{cell};)*?")
+            else:
+                k = int(t[2:-1])
+                parts.append("[01]" * (k - 1) + "1" + "[01]" * (n_conds - k) + ";")
+        # emit through the literal mask: later rewrite passes (the
+        # [..] -> array(..) bracket pass among others) must never see
+        # the regex text — it restores verbatim at the end of translate
+        literals.append("'" + "".join(parts) + "'")
+        return f"\x00L{len(literals) - 1}\x00"
 
     def _seq_events(ts, conds):
         any_cond = " OR ".join(f"({c})" for c in conds)
@@ -1892,7 +1972,13 @@ def translate(
                 "sequenceMatch needs a time column and >= 1 condition"
             )
         ts, conds = args[0], args[1:]
-        steps = _parse_seq_pattern(params[0], len(conds), "sequenceMatch")
+        toks = _parse_seq_tokens(params[0], len(conds), "sequenceMatch")
+        if not _seq_is_loose(toks):
+            return (
+                f"IF({_seq_encoded(ts, conds)} RLIKE "
+                f"{_seq_regex(toks, len(conds))}, 1, 0)"
+            )
+        steps = [int(t[2:-1]) for t in toks if t != ".*"]
         step0 = ", ".join(str(s - 1) for s in steps)
         return (
             f"IF(aggregate({_seq_events(ts, conds)}, 0, (__acc, __x) -> "
@@ -1911,7 +1997,13 @@ def translate(
                 "sequenceCount needs a time column and >= 1 condition"
             )
         ts, conds = args[0], args[1:]
-        steps = _parse_seq_pattern(params[0], len(conds), "sequenceCount")
+        toks = _parse_seq_tokens(params[0], len(conds), "sequenceCount")
+        if not _seq_is_loose(toks):
+            return (
+                f"regexp_count({_seq_encoded(ts, conds)}, "
+                f"{_seq_regex(toks, len(conds))})"
+            )
+        steps = [int(t[2:-1]) for t in toks if t != ".*"]
         step0 = ", ".join(str(s - 1) for s in steps)
         k = len(steps)
         return (
@@ -2180,6 +2272,68 @@ def translate(
     out = _rewrite_calls(
         out, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})"
     )
+
+    # -State / -Merge combinators (AggregatingMergeTree migration,
+    # functions/ddl_compat.py `_agg_state`): the migrated store holds
+    # states as plain Spark-typed columns — sum/max/min/count states ARE
+    # the running value, avgState a struct<sum,cnt>, uniqState a
+    # Datasketches HLL sketch (binary; CH's uniq is itself an HLL-class
+    # estimator, so approximate-for-approximate). -State produces the
+    # state (the MV select over each inserted block), -Merge combines
+    # states on read — the same merge-on-read contract the Summing store
+    # carries. Only this six-function family is supported; other -State
+    # types (quantileTiming, groupArray, ...) have no plain-column
+    # representation and stay loud.
+    def _one_arg_state(spark_tpl, ch_fn):
+        def build(a):
+            if len(a) != 1:
+                raise ValueError(
+                    f"{ch_fn} expects exactly one argument; got {len(a)} "
+                    "(multi-argument state forms are not translated)"
+                )
+            return spark_tpl.format(a=a[0])
+
+        return build
+
+    out = _rewrite_calls(out, "sumState", _one_arg_state("sum({a})", "sumState"))
+    out = _rewrite_calls(
+        out,
+        "countState",
+        lambda a: "count(*)" if not a else f"count({a[0]})",
+    )
+    out = _rewrite_calls(out, "maxState", _one_arg_state("max({a})", "maxState"))
+    out = _rewrite_calls(out, "minState", _one_arg_state("min({a})", "minState"))
+    out = _rewrite_calls(
+        out,
+        "avgState",
+        _one_arg_state(
+            "named_struct('sum', sum({a}), 'cnt', count({a}))", "avgState"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "uniqState", _one_arg_state("hll_sketch_agg({a})", "uniqState")
+    )
+    out = _rewrite_calls(out, "sumMerge", _one_arg_state("sum({a})", "sumMerge"))
+    out = _rewrite_calls(
+        out, "countMerge", _one_arg_state("sum({a})", "countMerge")
+    )
+    out = _rewrite_calls(out, "maxMerge", _one_arg_state("max({a})", "maxMerge"))
+    out = _rewrite_calls(out, "minMerge", _one_arg_state("min({a})", "minMerge"))
+    out = _rewrite_calls(
+        out,
+        "avgMerge",
+        _one_arg_state("(sum(({a}).sum) / sum(({a}).cnt))", "avgMerge"),
+    )
+    out = _rewrite_calls(
+        out,
+        "uniqMerge",
+        _one_arg_state("hll_sketch_estimate(hll_union_agg({a}))", "uniqMerge"),
+    )
+    # finalizeAggregation over our plain-column states: sum/max/min/count
+    # states are already final values; avg/uniq need their row-local
+    # finalizer — but which one requires the state's TYPE, which SQL text
+    # alone doesn't carry, so the generic form stays loud and the typed
+    # reader is operators.rollups.finalize_agg_states.
     out = _rewrite_calls(out, "intDiv", lambda a: f"({a[0]} div {a[1]})")
     out = _rewrite_calls(out, "modulo", lambda a: f"({a[0]} % {a[1]})")
     # arithmetic function aliases (ORM-generated CH SQL spells operators
@@ -2408,11 +2562,27 @@ def translate(
     out = _rewrite_calls(out, "toValidUTF8", lambda a: f"({a[0]})")
     # bitNot: Spark spells it ~
     out = _rewrite_calls(out, "bitNot", lambda a: f"(~({a[0]}))")
-    # integer power-of-2/10 (CH returns UInt64)
-    out = _rewrite_calls(
-        out, "intExp2",
-        lambda a: f"shiftleft(CAST(1 AS BIGINT), {a[0]})",
-    )
+    # integer power-of-2/10 (CH returns UInt64). Spark masks the shift
+    # amount mod 64, so an unguarded shiftleft would silently return 1
+    # for intExp2(64) and a negative bigint for 63 where CH yields
+    # UInt64 2^63 / throws (ADVICE r07 #5): literal exponents outside
+    # 0..62 fail at translate time, non-literal ones at run time.
+    def _int_exp2(a):
+        arg = a[0].strip()
+        if re.fullmatch(r"\d+", arg):
+            if int(arg) > 62:
+                raise ValueError(
+                    f"intExp2({arg}): exponents above 62 exceed signed "
+                    "bigint (CH's UInt64 reaches 2^63) — not representable"
+                )
+            return f"shiftleft(CAST(1 AS BIGINT), {arg})"
+        return (
+            f"coalesce(assert_true(({arg}) BETWEEN 0 AND 62, "
+            f"'intExp2: exponent must be in 0..62'), "
+            f"shiftleft(CAST(1 AS BIGINT), {arg}))"
+        )
+
+    out = _rewrite_calls(out, "intExp2", _int_exp2)
     out = _rewrite_calls(
         out, "intExp10",
         lambda a: f"CAST(round(pow(10, {a[0]})) AS BIGINT)",
@@ -3417,7 +3587,10 @@ def translate(
     # — exactly Spark's ANSI try_cast vs cast split, so the mapping is
     # semantics-exact (coalesce supplies the OrZero default).
     _OR_TYPES = {
-        "UInt64": ("bigint", "0"), "UInt32": ("bigint", "0"),
+        # UInt64 must NOT narrow to signed bigint: inputs in [2^63, 2^64)
+        # parse fine in CH and would silently become NULL/0/default here
+        # (ADVICE r07 #3) — decimal(20,0) covers the full unsigned range
+        "UInt64": ("decimal(20,0)", "0"), "UInt32": ("bigint", "0"),
         "Int64": ("bigint", "0"), "Int32": ("bigint", "0"),
         "UInt8": ("int", "0"), "Int8": ("int", "0"),
         "Float64": ("double", "0.0"), "Float32": ("float", "0.0"),

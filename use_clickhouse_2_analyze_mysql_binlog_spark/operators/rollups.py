@@ -15,6 +15,7 @@ cheapest possible plan; no repartitioning needed.
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -63,6 +64,90 @@ def summing_merge(
     return partials.groupBy(*keys).agg(
         *[F.sum(m).cast("long").alias(m) for m in metrics]
     )
+
+
+#: AggregatingMergeTree state functions with a plain-column Spark
+#: representation (functions/ddl_compat.py `_agg_state` maps the
+#: ``AggregateFunction(fn, T)`` column types; functions/ch_compat.py
+#: rewrites the -State/-Merge combinators to match).
+AGG_STATE_FNS = ("sum", "count", "max", "min", "avg", "uniq")
+
+
+def _agg_state_merge_expr(col: str, fn: str, dtype: str | None):
+    """The -Merge combinator for one state column: how two partial states
+    of ``fn`` combine. avg states are struct<sum,cnt> (field-wise sums);
+    uniq states are Datasketches HLL sketches (register-max union)."""
+    if fn in ("sum", "count"):
+        e = F.sum(col)
+        return (e.cast(dtype) if dtype else e).alias(col)
+    if fn == "max":
+        return F.max(col).alias(col)
+    if fn == "min":
+        return F.min(col).alias(col)
+    if fn == "avg":
+        s, c = F.sum(F.col(col)["sum"]), F.sum(F.col(col)["cnt"])
+        if dtype:  # keep the struct's declared field types (exactness)
+            m = _re.fullmatch(r"struct<sum:([^,]+),cnt:([^>]+)>", dtype)
+            if m:
+                s, c = s.cast(m.group(1)), c.cast(m.group(2))
+        return F.struct(s.alias("sum"), c.alias("cnt")).alias(col)
+    if fn == "uniq":
+        return F.hll_union_agg(col).alias(col)
+    raise ValueError(f"unsupported aggregate state function {fn!r} "
+                     f"(supported: {AGG_STATE_FNS})")
+
+
+def agg_state_merge(
+    partials: DataFrame, keys: Sequence[str], state_fns: dict[str, str]
+) -> DataFrame:
+    """AggregatingMergeTree merge: collapse rows with equal sort key by
+    combining each ``AggregateFunction`` state column per its function —
+    the generalization of :func:`summing_merge` beyond sum-mergeable
+    metrics (round 8, VERDICT r07 #4). ``state_fns`` maps state column →
+    fn name in :data:`AGG_STATE_FNS`.
+
+    Associative and commutative by construction (sums, min/max, struct
+    field sums, HLL register-max union), so any merge tree over any
+    partitioning of the partials equals one merge over the union — the
+    property the streaming test asserts (exactly for the numeric states;
+    the HLL estimate is sketch-path-dependent by ±ε like ClickHouse's own
+    uniq, so its check is estimate-tolerance + replay determinism).
+
+    Scale shape: identical to :func:`summing_merge` — ONE partial+final
+    HashAggregate on the sort key; every merge expr is map-side
+    combinable, HLL sketches are KBs each and bounded by the key space.
+    """
+    dtypes = dict(partials.dtypes)
+    return partials.groupBy(*keys).agg(
+        *[
+            _agg_state_merge_expr(c, fn, dtypes.get(c))
+            for c, fn in state_fns.items()
+        ]
+    )
+
+
+def finalize_agg_states(df: DataFrame, state_fns: dict[str, str]) -> DataFrame:
+    """Row-local ``finalizeAggregation`` over a fully merged state store:
+    sum/count/max/min states already ARE their final values, avg becomes
+    sum/cnt (double), uniq becomes the HLL estimate (bigint). Column
+    names are preserved — the reader sees the finalized rollup under the
+    store's own schema."""
+    cols = []
+    for name in df.columns:
+        fn = state_fns.get(name)
+        if fn == "avg":
+            cols.append(
+                (F.col(name)["sum"] / F.col(name)["cnt"])
+                .cast("double")
+                .alias(name)
+            )
+        elif fn == "uniq":
+            cols.append(
+                F.hll_sketch_estimate(F.col(name)).cast("long").alias(name)
+            )
+        else:
+            cols.append(F.col(name))
+    return df.select(*cols)
 
 
 def simulate_mv_partials(binlog: DataFrame, blocks: int = 8) -> DataFrame:

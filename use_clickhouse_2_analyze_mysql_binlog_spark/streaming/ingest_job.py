@@ -276,9 +276,19 @@ def run_ingest_stream(
         if constraints
         else (lambda rows, epoch: rows)
     )
-    routed = (
-        dead_letter_path is not None
-        and "_decode_error" in entries_stream.columns
+    if "_decode_error" in entries_stream.columns and dead_letter_path is None:
+        # Loud-or-routed contract (ADVICE r07 #1): a routed stream
+        # (decode_packets on_error='route') whose all-NULL poison rows
+        # reach canal_entries_to_binlog would be silently discarded by
+        # the entryType filter — data loss AND a swallowed error record.
+        # The CLI couples the flags; the library API must too.
+        raise ValueError(
+            "entries stream carries routed decode errors ('_decode_error' "
+            "column) but dead_letter_path is None — pass dead_letter_path "
+            "or decode with on_error='fail'"
+        )
+    routed = dead_letter_path is not None and (
+        "_decode_error" in entries_stream.columns
     )
     if not routed:
         binlog = canal_entries_to_binlog(entries_stream).withColumn(

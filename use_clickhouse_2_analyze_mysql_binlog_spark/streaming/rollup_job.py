@@ -21,6 +21,8 @@ from pyspark.sql.streaming import StreamingQuery
 
 from use_clickhouse_2_analyze_mysql_binlog_spark.operators.rollups import (
     DAY_FMT,
+    agg_state_merge,
+    finalize_agg_states,
     summing_merge,
 )
 from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import epochs
@@ -62,14 +64,21 @@ def make_mv_merge_batch(
     keys: tuple[str, ...],
     metrics: tuple[str, ...],
     run_id: str = "local",
+    state_fns: dict[str, str] | None = None,
 ):
-    """Generalized SummingMergeTree-MV merge body: ``partials_fn(batch)``
+    """Generalized MergeTree-MV merge body: ``partials_fn(batch)``
     produces this epoch's partial aggregate rows (in ClickHouse terms,
-    the MV select over the inserted block), and the merge re-sums
-    ``metrics`` over ``keys`` into the published snapshot. Metrics must
-    be sum-mergeable (count / sum — exactly the SummingMergeTree
-    contract; ``summing_merge`` keeps them integral like CH's UInt64
-    metric columns). Same epoch/replay guard as the daily rollup."""
+    the MV select over the inserted block), and the merge combines them
+    over ``keys`` into the published snapshot.
+
+    Default (``state_fns=None``) is the SummingMergeTree contract:
+    ``metrics`` re-sum (``summing_merge`` keeps them integral like CH's
+    UInt64 metric columns). With ``state_fns`` (round 8, VERDICT r07 #4)
+    it is the AggregatingMergeTree contract: each state column merges per
+    its ``AggregateFunction`` type (sum/count/max/min/avg/uniq —
+    ``operators.rollups.agg_state_merge``), and the snapshot stores the
+    STATES, exactly like CH's Aggregating store; readers finalize
+    (:func:`read_agg_rollup`). Same epoch/replay guard either way."""
 
     def merge_batch(batch: DataFrame, epoch: int) -> None:
         latest = epochs.read_manifest(rollup_path)
@@ -83,9 +92,11 @@ def make_mv_merge_batch(
         merged = partial
         if latest is not None:
             existing = spark.read.parquet(latest["dir"])
-            merged = summing_merge(
-                existing.unionByName(partial), keys=keys, metrics=metrics
-            )
+            unioned = existing.unionByName(partial)
+            if state_fns:
+                merged = agg_state_merge(unioned, keys=keys, state_fns=state_fns)
+            else:
+                merged = summing_merge(unioned, keys=keys, metrics=metrics)
         snapshot_dir = f"{rollup_path}/snapshots/{run_id}-{epoch}"
         # coalesce(1) is deliberate and SAFE here, unlike the upsert job's
         # row-state snapshot (which is partitioned, upsert_job.py): this
@@ -145,6 +156,7 @@ def run_mv_rollup_stream(
     metrics: tuple[str, ...],
     source_view: str = "__mv_source__",
     available_now: bool = False,
+    state_fns: dict[str, str] | None = None,
 ) -> StreamingQuery:
     """A migrated ClickHouse MATERIALIZED VIEW, running as a stream.
 
@@ -157,7 +169,11 @@ def run_mv_rollup_stream(
     answers. ``select_sql`` must reference ``source_view`` (migrate-ddl
     maps the MV's source table name) and produce the target store's
     ``keys`` + ``metrics`` columns; metrics must be count/sum
-    aggregates, the Summing contract.
+    aggregates, the Summing contract — unless ``state_fns`` is given
+    (an AggregatingMergeTree TO-target), in which case the select's
+    ``-State`` combinators translate to plain-column state producers
+    (ch_compat) and each column merges per its function; the snapshot
+    then stores STATES, read via :func:`read_agg_rollup`.
 
     Same crash/replay guarantees as :func:`run_daily_rollup_stream`
     (epoch guard + versioned snapshot + atomic manifest flip).
@@ -178,6 +194,7 @@ def run_mv_rollup_stream(
         keys,
         metrics,
         run_id=epochs.run_id_for(checkpoint_path),
+        state_fns=state_fns,
     )
     writer = (
         binlog_stream.writeStream.queryName("mv_rollup")
@@ -199,3 +216,13 @@ def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     if latest is None:
         raise FileNotFoundError(f"no published rollup under {rollup_path}")
     return spark.read.parquet(latest["dir"])
+
+
+def read_agg_rollup(
+    spark: SparkSession, rollup_path: str, state_fns: dict[str, str]
+) -> DataFrame:
+    """Read an AggregatingMergeTree-migrated store and FINALIZE its state
+    columns (avg struct → quotient, uniq HLL sketch → estimate; the
+    value-typed states pass through) — ClickHouse's ``-Merge``-combinator
+    read, done row-locally because the snapshot is already fully merged."""
+    return finalize_agg_states(read_rollup(spark, rollup_path), state_fns)
