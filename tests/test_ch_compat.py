@@ -2889,3 +2889,56 @@ def test_round8_advice_fixes(spark):
 
     with pytest.raises(Exception, match="exponent must be in 0..62"):
         spark.sql(f"SELECT {guarded.replace('(n)', '(64)')} AS v").collect()
+
+
+def test_agg_states_two_level_read_vs_duckdb(spark, duck):
+    """The AggregatingMergeTree two-level read in CH SQL — inner select
+    materializes per-(event_type, day) STATES with -State combinators
+    (what a CH MV writes per block), outer -Merge re-aggregates to the
+    coarser grain — against a direct one-level DuckDB aggregate: merging
+    partial states must lose nothing. Exact family only (sum/count/max/
+    avg); the uniq/HLL member is covered by the streaming test's
+    tolerance check (test_ddl_compat). Drafted as registry row
+    `ch_agg_states_rollup`; window-deferred to round 9 (see
+    queries_registry ROTATION BUDGET note)."""
+    from tests.conftest import SF_DIR, assert_parity
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+
+    schemas.load_table(spark, SF_DIR, "events").createOrReplaceTempView(
+        "events"
+    )
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        """
+SELECT event_type,
+       sumMerge(s) AS sum_value_cents,
+       countMerge(n) AS n_events,
+       maxMerge(mx) AS max_value_cents,
+       avgMerge(av) AS avg_value_cents
+FROM (
+    SELECT event_type, toDate(ts) AS day,
+           sumState(toInt64(floor(value * 100))) AS s,
+           countState() AS n,
+           maxState(toInt64(floor(value * 100))) AS mx,
+           avgState(toInt64(floor(value * 100))) AS av
+    FROM dashboard.events_all
+    GROUP BY event_type, day
+)
+GROUP BY event_type
+""",
+        table_map={"dashboard.events_all": "events"},
+    )
+    assert_parity(
+        got,
+        duck,
+        """
+SELECT event_type,
+       CAST(sum(v) AS BIGINT) AS sum_value_cents,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(v) AS BIGINT) AS max_value_cents,
+       CAST(sum(v) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_value_cents
+FROM (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events)
+GROUP BY event_type
+""",
+        "agg_states_two_level",
+    )

@@ -1536,6 +1536,17 @@ CHANGED_THIS_ROUND: list[str] = [
     # property-tested, but the prior driver proof describes the old plan.
     "asof_trade_quote",
 ]
+# NOTE (round 8): a second addition (`ch_agg_states_rollup`, the
+# -State/-Merge two-level read) was drafted and then NOT registered:
+# every remaining retirement candidate (`dedup_minhash_lsh`,
+# `similarity_ivf_topk`, `daily_event_counts`) is r07-green and hence
+# OUT of the r08 window, so retiring one frees a registry slot but not
+# a window slot — the r08 window is full with the stale-proof set +
+# headline, and an unproven new entry would push a headline query out.
+# The surface is instead DuckDB-cross-checked in
+# tests/test_ch_compat.py::test_agg_states_two_level_read_vs_duckdb;
+# registering it is a round-9 item (one in-window retirement candidate
+# frees up once the r08 driver pass lands).
 # ROTATION BUDGET (round 8): as pre-computed in rounds 6–7, the r08 window
 # is exactly full at zero NET budget: 45 queries green only in
 # CORRECTNESS_r06 (they age out of the 2-round invariant unless re-proven
@@ -1545,7 +1556,8 @@ CHANGED_THIS_ROUND: list[str] = [
 # window stays exactly 50 at 95 registry entries. `asof_trade_quote` was
 # already window-resident (r06-only-green), so its implementation swap
 # costs no extra slot. Round-9 arithmetic: the 45 r07-only-green queries
-# + headline 5 fill the window again (zero budget; same treadmill).
+# + headline 5 fill the window again; any r09 addition must retire an
+# r07-green entry (candidates #2–#4 all become in-window in r09).
 
 DRIVER_WINDOW_PRIORITY = [
     # -- 1. added or implementation-changed this round (round 8):
