@@ -2942,3 +2942,31 @@ GROUP BY event_type
 """,
         "agg_states_two_level",
     )
+
+
+def test_round8_review_fixes(spark):
+    """Self-review round-8 batch: plain toUInt64 full-unsigned-range,
+    topKWeighted NULL skipping, intExp2 NULL propagation."""
+    t = ch_compat.translate
+    # plain toUInt64 matches its Or-family (decimal(20,0), not bigint)
+    assert t("toUInt64(s)") == "CAST(s AS decimal(20, 0))"
+    [r] = spark.sql(
+        t("SELECT toUInt64('9223372036854775809') AS v")
+    ).collect()
+    assert int(r.v) == 9223372036854775809
+    # the Or-family twins are untouched by the plain rewrite
+    assert t("toUInt64OrNull(s)") == "try_cast(s AS decimal(20,0))"
+    # topKWeighted skips NULL values and NULL weights like CH aggregates
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT topKWeighted(2)(v, w) AS t FROM (SELECT stack(4, "
+        "'a', 1, CAST(NULL AS STRING), 100, 'b', 5, 'a', CAST(NULL AS INT)"
+        ") AS (v, w))",
+    ).collect()[0]
+    # NULL value row ignored; a's NULL weight ignored (a keeps weight 1)
+    assert row.t == ["b", "a"]
+    # intExp2(NULL) propagates NULL (CH contract) instead of raising
+    [r] = spark.sql(
+        t("SELECT intExp2(x) AS v FROM (SELECT CAST(NULL AS INT) AS x)")
+    ).collect()
+    assert r.v is None

@@ -1284,3 +1284,45 @@ def test_split_statements_semicolonless_maintenance_boundaries():
         "CREATE TABLE t (x UInt8,\nrename_hint UInt8) "
         "ENGINE = MergeTree() ORDER BY (x)"
     )) == 1
+    # ...nor on a continuation line of a multi-line ALTER (review r08:
+    # the maintenance keywords need their object noun to open a
+    # statement — 'RENAME COLUMN' is clause text, 'RENAME TABLE' isn't)
+    assert len(ddl_compat.split_statements(
+        "ALTER TABLE t\n    RENAME COLUMN a TO b"
+    )) == 1
+    assert len(ddl_compat.split_statements(
+        "ALTER TABLE t DROP COLUMN a\n\nRENAME TABLE t TO u"
+    )) == 2
+
+
+def test_stores_with_mixed_columns_keep_every_column():
+    """Review r08: AggregateFunction columns on a SUMMING target and
+    plain non-key columns on an AGGREGATING target must merge (hybrid
+    state machinery / 'any' pick — CH's documented contracts), never
+    silently drop after epoch 1 or bypass the loud guard."""
+    objs, _ = ddl_compat.migrate_script(
+        "CREATE TABLE s (day Date, k String, hits UInt64, "
+        "mx AggregateFunction(max, UInt64), note String) "
+        "ENGINE = SummingMergeTree() ORDER BY (day, k);\n"
+        "CREATE MATERIALIZED VIEW m TO s AS SELECT toDate(ts) AS day, "
+        "k, count(*) AS hits, maxState(v) AS mx, any(nt) AS note "
+        "FROM src GROUP BY day, k"
+    )
+    spec = ddl_compat.mv_stream_spec(objs, "m")
+    assert spec["state_fns"] == {
+        "hits": "sum", "mx": "max", "note": "any",
+    }
+    objs2, _ = ddl_compat.migrate_script(
+        "CREATE TABLE a (day Date, u AggregateFunction(uniq, String), "
+        "note String) ENGINE = AggregatingMergeTree() ORDER BY (day);\n"
+        "CREATE MATERIALIZED VIEW m2 TO a AS SELECT toDate(ts) AS day, "
+        "uniqState(s) AS u, any(nt) AS note FROM src GROUP BY day"
+    )
+    spec2 = ddl_compat.mv_stream_spec(objs2, "m2")
+    assert spec2["state_fns"] == {"u": "uniq", "note": "any"}
+    # a reference-shaped Summing store (numeric metrics only) keeps the
+    # proven legacy summing_merge path
+    objs3, _ = ddl_compat.migrate_script(SCRIPT)
+    assert ddl_compat.mv_stream_spec(objs3, "daily_count_mv")[
+        "state_fns"
+    ] is None

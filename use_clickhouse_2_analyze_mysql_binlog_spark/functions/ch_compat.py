@@ -213,8 +213,10 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 # CH function -> Spark function, pure renames (argument lists unchanged).
+# NOTE: toUInt64 is NOT here — it needs the full unsigned range and
+# rewrites to cast(.. AS decimal(20,0)) below (same rationale as the
+# to*Or* family, ADVICE r07 #3 / round-8 review).
 _RENAMES = {
-    "toUInt64": "bigint",
     "toUInt32": "bigint",
     "toInt64": "bigint",
     "toInt32": "bigint",
@@ -1864,7 +1866,13 @@ def translate(
                 "topKWeighted translates the (x, weight) form only"
             )
         n, x, w = int(params[0]), args[0], args[1]
-        pairs = f"collect_list(named_struct('v', {x}, 'w', {w}))"
+        # NULL value or NULL weight rows are skipped like every CH
+        # aggregate (review r08: a bare struct collect would rank NULL
+        # as a value and a NULL weight would poison its value's total)
+        pairs = (
+            f"collect_list(IF(({x}) IS NOT NULL AND ({w}) IS NOT NULL, "
+            f"named_struct('v', {x}, 'w', {w}), NULL))"
+        )
         return (
             f"slice(transform(array_sort(transform("
             f"array_distinct(transform({pairs}, __p -> __p.v)), "
@@ -2576,8 +2584,12 @@ def translate(
                     "bigint (CH's UInt64 reaches 2^63) — not representable"
                 )
             return f"shiftleft(CAST(1 AS BIGINT), {arg})"
+        # NULL exponents propagate NULL like CH (review r08: a bare
+        # BETWEEN yields NULL and assert_true would raise on it);
+        # shiftleft(1, NULL) is the NULL that flows out
         return (
-            f"coalesce(assert_true(({arg}) BETWEEN 0 AND 62, "
+            f"coalesce(assert_true(({arg}) IS NULL OR "
+            f"({arg}) BETWEEN 0 AND 62, "
             f"'intExp2: exponent must be in 0..62'), "
             f"shiftleft(CAST(1 AS BIGINT), {arg}))"
         )
@@ -3586,6 +3598,12 @@ def translate(
     # the type default on unparseable input while the plain to<T> throws
     # — exactly Spark's ANSI try_cast vs cast split, so the mapping is
     # semantics-exact (coalesce supplies the OrZero default).
+    # plain toUInt64: the same full-unsigned-range rule as its Or-family
+    # below (review r08: the rename-table bigint mapping silently NULLed
+    # [2^63, 2^64) — the exact class ADVICE r07 #3 fixed for the twins)
+    out = _rewrite_calls(
+        out, "toUInt64", lambda a: f"cast({a[0]} AS decimal(20,0))"
+    )
     _OR_TYPES = {
         # UInt64 must NOT narrow to signed bigint: inputs in [2^63, 2^64)
         # parse fine in CH and would silently become NULL/0/default here

@@ -1167,15 +1167,22 @@ def split_statements(script: str) -> list[str]:
     depth = 0
     at_line_start = True
     i, n = 0, len(script)
+    # CREATE/ALTER open a statement unconditionally; the maintenance
+    # keywords only when followed by their object noun — a continuation
+    # line like 'ALTER TABLE t\n  RENAME COLUMN a TO b' must NOT split
+    # (review r08: the bare-keyword form broke multi-line ALTERs into
+    # two misleading parse errors).
     boundary = re.compile(
-        r"(?i)(CREATE|ALTER|OPTIMIZE|TRUNCATE|RENAME|EXCHANGE)\s"
+        r"(?i)(?:CREATE|ALTER)\s"
+        r"|(?:OPTIMIZE|TRUNCATE|RENAME|EXCHANGE)\s+"
+        r"(?:TABLE|TABLES|DATABASE|DICTIONARY)\b"
     )
     while i < n:
         ch = script[i]
         if (
             at_line_start
             and depth == 0
-            and boundary.match(script[i : i + 9])
+            and boundary.match(script[i : i + 32])
             and "".join(cur).strip()
         ):
             out.append("".join(cur).strip())
@@ -2135,37 +2142,69 @@ def mv_stream_spec(
             "DDL); other MVs run as batch twins"
         )
     state_fns: dict[str, str] | None = None
+    untranslated = [
+        c.name
+        for c in target.columns
+        if c.spark_type is None and c.name not in target.order_by
+    ]
+    if untranslated:
+        raise ValueError(
+            f"{target.full_name}: columns without a translated Spark "
+            f"representation: {untranslated} (AggregateFunction states "
+            "supported: sum/count/max/min/avg/uniq)"
+        )
+    key_set = set(target.order_by)
+    aggs = target.agg_state_columns()
     if target.engine_family == "AggregatingMergeTree":
         # round 8 (VERDICT r07 #4): merge functions derive from the
         # target's AggregateFunction(...) column types the same way keys
         # derive from ORDER BY; the MV select's -State combinators
         # translate to the matching plain-column state producers
         # (ch_compat) and the per-epoch merge is agg_state_merge.
-        state_fns = target.agg_state_columns()
-        untranslated = [
-            c.name
-            for c in target.columns
-            if c.spark_type is None and c.name not in target.order_by
-        ]
-        if untranslated:
-            raise ValueError(
-                f"{target.full_name}: AggregateFunction columns without a "
-                f"plain-column state representation: {untranslated} "
-                "(supported: sum/count/max/min/avg/uniq)"
-            )
-        if not state_fns:
+        # PLAIN non-key columns merge with 'any' — CH's documented
+        # arbitrary-value pick — so they survive every merge instead of
+        # silently dropping after epoch 1 (review r08).
+        if not aggs:
             raise ValueError(
                 f"{target.full_name}: no AggregateFunction non-key "
                 "columns to merge — not a meaningful Aggregating store"
             )
+        plain = [
+            c.name
+            for c in target.columns
+            if c.name not in key_set and c.agg_fn is None
+        ]
+        state_fns = {**aggs, **{p: "any" for p in plain}}
         metrics = tuple(state_fns)
     else:
+        # Summing: numeric non-key columns re-sum (the classic
+        # contract). CH additionally aggregates AggregateFunction
+        # columns on Summing tables and picks an arbitrary value for
+        # other plain columns — when either exists the merge runs
+        # through the same state machinery ('sum' states for the
+        # metrics) so no column silently drops (review r08: these
+        # previously bypassed the untranslated-type guard or vanished
+        # after epoch 1).
         metrics = tuple(target.metric_columns())
-        if not metrics:
+        if not metrics and not aggs:
             raise ValueError(
                 f"{target.full_name}: no numeric non-key columns to sum — "
                 "not a meaningful Summing store"
             )
+        extras = [
+            c.name
+            for c in target.columns
+            if c.name not in key_set
+            and c.agg_fn is None
+            and c.name not in metrics
+        ]
+        if aggs or extras:
+            state_fns = {
+                **{m: "sum" for m in metrics},
+                **aggs,
+                **{p: "any" for p in extras},
+            }
+            metrics = metrics or tuple(aggs)
     # The MV's anchor is its first FROM table; only that name rewrites
     # to the stream view. Position-restricted (FROM/JOIN only — a
     # blanket rename could clobber an identically-named column), and a

@@ -69,8 +69,11 @@ def summing_merge(
 #: AggregatingMergeTree state functions with a plain-column Spark
 #: representation (functions/ddl_compat.py `_agg_state` maps the
 #: ``AggregateFunction(fn, T)`` column types; functions/ch_compat.py
-#: rewrites the -State/-Merge combinators to match).
-AGG_STATE_FNS = ("sum", "count", "max", "min", "avg", "uniq")
+#: rewrites the -State/-Merge combinators to match). 'any' is the
+#: merge for PLAIN non-key columns on Summing/Aggregating stores —
+#: ClickHouse's documented arbitrary-value pick, so the column
+#: survives every merge instead of silently dropping (review r08).
+AGG_STATE_FNS = ("sum", "count", "max", "min", "avg", "uniq", "any")
 
 
 def _agg_state_merge_expr(col: str, fn: str, dtype: str | None):
@@ -93,6 +96,8 @@ def _agg_state_merge_expr(col: str, fn: str, dtype: str | None):
         return F.struct(s.alias("sum"), c.alias("cnt")).alias(col)
     if fn == "uniq":
         return F.hll_union_agg(col).alias(col)
+    if fn == "any":
+        return F.any_value(col, True).alias(col)
     raise ValueError(f"unsupported aggregate state function {fn!r} "
                      f"(supported: {AGG_STATE_FNS})")
 

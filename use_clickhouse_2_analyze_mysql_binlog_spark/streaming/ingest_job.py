@@ -287,9 +287,8 @@ def run_ingest_stream(
             "column) but dead_letter_path is None — pass dead_letter_path "
             "or decode with on_error='fail'"
         )
-    routed = dead_letter_path is not None and (
-        "_decode_error" in entries_stream.columns
-    )
+    # after the guard above, routed-columns-present implies a DLQ path
+    routed = "_decode_error" in entries_stream.columns
     if not routed:
         binlog = canal_entries_to_binlog(entries_stream).withColumn(
             "day", F.to_date("execute_time")
