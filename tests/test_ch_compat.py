@@ -2970,3 +2970,48 @@ def test_round8_review_fixes(spark):
         t("SELECT intExp2(x) AS v FROM (SELECT CAST(NULL AS INT) AS x)")
     ).collect()
     assert r.v is None
+
+
+def test_round8_everyday_batch_execute(spark):
+    """Round-8 everyday surface: isNaN, translateUTF8, toUUID identity,
+    mapFilter/mapUpdate (m2 precedence without map_concat's duplicate-key
+    error), IPv4 conversions, regexpQuoteMeta, arrayCumSumNonNegative
+    (clamp-at-zero affects later elements), now64, lagInFrame/leadInFrame,
+    simpleLinearRegression as a .1/.2-accessible tuple, rand* forms."""
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT isNaN(CAST('NaN' AS Float64)) AS nan1, isNaN(1.0) AS nan0, "
+        "translateUTF8('abcd', 'ac', 'xz') AS tr, "
+        "toUUID('0e72-11') AS uu, "
+        "mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS mf, "
+        "mapUpdate(map('a', 1, 'b', 2), map('b', 9, 'c', 3)) AS mu, "
+        "IPv4NumToString(3232235777) AS ip, "
+        "IPv4StringToNum('192.168.1.1') AS ipn, "
+        "regexpQuoteMeta('a.b[c]-d') AS rq, "
+        "arrayCumSumNonNegative([1, 1, -4, 1]) AS cs, "
+        "now64() IS NOT NULL AS n64, "
+        "randUniform(2, 3) AS ru, randNormal(0, 1) IS NOT NULL AS rn",
+    ).collect()[0]
+    assert (row.nan1, row.nan0) == (True, False)
+    assert row.tr == "xbzd" and row.uu == "0e72-11"
+    assert dict(row.mf) == {"b": 2}
+    assert dict(row.mu) == {"a": 1, "b": 9, "c": 3}
+    assert row.ip == "192.168.1.1" and row.ipn == 3232235777
+    assert row.rq == "a\\.b\\[c\\]\\-d"
+    assert row.cs == [1.0, 2.0, 0.0, 1.0]
+    assert row.n64 and 2 <= row.ru < 3 and row.rn
+    tup = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT simpleLinearRegression(x, y) AS t FROM "
+        "(SELECT stack(3, 1.0, 3.0, 2.0, 5.0, 3.0, 7.0) AS (x, y))",
+    ).collect()[0].t
+    assert (tup.col1, tup.col2) == (2.0, 1.0)  # y = 2x + 1
+    frames = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT x, lagInFrame(x) OVER (ORDER BY x) AS lg, "
+        "leadInFrame(x) OVER (ORDER BY x) AS ld "
+        "FROM (SELECT stack(3, 1, 2, 3) AS (x))",
+    ).collect()
+    assert [(r.x, r.lg, r.ld) for r in frames] == [
+        (1, None, 2), (2, 1, 3), (3, 2, None),
+    ]

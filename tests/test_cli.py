@@ -812,3 +812,53 @@ def test_cli_migrate_ddl_stream(spark, tmp_path, capsys):
     }
     # missing required args is a usage error
     assert cli.main(["migrate-ddl", str(script), "--stream", "db.daily_mv"]) == 2
+
+
+def test_cli_migrate_ddl_stream_aggregating(spark, tmp_path, capsys):
+    """migrate-ddl --stream on an AggregatingMergeTree MV (round 8):
+    the CLI path derives state_fns from the AggregateFunction column
+    types, publishes STATE snapshots, and the finalized read equals the
+    batch truth (exact value states; uniq within sketch tolerance)."""
+    script = tmp_path / "setup.sql"
+    script.write_text(
+        "CREATE TABLE db.agg (day Date, event_type String, "
+        "mx AggregateFunction(max, UInt64), "
+        "u AggregateFunction(uniq, String)) "
+        "ENGINE = AggregatingMergeTree() ORDER BY (day, event_type);\n"
+        "CREATE MATERIALIZED VIEW db.agg_mv TO db.agg AS SELECT "
+        "toDate(execute_time) AS day, event_type, "
+        "maxState(single_statement_size) AS mx, uniqState(gtid) AS u "
+        "FROM mysql_monitor.broker_binlog_local GROUP BY day, event_type\n",
+        encoding="utf-8",
+    )
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    src = str(tmp_path / "fact")
+    binlog.write.parquet(src)
+    out = tmp_path / "stores"
+    rc = cli.main([
+        "migrate-ddl", str(script), "--stream", "db.agg_mv",
+        "--source", src, "--checkpoint", str(tmp_path / "ckpt"),
+        "--output-dir", str(out), "--available-now",
+    ])
+    assert rc == 0 and "streaming db.agg_mv" in capsys.readouterr().out
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import rollup_job
+
+    got = {
+        (str(r.day), r.event_type): r
+        for r in rollup_job.read_agg_rollup(
+            spark, str(out / "agg_mv"), {"mx": "max", "u": "uniq"}
+        ).collect()
+    }
+    binlog.createOrReplaceTempView("b")
+    want = {
+        (str(r.day), r.event_type): r
+        for r in spark.sql(
+            "SELECT to_date(execute_time) AS day, event_type, "
+            "max(single_statement_size) AS mx, "
+            "count(DISTINCT gtid) AS exact FROM b GROUP BY 1, 2"
+        ).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k, g in got.items():
+        assert g.mx == want[k].mx, k
+        assert abs(g.u - want[k].exact) <= max(2, 0.02 * want[k].exact), k

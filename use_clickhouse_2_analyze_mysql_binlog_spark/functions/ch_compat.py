@@ -157,7 +157,15 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   loud), ``formatReadableDecimalSize``, ``toUUIDOrNull``,
   ``extractGroups`` (literal pattern -> enumerated ``regexp_extract``
   per capture group, empty array on no match; non-literal patterns
-  loud),
+  loud), round-8 everyday batch: ``isNaN``, ``translateUTF8``,
+  ``toUUID`` (identity — UUIDs are strings here; CH throws on
+  malformed), ``now64`` (precision args dropped; micros already),
+  ``mapFilter``/``mapUpdate`` (m2-precedence composition around
+  ``map_concat``'s duplicate-key error), ``randNormal/randUniform``,
+  ``IPv4NumToString/IPv4StringToNum``, ``regexpQuoteMeta``,
+  ``arrayCumSumNonNegative`` (clamp-at-zero fold),
+  ``simpleLinearRegression`` -> a ``.1``/``.2``-accessible
+  ``(k, b)`` struct,
   ``randUniform/randNormal``, the ``simpleJSON*`` aliases of
   ``visitParam*``; round-7 second batch: the
   ``to<T>OrNull``/``to<T>OrZero`` conversion families (exactly ANSI
@@ -217,6 +225,9 @@ from pyspark.sql import DataFrame, SparkSession
 # rewrites to cast(.. AS decimal(20,0)) below (same rationale as the
 # to*Or* family, ADVICE r07 #3 / round-8 review).
 _RENAMES = {
+    # round-8 everyday batch: exact-same-semantics renames
+    "isNaN": "isnan",
+    "translateUTF8": "translate",  # Spark strings are UTF-8 already
     "toUInt32": "bigint",
     "toInt64": "bigint",
     "toInt32": "bigint",
@@ -1883,6 +1894,100 @@ def translate(
         )
 
     out = _rewrite_parametric(out, "topKWeighted", _top_k_weighted)
+
+    # round-8 everyday batch (composed rewrites) ------------------------
+    def _masked_lit(text: str) -> str:
+        """Emit a string literal through the mask so later passes (the
+        [..] -> array() bracket pass, function renames, ...) never see
+        its contents — restored verbatim at the end of translate."""
+        literals.append(f"'{text}'")
+        return f"\x00L{len(literals) - 1}\x00"
+
+    # toUUID: UUIDs are strings in this engine (generateUUIDv4 -> uuid);
+    # parsing is identity. Narrowing: CH throws on malformed input.
+    out = _rewrite_calls(out, "toUUID", lambda a: f"({a[0]})")
+    # mapFilter/mapUpdate: Spark spells them (map, lambda) / precedence
+    # composition (map_concat REJECTS duplicate keys by default, so the
+    # m1-side is pre-filtered to give m2 precedence like CH)
+    out = _rewrite_calls(
+        out, "mapFilter", lambda a: f"map_filter({a[1]}, {a[0]})"
+    )
+    out = _rewrite_calls(
+        out,
+        "mapUpdate",
+        lambda a: (
+            f"map_concat(map_filter({a[0]}, (__mk, __mv) -> "
+            f"NOT map_contains_key({a[1]}, __mk)), {a[1]})"
+        ),
+    )
+    # random distributions (nondeterministic like CH's)
+    out = _rewrite_calls(
+        out, "randNormal",
+        lambda a: f"(randn() * ({a[1]}) + ({a[0]}))",
+    )
+    out = _rewrite_calls(
+        out, "randUniform",
+        lambda a: f"(rand() * (({a[1]}) - ({a[0]})) + ({a[0]}))",
+    )
+    # IPv4 dotted-quad <-> UInt32 (CH stores IPv4 as numbers)
+    out = _rewrite_calls(
+        out,
+        "IPv4NumToString",
+        lambda a: (
+            f"concat(CAST(shiftright(CAST({a[0]} AS BIGINT), 24) & 255 "
+            f"AS STRING), '.', CAST(shiftright(CAST({a[0]} AS BIGINT), 16)"
+            f" & 255 AS STRING), '.', CAST(shiftright(CAST({a[0]} AS "
+            f"BIGINT), 8) & 255 AS STRING), '.', CAST(CAST({a[0]} AS "
+            f"BIGINT) & 255 AS STRING))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "IPv4StringToNum",
+        lambda a: (
+            f"aggregate(split({a[0]}, {_masked_lit('[.]')}), "
+            f"CAST(0 AS BIGINT), (__acc, __o) -> __acc * 256 + "
+            f"CAST(__o AS BIGINT))"
+        ),
+    )
+    # simpleLinearRegression -> tuple(k, b) as a col1/col2 struct (the
+    # same field names tupleElement produces, so .1/.2 access works)
+    out = _rewrite_calls(
+        out,
+        "simpleLinearRegression",
+        lambda a: (
+            f"named_struct('col1', covar_pop({a[0]}, {a[1]}) / "
+            f"var_pop({a[0]}), 'col2', avg({a[1]}) - "
+            f"covar_pop({a[0]}, {a[1]}) / var_pop({a[0]}) * avg({a[0]}))"
+        ),
+    )
+    # arrayCumSumNonNegative: the running sum CLAMPS to 0 at each step
+    # (a reset affects all later elements — not a prefix-sum clamp), so
+    # each prefix folds with greatest(0, acc + x). Same O(n^2)-in-length
+    # row-local policy as arrayCumSum above.
+    out = _rewrite_calls(
+        out,
+        "arrayCumSumNonNegative",
+        lambda a: (
+            f"transform({a[0]}, (__v, __i) -> aggregate(slice({a[0]}, 1, "
+            f"__i + 1), CAST(0 AS DOUBLE), (__s, __x) -> "
+            f"greatest(CAST(0 AS DOUBLE), __s + __x)))"
+        ),
+    )
+    # regexpQuoteMeta: backslash-escape CH's regex metacharacter set.
+    # The masked text is a SQL string literal, so every regex backslash
+    # is doubled once more for Spark's literal parser.
+    out = _rewrite_calls(
+        out,
+        "regexpQuoteMeta",
+        lambda a: (
+            f"regexp_replace({a[0]}, "
+            + _masked_lit(r"([\\\\|()^$.\\[\\]?*+{:-])")
+            + ", "
+            + _masked_lit(r"\\\\$1")
+            + ")"
+        ),
+    )
 
     # sequenceMatch('(?1).*(?2)...')(ts, c1, ..., cn): existence of a
     # time-ordered chain of events hitting the referenced conditions in
@@ -3566,7 +3671,10 @@ def translate(
     out = _rewrite_calls(out, "formatDateTime", _format_datetime)
 
     # bare now()/today()/yesterday() (zero-arg, so plain renames would
-    # leave empty parens to a 1-arg builder — rewrite whole calls)
+    # leave empty parens to a 1-arg builder — rewrite whole calls).
+    # now64([precision[, tz]]) drops its args: Spark current_timestamp
+    # is already microsecond-precision (superset of the default 3).
+    out = _rewrite_calls(out, "now64", lambda a: "current_timestamp()")
     out = re.sub(r"\bnow\(\s*\)", "current_timestamp()", out)
     out = re.sub(r"\btoday\(\s*\)", "current_date()", out)
     out = re.sub(r"\byesterday\(\s*\)", "date_sub(current_date(), 1)", out)
