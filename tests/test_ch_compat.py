@@ -2973,33 +2973,48 @@ def test_round8_review_fixes(spark):
 
 
 def test_round8_everyday_batch_execute(spark):
-    """Round-8 everyday surface: isNaN, translateUTF8, toUUID identity,
-    mapFilter/mapUpdate (m2 precedence without map_concat's duplicate-key
-    error), IPv4 conversions, regexpQuoteMeta, arrayCumSumNonNegative
-    (clamp-at-zero affects later elements), now64, lagInFrame/leadInFrame,
-    simpleLinearRegression as a .1/.2-accessible tuple, rand* forms."""
+    """Round-8 everyday surface: isNaN (NULL-propagating), translateUTF8,
+    toUUID (validated + lowercased like its OrNull twin),
+    mapFilter/mapUpdate (single-bound m2 precedence without map_concat's
+    duplicate-key error), IPv4 conversions (malformed loud),
+    regexpQuoteMeta, arrayCumSumNonNegative (clamp-at-zero affects later
+    elements; NULL propagates like the sibling), now64,
+    lagInFrame/leadInFrame, simpleLinearRegression as a
+    .1/.2-accessible tuple, rand* forms."""
     row = ch_compat.run_clickhouse_sql(
         spark,
         "SELECT isNaN(CAST('NaN' AS Float64)) AS nan1, isNaN(1.0) AS nan0, "
+        "isNaN(CAST(NULL AS Float64)) AS nann, "
         "translateUTF8('abcd', 'ac', 'xz') AS tr, "
-        "toUUID('0e72-11') AS uu, "
+        "toUUID('123E4567-E89B-12D3-A456-426614174000') AS uu, "
         "mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS mf, "
         "mapUpdate(map('a', 1, 'b', 2), map('b', 9, 'c', 3)) AS mu, "
         "IPv4NumToString(3232235777) AS ip, "
         "IPv4StringToNum('192.168.1.1') AS ipn, "
         "regexpQuoteMeta('a.b[c]-d') AS rq, "
         "arrayCumSumNonNegative([1, 1, -4, 1]) AS cs, "
+        "arrayCumSumNonNegative([1, NULL, 2]) AS csn, "
         "now64() IS NOT NULL AS n64, "
         "randUniform(2, 3) AS ru, randNormal(0, 1) IS NOT NULL AS rn",
     ).collect()[0]
-    assert (row.nan1, row.nan0) == (True, False)
-    assert row.tr == "xbzd" and row.uu == "0e72-11"
+    assert (row.nan1, row.nan0, row.nann) == (True, False, None)
+    assert row.tr == "xbzd"
+    # toUUID normalizes case exactly like toUUIDOrNull (same join keys)
+    assert row.uu == "123e4567-e89b-12d3-a456-426614174000"
     assert dict(row.mf) == {"b": 2}
     assert dict(row.mu) == {"a": 1, "b": 9, "c": 3}
     assert row.ip == "192.168.1.1" and row.ipn == 3232235777
     assert row.rq == "a\\.b\\[c\\]\\-d"
     assert row.cs == [1.0, 2.0, 0.0, 1.0]
+    assert row.csn == [1.0, None, None]  # NULL is not a silent reset
     assert row.n64 and 2 <= row.ru < 3 and row.rn
+    # malformed input is loud where CH throws (octet range included)
+    for bad in ("toUUID('0e72-11')", "IPv4StringToNum('1.2.3')",
+                "IPv4StringToNum('300.1.1.1')"):
+        with pytest.raises(Exception, match="malformed"):
+            ch_compat.run_clickhouse_sql(
+                spark, f"SELECT {bad} AS v"
+            ).collect()
     tup = ch_compat.run_clickhouse_sql(
         spark,
         "SELECT simpleLinearRegression(x, y) AS t FROM "

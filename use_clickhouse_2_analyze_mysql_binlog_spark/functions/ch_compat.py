@@ -157,15 +157,17 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   loud), ``formatReadableDecimalSize``, ``toUUIDOrNull``,
   ``extractGroups`` (literal pattern -> enumerated ``regexp_extract``
   per capture group, empty array on no match; non-literal patterns
-  loud), round-8 everyday batch: ``isNaN``, ``translateUTF8``,
-  ``toUUID`` (identity — UUIDs are strings here; CH throws on
-  malformed), ``now64`` (precision args dropped; micros already),
-  ``mapFilter``/``mapUpdate`` (m2-precedence composition around
-  ``map_concat``'s duplicate-key error), ``randNormal/randUniform``,
-  ``IPv4NumToString/IPv4StringToNum``, ``regexpQuoteMeta``,
-  ``arrayCumSumNonNegative`` (clamp-at-zero fold),
-  ``simpleLinearRegression`` -> a ``.1``/``.2``-accessible
-  ``(k, b)`` struct,
+  loud), round-8 everyday batch: ``isNaN`` (NULL-propagating),
+  ``translateUTF8``, ``toUUID`` (validated + lowercased like its
+  OrNull twin; malformed loud), ``now64`` (precision AND timezone
+  args dropped — session-tz rendering, documented narrowing),
+  ``mapFilter``/``mapUpdate`` (single-bound m2-precedence composition
+  around ``map_concat``'s duplicate-key error),
+  ``IPv4NumToString/IPv4StringToNum`` (single-bound; malformed IPv4
+  loud like CH's throw), ``regexpQuoteMeta``,
+  ``arrayCumSumNonNegative`` (clamp-at-zero fold, NULL-propagating
+  like its sibling), ``simpleLinearRegression`` -> a ``.1``/``.2``-
+  accessible ``(k, b)`` struct,
   ``randUniform/randNormal``, the ``simpleJSON*`` aliases of
   ``visitParam*``; round-7 second batch: the
   ``to<T>OrNull``/``to<T>OrZero`` conversion families (exactly ANSI
@@ -225,8 +227,9 @@ from pyspark.sql import DataFrame, SparkSession
 # rewrites to cast(.. AS decimal(20,0)) below (same rationale as the
 # to*Or* family, ADVICE r07 #3 / round-8 review).
 _RENAMES = {
-    # round-8 everyday batch: exact-same-semantics renames
-    "isNaN": "isnan",
+    # round-8 everyday batch: exact-same-semantics renames.
+    # isNaN is NOT a rename: Spark isnan(NULL) = false where CH
+    # propagates NULL — rewritten with a NULL guard below.
     "translateUTF8": "translate",  # Spark strings are UTF-8 already
     "toUInt32": "bigint",
     "toInt64": "bigint",
@@ -1903,12 +1906,38 @@ def translate(
         literals.append(f"'{text}'")
         return f"\x00L{len(literals) - 1}\x00"
 
+    # isNaN: NULL-propagating (Spark's isnan(NULL) = false, CH = NULL)
+    out = _rewrite_calls(
+        out,
+        "isNaN",
+        lambda a: (
+            f"IF(({a[0]}) IS NULL, CAST(NULL AS BOOLEAN), isnan({a[0]}))"
+        ),
+    )
     # toUUID: UUIDs are strings in this engine (generateUUIDv4 -> uuid);
-    # parsing is identity. Narrowing: CH throws on malformed input.
-    out = _rewrite_calls(out, "toUUID", lambda a: f"({a[0]})")
+    # validated + lowercased exactly like the toUUIDOrNull twin (review
+    # r08: identity passthrough split upper/lowercase spellings of the
+    # same UUID into distinct join/group keys) — malformed input fails
+    # loudly at run time where CH throws at parse.
+    _UUID_RE = (
+        "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+        "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+    )
+    out = _rewrite_calls(
+        out,
+        "toUUID",
+        lambda a: (
+            f"coalesce(assert_true(({a[0]}) IS NULL OR ({a[0]}) rlike "
+            + _masked_lit(_UUID_RE)
+            + f", 'toUUID: malformed UUID'), lower({a[0]}))"
+        ),
+    )
     # mapFilter/mapUpdate: Spark spells them (map, lambda) / precedence
     # composition (map_concat REJECTS duplicate keys by default, so the
-    # m1-side is pre-filtered to give m2 precedence like CH)
+    # m1-side is pre-filtered to give m2 precedence like CH). m2 is
+    # bound ONCE via a single-element transform (review r08: splicing it
+    # twice re-evaluates nondeterministic/expensive expressions and can
+    # desynchronize into a duplicate-key error).
     out = _rewrite_calls(
         out, "mapFilter", lambda a: f"map_filter({a[1]}, {a[0]})"
     )
@@ -1916,38 +1945,41 @@ def translate(
         out,
         "mapUpdate",
         lambda a: (
+            f"element_at(transform(array({a[1]}), __m2 -> "
             f"map_concat(map_filter({a[0]}, (__mk, __mv) -> "
-            f"NOT map_contains_key({a[1]}, __mk)), {a[1]})"
+            f"NOT map_contains_key(__m2, __mk)), __m2)), 1)"
         ),
     )
-    # random distributions (nondeterministic like CH's)
-    out = _rewrite_calls(
-        out, "randNormal",
-        lambda a: f"(randn() * ({a[1]}) + ({a[0]}))",
-    )
-    out = _rewrite_calls(
-        out, "randUniform",
-        lambda a: f"(rand() * (({a[1]}) - ({a[0]})) + ({a[0]}))",
-    )
-    # IPv4 dotted-quad <-> UInt32 (CH stores IPv4 as numbers)
+    # (randNormal/randUniform translate in the round-7 batch below)
+    # IPv4 dotted-quad <-> UInt32 (CH stores IPv4 as numbers). The
+    # number is bound once (review r08: four splices evaluated a
+    # nondeterministic argument four times, stitching a quad from four
+    # different values); malformed strings fail loudly like CH throws.
     out = _rewrite_calls(
         out,
         "IPv4NumToString",
         lambda a: (
-            f"concat(CAST(shiftright(CAST({a[0]} AS BIGINT), 24) & 255 "
-            f"AS STRING), '.', CAST(shiftright(CAST({a[0]} AS BIGINT), 16)"
-            f" & 255 AS STRING), '.', CAST(shiftright(CAST({a[0]} AS "
-            f"BIGINT), 8) & 255 AS STRING), '.', CAST(CAST({a[0]} AS "
-            f"BIGINT) & 255 AS STRING))"
+            f"element_at(transform(array(CAST({a[0]} AS BIGINT)), __ip -> "
+            f"concat(CAST(shiftright(__ip, 24) & 255 AS STRING), '.', "
+            f"CAST(shiftright(__ip, 16) & 255 AS STRING), '.', "
+            f"CAST(shiftright(__ip, 8) & 255 AS STRING), '.', "
+            f"CAST(__ip & 255 AS STRING))), 1)"
         ),
+    )
+    _IPV4_RE = (
+        "^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\\\.){3}"
+        "(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$"
     )
     out = _rewrite_calls(
         out,
         "IPv4StringToNum",
         lambda a: (
+            f"coalesce(assert_true(({a[0]}) IS NULL OR ({a[0]}) rlike "
+            + _masked_lit(_IPV4_RE)
+            + f", 'IPv4StringToNum: malformed IPv4'), "
             f"aggregate(split({a[0]}, {_masked_lit('[.]')}), "
             f"CAST(0 AS BIGINT), (__acc, __o) -> __acc * 256 + "
-            f"CAST(__o AS BIGINT))"
+            f"CAST(__o AS BIGINT)))"
         ),
     )
     # simpleLinearRegression -> tuple(k, b) as a col1/col2 struct (the
@@ -1963,15 +1995,18 @@ def translate(
     )
     # arrayCumSumNonNegative: the running sum CLAMPS to 0 at each step
     # (a reset affects all later elements — not a prefix-sum clamp), so
-    # each prefix folds with greatest(0, acc + x). Same O(n^2)-in-length
-    # row-local policy as arrayCumSum above.
+    # each prefix folds with greatest(0, acc + x). NULL elements
+    # propagate NULL like the arrayCumSum sibling (review r08: a bare
+    # greatest() skipped the NULL and turned it into a silent reset).
+    # Same O(n^2)-in-length row-local policy as arrayCumSum above.
     out = _rewrite_calls(
         out,
         "arrayCumSumNonNegative",
         lambda a: (
             f"transform({a[0]}, (__v, __i) -> aggregate(slice({a[0]}, 1, "
             f"__i + 1), CAST(0 AS DOUBLE), (__s, __x) -> "
-            f"greatest(CAST(0 AS DOUBLE), __s + __x)))"
+            f"IF(__s IS NULL OR __x IS NULL, CAST(NULL AS DOUBLE), "
+            f"greatest(CAST(0 AS DOUBLE), __s + __x))))"
         ),
     )
     # regexpQuoteMeta: backslash-escape CH's regex metacharacter set.
@@ -3674,6 +3709,8 @@ def translate(
     # leave empty parens to a 1-arg builder — rewrite whole calls).
     # now64([precision[, tz]]) drops its args: Spark current_timestamp
     # is already microsecond-precision (superset of the default 3).
+    # NARROWING: a timezone argument is dropped too — renders in the
+    # session timezone, not the requested one (documented, COVERAGE.md).
     out = _rewrite_calls(out, "now64", lambda a: "current_timestamp()")
     out = re.sub(r"\bnow\(\s*\)", "current_timestamp()", out)
     out = re.sub(r"\btoday\(\s*\)", "current_date()", out)
