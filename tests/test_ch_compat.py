@@ -3030,3 +3030,22 @@ def test_round8_everyday_batch_execute(spark):
     assert [(r.x, r.lg, r.ld) for r in frames] == [
         (1, None, 2), (2, 1, 3), (3, 2, None),
     ]
+
+
+def test_entropy_execute(spark):
+    """entropy(x): Shannon entropy in bits of the group's value
+    distribution — uniform-over-2 = 1 bit, constant = 0, uniform-over-4
+    = 2 bits; NULLs are skipped like every CH aggregate."""
+    rows = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT b, entropy(x) AS e FROM (SELECT id % 2 AS b, "
+        "IF(id % 2 = 0, id % 4, 0) AS x FROM range(8)) "
+        "GROUP BY b ORDER BY b",
+    ).collect()
+    assert [(r.b, r.e) for r in rows] == [(0, 1.0), (1, 0.0)]
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT entropy(x) AS e, entropy(n) AS en FROM (SELECT id % 4 "
+        "AS x, CAST(NULL AS INT) AS n FROM range(16))",
+    ).collect()[0]
+    assert row.e == 2.0 and row.en == 0.0

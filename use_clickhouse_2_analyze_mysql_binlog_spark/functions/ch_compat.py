@@ -167,7 +167,8 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   loud like CH's throw), ``regexpQuoteMeta``,
   ``arrayCumSumNonNegative`` (clamp-at-zero fold, NULL-propagating
   like its sibling), ``simpleLinearRegression`` -> a ``.1``/``.2``-
-  accessible ``(k, b)`` struct,
+  accessible ``(k, b)`` struct, ``entropy`` (Shannon bits, exact
+  row-local frequency fold — same policy as ``topK``),
   ``randUniform/randNormal``, the ``simpleJSON*`` aliases of
   ``visitParam*``; round-7 second batch: the
   ``to<T>OrNull``/``to<T>OrZero`` conversion families (exactly ANSI
@@ -2009,6 +2010,27 @@ def translate(
             f"greatest(CAST(0 AS DOUBLE), __s + __x))))"
         ),
     )
+    # entropy(x): Shannon entropy (bits) of the value distribution —
+    # collect + per-distinct frequency fold, the same exact row-local
+    # O(distinct * n) policy as topK above (profiling-cardinality
+    # groups; a corpus-scale entropy job belongs in an operator).
+    # NULLs are skipped like every CH aggregate (collect_list drops
+    # them); an all-NULL group yields 0.0 like CH's empty-set entropy.
+    def _entropy(a):
+        if len(a) != 1:
+            raise ValueError("entropy translates the single-column form only")
+        x = a[0]
+        cl = f"collect_list({x})"
+        return (
+            f"coalesce(aggregate(array_distinct({cl}), CAST(0 AS DOUBLE), "
+            f"(__e, __d) -> __e - (size(filter({cl}, __v -> __v <=> __d)) "
+            f"/ CAST(size({cl}) AS DOUBLE)) * log2(size(filter({cl}, "
+            f"__v -> __v <=> __d)) / CAST(size({cl}) AS DOUBLE))), "
+            f"CAST(0 AS DOUBLE))"
+        )
+
+    out = _rewrite_calls(out, "entropy", _entropy)
+
     # regexpQuoteMeta: backslash-escape CH's regex metacharacter set.
     # The masked text is a SQL string literal, so every regex backslash
     # is doubled once more for Spark's literal parser.
