@@ -1326,3 +1326,71 @@ def test_stores_with_mixed_columns_keep_every_column():
     assert ddl_compat.mv_stream_spec(objs3, "daily_count_mv")[
         "state_fns"
     ] is None
+
+
+def test_hybrid_summing_store_streams_every_column(spark, tmp_path):
+    """Review r08 end-to-end: a Summing TO-target carrying an
+    AggregateFunction column AND a plain string column streams through
+    the state machinery — the metric re-sums, the state column merges
+    per its function, the plain column survives via the 'any' pick —
+    across multiple epochs AND a checkpoint replay (the silent-drop bug
+    surfaced only from epoch 2 on)."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import rollup_job
+
+    script = """
+CREATE TABLE db.hybrid (day Date, event_type String, n UInt64,
+  mx AggregateFunction(max, UInt64), tag String)
+ENGINE = SummingMergeTree() ORDER BY (day, event_type);
+CREATE MATERIALIZED VIEW db.hmv TO db.hybrid AS
+SELECT toDate(execute_time) AS day, event_type, count(*) AS n,
+       maxState(single_statement_size) AS mx, any('x') AS tag
+FROM mysql_monitor.broker_binlog_local
+GROUP BY day, event_type
+"""
+    objects, _ = ddl_compat.migrate_script(script)
+    spec = ddl_compat.mv_stream_spec(objects, "db.hmv")
+    assert spec["state_fns"] == {"n": "sum", "mx": "max", "tag": "any"}
+
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    src = str(tmp_path / "src")
+    binlog.write.parquet(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(binlog.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = rollup_job.run_mv_rollup_stream(
+            stream, spec["select_sql"], store, ckpt,
+            keys=spec["keys"], metrics=spec["metrics"],
+            state_fns=spec["state_fns"],
+            source_view=spec["source_view"], available_now=True,
+        )
+        q.awaitTermination(180)
+
+    run()
+    got = rollup_job.read_rollup(spark, store)
+    # every target column survives the multi-epoch merge
+    assert set(got.columns) == {"day", "event_type", "n", "mx", "tag"}
+    g = {(str(r.day), r.event_type): r for r in got.collect()}
+    binlog.createOrReplaceTempView("b")
+    w = {
+        (str(r.day), r.event_type): r
+        for r in spark.sql(
+            "SELECT to_date(execute_time) AS day, event_type, "
+            "count(*) AS n, max(single_statement_size) AS mx "
+            "FROM b GROUP BY 1, 2"
+        ).collect()
+    }
+    assert set(g) == set(w) and len(g) > 0
+    for k, row in g.items():
+        assert (row.n, row.mx) == (w[k].n, w[k].mx), k
+        assert row.tag == "x", k
+    run()  # replay: unchanged
+    again = rollup_job.read_rollup(spark, store)
+    assert {tuple(r) for r in again.collect()} == {
+        tuple(r) for r in got.collect()
+    }
