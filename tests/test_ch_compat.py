@@ -2868,10 +2868,11 @@ def test_state_merge_combinators_translate(spark):
 def test_round8_advice_fixes(spark):
     t = ch_compat.translate
     # ADVICE r07 #3: UInt64 family keeps the full unsigned range
-    assert t("toUInt64OrNull(s)") == "try_cast(s AS decimal(20,0))"
-    assert t("toUInt64OrZero(s)") == (
-        "coalesce(try_cast(s AS decimal(20,0)), 0)"
-    )
+    # (exact strings gained a truncation detour in r09 — see
+    # test_round9_advice_fixes; here pin the load-bearing parts)
+    assert "try_cast(s AS decimal(38,18))" in t("toUInt64OrNull(s)")
+    assert "decimal(20,0)" in t("toUInt64OrNull(s)")
+    assert t("toUInt64OrZero(s)").startswith("coalesce(")
     [r] = spark.sql(
         t("SELECT toUInt64OrNull('9223372036854775809') AS v, "
           "toUInt64OrZero('nope') AS z")
@@ -2898,8 +2899,8 @@ def test_agg_states_two_level_read_vs_duckdb(spark, duck):
     coarser grain — against a direct one-level DuckDB aggregate: merging
     partial states must lose nothing. Exact family only (sum/count/max/
     avg); the uniq/HLL member is covered by the streaming test's
-    tolerance check (test_ddl_compat). Drafted as registry row
-    `ch_agg_states_rollup`; window-deferred to round 9 (see
+    tolerance check (test_ddl_compat). Registered as registry row
+    `ch_agg_states_rollup` in round 9 (window-deferred from r08, see
     queries_registry ROTATION BUDGET note)."""
     from tests.conftest import SF_DIR, assert_parity
     from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
@@ -2949,13 +2950,13 @@ def test_round8_review_fixes(spark):
     topKWeighted NULL skipping, intExp2 NULL propagation."""
     t = ch_compat.translate
     # plain toUInt64 matches its Or-family (decimal(20,0), not bigint)
-    assert t("toUInt64(s)") == "CAST(s AS decimal(20, 0))"
+    assert "decimal(20, 0)" in t("toUInt64(s)")
     [r] = spark.sql(
         t("SELECT toUInt64('9223372036854775809') AS v")
     ).collect()
     assert int(r.v) == 9223372036854775809
-    # the Or-family twins are untouched by the plain rewrite
-    assert t("toUInt64OrNull(s)") == "try_cast(s AS decimal(20,0))"
+    # the Or-family twins share the trunc-then-narrow shape (try_cast)
+    assert "try_cast" in t("toUInt64OrNull(s)")
     # topKWeighted skips NULL values and NULL weights like CH aggregates
     row = ch_compat.run_clickhouse_sql(
         spark,
@@ -3049,3 +3050,54 @@ def test_entropy_execute(spark):
         "AS x, CAST(NULL AS INT) AS n FROM range(16))",
     ).collect()[0]
     assert row.e == 2.0 and row.en == 0.0
+
+
+def test_round9_advice_fixes(spark):
+    """ADVICE r09 batch: toUInt64 family truncates toward zero before the
+    decimal(20,0) narrow (CH integer conversion truncates; a bare decimal
+    cast rounds HALF_UP), translateUTF8 keeps CH's equal-length contract
+    loud, IPv4NumToString range-guards its UInt32-typed argument."""
+    t = ch_compat.translate
+    row = spark.sql(
+        t(
+            "SELECT toUInt64(2.5) AS a, toUInt64(2.4) AS b, "
+            "toUInt64OrNull('2.5') AS c, toUInt64OrZero('nope') AS z, "
+            "toUInt64('9223372036854775809') AS big, "
+            "toUInt64OrNull('18446744073709551615') AS mx"
+        )
+    ).collect()[0]
+    assert (int(row.a), int(row.b)) == (2, 2)  # HALF_UP would give 3 / 2
+    # documented narrowing: fractional STRINGS truncate where CH NULLs
+    assert int(row.c) == 2
+    assert int(row.z) == 0
+    assert int(row.big) == 9223372036854775809  # [2^63, 2^64) intact
+    assert int(row.mx) == 18446744073709551615  # full-range max intact
+    # translateUTF8: literal mismatch fails at translate time
+    with pytest.raises(ValueError, match="translateUTF8"):
+        t("translateUTF8(x, 'abc', 'xz')")
+    # equal-length literals pass through to a plain translate
+    assert t("translateUTF8(x, 'ac', 'xz')") == "translate(x, 'ac', 'xz')"
+    # non-literal args fail at RUN time on mismatch, pass when equal
+    [r] = spark.sql(
+        t("SELECT translateUTF8('abcd', f, tt) AS v FROM "
+          "(SELECT 'ac' AS f, 'xz' AS tt)")
+    ).collect()
+    assert r.v == "xbzd"
+    with pytest.raises(Exception, match="length mismatch"):
+        spark.sql(
+            t("SELECT translateUTF8('abcd', f, tt) AS v FROM "
+              "(SELECT 'abc' AS f, 'xz' AS tt)")
+        ).collect()
+    # IPv4NumToString: out-of-UInt32-range is loud, NULL propagates
+    assert spark.sql(
+        t("SELECT IPv4NumToString(3232235777) AS v")
+    ).collect()[0].v == "192.168.1.1"
+    [r] = spark.sql(
+        t("SELECT IPv4NumToString(CAST(NULL AS BIGINT)) AS v")
+    ).collect()
+    assert r.v is None
+    for bad in ("4294967296", "-1"):
+        with pytest.raises(Exception, match="UInt32 range"):
+            spark.sql(
+                t(f"SELECT IPv4NumToString({bad}) AS v")
+            ).collect()

@@ -231,7 +231,9 @@ _RENAMES = {
     # round-8 everyday batch: exact-same-semantics renames.
     # isNaN is NOT a rename: Spark isnan(NULL) = false where CH
     # propagates NULL — rewritten with a NULL guard below.
-    "translateUTF8": "translate",  # Spark strings are UTF-8 already
+    # translateUTF8 is NOT a rename: Spark's translate silently DELETES
+    # unmatched chars when 'to' is shorter than 'from' where CH throws a
+    # length-mismatch error — guarded rewrite below (ADVICE r09 #2).
     "toUInt32": "bigint",
     "toInt64": "bigint",
     "toInt32": "bigint",
@@ -568,6 +570,27 @@ def _rewrite_limit_by(sql: str) -> str:
         f"(PARTITION BY {by_exprs} ORDER BY {order}) AS __rn "
         f"FROM ({inner})"
         f") WHERE __rn <= {n}{outer_order}{final_limit}"
+    )
+
+
+def _uint64_conv(arg: str, cast_fn: str) -> str:
+    """UInt64 conversion expression: truncate toward zero, then narrow.
+
+    CH integer conversion truncates toward zero, while a bare
+    ``decimal(20,0)`` cast rounds HALF_UP (ADVICE r08 #1: toUInt64(2.5)
+    must be 2, not 3). Bind the wide-decimal value once (the same
+    single-eval transform/array pattern as IPv4NumToString), drop the
+    fractional part with ``- (__u % 1)``, THEN narrow. decimal(38,18)
+    keeps 20 integer digits, so the full UInt64 range [0, 2^64) fits and
+    integer STRINGS parse exactly (never roundtripping through double).
+    Documented narrowing (COVERAGE.md): fractional STRINGS ('1.5')
+    truncate to 1 where CH rejects them (throw / NULL / 0 by family) —
+    the string parser here is Spark's decimal parser, not CH's strict
+    integer parser.
+    """
+    return (
+        f"element_at(transform(array({cast_fn}({arg} AS decimal(38,18))), "
+        f"__u -> {cast_fn}(__u - (__u % 1) AS decimal(20,0))), 1)"
     )
 
 
@@ -1956,15 +1979,23 @@ def translate(
     # number is bound once (review r08: four splices evaluated a
     # nondeterministic argument four times, stitching a quad from four
     # different values); malformed strings fail loudly like CH throws.
+    # Range guard (ADVICE r09 #3): CH's argument is UInt32-typed so
+    # out-of-range input is impossible there; an unguarded shiftright
+    # over a raw bigint would silently emit a wrong dotted quad for
+    # negatives or values >= 2^32. assert_true mirrors the intExp2
+    # pattern (loud at run time; NULL propagates like CH Nullable).
     out = _rewrite_calls(
         out,
         "IPv4NumToString",
         lambda a: (
             f"element_at(transform(array(CAST({a[0]} AS BIGINT)), __ip -> "
+            f"coalesce(assert_true(__ip IS NULL OR "
+            f"__ip BETWEEN 0 AND 4294967295, "
+            f"'IPv4NumToString: value out of UInt32 range'), "
             f"concat(CAST(shiftright(__ip, 24) & 255 AS STRING), '.', "
             f"CAST(shiftright(__ip, 16) & 255 AS STRING), '.', "
             f"CAST(shiftright(__ip, 8) & 255 AS STRING), '.', "
-            f"CAST(__ip & 255 AS STRING))), 1)"
+            f"CAST(__ip & 255 AS STRING)))), 1)"
         ),
     )
     _IPV4_RE = (
@@ -2730,6 +2761,41 @@ def translate(
     # toValidUTF8: Spark strings are already valid UTF-8 (invalid
     # sequences were replaced at read time) — identity here
     out = _rewrite_calls(out, "toValidUTF8", lambda a: f"({a[0]})")
+
+    # translateUTF8 -> translate, with CH's equal-length contract kept
+    # loud (ADVICE r09 #2): CH throws on a from/to length mismatch while
+    # Spark's translate silently DELETES the unmatched characters.
+    # Simple literal from/to validate at translate time; anything else
+    # gets a runtime assert_true (NULL args pass through: translate
+    # propagates NULL like CH).
+    def _unmask_simple_lit(x: str) -> str | None:
+        """Inner text of a masked literal arg, or None when the arg is
+        not a plain (escape-free) string literal."""
+        m = re.fullmatch(r"\s*\x00L(\d+)\x00\s*", x)
+        if not m:
+            return None
+        inner = literals[int(m.group(1))][1:-1]
+        return None if ("\\" in inner or "''" in inner) else inner
+
+    def _translate_utf8(a):
+        frm, to = _unmask_simple_lit(a[1]), _unmask_simple_lit(a[2])
+        if frm is not None and to is not None:
+            if len(frm) != len(to):
+                raise ValueError(
+                    f"translateUTF8: 'from' ({frm!r}) and 'to' ({to!r}) "
+                    "must have equal length — CH throws here; Spark's "
+                    "translate would silently delete the unmatched "
+                    "characters"
+                )
+            return f"translate({a[0]}, {a[1]}, {a[2]})"
+        return (
+            f"coalesce(assert_true(({a[1]}) IS NULL OR ({a[2]}) IS NULL "
+            f"OR length({a[1]}) = length({a[2]}), "
+            f"'translateUTF8: from/to length mismatch'), "
+            f"translate({a[0]}, {a[1]}, {a[2]}))"
+        )
+
+    out = _rewrite_calls(out, "translateUTF8", _translate_utf8)
     # bitNot: Spark spells it ~
     out = _rewrite_calls(out, "bitNot", lambda a: f"(~({a[0]}))")
     # integer power-of-2/10 (CH returns UInt64). Spark masks the shift
@@ -3767,9 +3833,10 @@ def translate(
     # semantics-exact (coalesce supplies the OrZero default).
     # plain toUInt64: the same full-unsigned-range rule as its Or-family
     # below (review r08: the rename-table bigint mapping silently NULLed
-    # [2^63, 2^64) — the exact class ADVICE r07 #3 fixed for the twins)
+    # [2^63, 2^64) — the exact class ADVICE r07 #3 fixed for the twins);
+    # truncation toward zero via _uint64_conv (ADVICE r09 #1)
     out = _rewrite_calls(
-        out, "toUInt64", lambda a: f"cast({a[0]} AS decimal(20,0))"
+        out, "toUInt64", lambda a: _uint64_conv(a[0], "cast")
     )
     _OR_TYPES = {
         # UInt64 must NOT narrow to signed bigint: inputs in [2^63, 2^64)
@@ -3782,15 +3849,24 @@ def translate(
         "Date": ("date", "DATE '1970-01-01'"),
         "DateTime": ("timestamp", "TIMESTAMP '1970-01-01 00:00:00'"),
     }
+    # Non-UInt64 targets truncate already (Spark's numeric->integral cast
+    # truncates toward zero, and string->integral is a strict parse like
+    # CH); only the decimal(20,0) UInt64 target needs the explicit
+    # truncation detour (ADVICE r09 #1), routed through _uint64_conv.
+    def _try_conv(arg: str, t: str) -> str:
+        if t == "decimal(20,0)":
+            return _uint64_conv(arg, "try_cast")
+        return f"try_cast({arg} AS {t})"
+
     for _t, (_sql_t, _zero) in _OR_TYPES.items():
         out = _rewrite_calls(
             out, f"to{_t}OrNull",
-            lambda a, t=_sql_t: f"try_cast({a[0]} AS {t})",
+            lambda a, t=_sql_t: _try_conv(a[0], t),
         )
         out = _rewrite_calls(
             out, f"to{_t}OrZero",
             lambda a, t=_sql_t, z=_zero: (
-                f"coalesce(try_cast({a[0]} AS {t}), {z})"
+                f"coalesce({_try_conv(a[0], t)}, {z})"
             ),
         )
         # OrDefault: caller-supplied fallback; WITHOUT the second arg
@@ -3799,9 +3875,9 @@ def translate(
         out = _rewrite_calls(
             out, f"to{_t}OrDefault",
             lambda a, t=_sql_t, z=_zero: (
-                f"coalesce(try_cast({a[0]} AS {t}), {a[1]})"
+                f"coalesce({_try_conv(a[0], t)}, {a[1]})"
                 if len(a) == 2
-                else f"coalesce(try_cast({a[0]} AS {t}), {z})"
+                else f"coalesce({_try_conv(a[0], t)}, {z})"
             ),
         )
     # toDecimal32/64/128(x, scale): precision from the CH width (9/18/38
