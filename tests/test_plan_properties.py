@@ -311,12 +311,27 @@ def test_ngram_jaccard_staged_never_scans_documents(spark):
     assert "spark_graft_posting_" in plan, plan
 
 
+def test_line_dedup_staged_never_scans_documents(spark):
+    """The staged line-dedup read path must consume ONLY the posting
+    parquet: BOTH plan branches (df-count aggregate and join-back) read
+    the pre-hashed posting, and the documents table never appears in the
+    scan set — the raw corpus is split exactly once, at staging time
+    (VERDICT r08 what's-wrong #1)."""
+    df = R.QUERIES["line_dedup_staged"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, plan
+    assert "spark_graft_line_posting_" in plan, plan
+
+
 def test_dedup_family_reuses_cached_pair_plan(spark):
     """The family caches (PLANS.md 'Shared family caches'): after one
     consumer materializes the MinHash pair set, the OTHER consumers'
     physical plans read the InMemoryRelation instead of rebuilding the
     LSH pipeline (CacheManager canonicalized-plan reuse)."""
-    R.QUERIES["dedup_minhash_lsh"](spark, SF_DIR).count()
+    # dedup_minhash_lsh retired from the registry in r09 (rotation
+    # budget) — the module-level function remains the family's cache
+    # primer
+    R.dedup_minhash_lsh(spark, SF_DIR).count()
     plan = _plan(spark, "dedup_apply_minhash")
     assert "InMemoryTableScan" in plan, plan
     # (dedup_connected_components consumes the same cached pairs too, but
