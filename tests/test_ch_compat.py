@@ -3101,3 +3101,56 @@ def test_round9_advice_fixes(spark):
             spark.sql(
                 t(f"SELECT IPv4NumToString({bad}) AS v")
             ).collect()
+
+
+def test_r9_state_family_two_level_read_vs_duckdb(spark, duck):
+    """Round-9 -State/-Merge extension: groupArray and quantile-family
+    states written per (event_type, day) block, -Merge re-aggregated to
+    event_type grain, against a direct one-level DuckDB aggregate.
+    groupArray compares as a sorted multiset (element order across
+    merged parts is arbitrary in CH too); the quantile histogram read is
+    exact, with quantileExact's floor(level*n) indexing."""
+    from tests.conftest import SF_DIR, assert_parity
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+
+    schemas.load_table(spark, SF_DIR, "events").createOrReplaceTempView(
+        "events"
+    )
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        """
+SELECT event_type,
+       quantileMerge(med) AS med_cents,
+       quantileMerge(0.9)(p90) AS p90_cents,
+       arraySort(groupArrayMerge(vals)) AS all_cents
+FROM (
+    SELECT event_type, toDate(ts) AS day,
+           quantileState(toInt64(floor(value * 100))) AS med,
+           quantileState(0.9)(toInt64(floor(value * 100))) AS p90,
+           groupArrayState(toInt64(floor(value * 100))) AS vals
+    FROM dashboard.events_all
+    GROUP BY event_type, day
+)
+GROUP BY event_type
+""",
+        table_map={"dashboard.events_all": "events"},
+    )
+    assert_parity(
+        got,
+        duck,
+        """
+WITH v AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+           FROM events)
+SELECT event_type,
+       (array_agg(c ORDER BY c))
+         [least(CAST(floor(0.5 * count(*)) AS BIGINT) + 1, count(*))]
+         AS med_cents,
+       (array_agg(c ORDER BY c))
+         [least(CAST(floor(0.9 * count(*)) AS BIGINT) + 1, count(*))]
+         AS p90_cents,
+       array_agg(c ORDER BY c) AS all_cents
+FROM v
+GROUP BY event_type
+""",
+        "r9_state_family_two_level",
+    )

@@ -1075,12 +1075,156 @@ def test_aggregating_target_parse_and_spec():
     ):
         assert frag in spec["select_sql"], spec["select_sql"]
     # a state type with no plain-column representation stays loud at
-    # plan time (the untranslated-type path, same as any unknown CH type)
+    # plan time (the untranslated-type path, same as any unknown CH type;
+    # quantileTiming graduated to the histogram state in round 9, so the
+    # loud example is now the t-digest family)
     with pytest.raises(ValueError, match="untranslated CH types"):
         ddl_compat.migrate_script(
-            "CREATE TABLE t (k UInt64, q AggregateFunction(quantileTiming, "
+            "CREATE TABLE t (k UInt64, q AggregateFunction(quantileTDigest, "
             "UInt64)) ENGINE = AggregatingMergeTree() ORDER BY (k)"
         )
+
+
+AGG_MV_SCRIPT_R9 = """
+CREATE TABLE db.agg9_store (
+  day Date, event_type String,
+  med_size AggregateFunction(quantile, UInt64),
+  p90_size AggregateFunction(quantile(0.9), UInt64),
+  sizes AggregateFunction(groupArray, UInt64)
+) ENGINE = AggregatingMergeTree() ORDER BY (day, event_type);
+CREATE MATERIALIZED VIEW db.agg9_mv TO db.agg9_store AS
+SELECT toDate(execute_time) AS day, event_type,
+       quantileState(single_statement_size) AS med_size,
+       quantileState(0.9)(single_statement_size) AS p90_size,
+       groupArrayState(single_statement_size) AS sizes
+FROM mysql_monitor.broker_binlog_local
+GROUP BY day, event_type
+"""
+
+
+def test_aggregating_r9_state_family_parse_and_spec():
+    """Round-9 state extension (VERDICT r08 next #6): quantile-family
+    states map to value→count histogram maps (level riding the fn token),
+    groupArray states to the array itself; the MV's -State combinators
+    translate to the matching producers."""
+    objects, _ = ddl_compat.migrate_script(AGG_MV_SCRIPT_R9)
+    store = objects[0]
+    assert store.agg_state_columns() == {
+        "med_size": "quantile@0.5",
+        "p90_size": "quantile@0.9",
+        "sizes": "grouparray",
+    }
+    assert {c.name: c.spark_type for c in store.columns} == {
+        "day": "date",
+        "event_type": "string",
+        "med_size": "map<bigint,bigint>",
+        "p90_size": "map<bigint,bigint>",
+        "sizes": "array<bigint>",
+    }
+    spec = ddl_compat.mv_stream_spec(objects, "db.agg9_mv")
+    assert spec["state_fns"] == store.agg_state_columns()
+    sel = spec["select_sql"]
+    assert "map_from_entries" in sel and "collect_list" in sel, sel
+
+
+def test_migrated_aggregating_r9_states_stream_and_match_batch(
+    spark, tmp_path
+):
+    """groupArray + quantile histogram states stream in multi-epoch
+    chunks and equal the batch truth EXACTLY (the histogram is exact,
+    unlike CH's reservoir quantile), and a checkpoint replay republishes
+    the identical snapshot — the same proof shape as the r08 uniq/avg
+    states."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import rollup_job
+
+    objects, _ = ddl_compat.migrate_script(AGG_MV_SCRIPT_R9)
+    spec = ddl_compat.mv_stream_spec(objects, "db.agg9_mv")
+
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    src = str(tmp_path / "src")
+    binlog.write.parquet(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(binlog.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = rollup_job.run_mv_rollup_stream(
+            stream, spec["select_sql"], store, ckpt,
+            keys=spec["keys"], metrics=spec["metrics"],
+            state_fns=spec["state_fns"],
+            source_view=spec["source_view"], available_now=True,
+        )
+        q.awaitTermination(180)
+
+    run()
+    got = {
+        (str(r.day), r.event_type): (r.med_size, r.p90_size, sorted(r.sizes))
+        for r in rollup_job.read_agg_rollup(
+            spark, store, spec["state_fns"]
+        ).collect()
+    }
+    binlog.createOrReplaceTempView("b9")
+    # batch truth: quantileExact's floor(level·n) 0-based indexing over
+    # the sorted multiset; groupArray = the multiset itself
+    want = {
+        (str(r.day), r.event_type): (r.med, r.p90, sorted(r.sizes))
+        for r in spark.sql(
+            "SELECT to_date(execute_time) AS day, event_type, "
+            "element_at(sort_array(collect_list(single_statement_size)), "
+            " CAST(least(floor(0.5 * count(*)) + 1, count(*)) AS INT)) "
+            " AS med, "
+            "element_at(sort_array(collect_list(single_statement_size)), "
+            " CAST(least(floor(0.9 * count(*)) + 1, count(*)) AS INT)) "
+            " AS p90, "
+            "collect_list(single_statement_size) AS sizes "
+            "FROM b9 GROUP BY day, event_type"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    run()  # replay on the same checkpoint: no input -> identical snapshot
+    again = {
+        (str(r.day), r.event_type): (r.med_size, r.p90_size, sorted(r.sizes))
+        for r in rollup_job.read_agg_rollup(
+            spark, store, spec["state_fns"]
+        ).collect()
+    }
+    assert got == again
+
+    # -Merge READ side: re-aggregate the stored states to the day grain
+    # through the translator and compare to the direct day-grain batch
+    rollup_job.read_rollup(spark, store).createOrReplaceTempView(
+        "agg9_store"
+    )
+    merged = {
+        str(r.day): (r.med, r.p90, sorted(r.arr))
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT day, quantileMerge(med_size) AS med, "
+            "quantileMerge(0.9)(p90_size) AS p90, "
+            "groupArrayMerge(sizes) AS arr "
+            "FROM agg9_store GROUP BY day",
+        ).collect()
+    }
+    daily = {
+        str(r.day): (r.med, r.p90, sorted(r.sizes))
+        for r in spark.sql(
+            "SELECT to_date(execute_time) AS day, "
+            "element_at(sort_array(collect_list(single_statement_size)), "
+            " CAST(least(floor(0.5 * count(*)) + 1, count(*)) AS INT)) "
+            " AS med, "
+            "element_at(sort_array(collect_list(single_statement_size)), "
+            " CAST(least(floor(0.9 * count(*)) + 1, count(*)) AS INT)) "
+            " AS p90, "
+            "collect_list(single_statement_size) AS sizes "
+            "FROM b9 GROUP BY day"
+        ).collect()
+    }
+    assert merged == daily
 
 
 def test_migrated_aggregating_mv_streams_and_matches_batch(spark, tmp_path):

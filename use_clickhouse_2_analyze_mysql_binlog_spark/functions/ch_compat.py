@@ -1801,6 +1801,25 @@ def translate(
             end, args = parsed
             sql = sql[:start] + builder(params, args) + sql[end:]
 
+    def _rewrite_opt_parametric(sql, name, builder):
+        """``name(args)`` or ``name(params)(args)`` — CH aggregates whose
+        parameter list is optional (quantileMerge vs quantileMerge(0.9)).
+        The builder receives ``(params_or_None, args)``."""
+        while True:
+            hit = _find_call(sql, name)
+            if hit is None:
+                return sql
+            start, mid, first = hit
+            m2 = re.compile(r"\s*\(").match(sql, mid)
+            if m2:
+                parsed = _parse_args(sql, m2.end())
+                if parsed is None:
+                    raise ValueError(f"cannot parse {name}(...)(...) args")
+                end, args = parsed
+                sql = sql[:start] + builder(first, args) + sql[end:]
+            else:
+                sql = sql[:start] + builder(None, first) + sql[mid:]
+
     def _window_funnel_agg(params, args):
         """windowFunnel(window)(ts, c1, c2, ...) -> the engine's
         documented anchored-greedy automaton (operators/funnels.py), as
@@ -2482,8 +2501,12 @@ def translate(
     # estimator, so approximate-for-approximate). -State produces the
     # state (the MV select over each inserted block), -Merge combines
     # states on read — the same merge-on-read contract the Summing store
-    # carries. Only this six-function family is supported; other -State
-    # types (quantileTiming, groupArray, ...) have no plain-column
+    # carries. Supported: sum/count/max/min/avg/uniq, plus (round 9)
+    # groupArray (state = the array; merge concatenates) and the
+    # quantile/quantileExact/quantileTiming family (state = value→count
+    # histogram map; merge sums counts; -Merge finalizes with
+    # quantileExact's floor(level·n) indexing). Other -State types
+    # (quantileTDigest, groupUniqArray, ...) have no plain-column
     # representation and stay loud.
     def _one_arg_state(spark_tpl, ch_fn):
         def build(a):
@@ -2530,6 +2553,72 @@ def translate(
         "uniqMerge",
         _one_arg_state("hll_sketch_estimate(hll_union_agg({a}))", "uniqMerge"),
     )
+    # round 9 (VERDICT r08 next #6): groupArray + quantile-family states.
+    # groupArray's state IS the array; merge concatenates (CH's own merge
+    # appends parts, so cross-part element order is arbitrary there too).
+    out = _rewrite_calls(
+        out,
+        "groupArrayState",
+        _one_arg_state("collect_list({a})", "groupArrayState"),
+    )
+    out = _rewrite_calls(
+        out,
+        "groupArrayMerge",
+        _one_arg_state("flatten(collect_list({a}))", "groupArrayMerge"),
+    )
+
+    # quantile/quantileExact/quantileTiming states are a value→count
+    # histogram map<T,bigint> (ddl_compat._agg_state maps the column
+    # type; operators/rollups merges and finalizes the typed path):
+    # exact-for-approximate vs CH's reservoir / timing buckets, the uniq
+    # →HLL rationale in reverse. -State ignores a level parameter (the
+    # histogram is level-free, as in CH where quantileState(0.9) and
+    # quantileState share a state type); -Merge takes the level from its
+    # parameter list (default 0.5 = CH's default median) and finalizes
+    # with quantileExact's floor(level·n) indexing.
+    def _quantile_state(params, args):
+        if len(args) != 1:
+            raise ValueError(
+                "quantile*State expects exactly one argument (multi-level "
+                "quantilesState has no plain-column representation here)"
+            )
+        x = args[0]
+        return (
+            f"map_from_entries(transform("
+            f"array_distinct(collect_list({x})), __d -> named_struct("
+            f"'key', __d, 'value', CAST(size(filter(collect_list({x}), "
+            f"__v -> __v <=> __d)) AS BIGINT))))"
+        )
+
+    def _quantile_merge(params, args):
+        if len(args) != 1:
+            raise ValueError("quantile*Merge expects exactly one argument")
+        if params is not None and (
+            len(params) != 1
+            or not re.fullmatch(r"0?\.\d+|[01]", params[0].strip())
+        ):
+            raise ValueError(
+                "quantile*Merge: only a single literal level parameter "
+                "is translated"
+            )
+        level = float(params[0]) if params is not None else 0.5
+        from use_clickhouse_2_analyze_mysql_binlog_spark.operators.rollups import (
+            quantile_from_histogram_sql,
+        )
+
+        s = args[0]
+        merged = (
+            f"aggregate(slice(collect_list({s}), 2, "
+            f"size(collect_list({s}))), element_at(collect_list({s}), 1), "
+            f"(__hacc, __hm) -> map_zip_with(__hacc, __hm, "
+            f"(__hk, __h1, __h2) -> coalesce(__h1, CAST(0 AS BIGINT)) + "
+            f"coalesce(__h2, CAST(0 AS BIGINT))))"
+        )
+        return quantile_from_histogram_sql(merged, level)
+
+    for _qfn in ("quantileExact", "quantileTiming", "quantile"):
+        out = _rewrite_opt_parametric(out, f"{_qfn}State", _quantile_state)
+        out = _rewrite_opt_parametric(out, f"{_qfn}Merge", _quantile_merge)
     # finalizeAggregation over our plain-column states: sum/max/min/count
     # states are already final values; avg/uniq need their row-local
     # finalizer — but which one requires the state's TYPE, which SQL text

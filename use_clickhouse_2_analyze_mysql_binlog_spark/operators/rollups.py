@@ -73,13 +73,43 @@ def summing_merge(
 #: merge for PLAIN non-key columns on Summing/Aggregating stores —
 #: ClickHouse's documented arbitrary-value pick, so the column
 #: survives every merge instead of silently dropping (review r08).
-AGG_STATE_FNS = ("sum", "count", "max", "min", "avg", "uniq", "any")
+AGG_STATE_FNS = (
+    "sum", "count", "max", "min", "avg", "uniq", "any",
+    # round 9 (VERDICT r08 next #6): groupArray states are the array
+    # itself (merge = concat); the quantile family ("quantile@<level>"
+    # tokens from ddl_compat._agg_state) is a value→count histogram
+    # map<T,bigint> (merge = count-wise map sum, finalize = quantileExact
+    # floor(level·n) indexing)
+    "grouparray", "quantile@<level>",
+)
 
 
 def _agg_state_merge_expr(col: str, fn: str, dtype: str | None):
     """The -Merge combinator for one state column: how two partial states
     of ``fn`` combine. avg states are struct<sum,cnt> (field-wise sums);
-    uniq states are Datasketches HLL sketches (register-max union)."""
+    uniq states are Datasketches HLL sketches (register-max union);
+    groupArray states concatenate (CH's own merge appends — insertion
+    order across parts is arbitrary there too, so element ORDER inside
+    the merged array is the one documented nondeterminism); quantile
+    histograms sum per-value counts (map_zip_with over a fold — a
+    missing key on either side counts 0)."""
+    if fn == "grouparray":
+        e = F.flatten(F.collect_list(col))
+        return (e.cast(dtype) if dtype else e).alias(col)
+    if fn.startswith("quantile"):
+        if not dtype:
+            dtype = "map<bigint,bigint>"
+        e = F.aggregate(
+            F.collect_list(col),
+            F.expr(f"cast(map() AS {dtype})"),
+            lambda acc, m: F.map_zip_with(
+                acc,
+                m,
+                lambda _k, v1, v2: F.coalesce(v1, F.lit(0).cast("bigint"))
+                + F.coalesce(v2, F.lit(0).cast("bigint")),
+            ),
+        )
+        return e.alias(col)
     if fn in ("sum", "count"):
         e = F.sum(col)
         return (e.cast(dtype) if dtype else e).alias(col)
@@ -131,10 +161,44 @@ def agg_state_merge(
     )
 
 
+def quantile_from_histogram_sql(map_expr: str, level: float) -> str:
+    """Row-local quantile read over a value→count histogram state
+    (map<T,bigint>): rank = least(floor(level·n) + 1, n) — quantileExact's
+    floor(level·n) indexing, 1-based — then the smallest key whose
+    cumulative count reaches the rank. The map expression is bound once
+    (transform/array); entries sort by key (array_sort on structs is
+    field-order lexicographic and ``key`` is the first field). Type-free:
+    an empty or NULL histogram yields NULL through
+    ``element_at(map_keys(__m), 1)`` (no CAST-to-key-type needed), so the
+    SQL works wherever the key type is unknown at rewrite time
+    (functions/ch_compat.py quantileMerge reuses it)."""
+    total = (
+        "aggregate(map_values(__m), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return (
+        f"element_at(transform(array({map_expr}), __m -> "
+        f"element_at(transform(array(least(CAST(floor({level!r} * {total})"
+        f" AS BIGINT) + 1, {total})), __r -> "
+        f"aggregate(array_sort(map_entries(__m)), "
+        f"named_struct('cum', CAST(0 AS BIGINT), 'found', false, "
+        f"'ans', element_at(map_keys(__m), 1)), "
+        f"(acc, e) -> IF(acc.found, acc, "
+        f"IF(acc.cum + e.value >= __r, "
+        f"named_struct('cum', acc.cum + e.value, 'found', true, "
+        f"'ans', e.key), "
+        f"named_struct('cum', acc.cum + e.value, 'found', false, "
+        f"'ans', acc.ans))), "
+        f"acc -> IF(acc.found, acc.ans, element_at(map_keys(__m), 1)))), "
+        f"1)), 1)"
+    )
+
+
 def finalize_agg_states(df: DataFrame, state_fns: dict[str, str]) -> DataFrame:
     """Row-local ``finalizeAggregation`` over a fully merged state store:
     sum/count/max/min states already ARE their final values, avg becomes
-    sum/cnt (double), uniq becomes the HLL estimate (bigint). Column
+    sum/cnt (double), uniq becomes the HLL estimate (bigint), groupArray
+    states are already the final array, quantile histograms collapse to
+    the level's value via :func:`quantile_from_histogram_sql`. Column
     names are preserved — the reader sees the finalized rollup under the
     store's own schema."""
     cols = []
@@ -149,6 +213,13 @@ def finalize_agg_states(df: DataFrame, state_fns: dict[str, str]) -> DataFrame:
         elif fn == "uniq":
             cols.append(
                 F.hll_sketch_estimate(F.col(name)).cast("long").alias(name)
+            )
+        elif fn is not None and fn.startswith("quantile@"):
+            level = float(fn.split("@", 1)[1])
+            cols.append(
+                F.expr(
+                    quantile_from_histogram_sql(name, level)
+                ).alias(name)
             )
         else:
             cols.append(F.col(name))
