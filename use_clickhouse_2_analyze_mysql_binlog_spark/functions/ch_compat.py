@@ -2577,6 +2577,12 @@ def translate(
     # parameter list (default 0.5 = CH's default median) and finalizes
     # with quantileExact's floor(level·n) indexing.
     def _quantile_state(params, args):
+        # Row-local post-aggregation cost is O(distinct × collected) per
+        # group (the distinct-value fan-out over one collect_list, which
+        # Spark dedups across both references) — the histogram-state
+        # contract assumes timing/size-like value domains where distinct
+        # counts are bounded, the same assumption CH's quantileTiming
+        # buckets encode.
         if len(args) != 1:
             raise ValueError(
                 "quantile*State expects exactly one argument (multi-level "

@@ -174,6 +174,13 @@ def _agg_state(ch_type: str) -> tuple[str, str] | None:
     if fn == "grouparray":
         return ("grouparray", f"array<{arg_spark}>")
     if fn in ("quantile", "quantileexact", "quantiletiming"):
+        # CH's quantile family takes numeric/date/datetime input; other
+        # key types (strings, nested) stay loud through the
+        # untranslated-type path
+        if arg_spark not in (
+            "int", "bigint", "float", "double", "date", "timestamp",
+        ):
+            return None
         try:
             level = float(params) if params else 0.5
         except ValueError:
