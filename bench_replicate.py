@@ -1,0 +1,144 @@
+#!/usr/bin/env python3
+"""Build a replicated scale-up directory (default 10x of sf0.1 = "sf1")
+so bench.py can measure the scaling curve on the SAME query set.
+
+Replication scheme (committed so the r08 ad-hoc methodology is
+reproducible, VERDICT r08 next #4/#8):
+
+- ``events``: event_id and user_id get distinct per-replica offsets
+  (10x the users, each with the replica's copy of the original per-user
+  history — funnels/sessions/windows scale linearly in group count, the
+  100 TB shape); timestamps unchanged so date-grain rollup keys keep
+  their cardinality (rollup output stays fixed while input grows 10x —
+  the aggregation-pressure case).
+- ``documents``: doc_id offset; replicas r>0 get a short text suffix, so
+  interior shingles stay shared and every doc becomes an r-variant
+  near-dup cluster. Exact pair queries' OUTPUT therefore legitimately
+  grows ~quadratically in the replica count (the r08 note: flat
+  per-pair cost; the banded/bucketed paths emit the same pairs at a
+  fraction of the exact path's time) while df-count/line-dedup scale
+  linearly.
+- ``embeddings``: vec_id offset; replica r adds a TINY bump (0.01 on a
+  unit sphere) to dimension ``r % dim`` and re-normalizes — neighbor
+  structure is preserved by construction (the jitter angle ~0.01 rad is
+  far below inter-cluster distances, so IVF bucket membership and
+  k-means cluster structure are invariant), while replicas are not
+  byte-identical copies.
+- every other table copies verbatim (dims are broadcast-joined; scaling
+  them would change join selectivity, not stress anything new).
+
+Usage:
+  python3 bench_replicate.py [--src /root/testdata/sf0.1] \
+      [--dest /tmp/spark_graft_sf1/sf1] [--replicas 10]
+  SPARK_GRAFT_SF_DIR=/tmp/spark_graft_sf1/sf1 python3 bench.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+KEY_OFFSET = 10_000_000
+USER_OFFSET = 100_000
+EMBED_EPS = 0.01
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dest", default="/tmp/spark_graft_sf1/sf1")
+    ap.add_argument("--replicas", type=int, default=10)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+    from use_clickhouse_2_analyze_mysql_binlog_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_replicate")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(args.dest, exist_ok=True)
+
+    reps = spark.range(args.replicas).select(F.col("id").alias("__r"))
+
+    for t in TABLES:
+        df = schemas.load_table(spark, args.src, t)
+        out = os.path.join(args.dest, f"{t}.parquet")
+        if t == "events":
+            df = (
+                df.crossJoin(F.broadcast(reps))
+                .withColumn(
+                    "event_id", F.col("event_id") + F.col("__r") * KEY_OFFSET
+                )
+                .withColumn(
+                    "user_id", F.col("user_id") + F.col("__r") * USER_OFFSET
+                )
+                .drop("__r")
+            )
+        elif t == "documents":
+            df = (
+                df.crossJoin(F.broadcast(reps))
+                .withColumn(
+                    "doc_id", F.col("doc_id") + F.col("__r") * KEY_OFFSET
+                )
+                .withColumn(
+                    "text",
+                    F.when(F.col("__r") == 0, F.col("text")).otherwise(
+                        F.concat(
+                            F.col("text"),
+                            F.lit(" [r"),
+                            F.col("__r").cast("string"),
+                            F.lit("]"),
+                        )
+                    ),
+                )
+                .withColumn("n_chars", F.length("text").cast("long"))
+                .drop("__r")
+            )
+        elif t == "embeddings":
+            dim = len(
+                df.select("embedding").first()["embedding"]
+            )
+            bumped = F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.when(
+                    i == (F.col("__r") % dim).cast("int"),
+                    F.lit(EMBED_EPS),
+                ).otherwise(F.lit(0.0)),
+            )
+            norm = F.sqrt(
+                F.aggregate(
+                    bumped,
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x,
+                )
+            )
+            df = (
+                df.crossJoin(F.broadcast(reps))
+                .withColumn(
+                    "vec_id", F.col("vec_id") + F.col("__r") * KEY_OFFSET
+                )
+                .withColumn(
+                    "embedding",
+                    F.transform(bumped, lambda x: (x / norm).cast("float")),
+                )
+                .drop("__r")
+            )
+        # dims copy verbatim; one file per table matches the testdata
+        # layout (schemas.load_table rebalances small scans itself)
+        df.coalesce(max(1, args.replicas // 2)).write.mode(
+            "overwrite"
+        ).parquet(out)
+        n = spark.read.parquet(out).count()
+        print(f"{t}: {n} rows -> {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
