@@ -1733,3 +1733,33 @@ def test_line_dedup_staged_matches_unstaged(spark, tmp_path):
         for r in dedup.line_dedup(docs, min_df=2).collect()
     }
     assert staged == unstaged and len(staged) == 40
+
+
+def test_kmeans_distributed_path_matches_driver_path(spark, monkeypatch):
+    """The r09 driver fast path (gate-bounded like the dedup union-find)
+    and the distributed Lloyd's loop must stay interchangeable: forcing
+    the gate to fail runs the distributed iterations, and both paths'
+    centroids/inertia agree to float-accumulation tolerance with the
+    identical deterministic init."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import clustering
+    from tests.conftest import SF_DIR
+
+    emb_df = schemas.load_table(spark, SF_DIR, "embeddings")
+    clustering._FIT_MEMO.clear()
+    log_drv: list = []
+    cents_drv, _ = clustering.kmeans_fit(
+        emb_df, k=4, iters=2, inertia_log=log_drv
+    )
+    clustering._FIT_MEMO.clear()
+    monkeypatch.setattr(clustering, "_DRIVER_FIT_MAX_CELLS", 0)
+    log_dist: list = []
+    cents_dist, assigned = clustering.kmeans_fit(
+        emb_df, k=4, iters=2, inertia_log=log_dist
+    )
+    clustering._FIT_MEMO.clear()
+    assert len(cents_drv) == len(cents_dist) == 4
+    for cd, cs in zip(cents_drv, cents_dist):
+        assert cd == pytest.approx(cs, rel=1e-9, abs=1e-12)
+    assert log_drv == pytest.approx(log_dist, rel=1e-6)
+    assert assigned.count() > 0

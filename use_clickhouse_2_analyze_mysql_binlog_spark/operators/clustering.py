@@ -47,9 +47,13 @@ def _sq_l2(vec_col, centroid):
 
 
 def _centroid_literals(centroids: list[list[float]]):
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    # ONE Literal node of array<array<double>> (round 9): the element-wise
+    # CreateArray-of-CreateArrays form put k*dim (= 512 at the registry
+    # defaults) literal expressions into EVERY iteration's plan, and
+    # Catalyst analysis + codegen of that tree dominated the fit wall time
+    # on small inputs (~25% off the isolated registry query); a single
+    # typed literal is constant-folded once.
+    return F.lit([[float(x) for x in c] for c in centroids])
 
 
 def kmeans_assign(emb_df: DataFrame, centroids: list[list[float]]) -> DataFrame:
@@ -160,6 +164,54 @@ def _fit_memo_key(embeddings: DataFrame, k: int, iters: int):
     return (re.sub(r"#\d+", "", plan), tuple(fingerprint), k, iters)
 
 
+#: driver-fit gate: rows x dim doubles (4M = one 32 MB Arrow pull). Same
+#: pattern as the dedup union-find gate — a BOUNDED driver fast path for
+#: inputs where per-iteration job scheduling dominates the math; the
+#: distributed loop is the 100 TB path and engages whenever the gate
+#: fails.
+_DRIVER_FIT_MAX_CELLS = 4_000_000
+
+
+def _driver_lloyd(
+    emb: DataFrame, centroids: list[list[float]], iters: int
+) -> tuple[list[list[float]], list[float]]:
+    """Lloyd's iterations on the driver over the pulled matrix — the
+    same rules as the distributed loop: argmin assignment (first-match
+    tie-break = numpy argmin's first occurrence), per-cluster mean
+    update, empty clusters keep their previous centroid, pre-update J
+    logged per iteration plus the final objective. Distances are the
+    naive (x - c)^2 sums (chunked to bound the n x k x dim temporary),
+    matching the distributed fold's formula."""
+    import numpy as np
+
+    pdf = emb.select("emb").toPandas()
+    X = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in pdf["emb"]]
+    )
+    C = np.asarray(centroids, dtype=np.float64)
+    log: list[float] = []
+
+    def _dists(C_now: "np.ndarray") -> "np.ndarray":
+        out = np.empty((len(X), len(C_now)))
+        for s in range(0, len(X), 4096):
+            blk = X[s : s + 4096]
+            out[s : s + 4096] = (
+                (blk[:, None, :] - C_now[None, :, :]) ** 2
+            ).sum(axis=2)
+        return out
+
+    for _ in range(iters):
+        d = _dists(C)
+        assign = d.argmin(axis=1)
+        log.append(float(d[np.arange(len(X)), assign].sum()))
+        for c in range(len(C)):
+            members = assign == c
+            if members.any():
+                C[c] = X[members].mean(axis=0)
+    log.append(float(_dists(C).min(axis=1).sum()))
+    return [[float(x) for x in c] for c in C], log
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = 8,
@@ -202,6 +254,33 @@ def kmeans_fit(
     init_rows = emb.orderBy("vec_id").limit(k).collect()
     centroids = [list(r.emb) for r in init_rows]
     dim = len(centroids[0])
+
+    # Driver fast path (round 9), gate-bounded like the dedup union-find
+    # (operators/dedup.py 1M-edge gate): when the whole matrix is at most
+    # _DRIVER_FIT_MAX_CELLS doubles (default 4M = one 32 MB Arrow pull),
+    # Lloyd's runs in numpy on the driver — identical init, identical
+    # assignment/update/empty-cluster rules, chunked naive squared
+    # distances (the same formula as the distributed expression), so the
+    # fit is byte-equivalent up to float accumulation order (the class
+    # the convergence twin's rel_tol already absorbs). Each distributed
+    # iteration costs a full Spark job whose scheduling floor (~0.5 s)
+    # dwarfs the math at this size; at scale the gate fails and the
+    # distributed loop below engages unchanged. The final assignment is
+    # ALWAYS the row-local distributed expression either way.
+    n_rows = emb.count()
+    if n_rows * dim <= _DRIVER_FIT_MAX_CELLS:
+        centroids, log = _driver_lloyd(
+            emb, [list(c) for c in centroids], iters
+        )
+        emb.unpersist()
+        if inertia_log is not None:
+            inertia_log.extend(log)
+        _FIT_MEMO[memo_key] = ([list(c) for c in centroids], list(log))
+        emb = rebalance_small_scan(
+            with_double_embedding(embeddings).select("vec_id", "label", "emb")
+        )
+        return centroids, kmeans_assign(emb, centroids)
+
     assigned = kmeans_assign(emb, centroids)
 
     for _ in range(iters):

@@ -150,6 +150,13 @@ def sample_frames(
     videos = media.filter(F.col("media_type") == "video")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized per payload (round 9): the per-frame Python
+        # `sum(bytes)` loop dominated the isolated profile (~0.70 s at
+        # sf0.1); numpy reshapes the zero-padded buffer to (n_frames,
+        # frame_size) and row-sums the strided selection in C. Zero
+        # padding never changes a byte sum, so checksums are identical.
+        import numpy as np
+
         for pdf in batches:
             out: dict[str, list] = {
                 "doc_id": [], "frame_idx": [], "frame_bytes": [],
@@ -157,13 +164,21 @@ def sample_frames(
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = bytes(payload)
-                n_frames = (len(buf) + frame_size - 1) // frame_size
-                for idx in range(0, n_frames, stride):
-                    frame = buf[idx * frame_size : (idx + 1) * frame_size]
-                    out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(idx)
-                    out["frame_bytes"].append(len(frame))
-                    out["frame_checksum"].append(sum(frame) % 1_000_000_007)
+                n = len(buf)
+                n_frames = (n + frame_size - 1) // frame_size
+                if n_frames == 0:
+                    continue
+                padded = np.zeros(n_frames * frame_size, dtype=np.uint8)
+                padded[:n] = np.frombuffer(buf, dtype=np.uint8)
+                sel = padded.reshape(n_frames, frame_size)[::stride]
+                sums = sel.sum(axis=1, dtype=np.int64) % 1_000_000_007
+                idxs = range(0, n_frames, stride)
+                out["doc_id"].extend([doc_id] * len(sums))
+                out["frame_idx"].extend(idxs)
+                out["frame_bytes"].extend(
+                    min(frame_size, n - i * frame_size) for i in idxs
+                )
+                out["frame_checksum"].extend(sums.tolist())
             yield pd.DataFrame(out)
 
     return rebalance_small_scan(videos, target=_CODEC_PARALLELISM).mapInPandas(

@@ -1629,6 +1629,21 @@ CHANGED_THIS_ROUND: list[str] = [
     # (VERDICT r08 what's-wrong #1 — eliminates the registry's one
     # known avoidable double scan):
     "line_dedup_staged",
+    # implementation-changed: the frame-sampling Pandas UDF vectorized
+    # its per-frame checksum loop (numpy row sums — VERDICT r08 flagged
+    # the query for an isolated min-of-3: 0.699 s before, 0.586 s
+    # after; the residual is Arrow payload transfer, inherent to the
+    # 1-in/N-out fan-out). Already window-resident via the stale-proof
+    # section — listed here because its r07 proof describes the old
+    # loop.
+    "multimodal_frame_sample",
+    # implementation-changed (plan only, values identical): centroid
+    # literals collapsed from k*dim CreateArray nodes to ONE typed
+    # Literal (clustering._centroid_literals) — all three consumers are
+    # already window-resident via the stale-proof section.
+    "embedding_kmeans",
+    "embedding_kmeans_assign",
+    "embedding_kmeans_inertia_check",
 ]
 # NOTE (round 8): a second addition (`ch_agg_states_rollup`, the
 # -State/-Merge two-level read) was drafted and then NOT registered:
