@@ -3154,3 +3154,65 @@ GROUP BY event_type
 """,
         "r9_state_family_two_level",
     )
+
+
+def test_round9_everyday_batch_execute(spark):
+    """Round-9 probe-sweep batch: isIPv4String (the validation half of
+    the IPv4StringToNum guard), netloc (parse_url AUTHORITY is exactly
+    CH's slice), cutQueryString/cutFragment/cutQueryStringAndFragment,
+    arrayPartialSort (full sort is a valid instance of 'first n sorted,
+    tail unspecified'), arrayRotateLeft/Right (negative n flips
+    direction; array and shift bound once), formatReadableQuantity,
+    quantileGK -> approx_percentile (GK IS Spark's sketch,
+    approximate-for-approximate with the same accuracy knob), bar with
+    CH's eighth-block precision, JSONArrayLength/currentDatabase/
+    arrayShuffle renames, and sleep/sleepEachRow staying loud."""
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT isIPv4String('192.168.1.1') AS ok, "
+        "isIPv4String('300.1.1.1') AS bad, "
+        "isIPv4String(CAST(NULL AS STRING)) AS nullv, "
+        "netloc('http://paul:pw@www.example.com:80/p?a=1#f') AS nl, "
+        "cutQueryString('http://x/p?a=1#frag') AS cq, "
+        "cutFragment('http://x/p?a=1#frag') AS cf, "
+        "cutQueryStringAndFragment('http://x/p?a=1#frag') AS cqf, "
+        "arrayPartialSort(2, [3,1,2]) AS ps, "
+        "arrayRotateLeft([1,2,3,4], 1) AS rl, "
+        "arrayRotateLeft([1,2,3,4], -1) AS rln, "
+        "arrayRotateLeft(emptyArrayString(), 3) AS rle, "
+        "arrayRotateRight([1,2,3,4], 1) AS rr, "
+        "formatReadableQuantity(1234567) AS frq, "
+        "formatReadableQuantity(123) AS frq0, "
+        "bar(3, 0, 8, 8) AS b3, bar(5.5, 0, 8, 8) AS b55, "
+        "bar(99, 0, 8, 8) AS bclip, "
+        "JSONArrayLength('[1,2,3]') AS jl, "
+        "JSONArrayLength('{}') AS jnot, "
+        "currentDatabase() AS db, "
+        "size(arrayShuffle([1,2,3])) AS shuf",
+    ).collect()[0]
+    assert (row.ok, row.bad, row.nullv) == (1, 0, None)
+    assert row.nl == "paul:pw@www.example.com:80"
+    assert row.cq == "http://x/p#frag"
+    assert row.cf == "http://x/p?a=1"
+    assert row.cqf == "http://x/p"
+    assert row.ps == [1, 2, 3]
+    assert row.rl == [2, 3, 4, 1] and row.rln == [4, 1, 2, 3]
+    assert row.rle == [] and row.rr == [4, 1, 2, 3]
+    assert row.frq == "1.23 million" and row.frq0 == "123.00"
+    assert row.b3 == "█" * 3
+    assert row.b55 == "█" * 5 + "▌"
+    assert row.bclip == "█" * 8
+    assert row.jl == 3 and row.jnot is None
+    assert row.db == "default" and row.shuf == 3
+    # quantileGK: two-param, default-median, and plural forms; values
+    # exact here (approx_percentile is exact at this accuracy/size)
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT quantileGK(100, 0.5)(x) AS gk, quantileGK(100)(x) AS g1, "
+        "quantilesGK(100, 0.25, 0.75)(x) AS gs "
+        "FROM (SELECT id AS x FROM range(1, 11))",
+    ).collect()
+    assert r.gk in (5, 6) and r.g1 in (5, 6) and len(r.gs) == 2
+    for bad in ("sleep(1)", "sleepEachRow(0.1)"):
+        with pytest.raises(ValueError, match="wall-clock side effect"):
+            ch_compat.translate(bad)

@@ -862,3 +862,56 @@ def test_cli_migrate_ddl_stream_aggregating(spark, tmp_path, capsys):
     for k, g in got.items():
         assert g.mx == want[k].mx, k
         assert abs(g.u - want[k].exact) <= max(2, 0.02 * want[k].exact), k
+
+
+def test_cli_migrate_ddl_stream_r9_states(spark, tmp_path, capsys):
+    """migrate-ddl --stream on an Aggregating MV with the round-9 state
+    family (quantile histogram with a parametric level + groupArray):
+    the CLI derives the fn tokens from the DDL types, streams state
+    snapshots, and the finalized read equals the batch truth EXACTLY
+    (the histogram is exact; quantileExact floor(level*n) indexing)."""
+    script = tmp_path / "setup.sql"
+    script.write_text(
+        "CREATE TABLE db.q9 (day Date, event_type String, "
+        "p90 AggregateFunction(quantile(0.9), UInt64), "
+        "sizes AggregateFunction(groupArray, UInt64)) "
+        "ENGINE = AggregatingMergeTree() ORDER BY (day, event_type);\n"
+        "CREATE MATERIALIZED VIEW db.q9_mv TO db.q9 AS SELECT "
+        "toDate(execute_time) AS day, event_type, "
+        "quantileState(0.9)(single_statement_size) AS p90, "
+        "groupArrayState(single_statement_size) AS sizes "
+        "FROM mysql_monitor.broker_binlog_local GROUP BY day, event_type\n",
+        encoding="utf-8",
+    )
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    src = str(tmp_path / "fact")
+    binlog.write.parquet(src)
+    out = tmp_path / "stores"
+    rc = cli.main([
+        "migrate-ddl", str(script), "--stream", "db.q9_mv",
+        "--source", src, "--checkpoint", str(tmp_path / "ckpt"),
+        "--output-dir", str(out), "--available-now",
+    ])
+    assert rc == 0 and "streaming db.q9_mv" in capsys.readouterr().out
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import rollup_job
+
+    got = {
+        (str(r.day), r.event_type): (r.p90, sorted(r.sizes))
+        for r in rollup_job.read_agg_rollup(
+            spark, str(out / "q9_mv"),
+            {"p90": "quantile@0.9", "sizes": "grouparray"},
+        ).collect()
+    }
+    binlog.createOrReplaceTempView("b")
+    want = {
+        (str(r.day), r.event_type): (r.p90, sorted(r.sizes))
+        for r in spark.sql(
+            "SELECT to_date(execute_time) AS day, event_type, "
+            "element_at(sort_array(collect_list(single_statement_size)), "
+            " CAST(least(floor(0.9 * count(*)) + 1, count(*)) AS INT)) "
+            " AS p90, "
+            "collect_list(single_statement_size) AS sizes "
+            "FROM b GROUP BY 1, 2"
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -170,7 +170,16 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   accessible ``(k, b)`` struct, ``entropy`` (Shannon bits, exact
   row-local frequency fold — same policy as ``topK``),
   ``randUniform/randNormal``, the ``simpleJSON*`` aliases of
-  ``visitParam*``; round-7 second batch: the
+  ``visitParam*``; round-9 everyday batch: ``isIPv4String``,
+  ``netloc`` (parse_url AUTHORITY), ``cutQueryString``/
+  ``cutFragment``/``cutQueryStringAndFragment``,
+  ``arrayPartialSort`` (full sort — a valid instance of the contract),
+  ``arrayRotateLeft/Right``, ``arrayShuffle``,
+  ``formatReadableQuantity``, ``quantileGK/quantilesGK`` ->
+  ``approx_percentile`` (the same Greenwald-Khanna sketch),
+  ``bar`` (eighth-block bands), ``JSONArrayLength``,
+  ``currentDatabase/currentUser``; ``sleep/sleepEachRow`` loud
+  (wall-clock side effect); round-7 second batch: the
   ``to<T>OrNull``/``to<T>OrZero`` conversion families (exactly ANSI
   ``try_cast`` / ``coalesce(try_cast, default)``), ``toDecimal32/64/
   128`` (precision from the CH width), the URL family (``protocol/
@@ -234,6 +243,11 @@ _RENAMES = {
     # translateUTF8 is NOT a rename: Spark's translate silently DELETES
     # unmatched chars when 'to' is shorter than 'from' where CH throws a
     # length-mismatch error — guarded rewrite below (ADVICE r09 #2).
+    # round-9 everyday batch: exact-same-semantics renames.
+    "arrayShuffle": "shuffle",  # both: uniform random permutation
+    "JSONArrayLength": "json_array_length",  # both: NULL on non-array
+    "currentDatabase": "current_database",
+    "currentUser": "current_user",
     "toUInt32": "bigint",
     "toInt64": "bigint",
     "toInt32": "bigint",
@@ -1782,6 +1796,25 @@ def translate(
         r"percentile(\2, \1)",
         out,
     )
+    # quantileGK(accuracy[, level])(x): Greenwald-Khanna IS Spark's
+    # approx_percentile sketch — approximate-for-approximate with the
+    # same accuracy knob (round 9 probe sweep). Two-param form first so
+    # the one-param (default median) regex can't eat the level.
+    out = re.sub(
+        r"\bquantilesGK\(([^(),]*),([^()]*)\)\s*\(([^()]*)\)",
+        r"approx_percentile(\3, array(\2), \1)",
+        out,
+    )
+    out = re.sub(
+        r"\bquantileGK\(([^(),]*),([^()]*)\)\s*\(([^()]*)\)",
+        r"approx_percentile(\3, \2, \1)",
+        out,
+    )
+    out = re.sub(
+        r"\bquantileGK\(([^(),]*)\)\s*\(([^()]*)\)",
+        r"approx_percentile(\2, 0.5, \1)",
+        out,
+    )
 
     # CH behavioral parametric aggregates: name(params)(args) with
     # depth-aware parsing on BOTH lists (funnel conditions contain
@@ -2033,6 +2066,139 @@ def translate(
             f"CAST(__o AS BIGINT)))"
         ),
     )
+    # round-9 everyday batch (probe-sweep gaps) --------------------------
+    # isIPv4String: the validation half of IPv4StringToNum's guard —
+    # 1/0 like CH's UInt8, NULL propagates on Nullable input
+    out = _rewrite_calls(
+        out,
+        "isIPv4String",
+        lambda a: (
+            f"CAST(({a[0]}) rlike " + _masked_lit(_IPV4_RE) + " AS INT)"
+        ),
+    )
+    # netloc: Spark's parse_url AUTHORITY is exactly CH's
+    # [user[:pass]@]host[:port] slice
+    out = _rewrite_calls(
+        out,
+        "netloc",
+        lambda a: f"parse_url({a[0]}, " + _masked_lit("AUTHORITY") + ")",
+    )
+    # cutQueryString keeps the fragment (CH has the AndFragment variant
+    # for the combined cut); cutFragment cuts '#' to end
+    out = _rewrite_calls(
+        out,
+        "cutQueryString",
+        lambda a: (
+            f"regexp_replace({a[0]}, " + _masked_lit("[?][^#]*") + ", "
+            + _masked_lit("") + ")"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "cutFragment",
+        lambda a: (
+            f"regexp_replace({a[0]}, " + _masked_lit("#.*") + ", "
+            + _masked_lit("") + ")"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "cutQueryStringAndFragment",
+        lambda a: (
+            f"regexp_replace({a[0]}, " + _masked_lit("[?#].*") + ", "
+            + _masked_lit("") + ")"
+        ),
+    )
+    # arrayPartialSort(n, arr): CH's contract is "first n elements
+    # sorted ascending, tail in unspecified order" — a FULL sort is a
+    # valid instance of that contract (and the deterministic one)
+    out = _rewrite_calls(
+        out, "arrayPartialSort", lambda a: f"array_sort({a[1]})"
+    )
+    # arrayRotateLeft(arr, n): negative n rotates right like CH; the
+    # array and the normalized shift are each bound once
+    out = _rewrite_calls(
+        out,
+        "arrayRotateLeft",
+        lambda a: (
+            f"element_at(transform(array({a[0]}), __a -> "
+            f"IF(size(__a) <= 1, __a, element_at(transform("
+            f"array(pmod({a[1]}, size(__a))), __k -> "
+            f"concat(slice(__a, __k + 1, size(__a) - __k), "
+            f"slice(__a, 1, __k))), 1))), 1)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayRotateRight",
+        lambda a: (
+            f"element_at(transform(array({a[0]}), __a -> "
+            f"IF(size(__a) <= 1, __a, element_at(transform("
+            f"array(pmod(-({a[1]}), size(__a))), __k -> "
+            f"concat(slice(__a, __k + 1, size(__a) - __k), "
+            f"slice(__a, 1, __k))), 1))), 1)"
+        ),
+    )
+    # formatReadableQuantity: the decimal-size pattern with word units
+    def _format_readable_quantity(a):
+        b = f"CAST({a[0]} AS DOUBLE)"
+        e = (
+            f"greatest(0, least(5, CAST(floor(log(1000, "
+            f"greatest(abs({b}), 1))) AS INT)))"
+        )
+        units = (
+            "array('', ' thousand', ' million', ' billion', "
+            "' trillion', ' quadrillion')"
+        )
+        return (
+            f"format_string('%.2f%s', {b} / pow(1000, {e}), "
+            f"element_at({units}, {e} + 1))"
+        )
+
+    out = _rewrite_calls(
+        out, "formatReadableQuantity", _format_readable_quantity
+    )
+
+    # bar(x, min, max, width): CH's unicode band with EIGHTH-block
+    # precision (█ full cells + one ▏▎▍▌▋▊▉ partial); x clamps to
+    # [min, max] like CH clips out-of-range values. The scaled width is
+    # bound once.
+    def _bar(a):
+        if len(a) != 4:
+            raise ValueError("bar expects (x, min, max, width)")
+        x, lo, hi, w = a
+        wu = (
+            f"least(CAST({w} AS DOUBLE), greatest(0.0, "
+            f"(CAST({x} AS DOUBLE) - ({lo})) / (({hi}) - ({lo})) * ({w})))"
+        )
+        eighths = "array(" + ", ".join(
+            _masked_lit(c)
+            for c in (
+                "", "▏", "▎", "▍",
+                "▌", "▋", "▊", "▉",
+            )
+        ) + ")"
+        return (
+            f"element_at(transform(array({wu}), __wu -> "
+            f"concat(repeat({_masked_lit(chr(0x2588))}, "
+            f"CAST(floor(__wu) AS INT)), "
+            f"element_at({eighths}, CAST(floor((__wu - floor(__wu)) * 8) "
+            f"AS INT) + 1))), 1)"
+        )
+
+    out = _rewrite_calls(out, "bar", _bar)
+    # sleep/sleepEachRow: a wall-clock side effect has no place in a
+    # declarative distributed plan — loud, not a silent no-op
+    for _fn in ("sleep", "sleepEachRow"):
+        out = _rewrite_calls(
+            out,
+            _fn,
+            lambda a, f=_fn: (_ for _ in ()).throw(ValueError(
+                f"{f}() is a wall-clock side effect with no Spark "
+                "translation — remove it from the query"
+            )),
+        )
+
     # simpleLinearRegression -> tuple(k, b) as a col1/col2 struct (the
     # same field names tupleElement produces, so .1/.2 access works)
     out = _rewrite_calls(
