@@ -3216,3 +3216,27 @@ def test_round9_everyday_batch_execute(spark):
     for bad in ("sleep(1)", "sleepEachRow(0.1)"):
         with pytest.raises(ValueError, match="wall-clock side effect"):
             ch_compat.translate(bad)
+
+
+def test_delta_sum_timestamp(spark):
+    """deltaSumTimestamp(value, ts): sum of positive deltas between
+    consecutive values in TIMESTAMP order — the deterministic member of
+    CH's delta family. Bare deltaSum depends on CH's internal data-part
+    order and stays loud with a pointer to the ts form."""
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT deltaSumTimestamp(v, t) AS ds FROM ("
+        "SELECT stack(5, 1, CAST(10 AS DOUBLE), 2, CAST(7 AS DOUBLE), "
+        "3, CAST(12 AS DOUBLE), 4, CAST(12 AS DOUBLE), "
+        "5, CAST(20 AS DOUBLE)) AS (t, v))",
+    ).collect()
+    assert r.ds == 13.0  # +5 (7->12) and +8 (12->20); drops ignored
+    # NULL rows are skipped; an all-NULL group sums to 0 like CH's empty
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT deltaSumTimestamp(v, t) AS ds FROM "
+        "(SELECT CAST(NULL AS INT) AS t, CAST(NULL AS DOUBLE) AS v)",
+    ).collect()
+    assert r.ds == 0.0
+    with pytest.raises(ValueError, match="deltaSumTimestamp"):
+        ch_compat.translate("deltaSum(x)")

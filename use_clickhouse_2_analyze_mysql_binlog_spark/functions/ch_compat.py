@@ -178,7 +178,9 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   ``formatReadableQuantity``, ``quantileGK/quantilesGK`` ->
   ``approx_percentile`` (the same Greenwald-Khanna sketch),
   ``bar`` (eighth-block bands), ``JSONArrayLength``,
-  ``currentDatabase/currentUser``; ``sleep/sleepEachRow`` loud
+  ``currentDatabase/currentUser``, ``deltaSumTimestamp`` (positive
+  consecutive deltas in ts order; bare ``deltaSum`` is part-order-
+  dependent in CH and stays loud); ``sleep/sleepEachRow`` loud
   (wall-clock side effect); round-7 second batch: the
   ``to<T>OrNull``/``to<T>OrZero`` conversion families (exactly ANSI
   ``try_cast`` / ``coalesce(try_cast, default)``), ``toDecimal32/64/
@@ -2187,6 +2189,42 @@ def translate(
         )
 
     out = _rewrite_calls(out, "bar", _bar)
+    # deltaSumTimestamp(value, ts): sum of positive deltas between
+    # consecutive values in TIMESTAMP order — the deterministic member
+    # of CH's delta family (bare deltaSum depends on part order inside
+    # CH itself and stays loud as nondeterministic-by-design). One
+    # collect+sort fold per group, all JVM-side.
+    def _delta_sum_timestamp(a):
+        if len(a) != 2:
+            raise ValueError("deltaSumTimestamp expects (value, ts)")
+        v, ts = a
+        pairs = (
+            f"array_sort(collect_list(IF(({v}) IS NOT NULL AND "
+            f"({ts}) IS NOT NULL, named_struct('t', {ts}, 'v', {v}), "
+            f"NULL)))"
+        )
+        return (
+            f"aggregate({pairs}, "
+            f"named_struct('s', CAST(0 AS DOUBLE), "
+            f"'prev', CAST(NULL AS DOUBLE), 'init', false), "
+            f"(__a, __e) -> named_struct("
+            f"'s', __a.s + IF(__a.init AND CAST(__e.v AS DOUBLE) > "
+            f"__a.prev, CAST(__e.v AS DOUBLE) - __a.prev, 0.0D), "
+            f"'prev', CAST(__e.v AS DOUBLE), 'init', true), "
+            f"__a -> __a.s)"
+        )
+
+    out = _rewrite_calls(out, "deltaSumTimestamp", _delta_sum_timestamp)
+
+    def _delta_sum_loud(a):
+        raise ValueError(
+            "deltaSum depends on CH's data-part order (nondeterministic "
+            "by design) — use deltaSumTimestamp(value, ts) for the "
+            "order-defined form"
+        )
+
+    out = _rewrite_calls(out, "deltaSum", _delta_sum_loud)
+
     # sleep/sleepEachRow: a wall-clock side effect has no place in a
     # declarative distributed plan — loud, not a silent no-op
     for _fn in ("sleep", "sleepEachRow"):
