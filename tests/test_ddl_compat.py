@@ -1090,13 +1090,15 @@ CREATE TABLE db.agg9_store (
   day Date, event_type String,
   med_size AggregateFunction(quantile, UInt64),
   p90_size AggregateFunction(quantile(0.9), UInt64),
-  sizes AggregateFunction(groupArray, UInt64)
+  sizes AggregateFunction(groupArray, UInt64),
+  usizes AggregateFunction(groupUniqArray, UInt64)
 ) ENGINE = AggregatingMergeTree() ORDER BY (day, event_type);
 CREATE MATERIALIZED VIEW db.agg9_mv TO db.agg9_store AS
 SELECT toDate(execute_time) AS day, event_type,
        quantileState(single_statement_size) AS med_size,
        quantileState(0.9)(single_statement_size) AS p90_size,
-       groupArrayState(single_statement_size) AS sizes
+       groupArrayState(single_statement_size) AS sizes,
+       groupUniqArrayState(single_statement_size) AS usizes
 FROM mysql_monitor.broker_binlog_local
 GROUP BY day, event_type
 """
@@ -1113,6 +1115,7 @@ def test_aggregating_r9_state_family_parse_and_spec():
         "med_size": "quantile@0.5",
         "p90_size": "quantile@0.9",
         "sizes": "grouparray",
+        "usizes": "groupuniqarray",
     }
     assert {c.name: c.spark_type for c in store.columns} == {
         "day": "date",
@@ -1120,6 +1123,7 @@ def test_aggregating_r9_state_family_parse_and_spec():
         "med_size": "map<bigint,bigint>",
         "p90_size": "map<bigint,bigint>",
         "sizes": "array<bigint>",
+        "usizes": "array<bigint>",
     }
     spec = ddl_compat.mv_stream_spec(objects, "db.agg9_mv")
     assert spec["state_fns"] == store.agg_state_columns()
@@ -1162,7 +1166,9 @@ def test_migrated_aggregating_r9_states_stream_and_match_batch(
 
     run()
     got = {
-        (str(r.day), r.event_type): (r.med_size, r.p90_size, sorted(r.sizes))
+        (str(r.day), r.event_type): (
+            r.med_size, r.p90_size, sorted(r.sizes), sorted(r.usizes),
+        )
         for r in rollup_job.read_agg_rollup(
             spark, store, spec["state_fns"]
         ).collect()
@@ -1171,7 +1177,9 @@ def test_migrated_aggregating_r9_states_stream_and_match_batch(
     # batch truth: quantileExact's floor(level·n) 0-based indexing over
     # the sorted multiset; groupArray = the multiset itself
     want = {
-        (str(r.day), r.event_type): (r.med, r.p90, sorted(r.sizes))
+        (str(r.day), r.event_type): (
+            r.med, r.p90, sorted(r.sizes), sorted(r.usizes),
+        )
         for r in spark.sql(
             "SELECT to_date(execute_time) AS day, event_type, "
             "element_at(sort_array(collect_list(single_statement_size)), "
@@ -1180,7 +1188,8 @@ def test_migrated_aggregating_r9_states_stream_and_match_batch(
             "element_at(sort_array(collect_list(single_statement_size)), "
             " CAST(least(floor(0.9 * count(*)) + 1, count(*)) AS INT)) "
             " AS p90, "
-            "collect_list(single_statement_size) AS sizes "
+            "collect_list(single_statement_size) AS sizes, "
+            "collect_set(single_statement_size) AS usizes "
             "FROM b9 GROUP BY day, event_type"
         ).collect()
     }
@@ -1188,7 +1197,9 @@ def test_migrated_aggregating_r9_states_stream_and_match_batch(
 
     run()  # replay on the same checkpoint: no input -> identical snapshot
     again = {
-        (str(r.day), r.event_type): (r.med_size, r.p90_size, sorted(r.sizes))
+        (str(r.day), r.event_type): (
+            r.med_size, r.p90_size, sorted(r.sizes), sorted(r.usizes),
+        )
         for r in rollup_job.read_agg_rollup(
             spark, store, spec["state_fns"]
         ).collect()
@@ -1201,17 +1212,18 @@ def test_migrated_aggregating_r9_states_stream_and_match_batch(
         "agg9_store"
     )
     merged = {
-        str(r.day): (r.med, r.p90, sorted(r.arr))
+        str(r.day): (r.med, r.p90, sorted(r.arr), sorted(r.uarr))
         for r in ch_compat.run_clickhouse_sql(
             spark,
             "SELECT day, quantileMerge(med_size) AS med, "
             "quantileMerge(0.9)(p90_size) AS p90, "
-            "groupArrayMerge(sizes) AS arr "
+            "groupArrayMerge(sizes) AS arr, "
+            "groupUniqArrayMerge(usizes) AS uarr "
             "FROM agg9_store GROUP BY day",
         ).collect()
     }
     daily = {
-        str(r.day): (r.med, r.p90, sorted(r.sizes))
+        str(r.day): (r.med, r.p90, sorted(r.sizes), sorted(r.usizes))
         for r in spark.sql(
             "SELECT to_date(execute_time) AS day, "
             "element_at(sort_array(collect_list(single_statement_size)), "
@@ -1220,7 +1232,8 @@ def test_migrated_aggregating_r9_states_stream_and_match_batch(
             "element_at(sort_array(collect_list(single_statement_size)), "
             " CAST(least(floor(0.9 * count(*)) + 1, count(*)) AS INT)) "
             " AS p90, "
-            "collect_list(single_statement_size) AS sizes "
+            "collect_list(single_statement_size) AS sizes, "
+            "collect_set(single_statement_size) AS usizes "
             "FROM b9 GROUP BY day"
         ).collect()
     }

@@ -2709,9 +2709,9 @@ def translate(
     # groupArray (state = the array; merge concatenates) and the
     # quantile/quantileExact/quantileTiming family (state = value→count
     # histogram map; merge sums counts; -Merge finalizes with
-    # quantileExact's floor(level·n) indexing). Other -State types
-    # (quantileTDigest, groupUniqArray, ...) have no plain-column
-    # representation and stay loud.
+    # quantileExact's floor(level·n) indexing), groupUniqArray (state =
+    # the deduped array). Other -State types (quantileTDigest, sumMap,
+    # ...) have no plain-column representation and stay loud.
     def _one_arg_state(spark_tpl, ch_fn):
         def build(a):
             if len(a) != 1:
@@ -2769,6 +2769,20 @@ def translate(
         out,
         "groupArrayMerge",
         _one_arg_state("flatten(collect_list({a}))", "groupArrayMerge"),
+    )
+    # groupUniqArray: the distinct twin — state is the deduped array
+    out = _rewrite_calls(
+        out,
+        "groupUniqArrayState",
+        _one_arg_state("collect_set({a})", "groupUniqArrayState"),
+    )
+    out = _rewrite_calls(
+        out,
+        "groupUniqArrayMerge",
+        _one_arg_state(
+            "array_distinct(flatten(collect_list({a})))",
+            "groupUniqArrayMerge",
+        ),
     )
 
     # quantile/quantileExact/quantileTiming states are a value→count

@@ -136,7 +136,7 @@ _HLL_TYPES = {"int", "bigint", "string", "binary"}
 def _agg_state(ch_type: str) -> tuple[str, str] | None:
     """Map ``AggregateFunction(fn[, T])`` / ``SimpleAggregateFunction`` to
     ``(fn, spark_state_type)``, or None when the state has no plain-column
-    representation (quantileTDigest, groupUniqArray, ... stay loud through
+    representation (quantileTDigest, sumMap, ... stay loud through
     the untranslated-type path). States: sum/max/min/count ARE the running
     value (integral sums widen to bigint like CH's UInt64 accumulators),
     avg is struct<sum,cnt>, uniq a Datasketches HLL sketch (binary —
@@ -173,6 +173,8 @@ def _agg_state(ch_type: str) -> tuple[str, str] | None:
         return ("uniq", "binary")
     if fn == "grouparray":
         return ("grouparray", f"array<{arg_spark}>")
+    if fn == "groupuniqarray":
+        return ("groupuniqarray", f"array<{arg_spark}>")
     if fn in ("quantile", "quantileexact", "quantiletiming"):
         # CH's quantile family takes numeric/date/datetime input; other
         # key types (strings, nested) stay loud through the

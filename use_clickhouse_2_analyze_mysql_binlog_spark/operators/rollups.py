@@ -80,7 +80,7 @@ AGG_STATE_FNS = (
     # tokens from ddl_compat._agg_state) is a value→count histogram
     # map<T,bigint> (merge = count-wise map sum, finalize = quantileExact
     # floor(level·n) indexing)
-    "grouparray", "quantile@<level>",
+    "grouparray", "groupuniqarray", "quantile@<level>",
 )
 
 
@@ -95,6 +95,9 @@ def _agg_state_merge_expr(col: str, fn: str, dtype: str | None):
     missing key on either side counts 0)."""
     if fn == "grouparray":
         e = F.flatten(F.collect_list(col))
+        return (e.cast(dtype) if dtype else e).alias(col)
+    if fn == "groupuniqarray":
+        e = F.array_distinct(F.flatten(F.collect_list(col)))
         return (e.cast(dtype) if dtype else e).alias(col)
     if fn.startswith("quantile"):
         if not dtype:
