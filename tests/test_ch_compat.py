@@ -2945,6 +2945,55 @@ GROUP BY event_type
     )
 
 
+def test_summap_states_two_level_read_vs_duckdb(spark, duck):
+    """sumMap/minMap/maxMap two-level state read: the inner select builds
+    per-(event_type, day) key→value map states (-State over parallel
+    arrays), the outer -Merge folds them key-wise and finalizes to CH's
+    ([sorted keys], [values]) shape — against a direct per-key DuckDB
+    aggregate: merging partial map states must lose nothing."""
+    from tests.conftest import SF_DIR
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+
+    schemas.load_table(spark, SF_DIR, "events").createOrReplaceTempView(
+        "events"
+    )
+    [row] = ch_compat.run_clickhouse_sql(
+        spark,
+        """
+SELECT sumMapMerge(sm) AS sm, minMapMerge(mn) AS mn, maxMapMerge(mx) AS mx
+FROM (
+    SELECT event_type, toDate(ts) AS day,
+           sumMapState(array(modulo(length(event_type), 3)),
+                       array(toInt64(floor(value * 100)))) AS sm,
+           minMapState(array(modulo(length(event_type), 3)),
+                       array(toInt64(floor(value * 100)))) AS mn,
+           maxMapState(array(modulo(length(event_type), 3)),
+                       array(toInt64(floor(value * 100)))) AS mx
+    FROM dashboard.events_all
+    GROUP BY event_type, day
+)
+""",
+        table_map={"dashboard.events_all": "events"},
+    ).collect()
+    want = {
+        int(k): (int(s), int(lo), int(hi))
+        for k, s, lo, hi in duck.sql(
+            "SELECT length(event_type) % 3 AS k, CAST(sum(v) AS BIGINT), "
+            "CAST(min(v) AS BIGINT), CAST(max(v) AS BIGINT) FROM "
+            "(SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v "
+            " FROM events) GROUP BY k"
+        ).fetchall()
+    }
+    # the three merges see the same key set, sorted
+    assert list(row.sm[0]) == sorted(row.sm[0])
+    assert list(row.mn[0]) == list(row.sm[0]) == list(row.mx[0])
+    got = {
+        int(k): (int(s), int(lo), int(hi))
+        for k, s, lo, hi in zip(row.sm[0], row.sm[1], row.mn[1], row.mx[1])
+    }
+    assert got == want and len(got) > 0
+
+
 def test_round8_review_fixes(spark):
     """Self-review round-8 batch: plain toUInt64 full-unsigned-range,
     topKWeighted NULL skipping, intExp2 NULL propagation."""

@@ -1240,6 +1240,147 @@ def test_migrated_aggregating_r9_states_stream_and_match_batch(
     assert merged == daily
 
 
+MAP_MV_SCRIPT_R9 = """
+CREATE TABLE db.map9_store (
+  day Date,
+  type_sum AggregateFunction(sumMap, Array(UInt8), Array(UInt64)),
+  type_min AggregateFunction(minMap, Array(UInt8), Array(UInt64)),
+  type_max AggregateFunction(maxMap, Array(UInt8), Array(UInt64))
+) ENGINE = AggregatingMergeTree() ORDER BY (day);
+CREATE MATERIALIZED VIEW db.map9_mv TO db.map9_store AS
+SELECT toDate(execute_time) AS day,
+       sumMapState(array(binlog_pos % 3), array(single_statement_size))
+         AS type_sum,
+       minMapState(array(binlog_pos % 3), array(single_statement_size))
+         AS type_min,
+       maxMapState(array(binlog_pos % 3), array(single_statement_size))
+         AS type_max
+FROM mysql_monitor.broker_binlog_local
+GROUP BY day
+"""
+
+
+def test_aggregating_map_state_family_parse_and_spec():
+    """sumMap/minMap/maxMap states map to key→aggregated-value maps
+    (sumMap values widen like the sum state; Array(K),Array(V) and
+    Map(K,V) argument forms both parse) and the MV's -State combinators
+    translate to map producers."""
+    objects, _ = ddl_compat.migrate_script(MAP_MV_SCRIPT_R9)
+    store = objects[0]
+    assert store.agg_state_columns() == {
+        "type_sum": "summap",
+        "type_min": "minmap",
+        "type_max": "maxmap",
+    }
+    assert {c.name: c.spark_type for c in store.columns} == {
+        "day": "date",
+        "type_sum": "map<int,bigint>",
+        "type_min": "map<int,bigint>",
+        "type_max": "map<int,bigint>",
+    }
+    spec = ddl_compat.mv_stream_spec(objects, "db.map9_mv")
+    assert spec["state_fns"] == store.agg_state_columns()
+    assert "map_from_entries" in spec["select_sql"], spec["select_sql"]
+    # non-numeric sumMap values have no type-stable sum fold: loud
+    with pytest.raises(ValueError, match="untranslated CH types"):
+        ddl_compat.migrate_script(
+            "CREATE TABLE t (k UInt64, m AggregateFunction(sumMap, "
+            "Array(String), Array(String))) "
+            "ENGINE = AggregatingMergeTree() ORDER BY (k)"
+        )
+
+
+def test_migrated_summap_states_stream_and_match_batch(spark, tmp_path):
+    """sumMap/minMap/maxMap map states stream in multi-epoch chunks and
+    equal the batch per-key truth EXACTLY; a checkpoint replay
+    republishes the identical snapshot; the -Merge read re-aggregates
+    the stored maps to a coarser grain — same proof shape as the other
+    round-9 states."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import rollup_job
+
+    objects, _ = ddl_compat.migrate_script(MAP_MV_SCRIPT_R9)
+    spec = ddl_compat.mv_stream_spec(objects, "db.map9_mv")
+
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    src = str(tmp_path / "src")
+    binlog.write.parquet(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(binlog.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = rollup_job.run_mv_rollup_stream(
+            stream, spec["select_sql"], store, ckpt,
+            keys=spec["keys"], metrics=spec["metrics"],
+            state_fns=spec["state_fns"],
+            source_view=spec["source_view"], available_now=True,
+        )
+        q.awaitTermination(180)
+
+    def snap():
+        return {
+            str(r.day): tuple(
+                (list(r[c][0]), list(r[c][1]))
+                for c in ("type_sum", "type_min", "type_max")
+            )
+            for r in rollup_job.read_agg_rollup(
+                spark, store, spec["state_fns"]
+            ).collect()
+        }
+
+    run()
+    got = snap()
+    binlog.createOrReplaceTempView("b9m")
+    per_day: dict = {}
+    for r in spark.sql(
+        "SELECT to_date(execute_time) AS day, binlog_pos % 3 AS kk, "
+        "CAST(sum(single_statement_size) AS BIGINT) AS s, "
+        "min(single_statement_size) AS mn, "
+        "max(single_statement_size) AS mx "
+        "FROM b9m GROUP BY day, kk"
+    ).collect():
+        per_day.setdefault(str(r.day), {})[r.kk] = (r.s, r.mn, r.mx)
+    want = {}
+    for day, d in per_day.items():
+        ks = sorted(d)
+        want[day] = tuple(
+            (ks, [d[k][i] for k in ks]) for i in range(3)
+        )
+    assert got == want and len(got) > 0
+
+    run()  # replay on the same checkpoint: no input -> identical snapshot
+    assert snap() == got
+
+    # -Merge READ side: fold the stored maps to the all-days grain
+    # through the translator and compare to the direct per-key batch
+    rollup_job.read_rollup(spark, store).createOrReplaceTempView(
+        "map9_store"
+    )
+    [m] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT sumMapMerge(type_sum) AS sm, minMapMerge(type_min) AS mn, "
+        "maxMapMerge(type_max) AS mx FROM map9_store",
+    ).collect()
+    allg = {
+        r.kk: (r.s, r.mn, r.mx)
+        for r in spark.sql(
+            "SELECT binlog_pos % 3 AS kk, "
+            "CAST(sum(single_statement_size) AS BIGINT) AS s, "
+            "min(single_statement_size) AS mn, "
+            "max(single_statement_size) AS mx "
+            "FROM b9m GROUP BY kk"
+        ).collect()
+    }
+    ks = sorted(allg)
+    for field, i in (("sm", 0), ("mn", 1), ("mx", 2)):
+        pair = (list(m[field][0]), list(m[field][1]))
+        assert pair == (ks, [allg[k][i] for k in ks]), field
+
+
 def test_migrated_aggregating_mv_streams_and_matches_batch(spark, tmp_path):
     """An AggregatingMergeTree MV (uniqState/maxState/avgState...) runs as
     a streaming job in multi-epoch chunks and equals the batch truth —

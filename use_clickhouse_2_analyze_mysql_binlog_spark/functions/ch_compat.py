@@ -2710,8 +2710,10 @@ def translate(
     # quantile/quantileExact/quantileTiming family (state = value→count
     # histogram map; merge sums counts; -Merge finalizes with
     # quantileExact's floor(level·n) indexing), groupUniqArray (state =
-    # the deduped array). Other -State types (quantileTDigest, sumMap,
-    # ...) have no plain-column representation and stay loud.
+    # the deduped array), and sumMap/minMap/maxMap (state = the
+    # key→aggregated-value map, merged key-wise). Other -State types
+    # (quantileTDigest, ...) have no plain-column representation and
+    # stay loud.
     def _one_arg_state(spark_tpl, ch_fn):
         def build(a):
             if len(a) != 1:
@@ -2784,6 +2786,82 @@ def translate(
             "groupUniqArrayMerge",
         ),
     )
+
+    # sumMap/minMap/maxMap states are the key→aggregated-value map
+    # (ddl_compat._agg_state declares map<K,V'>): -State builds the
+    # per-group map from the (keys, values) parallel arrays; -Merge
+    # folds the maps key-wise and finalizes to the plain sumMap return
+    # shape (struct keys/values, keys sorted). The per-key sum starts
+    # from ``CAST(0 AS BIGINT) * v`` — a typed zero that widens ints to
+    # bigint, floats to double, decimals to the precision-38 cap, so the
+    # fold accumulator type is a fixed point (decimal sums would
+    # otherwise grow precision each step and fail analysis).
+    def _map_state(which, ch_fn):
+        def build(a):
+            if len(a) != 2:
+                raise ValueError(f"{ch_fn} expects (keys, values) arrays")
+            flat = (
+                f"flatten(collect_list(zip_with({a[0]}, {a[1]}, "
+                "(__x, __y) -> named_struct('k', __x, 'v', __y))))"
+            )
+            keys = (
+                f"array_sort(array_distinct(transform({flat}, "
+                "__e -> __e.k)))"
+            )
+            vals = (
+                f"transform(filter({flat}, __e -> __e.k <=> __kk), "
+                "__e -> __e.v)"
+            )
+            per_key = {
+                "sum": (
+                    f"aggregate({vals}, "
+                    f"CAST(0 AS BIGINT) * element_at({vals}, 1), "
+                    "(__s, __v) -> __s + __v)"
+                ),
+                "min": f"array_min({vals})",
+                "max": f"array_max({vals})",
+            }[which]
+            return (
+                f"map_from_entries(transform({keys}, __kk -> "
+                f"named_struct('key', __kk, 'value', {per_key})))"
+            )
+
+        return build
+
+    def _map_merge(which, ch_fn):
+        def build(a):
+            if len(a) != 1:
+                raise ValueError(f"{ch_fn} expects exactly one argument")
+            lam = {
+                # a key missing on one side contributes a typed zero
+                "sum": "coalesce(__h1, __h2 * 0) + coalesce(__h2, __h1 * 0)",
+                # least/greatest skip NULLs, so a one-sided key survives
+                "min": "least(__h1, __h2)",
+                "max": "greatest(__h1, __h2)",
+            }[which]
+            lst = f"collect_list({a[0]})"
+            fold = (
+                f"aggregate(slice({lst}, 2, size({lst})), "
+                f"element_at({lst}, 1), "
+                f"(__ha, __hm) -> map_zip_with(__ha, __hm, "
+                f"(__hk, __h1, __h2) -> {lam}))"
+            )
+            return (
+                f"element_at(transform(array({fold}), __m -> "
+                f"named_struct('keys', array_sort(map_keys(__m)), "
+                f"'values', transform(array_sort(map_keys(__m)), "
+                f"__kk -> element_at(__m, __kk)))), 1)"
+            )
+
+        return build
+
+    for _which, _ch in (("sum", "sumMap"), ("min", "minMap"), ("max", "maxMap")):
+        out = _rewrite_calls(
+            out, f"{_ch}State", _map_state(_which, f"{_ch}State")
+        )
+        out = _rewrite_calls(
+            out, f"{_ch}Merge", _map_merge(_which, f"{_ch}Merge")
+        )
 
     # quantile/quantileExact/quantileTiming states are a value→count
     # histogram map<T,bigint> (ddl_compat._agg_state maps the column

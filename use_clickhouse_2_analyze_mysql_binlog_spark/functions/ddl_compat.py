@@ -136,7 +136,7 @@ _HLL_TYPES = {"int", "bigint", "string", "binary"}
 def _agg_state(ch_type: str) -> tuple[str, str] | None:
     """Map ``AggregateFunction(fn[, T])`` / ``SimpleAggregateFunction`` to
     ``(fn, spark_state_type)``, or None when the state has no plain-column
-    representation (quantileTDigest, sumMap, ... stay loud through
+    representation (quantileTDigest, ... stay loud through
     the untranslated-type path). States: sum/max/min/count ARE the running
     value (integral sums widen to bigint like CH's UInt64 accumulators),
     avg is struct<sum,cnt>, uniq a Datasketches HLL sketch (binary —
@@ -159,6 +159,40 @@ def _agg_state(ch_type: str) -> tuple[str, str] | None:
         return None  # parametric states beyond the quantile family: loud
     if fn == "count":
         return ("count", "bigint")
+    if fn in ("summap", "minmap", "maxmap"):
+        # AggregateFunction(sumMap, Array(K), Array(V)) or (sumMap,
+        # Map(K, V)): state = the key→aggregated-value map. sumMap value
+        # accumulation follows Spark's type-stable fold widening (int→
+        # bigint, float→double, decimal→precision-38 cap) so the merge
+        # fold's accumulator type is a fixed point; min/max keep the
+        # value type. Nested key/value types stay loud.
+        parts = _split_top_commas(arg)
+        if len(parts) == 1:
+            mm = re.fullmatch(r"(?is)\s*Map\s*\((.*)\)\s*", parts[0])
+            parts = _split_top_commas(mm.group(1)) if mm else []
+        else:
+            inner = [
+                re.fullmatch(r"(?is)\s*Array\s*\((.*)\)\s*", p)
+                for p in parts
+            ]
+            parts = [m3.group(1) for m3 in inner if m3] if all(inner) else []
+        if len(parts) != 2:
+            return None
+        k_spark = _ch_type_to_spark(parts[0])
+        v_spark = _ch_type_to_spark(parts[1])
+        if not k_spark or not v_spark or "<" in k_spark + v_spark:
+            return None
+        if fn == "summap":
+            if v_spark in ("int", "bigint"):
+                v_spark = "bigint"
+            elif v_spark in ("float", "double"):
+                v_spark = "double"
+            elif v_spark.startswith("decimal"):
+                ms = re.fullmatch(r"decimal\(\d+,\s*(\d+)\)", v_spark)
+                v_spark = f"decimal(38, {ms.group(1) if ms else 0})"
+            else:
+                return None  # sums need numeric values
+        return (fn, f"map<{k_spark},{v_spark}>")
     if arg_spark is None:
         return None
     if fn == "sum":

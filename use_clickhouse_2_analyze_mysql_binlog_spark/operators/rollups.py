@@ -81,6 +81,10 @@ AGG_STATE_FNS = (
     # map<T,bigint> (merge = count-wise map sum, finalize = quantileExact
     # floor(level·n) indexing)
     "grouparray", "groupuniqarray", "quantile@<level>",
+    # sumMap/minMap/maxMap states are the key→aggregated-value map
+    # (merge = key-wise sum / min / max; finalize = CH's sumMap return
+    # shape, a struct of sorted keys + their values)
+    "summap", "minmap", "maxmap",
 )
 
 
@@ -99,6 +103,27 @@ def _agg_state_merge_expr(col: str, fn: str, dtype: str | None):
     if fn == "groupuniqarray":
         e = F.array_distinct(F.flatten(F.collect_list(col)))
         return (e.cast(dtype) if dtype else e).alias(col)
+    if fn in ("summap", "minmap", "maxmap"):
+        if not dtype:
+            dtype = "map<bigint,bigint>"
+        if fn == "summap":
+            # a key missing on one side contributes a typed zero
+            def comb(_k, v1, v2):
+                return F.coalesce(v1, v2 * F.lit(0)) + F.coalesce(
+                    v2, v1 * F.lit(0)
+                )
+        elif fn == "minmap":
+            def comb(_k, v1, v2):  # least/greatest skip NULLs
+                return F.least(v1, v2)
+        else:
+            def comb(_k, v1, v2):
+                return F.greatest(v1, v2)
+        e = F.aggregate(
+            F.collect_list(col),
+            F.expr(f"cast(map() AS {dtype})"),
+            lambda acc, m: F.map_zip_with(acc, m, comb),
+        )
+        return e.alias(col)
     if fn.startswith("quantile"):
         if not dtype:
             dtype = "map<bigint,bigint>"
@@ -201,7 +226,9 @@ def finalize_agg_states(df: DataFrame, state_fns: dict[str, str]) -> DataFrame:
     sum/count/max/min states already ARE their final values, avg becomes
     sum/cnt (double), uniq becomes the HLL estimate (bigint), groupArray
     states are already the final array, quantile histograms collapse to
-    the level's value via :func:`quantile_from_histogram_sql`. Column
+    the level's value via :func:`quantile_from_histogram_sql`, and the
+    sumMap/minMap/maxMap maps become CH's ([sorted keys], [values])
+    struct. Column
     names are preserved — the reader sees the finalized rollup under the
     store's own schema."""
     cols = []
@@ -222,6 +249,18 @@ def finalize_agg_states(df: DataFrame, state_fns: dict[str, str]) -> DataFrame:
             cols.append(
                 F.expr(
                     quantile_from_histogram_sql(name, level)
+                ).alias(name)
+            )
+        elif fn in ("summap", "minmap", "maxmap"):
+            # CH's sumMap-family read returns ([sorted keys], [values]) —
+            # the same struct shape the plain sumMap translation produces
+            ks = F.array_sort(F.map_keys(F.col(name)))
+            cols.append(
+                F.struct(
+                    ks.alias("keys"),
+                    F.transform(
+                        ks, lambda kk: F.element_at(F.col(name), kk)
+                    ).alias("values"),
                 ).alias(name)
             )
         else:
