@@ -3267,6 +3267,160 @@ def test_round9_everyday_batch_execute(spark):
             ch_compat.translate(bad)
 
 
+def test_round9b_everyday_batch_execute(spark):
+    """Round-9 second probe-sweep batch: numeric trunc/truncate (Spark's
+    trunc is date-only), exp10, roundDuration/roundAge breakpoint
+    rounders, makeDate (both arities)/makeDateTime, ISO-year pair,
+    toYYYYMMDDhhmmss, toRelativeYear/MonthNum, parseDateTime %-token
+    parser (+OrNull, +JodaSyntax), snowflake id conversions (roundtrip
+    exact), editDistance/levenshteinDistance -> levenshtein, UTF8
+    pad/initcap renames, appendTrailingCharIfAbsent, replaceOne
+    (first-occurrence only), toDecimalString, multiSearch* trio, URL
+    getters (topLevelDomain/extractURLParameters/Names/
+    queryStringAndFragment), mapAdd/mapSubtract/mapContainsKeyLike/
+    mapPopulateSeries, arrayElementOrNull, bitTestAll/Any + bitmask
+    trio, ignore/toTypeName/isZeroOrNull."""
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT trunc(-2.7) AS tn, truncate(123.456, 2) AS t2, "
+        "exp10(2) AS e10, "
+        "roundDuration(95) AS rd, roundAge(30) AS ra, "
+        "makeDate(2024, 2, 29) AS md, makeDate(2024, 60) AS md2, "
+        "makeDateTime(2024, 2, 29, 10, 30, 15) AS mdt, "
+        "toISOYear(toDate('2021-01-01')) AS iy, "
+        "toStartOfISOYear(toDate('2021-01-01')) AS siy, "
+        "toYYYYMMDDhhmmss(toDateTime('2024-02-29 10:30:15')) AS ymd, "
+        "toRelativeYearNum(toDate('2002-05-05')) AS ry, "
+        "toRelativeMonthNum(toDate('1970-01-01')) AS rm, "
+        "parseDateTime('2024-02-29 10:30:15', '%Y-%m-%d %H:%i:%S') AS pd, "
+        "parseDateTimeOrNull('garbage', '%Y-%m-%d') AS pdn, "
+        "parseDateTimeInJodaSyntax('2024-02-29', 'yyyy-MM-dd') AS pj, "
+        "snowflakeToDateTime(dateTimeToSnowflake("
+        "toDateTime('2021-08-15 18:57:56'))) AS snow, "
+        "editDistance('clickhouse', 'mouse') AS ed, "
+        "levenshteinDistance('abc', 'abd') AS lv, "
+        "initcapUTF8('hello world') AS ic, "
+        "leftPadUTF8('abc', 5, '*') AS lp, rightPadUTF8('abc', 5) AS rp, "
+        "appendTrailingCharIfAbsent('object', '/') AS ap1, "
+        "appendTrailingCharIfAbsent('object/', '/') AS ap2, "
+        "replaceOne('aaa', 'a', 'bb') AS ro, "
+        "replaceOne('xyz', 'q', 'bb') AS ro0, "
+        "toDecimalString(3.14159, 2) AS ds, "
+        "multiSearchAllPositions('hello world', ['l', 'xx', 'wor']) AS ma, "
+        "multiSearchFirstPosition('hello', ['xx', 'ell', 'llo']) AS mp, "
+        "multiSearchFirstIndex('hello', ['xx', 'llo', 'ell']) AS mi, "
+        "multiSearchFirstIndex('hello', ['xx']) AS mi0, "
+        "topLevelDomain('https://a.b.example.com/x?y=1') AS tld, "
+        "topLevelDomain('http://1.2.3.4/x') AS tld4, "
+        "extractURLParameters('http://x.com/a?p=1&q=2#f') AS up, "
+        "extractURLParameters('http://x.com/a') AS up0, "
+        "extractURLParameterNames('http://x.com/a?p=1&q=2') AS un, "
+        "queryStringAndFragment('http://x.com/a?p=1#frag') AS qf, "
+        "queryStringAndFragment('http://x.com/a') AS qf0, "
+        "mapAdd(map('a', 1), map('a', 2, 'b', 1)) AS mad, "
+        "mapSubtract(map('a', 3), map('a', 1, 'b', 2)) AS msu, "
+        "mapContainsKeyLike(map('abc', 1), 'a%') AS mcl, "
+        "mapPopulateSeries(map(1, 10, 4, 40)) AS mps, "
+        "mapPopulateSeries(map(1, 10, 3, 30), 5) AS mps5, "
+        "arrayElementOrNull([1,2,3], 9) AS ae9, "
+        "arrayElementOrNull([1,2,3], 0) AS ae0, "
+        "arrayElementOrNull([1,2,3], -1) AS aem, "
+        "bitTestAll(5, 0, 2) AS bta, bitTestAll(5, 0, 1) AS bta0, "
+        "bitTestAny(5, 1, 3) AS bty0, bitTestAny(5, 1, 2) AS bty, "
+        "bitmaskToArray(50) AS bma, bitmaskToList(50) AS bml, "
+        "bitPositionsToArray(50) AS bpa, "
+        "ignore(1, 'x') AS ig, toTypeName('x') AS tt, "
+        "isZeroOrNull(0) AS z0, isZeroOrNull(5) AS z5, "
+        "isZeroOrNull(CAST(NULL AS INT)) AS zn",
+    ).collect()[0]
+    assert (row.tn, row.t2, row.e10) == (-2.0, 123.45, 100.0)
+    assert (row.rd, row.ra) == (60, 25)
+    assert str(row.md) == "2024-02-29" and str(row.md2) == "2024-02-29"
+    assert str(row.mdt) == "2024-02-29 10:30:15"
+    assert row.iy == 2020 and str(row.siy) == "2019-12-30"
+    assert row.ymd == 20240229103015
+    assert (row.ry, row.rm) == (2002, 23641)
+    assert str(row.pd) == "2024-02-29 10:30:15" and row.pdn is None
+    assert str(row.pj) == "2024-02-29 00:00:00"
+    assert str(row.snow) == "2021-08-15 18:57:56"
+    assert (row.ed, row.lv) == (6, 1)
+    assert row.ic == "Hello World"
+    assert (row.lp, row.rp) == ("**abc", "abc  ")
+    assert (row.ap1, row.ap2) == ("object/", "object/")
+    assert (row.ro, row.ro0) == ("bbaa", "xyz")
+    assert row.ds == "3.14"
+    assert row.ma == [3, 0, 7] and row.mp == 2
+    assert (row.mi, row.mi0) == (2, 0)
+    assert (row.tld, row.tld4) == ("com", "")
+    assert row.up == ["p=1", "q=2"] and row.up0 == []
+    assert row.un == ["p", "q"]
+    assert (row.qf, row.qf0) == ("p=1#frag", "")
+    assert row.mad == {"a": 3, "b": 1}
+    assert row.msu == {"a": 2, "b": -2}
+    assert bool(row.mcl) is True
+    assert row.mps == {1: 10, 2: 0, 3: 0, 4: 40}
+    assert row.mps5 == {1: 10, 2: 0, 3: 30, 4: 0, 5: 0}
+    assert (row.ae9, row.ae0, row.aem) == (None, None, 3)
+    assert (row.bta, row.bta0, row.bty0, row.bty) == (1, 0, 0, 1)
+    assert row.bma == [2, 16, 32] and row.bml == "2,16,32"
+    assert row.bpa == [1, 4, 5]
+    assert (row.ig, row.tt) == (0, "string")
+    assert (row.z0, row.z5, row.zn) == (1, 0, 1)
+    # the block/insertion-order-dependent family stays loud with a
+    # window-rewrite hint (the deltaSum convention)
+    for bad in (
+        "SELECT neighbor(x, 1) FROM t",
+        "SELECT runningDifference(x) FROM t",
+        "SELECT groupArrayMovingSum(x) FROM t",
+        "SELECT exponentialMovingAverage(5)(x, t) FROM t",
+        "SELECT groupArraySample(3)(x) FROM t",
+    ):
+        with pytest.raises(ValueError, match="block/insertion order"):
+            ch_compat.translate(bad)
+    # format-literal guards stay loud
+    with pytest.raises(ValueError, match="string literal"):
+        ch_compat.translate("SELECT parseDateTime(s, fmt_col) FROM t")
+    with pytest.raises(ValueError, match="timezone"):
+        ch_compat.translate(
+            "SELECT makeDateTime(2024, 1, 1, 0, 0, 0, 'UTC') FROM t"
+        )
+
+
+def test_moment_aggregates_vs_clickhouse_contract(spark):
+    """kurtPop is CH's RAW m4/sigma^4 (Spark's kurtosis is EXCESS — the
+    old rename mapping silently answered 3 too low, round-9b review);
+    kurtSamp/skewSamp divide by sample variance: pop * ((n-1)/n)^(k/2).
+    Hand-computed on [1..5]: m2=2, m4=6.8 -> kurtPop=1.7,
+    kurtSamp=1.7*(4/5)^2=1.088; symmetric -> both skews 0."""
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT kurtPop(x) AS kp, kurtSamp(x) AS ks, "
+        "skewPop(x) AS sp, skewSamp(x) AS ss, groupBitmap(y) AS gb "
+        "FROM VALUES (1.0, 1), (2.0, 2), (3.0, 2), (4.0, 3), (5.0, 3) "
+        "t(x, y)",
+    ).collect()
+    assert abs(r.kp - 1.7) < 1e-12
+    assert abs(r.ks - 1.088) < 1e-12
+    assert abs(r.sp) < 1e-12 and abs(r.ss) < 1e-12
+    assert r.gb == 3
+    # asymmetric sample [1, 2, 6]: m2=14/3, m3=6 -> skewPop=.59517...,
+    # skewSamp=skewPop*(2/3)^1.5; kurtPop=m4/m2^2 with m4=662/27... use
+    # exact fractions: mean=3, devs (-2,-1,3): m2=14/3, m3=18/3=6,
+    # m4=(16+1+81)/3=98/3 -> kurtPop=(98/3)/(196/9)=1.5
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT kurtPop(x) AS kp, kurtSamp(x) AS ks, skewSamp(x) AS ss "
+        "FROM VALUES (1.0), (2.0), (6.0) t(x)",
+    ).collect()
+    assert abs(r.kp - 1.5) < 1e-12
+    assert abs(r.ks - 1.5 * (2 / 3) ** 2) < 1e-12
+    import math
+
+    skew_pop = 6 / (14 / 3) ** 1.5
+    assert abs(r.ss - skew_pop * (2 / 3) ** 1.5) < 1e-12
+    assert math.isfinite(r.ss)
+
+
 def test_delta_sum_timestamp(spark):
     """deltaSumTimestamp(value, ts): sum of positive deltas between
     consecutive values in TIMESTAMP order — the deterministic member of

@@ -181,7 +181,36 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   ``currentDatabase/currentUser``, ``deltaSumTimestamp`` (positive
   consecutive deltas in ts order; bare ``deltaSum`` is part-order-
   dependent in CH and stays loud); ``sleep/sleepEachRow`` loud
-  (wall-clock side effect); round-7 second batch: the
+  (wall-clock side effect); round-9 second batch: numeric
+  ``trunc/truncate`` (Spark's trunc is date-only), ``exp10``,
+  ``roundDuration/roundAge`` breakpoint rounders, ``kurtPop`` -> Spark
+  kurtosis + 3 (CH is RAW m4/sigma^4, Spark is EXCESS — the old rename
+  was silently 3 low), ``skewSamp/kurtSamp`` (sample-variance forms:
+  pop * ((n-1)/n)^(k/2)), ``groupBitmap`` -> ``count(DISTINCT)``,
+  ``timestampAdd/Sub``, ``makeDate`` (both arities)/``makeDate32``/
+  ``makeDateTime``, ``toISOYear/toStartOfISOYear`` (Thursday-of-week
+  arithmetic), ``toYYYYMMDDhhmmss``, ``toRelativeYear/MonthNum``,
+  ``parseDateTime[OrNull]`` (the %-token table shared with
+  ``formatDateTime``), ``parseDateTimeInJodaSyntax[OrNull]``,
+  ``snowflakeToDateTime[64]/dateTime[64]ToSnowflake``,
+  ``editDistance/levenshteinDistance`` -> ``levenshtein``,
+  ``initcapUTF8``, ``leftPadUTF8/rightPadUTF8`` -> ``lpad/rpad``
+  (character-counting = the UTF8 contract), ``replaceOne``
+  (first-occurrence splice), ``appendTrailingCharIfAbsent``,
+  ``toDecimalString`` (literal scale <= 37), the ``multiSearch*`` trio
+  (AllPositions/FirstPosition/FirstIndex), ``topLevelDomain``
+  (digit-guarded)/``extractURLParameters/Names``/
+  ``queryStringAndFragment``, ``mapAdd/mapSubtract`` (Map-typed,
+  key-wise typed-zero fold like the sumMap states)/
+  ``mapContainsKeyLike``/``mapPopulateSeries``, ``arrayElementOrNull``
+  -> ``try_element_at`` (index-0-safe), ``bitTestAll/bitTestAny``,
+  ``bitmaskToArray/bitmaskToList/bitPositionsToArray`` (bits 0..62),
+  ``ignore`` -> 0, ``toTypeName`` -> ``typeof`` (THIS engine's names),
+  ``isZeroOrNull``; the block/insertion-order-dependent family
+  (``runningDifference/runningAccumulate/neighbor/rowNumberIn*/
+  blockNumber/exponentialMovingAverage/groupArrayMoving*/
+  groupArrayLast/groupArrayInsertAt/groupArraySample``) stays loud
+  with per-function window-rewrite hints; round-7 second batch: the
   ``to<T>OrNull``/``to<T>OrZero`` conversion families (exactly ANSI
   ``try_cast`` / ``coalesce(try_cast, default)``), ``toDecimal32/64/
   128`` (precision from the CH width), the URL family (``protocol/
@@ -394,8 +423,10 @@ _RENAMES = {
     # contract: (col, offset, default) over the window frame)
     "lagInFrame": "lag",
     "leadInFrame": "lead",
-    # moment aggregates (identical definitions; skewPop/kurtPop are the
-    # population moments, which is what Spark's skewness/kurtosis compute)
+    # moment aggregates (identical definitions; skewPop is the
+    # population third moment, which is what Spark's skewness computes.
+    # kurtPop is NOT here: CH's is the raw m4/sigma^4 while Spark's
+    # kurtosis is EXCESS — rewritten with the +3 shift below, round-9b)
     "stddevPop": "stddev_pop",
     "stddevSamp": "stddev_samp",
     "varPop": "var_pop",
@@ -403,7 +434,6 @@ _RENAMES = {
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
     "skewPop": "skewness",
-    "kurtPop": "kurtosis",
 }
 
 
@@ -2234,6 +2264,513 @@ def translate(
             lambda a, f=_fn: (_ for _ in ()).throw(ValueError(
                 f"{f}() is a wall-clock side effect with no Spark "
                 "translation — remove it from the query"
+            )),
+        )
+
+    # round-9 second everyday batch (probe-sweep gaps) -------------------
+    # --- math / rounding
+    # trunc(x[, n]): CH's NUMERIC truncation toward zero. Spark's own
+    # trunc is DATE truncation — the passthrough would fail analysis (no
+    # silent path, but the everyday numeric form deserves a real
+    # mapping): floor for positives, ceil for negatives, via Spark's
+    # scaled floor/ceil. Result is DOUBLE like CH's Float64.
+    def _trunc(a):
+        if len(a) == 1:
+            body = "IF(__t >= 0, floor(__t), ceil(__t))"
+        elif len(a) == 2:
+            body = f"IF(__t >= 0, floor(__t, {a[1]}), ceil(__t, {a[1]}))"
+        else:
+            raise ValueError("trunc expects (x) or (x, n)")
+        return (
+            f"CAST(element_at(transform(array(CAST({a[0]} AS DOUBLE)), "
+            f"__t -> {body}), 1) AS DOUBLE)"
+        )
+
+    out = _rewrite_calls(out, "truncate", _trunc)  # CH alias
+    out = _rewrite_calls(out, "trunc", _trunc)
+    out = _rewrite_calls(out, "exp10", lambda a: f"power(10, {a[0]})")
+    # roundDuration/roundAge: CH's fixed-breakpoint rounders (legacy
+    # Yandex.Metrica buckets, still everyday dashboard fodder)
+    _DURATION_STEPS = (
+        1, 10, 30, 60, 120, 180, 240, 300, 600,
+        1200, 1800, 3600, 7200, 18000, 36000,
+    )
+    out = _rewrite_calls(
+        out,
+        "roundDuration",
+        lambda a: (
+            f"element_at(transform(array({a[0]}), __t -> CASE"
+            " WHEN __t < 1 THEN 0"
+            + "".join(
+                f" WHEN __t < {hi} THEN {lo}"
+                for lo, hi in zip(_DURATION_STEPS, _DURATION_STEPS[1:])
+            )
+            + f" ELSE {_DURATION_STEPS[-1]} END), 1)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "roundAge",
+        lambda a: (
+            f"element_at(transform(array({a[0]}), __t -> CASE "
+            "WHEN __t < 1 THEN 0 WHEN __t < 18 THEN 17 "
+            "WHEN __t < 25 THEN 18 WHEN __t < 35 THEN 25 "
+            "WHEN __t < 45 THEN 35 WHEN __t < 55 THEN 45 "
+            "ELSE 55 END), 1)"
+        ),
+    )
+
+    # --- moment aggregates
+    # CH kurtPop is the RAW fourth-moment ratio m4/sigma^4 (~3 for a
+    # normal distribution) while Spark's kurtosis is EXCESS (m4/sigma^4
+    # - 3): the old rename-table mapping silently answered 3 too low —
+    # the round()/translate() silent-divergence class (round-9b review).
+    # skewSamp/kurtSamp divide by sample variance instead: CH computes
+    # mk/varSamp^(k/2) = pop-form * ((n-1)/n)^(k/2).
+    out = _rewrite_calls(
+        out,
+        "kurtPop",
+        lambda a: f"(kurtosis({a[0]}) + CAST(3 AS DOUBLE))",
+    )
+    out = _rewrite_calls(
+        out,
+        "skewSamp",
+        lambda a: (
+            f"(skewness({a[0]}) * power((count({a[0]}) - 1) / "
+            f"CAST(count({a[0]}) AS DOUBLE), 1.5))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "kurtSamp",
+        lambda a: (
+            f"((kurtosis({a[0]}) + CAST(3 AS DOUBLE)) * "
+            f"power((count({a[0]}) - 1) / "
+            f"CAST(count({a[0]}) AS DOUBLE), 2))"
+        ),
+    )
+    # groupBitmap: CH materializes a roaring bitmap to COUNT distinct —
+    # the answer is exactly count(DISTINCT)
+    out = _rewrite_calls(
+        out, "groupBitmap", lambda a: f"count(DISTINCT {a[0]})"
+    )
+
+    # --- date / time
+    # timestamp_add/timestamp_sub spellings: plain interval arithmetic
+    def _ts_arith(op, ch_fn):
+        def build(a):
+            if len(a) != 2:
+                raise ValueError(f"{ch_fn} expects (ts, interval)")
+            return f"({a[0]} {op} {a[1]})"
+
+        return build
+
+    out = _rewrite_calls(out, "timestampAdd", _ts_arith("+", "timestampAdd"))
+    out = _rewrite_calls(out, "timestampSub", _ts_arith("-", "timestampSub"))
+
+    def _make_date(a):
+        if len(a) == 3:
+            return f"make_date({a[0]}, {a[1]}, {a[2]})"
+        if len(a) == 2:  # (year, day-of-year)
+            return (
+                f"date_add(make_date({a[0]}, 1, 1), "
+                f"CAST({a[1]} AS INT) - 1)"
+            )
+        raise ValueError("makeDate expects (y, m, d) or (y, dayofyear)")
+
+    out = _rewrite_calls(out, "makeDate32", _make_date)
+    out = _rewrite_calls(out, "makeDate", _make_date)
+
+    def _make_datetime(a):
+        if len(a) != 6:
+            raise ValueError(
+                "makeDateTime expects (y, m, d, h, mi, s); a timezone "
+                "argument is not translated"
+            )
+        return "make_timestamp(" + ", ".join(a) + ")"
+
+    out = _rewrite_calls(out, "makeDateTime", _make_datetime)
+    # ISO week-year: the year of the Thursday of d's ISO week (Spark's
+    # date_trunc('WEEK') is the ISO Monday); start-of-ISO-year is the
+    # Monday of the week containing Jan 4 of that ISO year
+    out = _rewrite_calls(
+        out,
+        "toISOYear",
+        lambda a: f"year(date_add(date_trunc('WEEK', {a[0]}), 3))",
+    )
+    out = _rewrite_calls(
+        out,
+        "toStartOfISOYear",
+        lambda a: (
+            f"to_date(date_trunc('WEEK', make_date("
+            f"year(date_add(date_trunc('WEEK', {a[0]}), 3)), 1, 4)))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "toYYYYMMDDhhmmss",
+        lambda a: (
+            f"CAST(date_format({a[0]}, "
+            + _masked_lit("yyyyMMddHHmmss")
+            + ") AS BIGINT)"
+        ),
+    )
+    # toRelativeYearNum/MonthNum complete the toRelative* family (the
+    # Day/Hour/Minute/Second members live below with the older batches):
+    # CH counts years AD and months since year 0
+    out = _rewrite_calls(
+        out, "toRelativeYearNum", lambda a: f"year({a[0]})"
+    )
+    out = _rewrite_calls(
+        out,
+        "toRelativeMonthNum",
+        lambda a: f"(year({a[0]}) * 12 + month({a[0]}))",
+    )
+
+    # parseDateTime(str, '%Y-%m-%d'): CH's MySQL-style %-token parser —
+    # the same token table formatDateTime uses, pointed at to_timestamp;
+    # OrNull rides try_to_timestamp. A non-literal format or a timezone
+    # argument stays loud.
+    def _parse_datetime(try_form, ch_fn):
+        fn = "try_to_timestamp" if try_form else "to_timestamp"
+
+        def build(a):
+            if len(a) != 2:
+                raise ValueError(
+                    f"{ch_fn} expects (str, format); a timezone argument "
+                    "is not translated"
+                )
+            m2 = re.fullmatch(r"\x00L(\d+)\x00", a[1].strip())
+            if not m2:
+                raise ValueError(
+                    f"{ch_fn}: the format must be a string literal"
+                )
+            raw = literals[int(m2.group(1))]
+            converted = _convert_ch_datetime_format(raw[1:-1])
+            literals.append("'" + converted.replace("'", "\\'") + "'")
+            return f"{fn}({a[0]}, \x00L{len(literals) - 1}\x00)"
+
+        return build
+
+    out = _rewrite_calls(
+        out, "parseDateTimeOrNull", _parse_datetime(True, "parseDateTimeOrNull")
+    )
+    out = _rewrite_calls(
+        out, "parseDateTime", _parse_datetime(False, "parseDateTime")
+    )
+
+    # Joda syntax is the java.time pattern family Spark itself speaks
+    def _parse_joda(try_form, ch_fn):
+        fn = "try_to_timestamp" if try_form else "to_timestamp"
+
+        def build(a):
+            if len(a) != 2:
+                raise ValueError(
+                    f"{ch_fn} expects (str, format); a timezone argument "
+                    "is not translated"
+                )
+            return f"{fn}({a[0]}, {a[1]})"
+
+        return build
+
+    out = _rewrite_calls(
+        out,
+        "parseDateTimeInJodaSyntaxOrNull",
+        _parse_joda(True, "parseDateTimeInJodaSyntaxOrNull"),
+    )
+    out = _rewrite_calls(
+        out,
+        "parseDateTimeInJodaSyntax",
+        _parse_joda(False, "parseDateTimeInJodaSyntax"),
+    )
+    # Twitter snowflake ids: ms-since-2010-11-04T01:42:54.657 in the top
+    # 42 bits (the public epoch constant 1288834974657). shiftright as a
+    # FUNCTION, not the >> operator: Spark's parser rejects >> when a
+    # higher-order lambda (->) appears earlier in the same statement.
+    for _fn in ("snowflakeToDateTime", "snowflakeToDateTime64"):
+        out = _rewrite_calls(
+            out,
+            _fn,
+            lambda a: (
+                f"timestamp_millis(shiftright(CAST({a[0]} AS BIGINT), 22) "
+                f"+ 1288834974657)"
+            ),
+        )
+    for _fn in ("dateTimeToSnowflake", "dateTime64ToSnowflake"):
+        out = _rewrite_calls(
+            out,
+            _fn,
+            lambda a: (
+                f"shiftleft(unix_millis(CAST({a[0]} AS TIMESTAMP)) "
+                f"- 1288834974657, 22)"
+            ),
+        )
+
+    # --- strings
+    for _fn in ("editDistance", "levenshteinDistance"):
+        out = _rewrite_calls(
+            out, _fn, lambda a: f"levenshtein({a[0]}, {a[1]})"
+        )
+    out = _rewrite_calls(out, "initcapUTF8", lambda a: f"initcap({a[0]})")
+    # Spark's lpad/rpad count CHARACTERS — exactly the UTF8 variants'
+    # contract (the byte-counting plain leftPad/rightPad family is
+    # handled with the older batches)
+    out = _rewrite_calls(
+        out, "leftPadUTF8", lambda a: "lpad(" + ", ".join(a) + ")"
+    )
+    out = _rewrite_calls(
+        out, "rightPadUTF8", lambda a: "rpad(" + ", ".join(a) + ")"
+    )
+    out = _rewrite_calls(
+        out,
+        "appendTrailingCharIfAbsent",
+        lambda a: (
+            f"element_at(transform(array({a[0]}), __t -> "
+            f"IF(endswith(__t, {a[1]}), __t, concat(__t, {a[1]}))), 1)"
+        ),
+    )
+
+    # replaceOne: first-occurrence-only replace (Spark's replace/
+    # regexp_replace hit every occurrence) — locate + splice, with the
+    # haystack and the match position bound once
+    def _replace_one(a):
+        if len(a) != 3:
+            raise ValueError(
+                "replaceOne expects (haystack, pattern, replacement)"
+            )
+        s, pat, rep = a
+        return (
+            f"element_at(transform(array(named_struct("
+            f"'s', {s}, 'p', locate({pat}, {s}))), __t -> "
+            f"IF(__t.p = 0, __t.s, concat(substr(__t.s, 1, __t.p - 1), "
+            f"{rep}, substr(__t.s, __t.p + length({pat}))))), 1)"
+        )
+
+    out = _rewrite_calls(out, "replaceOne", _replace_one)
+
+    # toDecimalString(x, n): fixed-scale decimal rendering; scale must
+    # be a literal (Spark decimals are compile-time typed). CH allows up
+    # to 77 digits — beyond our decimal(38) window stays loud.
+    def _to_decimal_string(a):
+        if len(a) != 2 or not re.fullmatch(r"\d+", a[1].strip()):
+            raise ValueError(
+                "toDecimalString expects (x, literal scale)"
+            )
+        n = int(a[1])
+        if n > 37:
+            raise ValueError(
+                "toDecimalString: scale beyond decimal(38) is not "
+                "representable here"
+            )
+        return f"CAST(CAST({a[0]} AS DECIMAL(38, {n})) AS STRING)"
+
+    out = _rewrite_calls(out, "toDecimalString", _to_decimal_string)
+
+    # multiSearch family: positions are 1-based, 0 = not found (CH and
+    # Spark's locate agree on both conventions)
+    out = _rewrite_calls(
+        out,
+        "multiSearchAllPositions",
+        lambda a: f"transform({a[1]}, __n -> locate(__n, {a[0]}))",
+    )
+    out = _rewrite_calls(
+        out,
+        "multiSearchFirstPosition",
+        lambda a: (
+            f"coalesce(array_min(filter(transform({a[1]}, "
+            f"__n -> locate(__n, {a[0]})), __p -> __p > 0)), 0)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "multiSearchFirstIndex",
+        lambda a: (
+            f"coalesce(array_position(transform({a[1]}, "
+            f"__n -> locate(__n, {a[0]}) > 0), true), 0)"
+        ),
+    )
+
+    # --- URL getters
+    # topLevelDomain: last host label; CH answers '' for hosts without a
+    # valid TLD — the all-digit guard covers the everyday case (IPv4
+    # hosts)
+    def _top_level_domain(a):
+        dot = _masked_lit("[.]")
+        digits = _masked_lit("^[0-9]+$")
+        return (
+            f"element_at(transform(array(parse_url({a[0]}, 'HOST')), "
+            f"__h -> CASE WHEN __h IS NULL THEN '' "
+            f"WHEN element_at(split(__h, {dot}), -1) RLIKE {digits} "
+            f"THEN '' "
+            f"ELSE element_at(split(__h, {dot}), -1) END), 1)"
+        )
+
+    out = _rewrite_calls(out, "topLevelDomain", _top_level_domain)
+    out = _rewrite_calls(
+        out,
+        "extractURLParameters",
+        lambda a: (
+            f"element_at(transform(array(parse_url({a[0]}, 'QUERY')), "
+            f"__q -> IF(__q IS NULL OR __q = '', array(), "
+            f"split(__q, " + _masked_lit("[&]") + "))), 1)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "extractURLParameterNames",
+        lambda a: (
+            f"element_at(transform(array(parse_url({a[0]}, 'QUERY')), "
+            f"__q -> IF(__q IS NULL OR __q = '', array(), "
+            f"transform(split(__q, " + _masked_lit("[&]") + "), "
+            f"__kv -> split_part(__kv, " + _masked_lit("=") + ", 1)))), 1)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "queryStringAndFragment",
+        lambda a: (
+            f"element_at(transform(array(named_struct("
+            f"'q', parse_url({a[0]}, 'QUERY'), "
+            f"'r', parse_url({a[0]}, 'REF'))), __t -> "
+            f"concat(coalesce(__t.q, ''), "
+            f"IF(__t.r IS NULL, '', concat(" + _masked_lit("#")
+            + ", __t.r)))), 1)"
+        ),
+    )
+
+    # --- maps
+    # mapAdd/mapSubtract over Map-typed args (CH's modern form; the
+    # legacy tuple-of-arrays form has no Map type here and fails loudly
+    # at analysis): key-wise fold, a one-sided key contributing a typed
+    # zero — the same merge the sumMap aggregate states use
+    def _map_arith(op, ch_fn):
+        def build(a):
+            if len(a) < 2:
+                raise ValueError(f"{ch_fn} expects at least two maps")
+            acc = a[0]
+            for m in a[1:]:
+                acc = (
+                    f"map_zip_with({acc}, {m}, (__mk, __m1, __m2) -> "
+                    f"coalesce(__m1, __m2 * 0) {op} "
+                    f"coalesce(__m2, __m1 * 0))"
+                )
+            return acc
+
+        return build
+
+    out = _rewrite_calls(out, "mapAdd", _map_arith("+", "mapAdd"))
+    out = _rewrite_calls(out, "mapSubtract", _map_arith("-", "mapSubtract"))
+    out = _rewrite_calls(
+        out,
+        "mapContainsKeyLike",
+        lambda a: f"exists(map_keys({a[0]}), __k -> __k LIKE {a[1]})",
+    )
+
+    # mapPopulateSeries: fill integer key gaps [min(keys), max(keys)]
+    # (or the explicit max) with typed zeros
+    def _map_populate(a):
+        if len(a) not in (1, 2):
+            raise ValueError("mapPopulateSeries expects (map[, max])")
+        mx = a[1] if len(a) == 2 else "array_max(map_keys(__m))"
+        return (
+            f"element_at(transform(array({a[0]}), __m -> "
+            f"map_from_entries(transform(sequence("
+            f"array_min(map_keys(__m)), {mx}), __k -> named_struct("
+            f"'key', __k, 'value', coalesce(element_at(__m, __k), "
+            f"element_at(map_values(__m), 1) * 0))))), 1)"
+        )
+
+    out = _rewrite_calls(out, "mapPopulateSeries", _map_populate)
+
+    # --- arrays
+    # arrayElementOrNull: NULL out of range INCLUDING index 0 (nullif
+    # keeps try_element_at off its index-0 error path)
+    out = _rewrite_calls(
+        out,
+        "arrayElementOrNull",
+        lambda a: f"try_element_at({a[0]}, nullif({a[1]}, 0))",
+    )
+
+    # --- bits (non-negative convention, bits 0..62 — the intExp2 range)
+    def _bit_test_fold(joiner, ch_fn):
+        def build(a):
+            if len(a) < 2:
+                raise ValueError(f"{ch_fn} expects (x, pos, ...)")
+            terms = [
+                f"(shiftright(CAST({a[0]} AS BIGINT), "
+                f"CAST({p} AS INT)) & 1) = 1"
+                for p in a[1:]
+            ]
+            return "CAST((" + joiner.join(terms) + ") AS INT)"
+
+        return build
+
+    out = _rewrite_calls(out, "bitTestAll", _bit_test_fold(" AND ", "bitTestAll"))
+    out = _rewrite_calls(out, "bitTestAny", _bit_test_fold(" OR ", "bitTestAny"))
+
+    def _bitmask_array(x):
+        return (
+            f"element_at(transform(array(CAST({x} AS BIGINT)), __t -> "
+            f"transform(filter(sequence(0, 62), "
+            f"__i -> (shiftright(__t, __i) & 1) = 1), "
+            f"__i -> shiftleft(CAST(1 AS BIGINT), __i))), 1)"
+        )
+
+    out = _rewrite_calls(out, "bitmaskToArray", lambda a: _bitmask_array(a[0]))
+    out = _rewrite_calls(
+        out,
+        "bitmaskToList",
+        lambda a: (
+            f"array_join(transform({_bitmask_array(a[0])}, "
+            f"__p -> CAST(__p AS STRING)), " + _masked_lit(",") + ")"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "bitPositionsToArray",
+        lambda a: (
+            f"element_at(transform(array(CAST({a[0]} AS BIGINT)), __t -> "
+            f"filter(sequence(0, 62), "
+            f"__i -> (shiftright(__t, __i) & 1) = 1)), 1)"
+        ),
+    )
+
+    # --- misc
+    out = _rewrite_calls(out, "ignore", lambda a: "0")
+    # toTypeName reports THIS engine's type for the expression — honest
+    # introspection (Spark names, not CH names)
+    out = _rewrite_calls(out, "toTypeName", lambda a: f"typeof({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "isZeroOrNull",
+        lambda a: f"CAST(coalesce(({a[0]}) = 0, true) AS INT)",
+    )
+
+    # --- block/insertion-order-dependent family: loud, with the window
+    # rewrite each one actually wants (the deltaSum convention)
+    for _fn, _hint in (
+        ("runningDifference", "lag() over an explicit ORDER BY window"),
+        ("runningAccumulate", "sum() over an explicit ORDER BY window"),
+        ("neighbor", "lag()/lead() over an explicit ORDER BY window"),
+        ("rowNumberInAllBlocks", "row_number() over an explicit window"),
+        ("rowNumberInBlock", "row_number() over an explicit window"),
+        ("blockNumber", "row_number() over an explicit window"),
+        ("exponentialMovingAverage",
+         "avg() over an explicit RANGE window"),
+        ("groupArrayMovingSum", "sum() over a ROWS window"),
+        ("groupArrayMovingAvg", "avg() over a ROWS window"),
+        ("groupArrayLast", "collect_list() over an ordered window"),
+        ("groupArrayInsertAt",
+         "map_from_entries over an explicit position column"),
+        ("groupArraySample",
+         "a hash-threshold sample (corpus_sample_stratified's pattern)"),
+    ):
+        out = _rewrite_calls(
+            out,
+            _fn,
+            lambda a, f=_fn, h=_hint: (_ for _ in ()).throw(ValueError(
+                f"{f} depends on CH's block/insertion order "
+                f"(nondeterministic there) — rewrite with {h}"
             )),
         )
 
