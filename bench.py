@@ -95,6 +95,18 @@ def main() -> None:
 
     names = [n for n in sorted(R.QUERIES) if n not in BENCH_QUERIES]
     names += [n for n in BENCH_QUERIES if n in R.QUERIES]  # headline LAST
+    # Opt-in subset filter for scale-exploration runs (comma-separated
+    # exact names OR prefix globs like "dedup_*"). When active, the
+    # round-stamped BENCH_FULL_r* snapshot is NOT written — subset runs
+    # are scratch measurements, never driver artifacts.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        import fnmatch
+
+        pats = [p.strip() for p in only.split(",") if p.strip()]
+        names = [
+            n for n in names if any(fnmatch.fnmatch(n, p) for p in pats)
+        ]
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
@@ -176,10 +188,10 @@ def main() -> None:
         "git_sha": git_sha,
         "headline_passes": 2,
     }
-    for fname in (
-        "BENCH_FULL.json",
-        f"BENCH_FULL_r{this_round:02d}_sf{sf_val}.json",
-    ):
+    fnames = ["BENCH_FULL.json"]
+    if not only:  # subset runs never overwrite the round snapshot
+        fnames.append(f"BENCH_FULL_r{this_round:02d}_sf{sf_val}.json")
+    for fname in fnames:
         with open(os.path.join(repo, fname), "w") as fh:
             json.dump(doc, fh, indent=1, sort_keys=True)
             fh.write("\n")

@@ -3384,6 +3384,34 @@ def test_round9b_everyday_batch_execute(spark):
         ch_compat.translate(
             "SELECT makeDateTime(2024, 1, 1, 0, 0, 0, 'UTC') FROM t"
         )
+    # map lambda trio + array enumerators + contiguous containment
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT mapExists((k, v) -> v > 1, map('a', 1, 'b', 2)) AS me, "
+        "mapExists((k, v) -> v > 9, map('a', 1)) AS me0, "
+        "mapAll((k, v) -> v > 0, map('a', 1, 'b', 2)) AS ml, "
+        "mapAll((k, v) -> v > 1, map('a', 1, 'b', 2)) AS ml0, "
+        "mapApply((k, v) -> (k, v * 2), map('a', 1, 'b', 3)) AS mp2, "
+        "mapApply((k, v) -> (concat(k, '!'), v + 1), map('x', 5)) AS mpc, "
+        "arrayEnumerateUniq([10, 20, 10, 10, 20]) AS eu, "
+        "arrayEnumerateUniq(emptyArrayUInt8()) AS eu0, "
+        "arrayEnumerateDense([20, 10, 20, 30]) AS edn, "
+        "hasSubstr([1, 2, 3, 4], [2, 3]) AS hs, "
+        "hasSubstr([1, 2, 3, 4], [2, 4]) AS hs0, "
+        "hasSubstr([1, 2], []) AS hse, "
+        "hasSubstr([1], [1, 2]) AS hss",
+    ).collect()[0]
+    assert (row.me, row.me0, row.ml, row.ml0) == (1, 0, 1, 0)
+    assert row.mp2 == {"a": 2, "b": 6} and row.mpc == {"x!": 6}
+    assert row.eu == [1, 1, 2, 3, 2] and row.eu0 == []
+    assert row.edn == [1, 2, 1, 3]
+    assert (bool(row.hs), bool(row.hs0)) == (True, False)
+    assert (bool(row.hse), bool(row.hss)) == (True, False)
+    # non-literal mapApply lambdas and multi-array enumerators stay loud
+    with pytest.raises(ValueError, match="mapApply"):
+        ch_compat.translate("SELECT mapApply(f, m) FROM t")
+    with pytest.raises(ValueError, match="single-array"):
+        ch_compat.translate("SELECT arrayEnumerateUniq(a, b) FROM t")
 
 
 def test_moment_aggregates_vs_clickhouse_contract(spark):

@@ -206,7 +206,11 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   -> ``try_element_at`` (index-0-safe), ``bitTestAll/bitTestAny``,
   ``bitmaskToArray/bitmaskToList/bitPositionsToArray`` (bits 0..62),
   ``ignore`` -> 0, ``toTypeName`` -> ``typeof`` (THIS engine's names),
-  ``isZeroOrNull``; the block/insertion-order-dependent family
+  ``isZeroOrNull``, ``mapExists/mapAll`` (the user's (k, v) lambda
+  passes through verbatim via ``map_filter``), ``mapApply`` (literal
+  tuple lambdas rewritten over ``map_entries``; other shapes loud),
+  ``arrayEnumerateUniq/Dense`` (row-local prefix scans, single-array
+  forms), ``hasSubstr``; the block/insertion-order-dependent family
   (``runningDifference/runningAccumulate/neighbor/rowNumberIn*/
   blockNumber/exponentialMovingAverage/groupArrayMoving*/
   groupArrayLast/groupArrayInsertAt/groupArraySample``) stays loud
@@ -2734,6 +2738,128 @@ def translate(
             f"__i -> (shiftright(__t, __i) & 1) = 1)), 1)"
         ),
     )
+
+    # mapExists/mapAll: CH's (lambda, map) argument order; routed
+    # through map_filter so the user's (k, v) lambda passes through
+    # VERBATIM (the mapFilter convention — Spark's lambda shape is the
+    # same). 1/0 like CH's UInt8.
+    out = _rewrite_calls(
+        out,
+        "mapExists",
+        lambda a: f"CAST(size(map_filter({a[1]}, {a[0]})) > 0 AS INT)",
+    )
+    out = _rewrite_calls(
+        out,
+        "mapAll",
+        lambda a: (
+            f"element_at(transform(array({a[1]}), __m -> "
+            f"CAST(size(map_filter(__m, {a[0]})) = size(__m) AS INT)), 1)"
+        ),
+    )
+
+    # mapApply((k, v) -> (key_expr, val_expr), m): Spark has
+    # transform_keys/values but no joint entry transform — rewrite the
+    # literal tuple lambda over map_entries. The lambda vars shadow
+    # columns inside the body exactly as in CH (string literals are
+    # masked, so substitution can't touch their content); any other
+    # lambda shape stays loud.
+    def _map_apply(a):
+        if len(a) != 2:
+            raise ValueError("mapApply expects (lambda, map)")
+        m2 = re.fullmatch(
+            r"(?s)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*\((.*)\)\s*",
+            a[0],
+        )
+        body_parts = None
+        if m2:
+            depth, cut = 0, None
+            body = m2.group(3)
+            for i, c in enumerate(body):
+                if c in "([":
+                    depth += 1
+                elif c in ")]":
+                    depth -= 1
+                elif c == "," and depth == 0:
+                    cut = i
+                    break
+            if cut is not None:
+                body_parts = (body[:cut], body[cut + 1:])
+        if not m2 or body_parts is None:
+            raise ValueError(
+                "mapApply: only a literal (k, v) -> (key_expr, val_expr) "
+                "lambda is translated"
+            )
+
+        def sub(e):
+            e = re.sub(
+                rf"(?<![\w.]){re.escape(m2.group(1))}\b", "__e.key", e
+            )
+            return re.sub(
+                rf"(?<![\w.]){re.escape(m2.group(2))}\b", "__e.value", e
+            )
+
+        return (
+            f"map_from_entries(transform(map_entries({a[1]}), __e -> "
+            f"named_struct('key', {sub(body_parts[0])}, "
+            f"'value', {sub(body_parts[1])})))"
+        )
+
+    out = _rewrite_calls(out, "mapApply", _map_apply)
+
+    # arrayEnumerateUniq: occurrence counter per element (1st/2nd/...
+    # appearance of that value); arrayEnumerateDense: 1-based rank by
+    # FIRST appearance. Row-local O(n^2) prefix scans — the same budget
+    # arrayCumSum already spends (no scan HOF in Spark). The multi-array
+    # forms stay loud.
+    def _array_enumerate(which, ch_fn):
+        def build(a):
+            if len(a) != 1:
+                raise ValueError(
+                    f"{ch_fn}: only the single-array form is translated"
+                )
+            if which == "uniq":
+                per = (
+                    "transform(sequence(1, size(__a)), __i -> "
+                    "size(filter(slice(__a, 1, __i), "
+                    "__x -> __x <=> element_at(__a, __i))))"
+                )
+            else:
+                per = (
+                    "transform(__a, __x -> size(array_distinct("
+                    "slice(__a, 1, array_position(__a, __x)))))"
+                )
+            return (
+                f"element_at(transform(array({a[0]}), __a -> "
+                f"IF(size(__a) = 0, CAST(array() AS array<int>), "
+                f"{per})), 1)"
+            )
+
+        return build
+
+    out = _rewrite_calls(
+        out, "arrayEnumerateUniq", _array_enumerate("uniq", "arrayEnumerateUniq")
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayEnumerateDense",
+        _array_enumerate("dense", "arrayEnumerateDense"),
+    )
+
+    # hasSubstr: contiguous-subsequence containment (has/hasAll are the
+    # set forms); empty needle is contained everywhere like CH
+    def _has_substr(a):
+        if len(a) != 2:
+            raise ValueError("hasSubstr expects (haystack, needle) arrays")
+        return (
+            f"element_at(transform(array(named_struct('a', {a[0]}, "
+            f"'b', {a[1]})), __t -> CASE "
+            f"WHEN size(__t.b) = 0 THEN true "
+            f"WHEN size(__t.a) < size(__t.b) THEN false "
+            f"ELSE exists(sequence(1, size(__t.a) - size(__t.b) + 1), "
+            f"__i -> slice(__t.a, __i, size(__t.b)) = __t.b) END), 1)"
+        )
+
+    out = _rewrite_calls(out, "hasSubstr", _has_substr)
 
     # --- misc
     out = _rewrite_calls(out, "ignore", lambda a: "0")
