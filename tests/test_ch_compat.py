@@ -3449,6 +3449,55 @@ def test_moment_aggregates_vs_clickhouse_contract(spark):
     assert math.isfinite(r.ss)
 
 
+def test_tdigest_sketch_states(spark):
+    """quantileTDigest/quantileBFloat16 -State/-Merge: the quantile
+    histogram over log-quantized values (sign * exp(bround(ln|x|*128)/
+    128)). Bounds verified: the state stays ~128 buckets/decade where
+    the exact histogram grows with distinct count, and the merged
+    answer sits within the half-step (~0.4%) of the exact quantile —
+    approximate-for-approximate vs CH's ~1%-rank t-digest."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW td_v AS "
+        "SELECT id % 7 AS g, exp(CAST(id % 1000 AS DOUBLE) / 100.0) "
+        " * (1 + id % 13) AS x FROM range(0, 10000)"
+    )
+    got = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT quantileTDigestMerge(0.9)(s) AS p90, "
+        "quantileTDigestMerge(s) AS p50 FROM "
+        "(SELECT g, quantileTDigestState(x) AS s FROM td_v GROUP BY g)",
+    ).collect()[0]
+    ex = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT quantileExact(0.9)(x) AS p90, "
+        "quantileExact(0.5)(x) AS p50 FROM td_v",
+    ).collect()[0]
+    assert abs(got.p90 - ex.p90) / ex.p90 < 0.005
+    assert abs(got.p50 - ex.p50) / ex.p50 < 0.005
+    # bounded state: 10k distinct values over ~5.6 decades -> ~1.6k
+    # buckets (the exact histogram would hold all 10k)
+    card = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT size(quantileTDigestState(x)) AS b, "
+        "count(DISTINCT x) AS d FROM td_v",
+    ).collect()[0]
+    assert card.b < 2000 < card.d
+    # signs and zero are their own buckets; median of a symmetric set
+    # is exact
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT quantileTDigestMerge(0.5)(s) AS med FROM ("
+        "SELECT quantileBFloat16State(x) AS s FROM "
+        "VALUES (-100.0), (-1.0), (0.0), (1.0), (100.0) t(x))",
+    ).collect()
+    assert r.med == 0.0
+    # plain (non-state) tdigest forms already ride the exact percentile
+    # family
+    assert "percentile(" in ch_compat.translate(
+        "SELECT quantileTDigest(0.9)(x) FROM t"
+    )
+
+
 def test_delta_sum_timestamp(spark):
     """deltaSumTimestamp(value, ts): sum of positive deltas between
     consecutive values in TIMESTAMP order — the deterministic member of

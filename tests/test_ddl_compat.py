@@ -1077,10 +1077,12 @@ def test_aggregating_target_parse_and_spec():
     # a state type with no plain-column representation stays loud at
     # plan time (the untranslated-type path, same as any unknown CH type;
     # quantileTiming graduated to the histogram state in round 9, so the
-    # loud example is now the t-digest family)
+    # loud example is now groupBitmap — a roaring-bitmap state with no
+    # plain-column representation (the tdigest family graduated to the
+    # log-quantized histogram sketch in round 9)
     with pytest.raises(ValueError, match="untranslated CH types"):
         ddl_compat.migrate_script(
-            "CREATE TABLE t (k UInt64, q AggregateFunction(quantileTDigest, "
+            "CREATE TABLE t (k UInt64, q AggregateFunction(groupBitmap, "
             "UInt64)) ENGINE = AggregatingMergeTree() ORDER BY (k)"
         )
 
@@ -1379,6 +1381,143 @@ def test_migrated_summap_states_stream_and_match_batch(spark, tmp_path):
     for field, i in (("sm", 0), ("mn", 1), ("mx", 2)):
         pair = (list(m[field][0]), list(m[field][1]))
         assert pair == (ks, [allg[k][i] for k in ks]), field
+
+
+TDIGEST_MV_SCRIPT = """
+CREATE TABLE db.td_store (
+  day Date,
+  p90_size AggregateFunction(quantileTDigest(0.9), UInt64)
+) ENGINE = AggregatingMergeTree() ORDER BY (day);
+CREATE MATERIALIZED VIEW db.td_mv TO db.td_store AS
+SELECT toDate(execute_time) AS day,
+       quantileTDigestState(single_statement_size) AS p90_size
+FROM mysql_monitor.broker_binlog_local
+GROUP BY day
+"""
+
+#: the deterministic log quantizer the tdigest sketch state applies
+#: (written out independently here so the test derives truth through a
+#: different evaluation path than the translator's rewrite)
+_QUANTIZE_SQL = (
+    "CASE WHEN x = 0 THEN x "
+    "ELSE sign(x) * exp(bround(ln(abs(x)) * 128) / 128) END"
+)
+
+
+def test_aggregating_tdigest_state_parse_and_spec():
+    """quantileTDigest/quantileBFloat16 states are the quantile
+    histogram over LOG-QUANTIZED values — bounded on continuous domains
+    (the reason plain-histogram tdigest stayed loud through round 8);
+    keys are always double."""
+    objects, _ = ddl_compat.migrate_script(TDIGEST_MV_SCRIPT)
+    store = objects[0]
+    assert store.agg_state_columns() == {"p90_size": "quantiletdigest@0.9"}
+    assert {c.name: c.spark_type for c in store.columns} == {
+        "day": "date",
+        "p90_size": "map<double,bigint>",
+    }
+    spec = ddl_compat.mv_stream_spec(objects, "db.td_mv")
+    assert spec["state_fns"] == store.agg_state_columns()
+    assert "exp(bround(ln" in spec["select_sql"], spec["select_sql"]
+    # bfloat16 is the same sketch family
+    assert ddl_compat._agg_state(
+        "AggregateFunction(quantileBFloat16, Float32)"
+    ) == ("quantiletdigest@0.5", "map<double,bigint>")
+    # date/timestamp keys have no log quantization: loud
+    assert ddl_compat._agg_state(
+        "AggregateFunction(quantileTDigest, DateTime)"
+    ) is None
+
+
+def test_migrated_tdigest_state_streams_and_matches_batch(spark, tmp_path):
+    """The tdigest sketch state streams in multi-epoch chunks and equals
+    the batch truth over quantized values EXACTLY (quantization is
+    deterministic, so the sketch path is replay- and partition-stable
+    even though it approximates the true quantile); replay republishes
+    the identical snapshot; the finalized read sits within the
+    sketch's documented half-step bound (~0.4%) of the exact p90."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import rollup_job
+
+    objects, _ = ddl_compat.migrate_script(TDIGEST_MV_SCRIPT)
+    spec = ddl_compat.mv_stream_spec(objects, "db.td_mv")
+
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    src = str(tmp_path / "src")
+    binlog.write.parquet(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(binlog.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = rollup_job.run_mv_rollup_stream(
+            stream, spec["select_sql"], store, ckpt,
+            keys=spec["keys"], metrics=spec["metrics"],
+            state_fns=spec["state_fns"],
+            source_view=spec["source_view"], available_now=True,
+        )
+        q.awaitTermination(180)
+
+    def snap():
+        return {
+            str(r.day): r.p90_size
+            for r in rollup_job.read_agg_rollup(
+                spark, store, spec["state_fns"]
+            ).collect()
+        }
+
+    run()
+    got = snap()
+    binlog.createOrReplaceTempView("btd")
+    # batch truth: quantileExact's floor(level·n)+1 ranking over the
+    # sorted multiset of QUANTIZED values (the sketch's contract)
+    want = {
+        str(r.day): r.p90
+        for r in spark.sql(
+            "SELECT day, element_at(sort_array(collect_list(q)), "
+            " CAST(least(floor(0.9 * count(*)) + 1, count(*)) AS INT)) "
+            " AS p90 FROM ("
+            f"  SELECT to_date(execute_time) AS day, {_QUANTIZE_SQL} AS q"
+            "   FROM (SELECT execute_time, "
+            "         CAST(single_statement_size AS DOUBLE) AS x FROM btd)"
+            ") GROUP BY day"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    run()  # replay on the same checkpoint: identical snapshot
+    assert snap() == got
+
+    # the sketch answer sits within the half-step bound of the exact p90
+    exact = {
+        str(r.day): r.p90
+        for r in spark.sql(
+            "SELECT to_date(execute_time) AS day, "
+            "element_at(sort_array(collect_list(single_statement_size)), "
+            " CAST(least(floor(0.9 * count(*)) + 1, count(*)) AS INT)) "
+            " AS p90 FROM btd GROUP BY day"
+        ).collect()
+    }
+    for day, e in exact.items():
+        assert abs(got[day] - e) / e < 0.005, (day, got[day], e)
+
+    # -Merge READ at the all-days grain through the translator equals
+    # the same quantized-truth derivation at that grain
+    rollup_job.read_rollup(spark, store).createOrReplaceTempView("td_store")
+    [m] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT quantileTDigestMerge(0.9)(p90_size) AS p90 FROM td_store",
+    ).collect()
+    [w] = spark.sql(
+        "SELECT element_at(sort_array(collect_list(q)), "
+        " CAST(least(floor(0.9 * count(*)) + 1, count(*)) AS INT)) AS p90 "
+        f"FROM (SELECT {_QUANTIZE_SQL} AS q FROM "
+        "(SELECT CAST(single_statement_size AS DOUBLE) AS x FROM btd))"
+    ).collect()
+    assert m.p90 == w.p90
 
 
 def test_migrated_aggregating_mv_streams_and_matches_batch(spark, tmp_path):

@@ -3373,10 +3373,12 @@ def translate(
     # quantile/quantileExact/quantileTiming family (state = value→count
     # histogram map; merge sums counts; -Merge finalizes with
     # quantileExact's floor(level·n) indexing), groupUniqArray (state =
-    # the deduped array), and sumMap/minMap/maxMap (state = the
-    # key→aggregated-value map, merged key-wise). Other -State types
-    # (quantileTDigest, ...) have no plain-column representation and
-    # stay loud.
+    # the deduped array), sumMap/minMap/maxMap (state = the
+    # key→aggregated-value map, merged key-wise), and quantileTDigest/
+    # quantileBFloat16 (the same histogram over log-quantized values —
+    # bounded, see the sketch-state block below). Other -State types
+    # (groupBitmap, the statistical-test family, ...) have no
+    # plain-column representation and stay loud.
     def _one_arg_state(spark_tpl, ch_fn):
         def build(a):
             if len(a) != 1:
@@ -3583,6 +3585,40 @@ def translate(
 
     for _qfn in ("quantileExact", "quantileTiming", "quantile"):
         out = _rewrite_opt_parametric(out, f"{_qfn}State", _quantile_state)
+        out = _rewrite_opt_parametric(out, f"{_qfn}Merge", _quantile_merge)
+
+    # quantileTDigest/quantileBFloat16 states: CH's BOUNDED quantile
+    # sketches. The state here is the same value→count histogram, but
+    # over LOG-QUANTIZED values — sign * exp(bround(ln|x| * 128) / 128),
+    # a value-relative step of e^(1/128) ≈ 0.78% (the bucket
+    # REPRESENTATIVE is the key itself, so identical values land on
+    # identical keys across blocks and the histogram merge stays exact;
+    # 0/NaN/Inf pass through as their own buckets). Bounded at ~128
+    # buckets per decade on continuous domains where the exact histogram
+    # would grow with distinct count — approximate-for-approximate vs
+    # CH's ~1%-rank t-digest / 8-bit-mantissa bfloat16, the uniq→HLL
+    # rationale. Merge and finalize are the shared histogram machinery
+    # (a sketch state merges with ITS OWN family only, exactly as in CH
+    # where tdigest and plain quantile states are distinct types).
+    def _log_quantize(x):
+        return (
+            f"element_at(transform(array(CAST({x} AS DOUBLE)), __q -> "
+            f"CASE WHEN __q = 0 OR isnan(__q) OR "
+            f"abs(__q) = double('Infinity') THEN __q "
+            f"ELSE sign(__q) * exp(bround(ln(abs(__q)) * 128) / 128) "
+            f"END), 1)"
+        )
+
+    def _sketch_state(params, args):
+        if len(args) != 1:
+            raise ValueError(
+                "quantileTDigest/quantileBFloat16 State expects exactly "
+                "one argument"
+            )
+        return _quantile_state(params, [_log_quantize(args[0])])
+
+    for _qfn in ("quantileTDigest", "quantileBFloat16"):
+        out = _rewrite_opt_parametric(out, f"{_qfn}State", _sketch_state)
         out = _rewrite_opt_parametric(out, f"{_qfn}Merge", _quantile_merge)
     # finalizeAggregation over our plain-column states: sum/max/min/count
     # states are already final values; avg/uniq need their row-local

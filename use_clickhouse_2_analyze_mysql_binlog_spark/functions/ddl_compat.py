@@ -136,8 +136,9 @@ _HLL_TYPES = {"int", "bigint", "string", "binary"}
 def _agg_state(ch_type: str) -> tuple[str, str] | None:
     """Map ``AggregateFunction(fn[, T])`` / ``SimpleAggregateFunction`` to
     ``(fn, spark_state_type)``, or None when the state has no plain-column
-    representation (quantileTDigest, ... stay loud through
-    the untranslated-type path). States: sum/max/min/count ARE the running
+    representation (groupBitmap, the statistical-test family, ... stay
+    loud through the untranslated-type path). States: sum/max/min/count
+    ARE the running
     value (integral sums widen to bigint like CH's UInt64 accumulators),
     avg is struct<sum,cnt>, uniq a Datasketches HLL sketch (binary —
     approximate-for-approximate vs CH's own HLL-class uniq). Round 9
@@ -209,10 +210,26 @@ def _agg_state(ch_type: str) -> tuple[str, str] | None:
         return ("grouparray", f"array<{arg_spark}>")
     if fn == "groupuniqarray":
         return ("groupuniqarray", f"array<{arg_spark}>")
-    if fn in ("quantile", "quantileexact", "quantiletiming"):
+    if fn in (
+        "quantile", "quantileexact", "quantiletiming", "quantiletdigest",
+        "quantilebfloat16",
+    ):
         # CH's quantile family takes numeric/date/datetime input; other
         # key types (strings, nested) stay loud through the
-        # untranslated-type path
+        # untranslated-type path. quantileTDigest/quantileBFloat16 are
+        # CH's bounded sketches — here the state is the same value→count
+        # histogram but over LOG-QUANTIZED values (ch_compat's -State
+        # rewrite applies the quantizer; representative keys are always
+        # double), so the state stays bounded (~128 buckets/decade,
+        # value-relative error <= ~0.4%) on continuous domains where the
+        # exact histogram would grow with distinct count —
+        # approximate-for-approximate, the uniq→HLL rationale. Merge and
+        # finalize are the shared histogram machinery.
+        sketch = fn in ("quantiletdigest", "quantilebfloat16")
+        if sketch and arg_spark not in (
+            "int", "bigint", "float", "double",
+        ):
+            return None  # log quantization needs plain numerics
         if arg_spark not in (
             "int", "bigint", "float", "double", "date", "timestamp",
         ):
@@ -223,6 +240,8 @@ def _agg_state(ch_type: str) -> tuple[str, str] | None:
             return None
         if not 0.0 <= level <= 1.0:
             return None
+        if sketch:
+            return (f"quantiletdigest@{level}", "map<double,bigint>")
         return (f"quantile@{level}", f"map<{arg_spark},bigint>")
     return None
 

@@ -81,6 +81,11 @@ AGG_STATE_FNS = (
     # map<T,bigint> (merge = count-wise map sum, finalize = quantileExact
     # floor(level·n) indexing)
     "grouparray", "groupuniqarray", "quantile@<level>",
+    # quantileTDigest/quantileBFloat16 states are the SAME histogram but
+    # over log-quantized values (the -State producer quantizes; merge
+    # and finalize are shared) — bounded on continuous domains,
+    # value-relative error <= ~0.4%
+    "quantiletdigest@<level>",
     # sumMap/minMap/maxMap states are the key→aggregated-value map
     # (merge = key-wise sum / min / max; finalize = CH's sumMap return
     # shape, a struct of sorted keys + their values)
@@ -244,7 +249,9 @@ def finalize_agg_states(df: DataFrame, state_fns: dict[str, str]) -> DataFrame:
             cols.append(
                 F.hll_sketch_estimate(F.col(name)).cast("long").alias(name)
             )
-        elif fn is not None and fn.startswith("quantile@"):
+        elif fn is not None and fn.startswith(
+            ("quantile@", "quantiletdigest@")
+        ):
             level = float(fn.split("@", 1)[1])
             cols.append(
                 F.expr(
