@@ -3335,6 +3335,15 @@ def test_round9b_everyday_batch_execute(spark):
     ).collect()[0]
     assert (row.tn, row.t2, row.e10) == (-2.0, 123.45, 100.0)
     assert (row.rd, row.ra) == (60, 25)
+    # NULL propagates through the breakpoint rounders (the CASE chains
+    # would otherwise fall into the ELSE arm and answer the top bucket)
+    [rn] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT roundDuration(CAST(NULL AS INT)) AS rd, "
+        "roundAge(CAST(NULL AS INT)) AS ra, "
+        "trunc(CAST(NULL AS DOUBLE)) AS tn",
+    ).collect()
+    assert (rn.rd, rn.ra, rn.tn) == (None, None, None)
     assert str(row.md) == "2024-02-29" and str(row.md2) == "2024-02-29"
     assert str(row.mdt) == "2024-02-29 10:30:15"
     assert row.iy == 2020 and str(row.siy) == "2019-12-30"

@@ -915,3 +915,73 @@ def test_cli_migrate_ddl_stream_r9_states(spark, tmp_path, capsys):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cli_migrate_ddl_stream_r9b_states(spark, tmp_path, capsys):
+    """migrate-ddl --stream on an Aggregating MV with the late-round-9
+    state types (sumMap key→sum map + quantileTDigest log-quantized
+    histogram): the CLI derives the fn tokens from the DDL types,
+    streams state snapshots, and the finalized read equals the
+    independently-derived batch truth EXACTLY (sumMap sums are exact;
+    the tdigest read equals the quantized-multiset quantile because the
+    quantizer is deterministic)."""
+    script = tmp_path / "setup.sql"
+    script.write_text(
+        "CREATE TABLE db.q9b (day Date, "
+        "type_sum AggregateFunction(sumMap, Array(UInt8), Array(UInt64)), "
+        "p90 AggregateFunction(quantileTDigest(0.9), UInt64)) "
+        "ENGINE = AggregatingMergeTree() ORDER BY (day);\n"
+        "CREATE MATERIALIZED VIEW db.q9b_mv TO db.q9b AS SELECT "
+        "toDate(execute_time) AS day, "
+        "sumMapState(array(binlog_pos % 3), array(single_statement_size)) "
+        "AS type_sum, "
+        "quantileTDigestState(single_statement_size) AS p90 "
+        "FROM mysql_monitor.broker_binlog_local GROUP BY day\n",
+        encoding="utf-8",
+    )
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    src = str(tmp_path / "fact")
+    binlog.write.parquet(src)
+    out = tmp_path / "stores"
+    rc = cli.main([
+        "migrate-ddl", str(script), "--stream", "db.q9b_mv",
+        "--source", src, "--checkpoint", str(tmp_path / "ckpt"),
+        "--output-dir", str(out), "--available-now",
+    ])
+    assert rc == 0 and "streaming db.q9b_mv" in capsys.readouterr().out
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import rollup_job
+
+    got = {
+        str(r.day): ((list(r.type_sum[0]), list(r.type_sum[1])), r.p90)
+        for r in rollup_job.read_agg_rollup(
+            spark, str(out / "q9b_mv"),
+            {"type_sum": "summap", "p90": "quantiletdigest@0.9"},
+        ).collect()
+    }
+    binlog.createOrReplaceTempView("b9b")
+    per_day: dict = {}
+    for r in spark.sql(
+        "SELECT to_date(execute_time) AS day, binlog_pos % 3 AS kk, "
+        "CAST(sum(single_statement_size) AS BIGINT) AS s "
+        "FROM b9b GROUP BY day, kk"
+    ).collect():
+        per_day.setdefault(str(r.day), {})[r.kk] = r.s
+    p90 = {
+        str(r.day): r.p90
+        for r in spark.sql(
+            "SELECT day, element_at(sort_array(collect_list(q)), "
+            " CAST(least(floor(0.9 * count(*)) + 1, count(*)) AS INT)) "
+            " AS p90 "
+            "FROM (SELECT to_date(execute_time) AS day, "
+            " CASE WHEN x = 0 THEN x ELSE sign(x) * "
+            " exp(bround(ln(abs(x)) * 128) / 128) END AS q "
+            " FROM (SELECT execute_time, "
+            "  CAST(single_statement_size AS DOUBLE) AS x FROM b9b)) "
+            "GROUP BY day"
+        ).collect()
+    }
+    want = {
+        day: ((sorted(d), [d[k] for k in sorted(d)]), p90[day])
+        for day, d in per_day.items()
+    }
+    assert got == want and len(got) > 0

@@ -2299,11 +2299,15 @@ def translate(
         1, 10, 30, 60, 120, 180, 240, 300, 600,
         1200, 1800, 3600, 7200, 18000, 36000,
     )
+    # NULL leads the CASE chains: every WHEN is NULL on NULL input, so
+    # without the guard the ELSE arm would silently answer the top
+    # bucket where CH propagates NULL
     out = _rewrite_calls(
         out,
         "roundDuration",
         lambda a: (
             f"element_at(transform(array({a[0]}), __t -> CASE"
+            " WHEN __t IS NULL THEN CAST(NULL AS INT)"
             " WHEN __t < 1 THEN 0"
             + "".join(
                 f" WHEN __t < {hi} THEN {lo}"
@@ -2317,6 +2321,7 @@ def translate(
         "roundAge",
         lambda a: (
             f"element_at(transform(array({a[0]}), __t -> CASE "
+            "WHEN __t IS NULL THEN CAST(NULL AS INT) "
             "WHEN __t < 1 THEN 0 WHEN __t < 18 THEN 17 "
             "WHEN __t < 25 THEN 18 WHEN __t < 35 THEN 25 "
             "WHEN __t < 45 THEN 35 WHEN __t < 55 THEN 45 "
