@@ -2299,12 +2299,12 @@ def test_round7_batch2_translation_text():
     assert t("toDateTimeOrNull(s)") == "try_cast(s AS timestamp)"
     assert t("toDecimal64(x, 2)") == "CAST(x AS decimal(18, 2))"
     # URL family
-    assert t("domain(u)") == "parse_url(u, 'HOST')"
-    assert t("protocol(u)") == "parse_url(u, 'PROTOCOL')"
-    assert t("pathFull(u)") == "parse_url(u, 'FILE')"
-    assert t("queryString(u)") == "parse_url(u, 'QUERY')"
-    assert t("fragment(u)") == "parse_url(u, 'REF')"
-    assert t("extractURLParameter(u, 'y')") == "parse_url(u, 'QUERY', 'y')"
+    assert t("domain(u)") == "try_parse_url(u, 'HOST')"
+    assert t("protocol(u)") == "try_parse_url(u, 'PROTOCOL')"
+    assert t("pathFull(u)") == "try_parse_url(u, 'FILE')"
+    assert t("queryString(u)") == "try_parse_url(u, 'QUERY')"
+    assert t("fragment(u)") == "try_parse_url(u, 'REF')"
+    assert t("extractURLParameter(u, 'y')") == "try_parse_url(u, 'QUERY', 'y')"
     assert t("decodeURLComponent(s)") == "url_decode(s)"
     # date_add function forms: bare and quoted unit, INTERVAL form,
     # Spark's own 2-arg days form untouched
@@ -3421,6 +3421,28 @@ def test_round9b_everyday_batch_execute(spark):
         ch_compat.translate("SELECT mapApply(f, m) FROM t")
     with pytest.raises(ValueError, match="single-array"):
         ch_compat.translate("SELECT arrayEnumerateUniq(a, b) FROM t")
+    # firstSignificantSubdomain pair (effective-TLD shortlist,
+    # COVERAGE.md narrowing) and the URL family's restored
+    # NULL-on-invalid contract (Spark 4 ANSI parse_url THROWS on
+    # malformed input; try_parse_url keeps the documented behavior)
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT "
+        "firstSignificantSubdomain('https://news.clickhouse.com.tr/') "
+        " AS f1, "
+        "firstSignificantSubdomain('http://a.b.example.com') AS f2, "
+        "firstSignificantSubdomain('http://localhost/x') AS f3, "
+        "cutToFirstSignificantSubdomain("
+        "'https://news.clickhouse.com.tr/') AS c1, "
+        "cutToFirstSignificantSubdomain("
+        "'http://www.tr.example.com/a?b=1') AS c2, "
+        "domain('not a url') AS d0, "
+        "topLevelDomain('not a url') AS t0, "
+        "extractURLParameters('not a url') AS u0",
+    ).collect()[0]
+    assert (row.f1, row.f2, row.f3) == ("clickhouse", "example", "")
+    assert (row.c1, row.c2) == ("clickhouse.com.tr", "example.com")
+    assert row.d0 is None and row.t0 == "" and row.u0 == []
 
 
 def test_moment_aggregates_vs_clickhouse_contract(spark):

@@ -210,7 +210,12 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   passes through verbatim via ``map_filter``), ``mapApply`` (literal
   tuple lambdas rewritten over ``map_entries``; other shapes loud),
   ``arrayEnumerateUniq/Dense`` (row-local prefix scans, single-array
-  forms), ``hasSubstr``; the block/insertion-order-dependent family
+  forms), ``hasSubstr``, ``firstSignificantSubdomain/
+  cutToFirstSignificantSubdomain`` (effective-TLD shortlist — CH
+  embeds a full public-suffix list, documented narrowing), the whole
+  URL family moved to ``try_parse_url`` (Spark 4 ANSI ``parse_url``
+  THROWS on malformed input, silently breaking the documented
+  NULL-on-invalid contract); the block/insertion-order-dependent family
   (``runningDifference/runningAccumulate/neighbor/rowNumberIn*/
   blockNumber/exponentialMovingAverage/groupArrayMoving*/
   groupArrayLast/groupArrayInsertAt/groupArraySample``) stays loud
@@ -2117,7 +2122,7 @@ def translate(
     out = _rewrite_calls(
         out,
         "netloc",
-        lambda a: f"parse_url({a[0]}, " + _masked_lit("AUTHORITY") + ")",
+        lambda a: f"try_parse_url({a[0]}, " + _masked_lit("AUTHORITY") + ")",
     )
     # cutQueryString keeps the fragment (CH has the AndFragment variant
     # for the combined cut); cutFragment cuts '#' to end
@@ -2607,7 +2612,7 @@ def translate(
         dot = _masked_lit("[.]")
         digits = _masked_lit("^[0-9]+$")
         return (
-            f"element_at(transform(array(parse_url({a[0]}, 'HOST')), "
+            f"element_at(transform(array(try_parse_url({a[0]}, 'HOST')), "
             f"__h -> CASE WHEN __h IS NULL THEN '' "
             f"WHEN element_at(split(__h, {dot}), -1) RLIKE {digits} "
             f"THEN '' "
@@ -2619,7 +2624,7 @@ def translate(
         out,
         "extractURLParameters",
         lambda a: (
-            f"element_at(transform(array(parse_url({a[0]}, 'QUERY')), "
+            f"element_at(transform(array(try_parse_url({a[0]}, 'QUERY')), "
             f"__q -> IF(__q IS NULL OR __q = '', array(), "
             f"split(__q, " + _masked_lit("[&]") + "))), 1)"
         ),
@@ -2628,7 +2633,7 @@ def translate(
         out,
         "extractURLParameterNames",
         lambda a: (
-            f"element_at(transform(array(parse_url({a[0]}, 'QUERY')), "
+            f"element_at(transform(array(try_parse_url({a[0]}, 'QUERY')), "
             f"__q -> IF(__q IS NULL OR __q = '', array(), "
             f"transform(split(__q, " + _masked_lit("[&]") + "), "
             f"__kv -> split_part(__kv, " + _masked_lit("=") + ", 1)))), 1)"
@@ -2639,12 +2644,56 @@ def translate(
         "queryStringAndFragment",
         lambda a: (
             f"element_at(transform(array(named_struct("
-            f"'q', parse_url({a[0]}, 'QUERY'), "
-            f"'r', parse_url({a[0]}, 'REF'))), __t -> "
+            f"'q', try_parse_url({a[0]}, 'QUERY'), "
+            f"'r', try_parse_url({a[0]}, 'REF'))), __t -> "
             f"concat(coalesce(__t.q, ''), "
             f"IF(__t.r IS NULL, '', concat(" + _masked_lit("#")
             + ", __t.r)))), 1)"
         ),
+    )
+
+    # firstSignificantSubdomain / cutToFirstSignificantSubdomain: the
+    # label before the EFFECTIVE TLD, where the effective TLD is the
+    # last host label — or the last TWO when they form <shortlist>.<cc>
+    # (2-letter country code after com/net/org/...). CH embeds a full
+    # public-suffix list; this shortlist covers the everyday cases and
+    # the delta is documented in COVERAGE.md.
+    _SLD_SHORTLIST = (
+        "'com', 'net', 'org', 'co', 'gov', 'edu', 'mil', 'biz', 'info'"
+    )
+
+    def _first_significant(cut, ch_fn):
+        def build(a):
+            dot = _masked_lit("[.]")
+            two_level = (
+                f"size(__l) >= 3 AND length(element_at(__l, -1)) = 2 "
+                f"AND element_at(__l, -2) IN ({_SLD_SHORTLIST})"
+            )
+            if cut:  # keep significant..end, re-joined with dots
+                deep = "array_join(slice(__l, size(__l) - 2, 3), '.')"
+                flat = "array_join(slice(__l, size(__l) - 1, 2), '.')"
+            else:
+                deep = "element_at(__l, -3)"
+                flat = "element_at(__l, -2)"
+            return (
+                f"element_at(transform(array(split(coalesce("
+                f"try_parse_url({a[0]}, 'HOST'), ''), {dot})), __l -> "
+                f"CASE WHEN size(__l) < 2 THEN '' "
+                f"WHEN {two_level} THEN {deep} "
+                f"ELSE {flat} END), 1)"
+            )
+
+        return build
+
+    out = _rewrite_calls(
+        out,
+        "cutToFirstSignificantSubdomain",
+        _first_significant(True, "cutToFirstSignificantSubdomain"),
+    )
+    out = _rewrite_calls(
+        out,
+        "firstSignificantSubdomain",
+        _first_significant(False, "firstSignificantSubdomain"),
     )
 
     # --- maps
@@ -4985,28 +5034,31 @@ def translate(
             out, _fn,
             lambda a, p=_prec: f"cast({a[0]} AS decimal({p}, {a[1]}))",
         )
-    # URL family -> parse_url. Narrowing: CH's parsers accept scheme-less
-    # URLs (best-effort host/path extraction); parse_url wants an
-    # absolute URL and yields NULL otherwise — valid absolute URLs
-    # behave identically. pathFull (path + query string) is parse_url's
-    # FILE part; fragment is REF.
+    # URL family -> try_parse_url (round 9: plain parse_url THROWS on
+    # malformed input under Spark 4 ANSI, which silently broke the
+    # documented NULL-on-invalid contract below — try_parse_url restores
+    # it). Narrowing: CH's parsers accept scheme-less URLs (best-effort
+    # host/path extraction) and answer '' on garbage; try_parse_url
+    # wants an absolute URL and yields NULL otherwise — valid absolute
+    # URLs behave identically. pathFull (path + query string) is
+    # parse_url's FILE part; fragment is REF.
     for _ch, _part in (
         ("protocol", "PROTOCOL"), ("domain", "HOST"), ("path", "PATH"),
         ("pathFull", "FILE"), ("queryString", "QUERY"),
         ("fragment", "REF"),
     ):
         out = _rewrite_calls(
-            out, _ch, lambda a, p=_part: f"parse_url({a[0]}, '{p}')"
+            out, _ch, lambda a, p=_part: f"try_parse_url({a[0]}, '{p}')"
         )
     out = _rewrite_calls(
         out, "domainWithoutWWW",
         lambda a: (
-            f"regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', '')"
+            f"regexp_replace(try_parse_url({a[0]}, 'HOST'), '^www\\\\.', '')"
         ),
     )
     out = _rewrite_calls(
         out, "extractURLParameter",
-        lambda a: f"parse_url({a[0]}, 'QUERY', {a[1]})",
+        lambda a: f"try_parse_url({a[0]}, 'QUERY', {a[1]})",
     )
     out = _rewrite_calls(
         out, "decodeURLComponent", lambda a: f"url_decode({a[0]})"
