@@ -396,3 +396,39 @@ def test_mutation_scans_prune_partitions(spark, tmp_path):
     )
     seg = plan2.split("PartitionFilters")[1][:400]
     assert "2024-01-03" in seg and "2024-01-04" in seg, plan2
+
+
+def test_map_state_merge_single_shuffle(spark):
+    """agg_state_merge over the round-9 map states (sumMap key→sum map,
+    quantileTDigest log-quantized histogram): ONE shuffle with partial +
+    final ObjectHashAggregate — the same single-exchange scale shape as
+    the Summing merge, even though the merge exprs are collect_list
+    folds (collect_list is a TypedImperativeAggregate, so the partial
+    side still combines map-side)."""
+    from pyspark.sql import functions as F
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import rollups
+
+    partials = spark.range(0, 1000).select(
+        (F.col("id") % 5).alias("k"),
+        F.create_map(
+            (F.col("id") % 3).cast("int"), F.col("id")
+        ).alias("m"),
+        F.create_map(
+            F.col("id").cast("double"), F.lit(1).cast("bigint")
+        ).alias("q"),
+    )
+    merged = rollups.agg_state_merge(
+        partials, ["k"], {"m": "summap", "q": "quantiletdigest@0.9"}
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("ObjectHashAggregate") == 2, plan
+    assert "partial_collect_list" in plan, plan
+    # and the fold is right: per k, sum of id per (id % 3) bucket
+    want: dict = {}
+    for i in range(1000):
+        want.setdefault(i % 5, {}).setdefault(i % 3, 0)
+        want[i % 5][i % 3] += i
+    got = {r.k: dict(r.m) for r in merged.collect()}
+    assert got == want
