@@ -3443,6 +3443,27 @@ def test_round9b_everyday_batch_execute(spark):
     assert (row.f1, row.f2, row.f3) == ("clickhouse", "example", "")
     assert (row.c1, row.c2) == ("clickhouse.com.tr", "example.com")
     assert row.d0 is None and row.t0 == "" and row.u0 == []
+    # hierarchies, lenient base64, regexp splitter
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT URLPathHierarchy('https://example.com/a/b/c?q=1') AS ph, "
+        "URLPathHierarchy('https://example.com/') AS ph0, "
+        "URLHierarchy('https://example.com/browse/x?q=1') AS uh, "
+        "URLHierarchy('garbage') AS uh0, "
+        "tryBase64Decode('aGk=') AS b1, tryBase64Decode('!!!') AS b0, "
+        "tryBase64Decode(CAST(NULL AS STRING)) AS bn, "
+        "splitByRegexp('[0-9]+', 'abc1def22g') AS sr, "
+        "splitByRegexp('[0-9]', '1a1') AS sre",
+    ).collect()[0]
+    assert row.ph == ["/a/", "/a/b/", "/a/b/c?q=1"] and row.ph0 == []
+    assert row.uh == [
+        "https://example.com/",
+        "https://example.com/browse/",
+        "https://example.com/browse/x?q=1",
+    ]
+    assert row.uh0 == []
+    assert (row.b1, row.b0, row.bn) == ("hi", "", None)
+    assert row.sr == ["abc", "def", "g"] and row.sre == ["", "a", ""]
 
 
 def test_moment_aggregates_vs_clickhouse_contract(spark):

@@ -215,7 +215,10 @@ onto Spark SQL equivalents that stay entirely JVM-side:
   embeds a full public-suffix list, documented narrowing), the whole
   URL family moved to ``try_parse_url`` (Spark 4 ANSI ``parse_url``
   THROWS on malformed input, silently breaking the documented
-  NULL-on-invalid contract); the block/insertion-order-dependent family
+  NULL-on-invalid contract), ``URLHierarchy/URLPathHierarchy``
+  (cumulative prefixes; last entry carries query+fragment),
+  ``tryBase64Decode`` ('' on malformed like CH), ``splitByRegexp``;
+  the block/insertion-order-dependent family
   (``runningDifference/runningAccumulate/neighbor/rowNumberIn*/
   blockNumber/exponentialMovingAverage/groupArrayMoving*/
   groupArrayLast/groupArrayInsertAt/groupArraySample``) stays loud
@@ -2651,6 +2654,64 @@ def translate(
             + ", __t.r)))), 1)"
         ),
     )
+
+    # tryBase64Decode: '' on malformed input (CH's contract), NULL in /
+    # NULL out; the strict base64Decode throws in both engines
+    out = _rewrite_calls(
+        out,
+        "tryBase64Decode",
+        lambda a: (
+            f"element_at(transform(array({a[0]}), __b -> "
+            f"IF(__b IS NULL, NULL, coalesce("
+            f"CAST(try_to_binary(__b, 'base64') AS STRING), ''))), 1)"
+        ),
+    )
+    # splitByRegexp(re, s) -> split(s, re, -1): both keep empty tokens
+    # at separator boundaries (limit -1 keeps Spark's trailing empties)
+    out = _rewrite_calls(
+        out, "splitByRegexp", lambda a: f"split({a[1]}, {a[0]}, -1)"
+    )
+
+    # URLPathHierarchy: cumulative path prefixes — every intermediate
+    # entry closes with '/', the LAST entry is the full path+query+
+    # fragment remainder; URLHierarchy is the same list prefixed with
+    # protocol://authority, led by protocol://authority/ .
+    def _url_path_hierarchy(u):
+        file_part = (
+            f"concat(coalesce(try_parse_url({u}, 'FILE'), ''), "
+            f"CASE WHEN try_parse_url({u}, 'REF') IS NULL THEN '' "
+            f"ELSE concat('#', try_parse_url({u}, 'REF')) END)"
+        )
+        path = f"coalesce(try_parse_url({u}, 'PATH'), '')"
+        return (
+            f"element_at(transform(array(named_struct("
+            f"'f', {file_part}, "
+            f"'s', filter(split({path}, '/'), __x -> __x != ''))), "
+            f"__t -> IF(size(__t.s) = 0, CAST(array() AS array<string>), "
+            f"transform(sequence(1, size(__t.s)), __i -> "
+            f"IF(__i < size(__t.s), "
+            f"concat('/', array_join(slice(__t.s, 1, __i), '/'), '/'), "
+            f"__t.f)))), 1)"
+        )
+
+    out = _rewrite_calls(
+        out, "URLPathHierarchy", lambda a: _url_path_hierarchy(a[0])
+    )
+
+    def _url_hierarchy(a):
+        base = (
+            f"concat(coalesce(try_parse_url({a[0]}, 'PROTOCOL'), ''), "
+            f"'://', coalesce(try_parse_url({a[0]}, 'AUTHORITY'), ''))"
+        )
+        return (
+            f"IF(try_parse_url({a[0]}, 'HOST') IS NULL, "
+            f"CAST(array() AS array<string>), "
+            f"concat(array(concat({base}, '/')), "
+            f"transform({_url_path_hierarchy(a[0])}, "
+            f"__p -> concat({base}, __p))))"
+        )
+
+    out = _rewrite_calls(out, "URLHierarchy", _url_hierarchy)
 
     # firstSignificantSubdomain / cutToFirstSignificantSubdomain: the
     # label before the EFFECTIVE TLD, where the effective TLD is the
