@@ -3464,6 +3464,14 @@ def test_round9b_everyday_batch_execute(spark):
     assert row.uh0 == []
     assert (row.b1, row.b0, row.bn) == ("hi", "", None)
     assert row.sr == ["abc", "def", "g"] and row.sre == ["", "a", ""]
+    # stringJaccardIndex: CH's own doc example + disjoint + empty
+    [rj] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT stringJaccardIndex('clickhouse', 'mouse') AS j1, "
+        "stringJaccardIndex('abc', 'xyz') AS j0, "
+        "stringJaccardIndex('', '') AS je",
+    ).collect()
+    assert (rj.j1, rj.j0, rj.je) == (0.4, 0.0, 0.0)
 
 
 def test_moment_aggregates_vs_clickhouse_contract(spark):

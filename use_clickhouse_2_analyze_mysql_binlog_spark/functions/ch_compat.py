@@ -2671,6 +2671,23 @@ def translate(
     out = _rewrite_calls(
         out, "splitByRegexp", lambda a: f"split({a[1]}, {a[0]}, -1)"
     )
+    # stringJaccardIndex: |A∩B| / |A∪B| over the strings' symbol sets.
+    # CH sets are BYTES; Spark splits to CHARACTERS — identical for
+    # ASCII (matches CH's own doc example: ('clickhouse','mouse') =
+    # 0.4), multi-byte text diverges (documented in COVERAGE.md). Both
+    # empty -> 0.0.
+    out = _rewrite_calls(
+        out,
+        "stringJaccardIndex",
+        lambda a: (
+            f"element_at(transform(array(named_struct("
+            f"'a', filter(split({a[0]}, ''), __x -> __x != ''), "
+            f"'b', filter(split({a[1]}, ''), __x -> __x != ''))), __t -> "
+            f"IF(size(array_union(__t.a, __t.b)) = 0, CAST(0 AS DOUBLE), "
+            f"CAST(size(array_intersect(__t.a, __t.b)) AS DOUBLE) / "
+            f"size(array_union(__t.a, __t.b)))), 1)"
+        ),
+    )
 
     # URLPathHierarchy: cumulative path prefixes — every intermediate
     # entry closes with '/', the LAST entry is the full path+query+
