@@ -11,19 +11,31 @@ reproducible, VERDICT r08 next #4/#8):
   100 TB shape); timestamps unchanged so date-grain rollup keys keep
   their cardinality (rollup output stays fixed while input grows 10x —
   the aggregation-pressure case).
-- ``documents``: doc_id offset; replicas r>0 get a short text suffix, so
-  interior shingles stay shared and every doc becomes an r-variant
-  near-dup cluster. Exact pair queries' OUTPUT therefore legitimately
-  grows ~quadratically in the replica count (the r08 note: flat
-  per-pair cost; the banded/bucketed paths emit the same pairs at a
-  fraction of the exact path's time) while df-count/line-dedup scale
-  linearly.
-- ``embeddings``: vec_id offset; replica r adds a TINY bump (0.01 on a
-  unit sphere) to dimension ``r % dim`` and re-normalizes — neighbor
+- ``documents`` has two modes (``--doc-mode``, VERDICT r09 next #5):
+  * ``variants`` (the r08/r09 methodology): replicas r>0 get a short
+    text suffix, so interior shingles stay shared and every doc becomes
+    an r-variant near-dup cluster. Exact pair queries' OUTPUT therefore
+    grows ~quadratically in the replica count — fine at 10x, but at
+    100x it turns every pair query output-quadratic, which real corpora
+    (whose dup-cluster size does NOT grow with corpus size) don't do.
+  * ``distinct`` (dup-structure-preserving): replica r>0 suffixes EVERY
+    whitespace token with ``·r{r}``. Within a replica, token-level
+    3-gram shingle sets transform bijectively, so every within-replica
+    near-dup pair keeps its exact Jaccard — the corpus dup RATE is
+    invariant; across replicas no shingle ever matches (every token
+    differs), so clusters replicate instead of growing. TRUE pair
+    output scales linearly in the replica count, the production shape.
+    Token counts are preserved exactly; doc lengths grow by ~3 chars
+    per token (recomputed into n_chars).
+  In both modes replica 0 is verbatim.
+- ``embeddings``: vec_id offset; replica r>0 adds a TINY bump (0.01 on
+  a unit sphere) to dimension ``r % dim`` and re-normalizes — neighbor
   structure is preserved by construction (the jitter angle ~0.01 rad is
   far below inter-cluster distances, so IVF bucket membership and
   k-means cluster structure are invariant), while replicas are not
-  byte-identical copies.
+  byte-identical copies. Replica 0 is verbatim (ADVICE r09: the bump
+  used to fire for r=0 too, bumping dimension 0 — the scaled directory
+  no longer diverges from the source vectors).
 - every other table copies verbatim (dims are broadcast-joined; scaling
   them would change join selectivity, not stress anything new).
 
@@ -53,6 +65,14 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dest", default="/tmp/spark_graft_sf1/sf1")
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument(
+        "--doc-mode",
+        choices=("variants", "distinct"),
+        default="variants",
+        help="documents replication: 'variants' = near-dup clusters grow "
+        "with replicas (r08/r09 methodology); 'distinct' = per-replica "
+        "token suffix, dup structure preserved (pair output linear)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -81,6 +101,22 @@ def main() -> None:
                 .drop("__r")
             )
         elif t == "documents":
+            if args.doc_mode == "distinct":
+                # every token gets a replica tag -> zero cross-replica
+                # shingle collisions; within-replica shingle sets map
+                # bijectively, so each pair's Jaccard is preserved
+                mutated = F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1·r"), F.col("__r").cast("string")),
+                )
+            else:
+                mutated = F.concat(
+                    F.col("text"),
+                    F.lit(" [r"),
+                    F.col("__r").cast("string"),
+                    F.lit("]"),
+                )
             df = (
                 df.crossJoin(F.broadcast(reps))
                 .withColumn(
@@ -89,12 +125,7 @@ def main() -> None:
                 .withColumn(
                     "text",
                     F.when(F.col("__r") == 0, F.col("text")).otherwise(
-                        F.concat(
-                            F.col("text"),
-                            F.lit(" [r"),
-                            F.col("__r").cast("string"),
-                            F.lit("]"),
-                        )
+                        mutated
                     ),
                 )
                 .withColumn("n_chars", F.length("text").cast("long"))
@@ -104,11 +135,14 @@ def main() -> None:
             dim = len(
                 df.select("embedding").first()["embedding"]
             )
+            # gate on __r > 0: replica 0 stays the verbatim source
+            # vectors (ADVICE r09 — the bump used to hit dimension 0)
             bumped = F.transform(
                 "embedding",
                 lambda x, i: x
                 + F.when(
-                    i == (F.col("__r") % dim).cast("int"),
+                    (F.col("__r") > 0)
+                    & (i == (F.col("__r") % dim).cast("int")),
                     F.lit(EMBED_EPS),
                 ).otherwise(F.lit(0.0)),
             )
@@ -126,7 +160,14 @@ def main() -> None:
                 )
                 .withColumn(
                     "embedding",
-                    F.transform(bumped, lambda x: (x / norm).cast("float")),
+                    # replica 0 keeps the ORIGINAL column — even a no-op
+                    # renormalize would flip low bits (the double norm of
+                    # a float unit vector isn't exactly 1.0)
+                    F.when(F.col("__r") == 0, F.col("embedding")).otherwise(
+                        F.transform(
+                            bumped, lambda x: (x / norm).cast("float")
+                        )
+                    ),
                 )
                 .drop("__r")
             )

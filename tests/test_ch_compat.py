@@ -2994,6 +2994,94 @@ FROM (
     assert got == want and len(got) > 0
 
 
+def test_round10_advice_fixes_empty_state_merges(spark):
+    """ADVICE r09 regressions: a -Merge over a group whose states are all
+    NULL (e.g. every source value NULL -> quantileState produced an empty
+    histogram / sumMapState produced NULL) collects an EMPTY list; under
+    ANSI mode the old element_at(...) seed raised
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT. CH answers nan/NULL there, never
+    an error — the try_element_at seeds restore NULL. bar(NULL, ...)
+    likewise propagates NULL instead of collapsing to '' (greatest/least
+    silently skip NULLs)."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, CAST(NULL AS BIGINT)), (1, NULL), "
+        "(2, 10), (2, 20) AS t(g, x)"
+    ).createOrReplaceTempView("advice_t")
+    rows = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT g, quantileMerge(0.5)(qs) AS med, sumMapMerge(ms) AS sm, "
+        "minMapMerge(mns) AS mn FROM ("
+        "  SELECT g,"
+        "         quantileState(x) AS qs,"
+        "         IF(x IS NULL, NULL,"
+        "            sumMapState(array(x % 2), array(x))) AS ms,"
+        "         IF(x IS NULL, NULL,"
+        "            minMapState(array(x % 2), array(x))) AS mns"
+        "  FROM advice_t GROUP BY g, x"
+        ") GROUP BY g ORDER BY g",
+    ).collect()
+    g1, g2 = rows
+    # the all-NULL group yields NULL everywhere — no ANSI error
+    assert (g1.med, g1.sm, g1.mn) == (None, None, None)
+    # the real group is unaffected: floor(0.5*2)+1 = rank 2 -> 20
+    assert g2.med == 20
+    assert (list(g2.sm[0]), list(g2.sm[1])) == ([0], [30])
+    assert (list(g2.mn[0]), list(g2.mn[1])) == ([0], [10])
+    # bar: NULL propagates; non-NULL bands unchanged
+    row = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT bar(CAST(NULL AS DOUBLE), 0, 10, 10) AS bn, "
+        "bar(3, 0, 8, 8) AS b3",
+    ).collect()[0]
+    assert row.bn is None and row.b3 == "█" * 3
+
+
+def test_groupbitmap_two_level_read_vs_duckdb(spark, duck):
+    """groupBitmap state (round 10, VERDICT r09 next #3): -State is the
+    exact deduped integer set (the roaring bitmap's information content
+    — set-union merge IS the bitmap OR), -Merge finalizes to the
+    CARDINALITY like CH's UInt64 groupBitmapMerge. The two-level read
+    (per-(event_type, day) states, merged to event_type grain) must
+    equal DuckDB's direct count(DISTINCT) — and the query-side
+    groupBitmap translation (count DISTINCT) must agree with the merged
+    state path."""
+    from tests.conftest import SF_DIR
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+
+    schemas.load_table(spark, SF_DIR, "events").createOrReplaceTempView(
+        "events"
+    )
+    got = {
+        r.event_type: (int(r.card), int(r.direct))
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            """
+SELECT event_type, groupBitmapMerge(bs) AS card, groupBitmap(au) AS direct
+FROM (
+    SELECT event_type, toDate(ts) AS day,
+           groupBitmapState(user_id) AS bs,
+           anyLast(user_id) AS au
+    FROM dashboard.events_all
+    GROUP BY event_type, day
+)
+GROUP BY event_type
+""",
+            table_map={"dashboard.events_all": "events"},
+        ).collect()
+    }
+    want = {
+        et: int(c)
+        for et, c in duck.sql(
+            "SELECT event_type, count(DISTINCT user_id) FROM events "
+            "GROUP BY event_type"
+        ).fetchall()
+    }
+    assert {et: c for et, (c, _) in got.items()} == want and len(got) > 0
+    # inner groupBitmap-over-anyLast counts distinct day-representatives
+    # — a smaller set by construction; just pin it runs and bounds hold
+    assert all(d <= c for c, d in got.values())
+
+
 def test_round8_review_fixes(spark):
     """Self-review round-8 batch: plain toUInt64 full-unsigned-range,
     topKWeighted NULL skipping, intExp2 NULL propagation."""

@@ -84,7 +84,11 @@ def test_top_bigrams_uses_takeordered(spark):
 
 
 def test_corpus_curate_two_shuffles_no_joins(spark):
-    plan = _plan(spark, "corpus_curate")
+    # corpus_curate retired from the registry r10 (corpus_curate_gopher /
+    # _materialize keep the driver signal) — the operator itself and this
+    # plan pin remain, called as the plain module function
+    df = R.corpus_curate(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     # quality gate fuses into the scan; keep-first dedup is a window on
     # content_hash; stats groupBy — nothing joins back to the fact table
     assert plan.count("Exchange hashpartitioning") == 2, plan

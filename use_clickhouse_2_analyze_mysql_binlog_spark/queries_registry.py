@@ -580,7 +580,16 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.top_ngrams(schemas.load_table(spark, sf_dir, "documents"), k=25)
 
 
-@register("corpus_curate", curation.CURATE_CORPUS_SQL())
+# `corpus_curate` RETIRED round 10 (in-window r08-only-green, so the
+# retirement frees a real window slot): the operator
+# (`curation.curate_corpus`), its oracle and its tests stay — both
+# in-window siblings keep the driver signal: `corpus_curate_gopher` runs
+# the SAME quality gate + dedup keep-first + per-language stats behind a
+# row-local pre-gate (plan shape pinned identical), and
+# `corpus_curate_materialize` hashes the survivor set itself. The freed
+# slot funds re-proving `similarity_batch_topk`, whose implementation
+# gained the fixed-batch QUERY_ID_CAP this round (its r09 proof no
+# longer describes the shipped code).
 def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: quality gate + exact dedup keep-first +
     per-language survivor stats (two shuffles total)."""
@@ -711,7 +720,14 @@ def dedup_ngram_jaccard_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, threshold=0.5, posting_path=path)
 
 
-@register("corpus_line_dedup", dedup.CORPUS_LINE_DEDUP_SQL(groups=40, min_df=2))
+# `corpus_line_dedup` RETIRED round 10 (in-window r08-only-green, so the
+# retirement frees a real window slot): the operator (`dedup.line_dedup`),
+# its oracle (`CORPUS_LINE_DEDUP_SQL`) and its tests stay — the
+# `line_dedup_staged` twin below runs the SAME operator + oracle through
+# the materialized-posting front door (hash-green r09), and
+# tests/test_pipeline_ops.py pins staged==unstaged value parity. The
+# freed slot funds `ch_agg_states_map_rollup` (the sumMap two-level
+# state read, VERDICT r09 next #2).
 def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate-LINE removal (RefinedWeb/CCNet-style)
     over a multi-line corpus derived deterministically from the documents
@@ -1562,6 +1578,68 @@ def ch_agg_states_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The map-state sibling of CH_AGG_STATES_SQL: per-(event_type, day)
+# sumMap STATES (key = user_id % 4, value = cents), merged on read to the
+# event_type grain. The -Merge's ([sorted keys], [values]) struct is
+# flattened to scalar (event_type, type_key, total_cents) rows Spark-side
+# for the driver's column-sorted value hash.
+CH_AGG_MAP_STATES_SQL = """
+SELECT event_type, sumMapMerge(ts) AS spend_map
+FROM (
+    SELECT event_type, toDate(ts) AS day,
+           sumMapState(array(toInt64(user_id % 4)),
+                       array(toInt64(floor(value * 100)))) AS ts
+    FROM dashboard.events_all
+    GROUP BY event_type, day
+)
+GROUP BY event_type
+"""
+
+CH_AGG_MAP_STATES_ORACLE = """
+SELECT event_type,
+       CAST(user_id % 4 AS BIGINT) AS type_key,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY event_type, type_key
+"""
+
+
+@register("ch_agg_states_map_rollup", CH_AGG_MAP_STATES_ORACLE)
+def ch_agg_states_map_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatingMergeTree sumMap two-level read in CH SQL (VERDICT r09
+    next #2 — the round-9 map-state family's first driver hash): the
+    inner select materializes per-(event_type, day) sumMap STATES (the
+    key→sum map a CH MV writes per block), the outer sumMapMerge folds
+    them key-wise to the event_type grain — merging partial maps must
+    lose nothing vs the direct per-key aggregate (the DuckDB oracle).
+    The merged struct flattens to scalar rows for the driver hash.
+    Spark shape: two partial+final HashAggregates (day grain, then
+    event_type grain), the map fold is JVM-side higher-order exprs —
+    no UDFs; the flatten is row-local."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.functions import ch_compat
+
+    schemas.load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events"
+    )
+    merged = ch_compat.run_clickhouse_sql(
+        spark,
+        CH_AGG_MAP_STATES_SQL,
+        table_map={"dashboard.events_all": "events"},
+    )
+    pair = F.explode(
+        F.arrays_zip(
+            F.col("spend_map")["keys"].alias("k"),
+            F.col("spend_map")["values"].alias("v"),
+        )
+    )
+    return merged.select("event_type", pair.alias("e")).select(
+        "event_type",
+        F.col("e.k").cast("long").alias("type_key"),
+        F.col("e.v").cast("long").alias("total_cents"),
+    )
+
+
 TOKENS_PER_SOURCE_SQL = f"""
 WITH toks AS (
   SELECT source, len({text.TOKENS_SQL("text")}) AS ntok
@@ -1616,123 +1694,107 @@ def tokens_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries added this round or whose implementation changed, so their prior
 # driver proof (if any) no longer describes the shipped code.
 CHANGED_THIS_ROUND: list[str] = [
-    # round-9 budget: funded by two retire-on-demand slots (COVERAGE.md
-    # candidates #2 and #3, both r07-green and hence IN-window in r09,
-    # so each retirement frees a genuine window slot — see the r08 note
-    # below for why out-of-window retirements don't):
-    # `dedup_minhash_lsh` retired -> the -State/-Merge two-level read
-    # (window-deferred from r08; oracle proven in
-    # tests/test_ch_compat.py::test_agg_states_two_level_read_vs_duckdb):
-    "ch_agg_states_rollup",
-    # `similarity_ivf_topk` retired (the `_nprobe` twin keeps the
-    # operator + oracle signal) -> the staged line-dedup front door
-    # (VERDICT r08 what's-wrong #1 — eliminates the registry's one
-    # known avoidable double scan):
-    "line_dedup_staged",
-    # implementation-changed: the frame-sampling Pandas UDF vectorized
-    # its per-frame checksum loop (numpy row sums — VERDICT r08 flagged
-    # the query for an isolated min-of-3: 0.699 s before, 0.586 s
-    # after; the residual is Arrow payload transfer, inherent to the
-    # 1-in/N-out fan-out). Already window-resident via the stale-proof
-    # section — listed here because its r07 proof describes the old
-    # loop.
-    "multimodal_frame_sample",
-    # implementation-changed (plan only, values identical): centroid
-    # literals collapsed from k*dim CreateArray nodes to ONE typed
-    # Literal (clustering._centroid_literals) — all three consumers are
-    # already window-resident via the stale-proof section.
-    "embedding_kmeans",
-    "embedding_kmeans_assign",
-    "embedding_kmeans_inertia_check",
+    # round-10 budget: funded by ONE retire-on-demand slot.
+    # `corpus_line_dedup` retired (r08-only-green, hence IN-window in
+    # r10 — the retirement frees a genuine window slot; the
+    # `line_dedup_staged` twin is hash-green r09 and value-parity-pinned
+    # vs the unstaged operator) -> the sumMap two-level state read
+    # (VERDICT r09 next #2; its streaming/DuckDB oracles predate it in
+    # tests/test_ddl_compat.py::test_migrated_summap_states_stream_and_
+    # match_batch):
+    "ch_agg_states_map_rollup",
+    # implementation-changed (fixed-batch cap, VERDICT r09 missing #4):
+    # the batch-kNN query set gains `vec_id < QUERY_ID_CAP` so the
+    # query batch stays FIXED on replicated scale-up directories
+    # (production shape, linear curve). At every driver SF all base
+    # vec_ids sit below the cap, so values are identical — but it is
+    # r09-GREEN (out of the r10 window), so re-proving it costs a
+    # window slot, funded by retiring `corpus_curate` (r08-only-green,
+    # in-window; its gopher/materialize siblings keep the signal).
+    "similarity_batch_topk",
 ]
-# NOTE (round 8): a second addition (`ch_agg_states_rollup`, the
-# -State/-Merge two-level read) was drafted and then NOT registered:
-# every remaining retirement candidate (`dedup_minhash_lsh`,
-# `similarity_ivf_topk`, `daily_event_counts`) is r07-green and hence
-# OUT of the r08 window, so retiring one frees a registry slot but not
-# a window slot — the r08 window is full with the stale-proof set +
-# headline, and an unproven new entry would push a headline query out.
-# The surface is instead DuckDB-cross-checked in
-# tests/test_ch_compat.py::test_agg_states_two_level_read_vs_duckdb;
-# registering it is a round-9 item (one in-window retirement candidate
-# frees up once the r08 driver pass lands).
-# ROTATION BUDGET (round 8): as pre-computed in rounds 6–7, the r08 window
-# is exactly full at zero NET budget: 45 queries green only in
-# CORRECTNESS_r06 (they age out of the 2-round invariant unless re-proven
-# in r08) + the headline 5. Round 8 funded one addition by retirement:
-# `dedup_ngram_jaccard` (r06-only-green, in-window) was retired per the
-# COVERAGE.md candidate list, and `corpus_line_dedup` took its slot —
-# window stays exactly 50 at 95 registry entries. `asof_trade_quote` was
-# already window-resident (r06-only-green), so its implementation swap
-# costs no extra slot. Round-9 arithmetic: the 45 r07-only-green queries
-# + headline 5 fill the window again; any r09 addition must retire an
-# r07-green entry (candidates #2–#4 all become in-window in r09).
+# ROTATION BUDGET (round 10): the r10 window is exactly full at zero NET
+# budget — 45 queries green only in CORRECTNESS_r08 (they age out of the
+# 2-round invariant unless re-proven in r10) + the headline 5. Round 10
+# funded TWO window slots by retirement: `corpus_line_dedup`
+# (r08-only-green, in-window) retired for `ch_agg_states_map_rollup`,
+# and `corpus_curate` (r08-only-green, in-window; gopher/materialize
+# siblings keep the signal) retired to re-prove the
+# implementation-changed `similarity_batch_topk` (r09-green, hence
+# out-of-window — its cap change voids that proof). Window stays
+# exactly 50 at 94 registry entries. NOTE: VERDICT r09 suggested
+# retiring `daily_event_counts`, but that entry is r09-GREEN and hence
+# OUT of the r10 window — retiring it would free a registry slot, not a
+# window slot (the r08 lesson). Round-11 arithmetic: the ~45
+# r09-only-green queries + headline 5 fill the window again; any r11
+# addition must retire an r09-green entry — pre-planned candidate:
+# `daily_event_counts` (in-window in r11; `daily_event_counts_by_table`
+# keeps the rollup signal) funds the tdigest two-level state read whose
+# oracles already live in tests/test_ddl_compat.py.
 
 DRIVER_WINDOW_PRIORITY = [
-    # -- 1. added this round (round 9) — no driver proof yet:
-    "ch_agg_states_rollup",
-    "line_dedup_staged",
-    # -- 2. green only in CORRECTNESS_r07 (rotated out of the r08 window);
-    #       their proof ages out of the 2-round invariant unless
-    #       re-verified in r09. Exactly the 45 registry queries green in
-    #       r07 (hash or rows-only no_oracle) but absent from
-    #       CORRECTNESS_r08.json's green set, minus the round-9 retired
-    #       `dedup_minhash_lsh` and `similarity_ivf_topk`.
-    "aggregating_rollup_merge",
-    "benchmark_contamination",
-    "ch_prewhere_profile",
-    "ch_top_event_limit_by",
-    "collapsing_merge_state",
-    "corpus_source_cap",
-    "daily_count_anomalies",
-    "daily_distinct_gtids_approx",
-    "daily_distinct_gtids_approx_check",
-    "daily_event_counts",
-    "daily_event_counts_by_table",
-    "dedup_apply_connected_components",
-    "dedup_apply_minhash",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh_staged",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_span_crossdoc",
-    "doc_chunks",
-    "doc_fingerprint",
-    "embedding_kmeans",
-    "embedding_kmeans_assign",
-    "embedding_kmeans_inertia_check",
-    "embedding_quantization_error",
-    "language_mixture_weights",
-    "large_order_customers",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "order_priority_counts",
-    "promo_revenue",
-    "quality_gopher_flags",
-    "replacing_merge_final",
-    "retention_cohorts",
-    "sequence_pack",
+    # -- 1. added or implementation-changed this round (round 10) —
+    #       no valid driver proof yet:
+    "ch_agg_states_map_rollup",
     "similarity_batch_topk",
-    "similarity_ivf_topk_nprobe",
-    "similarity_lsh_topk",
-    "size_quantiles_approx",
-    "size_quantiles_approx_check",
+    # -- 2. green only in CORRECTNESS_r08 (rotated out of the r09 window);
+    #       their proof ages out of the 2-round invariant unless
+    #       re-verified in r10. Exactly the 45 registry queries green in
+    #       r08 but absent from CORRECTNESS_r09.json's green set, minus
+    #       the round-10 retired `corpus_line_dedup` and `corpus_curate`.
+    "asof_trade_quote",
+    "binlog_gap_report",
+    "ch_dashboard_rollup",
+    "ch_if_combinators_json",
+    "corpus_curate_gopher",
+    "corpus_curate_materialize",
+    "corpus_length_histogram",
+    "corpus_sample_stratified",
+    "corpus_top_bigrams",
+    "corpus_train_test_split",
+    "daily_counts_gapfilled",
+    "daily_counts_moving_avg",
+    "daily_counts_pivot",
+    "day_over_day_counts",
+    "dedup_ngram_jaccard_staged",
+    "event_count_cube",
+    "event_type_decode_dim_join",
+    "gtid_set_operations",
+    "idempotent_window_antijoin",
+    "ingest_transform",
+    "multi_cluster_daily_counts",
+    "multimodal_metadata",
+    "nation_revenue",
+    "nation_top_customer",
+    "pricing_summary",
+    "range_join_maintenance_windows",
+    "retention_filter",
+    "scalar_functions",
+    "session_windows",
+    "similarity_topk_bruteforce",
+    "size_mad_per_type",
+    "size_quantiles",
+    "skew_salted_table_profile",
+    "summing_rollup_reaggregate",
+    "text_language_id",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_repetition_score",
+    "text_token_count",
+    "tokens_per_source_stats",
+    "top_revenue_orders",
+    "window_funnel",
+    "windowed_running_size",
     # -- 3. reference-core headline queries (verified every round)
     "transaction_stats",
     "top_transaction_by_size",
     "top_transaction_by_spend_time",
     "top_transaction_by_affected_rows",
     "transaction_result_table",
-    # -- (2 new + 43 stale + 5 headline = 50 priority entries: the
-    #       window is exactly full. Everything else keeps definition
-    #       order, is r08-green, and ages out in r10 — r10 arithmetic:
-    #       the 45 r08-only-green queries + headline 5 fill the window
-    #       again at zero net budget, so any r10 addition must retire an
-    #       r08-green in-window entry.)
+    # -- (1 new + 1 changed + 43 stale + 5 headline = 50 priority
+    #       entries: the window is exactly full. Everything else keeps
+    #       definition order, is r09-green, and ages out in r11 — see
+    #       the ROTATION BUDGET note above for the pre-planned r11 swap.)
 ]
 
 
