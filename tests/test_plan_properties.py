@@ -83,6 +83,17 @@ def test_top_bigrams_uses_takeordered(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_map_state_rollup_two_exchanges_no_joins(spark):
+    # the sumMap two-level read (round 10): partial+final aggregates at
+    # the (event_type, day) state grain, one more pair at the event_type
+    # merge grain — exactly two exchanges, the map fold entirely JVM-side
+    # (no Python eval), the flatten row-local (no join back)
+    plan = _plan(spark, "ch_agg_states_map_rollup")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_corpus_curate_two_shuffles_no_joins(spark):
     # corpus_curate retired from the registry r10 (corpus_curate_gopher /
     # _materialize keep the driver signal) — the operator itself and this
