@@ -3668,3 +3668,252 @@ def test_delta_sum_timestamp(spark):
     assert r.ds == 0.0
     with pytest.raises(ValueError, match="deltaSumTimestamp"):
         ch_compat.translate("deltaSum(x)")
+
+
+# ------------------------------------------------- statistical tests (r10)
+
+
+def _betainc_ref(a, b, x):
+    """Independent regularized-incomplete-beta reference: the u =
+    (t/x)^a substitution removes the t=0 endpoint singularity, so plain
+    trapezoid integration converges (validated against the a=b=1/2
+    arcsine closed form below). Deliberately NOT the production
+    algorithm (that is a Lentz continued fraction in functions/stats.py)
+    so the check is non-circular."""
+    import math
+
+    import numpy as np
+
+    u = np.linspace(0.0, 1.0, 2_000_001)
+    f = (1.0 - x * u ** (1.0 / a)) ** (b - 1.0)
+    return float(
+        np.trapz(f, u)
+        * x**a
+        / a
+        * math.exp(
+            math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        )
+    )
+
+
+def _t_p_ref(t, df):
+    return _betainc_ref(df / 2.0, 0.5, df / (df + t * t))
+
+
+def test_statistical_ttests_vs_references(spark):
+    """studentTTest/welchTTest (round 10 — the statistical-test family):
+    t statistics against numpy moment arithmetic, p-values against BOTH
+    an independent integration reference and the exact df=1/2/3 closed
+    forms (arctan / algebraic) — the production incomplete-beta fold
+    (functions/stats.py) shares no code with either."""
+    import math
+
+    import numpy as np
+
+    # closed-form sanity for the reference integrator itself
+    assert abs(
+        _betainc_ref(0.5, 0.5, 0.3)
+        - 2 / math.pi * math.asin(math.sqrt(0.3))
+    ) < 1e-9
+
+    rng = np.random.RandomState(7)
+    a = rng.normal(10.0, 2.0, 40).round(3)
+    b = rng.normal(11.0, 3.0, 35).round(3)
+    rows = [(float(v), 0) for v in a] + [(float(v), 1) for v in b]
+    spark.createDataFrame(rows, "x double, idx int").createOrReplaceTempView(
+        "tt_src"
+    )
+    [row] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT studentTTest(x, idx) AS s, welchTTest(x, idx) AS w "
+        "FROM tt_src",
+    ).collect()
+
+    n0, n1 = len(a), len(b)
+    m0, m1 = a.mean(), b.mean()
+    v0, v1 = a.var(ddof=1), b.var(ddof=1)
+    sp2 = ((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2)
+    t_s = (m0 - m1) / math.sqrt(sp2 * (1 / n0 + 1 / n1))
+    se2 = v0 / n0 + v1 / n1
+    t_w = (m0 - m1) / math.sqrt(se2)
+    df_w = se2**2 / (
+        (v0 / n0) ** 2 / (n0 - 1) + (v1 / n1) ** 2 / (n1 - 1)
+    )
+    assert abs(row.s.col1 - t_s) < 1e-10
+    assert abs(row.s.col2 - _t_p_ref(t_s, n0 + n1 - 2)) < 1e-7
+    assert abs(row.w.col1 - t_w) < 1e-10
+    assert abs(row.w.col2 - _t_p_ref(t_w, df_w)) < 1e-7
+
+    # exact closed forms at low df (t CDF has algebraic/arctan forms):
+    # df=1: p = 1 - (2/pi) atan|t|;  df=2: p = 1 - |t|/sqrt(2+t^2);
+    # df=3: p = 1 - (2/pi)(atan(u) + u/(1+u^2)), u = t/sqrt(3)
+    for df, t, closed in (
+        (1.0, 1.5, 1 - 2 / math.pi * math.atan(1.5)),
+        (2.0, 1.5, 1 - 1.5 / math.sqrt(2 + 1.5 * 1.5)),
+        (
+            3.0,
+            1.5,
+            2
+            * (
+                0.5
+                - (
+                    math.atan(1.5 / math.sqrt(3))
+                    + (1.5 / math.sqrt(3)) / (1 + 1.5 * 1.5 / 3)
+                )
+                / math.pi
+            ),
+        ),
+    ):
+        from use_clickhouse_2_analyze_mysql_binlog_spark.functions import stats
+
+        [r] = spark.sql(
+            "SELECT "
+            + stats.t_two_sided_p_sql(str(t), str(df))
+            + " AS p"
+        ).collect()
+        assert abs(r.p - closed) < 1e-8, (df, t, r.p, closed)
+
+    # degenerate groups answer NULL (documented narrowing vs CH nan):
+    # one sample has < 2 rows
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT studentTTest(x, idx) AS s FROM (SELECT 1.0 AS x, 0 AS idx "
+        "UNION ALL SELECT 2.0, 0 UNION ALL SELECT 3.0, 1)",
+    ).collect()
+    assert r.s is None
+    # the CI-parametric form stays loud
+    with pytest.raises(ValueError, match="confidence-interval"):
+        ch_compat.translate("SELECT studentTTest(0.95)(x, idx) FROM t")
+
+
+def test_mannwhitney_vs_manual_ranks(spark):
+    """mannWhitneyUTest: U statistic against a manual midrank
+    computation (ties included by construction), p against math.erfc
+    with CH's tie-corrected normal approximation; one-sided alternatives
+    and the continuity flag; non-literal alternatives stay loud."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    # integer values force heavy ties — the midrank + tie-correction path
+    a = rng.randint(0, 12, 45).astype(float)
+    b = (rng.randint(0, 12, 38) + 1.0).astype(float)
+    rows = [(float(v), 0) for v in a] + [(float(v), 1) for v in b]
+    spark.createDataFrame(rows, "x double, idx int").createOrReplaceTempView(
+        "mw_src"
+    )
+
+    n0, n1 = len(a), len(b)
+    comb = np.concatenate([a, b])
+    order = np.argsort(comb, kind="stable")
+    ranks = np.empty(len(comb))
+    sv = comb[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    r0 = ranks[:n0].sum()
+    u0 = r0 - n0 * (n0 + 1) / 2.0
+    _, counts = np.unique(comb, return_counts=True)
+    tie = float((counts.astype(float) ** 3 - counts).sum())
+    n = n0 + n1
+    sigma = math.sqrt(
+        n0 * n1 / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    )
+
+    [row] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT mannWhitneyUTest(x, idx) AS m, "
+        "mannWhitneyUTest('greater')(x, idx) AS g, "
+        "mannWhitneyUTest('less', 0)(x, idx) AS l FROM mw_src",
+    ).collect()
+
+    z2 = max(abs(u0 - n0 * n1 / 2.0) - 0.5, 0.0) / sigma
+    assert abs(row.m.col1 - max(u0, n0 * n1 - u0)) < 1e-9
+    assert abs(row.m.col2 - math.erfc(z2 / math.sqrt(2))) < 1e-6
+    zg = (u0 - n0 * n1 / 2.0 - 0.5) / sigma
+    assert abs(row.g.col1 - u0) < 1e-9
+    assert (
+        abs(row.g.col2 - min(1.0, 0.5 * math.erfc(zg / math.sqrt(2))))
+        < 1e-6
+    )
+    zl = (n0 * n1 / 2.0 - u0) / sigma  # continuity OFF in the 'less' call
+    assert abs(row.l.col1 - u0) < 1e-9
+    assert (
+        abs(row.l.col2 - min(1.0, 0.5 * math.erfc(zl / math.sqrt(2))))
+        < 1e-6
+    )
+
+    # all values tied -> zero rank variance -> NULL (documented vs nan)
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT mannWhitneyUTest(x, idx) AS m FROM (SELECT 5.0 AS x, "
+        "0 AS idx UNION ALL SELECT 5.0, 1 UNION ALL SELECT 5.0, 0)",
+    ).collect()
+    assert r.m is None
+    with pytest.raises(ValueError, match="alternative"):
+        ch_compat.translate(
+            "SELECT mannWhitneyUTest(alt_col)(x, idx) FROM t"
+        )
+
+
+def test_stat_test_state_merge_equals_direct(spark):
+    """-State/-Merge two-level reads for the statistical tests: per-block
+    states re-merged equal the direct aggregate EXACTLY (the moment /
+    histogram states are lossless), and an all-NULL group reads back
+    NULL (the empty-state policy)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (d, float(v), int(i % 2), int(i % 4))
+        for d in ("2025-01-01", "2025-01-02")
+        for i, v in enumerate(rng.normal(5, 2, 30).round(2))
+    ]
+    spark.createDataFrame(
+        rows, "day string, x double, idx int, blk int"
+    ).createOrReplaceTempView("st_src")
+    ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT day, blk, studentTTestState(x, idx) AS ss, "
+        "welchTTestState(x, idx) AS ws, "
+        "mannWhitneyUTestState(x, idx) AS ms "
+        "FROM st_src GROUP BY day, blk",
+    ).createOrReplaceTempView("st_states")
+    got = {
+        r.day: r
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT day, studentTTestMerge(ss) AS s, "
+            "welchTTestMerge(ws) AS w, mannWhitneyUTestMerge(ms) AS m "
+            "FROM st_states GROUP BY day",
+        ).collect()
+    }
+    want = {
+        r.day: r
+        for r in ch_compat.run_clickhouse_sql(
+            spark,
+            "SELECT day, studentTTest(x, idx) AS s, "
+            "welchTTest(x, idx) AS w, mannWhitneyUTest(x, idx) AS m "
+            "FROM st_src GROUP BY day",
+        ).collect()
+    }
+    assert set(got) == set(want) and len(got) == 2
+    for d in got:
+        for c in ("s", "w", "m"):
+            assert abs(got[d][c].col1 - want[d][c].col1) < 1e-12
+            assert abs(got[d][c].col2 - want[d][c].col2) < 1e-12
+    # empty-state merge: a group whose states are all NULL answers NULL
+    spark.createDataFrame(
+        [(None,)],
+        "s struct<n0: bigint, s0: double, q0: double, n1: bigint, "
+        "s1: double, q1: double>",
+    ).createOrReplaceTempView("st_nullstate")
+    [r] = ch_compat.run_clickhouse_sql(
+        spark, "SELECT studentTTestMerge(s) AS v FROM st_nullstate"
+    ).collect()
+    assert r.v is None

@@ -1077,14 +1077,15 @@ def test_aggregating_target_parse_and_spec():
     # a state type with no plain-column representation stays loud at
     # plan time (the untranslated-type path, same as any unknown CH type).
     # quantileTiming graduated to the histogram state in round 9, the
-    # tdigest family to the log-quantized sketch in round 9, and
-    # groupBitmap to the deduped-set state in round 10 — the loud example
-    # is now the statistical-test family (state = test internals, no
-    # plain-column representation)
+    # tdigest family to the log-quantized sketch in round 9, groupBitmap
+    # to the deduped-set state in round 10, and the statistical-test
+    # family to moment/histogram states later in round 10 — the loud
+    # example is now CH's adaptive histogram sketch (bin boundaries are
+    # merge-order-dependent internals with no plain-column shape)
     with pytest.raises(ValueError, match="untranslated CH types"):
         ddl_compat.migrate_script(
-            "CREATE TABLE t (k UInt64, q AggregateFunction(studentTTest, "
-            "Float64, UInt8)) ENGINE = AggregatingMergeTree() ORDER BY (k)"
+            "CREATE TABLE t (k UInt64, q AggregateFunction(histogram(5), "
+            "Float64)) ENGINE = AggregatingMergeTree() ORDER BY (k)"
         )
 
 
@@ -1938,3 +1939,157 @@ GROUP BY day, event_type
     assert {tuple(r) for r in again.collect()} == {
         tuple(r) for r in got.collect()
     }
+
+
+STAT_MV_SCRIPT = """
+CREATE TABLE db.stat_store (
+  day Date,
+  st AggregateFunction(studentTTest, Float64, UInt8),
+  wt AggregateFunction(welchTTest, Float64, UInt8),
+  mw AggregateFunction(mannWhitneyUTest, Float64, UInt8)
+) ENGINE = AggregatingMergeTree() ORDER BY (day);
+CREATE MATERIALIZED VIEW db.stat_mv TO db.stat_store AS
+SELECT toDate(execute_time) AS day,
+       studentTTestState(single_statement_size, modulo(binlog_pos, 2)) AS st,
+       welchTTestState(single_statement_size, modulo(binlog_pos, 2)) AS wt,
+       mannWhitneyUTestState(single_statement_size, modulo(binlog_pos, 2)) AS mw
+FROM mysql_monitor.broker_binlog_local
+GROUP BY day
+"""
+
+
+def test_aggregating_stat_test_states_parse_and_spec():
+    """Statistical-test states (round 10 — the LAST Aggregating-MV loud
+    item): studentTTest/welchTTest map to the exact moment struct,
+    mannWhitneyUTest to the histogram pair; the Mann-Whitney finalize
+    parameters ride the fn token; non-numeric arguments and unknown
+    alternatives stay loud."""
+    objects, _ = ddl_compat.migrate_script(STAT_MV_SCRIPT)
+    store = objects[0]
+    assert store.agg_state_columns() == {
+        "st": "studentttest",
+        "wt": "welchttest",
+        "mw": "mannwhitneyutest@two-sided@1",
+    }
+    assert {c.name: c.spark_type for c in store.columns} == {
+        "day": "date",
+        "st": (
+            "struct<n0:bigint,s0:double,q0:double,"
+            "n1:bigint,s1:double,q1:double>"
+        ),
+        "wt": (
+            "struct<n0:bigint,s0:double,q0:double,"
+            "n1:bigint,s1:double,q1:double>"
+        ),
+        "mw": "struct<h0:map<double,bigint>,h1:map<double,bigint>>",
+    }
+    spec = ddl_compat.mv_stream_spec(objects, "db.stat_mv")
+    assert spec["state_fns"] == store.agg_state_columns()
+    # parametric Mann-Whitney rides the token
+    objects2, _ = ddl_compat.migrate_script(
+        "CREATE TABLE t (k UInt64, m AggregateFunction("
+        "mannWhitneyUTest('greater', 0), Float64, UInt8)) "
+        "ENGINE = AggregatingMergeTree() ORDER BY (k)"
+    )
+    assert objects2[0].agg_state_columns() == {
+        "m": "mannwhitneyutest@greater@0"
+    }
+    # loud: string sample data / unknown alternative
+    for bad in (
+        "AggregateFunction(studentTTest, String, UInt8)",
+        "AggregateFunction(mannWhitneyUTest('sideways'), Float64, UInt8)",
+    ):
+        with pytest.raises(ValueError, match="untranslated CH types"):
+            ddl_compat.migrate_script(
+                f"CREATE TABLE t (k UInt64, s {bad}) "
+                "ENGINE = AggregatingMergeTree() ORDER BY (k)"
+            )
+
+
+def test_migrated_stat_test_states_stream_and_match_batch(spark, tmp_path):
+    """The statistical-test states stream in multi-epoch chunks and the
+    finalized reads equal the single-shot translated aggregates EXACTLY
+    (moment/histogram states are lossless); a checkpoint replay
+    republishes the identical snapshot; a coarser -Merge read through
+    the translator equals the direct all-days aggregate — the
+    established multi-epoch==batch + replay + coarser-merge template."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.streaming import rollup_job
+
+    objects, _ = ddl_compat.migrate_script(STAT_MV_SCRIPT)
+    spec = ddl_compat.mv_stream_spec(objects, "db.stat_mv")
+
+    binlog = schemas.binlog_view(schemas.load_table(spark, SF_DIR, "events"))
+    src = str(tmp_path / "src")
+    binlog.write.parquet(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(binlog.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = rollup_job.run_mv_rollup_stream(
+            stream, spec["select_sql"], store, ckpt,
+            keys=spec["keys"], metrics=spec["metrics"],
+            state_fns=spec["state_fns"],
+            source_view=spec["source_view"], available_now=True,
+        )
+        q.awaitTermination(180)
+
+    def snap():
+        out = {}
+        for r in rollup_job.read_agg_rollup(
+            spark, store, spec["state_fns"]
+        ).collect():
+            out[str(r.day)] = tuple(
+                None
+                if r[c] is None
+                else (round(r[c].col1, 9), round(r[c].col2, 9))
+                for c in ("st", "wt", "mw")
+            )
+        return out
+
+    run()
+    got = snap()
+    binlog.createOrReplaceTempView("bstat")
+    want = {}
+    for r in ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT toDate(execute_time) AS day, "
+        "studentTTest(single_statement_size, modulo(binlog_pos, 2)) AS st, "
+        "welchTTest(single_statement_size, modulo(binlog_pos, 2)) AS wt, "
+        "mannWhitneyUTest(single_statement_size, modulo(binlog_pos, 2)) "
+        "AS mw FROM bstat GROUP BY day",
+    ).collect():
+        want[str(r.day)] = tuple(
+            None
+            if r[c] is None
+            else (round(r[c].col1, 9), round(r[c].col2, 9))
+            for c in ("st", "wt", "mw")
+        )
+    assert got == want and len(got) > 0
+
+    run()  # replay on the same checkpoint: no input -> identical snapshot
+    assert snap() == got
+
+    # coarser -Merge read through the translator == direct all-days agg
+    rollup_job.read_rollup(spark, store).createOrReplaceTempView(
+        "stat_store"
+    )
+    [m] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT studentTTestMerge(st) AS s, welchTTestMerge(wt) AS w, "
+        "mannWhitneyUTestMerge(mw) AS m FROM stat_store",
+    ).collect()
+    [w] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT studentTTest(single_statement_size, modulo(binlog_pos, 2))"
+        " AS s, welchTTest(single_statement_size, modulo(binlog_pos, 2)) "
+        "AS w, mannWhitneyUTest(single_statement_size, "
+        "modulo(binlog_pos, 2)) AS m FROM bstat",
+    ).collect()
+    for c in ("s", "w", "m"):
+        assert abs(m[c].col1 - w[c].col1) < 1e-9
+        assert abs(m[c].col2 - w[c].col2) < 1e-9

@@ -275,6 +275,8 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+from use_clickhouse_2_analyze_mysql_binlog_spark.functions import stats as _stats
+
 # CH function -> Spark function, pure renames (argument lists unchanged).
 # NOTE: toUInt64 is NOT here — it needs the full unsigned range and
 # rewrites to cast(.. AS decimal(20,0)) below (same rationale as the
@@ -3518,8 +3520,12 @@ def translate(
     # r09 next #3) groupBitmap (state = the exact deduped integer set —
     # groupUniqArray's shape, information-identical to the roaring
     # bitmap; -Merge finalizes to the CARDINALITY like CH's UInt64
-    # groupBitmapMerge). Other -State types (the statistical-test
-    # family, ...) have no plain-column representation and stay loud.
+    # groupBitmapMerge), and (round 10, closing the loud list) the
+    # statistical-test family — studentTTest/welchTTest as exact moment
+    # structs, mannWhitneyUTest as a histogram pair (see the block
+    # below). Remaining loud -State types (CH's adaptive histogram(N),
+    # sequence automata) carry merge-order-dependent internals with no
+    # plain-column representation.
     def _one_arg_state(spark_tpl, ch_fn):
         def build(a):
             if len(a) != 1:
@@ -3790,6 +3796,174 @@ def translate(
     for _qfn in ("quantileTDigest", "quantileBFloat16"):
         out = _rewrite_opt_parametric(out, f"{_qfn}State", _sketch_state)
         out = _rewrite_opt_parametric(out, f"{_qfn}Merge", _quantile_merge)
+
+    # Statistical-test aggregates (round 10 — closes the Aggregating-MV
+    # loud list, VERDICT r09 missing #2). studentTTest/welchTTest states
+    # are the EXACT two-sample moment struct (n, sum, sum-of-squares per
+    # sample — field-wise sums merge losslessly); mannWhitneyUTest states
+    # are a per-sample value→count histogram pair (the round-9 quantile-
+    # state shape — map-sum merges are exact, ranks recompute losslessly
+    # from counts). p-values run fully JVM-side via functions/stats.py
+    # (Lanczos lgamma + Lentz incomplete-beta fold + A&S erfc — no UDF
+    # registration, so translated SQL stays a self-contained string).
+    # Documented narrowings (stats.py module doc): degenerate groups
+    # answer NULL where CH prints nan/inf; rows with sample index
+    # outside {0, 1} are ignored where CH raises BAD_ARGUMENTS. The
+    # parametric confidence-interval forms (studentTTest(0.95)(...) →
+    # a 4-tuple with CI bounds) stay loud.
+    def _ttest_agg(kind, ch_fn):
+        def build(params, args):
+            if params is not None:
+                raise ValueError(
+                    f"{ch_fn}: the confidence-interval parametric form "
+                    "returns CI bounds and is not translated"
+                )
+            if len(args) != 2:
+                raise ValueError(
+                    f"{ch_fn} expects (sample_data, sample_index)"
+                )
+            return _stats.ttest_struct_sql(
+                _stats.ttest_moments_sql(args[0], args[1]), kind
+            )
+
+        return build
+
+    out = _rewrite_opt_parametric(
+        out, "studentTTest", _ttest_agg("student", "studentTTest")
+    )
+    out = _rewrite_opt_parametric(
+        out, "welchTTest", _ttest_agg("welch", "welchTTest")
+    )
+
+    def _parse_mw_params(params, ch_fn):
+        alternative, continuity = "two-sided", True
+        if params is not None:
+            if not 1 <= len(params) <= 2:
+                raise ValueError(
+                    f"{ch_fn} takes (alternative[, continuity_correction])"
+                )
+            # the alternative arrives as a masked string literal token
+            lm = re.fullmatch(r"\s*\x00L(\d+)\x00\s*", params[0])
+            lit = (
+                re.fullmatch(
+                    r"'([^']*)'", literals[int(lm.group(1))]
+                )
+                if lm
+                else None
+            )
+            if not lit or lit.group(1) not in (
+                "two-sided", "greater", "less"
+            ):
+                raise ValueError(
+                    f"{ch_fn}: alternative must be a literal 'two-sided'"
+                    ", 'greater' or 'less'"
+                )
+            alternative = lit.group(1)
+            if len(params) == 2:
+                if not re.fullmatch(r"\s*[01]\s*", params[1]):
+                    raise ValueError(
+                        f"{ch_fn}: continuity_correction must be a "
+                        "literal 0 or 1"
+                    )
+                continuity = params[1].strip() == "1"
+        return alternative, continuity
+
+    def _mw_agg(params, args):
+        if len(args) != 2:
+            raise ValueError(
+                "mannWhitneyUTest expects (sample_data, sample_index)"
+            )
+        alternative, continuity = _parse_mw_params(
+            params, "mannWhitneyUTest"
+        )
+        x, idx = args
+        h0 = _stats.value_histogram_sql(
+            f"IF(({idx}) = 0, CAST({x} AS DOUBLE), CAST(NULL AS DOUBLE))"
+        )
+        h1 = _stats.value_histogram_sql(
+            f"IF(({idx}) = 1, CAST({x} AS DOUBLE), CAST(NULL AS DOUBLE))"
+        )
+        return _stats.mannwhitney_struct_sql(h0, h1, alternative, continuity)
+
+    out = _rewrite_opt_parametric(out, "mannWhitneyUTest", _mw_agg)
+
+    # -State/-Merge for the statistical tests (the ddl_compat plain-
+    # column states; merge folds mirror _map_merge's empty-state policy:
+    # an all-NULL group reads back NULL).
+    def _ttest_state(kind, ch_fn):
+        def build(a):
+            if len(a) != 2:
+                raise ValueError(
+                    f"{ch_fn} expects (sample_data, sample_index)"
+                )
+            return _stats.ttest_moments_sql(a[0], a[1])
+
+        return build
+
+    def _ttest_merge(kind, ch_fn):
+        def build(a):
+            if len(a) != 1:
+                raise ValueError(f"{ch_fn} expects exactly one argument")
+            s = a[0]
+            merged = (
+                f"named_struct("
+                f"'n0', sum(({s}).n0), 's0', sum(({s}).s0), "
+                f"'q0', sum(({s}).q0), 'n1', sum(({s}).n1), "
+                f"'s1', sum(({s}).s1), 'q1', sum(({s}).q1))"
+            )
+            return _stats.ttest_struct_sql(merged, kind)
+
+        return build
+
+    for _kind, _ch in (("student", "studentTTest"), ("welch", "welchTTest")):
+        out = _rewrite_calls(
+            out, f"{_ch}State", _ttest_state(_kind, f"{_ch}State")
+        )
+        out = _rewrite_calls(
+            out, f"{_ch}Merge", _ttest_merge(_kind, f"{_ch}Merge")
+        )
+
+    def _mw_state(a):
+        if len(a) != 2:
+            raise ValueError(
+                "mannWhitneyUTestState expects (sample_data, sample_index)"
+            )
+        x, idx = a
+        h0 = _stats.value_histogram_sql(
+            f"IF(({idx}) = 0, CAST({x} AS DOUBLE), CAST(NULL AS DOUBLE))"
+        )
+        h1 = _stats.value_histogram_sql(
+            f"IF(({idx}) = 1, CAST({x} AS DOUBLE), CAST(NULL AS DOUBLE))"
+        )
+        return f"named_struct('h0', {h0}, 'h1', {h1})"
+
+    def _mw_merge(params, args):
+        if len(args) != 1:
+            raise ValueError(
+                "mannWhitneyUTestMerge expects exactly one argument"
+            )
+        alternative, continuity = _parse_mw_params(
+            params, "mannWhitneyUTestMerge"
+        )
+        s = args[0]
+
+        def hist_fold(field):
+            lst = f"collect_list(({s}).{field})"
+            return (
+                f"aggregate(slice({lst}, 2, size({lst})), "
+                f"try_element_at({lst}, 1), "
+                f"(__hacc, __hm) -> map_zip_with(__hacc, __hm, "
+                f"(__hk, __h1, __h2) -> coalesce(__h1, CAST(0 AS BIGINT))"
+                f" + coalesce(__h2, CAST(0 AS BIGINT))))"
+            )
+
+        return _stats.mannwhitney_struct_sql(
+            hist_fold("h0"), hist_fold("h1"), alternative, continuity
+        )
+
+    out = _rewrite_calls(out, "mannWhitneyUTestState", _mw_state)
+    out = _rewrite_opt_parametric(out, "mannWhitneyUTestMerge", _mw_merge)
+
     # finalizeAggregation over our plain-column states: sum/max/min/count
     # states are already final values; avg/uniq need their row-local
     # finalizer — but which one requires the state's TYPE, which SQL text

@@ -136,9 +136,9 @@ _HLL_TYPES = {"int", "bigint", "string", "binary"}
 def _agg_state(ch_type: str) -> tuple[str, str] | None:
     """Map ``AggregateFunction(fn[, T])`` / ``SimpleAggregateFunction`` to
     ``(fn, spark_state_type)``, or None when the state has no plain-column
-    representation (the statistical-test family stays
-    loud through the untranslated-type path). States: sum/max/min/count
-    ARE the running
+    representation (merge-order-dependent internals like CH's adaptive
+    ``histogram(N)`` stay loud through the untranslated-type path).
+    States: sum/max/min/count ARE the running
     value (integral sums widen to bigint like CH's UInt64 accumulators),
     avg is struct<sum,cnt>, uniq a Datasketches HLL sketch (binary —
     approximate-for-approximate vs CH's own HLL-class uniq). Round 9
@@ -156,8 +156,52 @@ def _agg_state(ch_type: str) -> tuple[str, str] | None:
     params = (m.group(2) or "").strip()
     arg = (m.group(3) or "").strip()
     arg_spark = _ch_type_to_spark(arg) if arg else None
-    if params and not fn.startswith("quantile"):
-        return None  # parametric states beyond the quantile family: loud
+    if params and not fn.startswith("quantile") and fn != "mannwhitneyutest":
+        return None  # parametric states beyond these families: loud
+    if fn in ("studentttest", "welchttest", "mannwhitneyutest"):
+        # round 10 (the last Aggregating-MV loud item): two-sample test
+        # states. studentTTest/welchTTest: the EXACT moment struct —
+        # field-wise sums merge losslessly. mannWhitneyUTest: a
+        # per-sample value→count histogram pair (the quantile-state
+        # shape; map-sum merges are exact, ranks recompute losslessly).
+        # The finalizers live in functions/stats.py (pure-SQL lgamma /
+        # incomplete-beta / erfc). Args must be (numeric, integer-index);
+        # the CI-parametric t-test forms stay loud.
+        parts = _split_top_commas(arg)
+        if len(parts) != 2:
+            return None
+        v_spark = _ch_type_to_spark(parts[0])
+        i_spark = _ch_type_to_spark(parts[1])
+        numerics = ("tinyint", "smallint", "int", "bigint", "float", "double")
+        if v_spark not in numerics or i_spark not in (
+            "tinyint", "smallint", "int", "bigint",
+        ):
+            return None
+        if fn in ("studentttest", "welchttest"):
+            return (
+                fn,
+                "struct<n0:bigint,s0:double,q0:double,"
+                "n1:bigint,s1:double,q1:double>",
+            )
+        # mannWhitneyUTest[(alternative[, continuity])] — the finalize
+        # parameters ride the fn token like quantile's level
+        alternative, continuity = "two-sided", "1"
+        if params:
+            pparts = _split_top_commas(params)
+            if not 1 <= len(pparts) <= 2:
+                return None
+            lm = re.fullmatch(r"\s*'(two-sided|greater|less)'\s*", pparts[0])
+            if not lm:
+                return None
+            alternative = lm.group(1)
+            if len(pparts) == 2:
+                if pparts[1].strip() not in ("0", "1"):
+                    return None
+                continuity = pparts[1].strip()
+        return (
+            f"mannwhitneyutest@{alternative}@{continuity}",
+            "struct<h0:map<double,bigint>,h1:map<double,bigint>>",
+        )
     if fn == "count":
         return ("count", "bigint")
     if fn in ("summap", "minmap", "maxmap"):

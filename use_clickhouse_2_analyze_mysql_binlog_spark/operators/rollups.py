@@ -97,6 +97,16 @@ AGG_STATE_FNS = (
     # CARDINALITY, matching CH where finalizeAggregation on a
     # groupBitmap state returns UInt64 count-distinct
     "groupbitmap",
+    # round 10 (the LAST Aggregating-MV loud item): the statistical-test
+    # states. studentTTest/welchTTest states are the exact two-sample
+    # moment struct<n0,s0,q0,n1,s1,q1> (field-wise sums merge
+    # losslessly); mannWhitneyUTest states are a per-sample value→count
+    # histogram pair struct<h0,h1> (map-sum merge — the quantile-state
+    # shape, so ranks recompute losslessly). Finalizers (t statistic +
+    # exact incomplete-beta p-value; tie-corrected normal-approx U test)
+    # are pure-SQL in functions/stats.py. The Mann-Whitney finalize
+    # parameters ride the token: "mannwhitneyutest@<alt>@<0|1>".
+    "studentttest", "welchttest", "mannwhitneyutest@<alt>@<cc>",
 )
 
 
@@ -152,6 +162,35 @@ def _agg_state_merge_expr(col: str, fn: str, dtype: str | None):
             ),
         )
         return e.alias(col)
+    if fn in ("studentttest", "welchttest"):
+        # exact moment states: field-wise sums (NULL state rows are
+        # skipped by sum; an all-NULL group yields NULL fields, which
+        # the finalizer reads back as NULL — the empty-state policy)
+        return F.struct(
+            F.sum(F.col(col)["n0"]).cast("bigint").alias("n0"),
+            F.sum(F.col(col)["s0"]).alias("s0"),
+            F.sum(F.col(col)["q0"]).alias("q0"),
+            F.sum(F.col(col)["n1"]).cast("bigint").alias("n1"),
+            F.sum(F.col(col)["s1"]).alias("s1"),
+            F.sum(F.col(col)["q1"]).alias("q1"),
+        ).alias(col)
+    if fn.startswith("mannwhitneyutest"):
+        def _hist_merge(field):
+            return F.aggregate(
+                F.collect_list(F.col(col)[field]),
+                F.expr("cast(map() AS map<double,bigint>)"),
+                lambda acc, m2: F.map_zip_with(
+                    acc,
+                    m2,
+                    lambda _k, v1, v2: F.coalesce(
+                        v1, F.lit(0).cast("bigint")
+                    )
+                    + F.coalesce(v2, F.lit(0).cast("bigint")),
+                ),
+            )
+        return F.struct(
+            _hist_merge("h0").alias("h0"), _hist_merge("h1").alias("h1")
+        ).alias(col)
     if fn in ("sum", "count"):
         e = F.sum(col)
         return (e.cast(dtype) if dtype else e).alias(col)
@@ -274,6 +313,30 @@ def finalize_agg_states(df: DataFrame, state_fns: dict[str, str]) -> DataFrame:
             cols.append(
                 F.expr(
                     quantile_from_histogram_sql(name, level)
+                ).alias(name)
+            )
+        elif fn in ("studentttest", "welchttest"):
+            from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
+                stats as _stats,
+            )
+
+            kind = "student" if fn == "studentttest" else "welch"
+            cols.append(
+                F.expr(_stats.ttest_struct_sql(name, kind)).alias(name)
+            )
+        elif fn is not None and fn.startswith("mannwhitneyutest"):
+            from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
+                stats as _stats,
+            )
+
+            toks = fn.split("@")
+            alt = toks[1] if len(toks) > 1 else "two-sided"
+            cc = (toks[2] != "0") if len(toks) > 2 else True
+            cols.append(
+                F.expr(
+                    _stats.mannwhitney_struct_sql(
+                        f"({name}).h0", f"({name}).h1", alt, cc
+                    )
                 ).alias(name)
             )
         elif fn in ("summap", "minmap", "maxmap"):
