@@ -28,14 +28,24 @@ reproducible, VERDICT r08 next #4/#8):
     Token counts are preserved exactly; doc lengths grow by ~3 chars
     per token (recomputed into n_chars).
   In both modes replica 0 is verbatim.
-- ``embeddings``: vec_id offset; replica r>0 adds a TINY bump (0.01 on
-  a unit sphere) to dimension ``r % dim`` and re-normalizes — neighbor
-  structure is preserved by construction (the jitter angle ~0.01 rad is
-  far below inter-cluster distances, so IVF bucket membership and
-  k-means cluster structure are invariant), while replicas are not
-  byte-identical copies. Replica 0 is verbatim (ADVICE r09: the bump
-  used to fire for r=0 too, bumping dimension 0 — the scaled directory
-  no longer diverges from the source vectors).
+- ``embeddings``: vec_id offset; the vector mutation follows
+  ``--doc-mode``:
+  * ``variants``: replica r>0 adds a TINY bump (0.01 on a unit sphere)
+    to dimension ``r % dim`` and re-normalizes — neighbor structure is
+    preserved (jitter angle ~0.01 rad is far below inter-cluster
+    distances) but every vector gains r near-identical cross-replica
+    twins, so embedding PAIR queries (dedup_embedding_cosine) go
+    output-quadratic in the replica count, exactly like the documents
+    'variants' mode.
+  * ``distinct``: replica r>0 applies a per-replica SIGNED AFFINE
+    PERMUTATION of coordinates (an exact isometry — within-replica
+    geometry bit-preserved, no artificial top-k twins); cross-replica
+    copies are generically near-orthogonal, so embedding dup clusters
+    REPLICATE instead of growing and pair output scales linearly (the
+    production shape).
+  Replica 0 is verbatim in both modes (ADVICE r09: the bump used to
+  fire for r=0 too, bumping dimension 0 — the scaled directory no
+  longer diverges from the source vectors).
 - every other table copies verbatim (dims are broadcast-joined; scaling
   them would change join selectivity, not stress anything new).
 
@@ -135,42 +145,92 @@ def main() -> None:
             dim = len(
                 df.select("embedding").first()["embedding"]
             )
-            # gate on __r > 0: replica 0 stays the verbatim source
-            # vectors (ADVICE r09 — the bump used to hit dimension 0)
-            bumped = F.transform(
-                "embedding",
-                lambda x, i: x
-                + F.when(
-                    (F.col("__r") > 0)
-                    & (i == (F.col("__r") % dim).cast("int")),
-                    F.lit(EMBED_EPS),
-                ).otherwise(F.lit(0.0)),
-            )
-            norm = F.sqrt(
-                F.aggregate(
-                    bumped,
-                    F.lit(0.0),
-                    lambda acc, x: acc + x.cast("double") * x,
-                )
-            )
-            df = (
-                df.crossJoin(F.broadcast(reps))
-                .withColumn(
-                    "vec_id", F.col("vec_id") + F.col("__r") * KEY_OFFSET
-                )
-                .withColumn(
+            if args.doc_mode == "distinct":
+                # dup-structure-preserving (the embeddings analogue of
+                # the token-suffix trick): replica r > 0 applies a
+                # SIGNED PERMUTATION of coordinates —
+                # new[i] = (-1)^((i + r) % 2) * old[(a_r*i + r) % dim],
+                # a_r = 2*(r div dim) + 1 (odd, hence invertible mod the
+                # power-of-two dim — the affine stride keeps transforms
+                # DISTINCT past r = dim, where a plain shift would alias
+                # replica r with replica r+dim as exact duplicates).
+                # A signed permutation is an exact isometry, so EVERY
+                # within-replica cosine/distance (near-dup pairs, top-k
+                # neighbor lists, k-means cluster geometry, IVF bucket
+                # shapes) is preserved BIT-LOSSLESSLY — strictly
+                # stronger than the jitter, which seeded every top-k
+                # list with artificial 0.99995-cosine twins. Across
+                # replicas the relative transform is another signed
+                # permutation, so a vector and its copy are generically
+                # near-orthogonal: embedding dup CLUSTERS REPLICATE
+                # instead of growing, and pair-query output scales
+                # linearly in the replica count (the production shape —
+                # the jitter left dedup_embedding_cosine quadratic at
+                # 100x even under --doc-mode distinct).
+                a_r = F.floor(F.col("__r") / dim) * 2 + 1
+                shifted = F.transform(
                     "embedding",
-                    # replica 0 keeps the ORIGINAL column — even a no-op
-                    # renormalize would flip low bits (the double norm of
-                    # a float unit vector isn't exactly 1.0)
-                    F.when(F.col("__r") == 0, F.col("embedding")).otherwise(
-                        F.transform(
-                            bumped, lambda x: (x / norm).cast("float")
-                        )
-                    ),
+                    lambda x, i: F.element_at(
+                        "embedding",
+                        ((a_r * i + F.col("__r")) % dim).cast("int") + 1,
+                    )
+                    * F.when(
+                        ((i + F.col("__r")) % 2) == 0, F.lit(-1.0)
+                    ).otherwise(F.lit(1.0)).cast("float"),
                 )
-                .drop("__r")
-            )
+                df = (
+                    df.crossJoin(F.broadcast(reps))
+                    .withColumn(
+                        "vec_id", F.col("vec_id") + F.col("__r") * KEY_OFFSET
+                    )
+                    .withColumn(
+                        "embedding",
+                        # replica 0 keeps the ORIGINAL column verbatim
+                        F.when(
+                            F.col("__r") == 0, F.col("embedding")
+                        ).otherwise(shifted),
+                    )
+                    .drop("__r")
+                )
+            else:
+                # gate on __r > 0: replica 0 stays the verbatim source
+                # vectors (ADVICE r09 — the bump used to hit dimension 0)
+                bumped = F.transform(
+                    "embedding",
+                    lambda x, i: x
+                    + F.when(
+                        (F.col("__r") > 0)
+                        & (i == (F.col("__r") % dim).cast("int")),
+                        F.lit(EMBED_EPS),
+                    ).otherwise(F.lit(0.0)),
+                )
+                norm = F.sqrt(
+                    F.aggregate(
+                        bumped,
+                        F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double") * x,
+                    )
+                )
+                df = (
+                    df.crossJoin(F.broadcast(reps))
+                    .withColumn(
+                        "vec_id", F.col("vec_id") + F.col("__r") * KEY_OFFSET
+                    )
+                    .withColumn(
+                        "embedding",
+                        # replica 0 keeps the ORIGINAL column — even a no-op
+                        # renormalize would flip low bits (the double norm of
+                        # a float unit vector isn't exactly 1.0)
+                        F.when(
+                            F.col("__r") == 0, F.col("embedding")
+                        ).otherwise(
+                            F.transform(
+                                bumped, lambda x: (x / norm).cast("float")
+                            )
+                        ),
+                    )
+                    .drop("__r")
+                )
         # dims copy verbatim; one file per table matches the testdata
         # layout (schemas.load_table rebalances small scans itself)
         df.coalesce(max(1, args.replicas // 2)).write.mode(

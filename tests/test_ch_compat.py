@@ -3917,3 +3917,143 @@ def test_stat_test_state_merge_equals_direct(spark):
         spark, "SELECT studentTTestMerge(s) AS v FROM st_nullstate"
     ).collect()
     assert r.v is None
+
+
+def test_vector_distance_family(spark):
+    """Round-10 vector distance/norm batch (the embedding-similarity
+    surface an ANN migration brings along): every function against a
+    numpy reference; NULL and length-mismatched inputs answer NULL
+    (documented narrowing vs CH's SIZES_OF_ARRAYS_DONT_MATCH throw —
+    zip_with would otherwise NULL-pad a silently-wrong partial
+    distance); zero norms answer NULL where CH prints nan."""
+    import math
+
+    import numpy as np
+
+    x = np.array([1.5, -2.0, 0.5, 3.25])
+    y = np.array([0.5, 1.0, -1.5, 2.0])
+    spark.createDataFrame(
+        [(x.tolist(), y.tolist())], "a array<double>, b array<double>"
+    ).createOrReplaceTempView("vec_src")
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT dotProduct(a, b) AS dot, arrayDotProduct(a, b) AS dot2, "
+        "L2Distance(a, b) AS l2, L2SquaredDistance(a, b) AS l2sq, "
+        "L1Distance(a, b) AS l1, LinfDistance(a, b) AS linf, "
+        "cosineDistance(a, b) AS cos, L1Norm(a) AS n1, L2Norm(a) AS n2, "
+        "L2SquaredNorm(a) AS n2sq, LinfNorm(a) AS ninf, "
+        "normalizeL2(a) AS unit FROM vec_src",
+    ).collect()
+    assert abs(r.dot - float(x @ y)) < 1e-12 and r.dot2 == r.dot
+    assert abs(r.l2 - float(np.linalg.norm(x - y))) < 1e-12
+    assert abs(r.l2sq - float(((x - y) ** 2).sum())) < 1e-12
+    assert abs(r.l1 - float(np.abs(x - y).sum())) < 1e-12
+    assert abs(r.linf - float(np.abs(x - y).max())) < 1e-12
+    assert (
+        abs(
+            r.cos
+            - (
+                1
+                - float(x @ y)
+                / (np.linalg.norm(x) * np.linalg.norm(y))
+            )
+        )
+        < 1e-12
+    )
+    assert abs(r.n1 - float(np.abs(x).sum())) < 1e-12
+    assert abs(r.n2 - float(np.linalg.norm(x))) < 1e-12
+    assert abs(r.n2sq - float((x**2).sum())) < 1e-12
+    assert abs(r.ninf - float(np.abs(x).max())) < 1e-12
+    got_unit = np.array(r.unit)
+    assert np.allclose(got_unit, x / np.linalg.norm(x), atol=1e-12)
+    assert abs(np.linalg.norm(got_unit) - 1.0) < 1e-12
+
+    # NULL / length-mismatch / zero-norm policies
+    spark.createDataFrame(
+        [
+            ([1.0, 2.0], None),
+            ([1.0, 2.0], [1.0]),
+            ([0.0, 0.0], [1.0, 2.0]),
+        ],
+        "a array<double>, b array<double>",
+    ).createOrReplaceTempView("vec_edge")
+    rows = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT L2Distance(a, b) AS l2, cosineDistance(a, b) AS cos "
+        "FROM vec_edge",
+    ).collect()
+    assert rows[0].l2 is None and rows[0].cos is None  # NULL side
+    assert rows[1].l2 is None and rows[1].cos is None  # length mismatch
+    assert rows[2].l2 is not None and rows[2].cos is None  # zero norm
+
+
+def test_array_auc_vs_manual(spark):
+    """arrayAUC against the probabilistic definition (P(score_pos >
+    score_neg) + 0.5 P(tie)) computed by brute force in numpy — ties
+    included; a single-class input answers NULL (CH prints nan)."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    scores = rng.randint(0, 8, 25).astype(float)  # heavy ties
+    labels = rng.randint(0, 2, 25)
+    if labels.sum() in (0, len(labels)):  # keep both classes present
+        labels[0], labels[1] = 0, 1
+    pos = scores[labels > 0]
+    neg = scores[labels == 0]
+    want = float(
+        (
+            (pos[:, None] > neg[None, :]).sum()
+            + 0.5 * (pos[:, None] == neg[None, :]).sum()
+        )
+        / (len(pos) * len(neg))
+    )
+    spark.createDataFrame(
+        [(scores.tolist(), labels.tolist())],
+        "s array<double>, l array<int>",
+    ).createOrReplaceTempView("auc_src")
+    [r] = ch_compat.run_clickhouse_sql(
+        spark, "SELECT arrayAUC(s, l) AS auc FROM auc_src"
+    ).collect()
+    assert abs(r.auc - want) < 1e-12
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT arrayAUC(array(1.0, 2.0), array(1, 1)) AS auc",
+    ).collect()
+    assert r.auc is None
+
+
+def test_round10_everyday_batch(spark):
+    """Round-10 everyday translator batch: arrayJaccardIndex,
+    Modified-Julian-Day conversions, char() byte concatenation, unhex's
+    bytes-as-string cast, isValidUTF8/randCanonical/sumKahan renames."""
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT arrayJaccardIndex(array(1, 2, 3), array(2, 3, 4)) AS j, "
+        "arrayJaccardIndex(array(1), array(2)) AS j0, "
+        "toModifiedJulianDay('2020-01-01') AS mjd, "
+        "fromModifiedJulianDay(58849) AS d, "
+        "char(72, 105) AS hi, "
+        "unhex('4D7953514C') AS u, "
+        "isValidUTF8('binlog') AS v, "
+        "sumKahan(x) AS sk "
+        "FROM (SELECT 1.5 AS x UNION ALL SELECT 2.5)",
+    ).collect()
+    assert abs(r.j - 2.0 / 4.0) < 1e-15
+    assert r.j0 == 0.0
+    assert r.mjd == 58849  # the MJD epoch identity both ways
+    assert r.d == "2020-01-01"
+    assert r.hi == "Hi"
+    assert r.u == "MySQL"  # CH doc example; unhex must read as STRING
+    assert r.v is True
+    assert r.sk == 4.0
+    # both-empty arrayJaccardIndex: NULL here (CH nan) — documented
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT arrayJaccardIndex(array(), array()) AS j",
+    ).collect()
+    assert r.j is None
+    # randCanonical: uniform [0, 1)
+    [r] = ch_compat.run_clickhouse_sql(
+        spark, "SELECT randCanonical() AS x"
+    ).collect()
+    assert 0.0 <= r.x < 1.0

@@ -288,6 +288,14 @@ _RENAMES = {
     # translateUTF8 is NOT a rename: Spark's translate silently DELETES
     # unmatched chars when 'to' is shorter than 'from' where CH throws a
     # length-mismatch error — guarded rewrite below (ADVICE r09 #2).
+    # round-10 everyday batch: exact-same-semantics renames.
+    "isValidUTF8": "is_valid_utf8",  # both: byte-sequence validity
+    "randCanonical": "rand",  # both: uniform [0, 1) Float64
+    # sumKahan -> plain sum: DOCUMENTED NARROWING — CH promises
+    # compensated (Kahan) summation; Spark's double sum is ordinary
+    # fp accumulation, so the last ulps may differ on pathological
+    # cancellation (the VALUE contract — sum of the group — is the same)
+    "sumKahan": "sum",
     # round-9 everyday batch: exact-same-semantics renames.
     "arrayShuffle": "shuffle",  # both: uniform random permutation
     "JSONArrayLength": "json_array_length",  # both: NULL on non-array
@@ -2697,6 +2705,60 @@ def translate(
         ),
     )
 
+    # arrayJaccardIndex (round-10 everyday batch): |A∩B| / |A∪B| over
+    # array elements — the set form of stringJaccardIndex above. Both
+    # empty -> CH answers nan; NULL here (the documented convention).
+    out = _rewrite_calls(
+        out,
+        "arrayJaccardIndex",
+        lambda a: (
+            f"element_at(transform(array(named_struct("
+            f"'a', {a[0]}, 'b', {a[1]})), __t -> "
+            f"CAST(size(array_intersect(__t.a, __t.b)) AS DOUBLE) / "
+            f"nullif(size(array_union(__t.a, __t.b)), 0)), 1)"
+        ),
+    )
+    # Modified Julian Day: days since 1858-11-17 (both directions; CH
+    # takes a String date — Spark's to_date handles that input shape)
+    out = _rewrite_calls(
+        out,
+        "toModifiedJulianDay",
+        lambda a: f"datediff(to_date({a[0]}), DATE '1858-11-17')",
+    )
+    out = _rewrite_calls(
+        out,
+        "fromModifiedJulianDay",
+        lambda a: f"date_format(date_add(DATE '1858-11-17', {a[0]}), "
+        "'yyyy-MM-dd')",
+    )
+    # unhex: Spark returns BINARY where CH returns String — cast so
+    # downstream string comparisons keep CH's bytes-as-string reading.
+    # (hex passes through name-matched: identical on String input, the
+    # hex(MD5(x)) case; CH pads NUMERIC input to the type's byte width
+    # where Spark prints minimal digits — documented, types are
+    # invisible to text-level translation, same note as round()).
+    out = _rewrite_calls(
+        out, "unhex", lambda a: f"CAST(\x01unhex\x01({a[0]}) AS STRING)"
+    )
+    # char(n1[, n2, ...]): a string from character codes (CH interprets
+    # each as a byte; Spark's char covers the ASCII range — identical on
+    # 0..127, the everyday case; multi-byte codepoints differ)
+    out = _rewrite_calls(
+        out,
+        "char",
+        lambda a: (
+            f"\x01char\x01({a[0]})"
+            if len(a) == 1
+            else "concat("
+            + ", ".join(f"\x01char\x01({x})" for x in a)
+            + ")"
+        ),
+    )
+    # no later pass touches these two names — safe to unmask here
+    out = out.replace("\x01unhex\x01", "unhex").replace(
+        "\x01char\x01", "char"
+    )
+
     # URLPathHierarchy: cumulative path prefixes — every intermediate
     # entry closes with '/', the LAST entry is the full path+query+
     # fragment remainder; URLHierarchy is the same list prefixed with
@@ -3067,6 +3129,161 @@ def translate(
             f"greatest(CAST(0 AS DOUBLE), __s + __x))))"
         ),
     )
+    # Vector distance / norm family (round 10 — the embedding-similarity
+    # surface a CH user migrating an ANN workload brings along; the
+    # native operators in operators/similarity.py use the identical
+    # JVM-side folds). All row-local zip_with/aggregate folds over
+    # array arguments (CH's Array form; the tuple forms share the code
+    # path in CH but have no Spark tuple arithmetic — arrays only here).
+    # NULL arrays propagate NULL. DOCUMENTED NARROWING: length-mismatched
+    # inputs ALSO answer NULL where CH throws SIZES_OF_ARRAYS_DONT_MATCH
+    # — Spark's zip_with NULL-pads the shorter side, which would be a
+    # silently-wrong partial distance, so the bind guards on size
+    # equality explicitly.
+    def _vec_bind2(a, ch_fn, body):
+        """Bind (x, y) arrays once; NULL or length-mismatched inputs
+        answer NULL (documented vs CH's SIZES_OF_ARRAYS_DONT_MATCH
+        throw — zip_with would otherwise NULL-pad silently)."""
+        if len(a) != 2:
+            raise ValueError(f"{ch_fn} expects two array arguments")
+        pair = f"named_struct('x', {a[0]}, 'y', {a[1]})"
+        guarded = (
+            f"IF(__vp.x IS NULL OR __vp.y IS NULL "
+            f"OR size(__vp.x) <> size(__vp.y), "
+            f"CAST(NULL AS DOUBLE), {body})"
+        )
+        return (
+            f"element_at(transform(array({pair}), __vp -> {guarded}), 1)"
+        )
+
+    _dot = (
+        "aggregate(zip_with(__vp.x, __vp.y, (__va, __vb) -> "
+        "CAST(__va AS DOUBLE) * __vb), CAST(0 AS DOUBLE), "
+        "(__vs, __vv) -> __vs + __vv)"
+    )
+    _l2sq = (
+        "aggregate(zip_with(__vp.x, __vp.y, (__va, __vb) -> "
+        "(CAST(__va AS DOUBLE) - __vb) * (CAST(__va AS DOUBLE) - __vb)), "
+        "CAST(0 AS DOUBLE), (__vs, __vv) -> __vs + __vv)"
+    )
+    _l1d = (
+        "aggregate(zip_with(__vp.x, __vp.y, (__va, __vb) -> "
+        "abs(CAST(__va AS DOUBLE) - __vb)), CAST(0 AS DOUBLE), "
+        "(__vs, __vv) -> __vs + __vv)"
+    )
+    _linfd = (
+        "coalesce(array_max(zip_with(__vp.x, __vp.y, (__va, __vb) -> "
+        "abs(CAST(__va AS DOUBLE) - __vb))), CAST(0 AS DOUBLE))"
+    )
+    def _norm2(v):
+        return (
+            f"sqrt(aggregate({v}, CAST(0 AS DOUBLE), "
+            f"(__vs, __vv) -> __vs + CAST(__vv AS DOUBLE) * __vv))"
+        )
+    for _ch, _body in (
+        ("dotProduct", _dot),
+        ("arrayDotProduct", _dot),
+        ("L2SquaredDistance", _l2sq),
+        ("L2Distance", f"sqrt({_l2sq})"),
+        ("L1Distance", _l1d),
+        ("LinfDistance", _linfd),
+        (
+            # cosineDistance = 1 - dot/(|x||y|); a zero-norm side gives
+            # CH nan — NULL here via nullif (the documented convention)
+            "cosineDistance",
+            f"1.0 - ({_dot}) / nullif({_norm2('__vp.x')} * "
+            f"{_norm2('__vp.y')}, 0.0)",
+        ),
+    ):
+        out = _rewrite_calls(
+            out,
+            _ch,
+            (lambda body: lambda a, f=_ch: _vec_bind2(a, f, body))(_body),
+        )
+
+    def _vec_bind1(a, ch_fn, body):
+        if len(a) != 1:
+            raise ValueError(f"{ch_fn} expects one array argument")
+        return (
+            f"element_at(transform(array({a[0]}), __vx -> {body}), 1)"
+        )
+
+    _n1 = (
+        "aggregate(__vx, CAST(0 AS DOUBLE), "
+        "(__vs, __vv) -> __vs + abs(CAST(__vv AS DOUBLE)))"
+    )
+    _n2 = (
+        "sqrt(aggregate(__vx, CAST(0 AS DOUBLE), "
+        "(__vs, __vv) -> __vs + CAST(__vv AS DOUBLE) * __vv))"
+    )
+    _ninf = (
+        "coalesce(array_max(transform(__vx, __vv -> "
+        "abs(CAST(__vv AS DOUBLE)))), CAST(0 AS DOUBLE))"
+    )
+    for _ch, _body in (
+        ("L1Norm", _n1),
+        ("L2Norm", _n2),
+        ("L2SquaredNorm", f"{_n2} * {_n2}"),
+        ("LinfNorm", _ninf),
+        # normalizeL1/L2/Linf: the vector scaled to unit norm; a zero
+        # norm answers NULL via nullif (CH returns nan elements)
+        (
+            "normalizeL1",
+            f"transform(__vx, __ve -> CAST(__ve AS DOUBLE) / "
+            f"nullif({_n1}, 0.0))",
+        ),
+        (
+            "normalizeL2",
+            f"transform(__vx, __ve -> CAST(__ve AS DOUBLE) / "
+            f"nullif({_n2}, 0.0))",
+        ),
+        (
+            "normalizeLinf",
+            f"transform(__vx, __ve -> CAST(__ve AS DOUBLE) / "
+            f"nullif({_ninf}, 0.0))",
+        ),
+    ):
+        out = _rewrite_calls(
+            out,
+            _ch,
+            (lambda body: lambda a, f=_ch: _vec_bind1(a, f, body))(_body),
+        )
+
+    # arrayAUC(scores, labels): ROC AUC with midrank tie handling —
+    # for each positive (label > 0), count negatives scored strictly
+    # lower + half the equal-scored negatives, normalized by pos*neg.
+    # Row-local O(n^2) in the array length (the entropy/topK policy —
+    # per-row model-score vectors are bounded); empty sides answer NULL
+    # (CH returns nan when a class is absent).
+    def _array_auc(a):
+        if len(a) != 2:
+            raise ValueError("arrayAUC expects (scores, labels) arrays")
+        pair = (
+            f"zip_with({a[0]}, {a[1]}, (__as, __al) -> "
+            f"named_struct('s', CAST(__as AS DOUBLE), "
+            f"'pos', (__al > 0)))"
+        )
+        neg_lt = (
+            "CAST(size(filter(__ap, __ae -> NOT __ae.pos "
+            "AND __ae.s < __ag.s)) AS DOUBLE)"
+        )
+        neg_eq = (
+            "CAST(size(filter(__ap, __ae -> NOT __ae.pos "
+            "AND __ae.s = __ag.s)) AS DOUBLE)"
+        )
+        body = (
+            f"aggregate(filter(__ap, __ag0 -> __ag0.pos), "
+            f"CAST(0 AS DOUBLE), (__aacc, __ag) -> "
+            f"__aacc + {neg_lt} + 0.5 * {neg_eq}) / "
+            f"nullif(CAST(size(filter(__ap, __ae -> __ae.pos)) AS DOUBLE)"
+            f" * size(filter(__ap, __ae -> NOT __ae.pos)), 0.0)"
+        )
+        return (
+            f"element_at(transform(array({pair}), __ap -> {body}), 1)"
+        )
+
+    out = _rewrite_calls(out, "arrayAUC", _array_auc)
+
     # entropy(x): Shannon entropy (bits) of the value distribution —
     # collect + per-distinct frequency fold, the same exact row-local
     # O(distinct * n) policy as topK above (profiling-cardinality
