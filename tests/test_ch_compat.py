@@ -4057,3 +4057,39 @@ def test_round10_everyday_batch(spark):
         spark, "SELECT randCanonical() AS x"
     ).collect()
     assert 0.0 <= r.x < 1.0
+
+
+def test_round10_everyday_batch_two(spark):
+    """Second round-10 everyday batch: dateTrunc, toUUIDOrZero,
+    emptyArray* typed literals, erf/erfc (A&S — documented ~1.5e-7
+    narrowing), lgamma (Lanczos + reflection; non-positive integers
+    answer NULL where CH prints inf), gcd/lcm (bounded Euclid fold)."""
+    import math
+
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT dateTrunc('month', CAST('2024-05-17 10:30:00' AS "
+        "TIMESTAMP)) AS dt, "
+        "toUUIDOrZero('not-a-uuid') AS z, "
+        "toUUIDOrZero('61F0C404-5CB3-11E7-907B-A6006AD3DBA0') AS u, "
+        "emptyArrayUInt64() AS e, "
+        "erf(0.5) AS erf_h, erfc(1.25) AS erfc_v, "
+        "lgamma(4.5) AS lg, lgamma(-0.5) AS lgr, lgamma(-2) AS lgz, "
+        "gcd(12, 18) AS g, gcd(0, 0) AS g0, gcd(-12, 18) AS gn, "
+        "lcm(4, 6) AS l, lcm(0, 5) AS l0, "
+        "gcd(7540113804746346429, 4660046610375530309) AS gfib",
+    ).collect()
+    assert str(r.dt).startswith("2024-05-01")
+    assert r.z == "00000000-0000-0000-0000-000000000000"
+    assert r.u == "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+    assert r.e == []
+    assert abs(r.erf_h - math.erf(0.5)) < 2e-7
+    assert abs(r.erfc_v - math.erfc(1.25)) < 2e-7
+    assert abs(r.lg - math.lgamma(4.5)) < 1e-12
+    assert abs(r.lgr - math.lgamma(-0.5)) < 1e-12  # reflection branch
+    assert r.lgz is None  # pole: NULL where CH prints inf
+    assert r.g == 6 and r.g0 == 0 and r.gn == 6
+    assert r.l == 12 and r.l0 == 0
+    # consecutive 64-bit Fibonacci numbers: the Euclid worst case —
+    # the 92-step fold bound must still converge (gcd = 1)
+    assert r.gfib == 1

@@ -5374,6 +5374,101 @@ def translate(
     out = _rewrite_calls(
         out, "monthName", lambda a: f"date_format({a[0]}, 'MMMM')"
     )
+    # toUUIDOrZero: same validation, the all-zero UUID on failure (CH)
+    out = _rewrite_calls(
+        out, "toUUIDOrZero",
+        lambda a: (
+            f"if({a[0]} rlike '^[0-9a-fA-F]{{8}}-[0-9a-fA-F]{{4}}-"
+            f"[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{12}}$', "
+            f"lower({a[0]}), '00000000-0000-0000-0000-000000000000')"
+        ),
+    )
+    # dateTrunc: identical (unit, ts) signature and unit vocabulary
+    # (both truncate 'week' to Monday); CH also accepts the alias
+    # date_trunc, which passes through name-matched already
+    out = _rewrite_calls(
+        out, "dateTrunc", lambda a: f"date_trunc({', '.join(a)})"
+    )
+    # emptyArrayX() -> a typed empty array literal
+    for _ch, _sp in (
+        ("emptyArrayUInt8", "int"), ("emptyArrayUInt16", "int"),
+        ("emptyArrayUInt32", "bigint"), ("emptyArrayUInt64", "bigint"),
+        ("emptyArrayInt8", "int"), ("emptyArrayInt16", "int"),
+        ("emptyArrayInt32", "int"), ("emptyArrayInt64", "bigint"),
+        ("emptyArrayFloat32", "float"), ("emptyArrayFloat64", "double"),
+        ("emptyArrayString", "string"), ("emptyArrayDate", "date"),
+        ("emptyArrayDateTime", "timestamp"),
+    ):
+        out = _rewrite_calls(
+            out,
+            _ch,
+            lambda a, s=_sp, f=_ch: (
+                f"CAST(array() AS array<{s}>)"
+                if not a or a == [""]
+                else (_ for _ in ()).throw(
+                    ValueError(f"{f} takes no arguments")
+                )
+            ),
+        )
+
+    # erf/erfc (round 10): Spark has neither; reuse the A&S 7.1.26
+    # rational approximation from functions/stats.py (|error| <=
+    # 1.5e-7 — DOCUMENTED NARROWING vs CH's double-precision erf; the
+    # everyday use is sigma thresholds, far above 1e-7). lgamma: the
+    # Lanczos form (~15 digits) with the reflection formula for
+    # z < 0.5 (non-positive integers answer NULL where CH prints inf).
+    out = _rewrite_calls(
+        out, "erf", lambda a: f"(1.0 - {_stats.erfc_sql(a[0])})"
+    )
+    out = _rewrite_calls(out, "erfc", lambda a: _stats.erfc_sql(a[0]))
+
+    def _lgamma(a):
+        if len(a) != 1:
+            raise ValueError("lgamma expects one argument")
+        pos = _stats.lgamma_sql("__lgr")
+        refl = (
+            f"ln(pi() / abs(sin(pi() * __lgr))) - "
+            f"{_stats.lgamma_sql('1.0 - __lgr')}"
+        )
+        body = (
+            f"CASE WHEN __lgr >= 0.5 THEN {pos} "
+            f"WHEN __lgr = CAST(floor(__lgr) AS DOUBLE) THEN "
+            f"CAST(NULL AS DOUBLE) "
+            f"ELSE {refl} END"
+        )
+        return (
+            f"element_at(transform(array(CAST({a[0]} AS DOUBLE)), "
+            f"__lgr -> {body}), 1)"
+        )
+
+    out = _rewrite_calls(out, "lgamma", _lgamma)
+
+    # gcd/lcm (round 10): Spark has neither; Euclid as a bounded fold —
+    # 92 halving steps cover the 64-bit worst case (consecutive
+    # Fibonacci numbers). gcd(0, 0) = 0 like CH; negatives fold on
+    # absolute values; lcm = |a*b| / gcd (0 when either side is 0).
+    def _gcd_fold(x, y):
+        return (
+            f"aggregate(sequence(1, 92), "
+            f"named_struct('a', abs(CAST({x} AS BIGINT)), "
+            f"'b', abs(CAST({y} AS BIGINT))), "
+            f"(__ga, __gk) -> IF(__ga.b = 0, __ga, "
+            f"named_struct('a', __ga.b, 'b', __ga.a % __ga.b)), "
+            f"__ga -> __ga.a)"
+        )
+
+    out = _rewrite_calls(out, "gcd", lambda a: f"({_gcd_fold(a[0], a[1])})")
+    out = _rewrite_calls(
+        out,
+        "lcm",
+        lambda a: (
+            f"element_at(transform(array(named_struct("
+            f"'x', abs(CAST({a[0]} AS BIGINT)), "
+            f"'y', abs(CAST({a[1]} AS BIGINT)))), __lc -> "
+            f"IF(__lc.x = 0 OR __lc.y = 0, CAST(0 AS BIGINT), "
+            f"__lc.x div ({_gcd_fold('__lc.x', '__lc.y')}) * __lc.y)), 1)"
+        ),
+    )
 
     # toStartOfQuarter/Year return Dates in CH, like toStartOfMonth
     out = _rewrite_calls(
