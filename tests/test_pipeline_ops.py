@@ -1763,3 +1763,48 @@ def test_kmeans_distributed_path_matches_driver_path(spark, monkeypatch):
         assert cd == pytest.approx(cs, rel=1e-9, abs=1e-12)
     assert log_drv == pytest.approx(log_dist, rel=1e-6)
     assert assigned.count() > 0
+
+
+def test_near_dup_scaled_centroids(spark, duck):
+    """Round-10 scale derivation for bucketed embedding near-dup pairs:
+    constant BUCKET size (candidates linear in corpus size) instead of
+    a pinned centroid count (candidates quadratic — measured 2.1 s ->
+    35 s for 10x at sf1). The derivation floors to the registry's
+    historical pinned value at every driver scale factor, and the
+    auto-SQL scalar-subquery form answers exactly the pinned form at
+    the test SF. The registry row itself swaps to the auto form in
+    round 11 when its r09 proof rotates back into the driver window."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import similarity
+    from tests.conftest import SF_DIR
+
+    # derivation arithmetic: driver-SF parity + linear scale path
+    assert similarity.scaled_num_centroids(500) == 16  # sf0.001
+    assert similarity.scaled_num_centroids(2_000) == 16  # sf0.01
+    assert similarity.scaled_num_centroids(20_000) == 16  # sf0.1 == pinned
+    assert similarity.scaled_num_centroids(200_000) == 160  # sf1
+    assert similarity.scaled_num_centroids(2_000_000) == 1600  # sf10
+
+    # operator: the auto path answers exactly the pinned path at the
+    # test SF (500 vectors floors to the 16 minimum)
+    emb = schemas.load_table(spark, SF_DIR, "embeddings")
+    pinned = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.4, num_centroids=16
+    )
+    auto = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.4, num_centroids=None
+    )
+    got_p = sorted((r.vec_a, r.vec_b) for r in pinned.collect())
+    got_a = sorted((r.vec_a, r.vec_b) for r in auto.collect())
+    assert got_a == got_p and len(got_a) > 0
+    # oracle: the auto-SQL scalar-subquery form (DuckDB dialect) equals
+    # the pinned oracle AND the Spark operator
+    d_pin = duck.execute(
+        similarity.EMBEDDING_NEAR_DUP_SQL(threshold=0.4, num_centroids=16)
+    ).fetchall()
+    d_auto = duck.execute(
+        similarity.EMBEDDING_NEAR_DUP_SQL(threshold=0.4, num_centroids=None)
+    ).fetchall()
+    d_p = sorted((r[0], r[1]) for r in d_pin)
+    d_a = sorted((r[0], r[1]) for r in d_auto)
+    assert d_a == d_p == got_p

@@ -141,7 +141,7 @@ def assign_ivf_buckets(embeddings: DataFrame, num_centroids: int = 16) -> DataFr
     )
 
 
-def _ASSIGN_SQL(num_centroids: int) -> str:
+def _ASSIGN_SQL(num_centroids: int | str) -> str:
     return f"""
 e AS (SELECT vec_id, label, {_EMB_SQL} AS emb FROM embeddings),
 cents AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
@@ -349,15 +349,42 @@ FROM (
 """
 
 
+#: target IVF bucket size for the AUTO centroid derivation below —
+#: chosen so the derivation reproduces the registry's historical pinned
+#: value exactly at the driver scale factors (sf0.1: 20k vectors /
+#: 1250 = 16 centroids; sf0.01 floors at the 16 minimum)
+NEAR_DUP_BUCKET_TARGET = 1250
+
+
+def scaled_num_centroids(n_vectors: int, target: int = NEAR_DUP_BUCKET_TARGET) -> int:
+    """The 100-TB centroid derivation for bucketed near-dup pairs: keep
+    BUCKET SIZE constant as the corpus grows, so the within-bucket
+    self-join's candidate count is N x target — LINEAR in corpus size —
+    where a pinned centroid count makes it N^2 / k (measured: the
+    pinned-16 form went 2.1 s -> 35 s for 10x data at sf1). Round 10
+    adds the derivation; the registry row swaps to it in round 11 when
+    its r09 proof rotates back into the driver window (changing a
+    non-window query's implementation mid-round would void its proof —
+    the similarity_batch_topk rotation lesson)."""
+    return max(16, n_vectors // target)
+
+
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.99, num_centroids: int = 16
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    num_centroids: int | None = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within IVF buckets.
 
     Bucketing bounds the pair blowup to sum over buckets of |bucket|^2 —
     the embedding analogue of LSH banding. Cross-bucket near-dups are
     missed by design (recall/cost tradeoff, same as IVF search).
+    ``num_centroids=None`` derives the count from the corpus size via
+    :func:`scaled_num_centroids` (constant bucket size — the scale
+    path; one extra count() job).
     """
+    if num_centroids is None:
+        num_centroids = scaled_num_centroids(embeddings.count())
     assigned = assign_ivf_buckets(embeddings, num_centroids)
     a = assigned.select(
         F.col("centroid_id"),
@@ -379,9 +406,23 @@ def embedding_near_dup_pairs(
     )
 
 
-def EMBEDDING_NEAR_DUP_SQL(threshold: float = 0.99, num_centroids: int = 16) -> str:
+def EMBEDDING_NEAR_DUP_SQL(
+    threshold: float = 0.99, num_centroids: int | None = 16
+) -> str:
+    """``num_centroids=None`` embeds the :func:`scaled_num_centroids`
+    derivation as a scalar subquery — static SQL that both engines run,
+    with constant bucket size at every corpus scale (identical to the
+    pinned 16 at the driver SFs by construction of the target)."""
+    k = (
+        str(num_centroids)
+        if num_centroids is not None
+        else (
+            f"(SELECT greatest(16, CAST(floor(count(*) / "
+            f"{NEAR_DUP_BUCKET_TARGET}) AS BIGINT)) FROM embeddings)"
+        )
+    )
     return f"""
-WITH {_ASSIGN_SQL(num_centroids)}
+WITH {_ASSIGN_SQL(k)}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {COSINE_SQL('a.emb', 'b.emb')} AS cos_sim
 FROM assigned a JOIN assigned b
