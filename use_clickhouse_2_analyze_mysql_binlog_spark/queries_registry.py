@@ -1731,6 +1731,15 @@ CHANGED_THIS_ROUND: list[str] = [
 # `daily_event_counts` (in-window in r11; `daily_event_counts_by_table`
 # keeps the rollup signal) funds the tdigest two-level state read whose
 # oracles already live in tests/test_ddl_compat.py.
+# Round-11 pre-planned IMPLEMENTATION swap (costs no slot — the entry
+# is r09-green, so it sits in the r11 window and its re-proof rides the
+# normal rotation): `dedup_embedding_cosine` moves from the pinned
+# 16-centroid bucketing to similarity.scaled_num_centroids /
+# EMBEDDING_NEAR_DUP_SQL(num_centroids=None) — constant bucket size,
+# candidates linear in corpus size (the pinned form measured
+# 2.1 s -> 35 s for 10x data at sf1); values identical at every driver
+# SF (the derivation floors to 16 there — pinned-vs-auto parity test
+# in tests/test_pipeline_ops.py::test_near_dup_scaled_centroids).
 
 DRIVER_WINDOW_PRIORITY = [
     # -- 1. added or implementation-changed this round (round 10) —
