@@ -1779,11 +1779,13 @@ def test_near_dup_scaled_centroids(spark, duck):
     from tests.conftest import SF_DIR
 
     # derivation arithmetic: driver-SF parity + linear scale path
+    # (embeddings row counts: sf0.001=500, sf0.1=2k, 10x-replicated
+    # "sf1"=20k, 100x "sf10"=200k)
     assert similarity.scaled_num_centroids(500) == 16  # sf0.001
-    assert similarity.scaled_num_centroids(2_000) == 16  # sf0.01
-    assert similarity.scaled_num_centroids(20_000) == 16  # sf0.1 == pinned
-    assert similarity.scaled_num_centroids(200_000) == 160  # sf1
-    assert similarity.scaled_num_centroids(2_000_000) == 1600  # sf10
+    assert similarity.scaled_num_centroids(2_000) == 16  # sf0.1
+    assert similarity.scaled_num_centroids(20_000) == 16  # 10x == pinned
+    assert similarity.scaled_num_centroids(200_000) == 160  # 100x
+    assert similarity.scaled_num_centroids(2_000_000) == 1600  # 1000x
 
     # operator: the auto path answers exactly the pinned path at the
     # test SF (500 vectors floors to the 16 minimum)
