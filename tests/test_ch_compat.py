@@ -1156,7 +1156,14 @@ def test_round6_hash_bits_agg_surface():
     assert t("toMonday(d)") == "to_date(date_trunc('week', d))"
     assert t("median(x)") == "percentile(x, 0.5)"
     assert t("medianExact(x)") == "percentile(x, 0.5)"
-    assert t("avgWeighted(x, w)") == "(sum((x) * (w)) / sum(w))"
+    # round 10: NULL-pair skipping (CH drops rows where EITHER arg is
+    # NULL; the old sum(x*w)/sum(w) counted NULL-x rows' weights) and
+    # NULL on zero total weight
+    assert t("avgWeighted(x, w)") == (
+        "(sum(IF((x) IS NULL OR (w) IS NULL, CAST(NULL AS DOUBLE), "
+        "CAST(x AS DOUBLE) * (w))) / nullif(sum(IF((x) IS NULL OR (w) "
+        "IS NULL, CAST(NULL AS DOUBLE), CAST(w AS DOUBLE))), 0.0))"
+    )
     assert t("stddevPop(x)") == "stddev_pop(x)"
     assert t("skewPop(x)") == "skewness(x)"
     assert t("lagInFrame(x, 1, 0)") == "lag(x, 1, 0)"
@@ -4093,3 +4100,97 @@ def test_round10_everyday_batch_two(spark):
     # consecutive 64-bit Fibonacci numbers: the Euclid worst case —
     # the 92-step fold bound must still converge (gcd = 1)
     assert r.gfib == 1
+
+
+def test_corr_covar_avgweighted_states(spark):
+    """Bivariate moment states (round 10): corrState/covarPopState/
+    covarSampState/avgWeightedState two-level reads equal the direct
+    aggregates EXACTLY (field-sum merges are lossless); NULL-pair
+    skipping matches the direct forms; degenerate groups answer NULL."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    xs = rng.normal(3, 1.5, 50)
+    ys = 0.7 * xs + rng.normal(0, 1, 50)
+    ws = rng.randint(1, 5, 50)
+    rows = [
+        (float(x), float(y), int(w), int(i % 4))
+        for i, (x, y, w) in enumerate(zip(xs, ys, ws))
+    ]
+    rows.append((None, 5.0, 2, 0))  # NULL-pair skipping
+    rows.append((5.0, None, 2, 1))
+    spark.createDataFrame(
+        rows, "x double, y double, w int, blk int"
+    ).createOrReplaceTempView("cv_src")
+    ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT blk, corrState(x, y) AS cs, covarPopState(x, y) AS cps, "
+        "covarSampState(x, y) AS css, avgWeightedState(x, w) AS aws "
+        "FROM cv_src GROUP BY blk",
+    ).createOrReplaceTempView("cv_states")
+    [m] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT corrMerge(cs) AS c, covarPopMerge(cps) AS cp, "
+        "covarSampMerge(css) AS cv, avgWeightedMerge(aws) AS aw "
+        "FROM cv_states",
+    ).collect()
+    [w] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT corr(x, y) AS c, covarPop(x, y) AS cp, "
+        "covarSamp(x, y) AS cv, avgWeighted(x, w) AS aw FROM cv_src",
+    ).collect()
+    for c in ("c", "cp", "cv", "aw"):
+        assert abs(m[c] - w[c]) < 1e-10, (c, m[c], w[c])
+    # numpy cross-check (pairs with any NULL are skipped)
+    assert abs(m.c - float(np.corrcoef(xs, ys)[0, 1])) < 1e-10
+    assert abs(m.cp - float(np.cov(xs, ys, bias=True)[0, 1])) < 1e-10
+    assert abs(m.cv - float(np.cov(xs, ys, bias=False)[0, 1])) < 1e-10
+    # the (x=5, y=NULL, w=2) row participates in avgWeighted (its pair
+    # is x/w, both non-NULL) though not in the corr family
+    assert (
+        abs(m.aw - float(((xs * ws).sum() + 5.0 * 2) / (ws.sum() + 2)))
+        < 1e-10
+    )
+    # degenerate: single pair -> covarSamp NULL; constant x -> corr NULL
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT corrMerge(s) AS c FROM (SELECT corrState(x, y) AS s "
+        "FROM (SELECT 1.0 AS x, 2.0 AS y UNION ALL SELECT 1.0, 3.0))",
+    ).collect()
+    assert r.c is None
+
+
+def test_corr_covar_ddl_states(spark):
+    """AggregateFunction(corr|covarPop|covarSamp|avgWeighted, X, Y)
+    columns migrate to moment-struct states; merge + finalize through
+    operators/rollups equal the direct aggregates."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.functions import ddl_compat
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import rollups
+
+    objects, _ = ddl_compat.migrate_script(
+        "CREATE TABLE db.cv_store (k UInt64, "
+        "c AggregateFunction(corr, Float64, Float64), "
+        "aw AggregateFunction(avgWeighted, Float64, UInt32)) "
+        "ENGINE = AggregatingMergeTree() ORDER BY (k)"
+    )
+    store = objects[0]
+    assert store.agg_state_columns() == {"c": "corr", "aw": "avgweighted"}
+    assert [c.spark_type for c in store.columns][1:] == [
+        "struct<n:bigint,sx:double,sy:double,"
+        "sxx:double,syy:double,sxy:double>",
+        "struct<ws:double,w:double>",
+    ]
+    # merge + finalize roundtrip on synthetic partial states
+    spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "v int, blk int"
+    ).createOrReplaceTempView("cvd_src")
+    partials = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT blk, corrState(v, v * 2 + 1) AS c, "
+        "avgWeightedState(v, 2) AS aw FROM cvd_src GROUP BY blk",
+    ).withColumn("k", F.lit(1))
+    fns = {"c": "corr", "aw": "avgweighted"}
+    merged = rollups.agg_state_merge(partials, ["k"], fns)
+    [r] = rollups.finalize_agg_states(merged, fns).collect()
+    assert abs(r.c - 1.0) < 1e-12  # perfectly linear -> corr 1
+    assert abs(r.aw - 2.5) < 1e-12

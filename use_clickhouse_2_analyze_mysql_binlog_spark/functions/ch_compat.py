@@ -4181,6 +4181,69 @@ def translate(
     out = _rewrite_calls(out, "mannWhitneyUTestState", _mw_state)
     out = _rewrite_opt_parametric(out, "mannWhitneyUTestMerge", _mw_merge)
 
+    # corr/covarPop/covarSamp states (the bivariate members of the
+    # round-10 moment-state family): state = struct<n,sx,sy,sxx,syy,
+    # sxy> over both-non-NULL pairs — field-wise sums merge losslessly,
+    # the same exact idiom as the t-test states. avgWeighted's state is
+    # the (weighted sum, weight sum) pair. Degenerate groups answer
+    # NULL where CH prints nan (the repo convention).
+    def _corr_state(ch_fn):
+        def build(a):
+            if len(a) != 2:
+                raise ValueError(f"{ch_fn} expects (x, y)")
+            return _stats.corr_moments_sql(a[0], a[1])
+
+        return build
+
+    def _corr_merge(kind, ch_fn):
+        def build(a):
+            if len(a) != 1:
+                raise ValueError(f"{ch_fn} expects exactly one argument")
+            s = a[0]
+            merged = (
+                f"named_struct('n', sum(({s}).n), 'sx', sum(({s}).sx), "
+                f"'sy', sum(({s}).sy), 'sxx', sum(({s}).sxx), "
+                f"'syy', sum(({s}).syy), 'sxy', sum(({s}).sxy))"
+            )
+            return _stats.corr_from_moments_sql(merged, kind)
+
+        return build
+
+    for _kind, _ch in (
+        ("corr", "corr"), ("covarpop", "covarPop"),
+        ("covarsamp", "covarSamp"),
+    ):
+        out = _rewrite_calls(
+            out, f"{_ch}State", _corr_state(f"{_ch}State")
+        )
+        out = _rewrite_calls(
+            out, f"{_ch}Merge", _corr_merge(_kind, f"{_ch}Merge")
+        )
+
+    def _avgw_state(a):
+        if len(a) != 2:
+            raise ValueError("avgWeightedState expects (x, weight)")
+        x, w = a
+        both = f"(({x}) IS NOT NULL AND ({w}) IS NOT NULL)"
+        return (
+            f"named_struct("
+            f"'ws', sum(IF({both}, CAST({x} AS DOUBLE) * ({w}), "
+            f"CAST(NULL AS DOUBLE))), "
+            f"'w', sum(IF({both}, CAST({w} AS DOUBLE), "
+            f"CAST(NULL AS DOUBLE))))"
+        )
+
+    def _avgw_merge(a):
+        if len(a) != 1:
+            raise ValueError("avgWeightedMerge expects exactly one argument")
+        s = a[0]
+        return (
+            f"(sum(({s}).ws) / nullif(sum(({s}).w), 0.0))"
+        )
+
+    out = _rewrite_calls(out, "avgWeightedState", _avgw_state)
+    out = _rewrite_calls(out, "avgWeightedMerge", _avgw_merge)
+
     # finalizeAggregation over our plain-column states: sum/max/min/count
     # states are already final values; avg/uniq need their row-local
     # finalizer — but which one requires the state's TYPE, which SQL text
@@ -5157,7 +5220,17 @@ def translate(
     out = _rewrite_calls(
         out,
         "avgWeighted",
-        lambda a: f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))",
+        # CH skips rows where EITHER argument is NULL; a bare
+        # sum(x*w)/sum(w) would still count the weight of a NULL-x row
+        # in the denominator (silent divergence, caught by the round-10
+        # state-form cross-check). Zero total weight answers NULL where
+        # CH prints nan.
+        lambda a: (
+            f"(sum(IF(({a[0]}) IS NULL OR ({a[1]}) IS NULL, "
+            f"CAST(NULL AS DOUBLE), CAST({a[0]} AS DOUBLE) * ({a[1]}))) "
+            f"/ nullif(sum(IF(({a[0]}) IS NULL OR ({a[1]}) IS NULL, "
+            f"CAST(NULL AS DOUBLE), CAST({a[1]} AS DOUBLE))), 0.0))"
+        ),
     )
 
     # GLOBAL is a pure ClickHouse distribution hint (ship the right side

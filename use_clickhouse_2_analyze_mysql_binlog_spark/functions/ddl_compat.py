@@ -158,6 +158,23 @@ def _agg_state(ch_type: str) -> tuple[str, str] | None:
     arg_spark = _ch_type_to_spark(arg) if arg else None
     if params and not fn.startswith("quantile") and fn != "mannwhitneyutest":
         return None  # parametric states beyond these families: loud
+    if fn in ("corr", "covarpop", "covarsamp", "avgweighted"):
+        # bivariate moment states (round 10, same exact idiom as the
+        # t-tests): corr family = struct<n,sx,sy,sxx,syy,sxy> over
+        # both-non-NULL pairs; avgWeighted = (weighted sum, weight sum)
+        parts = _split_top_commas(arg)
+        numerics = ("tinyint", "smallint", "int", "bigint", "float", "double")
+        if len(parts) != 2:
+            return None
+        if any(_ch_type_to_spark(p) not in numerics for p in parts):
+            return None
+        if fn == "avgweighted":
+            return ("avgweighted", "struct<ws:double,w:double>")
+        return (
+            fn,
+            "struct<n:bigint,sx:double,sy:double,"
+            "sxx:double,syy:double,sxy:double>",
+        )
     if fn in ("studentttest", "welchttest", "mannwhitneyutest"):
         # round 10 (the last Aggregating-MV loud item): two-sample test
         # states. studentTTest/welchTTest: the EXACT moment struct —

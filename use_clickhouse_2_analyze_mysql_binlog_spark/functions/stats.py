@@ -261,6 +261,64 @@ def ttest_struct_sql(moments: str, kind: str) -> str:
     return _bind(cast_m, "__st", body)
 
 
+# ------------------------------------------- correlation / covariance
+
+
+def corr_moments_sql(x: str, y: str) -> str:
+    """Aggregate-context bivariate moment state
+    struct<n,sx,sy,sxx,syy,sxy> over rows where BOTH values are
+    non-NULL (CH's pair-skipping contract). Field-wise sums merge it
+    exactly — the ``AggregateFunction(corr|covarPop|covarSamp, X, Y)``
+    plain-column state."""
+    both = f"(({x}) IS NOT NULL AND ({y}) IS NOT NULL)"
+    xv = f"IF({both}, CAST({x} AS DOUBLE), CAST(NULL AS DOUBLE))"
+    yv = f"IF({both}, CAST({y} AS DOUBLE), CAST(NULL AS DOUBLE))"
+    return (
+        f"named_struct('n', count({xv}), "
+        f"'sx', sum({xv}), 'sy', sum({yv}), "
+        f"'sxx', sum(({xv}) * ({xv})), 'syy', sum(({yv}) * ({yv})), "
+        f"'sxy', sum(({xv}) * ({yv})))"
+    )
+
+
+def corr_from_moments_sql(moments: str, kind: str) -> str:
+    """Finalize a bivariate moment state: 'corr' (Pearson),
+    'covarpop', or 'covarsamp'. Degenerate groups (empty; zero
+    variance for corr; n < 2 for covarSamp) answer NULL where CH
+    prints nan."""
+    if kind not in ("corr", "covarpop", "covarsamp"):
+        raise ValueError(f"unknown correlation kind {kind!r}")
+    if kind == "corr":
+        body = (
+            "(__cm.n * __cm.sxy - __cm.sx * __cm.sy) / "
+            "nullif(sqrt((__cm.n * __cm.sxx - __cm.sx * __cm.sx) * "
+            "(__cm.n * __cm.syy - __cm.sy * __cm.sy)), 0.0)"
+        )
+        guard = "__cm.n IS NULL OR __cm.n < 1"
+    elif kind == "covarpop":
+        body = (
+            "(__cm.sxy - __cm.sx * __cm.sy / __cm.n) / __cm.n"
+        )
+        guard = "__cm.n IS NULL OR __cm.n < 1"
+    else:
+        body = (
+            "(__cm.sxy - __cm.sx * __cm.sy / __cm.n) / (__cm.n - 1.0)"
+        )
+        guard = "__cm.n IS NULL OR __cm.n < 2"
+    cast_m = _bind(
+        moments,
+        "__cm0",
+        "named_struct('n', CAST(__cm0.n AS DOUBLE), 'sx', __cm0.sx, "
+        "'sy', __cm0.sy, 'sxx', __cm0.sxx, 'syy', __cm0.syy, "
+        "'sxy', __cm0.sxy)",
+    )
+    return _bind(
+        cast_m,
+        "__cm",
+        f"IF({guard}, CAST(NULL AS DOUBLE), {body})",
+    )
+
+
 # ------------------------------------------------------ Mann-Whitney U
 
 

@@ -107,7 +107,31 @@ AGG_STATE_FNS = (
     # are pure-SQL in functions/stats.py. The Mann-Whitney finalize
     # parameters ride the token: "mannwhitneyutest@<alt>@<0|1>".
     "studentttest", "welchttest", "mannwhitneyutest@<alt>@<cc>",
+    # the bivariate moment states share the t-test idiom: corr family
+    # = struct<n,sx,sy,sxx,syy,sxy> over both-non-NULL pairs,
+    # avgWeighted = struct<ws,w> — field-wise sums, exact merges,
+    # row-local finalizers (functions/stats.py corr_from_moments_sql)
+    "corr", "covarpop", "covarsamp", "avgweighted",
 )
+
+
+#: moment-struct states (round 10): field-wise sums merge exactly.
+#: Counts keep bigint; every other field is a double sum. NULL state
+#: rows are skipped by sum; an all-NULL group yields NULL fields,
+#: which the finalizer reads back as NULL — the empty-state policy.
+_MOMENT_FIELDS = {
+    "studentttest": (("n0", "bigint"), ("s0", None), ("q0", None),
+                     ("n1", "bigint"), ("s1", None), ("q1", None)),
+    "welchttest": (("n0", "bigint"), ("s0", None), ("q0", None),
+                   ("n1", "bigint"), ("s1", None), ("q1", None)),
+    "corr": (("n", "bigint"), ("sx", None), ("sy", None),
+             ("sxx", None), ("syy", None), ("sxy", None)),
+    "covarpop": (("n", "bigint"), ("sx", None), ("sy", None),
+                 ("sxx", None), ("syy", None), ("sxy", None)),
+    "covarsamp": (("n", "bigint"), ("sx", None), ("sy", None),
+                  ("sxx", None), ("syy", None), ("sxy", None)),
+    "avgweighted": (("ws", None), ("w", None)),
+}
 
 
 def _agg_state_merge_expr(col: str, fn: str, dtype: str | None):
@@ -162,18 +186,14 @@ def _agg_state_merge_expr(col: str, fn: str, dtype: str | None):
             ),
         )
         return e.alias(col)
-    if fn in ("studentttest", "welchttest"):
-        # exact moment states: field-wise sums (NULL state rows are
-        # skipped by sum; an all-NULL group yields NULL fields, which
-        # the finalizer reads back as NULL — the empty-state policy)
-        return F.struct(
-            F.sum(F.col(col)["n0"]).cast("bigint").alias("n0"),
-            F.sum(F.col(col)["s0"]).alias("s0"),
-            F.sum(F.col(col)["q0"]).alias("q0"),
-            F.sum(F.col(col)["n1"]).cast("bigint").alias("n1"),
-            F.sum(F.col(col)["s1"]).alias("s1"),
-            F.sum(F.col(col)["q1"]).alias("q1"),
-        ).alias(col)
+    if fn in _MOMENT_FIELDS:
+        fields = []
+        for fname, cast_to in _MOMENT_FIELDS[fn]:
+            e = F.sum(F.col(col)[fname])
+            if cast_to:
+                e = e.cast(cast_to)
+            fields.append(e.alias(fname))
+        return F.struct(*fields).alias(col)
     if fn.startswith("mannwhitneyutest"):
         def _hist_merge(field):
             return F.aggregate(
@@ -323,6 +343,23 @@ def finalize_agg_states(df: DataFrame, state_fns: dict[str, str]) -> DataFrame:
             kind = "student" if fn == "studentttest" else "welch"
             cols.append(
                 F.expr(_stats.ttest_struct_sql(name, kind)).alias(name)
+            )
+        elif fn in ("corr", "covarpop", "covarsamp"):
+            from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
+                stats as _stats,
+            )
+
+            cols.append(
+                F.expr(_stats.corr_from_moments_sql(name, fn)).alias(name)
+            )
+        elif fn == "avgweighted":
+            cols.append(
+                (
+                    F.col(name)["ws"]
+                    / F.nullif(F.col(name)["w"], F.lit(0.0))
+                )
+                .cast("double")
+                .alias(name)
             )
         elif fn is not None and fn.startswith("mannwhitneyutest"):
             from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
