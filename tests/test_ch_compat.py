@@ -4194,3 +4194,33 @@ def test_corr_covar_ddl_states(spark):
     [r] = rollups.finalize_agg_states(merged, fns).collect()
     assert abs(r.c - 1.0) < 1e-12  # perfectly linear -> corr 1
     assert abs(r.aw - 2.5) < 1e-12
+
+
+def test_quantiles_plural_state_merge(spark):
+    """Plural quantiles*State/Merge (round 10): the histogram state is
+    level-free, so the plural -State is the same map and -Merge
+    finalizes every level into one array — equal to the corresponding
+    singular quantile*Merge reads and to direct percentiles."""
+    rows = [(float(v), v % 3) for v in range(1, 41)]
+    spark.createDataFrame(rows, "x double, blk int").createOrReplaceTempView(
+        "qp_src"
+    )
+    ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT blk, quantilesState(x) AS qs, "
+        "quantilesExactState(0.5, 0.9)(x) AS qes FROM qp_src GROUP BY blk",
+    ).createOrReplaceTempView("qp_states")
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT quantilesMerge(0.25, 0.5, 0.9)(qs) AS q, "
+        "quantilesExactMerge(0.5, 0.9)(qes) AS qe, "
+        "quantileMerge(0.5)(qs) AS m FROM qp_states",
+    ).collect()
+    assert len(r.q) == 3 and len(r.qe) == 2
+    assert r.q[1] == r.qe[0] == r.m  # same state, same median
+    # quantileExact indexing: rank = floor(p*40) + 1 over 1..40
+    assert r.q == [11.0, 21.0, 37.0]
+    assert r.qe == [21.0, 37.0]
+    # level list is required on the plural merge
+    with pytest.raises(ValueError, match="level"):
+        ch_compat.translate("SELECT quantilesMerge(qs) FROM t")

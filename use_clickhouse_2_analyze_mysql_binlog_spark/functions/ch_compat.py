@@ -3933,8 +3933,9 @@ def translate(
         # buckets encode.
         if len(args) != 1:
             raise ValueError(
-                "quantile*State expects exactly one argument (multi-level "
-                "quantilesState has no plain-column representation here)"
+                "quantile*State expects exactly one argument (for "
+                "multi-level reads use the plural quantiles*State/"
+                "quantiles*Merge — the histogram state is level-free)"
             )
         x = args[0]
         return (
@@ -3975,6 +3976,56 @@ def translate(
             f"coalesce(__h2, CAST(0 AS BIGINT))))"
         )
         return quantile_from_histogram_sql(merged, level)
+
+    # plural quantiles*State/Merge (round 10): the histogram state is
+    # LEVEL-FREE, so the plural -State is the same map (parameters ride
+    # the -Merge, which binds the merged histogram once and finalizes
+    # every level into one array — CH's Array return shape, element
+    # type = the key type, the single-level exactness convention)
+    def _parse_levels(params, ch_fn):
+        if params is None:
+            raise ValueError(f"{ch_fn} needs a literal level list")
+        levels = []
+        for p in params:
+            if not re.fullmatch(r"0?\.\d+|[01]", p.strip()):
+                raise ValueError(
+                    f"{ch_fn}: only literal level parameters are "
+                    "translated"
+                )
+            levels.append(float(p))
+        return levels
+
+    def _quantiles_state(params, args):
+        return _quantile_state(None, args)
+
+    def _quantiles_merge(params, args):
+        if len(args) != 1:
+            raise ValueError("quantiles*Merge expects exactly one argument")
+        levels = _parse_levels(params, "quantiles*Merge")
+        from use_clickhouse_2_analyze_mysql_binlog_spark.operators.rollups import (
+            quantile_from_histogram_sql,
+        )
+
+        s = args[0]
+        merged = (
+            f"aggregate(slice(collect_list({s}), 2, "
+            f"size(collect_list({s}))), "
+            f"try_element_at(collect_list({s}), 1), "
+            f"(__hacc, __hm) -> map_zip_with(__hacc, __hm, "
+            f"(__hk, __h1, __h2) -> coalesce(__h1, CAST(0 AS BIGINT)) + "
+            f"coalesce(__h2, CAST(0 AS BIGINT))))"
+        )
+        finals = ", ".join(
+            quantile_from_histogram_sql("__qsm", lv) for lv in levels
+        )
+        return (
+            f"element_at(transform(array({merged}), __qsm -> "
+            f"array({finals})), 1)"
+        )
+
+    for _qfn in ("quantilesExact", "quantilesTiming", "quantiles"):
+        out = _rewrite_opt_parametric(out, f"{_qfn}State", _quantiles_state)
+        out = _rewrite_opt_parametric(out, f"{_qfn}Merge", _quantiles_merge)
 
     for _qfn in ("quantileExact", "quantileTiming", "quantile"):
         out = _rewrite_opt_parametric(out, f"{_qfn}State", _quantile_state)
