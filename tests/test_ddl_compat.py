@@ -2093,3 +2093,42 @@ def test_migrated_stat_test_states_stream_and_match_batch(spark, tmp_path):
     for c in ("s", "w", "m"):
         assert abs(m[c].col1 - w[c].col1) < 1e-9
         assert abs(m[c].col2 - w[c].col2) < 1e-9
+
+
+def test_aggregating_plural_quantiles_state(spark, tmp_path):
+    """AggregateFunction(quantiles(0.5, 0.9), UInt64) (round 10):
+    same level-free histogram state; the literal level list rides the
+    token and the merged read finalizes to an array that equals the
+    direct exact percentiles."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import rollups
+
+    objects, _ = ddl_compat.migrate_script(
+        "CREATE TABLE db.qp_store (k UInt64, "
+        "qs AggregateFunction(quantiles(0.5, 0.9), UInt64)) "
+        "ENGINE = AggregatingMergeTree() ORDER BY (k)"
+    )
+    store = objects[0]
+    assert store.agg_state_columns() == {"qs": "quantiles@0.5,0.9"}
+    assert store.columns[1].spark_type == "map<bigint,bigint>"
+    # merge + finalize on per-block states == direct percentiles
+    spark.createDataFrame(
+        [(v, v % 4) for v in range(1, 101)], "v long, blk int"
+    ).createOrReplaceTempView("qpd_src")
+    from pyspark.sql import functions as F
+
+    partials = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT blk, quantilesState(v) AS qs FROM qpd_src GROUP BY blk",
+    ).withColumn("k", F.lit(1))
+    fns = {"qs": "quantiles@0.5,0.9"}
+    merged = rollups.agg_state_merge(partials, ["k"], fns)
+    [r] = rollups.finalize_agg_states(merged, fns).collect()
+    # quantileExact indexing over 1..100: floor(p*100)+1
+    assert r.qs == [51, 91]
+    # a level outside [0, 1] stays loud
+    with pytest.raises(ValueError, match="untranslated CH types"):
+        ddl_compat.migrate_script(
+            "CREATE TABLE t (k UInt64, q AggregateFunction("
+            "quantiles(1.5), UInt64)) "
+            "ENGINE = AggregatingMergeTree() ORDER BY (k)"
+        )

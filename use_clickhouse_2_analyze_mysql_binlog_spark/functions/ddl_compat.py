@@ -281,6 +281,27 @@ def _agg_state(ch_type: str) -> tuple[str, str] | None:
         if arg_spark not in ("tinyint", "smallint", "int", "bigint"):
             return None
         return ("groupbitmap", f"array<{arg_spark}>")
+    if fn in ("quantiles", "quantilesexact", "quantilestiming"):
+        # plural form (round 10): the SAME level-free histogram state;
+        # the literal level list rides the token and the read finalizes
+        # every level into one array (operators/rollups)
+        if arg_spark not in (
+            "int", "bigint", "float", "double", "date", "timestamp",
+        ):
+            return None
+        if not params:
+            return None  # CH requires at least one level on quantiles
+        levels = []
+        for p in _split_top_commas(params):
+            try:
+                lv = float(p)
+            except ValueError:
+                return None
+            if not 0.0 <= lv <= 1.0:
+                return None
+            levels.append(lv)
+        token = "quantiles@" + ",".join(repr(lv) for lv in levels)
+        return (token, f"map<{arg_spark},bigint>")
     if fn in (
         "quantile", "quantileexact", "quantiletiming", "quantiletdigest",
         "quantilebfloat16",

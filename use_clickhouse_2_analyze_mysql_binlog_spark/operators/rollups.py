@@ -326,6 +326,19 @@ def finalize_agg_states(df: DataFrame, state_fns: dict[str, str]) -> DataFrame:
             )
         elif fn == "groupbitmap":
             cols.append(F.size(F.col(name)).cast("long").alias(name))
+        elif fn is not None and fn.startswith("quantiles@"):
+            # plural read: bind the histogram once, every level into
+            # one array (CH's Array return shape)
+            levels = [float(v) for v in fn.split("@", 1)[1].split(",")]
+            finals = ", ".join(
+                quantile_from_histogram_sql("__qsf", lv) for lv in levels
+            )
+            cols.append(
+                F.expr(
+                    f"element_at(transform(array({name}), __qsf -> "
+                    f"array({finals})), 1)"
+                ).alias(name)
+            )
         elif fn is not None and fn.startswith(
             ("quantile@", "quantiletdigest@")
         ):
