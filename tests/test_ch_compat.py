@@ -4224,3 +4224,26 @@ def test_quantiles_plural_state_merge(spark):
     # level list is required on the plural merge
     with pytest.raises(ValueError, match="level"):
         ch_compat.translate("SELECT quantilesMerge(qs) FROM t")
+
+
+def test_quantiles_sketch_plural_state_merge(spark):
+    """Plural sketch forms quantilesTDigest/BFloat16 State+Merge: the
+    log-quantized histogram with the plural array finalize; answers
+    within the sketch's documented half-step of the exact plural."""
+    rows = [(float(v) * 1.37 + 1.0, v % 3) for v in range(1, 61)]
+    spark.createDataFrame(rows, "x double, blk int").createOrReplaceTempView(
+        "qsp_src"
+    )
+    ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT blk, quantilesTDigestState(x) AS ts, "
+        "quantilesExactState(x) AS es FROM qsp_src GROUP BY blk",
+    ).createOrReplaceTempView("qsp_states")
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT quantilesTDigestMerge(0.5, 0.9)(ts) AS t, "
+        "quantilesExactMerge(0.5, 0.9)(es) AS e FROM qsp_states",
+    ).collect()
+    assert len(r.t) == 2
+    for approx, exact in zip(r.t, r.e):
+        assert abs(approx - exact) / exact < 0.005  # ~0.4% half-step

@@ -1664,6 +1664,19 @@ def translate(
                  flags=re.IGNORECASE)
     out = re.sub(r"\bany(?=\s*\()", "any", out, flags=re.IGNORECASE)
 
+    # ORDER BY ... WITH FILL [FROM/TO/STEP] / INTERPOLATE: a structural
+    # gap-fill that adds rows — a text-level rewrite cannot know the
+    # non-fill columns to NULL-pad, so it stays LOUD with the migration
+    # path (the engine's date-spine gap-fill operator) instead of
+    # letting Spark's parser produce an opaque syntax error.
+    if re.search(r"\bWITH\s+FILL\b", out, flags=re.IGNORECASE):
+        raise ValueError(
+            "ORDER BY ... WITH FILL adds spine rows and is not "
+            "translated textually — use the gap-fill operator "
+            "(operators/windows.py daily_counts_gapfilled: a sequence() "
+            "date spine + broadcast left join) for the migrated job"
+        )
+
     # clause strips (before function work: SETTINGS may contain '=').
     # SETTINGS are engine hints and strip freely — EXCEPT the handful
     # that change query RESULTS, which fail loudly rather than being
@@ -4060,6 +4073,22 @@ def translate(
                 "one argument"
             )
         return _quantile_state(params, [_log_quantize(args[0])])
+
+    def _sketch_plural_state(params, args):
+        if len(args) != 1:
+            raise ValueError(
+                "quantilesTDigest/quantilesBFloat16 State expects "
+                "exactly one argument"
+            )
+        return _quantiles_state(None, [_log_quantize(args[0])])
+
+    # plural sketch forms share the log-quantized histogram and the
+    # plural array finalize
+    for _qfn in ("quantilesTDigest", "quantilesBFloat16"):
+        out = _rewrite_opt_parametric(
+            out, f"{_qfn}State", _sketch_plural_state
+        )
+        out = _rewrite_opt_parametric(out, f"{_qfn}Merge", _quantiles_merge)
 
     for _qfn in ("quantileTDigest", "quantileBFloat16"):
         out = _rewrite_opt_parametric(out, f"{_qfn}State", _sketch_state)
