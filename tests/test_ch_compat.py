@@ -4247,3 +4247,91 @@ def test_quantiles_sketch_plural_state_merge(spark):
     assert len(r.t) == 2
     for approx, exact in zip(r.t, r.e):
         assert abs(approx - exact) / exact < 0.005  # ~0.4% half-step
+
+
+def test_z_tests_and_probit(spark):
+    """meanZTest / proportionsZTest (round 10): z, two-sided p (A&S
+    erfc), and confidence bounds via the Acklam probit — all against
+    math/closed-form references; the probit itself against known
+    normal quantiles."""
+    import math
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.functions import stats
+
+    # probit sanity: known quantiles (both tails + center)
+    for p, want in (
+        (0.975, 1.959963984540054),
+        (0.5, 0.0),
+        (0.025, -1.959963984540054),
+        (0.995, 2.5758293035489004),
+        (0.0001, -3.719016485455709),
+    ):
+        [r] = spark.sql(
+            "SELECT " + stats.probit_sql(str(p)) + " AS v"
+        ).collect()
+        assert abs(r.v - want) < 1e-8, (p, r.v, want)
+
+    # meanZTest: known variances 4 and 9
+    xs = [10.0, 12.0, 11.0, 13.0, 9.0]
+    ys = [14.0, 15.0, 13.0]
+    rows = [(v, 0) for v in xs] + [(v, 1) for v in ys]
+    spark.createDataFrame(rows, "x double, idx int").createOrReplaceTempView(
+        "mz_src"
+    )
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT meanZTest(4.0, 9.0, 0.95)(x, idx) AS z FROM mz_src",
+    ).collect()
+    d = sum(xs) / len(xs) - sum(ys) / len(ys)
+    se = math.sqrt(4.0 / len(xs) + 9.0 / len(ys))
+    zc = 1.959963984540054
+    assert abs(r.z.col1 - d / se) < 1e-12
+    assert abs(r.z.col2 - math.erfc(abs(d / se) / math.sqrt(2))) < 1e-6
+    assert abs(r.z.col3 - (d - zc * se)) < 1e-8
+    assert abs(r.z.col4 - (d + zc * se)) < 1e-8
+
+    # proportionsZTest: CH doc-shaped inputs
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT proportionsZTest(10, 11, 100, 101, 0.95) AS p",
+    ).collect()
+    p1, p2 = 10 / 100, 11 / 101
+    pp = (10 + 11) / (100 + 101)
+    sep = math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 101))
+    seu = math.sqrt(p1 * (1 - p1) / 100 + p2 * (1 - p2) / 101)
+    z = (p1 - p2) / sep
+    assert abs(r.p.col1 - z) < 1e-12
+    assert abs(r.p.col2 - math.erfc(abs(z) / math.sqrt(2))) < 1e-6
+    assert abs(r.p.col3 - ((p1 - p2) - zc * seu)) < 1e-8
+    assert abs(r.p.col4 - ((p1 - p2) + zc * seu)) < 1e-8
+
+
+def test_round10_everyday_batch_three(spark):
+    """base64URL trio, toStartOfSecond, roundToExp2,
+    byteHammingDistance (character-form narrowing like
+    stringJaccardIndex)."""
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT base64URLEncode('https://clickhouse.com/?a=1') AS e, "
+        "tryBase64URLDecode(base64URLEncode('Hi? /+ there')) AS d, "
+        "tryBase64URLDecode('#garbage#') AS g, "
+        "base64URLDecode(base64URLEncode('roundtrip')) AS rt, "
+        "toStartOfSecond(CAST('2024-05-17 10:30:45.789' AS TIMESTAMP)) "
+        "AS ts, "
+        "roundToExp2(100) AS r100, roundToExp2(0.5) AS rhalf, "
+        "roundToExp2(64) AS r64, "
+        "byteHammingDistance('karolin', 'kathrin') AS h, "
+        "byteHammingDistance('abc', 'abcdef') AS hlen",
+    ).collect()
+    import base64
+
+    assert r.e == base64.urlsafe_b64encode(
+        b"https://clickhouse.com/?a=1"
+    ).decode().rstrip("=")
+    assert r.d == "Hi? /+ there"
+    assert r.g == ""
+    assert r.rt == "roundtrip"
+    assert str(r.ts).endswith("10:30:45")
+    assert r.r100 == 64.0 and r.rhalf == 0.0 and r.r64 == 64.0
+    assert r.h == 3  # classic Hamming example
+    assert r.hlen == 3  # 0 differing + 3 length delta

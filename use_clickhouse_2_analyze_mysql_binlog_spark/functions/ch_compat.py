@@ -2700,6 +2700,71 @@ def translate(
     out = _rewrite_calls(
         out, "splitByRegexp", lambda a: f"split({a[1]}, {a[0]}, -1)"
     )
+    # base64URLEncode/Decode + tryBase64URLDecode (round 10): the
+    # URL-safe alphabet is a character translation away from standard
+    # base64 (+/ <-> -_; CH omits '=' padding on encode — stripped to
+    # match, and re-padded before decode since Spark's decoder wants it)
+    out = _rewrite_calls(
+        out,
+        "base64URLEncode",
+        lambda a: (
+            f"translate(rtrim('=', base64(CAST({a[0]} AS BINARY))), "
+            f"'+/', '-_')"
+        ),
+    )
+
+    def _b64url_decode(strict):
+        def build(a):
+            pad = (
+                f"element_at(transform(array(translate({a[0]}, '-_', "
+                f"'+/')), __bu -> concat(__bu, repeat('=', "
+                f"(4 - length(__bu) % 4) % 4))), 1)"
+            )
+            if strict:
+                return f"CAST(to_binary({pad}, 'base64') AS STRING)"
+            return (
+                f"element_at(transform(array({pad}), __bv -> "
+                f"IF(__bv IS NULL, NULL, coalesce("
+                f"CAST(try_to_binary(__bv, 'base64') AS STRING), ''))), 1)"
+            )
+
+        return build
+
+    out = _rewrite_calls(out, "tryBase64URLDecode", _b64url_decode(False))
+    out = _rewrite_calls(out, "base64URLDecode", _b64url_decode(True))
+    # toStartOfSecond: sub-second truncation
+    out = _rewrite_calls(
+        out, "toStartOfSecond", lambda a: f"date_trunc('second', {a[0]})"
+    )
+    # roundToExp2: round DOWN to the nearest power of two (CH: values
+    # below 1 -> 0); NULL-propagating
+    out = _rewrite_calls(
+        out,
+        "roundToExp2",
+        lambda a: (
+            f"element_at(transform(array(CAST({a[0]} AS DOUBLE)), "
+            f"__re -> CASE WHEN __re IS NULL THEN CAST(NULL AS DOUBLE) "
+            f"WHEN __re < 1.0 THEN 0.0 "
+            f"ELSE power(2.0, floor(log2(__re))) END), 1)"
+        ),
+    )
+    # byteHammingDistance: differing positions + the length difference.
+    # Same CHARACTER-vs-byte narrowing as stringJaccardIndex (identical
+    # for ASCII, multi-byte text diverges — documented).
+    out = _rewrite_calls(
+        out,
+        "byteHammingDistance",
+        lambda a: (
+            f"element_at(transform(array(named_struct("
+            f"'a', filter(split({a[0]}, ''), __hf -> __hf != ''), "
+            f"'b', filter(split({a[1]}, ''), __hf -> __hf != ''))), __hd -> "
+            f"CAST(size(filter(zip_with(slice(__hd.a, 1, "
+            f"least(size(__hd.a), size(__hd.b))), slice(__hd.b, 1, "
+            f"least(size(__hd.a), size(__hd.b))), "
+            f"(__hx, __hy) -> __hx <> __hy), __hz -> __hz)) "
+            f"+ abs(size(__hd.a) - size(__hd.b)) AS BIGINT)), 1)"
+        ),
+    )
     # stringJaccardIndex: |A∩B| / |A∪B| over the strings' symbol sets.
     # CH sets are BYTES; Spark splits to CHARACTERS — identical for
     # ASCII (matches CH's own doc example: ('clickhouse','mouse') =
@@ -4183,6 +4248,50 @@ def translate(
         return _stats.mannwhitney_struct_sql(h0, h1, alternative, continuity)
 
     out = _rewrite_opt_parametric(out, "mannWhitneyUTest", _mw_agg)
+
+    # meanZTest(var0, var1, conf)(x, idx): known-variance two-sample z
+    # test — (z, p, ci_low, ci_high) 4-tuple like CH. The state is the
+    # t-test moment struct (the q fields are simply unused), so it
+    # rides the same exact-merge machinery.
+    def _mean_z(params, args):
+        if params is None or len(params) != 3:
+            raise ValueError(
+                "meanZTest needs literal (population_variance_x, "
+                "population_variance_y, confidence_level) parameters"
+            )
+        if len(args) != 2:
+            raise ValueError("meanZTest expects (sample_data, sample_index)")
+        for pp in params:
+            if not re.fullmatch(r"\s*\d+(\.\d+)?\s*", pp):
+                raise ValueError(
+                    "meanZTest: only numeric literal parameters are "
+                    "translated"
+                )
+        return _stats.mean_z_struct_sql(
+            _stats.ttest_moments_sql(args[0], args[1]),
+            params[0], params[1], params[2],
+        )
+
+    out = _rewrite_opt_parametric(out, "meanZTest", _mean_z)
+
+    # proportionsZTest(successes_x, successes_y, trials_x, trials_y,
+    # conf): scalar — pooled z + two-sided p + unpooled CI, CH's
+    # 4-tuple. The confidence level must be a literal (it feeds the
+    # probit quantile at translate time).
+    def _proportions_z(a):
+        if len(a) != 5:
+            raise ValueError(
+                "proportionsZTest expects (successes_x, successes_y, "
+                "trials_x, trials_y, confidence_level)"
+            )
+        if not re.fullmatch(r"\s*\d+(\.\d+)?\s*", a[4]):
+            raise ValueError(
+                "proportionsZTest: the confidence level must be a "
+                "numeric literal"
+            )
+        return _stats.proportions_z_sql(a[0], a[1], a[2], a[3], a[4])
+
+    out = _rewrite_calls(out, "proportionsZTest", _proportions_z)
 
     # -State/-Merge for the statistical tests (the ddl_compat plain-
     # column states; merge folds mirror _map_merge's empty-state policy:

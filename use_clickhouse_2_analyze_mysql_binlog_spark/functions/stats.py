@@ -261,6 +261,119 @@ def ttest_struct_sql(moments: str, kind: str) -> str:
     return _bind(cast_m, "__st", body)
 
 
+def probit_sql(p: str) -> str:
+    """Inverse normal CDF (Acklam's 2003 rational approximation —
+    public domain, |relative error| < 1.15e-9; the z_{alpha} quantile
+    the z-test confidence bounds need). NULL outside (0, 1)."""
+    # central region |p - 0.5| <= 0.47575
+    mid = (
+        "element_at(transform(array((__pb - 0.5) * (__pb - 0.5)), "
+        "__pr -> (((((-3.969683028665376e+01 * __pr + 2.209460984245205e+02)"
+        " * __pr - 2.759285104469687e+02) * __pr + 1.383577518672690e+02)"
+        " * __pr - 3.066479806614716e+01) * __pr + 2.506628277459239e+00)"
+        " * (__pb - 0.5) / "
+        "(((((-5.447609879822406e+01 * __pr + 1.615858368580409e+02)"
+        " * __pr - 1.556989798598866e+02) * __pr + 6.680131188771972e+01)"
+        " * __pr - 1.328068155288572e+01) * __pr + 1.0)), 1)"
+    )
+    # lower tail p < 0.02425 (upper tail mirrors with 1 - p)
+    def tail(q):
+        return (
+            f"element_at(transform(array({q}), __pq -> "
+            "(((((-7.784894002430293e-03 * __pq - 3.223964580411365e-01)"
+            " * __pq - 2.400758277161838e+00) * __pq - 2.549732539343734e+00)"
+            " * __pq + 4.374664141464968e+00) * __pq + 2.938163982698783e+00)"
+            " / ((((7.784695709041462e-03 * __pq + 3.224671290700398e-01)"
+            " * __pq + 2.445134137142996e+00) * __pq + 3.754408661907416e+00)"
+            " * __pq + 1.0)), 1)"
+        )
+
+    lo = tail("sqrt(-2.0 * ln(__pb))")
+    hi = tail("sqrt(-2.0 * ln(1.0 - __pb))")
+    body = (
+        "CASE WHEN __pb IS NULL OR __pb <= 0.0 OR __pb >= 1.0 "
+        "THEN CAST(NULL AS DOUBLE) "
+        f"WHEN __pb < 0.02425 THEN {lo} "
+        f"WHEN __pb > 0.97575 THEN -({hi}) "
+        f"ELSE {mid} END"
+    )
+    return _bind(f"CAST({p} AS DOUBLE)", "__pb", body)
+
+
+def mean_z_struct_sql(
+    moments: str, v0: str, v1: str, conf: str
+) -> str:
+    """Finalize a (n0, s0, n1, s1)-bearing moment state to CH's
+    meanZTest 4-tuple (z_statistic, p_value, ci_low, ci_high) —
+    col1..col4. ``v0``/``v1`` are the KNOWN population variances
+    (meanZTest's parameters), ``conf`` the confidence level. Empty
+    samples answer NULL."""
+    zc = probit_sql(f"1.0 - (1.0 - ({conf})) / 2.0")
+    core = (
+        "named_struct("
+        "'d', __mz.s0 / __mz.n0 - __mz.s1 / __mz.n1, "
+        f"'se', sqrt(({v0}) / __mz.n0 + ({v1}) / __mz.n1))"
+    )
+    p = erfc_sql("abs(__mzd.d / __mzd.se) / 1.4142135623730951")
+    result = _bind(
+        core,
+        "__mzd",
+        "named_struct('col1', __mzd.d / __mzd.se, "
+        f"'col2', {p}, "
+        f"'col3', __mzd.d - ({zc}) * __mzd.se, "
+        f"'col4', __mzd.d + ({zc}) * __mzd.se)",
+    )
+    cast_m = _bind(
+        moments,
+        "__mz0",
+        "named_struct('n0', CAST(__mz0.n0 AS DOUBLE), 's0', __mz0.s0, "
+        "'n1', CAST(__mz0.n1 AS DOUBLE), 's1', __mz0.s1)",
+    )
+    return _bind(
+        cast_m,
+        "__mz",
+        "IF(__mz.n0 IS NULL OR __mz.n1 IS NULL OR __mz.n0 < 1 "
+        f"OR __mz.n1 < 1, NULL, {result})",
+    )
+
+
+def proportions_z_sql(sx: str, sy: str, nx: str, ny: str, conf: str) -> str:
+    """CH's proportionsZTest scalar: pooled-variance z + two-sided p +
+    the UNpooled confidence interval on the proportion difference —
+    4-tuple col1..col4. Degenerate totals answer NULL."""
+    zc = probit_sql(f"1.0 - (1.0 - ({conf})) / 2.0")
+    bound = (
+        f"named_struct('sx', CAST({sx} AS DOUBLE), "
+        f"'sy', CAST({sy} AS DOUBLE), 'nx', CAST({nx} AS DOUBLE), "
+        f"'ny', CAST({ny} AS DOUBLE))"
+    )
+    core = (
+        "named_struct("
+        "'d', __pz.sx / __pz.nx - __pz.sy / __pz.ny, "
+        "'sep', sqrt((__pz.sx + __pz.sy) / (__pz.nx + __pz.ny) "
+        "* (1.0 - (__pz.sx + __pz.sy) / (__pz.nx + __pz.ny)) "
+        "* (1.0 / __pz.nx + 1.0 / __pz.ny)), "
+        "'seu', sqrt(__pz.sx / __pz.nx * (1.0 - __pz.sx / __pz.nx) "
+        "/ __pz.nx + __pz.sy / __pz.ny * (1.0 - __pz.sy / __pz.ny) "
+        "/ __pz.ny))"
+    )
+    p = erfc_sql("abs(__pzd.d / nullif(__pzd.sep, 0.0)) / 1.4142135623730951")
+    result = _bind(
+        core,
+        "__pzd",
+        "named_struct('col1', __pzd.d / nullif(__pzd.sep, 0.0), "
+        f"'col2', {p}, "
+        f"'col3', __pzd.d - ({zc}) * __pzd.seu, "
+        f"'col4', __pzd.d + ({zc}) * __pzd.seu)",
+    )
+    return _bind(
+        bound,
+        "__pz",
+        "IF(__pz.nx IS NULL OR __pz.ny IS NULL OR __pz.nx < 1 "
+        f"OR __pz.ny < 1, NULL, {result})",
+    )
+
+
 # ------------------------------------------- correlation / covariance
 
 
