@@ -2132,3 +2132,39 @@ def test_aggregating_plural_quantiles_state(spark, tmp_path):
             "quantiles(1.5), UInt64)) "
             "ENGINE = AggregatingMergeTree() ORDER BY (k)"
         )
+
+
+def test_meanztest_ddl_state(spark):
+    """AggregateFunction(meanZTest(vx, vy, conf), Float64, UInt8):
+    the t-test moment state with parameters riding the token; merged
+    read equals the direct translated aggregate exactly."""
+    from pyspark.sql import functions as F
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import rollups
+
+    objects, _ = ddl_compat.migrate_script(
+        "CREATE TABLE db.mz_store (k UInt64, "
+        "mz AggregateFunction(meanZTest(4.0, 9.0, 0.95), Float64, UInt8)) "
+        "ENGINE = AggregatingMergeTree() ORDER BY (k)"
+    )
+    store = objects[0]
+    assert store.agg_state_columns() == {"mz": "meanztest@4.0@9.0@0.95"}
+    spark.createDataFrame(
+        [(10.0, 0, 0), (12.0, 0, 1), (9.0, 0, 0), (14.0, 1, 1),
+         (15.0, 1, 0), (13.0, 1, 1)],
+        "x double, idx int, blk int",
+    ).createOrReplaceTempView("mzd_src")
+    partials = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT blk, studentTTestState(x, idx) AS mz "
+        "FROM mzd_src GROUP BY blk",
+    ).withColumn("k", F.lit(1))
+    fns = {"mz": "meanztest@4.0@9.0@0.95"}
+    merged = rollups.agg_state_merge(partials, ["k"], fns)
+    [r] = rollups.finalize_agg_states(merged, fns).collect()
+    [w] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT meanZTest(4.0, 9.0, 0.95)(x, idx) AS mz FROM mzd_src",
+    ).collect()
+    for c in ("col1", "col2", "col3", "col4"):
+        assert abs(r.mz[c] - w.mz[c]) < 1e-12

@@ -156,8 +156,34 @@ def _agg_state(ch_type: str) -> tuple[str, str] | None:
     params = (m.group(2) or "").strip()
     arg = (m.group(3) or "").strip()
     arg_spark = _ch_type_to_spark(arg) if arg else None
-    if params and not fn.startswith("quantile") and fn != "mannwhitneyutest":
+    if params and not fn.startswith("quantile") and fn not in (
+        "mannwhitneyutest", "meanztest",
+    ):
         return None  # parametric states beyond these families: loud
+    if fn == "meanztest":
+        # known-variance z test: the t-test moment struct (q fields
+        # unused but kept — ONE moment shape for the whole family);
+        # the literal (var_x, var_y, conf) parameters ride the token
+        parts = _split_top_commas(arg)
+        numerics = ("tinyint", "smallint", "int", "bigint", "float", "double")
+        if len(parts) != 2 or _ch_type_to_spark(parts[0]) not in numerics:
+            return None
+        if _ch_type_to_spark(parts[1]) not in (
+            "tinyint", "smallint", "int", "bigint",
+        ):
+            return None
+        if not params:
+            return None
+        pparts = [p.strip() for p in _split_top_commas(params)]
+        if len(pparts) != 3 or not all(
+            re.fullmatch(r"\d+(\.\d+)?", p) for p in pparts
+        ):
+            return None
+        return (
+            "meanztest@" + "@".join(pparts),
+            "struct<n0:bigint,s0:double,q0:double,"
+            "n1:bigint,s1:double,q1:double>",
+        )
     if fn in ("corr", "covarpop", "covarsamp", "avgweighted"):
         # bivariate moment states (round 10, same exact idiom as the
         # t-tests): corr family = struct<n,sx,sy,sxx,syy,sxy> over

@@ -186,6 +186,15 @@ def _agg_state_merge_expr(col: str, fn: str, dtype: str | None):
             ),
         )
         return e.alias(col)
+    if fn.startswith("meanztest@"):
+        fn_fields = "studentttest"  # same moment struct, same merge
+        fields = []
+        for fname, cast_to in _MOMENT_FIELDS[fn_fields]:
+            e = F.sum(F.col(col)[fname])
+            if cast_to:
+                e = e.cast(cast_to)
+            fields.append(e.alias(fname))
+        return F.struct(*fields).alias(col)
     if fn in _MOMENT_FIELDS:
         fields = []
         for fname, cast_to in _MOMENT_FIELDS[fn]:
@@ -356,6 +365,17 @@ def finalize_agg_states(df: DataFrame, state_fns: dict[str, str]) -> DataFrame:
             kind = "student" if fn == "studentttest" else "welch"
             cols.append(
                 F.expr(_stats.ttest_struct_sql(name, kind)).alias(name)
+            )
+        elif fn is not None and fn.startswith("meanztest@"):
+            from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
+                stats as _stats,
+            )
+
+            _, v0, v1, conf = fn.split("@")
+            cols.append(
+                F.expr(
+                    _stats.mean_z_struct_sql(name, v0, v1, conf)
+                ).alias(name)
             )
         elif fn in ("corr", "covarpop", "covarsamp"):
             from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
