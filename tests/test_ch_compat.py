@@ -4335,3 +4335,50 @@ def test_round10_everyday_batch_three(spark):
     assert r.r100 == 64.0 and r.rhalf == 0.0 and r.r64 == 64.0
     assert r.h == 3  # classic Hamming example
     assert r.hlen == 3  # 0 differing + 3 length delta
+
+
+def test_categorical_association(spark):
+    """cramersV / cramersVBiasCorrected / contingency against a manual
+    chi-squared computation (pandas crosstab); degenerate inputs answer
+    NULL; theilsU stays loud (unpinned directionality)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(13)
+    a = rng.choice(["x", "y", "z"], 60)
+    # correlated second column with noise
+    m = {"x": "p", "y": "q", "z": "r"}
+    b = np.where(rng.rand(60) < 0.7, [m[v] for v in a],
+                 rng.choice(["p", "q", "r"], 60))
+    spark.createDataFrame(
+        list(zip(a.tolist(), b.tolist())), "a string, b string"
+    ).createOrReplaceTempView("cv_assoc")
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT cramersV(a, b) AS v, cramersVBiasCorrected(a, b) AS vb, "
+        "contingency(a, b) AS c FROM cv_assoc",
+    ).collect()
+
+    ct = pd.crosstab(pd.Series(a), pd.Series(b)).to_numpy().astype(float)
+    n = ct.sum()
+    exp = np.outer(ct.sum(1), ct.sum(0)) / n
+    chi2 = ((ct - exp) ** 2 / exp).sum()
+    k1, k2 = ct.shape
+    v = float(np.sqrt((chi2 / n) / min(k1 - 1, k2 - 1)))
+    phi2c = max(0.0, chi2 / n - (k1 - 1) * (k2 - 1) / (n - 1))
+    k1c = k1 - (k1 - 1) ** 2 / (n - 1)
+    k2c = k2 - (k2 - 1) ** 2 / (n - 1)
+    vb = float(np.sqrt(phi2c / min(k1c - 1, k2c - 1)))
+    cc = float(np.sqrt(chi2 / (chi2 + n)))
+    assert abs(r.v - v) < 1e-10
+    assert abs(r.vb - vb) < 1e-10
+    assert abs(r.c - cc) < 1e-10
+    # single-valued side -> NULL (CH nan)
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT cramersV(a, b) AS v FROM (SELECT 'k' AS a, 'p' AS b "
+        "UNION ALL SELECT 'k', 'q')",
+    ).collect()
+    assert r.v is None
+    with pytest.raises(ValueError, match="theilsU"):
+        ch_compat.translate("SELECT theilsU(a, b) FROM t")

@@ -4293,6 +4293,48 @@ def translate(
 
     out = _rewrite_calls(out, "proportionsZTest", _proportions_z)
 
+    # categorical association (round 10): Cramér's V (+ the Bergsma
+    # bias-corrected form CH uses) and Pearson's contingency
+    # coefficient over the pair contingency table — row-local folds,
+    # the entropy/topK bounded-cardinality policy. theilsU stays loud:
+    # CH's directionality convention isn't pinned by its docs, and a
+    # silently-transposed uncertainty coefficient is the silent-wrong
+    # class this translator refuses.
+    def _assoc(builder, ch_fn):
+        def build(a):
+            if len(a) != 2:
+                raise ValueError(f"{ch_fn} expects two columns")
+            return builder(a[0], a[1])
+
+        return build
+
+    out = _rewrite_calls(
+        out,
+        "cramersVBiasCorrected",
+        _assoc(
+            lambda a, b: _stats.cramers_v_sql(a, b, corrected=True),
+            "cramersVBiasCorrected",
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "cramersV",
+        _assoc(_stats.cramers_v_sql, "cramersV"),
+    )
+    out = _rewrite_calls(
+        out, "contingency", _assoc(_stats.contingency_sql, "contingency")
+    )
+    out = _rewrite_calls(
+        out,
+        "theilsU",
+        lambda a: (_ for _ in ()).throw(ValueError(
+            "theilsU is not translated: CH's docs do not pin which "
+            "column conditions which (the uncertainty coefficient is "
+            "asymmetric) — compute H(a), H(a|b) explicitly with "
+            "entropy() if the direction is known"
+        )),
+    )
+
     # -State/-Merge for the statistical tests (the ddl_compat plain-
     # column states; merge folds mirror _map_merge's empty-state policy:
     # an all-NULL group reads back NULL).

@@ -432,6 +432,97 @@ def corr_from_moments_sql(moments: str, kind: str) -> str:
     )
 
 
+# --------------------------------------------- categorical association
+
+
+def pairs_collect_sql(a: str, b: str) -> str:
+    """Aggregate-context: the (a, b) value pairs as strings, rows with
+    either side NULL skipped (CH's pair-skipping contract)."""
+    return (
+        f"collect_list(IF(({a}) IS NULL OR ({b}) IS NULL, NULL, "
+        f"named_struct('a', CAST({a} AS STRING), "
+        f"'b', CAST({b} AS STRING))))"
+    )
+
+
+def cramers_v_sql(a: str, b: str, corrected: bool = False) -> str:
+    """Cramér's V over the pair contingency table (``corrected`` =
+    the Bergsma bias correction CH's cramersVBiasCorrected uses).
+    Row-local O(pairs x distinct-cells) post-aggregation fold — the
+    entropy/topK policy (association profiling runs on categorical
+    columns with bounded cardinality). Degenerate inputs (empty; a
+    single-valued side; n < 2 for the corrected form) answer NULL
+    where CH prints nan."""
+    chi2_k = _chi2_cells_sql()
+    if not corrected:
+        body = (
+            "IF(size(__cp) < 1, NULL, "
+            f"{_bind(chi2_k, '__ck', 'IF(least(__ck.k1, __ck.k2) < 2, NULL, sqrt((__ck.chi2 / __ck.n) / least(__ck.k1 - 1.0, __ck.k2 - 1.0)))')})"
+        )
+    else:
+        corrected_expr = (
+            "element_at(transform(array(named_struct("
+            "'phi2', greatest(0.0, __ck.chi2 / __ck.n "
+            "- (__ck.k1 - 1.0) * (__ck.k2 - 1.0) / (__ck.n - 1.0)), "
+            "'k1c', __ck.k1 - (__ck.k1 - 1.0) * (__ck.k1 - 1.0) "
+            "/ (__ck.n - 1.0), "
+            "'k2c', __ck.k2 - (__ck.k2 - 1.0) * (__ck.k2 - 1.0) "
+            "/ (__ck.n - 1.0))), __cb -> "
+            "IF(least(__cb.k1c, __cb.k2c) <= 1.0, NULL, "
+            "sqrt(__cb.phi2 / least(__cb.k1c - 1.0, __cb.k2c - 1.0)))), 1)"
+        )
+        body = (
+            "IF(size(__cp) < 2, NULL, "
+            f"{_bind(chi2_k, '__ck', corrected_expr)})"
+        )
+    return _bind(pairs_collect_sql(a, b), "__cp", body)
+
+
+def contingency_sql(a: str, b: str) -> str:
+    """Pearson's contingency coefficient sqrt(chi2 / (chi2 + n))."""
+    body = (
+        "IF(size(__cp) < 1, NULL, "
+        + _bind(
+            _chi2_cells_sql(),
+            "__ck",
+            "sqrt(__ck.chi2 / (__ck.chi2 + __ck.n))",
+        )
+        + ")"
+    )
+    return _bind(pairs_collect_sql(a, b), "__cp", body)
+
+
+def _chi2_cells_sql() -> str:
+    """struct<chi2, n, k1, k2> from a bound ``__cp`` pair list: the
+    chi-squared statistic over the FULL k1 x k2 grid — zero-observed
+    cells still contribute their expected count (iterating only
+    observed cells understates chi2)."""
+    cells = (
+        "flatten(transform("
+        "array_distinct(transform(__cp, __p -> __p.a)), __va -> "
+        "transform(array_distinct(transform(__cp, __p -> __p.b)), "
+        "__vb -> named_struct("
+        "'cnt', CAST(size(filter(__cp, __p -> __p.a = __va "
+        "AND __p.b = __vb)) AS DOUBLE), "
+        "'ra', CAST(size(filter(__cp, __p -> __p.a = __va)) AS DOUBLE), "
+        "'sb', CAST(size(filter(__cp, __p -> __p.b = __vb)) "
+        "AS DOUBLE)))))"
+    )
+    return (
+        "named_struct("
+        f"'chi2', aggregate({cells}, CAST(0 AS DOUBLE), "
+        "(__ca, __cc) -> __ca + "
+        "(__cc.cnt - __cc.ra * __cc.sb / size(__cp)) "
+        "* (__cc.cnt - __cc.ra * __cc.sb / size(__cp)) "
+        "/ (__cc.ra * __cc.sb / size(__cp))), "
+        "'n', CAST(size(__cp) AS DOUBLE), "
+        "'k1', CAST(size(array_distinct(transform(__cp, __p -> __p.a))) "
+        "AS DOUBLE), "
+        "'k2', CAST(size(array_distinct(transform(__cp, __p -> __p.b))) "
+        "AS DOUBLE))"
+    )
+
+
 # ------------------------------------------------------ Mann-Whitney U
 
 
