@@ -4382,3 +4382,61 @@ def test_categorical_association(spark):
     assert r.v is None
     with pytest.raises(ValueError, match="theilsU"):
         ch_compat.translate("SELECT theilsU(a, b) FROM t")
+
+
+def test_kolmogorov_smirnov(spark):
+    """kolmogorovSmirnovTest (round 10 — the last two-sample test):
+    D against a manual ECDF sweep, p against the Kolmogorov series
+    computed independently in Python; two-level State/Merge equality;
+    ties included; one-sided and 'exact' stay loud (tested above in
+    the translate layer, re-asserted here)."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    a = np.round(rng.normal(10, 2, 45), 1)  # rounding forces ties
+    b = np.round(rng.normal(11, 2.5, 35), 1)
+    rows = [(float(v), 0) for v in a] + [(float(v), 1) for v in b]
+    spark.createDataFrame(rows, "x double, idx int").createOrReplaceTempView(
+        "ks_src"
+    )
+    [r] = ch_compat.run_clickhouse_sql(
+        spark, "SELECT kolmogorovSmirnovTest(x, idx) AS k FROM ks_src"
+    ).collect()
+
+    allv = np.sort(np.unique(np.concatenate([a, b])))
+    f0 = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+    f1 = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+    d = float(np.abs(f0 - f1).max())
+    ne = len(a) * len(b) / (len(a) + len(b))
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+    p = 2.0 * sum(
+        (-1) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+        for k in range(1, 101)
+    )
+    p = min(1.0, max(0.0, p))
+    assert abs(r.k.col1 - d) < 1e-12
+    assert abs(r.k.col2 - p) < 1e-10
+
+    # two-level: per-block states re-merged == direct
+    spark.createDataFrame(
+        [(float(v), 0, i % 3) for i, v in enumerate(a)]
+        + [(float(v), 1, i % 3) for i, v in enumerate(b)],
+        "x double, idx int, blk int",
+    ).createOrReplaceTempView("ks_blk")
+    ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT blk, kolmogorovSmirnovTestState(x, idx) AS s "
+        "FROM ks_blk GROUP BY blk",
+    ).createOrReplaceTempView("ks_states")
+    [m] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT kolmogorovSmirnovTestMerge(s) AS k FROM ks_states",
+    ).collect()
+    assert abs(m.k.col1 - r.k.col1) < 1e-12
+    assert abs(m.k.col2 - r.k.col2) < 1e-12
+    with pytest.raises(ValueError, match="two-sided"):
+        ch_compat.translate(
+            "SELECT kolmogorovSmirnovTest('less')(x, idx) FROM t"
+        )

@@ -2168,3 +2168,45 @@ def test_meanztest_ddl_state(spark):
     ).collect()
     for c in ("col1", "col2", "col3", "col4"):
         assert abs(r.mz[c] - w.mz[c]) < 1e-12
+
+
+def test_kstest_ddl_state(spark):
+    """AggregateFunction(kolmogorovSmirnovTest, Float64, UInt8): the
+    histogram-pair state with the two-sided asymptotic read; merge +
+    finalize equal the direct translated aggregate; one-sided
+    parametric DDL stays loud."""
+    from pyspark.sql import functions as F
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import rollups
+
+    objects, _ = ddl_compat.migrate_script(
+        "CREATE TABLE db.ks_store (k UInt64, "
+        "ks AggregateFunction(kolmogorovSmirnovTest, Float64, UInt8)) "
+        "ENGINE = AggregatingMergeTree() ORDER BY (k)"
+    )
+    assert objects[0].agg_state_columns() == {"ks": "kstest"}
+    spark.createDataFrame(
+        [(10.0, 0, 0), (12.0, 0, 1), (9.0, 0, 0), (14.0, 1, 1),
+         (15.0, 1, 0), (13.0, 1, 1), (10.0, 1, 0)],
+        "x double, idx int, blk int",
+    ).createOrReplaceTempView("ksd_src")
+    partials = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT blk, kolmogorovSmirnovTestState(x, idx) AS ks "
+        "FROM ksd_src GROUP BY blk",
+    ).withColumn("k", F.lit(1))
+    fns = {"ks": "kstest"}
+    merged = rollups.agg_state_merge(partials, ["k"], fns)
+    [r] = rollups.finalize_agg_states(merged, fns).collect()
+    [w] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT kolmogorovSmirnovTest(x, idx) AS ks FROM ksd_src",
+    ).collect()
+    assert abs(r.ks.col1 - w.ks.col1) < 1e-12
+    assert abs(r.ks.col2 - w.ks.col2) < 1e-12
+    with pytest.raises(ValueError, match="untranslated CH types"):
+        ddl_compat.migrate_script(
+            "CREATE TABLE t (k UInt64, q AggregateFunction("
+            "kolmogorovSmirnovTest('greater'), Float64, UInt8)) "
+            "ENGINE = AggregatingMergeTree() ORDER BY (k)"
+        )

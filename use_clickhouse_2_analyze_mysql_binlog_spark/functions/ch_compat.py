@@ -4293,6 +4293,97 @@ def translate(
 
     out = _rewrite_calls(out, "proportionsZTest", _proportions_z)
 
+    # kolmogorovSmirnovTest (round 10 — the last member of CH's
+    # two-sample test family): shares the Mann-Whitney histogram-pair
+    # state (ECDFs recompute losslessly from counts). Two-sided only;
+    # the one-sided alternatives stay loud (their D+/D- directionality
+    # is the theilsU class); 'exact' computation stays loud (we always
+    # answer the asymptotic p — documented in stats.py).
+    def _ks_params(params, ch_fn):
+        if params is None:
+            return
+        if len(params) > 2:
+            raise ValueError(f"{ch_fn} takes (alternative[, method])")
+        lm = re.fullmatch(r"\s*\x00L(\d+)\x00\s*", params[0])
+        alt = (
+            literals[int(lm.group(1))][1:-1] if lm else params[0].strip()
+        )
+        if alt != "two-sided":
+            raise ValueError(
+                f"{ch_fn}: only the 'two-sided' alternative is "
+                "translated (one-sided D+/D- directionality is not "
+                "pinned by CH's docs)"
+            )
+        if len(params) == 2:
+            m2 = re.fullmatch(r"\s*\x00L(\d+)\x00\s*", params[1])
+            method = (
+                literals[int(m2.group(1))][1:-1]
+                if m2
+                else params[1].strip()
+            )
+            if method not in ("asymp", "auto"):
+                raise ValueError(
+                    f"{ch_fn}: only the asymptotic p-value is computed "
+                    "('exact' is not translated)"
+                )
+
+    def _ks_agg(params, args):
+        if len(args) != 2:
+            raise ValueError(
+                "kolmogorovSmirnovTest expects (sample_data, sample_index)"
+            )
+        _ks_params(params, "kolmogorovSmirnovTest")
+        x, idx = args
+        h0 = _stats.value_histogram_sql(
+            f"IF(({idx}) = 0, CAST({x} AS DOUBLE), CAST(NULL AS DOUBLE))"
+        )
+        h1 = _stats.value_histogram_sql(
+            f"IF(({idx}) = 1, CAST({x} AS DOUBLE), CAST(NULL AS DOUBLE))"
+        )
+        return _stats.ks_struct_sql(h0, h1)
+
+    out = _rewrite_opt_parametric(out, "kolmogorovSmirnovTest", _ks_agg)
+
+    def _ks_merge(params, args):
+        if len(args) != 1:
+            raise ValueError(
+                "kolmogorovSmirnovTestMerge expects exactly one argument"
+            )
+        _ks_params(params, "kolmogorovSmirnovTestMerge")
+        s = args[0]
+
+        def hist_fold(field):
+            lst = f"collect_list(({s}).{field})"
+            return (
+                f"aggregate(slice({lst}, 2, size({lst})), "
+                f"try_element_at({lst}, 1), "
+                f"(__hacc, __hm) -> map_zip_with(__hacc, __hm, "
+                f"(__hk, __h1, __h2) -> coalesce(__h1, CAST(0 AS BIGINT))"
+                f" + coalesce(__h2, CAST(0 AS BIGINT))))"
+            )
+
+        return _stats.ks_struct_sql(hist_fold("h0"), hist_fold("h1"))
+
+    def _ks_state(a):
+        if len(a) != 2:
+            raise ValueError(
+                "kolmogorovSmirnovTestState expects "
+                "(sample_data, sample_index)"
+            )
+        x, idx = a
+        h0 = _stats.value_histogram_sql(
+            f"IF(({idx}) = 0, CAST({x} AS DOUBLE), CAST(NULL AS DOUBLE))"
+        )
+        h1 = _stats.value_histogram_sql(
+            f"IF(({idx}) = 1, CAST({x} AS DOUBLE), CAST(NULL AS DOUBLE))"
+        )
+        return f"named_struct('h0', {h0}, 'h1', {h1})"
+
+    out = _rewrite_calls(out, "kolmogorovSmirnovTestState", _ks_state)
+    out = _rewrite_opt_parametric(
+        out, "kolmogorovSmirnovTestMerge", _ks_merge
+    )
+
     # categorical association (round 10): Cramér's V (+ the Bergsma
     # bias-corrected form CH uses) and Pearson's contingency
     # coefficient over the pair contingency table — row-local folds,

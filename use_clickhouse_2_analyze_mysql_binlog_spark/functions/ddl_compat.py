@@ -157,7 +157,7 @@ def _agg_state(ch_type: str) -> tuple[str, str] | None:
     arg = (m.group(3) or "").strip()
     arg_spark = _ch_type_to_spark(arg) if arg else None
     if params and not fn.startswith("quantile") and fn not in (
-        "mannwhitneyutest", "meanztest",
+        "mannwhitneyutest", "meanztest", "kolmogorovsmirnovtest",
     ):
         return None  # parametric states beyond these families: loud
     if fn == "meanztest":
@@ -201,7 +201,10 @@ def _agg_state(ch_type: str) -> tuple[str, str] | None:
             "struct<n:bigint,sx:double,sy:double,"
             "sxx:double,syy:double,sxy:double>",
         )
-    if fn in ("studentttest", "welchttest", "mannwhitneyutest"):
+    if fn in (
+        "studentttest", "welchttest", "mannwhitneyutest",
+        "kolmogorovsmirnovtest",
+    ):
         # round 10 (the last Aggregating-MV loud item): two-sample test
         # states. studentTTest/welchTTest: the EXACT moment struct —
         # field-wise sums merge losslessly. mannWhitneyUTest: a
@@ -225,6 +228,25 @@ def _agg_state(ch_type: str) -> tuple[str, str] | None:
                 fn,
                 "struct<n0:bigint,s0:double,q0:double,"
                 "n1:bigint,s1:double,q1:double>",
+            )
+        if fn == "kolmogorovsmirnovtest":
+            # same histogram-pair state; only the two-sided asymptotic
+            # read is supported (the translator's loud policy), so any
+            # parametric form beyond ('two-sided'[, 'asymp'|'auto'])
+            # stays loud via the checks below
+            if params:
+                pparts = [p.strip() for p in _split_top_commas(params)]
+                if not 1 <= len(pparts) <= 2:
+                    return None
+                if not re.fullmatch(r"'two-sided'", pparts[0]):
+                    return None
+                if len(pparts) == 2 and not re.fullmatch(
+                    r"'(asymp|auto)'", pparts[1]
+                ):
+                    return None
+            return (
+                "kstest",
+                "struct<h0:map<double,bigint>,h1:map<double,bigint>>",
             )
         # mannWhitneyUTest[(alternative[, continuity])] — the finalize
         # parameters ride the fn token like quantile's level

@@ -432,6 +432,76 @@ def corr_from_moments_sql(moments: str, kind: str) -> str:
     )
 
 
+# --------------------------------------------- Kolmogorov-Smirnov test
+
+
+def ks_struct_sql(h0: str, h1: str) -> str:
+    """Two-sided two-sample Kolmogorov-Smirnov test from a value→count
+    histogram pair (the Mann-Whitney state shape — ECDFs recompute
+    losslessly from counts): D = sup |F0 - F1| via one sorted fold,
+    p via the asymptotic Kolmogorov distribution with the
+    finite-sample lambda refinement (NR's sqrt(ne) + 0.12 +
+    0.11/sqrt(ne) factor; series truncated at 100 terms, far past
+    double-precision convergence). DOCUMENTED NARROWING: always the
+    asymptotic p (CH's 'auto' switches to an exact permutation count
+    on tiny samples); empty samples answer NULL."""
+    vals = (
+        "array_sort(array_distinct(concat("
+        "map_keys(__ks.h0), map_keys(__ks.h1))))"
+    )
+    c0 = "CAST(coalesce(element_at(__ks.h0, __kv), 0) AS DOUBLE)"
+    c1 = "CAST(coalesce(element_at(__ks.h1, __kv), 0) AS DOUBLE)"
+    fold = (
+        f"aggregate({vals}, "
+        "named_struct('c0', CAST(0.0 AS DOUBLE), 'c1', CAST(0.0 AS DOUBLE), "
+        "'d', CAST(0.0 AS DOUBLE)), "
+        "(__ka, __kv) -> "
+        f"element_at(transform(array(named_struct("
+        f"'nc0', __ka.c0 + {c0}, 'nc1', __ka.c1 + {c1})), __ke -> "
+        "named_struct('c0', __ke.nc0, 'c1', __ke.nc1, "
+        "'d', greatest(__ka.d, abs(__ke.nc0 / __ksn.n0 "
+        "- __ke.nc1 / __ksn.n1)))), 1), "
+        "__ka -> __ka.d)"
+    )
+    n0 = (
+        "CAST(aggregate(map_values(__ks.h0), CAST(0 AS BIGINT), "
+        "(__s, __x) -> __s + __x) AS DOUBLE)"
+    )
+    n1 = (
+        "CAST(aggregate(map_values(__ks.h1), CAST(0 AS BIGINT), "
+        "(__s, __x) -> __s + __x) AS DOUBLE)"
+    )
+    # p = 2 * sum_{k>=1} (-1)^(k-1) exp(-2 k^2 lambda^2), clamped [0, 1]
+    series = (
+        "aggregate(sequence(1, 100), CAST(0.0 AS DOUBLE), "
+        "(__kp, __kk) -> __kp + IF(__kk % 2 = 1, 1.0, -1.0) "
+        "* exp(-2.0 * __kk * __kk * __kl * __kl))"
+    )
+    p_expr = _bind(
+        "element_at(transform(array(sqrt(__ksn.n0 * __ksn.n1 "
+        "/ (__ksn.n0 + __ksn.n1))), __ke -> "
+        "(__ke + 0.12 + 0.11 / __ke) * __ksd), 1)",
+        "__kl",
+        f"least(1.0, greatest(0.0, 2.0 * ({series})))",
+    )
+    result = _bind(
+        fold,
+        "__ksd",
+        f"named_struct('col1', __ksd, 'col2', {p_expr})",
+    )
+    counts = f"named_struct('n0', {n0}, 'n1', {n1})"
+    body = (
+        "IF(__ks.h0 IS NULL OR __ks.h1 IS NULL "
+        "OR cardinality(__ks.h0) = 0 OR cardinality(__ks.h1) = 0, "
+        "NULL, "
+        + _bind(counts, "__ksn", result)
+        + ")"
+    )
+    return _bind(
+        f"named_struct('h0', {h0}, 'h1', {h1})", "__ks", body
+    )
+
+
 # --------------------------------------------- categorical association
 
 

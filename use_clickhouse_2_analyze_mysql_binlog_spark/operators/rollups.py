@@ -203,7 +203,8 @@ def _agg_state_merge_expr(col: str, fn: str, dtype: str | None):
                 e = e.cast(cast_to)
             fields.append(e.alias(fname))
         return F.struct(*fields).alias(col)
-    if fn.startswith("mannwhitneyutest"):
+    if fn.startswith("mannwhitneyutest") or fn == "kstest":
+        # kstest shares the histogram-pair state and merge
         def _hist_merge(field):
             return F.aggregate(
                 F.collect_list(F.col(col)[field]),
@@ -393,6 +394,16 @@ def finalize_agg_states(df: DataFrame, state_fns: dict[str, str]) -> DataFrame:
                 )
                 .cast("double")
                 .alias(name)
+            )
+        elif fn == "kstest":
+            from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
+                stats as _stats,
+            )
+
+            cols.append(
+                F.expr(
+                    _stats.ks_struct_sql(f"({name}).h0", f"({name}).h1")
+                ).alias(name)
             )
         elif fn is not None and fn.startswith("mannwhitneyutest"):
             from use_clickhouse_2_analyze_mysql_binlog_spark.functions import (
