@@ -112,6 +112,10 @@ AGG_STATE_FNS = (
     # avgWeighted = struct<ws,w> — field-wise sums, exact merges,
     # row-local finalizers (functions/stats.py corr_from_moments_sql)
     "corr", "covarpop", "covarsamp", "avgweighted",
+    # meanZTest rides the t-test moment struct with its literal
+    # (var_x, var_y, conf) parameters on the token; the KS test rides
+    # the Mann-Whitney histogram-pair state (ECDFs recompute losslessly)
+    "meanztest@<vx>@<vy>@<conf>", "kstest",
 )
 
 
