@@ -20,13 +20,24 @@ Numerics (all public-domain classics):
   module generates: a = df/2 >= 0.5, b = 0.5, a+b).
 - ``betainc_sql`` — regularized incomplete beta I_x(a, b) via the
   modified-Lentz continued fraction (Numerical Recipes ``betacf``
-  shape), run as a bounded ``aggregate(sequence(1, 200), ...)`` fold
-  (= 100 full CF iterations, NR's own MAXIT; convergence for the
-  t-CDF arguments is typically < 50). The symmetry transform keeps x
-  on the fast-converging side.
+  shape), run as a bounded ``aggregate(sequence(1, 300), ...)`` fold
+  (150 full CF iterations; convergence for the t-CDF arguments is
+  typically < 50). The symmetry transform keeps x on the
+  fast-converging side.
 - ``erfc_sql`` — Abramowitz & Stegun 7.1.26 rational approximation
-  (|error| <= 1.5e-7 — used only for the Mann-Whitney NORMAL
-  approximation, which is itself the approximate regime, as in CH).
+  (|error| <= 1.5e-7 — used for the NORMAL-approximation regimes:
+  Mann-Whitney and the z tests, approximate there in CH too).
+- ``probit_sql`` — inverse normal CDF (Acklam's 2003 rational
+  approximation, |rel err| < 1.15e-9) for the z-test confidence
+  bounds.
+
+Finalizers built on these (every one a single Spark SQL expression):
+the t tests (exact incomplete-beta CDF), Mann-Whitney U (midrank
+ties, continuity flag), meanZTest / proportionsZTest (z, p, CI),
+Kolmogorov-Smirnov (ECDF fold + asymptotic Kolmogorov series),
+corr/covar/avgWeighted moment reads, and the categorical-association
+family (full-grid chi-squared → Cramér's V [+ Bergsma correction],
+contingency coefficient).
 
 Semantics notes (documented narrowings, the repo's loud-or-documented
 policy):
