@@ -124,3 +124,82 @@ def test_encode_rejects_collision_prone_names():
             benchfmt.encode_queries({bad: 1.0, "foo": 2.0}, "ms")
     # registry names are all representable
     benchfmt.encode_queries({n: 1.0 for n in NAMES}, "ms")
+
+
+def _gate(monkeypatch, capsys, base_q, new_q, base_val=None, new_val=None,
+          changed=()):
+    """Run bench_compare.main on two synthetic snapshots; return (rc, out)."""
+    import sys
+    import tempfile
+
+    import bench_compare
+
+    monkeypatch.setattr(R, "CHANGED_THIS_ROUND", list(changed))
+    paths = []
+    for q, v in ((base_q, base_val), (new_q, new_val)):
+        doc = {"queries": q, "value": v, "total_all_queries": sum(q.values())}
+        fh = tempfile.NamedTemporaryFile(
+            "w", suffix=".json", delete=False
+        )
+        json.dump(doc, fh)
+        fh.close()
+        paths.append(fh.name)
+    monkeypatch.setattr(sys, "argv", ["bench_compare.py", *paths])
+    rc = bench_compare.main()
+    return rc, capsys.readouterr().out
+
+
+def test_gate_box_noise_on_untouched_queries_passes(monkeypatch, capsys):
+    """VERDICT r10 next #2 (three rounds of false FAILs): 1.2-1.3x
+    per-query jitter on UNTOUCHED headline/watched queries must not gate
+    — only the headline trio total (within 1.1x here) and changed-this-
+    round queries do."""
+    from bench import BENCH_QUERIES, WATCHED_QUERIES
+
+    base = {n: 0.5 for n in NAMES}
+    new = dict(base)
+    # the exact r10 pattern: two headline + two watched read ~1.2-1.3x
+    new[BENCH_QUERIES[0]] = 0.62
+    new[BENCH_QUERIES[1]] = 0.64
+    new[WATCHED_QUERIES[0]] = 0.65
+    new[WATCHED_QUERIES[1]] = 0.63
+    rc, out = _gate(
+        monkeypatch, capsys, base, new,
+        base_val=2.5, new_val=2.68, changed=[],
+    )
+    assert rc == 0, out
+    assert "PASS" in out and "trio-total gates" in out
+
+
+def test_gate_headline_trio_total_regression_fails(monkeypatch, capsys):
+    base = {n: 0.5 for n in NAMES}
+    rc, out = _gate(
+        monkeypatch, capsys, base, dict(base),
+        base_val=2.5, new_val=3.0, changed=[],
+    )
+    assert rc == 1
+    assert "headline trio total" in out and "FAIL" in out
+
+
+def test_gate_changed_query_regression_fails(monkeypatch, capsys):
+    base = {n: 0.5 for n in NAMES}
+    new = dict(base)
+    new[NAMES[0]] = 0.65  # 1.3x on a changed-this-round query
+    rc, out = _gate(
+        monkeypatch, capsys, base, new,
+        base_val=2.5, new_val=2.5, changed=[NAMES[0]],
+    )
+    assert rc == 1
+    assert "REGRESSED" in out and NAMES[0] in out
+
+
+def test_gate_registry_wide_slowdown_hits_hard_cap(monkeypatch, capsys):
+    """Drift normalization is blind to a uniform 2x slowdown; the raw
+    hard cap on changed queries still catches it."""
+    base = {n: 0.5 for n in NAMES}
+    new = {n: 1.0 for n in NAMES}
+    rc, out = _gate(
+        monkeypatch, capsys, base, new,
+        base_val=2.5, new_val=5.0, changed=[NAMES[0]],
+    )
+    assert rc == 1

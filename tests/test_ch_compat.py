@@ -3793,6 +3793,55 @@ def test_statistical_ttests_vs_references(spark):
         ch_compat.translate("SELECT studentTTest(0.95)(x, idx) FROM t")
 
 
+def test_zero_variance_cancellation_answers_null_not_nan(spark):
+    """ADVICE r10 #3: on all-equal samples whose sum-of-squares residual
+    cancels to a TINY NEGATIVE in floating point (0.1 x3: q - s*s/n =
+    -3.5e-18), sqrt would NaN and break the documented NULL convention;
+    the greatest(..., 0.0) clamp floors it so nullif answers NULL. Same
+    for the corr discriminant on a constant column and the Mann-Whitney
+    sigma on all-tied samples."""
+    import math
+
+    # 0.1 x3 / 0.2 x3 both cancel negative (verified in plain Python)
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT studentTTest(x, idx) AS s, welchTTest(x, idx) AS w, "
+        "mannWhitneyUTest(x, idx) AS m FROM ("
+        "SELECT 0.1 AS x, 0 AS idx UNION ALL SELECT 0.1, 0 "
+        "UNION ALL SELECT 0.1, 0 UNION ALL SELECT 0.2, 1 "
+        "UNION ALL SELECT 0.2, 1 UNION ALL SELECT 0.2, 1)",
+    ).collect()
+    # zero variance -> the t/p FIELDS are NULL (pre-fix: NaN from
+    # sqrt of the tiny-negative residual); the n>=2 struct itself
+    # survives the outer guard
+    assert r.s.col1 is None and r.s.col2 is None
+    assert r.w.col1 is None and r.w.col2 is None
+    # MW: samples differ, rank variance is fine — must be a real number
+    assert r.m is not None and not math.isnan(r.m.col2)
+
+    # corrMerge on a constant-x state: the discriminant factor
+    # n*sxx - sx*sx cancels negative (0.1 x3) -> must answer NULL, not
+    # NaN (the state-read path runs corr_from_moments_sql, not Spark's
+    # builtin corr)
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT corrMerge(cs) AS c FROM ("
+        "SELECT corrState(x, y) AS cs FROM ("
+        "SELECT 0.1 AS x, 1.0 AS y UNION ALL SELECT 0.1, 2.0 "
+        "UNION ALL SELECT 0.1, 3.0) GROUP BY x)",
+    ).collect()
+    assert r.c is None
+
+    # all-tied MW: zero rank variance -> NULL (not NaN)
+    [r] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT mannWhitneyUTest(x, idx) AS m FROM ("
+        "SELECT 0.1 AS x, 0 AS idx UNION ALL SELECT 0.1, 1 "
+        "UNION ALL SELECT 0.1, 0 UNION ALL SELECT 0.1, 1)",
+    ).collect()
+    assert r.m is None
+
+
 def test_mannwhitney_vs_manual_ranks(spark):
     """mannWhitneyUTest: U statistic against a manual midrank
     computation (ties included by construction), p against math.erfc
@@ -3840,7 +3889,10 @@ def test_mannwhitney_vs_manual_ranks(spark):
     ).collect()
 
     z2 = max(abs(u0 - n0 * n1 / 2.0) - 0.5, 0.0) / sigma
-    assert abs(row.m.col1 - max(u0, n0 * n1 - u0)) < 1e-9
+    # CH returns the FIRST sample's U for every alternative (ADVICE r10
+    # #1 — AggregateFunctionMannWhitney::getResult ends `return {u2, p}`
+    # where u2 is sample 0's U); the z still runs off the max side.
+    assert abs(row.m.col1 - u0) < 1e-9
     assert abs(row.m.col2 - math.erfc(z2 / math.sqrt(2))) < 1e-6
     zg = (u0 - n0 * n1 / 2.0 - 0.5) / sigma
     assert abs(row.g.col1 - u0) < 1e-9
@@ -4290,10 +4342,13 @@ def test_z_tests_and_probit(spark):
     assert abs(r.z.col3 - (d - zc * se)) < 1e-8
     assert abs(r.z.col4 - (d + zc * se)) < 1e-8
 
-    # proportionsZTest: CH doc-shaped inputs
+    # proportionsZTest: CH doc-shaped inputs, REAL 6-arg signature with
+    # the required 'pooled'/'unpooled' usevar literal (ADVICE r10 #2);
+    # the CI stays unpooled for both
     [r] = ch_compat.run_clickhouse_sql(
         spark,
-        "SELECT proportionsZTest(10, 11, 100, 101, 0.95) AS p",
+        "SELECT proportionsZTest(10, 11, 100, 101, 0.95, 'pooled') AS p, "
+        "proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled') AS u",
     ).collect()
     p1, p2 = 10 / 100, 11 / 101
     pp = (10 + 11) / (100 + 101)
@@ -4304,6 +4359,21 @@ def test_z_tests_and_probit(spark):
     assert abs(r.p.col2 - math.erfc(abs(z) / math.sqrt(2))) < 1e-6
     assert abs(r.p.col3 - ((p1 - p2) - zc * seu)) < 1e-8
     assert abs(r.p.col4 - ((p1 - p2) + zc * seu)) < 1e-8
+    zu = (p1 - p2) / seu
+    assert abs(r.u.col1 - zu) < 1e-12
+    assert abs(r.u.col2 - math.erfc(abs(zu) / math.sqrt(2))) < 1e-6
+    assert abs(r.u.col3 - ((p1 - p2) - zc * seu)) < 1e-8
+    assert abs(r.u.col4 - ((p1 - p2) + zc * seu)) < 1e-8
+
+    # the old 5-arg form (no usevar) and a non-literal usevar stay loud
+    with pytest.raises(ValueError, match="usevar"):
+        ch_compat.translate(
+            "SELECT proportionsZTest(10, 11, 100, 101, 0.95) FROM t"
+        )
+    with pytest.raises(ValueError, match="usevar"):
+        ch_compat.translate(
+            "SELECT proportionsZTest(10, 11, 100, 101, 0.95, uv) FROM t"
+        )
 
 
 def test_round10_everyday_batch_three(spark):

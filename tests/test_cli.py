@@ -267,7 +267,7 @@ def test_cli_pipeline_gopher_gate(spark, tmp_path, capsys):
 def test_cli_analyze_check(capsys):
     """analyze --check runs the DuckDB oracle twin alongside and reports
     the driver-style row/schema/value verdict."""
-    rc = cli.main(["analyze", "--data-dir", SF_DIR, "--check", "daily_event_counts"])
+    rc = cli.main(["analyze", "--data-dir", SF_DIR, "--check", "daily_event_counts_by_table"])
     out = capsys.readouterr().out
     assert rc == 0 and "schema=ok values=ok" in out
 
@@ -281,7 +281,7 @@ def test_cli_analyze_explain(capsys):
     plan without executing — the same pushdown-inspection surface the sql
     command grew in r07, for named operators."""
     rc = cli.main([
-        "analyze", "--data-dir", SF_DIR, "--explain", "daily_event_counts",
+        "analyze", "--data-dir", SF_DIR, "--explain", "daily_event_counts_by_table",
     ])
     out = capsys.readouterr().out
     assert rc == 0
@@ -295,11 +295,11 @@ def test_cli_analyze_check_all_subset(capsys):
     --only; exit 0 with all-green oracles."""
     rc = cli.main([
         "analyze", "--data-dir", SF_DIR, "--check", "--all",
-        "--only", "daily_event_counts",
+        "--only", "daily_event_counts_by_table",
     ])
     out = capsys.readouterr().out
     assert rc == 0
-    assert "daily_event_counts:" in out and "MISMATCH" not in out
+    assert "daily_event_counts_by_table:" in out and "MISMATCH" not in out
     assert "mismatches: none" in out
 
 

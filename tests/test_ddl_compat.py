@@ -2134,6 +2134,56 @@ def test_aggregating_plural_quantiles_state(spark, tmp_path):
         )
 
 
+def test_aggregating_plural_sketch_quantiles_state(spark):
+    """AggregateFunction(quantilesTDigest(0.5, 0.9), Float64) (ADVICE
+    r10 #4 — the SQL translator handled the plural sketch -State/-Merge
+    forms but the DDL branch stayed loud): same log-quantized
+    double-keyed histogram as the singular sketch, plural finalize;
+    merged read equals the translator's direct plural sketch aggregate."""
+    from pyspark.sql import functions as F
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import rollups
+
+    objects, _ = ddl_compat.migrate_script(
+        "CREATE TABLE db.qtd_store (k UInt64, "
+        "qs AggregateFunction(quantilesTDigest(0.5, 0.9), Float64)) "
+        "ENGINE = AggregatingMergeTree() ORDER BY (k)"
+    )
+    store = objects[0]
+    assert store.agg_state_columns() == {"qs": "quantilestdigest@0.5,0.9"}
+    assert store.columns[1].spark_type == "map<double,bigint>"
+    # bfloat16 plural is the same sketch family
+    assert ddl_compat._agg_state(
+        "AggregateFunction(quantilesBFloat16(0.5), Float32)"
+    ) == ("quantilestdigest@0.5", "map<double,bigint>")
+    # non-numeric input: loud (log quantization needs plain numerics)
+    assert ddl_compat._agg_state(
+        "AggregateFunction(quantilesTDigest(0.5), DateTime)"
+    ) is None
+
+    spark.createDataFrame(
+        [(float(v), v % 4) for v in range(1, 101)], "v double, blk int"
+    ).createOrReplaceTempView("qtd_src")
+    partials = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT blk, quantilesTDigestState(v) AS qs FROM qtd_src "
+        "GROUP BY blk",
+    ).withColumn("k", F.lit(1))
+    fns = {"qs": "quantilestdigest@0.5,0.9"}
+    merged = rollups.agg_state_merge(partials, ["k"], fns)
+    [r] = rollups.finalize_agg_states(merged, fns).collect()
+    [w] = ch_compat.run_clickhouse_sql(
+        spark,
+        "SELECT quantilesTDigestMerge(0.5, 0.9)(qs) AS qs FROM ("
+        "SELECT blk, quantilesTDigestState(v) AS qs FROM qtd_src "
+        "GROUP BY blk)",
+    ).collect()
+    assert r.qs == w.qs and len(r.qs) == 2
+    # within the sketch's half-step bound of the exact percentiles
+    for got, exact in zip(r.qs, [51.0, 91.0]):
+        assert abs(got - exact) / exact < 0.005
+
+
 def test_meanztest_ddl_state(spark):
     """AggregateFunction(meanZTest(vx, vy, conf), Float64, UInt8):
     the t-test moment state with parameters riding the token; merged

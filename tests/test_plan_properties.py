@@ -108,11 +108,17 @@ def test_corpus_curate_two_shuffles_no_joins(spark):
 
 def test_scans_are_pruned(spark):
     # column pruning must reach the parquet scan of the fact table; ts reads
-    # as bigint (round<=2 nanos testdata) or timestamp (round 3+ micros)
-    plan = _plan(spark, "daily_event_counts")
+    # as bigint (round<=2 nanos testdata) or timestamp (round 3+ micros).
+    # (daily_event_counts retired from the registry r11 — the by_table
+    # sibling reads two more pruned columns, same operator family.)
+    plan = _plan(spark, "daily_event_counts_by_table")
+    # the binlog view derives schema/table from user_id, so the pruned
+    # scan is exactly (ts, user_id, event_type)
     assert (
-        "ReadSchema: struct<ts:bigint,event_type:string>" in plan
-        or "ReadSchema: struct<ts:timestamp,event_type:string>" in plan
+        "ReadSchema: struct<ts:bigint,user_id:bigint,"
+        "event_type:string>" in plan
+        or "ReadSchema: struct<ts:timestamp,user_id:bigint,"
+        "event_type:string>" in plan
     ), plan
 
 

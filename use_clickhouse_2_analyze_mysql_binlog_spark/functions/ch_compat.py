@@ -4275,21 +4275,34 @@ def translate(
     out = _rewrite_opt_parametric(out, "meanZTest", _mean_z)
 
     # proportionsZTest(successes_x, successes_y, trials_x, trials_y,
-    # conf): scalar — pooled z + two-sided p + unpooled CI, CH's
-    # 4-tuple. The confidence level must be a literal (it feeds the
-    # probit quantile at translate time).
+    # conf, usevar): scalar — z (pooled- or unpooled-SE per the REQUIRED
+    # 'pooled'/'unpooled' literal, CH's real 6-arg signature — ADVICE
+    # r10 #2) + two-sided p + the always-unpooled CI, CH's 4-tuple. The
+    # confidence level and usevar must be literals (they feed the probit
+    # quantile / SE choice at translate time); the old 5-arg form stays
+    # a loud error naming the missing argument.
     def _proportions_z(a):
-        if len(a) != 5:
+        if len(a) != 6:
             raise ValueError(
                 "proportionsZTest expects (successes_x, successes_y, "
-                "trials_x, trials_y, confidence_level)"
+                "trials_x, trials_y, confidence_level, usevar) — usevar "
+                "is CH's required 'pooled'/'unpooled' literal"
             )
         if not re.fullmatch(r"\s*\d+(\.\d+)?\s*", a[4]):
             raise ValueError(
                 "proportionsZTest: the confidence level must be a "
                 "numeric literal"
             )
-        return _stats.proportions_z_sql(a[0], a[1], a[2], a[3], a[4])
+        lm = re.fullmatch(r"\s*\x00L(\d+)\x00\s*", a[5])
+        usevar = literals[int(lm.group(1))][1:-1] if lm else a[5].strip()
+        if usevar not in ("pooled", "unpooled"):
+            raise ValueError(
+                "proportionsZTest: usevar must be the literal 'pooled' "
+                f"or 'unpooled', got {usevar!r}"
+            )
+        return _stats.proportions_z_sql(
+            a[0], a[1], a[2], a[3], a[4], usevar
+        )
 
     out = _rewrite_calls(out, "proportionsZTest", _proportions_z)
 

@@ -329,10 +329,19 @@ def _agg_state(ch_type: str) -> tuple[str, str] | None:
         if arg_spark not in ("tinyint", "smallint", "int", "bigint"):
             return None
         return ("groupbitmap", f"array<{arg_spark}>")
-    if fn in ("quantiles", "quantilesexact", "quantilestiming"):
+    if fn in (
+        "quantiles", "quantilesexact", "quantilestiming",
+        "quantilestdigest", "quantilesbfloat16",
+    ):
         # plural form (round 10): the SAME level-free histogram state;
         # the literal level list rides the token and the read finalizes
-        # every level into one array (operators/rollups)
+        # every level into one array (operators/rollups). The plural
+        # SKETCH names (ADVICE r10 #4 — the SQL translator already
+        # handled them, the DDL branch didn't) carry the log-quantized
+        # double-keyed histogram, exactly like the singular sketch.
+        sketch = fn in ("quantilestdigest", "quantilesbfloat16")
+        if sketch and arg_spark not in ("int", "bigint", "float", "double"):
+            return None  # log quantization needs plain numerics
         if arg_spark not in (
             "int", "bigint", "float", "double", "date", "timestamp",
         ):
@@ -348,8 +357,10 @@ def _agg_state(ch_type: str) -> tuple[str, str] | None:
             if not 0.0 <= lv <= 1.0:
                 return None
             levels.append(lv)
-        token = "quantiles@" + ",".join(repr(lv) for lv in levels)
-        return (token, f"map<{arg_spark},bigint>")
+        lv_tok = ",".join(repr(lv) for lv in levels)
+        if sketch:
+            return (f"quantilestdigest@{lv_tok}", "map<double,bigint>")
+        return (f"quantiles@{lv_tok}", f"map<{arg_spark},bigint>")
     if fn in (
         "quantile", "quantileexact", "quantiletiming", "quantiletdigest",
         "quantilebfloat16",

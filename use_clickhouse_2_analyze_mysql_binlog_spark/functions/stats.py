@@ -51,8 +51,9 @@ policy):
   filter semantics, and the narrowing is visible here).
 - ``mannWhitneyUTest`` uses the normal approximation with midrank tie
   correction — CH's own method (AggregateFunctionMannWhitney) — and
-  returns U of the max side for 'two-sided' (the statistic CH prints),
-  U of sample 0 for the one-sided alternatives.
+  returns U of the FIRST sample for every alternative (CH's getResult
+  always emits u2 = r1 - n1(n1+1)/2; only the two-sided z runs off the
+  max side — ADVICE r10 #1).
 """
 
 from __future__ import annotations
@@ -233,20 +234,26 @@ def ttest_struct_sql(moments: str, kind: str) -> str:
         "'n0', CAST(__mt.n0 AS DOUBLE), 's0', __mt.s0, 'q0', __mt.q0, "
         "'n1', CAST(__mt.n1 AS DOUBLE), 's1', __mt.s1, 'q1', __mt.q1)",
     )
+    # Sum-of-squares residuals clamp at zero before the sqrt (ADVICE r10
+    # #3): floating cancellation can make q - s*s/n a TINY NEGATIVE on
+    # all-equal samples, turning sqrt into NaN where the documented
+    # convention is NULL; greatest(..., 0.0) floors it so the nullif
+    # catches the degenerate case as intended.
+    ss0 = "greatest(__st.q0 - __st.s0 * __st.s0 / __st.n0, 0.0)"
+    ss1 = "greatest(__st.q1 - __st.s1 * __st.s1 / __st.n1, 0.0)"
     if kind == "student":
         t_df = (
             "named_struct("
             "'t', (__st.s0 / __st.n0 - __st.s1 / __st.n1) / "
-            "nullif(sqrt((((__st.q0 - __st.s0 * __st.s0 / __st.n0) "
-            "+ (__st.q1 - __st.s1 * __st.s1 / __st.n1)) "
+            f"nullif(sqrt((({ss0} + {ss1}) "
             "/ (__st.n0 + __st.n1 - 2.0)) "
             "* (1.0 / __st.n0 + 1.0 / __st.n1)), 0.0), "
             "'df', __st.n0 + __st.n1 - 2.0)"
         )
     else:
         # v0/v1 = sample variances; se2 = v0/n0 + v1/n1
-        v0 = "((__st.q0 - __st.s0 * __st.s0 / __st.n0) / (__st.n0 - 1.0))"
-        v1 = "((__st.q1 - __st.s1 * __st.s1 / __st.n1) / (__st.n1 - 1.0))"
+        v0 = f"({ss0} / (__st.n0 - 1.0))"
+        v1 = f"({ss1} / (__st.n1 - 1.0))"
         se2 = f"({v0} / __st.n0 + {v1} / __st.n1)"
         t_df = (
             "named_struct("
@@ -348,10 +355,21 @@ def mean_z_struct_sql(
     )
 
 
-def proportions_z_sql(sx: str, sy: str, nx: str, ny: str, conf: str) -> str:
-    """CH's proportionsZTest scalar: pooled-variance z + two-sided p +
-    the UNpooled confidence interval on the proportion difference —
-    4-tuple col1..col4. Degenerate totals answer NULL."""
+def proportions_z_sql(
+    sx: str, sy: str, nx: str, ny: str, conf: str, usevar: str = "pooled"
+) -> str:
+    """CH's proportionsZTest scalar: z + two-sided p + the UNpooled
+    confidence interval on the proportion difference — 4-tuple
+    col1..col4. ``usevar`` picks the z's standard error exactly as CH's
+    required 6th argument does: 'pooled' (the combined-proportion SE) or
+    'unpooled' (per-sample SEs; the CI uses this SE either way — ADVICE
+    r10 #2). Degenerate totals answer NULL."""
+    if usevar not in ("pooled", "unpooled"):
+        raise ValueError(
+            "proportionsZTest: usevar must be 'pooled' or 'unpooled', "
+            f"got {usevar!r}"
+        )
+    z_se = "sep" if usevar == "pooled" else "seu"
     zc = probit_sql(f"1.0 - (1.0 - ({conf})) / 2.0")
     bound = (
         f"named_struct('sx', CAST({sx} AS DOUBLE), "
@@ -368,11 +386,13 @@ def proportions_z_sql(sx: str, sy: str, nx: str, ny: str, conf: str) -> str:
         "/ __pz.nx + __pz.sy / __pz.ny * (1.0 - __pz.sy / __pz.ny) "
         "/ __pz.ny))"
     )
-    p = erfc_sql("abs(__pzd.d / nullif(__pzd.sep, 0.0)) / 1.4142135623730951")
+    p = erfc_sql(
+        f"abs(__pzd.d / nullif(__pzd.{z_se}, 0.0)) / 1.4142135623730951"
+    )
     result = _bind(
         core,
         "__pzd",
-        "named_struct('col1', __pzd.d / nullif(__pzd.sep, 0.0), "
+        f"named_struct('col1', __pzd.d / nullif(__pzd.{z_se}, 0.0), "
         f"'col2', {p}, "
         f"'col3', __pzd.d - ({zc}) * __pzd.seu, "
         f"'col4', __pzd.d + ({zc}) * __pzd.seu)",
@@ -413,10 +433,15 @@ def corr_from_moments_sql(moments: str, kind: str) -> str:
     if kind not in ("corr", "covarpop", "covarsamp"):
         raise ValueError(f"unknown correlation kind {kind!r}")
     if kind == "corr":
+        # each discriminant factor clamps at zero before the sqrt
+        # (ADVICE r10 #3): cancellation on a constant column can make
+        # n*sxx - sx*sx tiny-negative -> sqrt NaN instead of the
+        # documented NULL
         body = (
             "(__cm.n * __cm.sxy - __cm.sx * __cm.sy) / "
-            "nullif(sqrt((__cm.n * __cm.sxx - __cm.sx * __cm.sx) * "
-            "(__cm.n * __cm.syy - __cm.sy * __cm.sy)), 0.0)"
+            "nullif(sqrt("
+            "greatest(__cm.n * __cm.sxx - __cm.sx * __cm.sx, 0.0) * "
+            "greatest(__cm.n * __cm.syy - __cm.sy * __cm.sy, 0.0)), 0.0)"
         )
         guard = "__cm.n IS NULL OR __cm.n < 1"
     elif kind == "covarpop":
@@ -629,9 +654,10 @@ def mannwhitney_struct_sql(
     """Finalize a Mann-Whitney histogram-pair state to CH's
     (u_statistic, p_value) tuple (col1/col2). Midrank ties, tie-corrected
     normal approximation, optional continuity correction — CH's own
-    method. 'two-sided' reports U of the max side (as CH prints);
-    'greater'/'less' report U of sample 0 and test that side. A zero
-    rank variance (all values tied) or an empty sample answers NULL."""
+    method. Every alternative reports U of sample 0 (CH's getResult
+    convention — ADVICE r10 #1); 'two-sided' computes its z from the
+    max side, 'greater'/'less' test their side directly. A zero rank
+    variance (all values tied) or an empty sample answers NULL."""
     if alternative not in ("two-sided", "greater", "less"):
         raise ValueError(
             f"mannWhitneyUTest: unknown alternative {alternative!r}"
@@ -670,15 +696,24 @@ def mannwhitney_struct_sql(
     stats = (
         f"element_at(transform(array({fold}), __mwf -> named_struct("
         "'u0', __mwf.r0 - __mwu.n0 * (__mwu.n0 + 1.0) / 2.0, "
-        "'sigma', sqrt(__mwu.n0 * __mwu.n1 / 12.0 * "
+        # all-tied samples make the tie term cancel (n+1) only
+        # approximately — clamp at zero so sqrt can't NaN (ADVICE r10 #3
+        # class; the sigma<=0 guard then answers NULL as documented)
+        "'sigma', sqrt(greatest(__mwu.n0 * __mwu.n1 / 12.0 * "
         "((__mwu.n0 + __mwu.n1 + 1.0) - __mwf.tie / "
-        "((__mwu.n0 + __mwu.n1) * (__mwu.n0 + __mwu.n1 - 1.0)))), "
+        "((__mwu.n0 + __mwu.n1) * (__mwu.n0 + __mwu.n1 - 1.0))), 0.0)), "
         "'mu', __mwu.n0 * __mwu.n1 / 2.0)), 1)"
     )
     sqrt2 = "1.4142135623730951"
     if alternative == "two-sided":
-        # statistic = max(u0, n0*n1 - u0); z >= 0 by construction; the
-        # continuity correction shrinks |u - mu| toward zero (floored)
+        # The z runs off the MAX side (|u0 - mu| is symmetric, so z >= 0
+        # by construction; the continuity correction shrinks |u - mu|
+        # toward zero, floored), but the RETURNED statistic is the first
+        # sample's U for every alternative — CH's
+        # AggregateFunctionMannWhitney::getResult always emits
+        # u2 = r1 - n1(n1+1)/2 regardless of side (ADVICE r10 #1: the
+        # earlier max-side return silently diverged from CH whenever
+        # sample 0 held the smaller U).
         z = (
             "greatest(abs(__mwz.u0 - __mwz.mu) - " + cc + ", 0.0) "
             "/ (__mwz.sigma * " + sqrt2 + ")"
@@ -686,7 +721,7 @@ def mannwhitney_struct_sql(
         p = erfc_sql(z)
         result = (
             "named_struct("
-            "'col1', greatest(__mwz.u0, 2.0 * __mwz.mu - __mwz.u0), "
+            "'col1', __mwz.u0, "
             "'col2', least(1.0, " + p + "))"
         )
     elif alternative == "greater":

@@ -340,8 +340,11 @@ def finalize_agg_states(df: DataFrame, state_fns: dict[str, str]) -> DataFrame:
             )
         elif fn == "groupbitmap":
             cols.append(F.size(F.col(name)).cast("long").alias(name))
-        elif fn is not None and fn.startswith("quantiles@"):
-            # plural read: bind the histogram once, every level into
+        elif fn is not None and fn.startswith(
+            ("quantiles@", "quantilestdigest@")
+        ):
+            # plural read (plain or log-quantized sketch histogram —
+            # same finalize): bind the histogram once, every level into
             # one array (CH's Array return shape)
             levels = [float(v) for v in fn.split("@", 1)[1].split(",")]
             finals = ", ".join(

@@ -119,15 +119,13 @@ for _metric in transactions.METRICS:
 # Rollups (A5/A6/A8)
 # ---------------------------------------------------------------------------
 
-@register(
-    "daily_event_counts",
-    f"""
-WITH binlog AS ({schemas.BINLOG_VIEW_SQL})
-SELECT strftime(execute_time, '%Y-%m-%d') AS day, event_type,
-       count(*) AS event_count
-FROM binlog GROUP BY 1, 2
-""",
-)
+# `daily_event_counts` RETIRED round 11 (the VERDICT r09/r10 pre-planned
+# rotation candidate, r09-green and hence IN-window in r11 — retiring it
+# frees a genuine window slot): `daily_event_counts_by_table` below runs
+# the SAME `rollups` operator family on a strict superset of the group
+# keys, so the A5/A6 MV-rollup driver signal is preserved. The freed
+# slot funds the tdigest two-level state read
+# (`ch_agg_states_tdigest_rollup`). Operator + unit tests retained.
 def daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — MV rollup: daily event-type counts (README.md:174-184)."""
     return rollups.daily_event_counts(_binlog(spark, sf_dir))
@@ -798,11 +796,25 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_embedding_cosine", similarity.EMBEDDING_NEAR_DUP_SQL(threshold=0.4))
+@register(
+    "dedup_embedding_cosine",
+    similarity.EMBEDDING_NEAR_DUP_SQL(threshold=0.4, num_centroids=None),
+)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs within IVF buckets."""
+    """Embedding-cosine near-dup pairs within IVF buckets.
+
+    Round 11 executes the pre-planned scale swap: ``num_centroids=None``
+    derives the centroid count from the corpus size
+    (:func:`similarity.scaled_num_centroids` — constant bucket size, so
+    within-bucket candidate pairs grow LINEARLY with the corpus instead
+    of N^2/16; measured 3990.6 s -> 537.4 s on the same sf10 data).
+    Identical to the historical pinned 16 at every driver SF by
+    construction of the bucket target, so the oracle values are
+    unchanged."""
     return similarity.embedding_near_dup_pairs(
-        schemas.load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        schemas.load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        num_centroids=None,
     )
 
 
@@ -1640,6 +1652,115 @@ def ch_agg_states_map_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The sketch-state sibling (round 11, VERDICT r10 next #3): per-
+# (event_type, day) quantileTDigest STATES — the log-quantized
+# value→count histogram a CH MV writes per block (translator contract:
+# sign·exp(bround(ln|x|·128)/128), a 0.78% value-relative step) —
+# merged on read to the event_type grain and finalized with
+# quantileExact's floor(level·n)+1 ranking over the quantized multiset.
+# Quantization is deterministic, so the two-level read is EXACTLY equal
+# to the oracle's direct derivation over quantized values (the sketch
+# approximates the true p90 within the half-step bound, but both
+# engines agree bit-for-bit on the quantized answer).
+CH_TDIGEST_STATES_SQL = """
+SELECT event_type, quantileTDigestMerge(0.9)(td) AS p90_value_cents
+FROM (
+    SELECT event_type, toDate(ts) AS day,
+           quantileTDigestState(toInt64(floor(value * 100))) AS td
+    FROM dashboard.events_all
+    GROUP BY event_type, day
+)
+GROUP BY event_type
+"""
+
+# DuckDB derivation of the same contract through a different evaluation
+# path: quantize, sort the multiset, pick rank floor(0.9·n)+1. DuckDB's
+# round() is half-away vs Spark bround()'s half-even, but ln(int)·128
+# never lands on a representable .5 tie for these inputs (verified at
+# every driver SF).
+CH_TDIGEST_STATES_ORACLE = """
+SELECT event_type,
+       list_sort(list(q))[CAST(least(floor(0.9 * count(*)) + 1, count(*))
+                               AS BIGINT)] AS p90_value_cents
+FROM (
+  SELECT event_type,
+         CASE WHEN x = 0 THEN x
+              ELSE sign(x) * exp(round(ln(abs(x)) * 128) / 128) END AS q
+  FROM (SELECT event_type, CAST(CAST(floor(value * 100) AS BIGINT)
+                                AS DOUBLE) AS x FROM events)
+)
+GROUP BY event_type
+"""
+
+
+@register("ch_agg_states_tdigest_rollup", CH_TDIGEST_STATES_ORACLE)
+def ch_agg_states_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatingMergeTree quantileTDigest two-level read in CH SQL
+    (round 11 — the r09 sketch-state family's first driver hash, same
+    proven-SQL promotion as `ch_agg_states_rollup` r09 and
+    `ch_agg_states_map_rollup` r10; streaming/DuckDB oracles predate it
+    in tests/test_ddl_compat.py::test_migrated_tdigest_state_streams_
+    and_matches_batch). Spark shape: two partial+final HashAggregates
+    (day grain then event_type grain), the histogram is a map column
+    folded with JVM-side higher-order exprs — no UDFs, no exchange
+    beyond the two group keys."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.functions import ch_compat
+
+    schemas.load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events"
+    )
+    return ch_compat.run_clickhouse_sql(
+        spark,
+        CH_TDIGEST_STATES_SQL,
+        table_map={"dashboard.events_all": "events"},
+    )
+
+
+# The bitmap-state sibling (round 11): per-(event_type, day) groupBitmap
+# STATES (the exact deduped integer set — information-identical to CH's
+# roaring bitmap), set-union-merged on read to the event_type grain and
+# finalized to the cardinality. Exact at every grain, so the DuckDB
+# oracle is a plain count(DISTINCT).
+CH_BITMAP_STATES_SQL = """
+SELECT event_type, groupBitmapMerge(bm) AS n_user_buckets
+FROM (
+    SELECT event_type, toDate(ts) AS day,
+           groupBitmapState(toInt64(user_id % 97)) AS bm
+    FROM dashboard.events_all
+    GROUP BY event_type, day
+)
+GROUP BY event_type
+"""
+
+CH_BITMAP_STATES_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id % 97) AS BIGINT) AS n_user_buckets
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("ch_agg_states_bitmap_rollup", CH_BITMAP_STATES_ORACLE)
+def ch_agg_states_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatingMergeTree groupBitmap two-level read in CH SQL (round
+    11 — the r10 bitmap-state's first driver hash; DDL/streaming proofs
+    predate it in tests/test_ddl_compat.py). The state is the exact
+    deduped set, so set-union merge loses nothing vs the direct
+    count(DISTINCT) (the DuckDB oracle). Spark shape: two partial+final
+    HashAggregates; the union fold and cardinality finalize are
+    JVM-side collection exprs — no UDFs."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.functions import ch_compat
+
+    schemas.load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events"
+    )
+    return ch_compat.run_clickhouse_sql(
+        spark,
+        CH_BITMAP_STATES_SQL,
+        table_map={"dashboard.events_all": "events"},
+    )
+
+
 TOKENS_PER_SOURCE_SQL = f"""
 WITH toks AS (
   SELECT source, len({text.TOKENS_SQL("text")}) AS ntok
@@ -1694,116 +1815,109 @@ def tokens_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries added this round or whose implementation changed, so their prior
 # driver proof (if any) no longer describes the shipped code.
 CHANGED_THIS_ROUND: list[str] = [
-    # round-10 budget: funded by ONE retire-on-demand slot.
-    # `corpus_line_dedup` retired (r08-only-green, hence IN-window in
-    # r10 — the retirement frees a genuine window slot; the
-    # `line_dedup_staged` twin is hash-green r09 and value-parity-pinned
-    # vs the unstaged operator) -> the sumMap two-level state read
-    # (VERDICT r09 next #2; its streaming/DuckDB oracles predate it in
-    # tests/test_ddl_compat.py::test_migrated_summap_states_stream_and_
-    # match_batch):
-    "ch_agg_states_map_rollup",
-    # implementation-changed (fixed-batch cap, VERDICT r09 missing #4):
-    # the batch-kNN query set gains `vec_id < QUERY_ID_CAP` so the
-    # query batch stays FIXED on replicated scale-up directories
-    # (production shape, linear curve). At every driver SF all base
-    # vec_ids sit below the cap, so values are identical — but it is
-    # r09-GREEN (out of the r10 window), so re-proving it costs a
-    # window slot, funded by retiring `corpus_curate` (r08-only-green,
-    # in-window; its gopher/materialize siblings keep the signal).
-    "similarity_batch_topk",
+    # round-11 budget: r11 window = 44 r09-only-green + headline 5 = 49
+    # (one free slot) − `daily_event_counts` retired (r09-green, hence
+    # IN-window in r11; `daily_event_counts_by_table` keeps the A5/A6
+    # rollup signal) = 2 funded slots for the two new state reads:
+    # the tdigest two-level read (VERDICT r10 next #3 — oracles predate
+    # it in tests/test_ddl_compat.py::test_migrated_tdigest_state_
+    # streams_and_matches_batch):
+    "ch_agg_states_tdigest_rollup",
+    # ...and the groupBitmap two-level read (r10 DDL-state's driver
+    # hash — same promotion pattern):
+    "ch_agg_states_bitmap_rollup",
+    # implementation-changed (VERDICT r10 next #1, the pre-planned
+    # scale swap): `dedup_embedding_cosine` moves from pinned
+    # num_centroids=16 to the scaled_num_centroids derivation —
+    # constant bucket size, candidate pairs linear in corpus size
+    # (measured 3990.6 s -> 537.4 s on the same sf10 directory).
+    # Values identical at every driver SF (the derivation floors to 16
+    # there), and it is r09-green so it sits in the r11 window anyway —
+    # the re-proof rides normal rotation at zero slot cost.
+    "dedup_embedding_cosine",
 ]
-# ROTATION BUDGET (round 10): the r10 window is exactly full at zero NET
-# budget — 45 queries green only in CORRECTNESS_r08 (they age out of the
-# 2-round invariant unless re-proven in r10) + the headline 5. Round 10
-# funded TWO window slots by retirement: `corpus_line_dedup`
-# (r08-only-green, in-window) retired for `ch_agg_states_map_rollup`,
-# and `corpus_curate` (r08-only-green, in-window; gopher/materialize
-# siblings keep the signal) retired to re-prove the
-# implementation-changed `similarity_batch_topk` (r09-green, hence
-# out-of-window — its cap change voids that proof). Window stays
-# exactly 50 at 94 registry entries. NOTE: VERDICT r09 suggested
-# retiring `daily_event_counts`, but that entry is r09-GREEN and hence
-# OUT of the r10 window — retiring it would free a registry slot, not a
-# window slot (the r08 lesson). Round-11 arithmetic: the ~45
-# r09-only-green queries + headline 5 fill the window again; any r11
-# addition must retire an r09-green entry — pre-planned candidate:
-# `daily_event_counts` (in-window in r11; `daily_event_counts_by_table`
-# keeps the rollup signal) funds the tdigest two-level state read whose
-# oracles already live in tests/test_ddl_compat.py.
-# Round-11 pre-planned IMPLEMENTATION swap (costs no slot — the entry
-# is r09-green, so it sits in the r11 window and its re-proof rides the
-# normal rotation): `dedup_embedding_cosine` moves from the pinned
-# 16-centroid bucketing to similarity.scaled_num_centroids /
-# EMBEDDING_NEAR_DUP_SQL(num_centroids=None) — constant bucket size,
-# candidates linear in corpus size (the pinned form measured
-# 2.1 s -> 35 s for 10x data at sf1); values identical at every driver
-# SF (the derivation floors to 16 there — pinned-vs-auto parity test
-# in tests/test_pipeline_ops.py::test_near_dup_scaled_centroids).
+# ROTATION BUDGET (round 11): the r11 window is exactly full — 44
+# queries green only in CORRECTNESS_r09 (they age out of the 2-round
+# invariant unless re-proven in r11) + headline 5 = 49, leaving ONE free
+# slot; retiring `daily_event_counts` (r09-green, IN-window in r11 —
+# the pre-planned VERDICT r09/r10 candidate; `daily_event_counts_by_
+# table` keeps the A5/A6 rollup signal) frees a second. The two funded
+# slots register `ch_agg_states_tdigest_rollup` and
+# `ch_agg_states_bitmap_rollup` (the sketch/bitmap state families'
+# first driver hashes — proven-SQL promotions from
+# tests/test_ddl_compat.py, same pattern as r09/r10). The round-10
+# pre-planned IMPLEMENTATION swap also executed: `dedup_embedding_
+# cosine` now runs scaled_num_centroids (r09-green, in-window — zero
+# slot cost; see CHANGED_THIS_ROUND). Window exactly 50 at 95 registry
+# entries. Round-12 arithmetic: the ~45 r10-only-green queries +
+# headline 5 fill the window again; any r12 addition must retire an
+# r10-green in-window entry.
 
 DRIVER_WINDOW_PRIORITY = [
-    # -- 1. added or implementation-changed this round (round 10) —
+    # -- 1. added or implementation-changed this round (round 11) —
     #       no valid driver proof yet:
-    "ch_agg_states_map_rollup",
-    "similarity_batch_topk",
-    # -- 2. green only in CORRECTNESS_r08 (rotated out of the r09 window);
+    "ch_agg_states_tdigest_rollup",
+    "ch_agg_states_bitmap_rollup",
+    # -- 2. green only in CORRECTNESS_r09 (rotated out of the r10 window);
     #       their proof ages out of the 2-round invariant unless
-    #       re-verified in r10. Exactly the 45 registry queries green in
-    #       r08 but absent from CORRECTNESS_r09.json's green set, minus
-    #       the round-10 retired `corpus_line_dedup` and `corpus_curate`.
-    "asof_trade_quote",
-    "binlog_gap_report",
-    "ch_dashboard_rollup",
-    "ch_if_combinators_json",
-    "corpus_curate_gopher",
-    "corpus_curate_materialize",
-    "corpus_length_histogram",
-    "corpus_sample_stratified",
-    "corpus_top_bigrams",
-    "corpus_train_test_split",
-    "daily_counts_gapfilled",
-    "daily_counts_moving_avg",
-    "daily_counts_pivot",
-    "day_over_day_counts",
-    "dedup_ngram_jaccard_staged",
-    "event_count_cube",
-    "event_type_decode_dim_join",
-    "gtid_set_operations",
-    "idempotent_window_antijoin",
-    "ingest_transform",
-    "multi_cluster_daily_counts",
-    "multimodal_metadata",
-    "nation_revenue",
-    "nation_top_customer",
-    "pricing_summary",
-    "range_join_maintenance_windows",
-    "retention_filter",
-    "scalar_functions",
-    "session_windows",
-    "similarity_topk_bruteforce",
-    "size_mad_per_type",
-    "size_quantiles",
-    "skew_salted_table_profile",
-    "summing_rollup_reaggregate",
-    "text_language_id",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_repetition_score",
-    "text_token_count",
-    "tokens_per_source_stats",
-    "top_revenue_orders",
-    "window_funnel",
-    "windowed_running_size",
+    #       re-verified in r11. Exactly the 44 registry queries green in
+    #       r09 but absent from CORRECTNESS_r10.json's green set, minus
+    #       the round-11 retired `daily_event_counts`. Includes the
+    #       implementation-changed `dedup_embedding_cosine` (the scaled-
+    #       centroid swap re-proves on this rotation slot).
+    "aggregating_rollup_merge",
+    "benchmark_contamination",
+    "ch_agg_states_rollup",
+    "ch_prewhere_profile",
+    "ch_top_event_limit_by",
+    "collapsing_merge_state",
+    "corpus_source_cap",
+    "daily_count_anomalies",
+    "daily_distinct_gtids_approx",
+    "daily_distinct_gtids_approx_check",
+    "daily_event_counts_by_table",
+    "dedup_apply_connected_components",
+    "dedup_apply_minhash",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh_staged",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_span_crossdoc",
+    "doc_chunks",
+    "doc_fingerprint",
+    "embedding_kmeans",
+    "embedding_kmeans_assign",
+    "embedding_kmeans_inertia_check",
+    "embedding_quantization_error",
+    "language_mixture_weights",
+    "large_order_customers",
+    "line_dedup_staged",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "order_priority_counts",
+    "promo_revenue",
+    "quality_gopher_flags",
+    "replacing_merge_final",
+    "retention_cohorts",
+    "sequence_pack",
+    "similarity_ivf_topk_nprobe",
+    "similarity_lsh_topk",
+    "size_quantiles_approx",
+    "size_quantiles_approx_check",
     # -- 3. reference-core headline queries (verified every round)
     "transaction_stats",
     "top_transaction_by_size",
     "top_transaction_by_spend_time",
     "top_transaction_by_affected_rows",
     "transaction_result_table",
-    # -- (1 new + 1 changed + 43 stale + 5 headline = 50 priority
-    #       entries: the window is exactly full. Everything else keeps
-    #       definition order, is r09-green, and ages out in r11 — see
-    #       the ROTATION BUDGET note above for the pre-planned r11 swap.)
+    # -- (2 new + 43 stale + 5 headline = 50 priority entries: the
+    #       window is exactly full. Everything else keeps definition
+    #       order, is r10-green, and ages out in r12 — see the ROTATION
+    #       BUDGET note above.)
 ]
 
 
