@@ -283,14 +283,25 @@ def test_gopher_flags_row_local(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_crossdoc_span_one_scan_no_joins(spark):
-    """Posting built once (no defensive distinct -> no extra exchange):
-    one parquet scan, the sh-window exchange + the doc_id rollup
-    exchange, zero joins."""
+def test_crossdoc_span_aggregate_shape_no_sort(spark):
+    """Round 11 (VERDICT r10 next #4): the window-over-sh formulation
+    sorted the full posting and went superlinear at the second decade;
+    the reformulation is three partial+final hash aggregates off the
+    SHARED distinct posting subtree (cache-/staging-reusable by the
+    whole dedup family) joined at the doc grain — no Sort node anywhere,
+    no Window, and the only join is the O(docs) broadcast."""
     plan = _plan(spark, "dedup_span_crossdoc")
-    assert plan.count("FileScan parquet") == 1, plan
-    assert plan.count("Exchange hashpartitioning") == 2, plan
-    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Sort " not in plan and "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # partial+final pairs: doc totals, sh-grain df, unique-per-doc — at
+    # least those six when the posting subtree is inlined; the exact
+    # count varies with the shared-session posting cache (an
+    # InMemoryTableScan replaces the build + distinct pairs when a
+    # prior dedup test persisted it) and with whether Catalyst collapses
+    # the distinct into the sh-grain aggregate, so only the sort-free
+    # aggregate SHAPE is pinned, not the node count
+    assert plan.count("HashAggregate") >= 4, plan
 
 
 def test_ch_prewhere_pushes_scan_filter(spark):
