@@ -1766,19 +1766,23 @@ def test_kmeans_distributed_path_matches_driver_path(spark, monkeypatch):
 
 
 def test_near_dup_scaled_centroids(spark, duck):
-    """Round-10 scale derivation for bucketed embedding near-dup pairs:
-    constant BUCKET size (candidates linear in corpus size) instead of
-    a pinned centroid count (candidates quadratic — measured 2.1 s ->
-    35 s for 10x at sf1). The derivation floors to the registry's
-    historical pinned value at every driver scale factor, and the
-    auto-SQL scalar-subquery form answers exactly the pinned form at
-    the test SF. The registry row itself swaps to the auto form in
-    round 11 when its r09 proof rotates back into the driver window."""
+    """Scale path for bucketed embedding near-dup pairs (round 10
+    derivation + round 11 two-level/normalized execution): constant
+    BUCKET size keeps candidate pairs linear in corpus size (a pinned
+    centroid count makes them quadratic — measured 2.1 s -> 35 s for
+    10x at sf1), vectors L2-normalize once so each candidate cosine is
+    a single dot fold, and assignment routes coarse-then-fine
+    (~2*N*sqrt(K) instead of the flat N*K, which is itself quadratic
+    under the constant-bucket derivation). Values are pinned by the
+    mirrored DuckDB oracle; recall is pinned against a numpy all-pairs
+    ground truth to stay equivalent to the flat path."""
+    import numpy as np
+
     from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
     from use_clickhouse_2_analyze_mysql_binlog_spark.operators import similarity
     from tests.conftest import SF_DIR
 
-    # derivation arithmetic: driver-SF parity + linear scale path
+    # derivation arithmetic: driver-SF floor + linear scale path
     # (embeddings row counts: sf0.001=500, sf0.1=2k, 10x-replicated
     # "sf1"=20k, 100x "sf10"=200k)
     assert similarity.scaled_num_centroids(500) == 16  # sf0.001
@@ -1786,27 +1790,51 @@ def test_near_dup_scaled_centroids(spark, duck):
     assert similarity.scaled_num_centroids(20_000) == 16  # 10x == pinned
     assert similarity.scaled_num_centroids(200_000) == 160  # 100x
     assert similarity.scaled_num_centroids(2_000_000) == 1600  # 1000x
+    assert similarity.coarse_num_centroids(16) == 4
+    assert similarity.coarse_num_centroids(160) == 12
+    assert similarity.coarse_num_centroids(1600) == 40
 
-    # operator: the auto path answers exactly the pinned path at the
-    # test SF (500 vectors floors to the 16 minimum)
     emb = schemas.load_table(spark, SF_DIR, "embeddings")
-    pinned = similarity.embedding_near_dup_pairs(
-        emb, threshold=0.4, num_centroids=16
-    )
     auto = similarity.embedding_near_dup_pairs(
         emb, threshold=0.4, num_centroids=None
     )
-    got_p = sorted((r.vec_a, r.vec_b) for r in pinned.collect())
     got_a = sorted((r.vec_a, r.vec_b) for r in auto.collect())
-    assert got_a == got_p and len(got_a) > 0
-    # oracle: the auto-SQL scalar-subquery form (DuckDB dialect) equals
-    # the pinned oracle AND the Spark operator
-    d_pin = duck.execute(
-        similarity.EMBEDDING_NEAR_DUP_SQL(threshold=0.4, num_centroids=16)
-    ).fetchall()
+    assert len(got_a) > 0
+    # oracle: the scalar-subquery two-level SQL (DuckDB dialect) equals
+    # the Spark operator pair-for-pair
     d_auto = duck.execute(
         similarity.EMBEDDING_NEAR_DUP_SQL(threshold=0.4, num_centroids=None)
     ).fetchall()
-    d_p = sorted((r[0], r[1]) for r in d_pin)
-    d_a = sorted((r[0], r[1]) for r in d_auto)
-    assert d_a == d_p == got_p
+    assert sorted((r[0], r[1]) for r in d_auto) == got_a
+
+    # the pinned flat path is untouched (the IVF search family's
+    # shared assignment): Spark == its own oracle
+    pinned = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.4, num_centroids=16
+    )
+    got_p = sorted((r.vec_a, r.vec_b) for r in pinned.collect())
+    d_pin = duck.execute(
+        similarity.EMBEDDING_NEAR_DUP_SQL(threshold=0.4, num_centroids=16)
+    ).fetchall()
+    assert sorted((r[0], r[1]) for r in d_pin) == got_p
+
+    # recall vs the numpy all-pairs ground truth: the two-level routing
+    # must not lose signal relative to flat argmax (measured 0.26 vs
+    # 0.29 at sf0.001, 0.204 vs 0.201 at sf0.1 — bucketed methods miss
+    # cross-bucket pairs by design, both paths equally)
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    E = np.vstack(pdf["embedding"].values).astype(np.float64)
+    ids = pdf["vec_id"].values
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = np.round(En @ En.T, 6)
+    iu = np.triu_indices(len(E), k=1)
+    mask = S[iu] >= 0.4
+    truth = {
+        (min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
+        for i, j in zip(iu[0][mask], iu[1][mask])
+    }
+    recall_auto = len(set(got_a) & truth) / len(truth)
+    recall_flat = len(set(got_p) & truth) / len(truth)
+    assert recall_auto >= recall_flat - 0.05, (recall_auto, recall_flat)
+    # and no false positives: every reported pair is a true >= 0.4 pair
+    assert set(got_a) <= truth

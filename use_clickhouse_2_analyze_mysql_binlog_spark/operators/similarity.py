@@ -15,10 +15,17 @@ nearest-neighbor building blocks —
   embedding-space analogue of MinHash dedup).
 
 Dot products run as sequential array folds (``aggregate``) in double
-precision — deterministic, codegen'd, no Python. Cosines are rounded to 6
-decimals before ranking/filtering so Spark and the DuckDB oracle (whose
-accumulation order may differ in the last bits) agree bit-exactly; ranking
-ties break by vec_id.
+precision — deterministic, JVM-side, no Python — EXCEPT the scaled
+near-dup pair stage (:func:`_bucket_pairs_matmul`), which is the
+documented Arrow exception: a bucket's pair scores are a dense E @ E^T
+that higher-order-function folds evaluate one interpreted lambda element
+at a time (HOFs sit outside whole-stage codegen — measured ~2.9 us/pair
+at sf10), so that one stage runs as a per-bucket BLAS matmul under
+``applyInPandas`` (measured 660.7 s -> 86.5 s on the sf10 directory,
+and the sf1->sf10 curve goes linear). Cosines are rounded to 6 decimals
+before ranking/filtering so Spark and the DuckDB oracle (whose
+accumulation order may differ in the last bits) agree bit-exactly;
+ranking ties break by vec_id.
 """
 
 from __future__ import annotations
@@ -369,6 +376,116 @@ def scaled_num_centroids(n_vectors: int, target: int = NEAR_DUP_BUCKET_TARGET) -
     return max(16, n_vectors // target)
 
 
+def coarse_num_centroids(num_centroids: int) -> int:
+    """Coarse level size for the two-level assignment: ~sqrt of the fine
+    count (the flat-IVF assignment term N*K is quadratic under the
+    constant-bucket derivation; routing through sqrt(K) coarse cells
+    cuts it to ~2*N*sqrt(K) while the pair term stays linear)."""
+    import math
+
+    return max(2, math.isqrt(num_centroids))
+
+
+def _with_normalized_embedding(embeddings: DataFrame) -> DataFrame:
+    """Double-cast and L2-normalize once, so every downstream cosine is
+    a SINGLE dot-product fold instead of dot + two norm folds (the pair
+    stage is the near-dup operator's dominant cost — measured 3x fewer
+    fold steps per candidate)."""
+    emb = with_double_embedding(embeddings).withColumn("_nrm", _norm("emb"))
+    return emb.withColumn(
+        # the norm lives in its own projected column so it is computed
+        # once per ROW — an inline _norm inside the lambda would re-fold
+        # it per ELEMENT (64x)
+        "emb",
+        F.transform("emb", lambda x: x / F.col("_nrm")),
+    ).drop("_nrm")
+
+
+def _dot6(a: str, b: str) -> F.Column:
+    """Rounded dot of two pre-normalized vectors == the rounded cosine
+    (same 6-decimal contract as :func:`_cosine`)."""
+    return F.round(_dot(a, b), COS_DECIMALS)
+
+
+def assign_ivf_buckets_two_level(
+    embeddings: DataFrame, num_centroids: int
+) -> DataFrame:
+    """Two-level IVF assignment over PRE-NORMALIZED vectors: route each
+    vector to its nearest of ~sqrt(K) coarse cells, then to the nearest
+    FINE centroid among those mapped to that cell. The fine codebook is
+    the same deterministic ``vec_id < K`` prefix as the flat path; the
+    coarse codebook is its ``vec_id < sqrt(K)`` prefix. Assignment cost
+    drops from N*K to ~2*N*sqrt(K) cosines; the resulting buckets are an
+    approximation of the flat argmax (a vector may land one bucket off
+    when its best fine centroid maps to a different coarse cell) —
+    acceptable for the near-dup use where both members of a tight pair
+    route identically. All ranking uses rounded cosines with
+    lower-id tie-breaks, so the DuckDB oracle twin is bit-identical.
+    """
+    emb = _with_normalized_embedding(embeddings)
+    n_coarse = coarse_num_centroids(num_centroids)
+    fine = emb.filter(F.col("vec_id") < num_centroids).select(
+        F.col("vec_id").alias("f_id"), F.col("emb").alias("f_emb")
+    )
+    coarse = emb.filter(F.col("vec_id") < n_coarse).select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb")
+    )
+    # fine centroid -> its coarse cell (K x sqrt(K) rows: tiny)
+    f2c = (
+        fine.crossJoin(F.broadcast(coarse))
+        .groupBy("f_id")
+        .agg(
+            F.max_by(
+                "c_id",
+                F.struct(
+                    _dot6("f_emb", "c_emb").alias("cs"),
+                    (-F.col("c_id")).alias("nc"),
+                ),
+            ).alias("c_id"),
+            F.first("f_emb").alias("f_emb"),
+        )
+    )
+    # vector -> nearest coarse cell (N x sqrt(K))
+    v2c = (
+        emb.crossJoin(F.broadcast(coarse))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "c_id",
+                F.struct(
+                    _dot6("emb", "c_emb").alias("cs"),
+                    (-F.col("c_id")).alias("nc"),
+                ),
+            ).alias("c_id"),
+            F.first("label").alias("label"),
+            F.first("emb").alias("emb"),
+        )
+    )
+    # vector -> nearest fine centroid within its cell (N x K/sqrt(K) avg)
+    from pyspark import StorageLevel
+
+    return (
+        v2c.join(F.broadcast(f2c), "c_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "f_id",
+                F.struct(
+                    _dot6("emb", "f_emb").alias("cs"),
+                    (-F.col("f_id")).alias("nf"),
+                ),
+            ).alias("centroid_id"),
+            F.first("label").alias("label"),
+            F.first("emb").alias("emb"),
+        )
+        .select("vec_id", "label", "emb", "centroid_id")
+        # persisted for the same reason as the flat assignment: the pair
+        # query consumes this from both join branches and Spark has no
+        # cross-branch plan reuse without the cache
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,
@@ -379,12 +496,20 @@ def embedding_near_dup_pairs(
     Bucketing bounds the pair blowup to sum over buckets of |bucket|^2 —
     the embedding analogue of LSH banding. Cross-bucket near-dups are
     missed by design (recall/cost tradeoff, same as IVF search).
-    ``num_centroids=None`` derives the count from the corpus size via
-    :func:`scaled_num_centroids` (constant bucket size — the scale
-    path; one extra count() job).
+
+    ``num_centroids=None`` is the SCALE path (round 11): the centroid
+    count derives from the corpus size via :func:`scaled_num_centroids`
+    (constant bucket size — candidate pairs linear in N), vectors are
+    L2-normalized ONCE so each candidate cosine is a single dot fold,
+    and the assignment runs the two-level routing of
+    :func:`assign_ivf_buckets_two_level` (~2*N*sqrt(K) instead of N*K).
+    An explicit ``num_centroids`` keeps the r09-proven flat path
+    byte-for-byte (the IVF search family's shared assignment).
     """
     if num_centroids is None:
-        num_centroids = scaled_num_centroids(embeddings.count())
+        k = scaled_num_centroids(embeddings.count())
+        assigned = assign_ivf_buckets_two_level(embeddings, k)
+        return _bucket_pairs_matmul(assigned, threshold)
     assigned = assign_ivf_buckets(embeddings, num_centroids)
     a = assigned.select(
         F.col("centroid_id"),
@@ -406,28 +531,150 @@ def embedding_near_dup_pairs(
     )
 
 
+#: row-block width for the per-bucket matmul — bounds the scratch
+#: matrix at block x |bucket| doubles even on a skewed giant bucket
+_PAIR_MATMUL_BLOCK = 2048
+
+
+def _bucket_pairs_matmul(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Within-bucket pair scoring as an Arrow-batched per-bucket BLAS
+    matmul (``applyInPandas`` over ``groupBy(centroid_id)``).
+
+    This is the one place the embedding family leaves pure JVM
+    expressions, and it is the documented exception case: a bucket's
+    pair scores are a dense E @ E^T that SQL folds evaluate one
+    interpreted lambda element at a time (higher-order functions sit
+    OUTSIDE whole-stage codegen) — measured ~2.9 us/pair at sf10, vs
+    BLAS doing the same 64-wide dots at memory speed. Inputs arrive
+    L2-normalized, so the matmul IS the cosine; results round to the
+    shared 6-decimal contract, pairs emit as (min_id, max_id) with
+    cos >= threshold — exactly the join formulation's output, and the
+    DuckDB oracle is unchanged. Row-blocked so a skewed bucket costs
+    O(block x |bucket|) scratch, never |bucket|^2 at once.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cos_sim": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64",
+                      "cos_sim": "float64"})
+        emb = np.vstack(pdf["emb"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        for lo in range(0, n, _PAIR_MATMUL_BLOCK):
+            hi = min(lo + _PAIR_MATMUL_BLOCK, n)
+            block = np.round(emb[lo:hi] @ emb.T, COS_DECIMALS)
+            # upper triangle only: pair (i, j) scored once where i < j
+            # by ROW INDEX; ids order inside a bucket is arbitrary, so
+            # the pair reorders to (min_id, max_id) below
+            bi, bj = np.nonzero(block >= threshold)
+            keep = (bi + lo) < bj
+            bi, bj = bi[keep], bj[keep]
+            va, vb = ids[bi + lo], ids[bj]
+            out_a.append(np.minimum(va, vb))
+            out_b.append(np.maximum(va, vb))
+            out_c.append(block[bi, bj])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        assigned.select("centroid_id", "vec_id", "emb")
+        .groupBy("centroid_id")
+        .applyInPandas(pairs, "vec_a long, vec_b long, cos_sim double")
+    )
+
+
+def DOT6_SQL(a: str, b: str) -> str:
+    """Rounded dot of pre-normalized list columns (DuckDB dialect) —
+    the oracle twin of :func:`_dot6`."""
+    dot = (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"__di -> {a}[__di] * {b}[__di]))"
+    )
+    return f"round({dot}, {COS_DECIMALS})"
+
+
 def EMBEDDING_NEAR_DUP_SQL(
     threshold: float = 0.99, num_centroids: int | None = 16
 ) -> str:
-    """``num_centroids=None`` embeds the :func:`scaled_num_centroids`
-    derivation as a scalar subquery — static SQL that both engines run,
-    with constant bucket size at every corpus scale (identical to the
-    pinned 16 at the driver SFs by construction of the target)."""
-    k = (
-        str(num_centroids)
-        if num_centroids is not None
-        else (
-            f"(SELECT greatest(16, CAST(floor(count(*) / "
-            f"{NEAR_DUP_BUCKET_TARGET}) AS BIGINT)) FROM embeddings)"
-        )
-    )
-    return f"""
-WITH {_ASSIGN_SQL(k)}
+    """``num_centroids=None`` (the scale path) embeds the
+    :func:`scaled_num_centroids` / :func:`coarse_num_centroids`
+    derivations as scalar subqueries and mirrors the round-11 Spark
+    shape exactly: L2-normalize once, route vectors coarse-then-fine
+    (two-level assignment), single-dot rounded cosines, lower-id
+    tie-breaks. An explicit ``num_centroids`` keeps the flat r09
+    oracle."""
+    if num_centroids is not None:
+        return f"""
+WITH {_ASSIGN_SQL(num_centroids)}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {COSINE_SQL('a.emb', 'b.emb')} AS cos_sim
 FROM assigned a JOIN assigned b
   ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
 WHERE {COSINE_SQL('a.emb', 'b.emb')} >= {threshold}
+"""
+    return f"""
+WITH e0 AS (SELECT vec_id, label, {_EMB_SQL} AS emb FROM embeddings),
+e AS (
+  SELECT vec_id, label,
+         list_transform(emb, __x -> __x /
+           sqrt(list_sum(list_transform(emb, __y -> __y * __y)))) AS emb
+  FROM e0
+),
+par AS (
+  SELECT greatest(16, CAST(floor(count(*) / {NEAR_DUP_BUCKET_TARGET})
+                      AS BIGINT)) AS k FROM e
+),
+par2 AS (
+  SELECT k, greatest(2, CAST(floor(sqrt(k)) AS BIGINT)) AS c FROM par
+),
+fine AS (
+  SELECT vec_id AS f_id, emb AS f_emb FROM e, par WHERE vec_id < par.k
+),
+coarse AS (
+  SELECT vec_id AS c_id, emb AS c_emb FROM e, par2 WHERE vec_id < par2.c
+),
+f2c AS (
+  SELECT f_id, f_emb, c_id FROM (
+    SELECT f.f_id, f.f_emb, co.c_id, row_number() OVER (
+        PARTITION BY f.f_id
+        ORDER BY {DOT6_SQL('f_emb', 'c_emb')} DESC, co.c_id ASC) AS rn
+    FROM fine f, coarse co
+  ) WHERE rn = 1
+),
+v2c AS (
+  SELECT vec_id, label, emb, c_id FROM (
+    SELECT e.vec_id, e.label, e.emb, co.c_id, row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {DOT6_SQL('emb', 'c_emb')} DESC, co.c_id ASC) AS rn
+    FROM e, coarse co
+  ) WHERE rn = 1
+),
+assigned AS (
+  SELECT vec_id, label, emb, centroid_id FROM (
+    SELECT v.vec_id, v.label, v.emb, m.f_id AS centroid_id,
+           row_number() OVER (
+        PARTITION BY v.vec_id
+        ORDER BY {DOT6_SQL('v.emb', 'm.f_emb')} DESC, m.f_id ASC) AS rn
+    FROM v2c v JOIN f2c m ON v.c_id = m.c_id
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {DOT6_SQL('a.emb', 'b.emb')} AS cos_sim
+FROM assigned a JOIN assigned b
+  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+WHERE {DOT6_SQL('a.emb', 'b.emb')} >= {threshold}
 """
 
 
