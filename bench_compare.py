@@ -171,6 +171,20 @@ def main() -> int:
                     f"{name}: {b:.3f}s -> {n:.3f}s "
                     f"({ratio:.2f}x raw, {adj:.2f}x drift-adjusted)"
                 )
+            elif (
+                name in BENCH_QUERIES or name in WATCHED_QUERIES
+            ) and ratio > hard_cap:
+                # untouched headline/watched queries keep the RAW hard
+                # cap only: the 1.2-1.3x readings that false-FAILed
+                # three rounds sit far below it, but a genuine blowup in
+                # one small headline query (which the trio SUM can mask
+                # when a big sibling improves) still fails
+                status = "REGRESSED (hard cap)"
+                failures.append(
+                    f"{name}: {b:.3f}s -> {n:.3f}s "
+                    f"({ratio:.2f}x raw > {hard_cap}x cap on an "
+                    "untouched headline/watched query)"
+                )
             elif name in BENCH_QUERIES or name in WATCHED_QUERIES:
                 status = "slower (headline/watched; trio-total gates)"
             else:
@@ -199,6 +213,13 @@ def main() -> int:
 
     hb, hn = _headline_total(base), _headline_total(new)
     headline_ratio = (hn / hb) if (hb and hn) else None
+    if headline_ratio is None:
+        print(
+            "WARNING: headline trio-total gate SKIPPED — a snapshot "
+            "lacks both a 'value' field and full headline per-query "
+            "coverage (partial/salvaged load); only changed-query and "
+            "hard-cap gating ran"
+        )
     if headline_ratio is not None:
         headline_adj = headline_ratio / gate_drift
         if (

@@ -4374,6 +4374,14 @@ def test_z_tests_and_probit(spark):
         ch_compat.translate(
             "SELECT proportionsZTest(10, 11, 100, 101, 0.95, uv) FROM t"
         )
+    # a bare COLUMN named 'pooled' is not the required string literal
+    # (post-review hardening: it used to be silently read as the
+    # constant)
+    with pytest.raises(ValueError, match="non-literal"):
+        ch_compat.translate(
+            "SELECT proportionsZTest(10, 11, 100, 101, 0.95, pooled) "
+            "FROM t"
+        )
 
 
 def test_round10_everyday_batch_three(spark):

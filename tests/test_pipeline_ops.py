@@ -1838,3 +1838,59 @@ def test_near_dup_scaled_centroids(spark, duck):
     assert recall_auto >= recall_flat - 0.05, (recall_auto, recall_flat)
     # and no false positives: every reported pair is a true >= 0.4 pair
     assert set(got_a) <= truth
+
+
+def test_near_dup_zero_vector_and_dup_centroids(spark, tmp_path, duck):
+    """Post-review hardening of the two-level scale path: (a) an
+    all-zero embedding (undefined cosine) is EXCLUDED up front — NULL
+    array elements from the 0-norm division would crash the Arrow
+    matmul stage, where the flat path silently dropped the pairs; (b)
+    near-identical coarse-prefix centroids (rounded mutual cosine
+    1.000000) must not strand vectors in an empty coarse cell — vectors
+    route only to LIVE cells, so every vector keeps its bucket and its
+    pairs. The DuckDB oracle mirrors both rules."""
+    import numpy as np
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    dim = 8
+    rows = []
+    base = rng.normal(0, 1, dim)
+    # vec 0 and vec 1: near-identical coarse-prefix centroids (cell tie)
+    rows.append((0, "a", base.tolist()))
+    rows.append((1, "a", (base + 1e-9).tolist()))
+    for i in range(2, 40):
+        v = rng.normal(0, 1, dim)
+        rows.append((i, "b", v.tolist()))
+    # a near-dup pair far from the centroid-duplicate cell
+    rows.append((40, "c", rows[10][2]))
+    # the zero vector
+    rows.append((41, "z", [0.0] * dim))
+    sdf = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    ).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("float"))
+    )
+    got = similarity.embedding_near_dup_pairs(
+        sdf, threshold=0.9, num_centroids=None
+    ).collect()
+    pairs = sorted((r.vec_a, r.vec_b) for r in got)
+    # the duplicated centroids pair with each other; the planted dup
+    # pair survives; the zero vector appears nowhere and nothing crashes
+    assert (0, 1) in pairs
+    assert (10, 40) in pairs
+    assert all(41 not in p for p in pairs)
+
+    # oracle parity on the same table
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(v, l, e) for v, l, e in rows], columns=["vec_id", "label", "embedding"]
+    )
+    duck.register("ndz_embeddings", pdf)
+    sql = similarity.EMBEDDING_NEAR_DUP_SQL(
+        threshold=0.9, num_centroids=None
+    ).replace("FROM embeddings", "FROM ndz_embeddings")
+    want = sorted((r[0], r[1]) for r in duck.execute(sql).fetchall())
+    assert pairs == want

@@ -4294,7 +4294,16 @@ def translate(
                 "numeric literal"
             )
         lm = re.fullmatch(r"\s*\x00L(\d+)\x00\s*", a[5])
-        usevar = literals[int(lm.group(1))][1:-1] if lm else a[5].strip()
+        if not lm:
+            # a bare identifier that HAPPENS to be named pooled/unpooled
+            # is a column reference, not the required string literal —
+            # reject it like any other non-literal instead of silently
+            # reading it as the constant
+            raise ValueError(
+                "proportionsZTest: usevar must be the literal 'pooled' "
+                f"or 'unpooled', got non-literal {a[5].strip()!r}"
+            )
+        usevar = literals[int(lm.group(1))][1:-1]
         if usevar not in ("pooled", "unpooled"):
             raise ValueError(
                 "proportionsZTest: usevar must be the literal 'pooled' "

@@ -380,35 +380,24 @@ def crossdoc_span_stats(documents: DataFrame) -> DataFrame:
     signal used to rank boilerplate-heavy pages for removal (complements
     pairwise dedup: no pair enumeration, output is O(docs)).
 
-    Plan shape: ONE linear pipeline — the per-shingle document frequency
-    is a window count over the ``sh`` partition (the same shape as the
-    ``max_df`` cap in :func:`ngram_jaccard_pairs`; a join-back
-    formulation re-scans the posting subtree from both branches, no
-    cross-branch reuse), then one groupBy(doc_id) rollup. One scan, two
-    exchanges, zero joins. Hot boilerplate spans concentrate their
-    posting rows on one window partition; the window only counts (no
-    per-group state beyond the buffer, which spills), and a production
-    100 TB run fronts this with the staged posting table
-    (:func:`write_shingle_posting`) exactly like the pairwise operators.
-
-    The posting is built WITHOUT the defensive ``.distinct()`` of
-    :func:`_shingle_posting`: ``shingles_expr`` already ``array_distinct``s
-    per document, so (doc_id, sh) rows are unique by construction.
-
     Round 11 (VERDICT r10 next #4): the r08-r10 formulation computed the
     document frequency as a WINDOW count over ``partitionBy(sh)`` —
     that shuffles AND SORTS every posting row by shingle, and the sort
     is what went superlinear at the second decade (clean-run measured
     ~21x wall for 10x data at sf1→sf10: the per-partition sort spills
     once the posting outgrows executor memory). The aggregate
-    reformulation never sorts and never shuffles full posting rows:
+    reformulation never sorts and never shuffles full posting rows, and
+    a production 100 TB run still fronts it with the staged posting
+    table (:func:`write_shingle_posting`) exactly like the pairwise
+    operators:
 
     - ``uniq`` aggregates the posting by ``sh`` with a partial+final
       HashAggregate (map-side combine collapses hot boilerplate spans
-      BEFORE the exchange), keeping ``count`` and ``min/max(doc_id)``;
-      a shingle is unique to one document iff min == max, and that
-      document IS min — so per-doc unique-shingle counts come from a
-      second cheap aggregate on the df==1 rows only.
+      BEFORE the exchange), keeping ``count`` and ``min(doc_id)``;
+      (doc_id, sh) posting rows are unique by construction
+      (``shingles_expr`` array_distincts per document), so a df==1
+      shingle belongs entirely to ``min_doc`` — per-doc unique-shingle
+      counts come from a second cheap aggregate on the df==1 rows only.
     - per-doc totals are a row-local aggregate off the same scan
       (partial combine again; no sort).
     - ``n_shared = n_shingles - n_unique`` via a doc-grain left join —

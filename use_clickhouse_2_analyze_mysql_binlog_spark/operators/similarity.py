@@ -392,13 +392,22 @@ def _with_normalized_embedding(embeddings: DataFrame) -> DataFrame:
     stage is the near-dup operator's dominant cost — measured 3x fewer
     fold steps per candidate)."""
     emb = with_double_embedding(embeddings).withColumn("_nrm", _norm("emb"))
-    return emb.withColumn(
-        # the norm lives in its own projected column so it is computed
-        # once per ROW — an inline _norm inside the lambda would re-fold
-        # it per ELEMENT (64x)
-        "emb",
-        F.transform("emb", lambda x: x / F.col("_nrm")),
-    ).drop("_nrm")
+    return (
+        # zero-norm (all-zero) vectors have no defined cosine: the flat
+        # path silently emitted no pairs for them (0/0 -> NULL filtered
+        # out); the normalized path EXCLUDES them up front — NULL array
+        # elements would otherwise crash the Arrow matmul stage. The
+        # DuckDB oracle mirrors the same norm > 0 filter.
+        emb.filter(F.col("_nrm") > 0)
+        .withColumn(
+            # the norm lives in its own projected column so it is
+            # computed once per ROW — an inline _norm inside the lambda
+            # would re-fold it per ELEMENT (64x)
+            "emb",
+            F.transform("emb", lambda x: x / F.col("_nrm")),
+        )
+        .drop("_nrm")
+    )
 
 
 def _dot6(a: str, b: str) -> F.Column:
@@ -445,9 +454,19 @@ def assign_ivf_buckets_two_level(
             F.first("f_emb").alias("f_emb"),
         )
     )
-    # vector -> nearest coarse cell (N x sqrt(K))
+    # vectors route only to LIVE cells — coarse cells that own at least
+    # one fine centroid. A cell can end up empty when two near-identical
+    # coarse-prefix centroids tie at rounded cosine 1.000000 and every
+    # fine centroid (including the cell's own) tie-breaks to the lower
+    # id; a vector routed to the empty cell would then silently drop out
+    # of the assignment join and lose all its near-dup pairs (exactly
+    # the corpus shape — duplicated centroids — this operator targets).
+    live_coarse = coarse.join(
+        f2c.select(F.col("c_id")).distinct(), "c_id"
+    )
+    # vector -> nearest live coarse cell (N x sqrt(K))
     v2c = (
-        emb.crossJoin(F.broadcast(coarse))
+        emb.crossJoin(F.broadcast(live_coarse))
         .groupBy("vec_id")
         .agg(
             F.max_by(
@@ -555,6 +574,15 @@ def _bucket_pairs_matmul(assigned: DataFrame, threshold: float) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    def round_half_away(x: "np.ndarray") -> "np.ndarray":
+        """6-decimal HALF-AWAY rounding — np.round is half-to-EVEN,
+        which disagrees with both Spark's F.round (HALF_UP) and
+        DuckDB's round() on exact dyadic midpoints (e.g. 1/128 at 6dp;
+        the repo hit this class before — dedup.py's 1/32-at-4dp
+        floor workaround), and cos_sim VALUES are driver-hashed."""
+        scale = 10.0 ** COS_DECIMALS
+        return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
@@ -569,7 +597,7 @@ def _bucket_pairs_matmul(assigned: DataFrame, threshold: float) -> DataFrame:
         out_c: list[np.ndarray] = []
         for lo in range(0, n, _PAIR_MATMUL_BLOCK):
             hi = min(lo + _PAIR_MATMUL_BLOCK, n)
-            block = np.round(emb[lo:hi] @ emb.T, COS_DECIMALS)
+            block = round_half_away(emb[lo:hi] @ emb.T)
             # upper triangle only: pair (i, j) scored once where i < j
             # by ROW INDEX; ids order inside a bucket is arbitrary, so
             # the pair reorders to (min_id, max_id) below
@@ -631,6 +659,7 @@ e AS (
          list_transform(emb, __x -> __x /
            sqrt(list_sum(list_transform(emb, __y -> __y * __y)))) AS emb
   FROM e0
+  WHERE sqrt(list_sum(list_transform(emb, __y -> __y * __y))) > 0
 ),
 par AS (
   SELECT greatest(16, CAST(floor(count(*) / {NEAR_DUP_BUCKET_TARGET})
@@ -653,12 +682,16 @@ f2c AS (
     FROM fine f, coarse co
   ) WHERE rn = 1
 ),
+live_coarse AS (
+  SELECT co.c_id, co.c_emb FROM coarse co
+  JOIN (SELECT DISTINCT c_id FROM f2c) lc ON co.c_id = lc.c_id
+),
 v2c AS (
   SELECT vec_id, label, emb, c_id FROM (
     SELECT e.vec_id, e.label, e.emb, co.c_id, row_number() OVER (
         PARTITION BY e.vec_id
         ORDER BY {DOT6_SQL('emb', 'c_emb')} DESC, co.c_id ASC) AS rn
-    FROM e, coarse co
+    FROM e, live_coarse co
   ) WHERE rn = 1
 ),
 assigned AS (

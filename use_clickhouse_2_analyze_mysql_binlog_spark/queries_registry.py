@@ -1865,7 +1865,17 @@ CHANGED_THIS_ROUND: list[str] = [
 # slot cost; see CHANGED_THIS_ROUND). Window exactly 50 at 95 registry
 # entries. Round-12 arithmetic: the ~45 r10-only-green queries +
 # headline 5 fill the window again; any r12 addition must retire an
-# r10-green in-window entry.
+# r10-green in-window entry. Round-12 pre-planned IMPLEMENTATION work
+# (zero slot cost — every entry named here is r10-green, hence IN the
+# r12 window): re-plumb the rest of the embedding family
+# (`similarity_batch_topk`, `similarity_ivf_topk_nprobe`,
+# `similarity_lsh_topk`, `embedding_kmeans*`) onto the round-11
+# building blocks (`_with_normalized_embedding` single-dot cosines,
+# `assign_ivf_buckets_two_level`, per-bucket Arrow matmul scoring) —
+# the r11 cosine overhaul measured interpreted HOF folds at ~2.9 us
+# per 64-dim cosine vs BLAS at memory speed (3990.6 -> 86.5 s at
+# sf10); the family's sf10 rows (46.6 / 42.6 / 32.9 s) are the same
+# cost model and should drop 3-5x.
 
 DRIVER_WINDOW_PRIORITY = [
     # -- 1. added or implementation-changed this round (round 11) —
