@@ -23,6 +23,11 @@ unchanged code measures the BOX, not the code):
 3. **Raw hard cap backstop** on gated queries (default 1.75x): drift
    normalization is blind to a change that slows the WHOLE registry
    uniformly; the cap still catches it.
+4. **All-query-total backstop** (round 12, ADVICE r11 #4): the
+   registry-wide total gates at 1.25x drift-adjusted — a shared-infra
+   edit slowing many untouched queries 1.3-1.7x each sat below every
+   other gate. CHANGED_THIS_ROUND freshness itself is asserted by
+   tests/test_driver_window.py::test_changed_this_round_is_fresh.
 
 Everything else (watched heavies included) is REPORTED with the same
 ratios but does not gate — their code did not change, so a high reading
@@ -210,6 +215,24 @@ def main() -> int:
             doc["queries"][q] for q in BENCH_QUERIES if q in doc["queries"]
         ]
         return sum(vals) if len(vals) == len(BENCH_QUERIES) else None
+
+    # All-query-total backstop (round 12, ADVICE r11 #4): the per-query
+    # gate only fires on CHANGED_THIS_ROUND, so a shared-infra edit that
+    # slows many UNTOUCHED queries 1.3-1.7x each (below the raw cap)
+    # previously passed. The registry-wide total, drift-adjusted, catches
+    # that class while staying insensitive to single-query box jitter
+    # (r10->r11 replay: 1.15x raw / 1.12x drift -> 1.03x adjusted, PASS).
+    TOTAL_THRESHOLD = 1.25
+    tb = base.get("total_all_queries")
+    tn = new.get("total_all_queries")
+    if tb and tn:
+        total_adj = (tn / tb) / gate_drift
+        if total_adj > TOTAL_THRESHOLD:
+            failures.append(
+                f"all-query total: {tb:.1f}s -> {tn:.1f}s "
+                f"({tn / tb:.2f}x raw, {total_adj:.2f}x drift-adjusted > "
+                f"{TOTAL_THRESHOLD}x) — shared-infra regression class"
+            )
 
     hb, hn = _headline_total(base), _headline_total(new)
     headline_ratio = (hn / hb) if (hb and hn) else None

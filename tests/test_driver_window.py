@@ -137,6 +137,20 @@ def test_queries_outside_window_have_fresh_proof():
     )
 
 
+def test_changed_this_round_is_fresh():
+    """ADVICE r11 #4: the bench gate's per-query firing set is exactly
+    ``CHANGED_THIS_ROUND``, so a stale list silently un-gates real
+    regressions. ``CHANGED_ROUND`` must name the round AFTER the newest
+    committed CORRECTNESS file — the same start-of-round tripwire
+    semantics as the window tests (fires when the next builder session
+    starts from a commit that includes this round's driver file)."""
+    assert R.CHANGED_ROUND == _round_no(NEWEST) + 1, (
+        f"CHANGED_ROUND={R.CHANGED_ROUND} but newest committed driver "
+        f"file is {NEWEST.name}: re-derive CHANGED_THIS_ROUND for round "
+        f"{_round_no(NEWEST) + 1}"
+    )
+
+
 def test_oracles_cover_queries():
     """Every query has an oracle unless explicitly rows-only by design."""
     rows_only = {

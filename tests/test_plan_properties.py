@@ -70,10 +70,13 @@ def test_gtid_set_operations_single_pass(spark):
 
 def test_sampling_and_scrub_are_shuffle_free(spark):
     # hash-threshold sampling and PII scrubbing are pure row-local work:
-    # any Exchange here means the operator stopped scaling with the scan
-    for name in ("corpus_sample_stratified", "text_pii_scrub"):
-        plan = _plan(spark, name)
-        assert "Exchange" not in plan, (name, plan)
+    # any Exchange here means the operator stopped scaling with the scan.
+    # corpus_sample_stratified retired from the registry in r12 (rotation
+    # budget) — the module-level function and its plan contract remain.
+    for fn in (R.corpus_sample_stratified, R.QUERIES["text_pii_scrub"]):
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (fn, plan)
 
 
 def test_top_bigrams_uses_takeordered(spark):
@@ -167,7 +170,10 @@ def test_multimodal_metadata_prunes_scan(spark):
 
 
 def test_pivot_is_rollup_plus_tiny_shuffle(spark):
-    plan = _plan(spark, "daily_counts_pivot")
+    # daily_counts_pivot retired from the registry in r12 (rotation
+    # budget) — the operator and its plan contract remain
+    df = R.daily_counts_pivot(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     # explicit pivot values -> no schema-discovery job and no join; Spark
     # plans pivot as the (day, event_type) rollup shuffle plus a pivotfirst
     # shuffle that carries only rollup rows (days x types)

@@ -212,6 +212,52 @@ def _driver_lloyd(
     return [[float(x) for x in c] for c in C], log
 
 
+def _iteration_partials(
+    emb_df: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """One Lloyd's iteration's sufficient statistics as a per-partition
+    Arrow pass: rows ``(cluster_id, n, sq_sum, sum_vec)``, k rows per
+    partition regardless of corpus size. Assignment rules match
+    :func:`_driver_lloyd` and :func:`kmeans_assign` exactly (naive
+    chunked squared distances, argmin first occurrence); the centroid
+    matrix rides the task closure (k x dim doubles — a few KB)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    k, dim = C.shape
+
+    def partials(batches):
+        n_acc = np.zeros(k, dtype=np.int64)
+        sq_acc = np.zeros(k, dtype=np.float64)
+        sum_acc = np.zeros((k, dim), dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["emb"]]
+            )
+            for s in range(0, len(X), 4096):
+                blk = X[s : s + 4096]
+                d = ((blk[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                np.add.at(n_acc, a, 1)
+                np.add.at(sq_acc, a, d[np.arange(len(blk)), a])
+                np.add.at(sum_acc, a, blk)
+        yield pd.DataFrame(
+            {
+                "cluster_id": np.arange(k, dtype=np.int32),
+                "n": n_acc,
+                "sq_sum": sq_acc,
+                "sum_vec": list(sum_acc),
+            }
+        )
+
+    return emb_df.select("emb").mapInPandas(
+        partials, "cluster_id int, n long, sq_sum double, sum_vec array<double>"
+    )
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = 8,
@@ -281,35 +327,44 @@ def kmeans_fit(
         )
         return centroids, kmeans_assign(emb, centroids)
 
-    assigned = kmeans_assign(emb, centroids)
-
     for _ in range(iters):
-        # ONE job per iteration: the (cluster, pos) centroid means AND the
-        # current assignment's objective come out of the same aggregate —
-        # every row contributes its sq_dist once per position, so
-        # sum(sq_dist over the exploded frame) = dim * inertia. (The
-        # division reorders float accumulation vs a direct sum(sq_dist);
-        # the convergence twin's rel_tol exists for exactly this class of
-        # jitter, and neither driver query's OUTPUT depends on the log.)
-        new_rows = (
-            assigned.select(
-                "cluster_id", "sq_dist", F.posexplode("emb").alias("pos", "v")
-            )
-            .groupBy("cluster_id", "pos")
-            .agg(F.avg("v").alias("m"), F.sum("sq_dist").alias("sd"))
-            .collect()
-        )
-        log.append(sum(r.sd for r in new_rows) / dim)  # pre-update J
-        by_cluster: dict[int, list[float]] = {}
-        for r in new_rows:
-            by_cluster.setdefault(r.cluster_id, [0.0] * dim)[r.pos] = r.m
+        # ONE Arrow job per iteration (round 12): each partition's
+        # mapInPandas pass assigns its rows (chunked naive squared
+        # distances — the same formula as _driver_lloyd and the old JVM
+        # fold — argmin first-match tie-break) and emits k partial rows
+        # (count, sq_dist sum, element-wise vector sum), so the driver
+        # pulls O(partitions x k x dim) — never O(rows). The r11 form
+        # posexploded the full frame (N x dim rows through a
+        # (cluster, pos) shuffle per iteration) and evaluated N x k
+        # interpreted HOF distance folds per pass — both costs scale
+        # with the corpus; the partials pass is one BLAS sweep. Mean
+        # accumulation order differs from F.avg in the last ulps — the
+        # class the convergence twin's rel_tol absorbs (and driver-SF
+        # outputs never take this path: the 4M-cell gate above).
+        parts = _iteration_partials(emb, centroids).collect()
+        log.append(sum(r.sq_sum for r in parts))  # pre-update J
+        n_tot = [0] * k
+        v_tot = [[0.0] * dim for _ in range(k)]
+        for r in parts:
+            c = r.cluster_id
+            n_tot[c] += r.n
+            sv = r.sum_vec
+            vc = v_tot[c]
+            for i in range(dim):
+                vc[i] += sv[i]
         # empty clusters keep their previous centroid
         centroids = [
-            by_cluster.get(c, centroids[c]) for c in range(k)
+            [v / n_tot[c] for v in v_tot[c]] if n_tot[c] else centroids[c]
+            for c in range(k)
         ]
-        assigned = kmeans_assign(emb, centroids)
     # final objective (no update follows, so it needs its own pass)
-    log.append(assigned.agg(F.sum("sq_dist").alias("j")).first()["j"])
+    log.append(
+        sum(
+            r.sq_sum
+            for r in _iteration_partials(emb, centroids).collect()
+        )
+    )
+    assigned = kmeans_assign(emb, centroids)
     # the iters+1 in-loop actions are done; release the cache so the fit
     # doesn't pin executor memory for the session (the final assignment's
     # consumers recompute the cheap scan+rebalance lineage once)

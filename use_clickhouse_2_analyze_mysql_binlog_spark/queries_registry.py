@@ -145,10 +145,14 @@ def daily_event_counts_by_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollups.daily_event_counts_by_table(_binlog(spark, sf_dir))
 
 
-@register(
-    "daily_counts_pivot",
-    f"WITH binlog AS ({schemas.BINLOG_VIEW_SQL})\n{rollups.DAILY_PIVOT_SQL}",
-)
+# `daily_counts_pivot` RETIRED round 12 (in-window r10-only-green, so the
+# retirement frees a real window slot — COVERAGE.md retire-on-demand #7;
+# it funds re-proving the implementation-changed `dedup_embedding_cosine`):
+# the pivot is a reshape of the retained 4-key rollup
+# (`daily_event_counts_by_table`) and its conditional-aggregation shape
+# stays driver-proven by `ch_if_combinators_json` (countIf/sumIf) — the
+# operator, its oracle SQL (rollups.DAILY_PIVOT_SQL), its unit tests and
+# its plan-shape test all stay.
 def daily_counts_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT report: days x event-type columns (explicit value list — no
     schema-discovery job; second shuffle carries only rollup rows)."""
@@ -558,7 +562,13 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.length_histogram(schemas.load_table(spark, sf_dir, "documents"))
 
 
-@register("corpus_sample_stratified", curation.STRATIFIED_SAMPLE_SQL())
+# `corpus_sample_stratified` RETIRED round 12 (in-window r10-only-green —
+# COVERAGE.md retire-on-demand #8; it funds re-proving the
+# implementation-changed `similarity_ivf_topk_nprobe`): the retained
+# `corpus_train_test_split` runs the SAME hash-threshold idiom (pure
+# row-local hash(salt, doc_id) against cumulative thresholds — its
+# docstring documents the equivalence) and `corpus_source_cap` keeps the
+# per-stratum gating signal; operator + oracle + tests stay.
 def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language hash-threshold sampling (zero shuffle,
     reproducible across engines/runs)."""
@@ -803,23 +813,28 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within IVF buckets.
 
-    Round 11 executes the pre-planned scale swap and then two further
-    steps on the same window slot: ``num_centroids=None`` derives the
-    centroid count from the corpus size
+    Round 11 executed the pre-planned scale swap: ``num_centroids=None``
+    derives the centroid count from the corpus size
     (:func:`similarity.scaled_num_centroids` — constant bucket size, so
     within-bucket candidate pairs grow LINEARLY with the corpus instead
     of N^2/16), vectors L2-normalize once and route through the
-    two-level assignment (:func:`similarity.assign_ivf_buckets_two_level`,
-    ~2*N*sqrt(K) instead of the quadratic flat N*K), and the pair stage
-    runs as a per-bucket Arrow/BLAS matmul
+    two-level assignment (:func:`similarity.assign_ivf_buckets_two_level`),
+    and the pair stage runs as a per-bucket Arrow/BLAS matmul
     (:func:`similarity._bucket_pairs_matmul`). Measured on the same
-    sf10 directory: 3990.6 s (r10 pinned) -> 86.5 s, with a LINEAR
-    sf1->sf10 curve (9.08 -> 86.45 s). The DuckDB oracle mirrors the
-    full derivation, so hash parity holds at every driver SF."""
+    sf10 directory: 3990.6 s (r10 pinned) -> 86.5 s with a LINEAR
+    sf1->sf10 curve. Round 12 shaves the small-sf constants the r11
+    driver bench gate flagged (1.50x raw at sf0.1): K derives from the
+    parquet-footer row count (zero Spark jobs — and the RAW count on
+    BOTH engines, closing the ADVICE r11 zero-vector parity gap: the
+    oracle's par CTE now counts FROM e0), the assignment runs as the
+    one-pass Arrow/BLAS router instead of three argmax aggregates + two
+    joins, and the dead session-lifetime persist is gone (the pair
+    stage is the single consumer)."""
     return similarity.embedding_near_dup_pairs(
         schemas.load_table(spark, sf_dir, "embeddings"),
         threshold=0.4,
         num_centroids=None,
+        corpus_count=schemas.parquet_row_count(sf_dir, "embeddings"),
     )
 
 
@@ -829,7 +844,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("similarity_topk_bruteforce", similarity.BRUTE_FORCE_TOPK_SQL())
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 for the vec_id=0 query vector."""
+    """Brute-force cosine top-10 for the vec_id=0 query vector (round 12:
+    L2-normalized single-dot scoring — the family-wide re-plumb; still
+    TakeOrderedAndProject, no global sort)."""
     return similarity.brute_force_topk(
         schemas.load_table(spark, sf_dir, "embeddings")
     )
@@ -845,22 +862,47 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(schemas.load_table(spark, sf_dir, "embeddings"))
 
 
-@register("similarity_ivf_topk_nprobe", similarity.IVF_TOPK_SQL(nprobe=2))
+@register(
+    "similarity_ivf_topk_nprobe",
+    similarity.IVF_TOPK_SQL(nprobe=2, num_centroids=None),
+)
 def similarity_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-10 probing the query's 2 nearest coarse buckets — the
-    recall lever: scan fraction nprobe/K (here 2/16) instead of 1/K, recall
-    measured >= brute-force-agreement in tests/test_pipeline_ops.py."""
+    """IVF top-10 probing the query's 2 nearest fine buckets — the recall
+    lever (recall floor pinned in tests/test_pipeline_ops.py).
+
+    Round 12 re-plumb (VERDICT r11 next #1): the corpus assignment is
+    the shared Arrow/BLAS flat router over L2-normalized vectors with
+    the scaled centroid derivation (``num_centroids=None`` + parquet
+    metadata count) — constant ~1250-vector buckets, so the probe cost
+    per query stays CONSTANT as the corpus grows where the r11
+    pinned-16 + interpreted-HOF form scanned N/16 at ~2.9 us per
+    cosine. Candidate scoring is a single rounded dot fold. The
+    assignment persists and is plan-identical across the search family,
+    so the batch query's cache serves this one (and vice versa)."""
     return similarity.ivf_topk(
-        schemas.load_table(spark, sf_dir, "embeddings"), nprobe=2
+        schemas.load_table(spark, sf_dir, "embeddings"),
+        nprobe=2,
+        num_centroids=None,
+        corpus_count=schemas.parquet_row_count(sf_dir, "embeddings"),
     )
 
 
-@register("similarity_batch_topk", similarity.IVF_BATCH_TOPK_SQL())
+@register(
+    "similarity_batch_topk",
+    similarity.IVF_BATCH_TOPK_SQL(num_centroids=None),
+)
 def similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch k-NN: top-k for every query vector via one broadcast join
-    against the IVF-bucketed corpus + WindowGroupLimit ranking."""
+    against the IVF-bucketed corpus + WindowGroupLimit ranking.
+
+    Round 12 re-plumb (VERDICT r11 next #1): same shared scaled
+    Arrow/BLAS assignment + single-dot scoring as the ``_nprobe`` twin
+    (see its docstring); the probe table rides the window WITHOUT the
+    embedding column and the corpus side never shuffles."""
     return similarity.ivf_batch_topk(
-        schemas.load_table(spark, sf_dir, "embeddings")
+        schemas.load_table(spark, sf_dir, "embeddings"),
+        num_centroids=None,
+        corpus_count=schemas.parquet_row_count(sf_dir, "embeddings"),
     )
 
 
@@ -1117,7 +1159,14 @@ def skew_salted_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("similarity_lsh_topk", similarity.LSH_TOPK_SQL())
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH top-10 (bucketed ANN, multi-table OR)."""
+    """Random-hyperplane LSH top-10 (bucketed ANN, multi-table OR).
+
+    Round 12 re-plumb (VERDICT r11 next #1): the 32x64 sign-bit stage
+    runs as an Arrow/BLAS ``mapInPandas`` matmul (the r11 single-HOF
+    projection evaluated 2048 interpreted lambda steps per vector —
+    42.6 s of the sf10 sweep); the bits table carries no embeddings and
+    candidates re-attach by broadcast join. Semantics and the DuckDB
+    oracle are UNCHANGED."""
     return similarity.lsh_topk(schemas.load_table(spark, sf_dir, "embeddings"))
 
 
@@ -1781,7 +1830,12 @@ GROUP BY source
 """
 
 
-@register("tokens_per_source_stats", TOKENS_PER_SOURCE_SQL)
+# `tokens_per_source_stats` RETIRED round 12 (in-window r10-only-green —
+# COVERAGE.md retire-on-demand #9; it funds re-proving the
+# implementation-changed `similarity_lsh_topk`): it is the one-aggregate
+# capacity-planning twin of the retained `sequence_pack` (its own
+# docstring), over the `tokens()` primitive that `text_token_count`
+# keeps driver-proven; operator + oracle + tests stay.
 def tokens_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainer shard-sizing audit: per-source document/token totals and the
     512-budget sequence count (the capacity-planning twin of
@@ -1819,129 +1873,131 @@ def tokens_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derives everything else from the two newest committed CORRECTNESS files):
 # queries added this round or whose implementation changed, so their prior
 # driver proof (if any) no longer describes the shipped code.
+#: The round CHANGED_THIS_ROUND was last maintained for (ADVICE r11 #4:
+#: the per-query bench gate only fires on this list, so a stale list
+#: silently un-gates real regressions).
+#: tests/test_driver_window.py::test_changed_this_round_is_fresh derives
+#: the current round from the committed CORRECTNESS files and fails at
+#: next round's start until both constants are re-derived.
+CHANGED_ROUND = 12
+
 CHANGED_THIS_ROUND: list[str] = [
-    # round-11 budget: r11 window = 44 r09-only-green + headline 5 = 49
-    # (one free slot) − `daily_event_counts` retired (r09-green, hence
-    # IN-window in r11; `daily_event_counts_by_table` keeps the A5/A6
-    # rollup signal) = 2 funded slots for the two new state reads:
-    # the tdigest two-level read (VERDICT r10 next #3 — oracles predate
-    # it in tests/test_ddl_compat.py::test_migrated_tdigest_state_
-    # streams_and_matches_batch):
-    "ch_agg_states_tdigest_rollup",
-    # ...and the groupBitmap two-level read (r10 DDL-state's driver
-    # hash — same promotion pattern):
-    "ch_agg_states_bitmap_rollup",
-    # implementation-changed (VERDICT r10 next #1, the pre-planned
-    # scale swap): `dedup_embedding_cosine` moves from pinned
-    # num_centroids=16 to the scaled_num_centroids derivation —
-    # constant bucket size, candidate pairs linear in corpus size
-    # (measured 3990.6 s -> 537.4 s on the same sf10 directory).
-    # Values identical at every driver SF (the derivation floors to 16
-    # there), and it is r09-green so it sits in the r11 window anyway —
-    # the re-proof rides normal rotation at zero slot cost.
+    # Round 12 — the similarity/embedding family re-plumb (VERDICT r11
+    # next #1, the one `weak`) + the scaled-cosine small-sf shave
+    # (VERDICT r11 next #2, the r11 gate FAIL):
+    #
+    # implementation-changed: scaled Arrow/BLAS flat assignment
+    # (assign_ivf_buckets_scaled — L2-normalized, single rounded-dot
+    # scoring, constant bucket size via the metadata-count derivation)
+    # replaces the pinned-16 flat JVM assignment + 3-fold interpreted
+    # HOF cosines; oracles re-mirrored (_ASSIGN_FLAT_SQL):
+    "similarity_ivf_topk_nprobe",
+    "similarity_batch_topk",
+    # implementation-changed: L2-normalized single-dot scoring (oracle
+    # re-mirrored on the normalized e CTE):
+    "similarity_topk_bruteforce",
+    # implementation-changed: Arrow/BLAS sign-bit matmul replaces the
+    # interpreted 32x64 HOF projection; semantics + oracle UNCHANGED:
+    "similarity_lsh_topk",
+    # implementation-changed: K from parquet-footer metadata (raw count
+    # on BOTH engines — ADVICE r11 medium), one-pass Arrow router
+    # replacing the three argmax aggregates, dead persist dropped
+    # (ADVICE r11 #3), floor-form half-away rounding on every engine
+    # (ADVICE r11 #2):
     "dedup_embedding_cosine",
-    # implementation-changed (VERDICT r10 next #4): the window-over-sh
-    # document-frequency count sorted the full posting and measured
-    # ~21x wall for 10x data on a CLEAN sf1->sf10 run; reformulated as
-    # three partial+final hash aggregates off the family's shared
-    # distinct posting + an O(docs) broadcast join — no Sort node
-    # (plan-pinned), 2.24 s at sf10 with the posting cache warm (was
-    # 32.4 s). Values identical (same df>1 semantics); r09-green, so
-    # in-window — zero slot cost.
-    "dedup_span_crossdoc",
 ]
-# ROTATION BUDGET (round 11): the r11 window is exactly full — 44
-# queries green only in CORRECTNESS_r09 (they age out of the 2-round
-# invariant unless re-proven in r11) + headline 5 = 49, leaving ONE free
-# slot; retiring `daily_event_counts` (r09-green, IN-window in r11 —
-# the pre-planned VERDICT r09/r10 candidate; `daily_event_counts_by_
-# table` keeps the A5/A6 rollup signal) frees a second. The two funded
-# slots register `ch_agg_states_tdigest_rollup` and
-# `ch_agg_states_bitmap_rollup` (the sketch/bitmap state families'
-# first driver hashes — proven-SQL promotions from
-# tests/test_ddl_compat.py, same pattern as r09/r10). The round-10
-# pre-planned IMPLEMENTATION swap also executed: `dedup_embedding_
-# cosine` now runs scaled_num_centroids (r09-green, in-window — zero
-# slot cost; see CHANGED_THIS_ROUND). Window exactly 50 at 95 registry
-# entries. Round-12 arithmetic: the ~45 r10-only-green queries +
-# headline 5 fill the window again; any r12 addition must retire an
-# r10-green in-window entry. Round-12 pre-planned IMPLEMENTATION work
-# (zero slot cost — every entry named here is r10-green, hence IN the
-# r12 window): re-plumb the rest of the embedding family
-# (`similarity_batch_topk`, `similarity_ivf_topk_nprobe`,
-# `similarity_lsh_topk`, `embedding_kmeans*`) onto the round-11
-# building blocks (`_with_normalized_embedding` single-dot cosines,
-# `assign_ivf_buckets_two_level`, per-bucket Arrow matmul scoring) —
-# the r11 cosine overhaul measured interpreted HOF folds at ~2.9 us
-# per 64-dim cosine vs BLAS at memory speed (3990.6 -> 86.5 s at
-# sf10); the family's sf10 rows (46.6 / 42.6 / 32.9 s) are the same
-# cost model and should drop 3-5x.
+# ROTATION BUDGET (round 12): the VERDICT r11 plan assumed the whole
+# similarity family was r10-green ("zero slot cost"), but
+# `similarity_ivf_topk_nprobe`, `similarity_lsh_topk` and
+# `dedup_embedding_cosine` were re-proven in r11 — changing their
+# implementation voids an r11 proof that would otherwise carry them
+# through the r12 window (the similarity_batch_topk rotation lesson).
+# The 45 r10-only-green queries + headline 5 fill the window exactly, so
+# the three re-proof slots are funded by three in-window retirements
+# from the strictly-weaker-twin pattern (COVERAGE.md #7-#9):
+# `daily_counts_pivot` (reshape of the retained 4-key rollup;
+# conditional-agg signal kept by ch_if_combinators_json),
+# `corpus_sample_stratified` (same hash-threshold idiom as the retained
+# corpus_train_test_split), `tokens_per_source_stats` (one-aggregate
+# capacity twin of the retained sequence_pack over the text_token_count
+# primitive). Registry 95 -> 92 (89 oracle-backed + 3 rows-only);
+# window exactly 50 = 3 re-proofs + 42 stale + headline 5.
+# `embedding_kmeans*` are NOT window-funded: their registered outputs at
+# driver SFs run the UNCHANGED gate-bounded driver fit + row-local
+# assignment byte-for-byte (the r12 rework touches only the distributed
+# loop, which engages past the 4M-cell gate — sf1 and up), so their r11
+# proofs attest exactly the code that still runs at driver SFs.
+# Round-13 arithmetic: the ~42 r11-only-green queries + headline 5 fill
+# the window with three slots free (this round's three re-proofs
+# re-green in r12); candidates: promote a pre-planned state read
+# (COVERAGE.md similarity section) or fund any implementation swap.
 
 DRIVER_WINDOW_PRIORITY = [
-    # -- 1. added or implementation-changed this round (round 11) —
-    #       no valid driver proof yet:
-    "ch_agg_states_tdigest_rollup",
-    "ch_agg_states_bitmap_rollup",
-    # -- 2. green only in CORRECTNESS_r09 (rotated out of the r10 window);
-    #       their proof ages out of the 2-round invariant unless
-    #       re-verified in r11. Exactly the 44 registry queries green in
-    #       r09 but absent from CORRECTNESS_r10.json's green set, minus
-    #       the round-11 retired `daily_event_counts`. Includes the
-    #       implementation-changed `dedup_embedding_cosine` (the scaled-
-    #       centroid swap re-proves on this rotation slot).
-    "aggregating_rollup_merge",
-    "benchmark_contamination",
-    "ch_agg_states_rollup",
-    "ch_prewhere_profile",
-    "ch_top_event_limit_by",
-    "collapsing_merge_state",
-    "corpus_source_cap",
-    "daily_count_anomalies",
-    "daily_distinct_gtids_approx",
-    "daily_distinct_gtids_approx_check",
-    "daily_event_counts_by_table",
-    "dedup_apply_connected_components",
-    "dedup_apply_minhash",
-    "dedup_connected_components",
+    # -- 1. implementation-changed this round (round 12) with a voided
+    #       r11 proof — no valid driver proof until CORRECTNESS_r12:
     "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh_staged",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_span_crossdoc",
-    "doc_chunks",
-    "doc_fingerprint",
-    "embedding_kmeans",
-    "embedding_kmeans_assign",
-    "embedding_kmeans_inertia_check",
-    "embedding_quantization_error",
-    "language_mixture_weights",
-    "large_order_customers",
-    "line_dedup_staged",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "order_priority_counts",
-    "promo_revenue",
-    "quality_gopher_flags",
-    "replacing_merge_final",
-    "retention_cohorts",
-    "sequence_pack",
     "similarity_ivf_topk_nprobe",
     "similarity_lsh_topk",
-    "size_quantiles_approx",
-    "size_quantiles_approx_check",
+    # -- 2. green only in CORRECTNESS_r10 (rotated out of the r11
+    #       window); their proof ages out of the 2-round invariant
+    #       unless re-verified in r12. Exactly the 45 registry queries
+    #       green in r10 but absent from CORRECTNESS_r11.json's green
+    #       set, minus the three round-12 retirements. Includes the
+    #       implementation-changed `similarity_batch_topk` and
+    #       `similarity_topk_bruteforce` (their re-proofs ride these
+    #       slots at zero cost).
+    "asof_trade_quote",
+    "binlog_gap_report",
+    "ch_agg_states_map_rollup",
+    "ch_dashboard_rollup",
+    "ch_if_combinators_json",
+    "corpus_curate_gopher",
+    "corpus_curate_materialize",
+    "corpus_length_histogram",
+    "corpus_top_bigrams",
+    "corpus_train_test_split",
+    "daily_counts_gapfilled",
+    "daily_counts_moving_avg",
+    "day_over_day_counts",
+    "dedup_ngram_jaccard_staged",
+    "event_count_cube",
+    "event_type_decode_dim_join",
+    "gtid_set_operations",
+    "idempotent_window_antijoin",
+    "ingest_transform",
+    "multi_cluster_daily_counts",
+    "multimodal_metadata",
+    "nation_revenue",
+    "nation_top_customer",
+    "pricing_summary",
+    "range_join_maintenance_windows",
+    "retention_filter",
+    "scalar_functions",
+    "session_windows",
+    "similarity_batch_topk",
+    "similarity_topk_bruteforce",
+    "size_mad_per_type",
+    "size_quantiles",
+    "skew_salted_table_profile",
+    "summing_rollup_reaggregate",
+    "text_language_id",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_repetition_score",
+    "text_token_count",
+    "top_revenue_orders",
+    "window_funnel",
+    "windowed_running_size",
     # -- 3. reference-core headline queries (verified every round)
     "transaction_stats",
     "top_transaction_by_size",
     "top_transaction_by_spend_time",
     "top_transaction_by_affected_rows",
     "transaction_result_table",
-    # -- (2 new + 43 stale + 5 headline = 50 priority entries: the
+    # -- (3 re-proofs + 42 stale + 5 headline = 50 priority entries: the
     #       window is exactly full. Everything else keeps definition
-    #       order, is r10-green, and ages out in r12 — see the ROTATION
-    #       BUDGET note above.)
+    #       order, is r11-green with an unchanged implementation, and
+    #       ages out in r13 — see the ROTATION BUDGET note above.)
 ]
 
 

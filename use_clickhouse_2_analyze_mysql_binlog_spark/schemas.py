@@ -150,6 +150,33 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count from parquet FOOTER metadata — zero Spark jobs.
+
+    ``num_rows`` is part of the parquet contract (== ``count(*)``), so
+    callers that only need a corpus size for a derivation (e.g. the
+    scaled IVF centroid count) can skip the driver-side ``count()`` job
+    the r11 bench gate flagged at sf0.1. Handles both the single-file
+    driver testdata layout and bench_replicate.py's directory layout;
+    returns None for anything unreadable (callers fall back to
+    ``df.count()``)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except OSError:
+        return None
+
+
 def binlog_view(events: DataFrame) -> DataFrame:
     """Map the driver's generic ``events`` table onto the binlog fact schema.
 
