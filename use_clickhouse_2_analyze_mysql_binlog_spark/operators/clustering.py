@@ -4,20 +4,22 @@ Beyond-reference (the reference has no vector surface at all): clustering is
 the training-data-pipeline primitive behind IVF index builds, corpus
 bucketing for curriculum/dedup sharding, and topic-balance reporting.
 
-Scale shape (the same one `similarity.assign_ivf_buckets` uses for a single
-assignment pass, iterated):
+Scale shape (round 12 — the similarity family's Arrow execution model,
+iterated):
 
-- **Assignment is row-local.** The k centroids (k x dim doubles — a few KB)
-  are inlined as a literal array-of-arrays, so each iteration's assignment
-  is a zero-shuffle map over the scan: ``transform(centroids, c ->
-  squared_l2(emb, c))`` + argmin. No join, no broadcast exchange even.
-- **Update is one shuffle on (cluster, pos).** ``posexplode`` the embedding,
-  partial+final avg per (cluster_id, position) — k x dim aggregation keys
-  regardless of corpus size — then k tiny arrays come back to the driver to
-  become the next iteration's literals. Driver traffic is O(k x dim x
-  iters), never O(rows).
+- **Each iteration is ONE zero-shuffle Arrow pass.** ``mapInPandas``
+  assigns a partition's rows against the closure's k x dim centroid
+  matrix (BLAS) and emits k sufficient-statistics rows (count, sq_dist
+  sum, vector sum) per partition — driver traffic is
+  O(partitions x k x dim x iters), never O(rows). (The r11 form
+  posexploded N x dim rows through a (cluster, pos) shuffle per
+  iteration and paid N x k interpreted HOF distance folds per pass.)
+- **The final assignment is the same Arrow sweep** emitting per-row
+  (cluster_id, sq_dist); ``kmeans_assign`` keeps the pure-expression
+  row-local form (literal centroid array + fold argmin) as the
+  oracle-checkable reference used by `kmeans_assign_report`.
 - Iteration count is fixed (``iters``), so the whole fit is ``iters``
-  passes over the data; persist the input upstream when it is remote.
+  passes over the data; the input persists for the fit's lifetime.
 
 Like the CC operator, k-means is iterative and therefore has no DuckDB
 oracle (driver records a rows-only check); `tests/test_pipeline_ops.py`
@@ -212,6 +214,52 @@ def _driver_lloyd(
     return [[float(x) for x in c] for c in C], log
 
 
+def _kmeans_assign_arrow(
+    emb_df: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Final-assignment pass as one Arrow/BLAS ``mapInPandas`` sweep:
+    (vec_id, label, cluster_id, sq_dist), same rules as
+    :func:`kmeans_assign` (naive chunked squared distances, argmin first
+    occurrence) — the JVM fold form evaluated N x k interpreted
+    64-element lambdas, and the profile's aggregations re-evaluated the
+    whole expression per consumer (round 12: this pass was the bulk of
+    the sf10 `embedding_kmeans` row after the loop itself went Arrow)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    label_t = emb_df.schema["label"].dataType.simpleString()
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["emb"]]
+            )
+            cl = np.empty(len(X), dtype=np.int32)
+            sq = np.empty(len(X), dtype=np.float64)
+            for s in range(0, len(X), 4096):
+                blk = X[s : s + 4096]
+                d = ((blk[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                cl[s : s + 4096] = a
+                sq[s : s + 4096] = d[np.arange(len(blk)), a]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "cluster_id": cl,
+                    "sq_dist": sq,
+                }
+            )
+
+    return emb_df.select("vec_id", "label", "emb").mapInPandas(
+        assign,
+        f"vec_id long, label {label_t}, cluster_id int, sq_dist double",
+    )
+
+
 def _iteration_partials(
     emb_df: DataFrame, centroids: list[list[float]]
 ) -> DataFrame:
@@ -292,7 +340,7 @@ def kmeans_fit(
         emb = rebalance_small_scan(
             with_double_embedding(embeddings).select("vec_id", "label", "emb")
         )
-        return [list(c) for c in centroids], kmeans_assign(emb, centroids)
+        return [list(c) for c in centroids], _kmeans_assign_arrow(emb, centroids)
     log: list[float] = []
     emb = rebalance_small_scan(
         with_double_embedding(embeddings).select("vec_id", "label", "emb")
@@ -312,7 +360,7 @@ def kmeans_fit(
     # iteration costs a full Spark job whose scheduling floor (~0.5 s)
     # dwarfs the math at this size; at scale the gate fails and the
     # distributed loop below engages unchanged. The final assignment is
-    # ALWAYS the row-local distributed expression either way.
+    # ALWAYS the Arrow sweep (_kmeans_assign_arrow) either way.
     n_rows = emb.count()
     if n_rows * dim <= _DRIVER_FIT_MAX_CELLS:
         centroids, log = _driver_lloyd(
@@ -325,7 +373,7 @@ def kmeans_fit(
         emb = rebalance_small_scan(
             with_double_embedding(embeddings).select("vec_id", "label", "emb")
         )
-        return centroids, kmeans_assign(emb, centroids)
+        return centroids, _kmeans_assign_arrow(emb, centroids)
 
     for _ in range(iters):
         # ONE Arrow job per iteration (round 12): each partition's
@@ -364,7 +412,7 @@ def kmeans_fit(
             for r in _iteration_partials(emb, centroids).collect()
         )
     )
-    assigned = kmeans_assign(emb, centroids)
+    assigned = _kmeans_assign_arrow(emb, centroids)
     # the iters+1 in-loop actions are done; release the cache so the fit
     # doesn't pin executor memory for the session (the final assignment's
     # consumers recompute the cheap scan+rebalance lineage once)
@@ -407,11 +455,22 @@ def kmeans_cluster_profile(
 ) -> DataFrame:
     """Per-cluster fit summary: size, inertia contribution, majority label
     (the embeddings table carries a ground-truth ``label``) and its purity.
-    One aggregation over the final assignment — k rows out."""
+
+    ONE aggregation pass over the final assignment (round 12): the
+    per-(cluster, label) partials carry both the counts and the sq_dist
+    sums, so the second grain folds rollup-sized rows — the old
+    label_counts + inertia JOIN evaluated the whole assignment
+    expression twice. (Inertia accumulates per label before the final
+    sum — float-order jitter in the last ulps before the 6-dp rounding,
+    the class the convergence twin's rel_tol and the rows-only driver
+    contract already absorb.)"""
     _, assigned = kmeans_fit(embeddings, k=k, iters=iters)
-    label_counts = (
+    return (
         assigned.groupBy("cluster_id", "label")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sq_dist").alias("sd"),
+        )
         .groupBy("cluster_id")
         .agg(
             F.max_by("label", F.struct(F.col("n"), -F.col("label"))).alias(
@@ -419,13 +478,8 @@ def kmeans_cluster_profile(
             ),
             F.max("n").alias("majority_n"),
             F.sum("n").alias("n_vecs"),
+            F.round(F.sum("sd"), 6).alias("inertia"),
         )
-    )
-    inertia = assigned.groupBy("cluster_id").agg(
-        F.round(F.sum("sq_dist"), 6).alias("inertia")
-    )
-    return (
-        label_counts.join(inertia, "cluster_id")
         .select(
             "cluster_id",
             F.col("n_vecs").cast("long").alias("n_vecs"),
