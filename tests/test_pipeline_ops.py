@@ -1840,6 +1840,42 @@ def test_near_dup_scaled_centroids(spark, duck):
     assert set(got_a) <= truth
 
 
+def test_assignment_jvm_fallbacks_match_arrow_router(spark, monkeypatch):
+    """The past-the-codebook-gate JVM fallbacks must keep the SAME
+    routing semantics as the Arrow routers (round 12): the oracle
+    contract (_ASSIGN_FLAT_SQL / _ASSIGN2_SQL) must not fork on a size
+    gate. Forcing the gate to fail runs the broadcast-join forms;
+    bucket assignments must agree exactly (rounded dots + lower-id
+    ties absorb the engines' last-ulp accumulation differences)."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import similarity
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    arrow_flat = {
+        r.vec_id: r.centroid_id
+        for r in similarity.assign_ivf_buckets_scaled(emb, 16).collect()
+    }
+    arrow_two = {
+        r.vec_id: r.centroid_id
+        for r in similarity.assign_ivf_buckets_two_level(emb, 16).collect()
+    }
+    monkeypatch.setattr(similarity, "_CODEBOOK_MAX_CELLS", 0)
+    jvm_flat = {
+        r.vec_id: r.centroid_id
+        for r in similarity.assign_ivf_buckets_scaled(emb, 16).collect()
+    }
+    jvm_two = {
+        r.vec_id: r.centroid_id
+        for r in similarity.assign_ivf_buckets_two_level(emb, 16).collect()
+    }
+    assert jvm_flat == arrow_flat
+    assert jvm_two == arrow_two
+    # and the flat fallback really is flat: at 16 centroids the two
+    # routings differ on this data, so a two-level fallback would fork
+    # the flat oracle contract silently
+    assert arrow_flat != arrow_two
+
+
 def test_near_dup_zero_vector_and_dup_centroids(spark, tmp_path, duck):
     """Post-review hardening of the two-level scale path: (a) an
     all-zero embedding (undefined cosine) is EXCLUDED up front — NULL

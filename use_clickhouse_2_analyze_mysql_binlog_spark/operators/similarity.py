@@ -82,29 +82,29 @@ def brute_force_topk(
     """Exact cosine top-k against the vector with ``query_vec_id``.
 
     Round 12: the query vector normalizes ONCE (broadcast row), so the
-    per-candidate cosine is dot / norm — two folds instead of three, and
-    zero-norm vectors (no defined cosine) are excluded up front instead
-    of riding as NULL rows the DESC sort drops last. The corpus side
-    deliberately does NOT materialize normalized arrays: a
-    ``transform(emb, x -> x / norm)`` whose norm lives in a parent
-    projection gets collapsed INTO the lambda by CollapseProject and
-    re-folds the norm per ELEMENT (measured 2x the whole query at
-    sf0.1); the divide-once form keeps the fold per ROW. Catalyst still
-    plans the rank-k as TakeOrderedAndProject."""
-    emb = (
-        with_double_embedding(embeddings)
-        .withColumn("_nrm", _norm("emb"))
-        .filter(F.col("_nrm") > 0)
-    )
+    per-candidate cosine is dot / norm — TWO folds instead of three.
+    Two optimizer traps shape the form (both measured): materializing
+    normalized corpus arrays lets CollapseProject inline the norm fold
+    into the transform lambda and re-fold it per ELEMENT (2x the whole
+    query at sf0.1); and a ``norm > 0`` FILTER on a projected norm gets
+    pushed down by substitution, re-evaluating the fold a second time
+    per row (1.27x at sf10). So zero-norm vectors (no defined cosine;
+    under ANSI a plain 0/0 double division ERRORS the query) go through
+    ``try_divide`` -> NULL and drop last under the explicit
+    ``desc_nulls_last`` sort; the oracle mirrors with CASE + NULLS
+    LAST. Catalyst plans the rank-k as TakeOrderedAndProject."""
+    emb = with_double_embedding(embeddings)
     q = _with_normalized_embedding(embeddings).filter(
         F.col("vec_id") == query_vec_id
     ).select(F.col("emb").alias("q_emb"))
-    cos = _round6_away(_dot("emb", "q_emb") / F.col("_nrm"))
+    cos = _round6_away(F.try_divide(_dot("emb", "q_emb"), _norm("emb")))
     return (
         emb.filter(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(q))
         .select("vec_id", "label", cos.alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .orderBy(
+            F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc()
+        )
         .limit(k)
     )
 
@@ -127,11 +127,13 @@ qe AS (
     AND sqrt(list_sum(list_transform(emb, __y -> __y * __y))) > 0
 )
 SELECT vec_id, label,
-       (sign({cos}) * floor(abs({cos}) * {scale} + 0.5) / {scale})
-         AS cos_sim
+       CASE WHEN {nrm} > 0
+            THEN (sign({cos}) * floor(abs({cos}) * {scale} + 0.5)
+                  / {scale})
+            ELSE NULL END AS cos_sim
 FROM e0, qe
-WHERE vec_id <> {query_vec_id} AND {nrm} > 0
-ORDER BY cos_sim DESC, vec_id ASC
+WHERE vec_id <> {query_vec_id}
+ORDER BY cos_sim DESC NULLS LAST, vec_id ASC
 LIMIT {k}
 """
 
@@ -637,13 +639,16 @@ def assign_ivf_buckets_scaled(
     sf0.001, vs 0.60 when the corpus routed two-level but probes ranked
     flat), and nprobe=K remains exactly brute force. Routing cost is
     N x K rounded dots AT BLAS SPEED — ~200 GFLOP at sf10 (K=1600),
-    seconds of one sweep; past ~10M vectors (K ~ 8000) an index build
-    would swap in the two-level router of
+    seconds of one sweep. Past the codebook-collect gate the JVM
+    broadcast-join form engages with IDENTICAL flat semantics
+    (:func:`_assign_flat_jvm` — the oracle contract must not fork on a
+    size gate); at that tier (~150M+ vectors) a real deployment would
+    swap in the two-level router of
     :func:`assign_ivf_buckets_two_level` (machinery proven on the
-    near-dup operator) or a real k-means codebook at a recall cost.
-    Past the codebook-collect gate the JVM two-level form engages."""
+    near-dup operator) or a k-means codebook, re-mirroring the oracle
+    with :func:`_ASSIGN2_SQL`."""
     if num_centroids > _CODEBOOK_MAX_CELLS // EMB_DIM:
-        return _assign_two_level_jvm(embeddings, num_centroids, persist)
+        return _assign_flat_jvm(embeddings, num_centroids, persist)
     import numpy as np
 
     fine_ids, fine_mat = _collect_normalized_prefix(embeddings, num_centroids)
@@ -655,11 +660,69 @@ def assign_ivf_buckets_scaled(
             + ", emb array<double>, centroid_id long",
         )
         return out.persist() if persist else out
+    # the codebook ships ONCE PER EXECUTOR as a broadcast variable — in
+    # the task closure it would re-serialize with every task (up to
+    # 64 MB near the gate x O(100k) tasks at corpus scale)
+    bc = embeddings.sparkSession.sparkContext.broadcast((fine_ids, fine_mat))
 
     def route(X):
-        return fine_ids[np.argmax(_np_round6(X @ fine_mat.T), axis=1)]
+        ids, mat = bc.value
+        return ids[np.argmax(_np_round6(X @ mat.T), axis=1)]
 
     return _arrow_assign(embeddings, route, persist)
+
+
+def _assign_flat_jvm(
+    embeddings: DataFrame, num_centroids: int, persist: bool
+) -> DataFrame:
+    """JVM broadcast-join form of the FLAT scaled assignment — the
+    past-the-codebook-gate fallback with semantics identical to the
+    Arrow router (L2-normalized, half-away rounded single dots, argmax
+    with lower-id tie-break), so the :func:`_ASSIGN_FLAT_SQL` oracle
+    contract holds at any K. Same ``max_by`` map-side-combine shape as
+    the historical flat path; cost is N x K interpreted dot folds —
+    the documented perf (not correctness) ceiling of this tier."""
+    # corpus rows score in the divide-once form dot(raw, f_norm)/norm:
+    # the CollapseProject lambda-re-fold trap (see brute_force_topk)
+    # forbids materializing normalized corpus arrays pre-join; the
+    # output normalizes once per row AFTER the argmax, where the norm
+    # is a plain carried attribute (cheap per-element division).
+    emb = (
+        with_double_embedding(embeddings)
+        .withColumn("_nrm", _norm("emb"))
+        .filter(F.col("_nrm") > 0)
+    )
+    fine = _with_normalized_embedding(embeddings).filter(
+        F.col("vec_id") < num_centroids
+    ).select(F.col("vec_id").alias("f_id"), F.col("emb").alias("f_emb"))
+    score = _round6_away(_dot("emb", "f_emb") / F.col("_nrm"))
+    out = (
+        emb.crossJoin(F.broadcast(fine))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "f_id",
+                F.struct(
+                    score.alias("cs"),
+                    (-F.col("f_id")).alias("nf"),
+                ),
+            ).alias("centroid_id"),
+            F.first("label").alias("label"),
+            F.first("emb").alias("emb"),
+            F.first("_nrm").alias("_nrm"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.transform("emb", lambda x: x / F.col("_nrm")).alias("emb"),
+            "centroid_id",
+        )
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    return out
 
 
 def assign_ivf_buckets_two_level(
@@ -700,9 +763,11 @@ def assign_ivf_buckets_two_level(
             + ", emb array<double>, centroid_id long",
         )
         return out.persist() if persist else out
-    coarse_ids, coarse_mat, fine_ids, fine_mat, fine_cell = book
+    # broadcast, not closure-captured: see assign_ivf_buckets_scaled
+    bc = embeddings.sparkSession.sparkContext.broadcast(book)
 
     def route(X):
+        coarse_ids, coarse_mat, fine_ids, fine_mat, fine_cell = bc.value
         # vector -> nearest LIVE coarse cell, then nearest fine centroid
         # among the cell's members
         cell = coarse_ids[np.argmax(_np_round6(X @ coarse_mat.T), axis=1)]
