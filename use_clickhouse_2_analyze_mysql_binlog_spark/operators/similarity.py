@@ -581,6 +581,42 @@ def _two_level_codebook(embeddings: DataFrame, num_centroids: int):
     return coarse_ids[lmask], coarse_mat[lmask], ids, mat, f2c
 
 
+#: Session-lifetime memo for PERSISTED Arrow assignments, keyed by
+#: (normalized input plan, input-file fingerprint, num_centroids,
+#: flat/two-level). Round-12 regression fix: moving the codebook into a
+#: Broadcast variable made each call's serialized Python closure unique
+#: (fresh broadcast id), so CacheManager's canonicalized-plan matching —
+#: which the search family relied on for cross-query assignment reuse
+#: (`similarity_ivf_topk_nprobe` riding `similarity_batch_topk`'s
+#: cache) — stopped matching. Returning the SAME DataFrame object
+#: restores reuse robustly, independent of closure bytes (the kmeans
+#: _FIT_MEMO pattern; the file fingerprint invalidates on any input
+#: rewrite).
+_ASSIGN_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _assign_memo_key(embeddings: DataFrame, num_centroids: int, kind: str):
+    import os
+    import re
+
+    plan = embeddings._jdf.queryExecution().logical().toString()
+    fingerprint = []
+    for uri in sorted(embeddings.inputFiles()):
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            st = os.stat(path)
+            fingerprint.append((uri, st.st_size, st.st_mtime_ns))
+        except OSError:
+            fingerprint.append((uri, -1, -1))
+    return (
+        embeddings.sparkSession.sparkContext.applicationId,
+        re.sub(r"#\d+", "", plan),
+        tuple(fingerprint),
+        num_centroids,
+        kind,
+    )
+
+
 def _arrow_assign(embeddings: DataFrame, route, persist: bool) -> DataFrame:
     """Shared Arrow/BLAS assignment pass: cast + L2-normalize + zero-norm
     filter per batch, then ``route(X_normalized) -> centroid ids``.
@@ -651,6 +687,11 @@ def assign_ivf_buckets_scaled(
         return _assign_flat_jvm(embeddings, num_centroids, persist)
     import numpy as np
 
+    if persist:
+        memo_key = _assign_memo_key(embeddings, num_centroids, "flat")
+        if memo_key in _ASSIGN_MEMO:
+            return _ASSIGN_MEMO[memo_key]
+
     fine_ids, fine_mat = _collect_normalized_prefix(embeddings, num_centroids)
     if not len(fine_ids):
         out = embeddings.sparkSession.createDataFrame(
@@ -669,7 +710,10 @@ def assign_ivf_buckets_scaled(
         ids, mat = bc.value
         return ids[np.argmax(_np_round6(X @ mat.T), axis=1)]
 
-    return _arrow_assign(embeddings, route, persist)
+    out = _arrow_assign(embeddings, route, persist)
+    if persist:
+        _ASSIGN_MEMO[memo_key] = out
+    return out
 
 
 def _assign_flat_jvm(
@@ -754,6 +798,10 @@ def assign_ivf_buckets_two_level(
 
     if num_centroids > _CODEBOOK_MAX_CELLS // EMB_DIM:
         return _assign_two_level_jvm(embeddings, num_centroids, persist)
+    if persist:
+        memo_key = _assign_memo_key(embeddings, num_centroids, "two_level")
+        if memo_key in _ASSIGN_MEMO:
+            return _ASSIGN_MEMO[memo_key]
     book = _two_level_codebook(embeddings, num_centroids)
     if book is None:
         out = embeddings.sparkSession.createDataFrame(
@@ -779,7 +827,10 @@ def assign_ivf_buckets_two_level(
             out_cent[vsel] = fine_ids[fsel][np.argmax(dots, axis=1)]
         return out_cent
 
-    return _arrow_assign(embeddings, route, persist)
+    out = _arrow_assign(embeddings, route, persist)
+    if persist:
+        _ASSIGN_MEMO[memo_key] = out
+    return out
 
 
 def _assign_two_level_jvm(
