@@ -1922,11 +1922,18 @@ CHANGED_THIS_ROUND: list[str] = [
 # capacity twin of the retained sequence_pack over the text_token_count
 # primitive). Registry 95 -> 92 (89 oracle-backed + 3 rows-only);
 # window exactly 50 = 3 re-proofs + 42 stale + headline 5.
-# `embedding_kmeans*` are NOT window-funded: their registered outputs at
-# driver SFs run the UNCHANGED gate-bounded driver fit + row-local
-# assignment byte-for-byte (the r12 rework touches only the distributed
-# loop, which engages past the 4M-cell gate — sf1 and up), so their r11
-# proofs attest exactly the code that still runs at driver SFs.
+# `embedding_kmeans*` are NOT window-funded. Precisely: the two
+# HASH-proven entries execute unchanged code at driver SFs —
+# `embedding_kmeans_assign` (kmeans_assign_report, untouched) and
+# `embedding_kmeans_inertia_check` (booleans off the gate-bounded
+# driver fit's log, untouched; rel_tol absorbs ulps) — so their r11
+# proofs attest exactly what still runs. `embedding_kmeans` itself is
+# ROWS-ONLY by design (no hash contract; 8 rows, schema unchanged) and
+# its profile aggregation DID change (single-pass rollup + Arrow final
+# assignment; bench sf0.1 0.99x, sf10 0.39x) — the driver's rows-only
+# check is insensitive to that change, so window funding would buy no
+# signal; the change is covered by the numpy-reference and
+# distributed==driver tests instead.
 # Round-13 arithmetic: the ~42 r11-only-green queries + headline 5 fill
 # the window with three slots free (this round's three re-proofs
 # re-green in r12); candidates: promote a pre-planned state read
