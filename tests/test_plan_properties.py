@@ -141,6 +141,42 @@ def test_benchmark_contamination_broadcasts_bench_side(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_scaled_near_dup_arrow_single_shuffle(spark):
+    plan = _plan(spark, "dedup_embedding_cosine")
+    # round 12: the whole scaled near-dup is scan -> Arrow router
+    # (MapInPandas) -> ONE centroid shuffle -> per-bucket pair matmul
+    # (FlatMapGroupsInPandas). A second scan or exchange means the
+    # one-pass assignment regressed to the join/aggregate form; any
+    # nested-loop join would be an all-pairs fan-out.
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_search_cached_assignment_broadcast_probes(spark):
+    plan = _plan(spark, "similarity_ivf_topk_nprobe")
+    # the persisted scaled assignment serves both the corpus branch and
+    # the probe ranking (InMemoryRelation), the nprobe probe table
+    # broadcasts, and the rank-k runs as TakeOrderedAndProject — no
+    # global sort, no corpus-side shuffle for the join
+    assert "InMemoryRelation" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_lsh_topk_broadcast_candidates(spark):
+    plan = _plan(spark, "similarity_lsh_topk")
+    # the Arrow bits table carries NO embedding column; the candidate id
+    # set broadcasts back onto the corpus scan (BroadcastHashJoin) and
+    # the rank-k is TakeOrderedAndProject. The only hash exchange is the
+    # tiny candidate-dedup aggregate.
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_batch_topk_broadcast_and_group_limit(spark):
     plan = _plan(spark, "similarity_batch_topk")
     # query set broadcasts (corpus side never shuffles for the join) and
