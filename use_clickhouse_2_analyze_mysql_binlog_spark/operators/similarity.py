@@ -93,7 +93,11 @@ def brute_force_topk(
     ``try_divide`` -> NULL and drop last under the explicit
     ``desc_nulls_last`` sort; the oracle mirrors with CASE + NULLS
     LAST. Catalyst plans the rank-k as TakeOrderedAndProject."""
-    emb = with_double_embedding(embeddings)
+    from use_clickhouse_2_analyze_mysql_binlog_spark.plans.parallelism import (
+        rebalance_small_scan,
+    )
+
+    emb = with_double_embedding(rebalance_small_scan(embeddings))
     q = _with_normalized_embedding(embeddings).filter(
         F.col("vec_id") == query_vec_id
     ).select(F.col("emb").alias("q_emb"))
@@ -650,9 +654,18 @@ def _arrow_assign(embeddings: DataFrame, route, persist: bool) -> DataFrame:
                 }
             )
 
-    out = embeddings.select("vec_id", "label", "embedding").mapInPandas(
-        assign, schema
+    from use_clickhouse_2_analyze_mysql_binlog_spark.plans.parallelism import (
+        rebalance_small_scan,
     )
+
+    # parallelism guard (round 12): a small parquet input is ONE
+    # row-group = ONE task, and the whole BLAS router then runs on a
+    # single core — measured 449.6 s for the sf100 batch query against
+    # a 94%-idle box before the guard. No-op at real scale (thousands
+    # of splits).
+    out = rebalance_small_scan(
+        embeddings.select("vec_id", "label", "embedding")
+    ).mapInPandas(assign, schema)
     if persist:
         from pyspark import StorageLevel
 
@@ -708,7 +721,24 @@ def assign_ivf_buckets_scaled(
 
     def route(X):
         ids, mat = bc.value
-        return ids[np.argmax(_np_round6(X @ mat.T), axis=1)]
+        # running argmax over CENTROID CHUNKS: the one-shot form
+        # materializes the full batch x K rounded-dot matrix (3.2G
+        # doubles x ~6 elementwise passes at sf100's K=1600 — pure
+        # memory traffic); chunking keeps the scratch at batch x 512.
+        # Strict '>' keeps the FIRST maximum, so ties still break to
+        # the lower centroid id — identical to the global argmax and
+        # the oracle's row_number ranking.
+        n = len(X)
+        best = np.full(n, -np.inf)
+        best_i = np.zeros(n, dtype=np.int64)
+        for lo in range(0, mat.shape[0], 512):
+            d = _np_round6(X @ mat[lo : lo + 512].T)
+            j = np.argmax(d, axis=1)
+            v = d[np.arange(n), j]
+            upd = v > best
+            best[upd] = v[upd]
+            best_i[upd] = j[upd] + lo
+        return ids[best_i]
 
     out = _arrow_assign(embeddings, route, persist)
     if persist:
@@ -1268,7 +1298,13 @@ def lsh_buckets(embeddings: DataFrame) -> DataFrame:
                 )
             yield pd.concat(out, ignore_index=True)
 
-    return embeddings.select("vec_id", "label", "embedding").mapInPandas(
+    from use_clickhouse_2_analyze_mysql_binlog_spark.plans.parallelism import (
+        rebalance_small_scan,
+    )
+
+    return rebalance_small_scan(
+        embeddings.select("vec_id", "label", "embedding")
+    ).mapInPandas(
         bits, f"vec_id long, label {label_t}, table_id int, bucket long"
     )
 
