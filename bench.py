@@ -131,6 +131,16 @@ def main() -> None:
     # under ~1.1x is methodology-settled as box noise, not code.
     extra = {n: 2 for n in BENCH_QUERIES}
     extra.update({n: 1 for n in WATCHED_QUERIES})
+    # Round 13 (VERDICT r12 next #1): CHANGED_THIS_ROUND queries are the
+    # only ones the per-query bench_compare gate fires on, yet they were
+    # the only gated set still timed single-pass — in both r11 and r12
+    # the builder-final and driver-final sweeps disagreed on the gate
+    # verdict for a sub-second changed query (same HEAD, 0.442 vs
+    # 0.548 s: pure box noise flipping a 1.2x gate). Changed queries now
+    # get min-of-3: they are few (the rotation budget caps them at ~3-5
+    # per round) so the extra passes cost seconds, and the gate verdict
+    # must be a property of the code, not of one sweep pass.
+    extra.update({n: max(extra.get(n, 0), 2) for n in R.CHANGED_THIS_ROUND})
     for name, passes in ((n, p) for n, p in extra.items() if n in timings):
         for _ in range(passes):
             t0 = time.perf_counter()

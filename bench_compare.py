@@ -223,13 +223,20 @@ def main() -> int:
     # that class while staying insensitive to single-query box jitter
     # (r10->r11 replay: 1.15x raw / 1.12x drift -> 1.03x adjusted, PASS).
     TOTAL_THRESHOLD = 1.25
-    tb = base.get("total_all_queries")
-    tn = new.get("total_all_queries")
+    # ADVICE r12 low: the stored registry-wide totals are not comparable
+    # across a registry rotation (a retirement deflates the new total by
+    # that query's runtime, loosening the gate; an addition inflates it,
+    # tightening it spuriously) — compare totals over the INTERSECTION
+    # of query names present in both snapshots instead.
+    shared = set(base.get("queries", {})) & set(new.get("queries", {}))
+    tb = sum(base["queries"][q] for q in shared) if shared else None
+    tn = sum(new["queries"][q] for q in shared) if shared else None
     if tb and tn:
         total_adj = (tn / tb) / gate_drift
         if total_adj > TOTAL_THRESHOLD:
             failures.append(
-                f"all-query total: {tb:.1f}s -> {tn:.1f}s "
+                f"all-query total (over {len(shared)} shared queries): "
+                f"{tb:.1f}s -> {tn:.1f}s "
                 f"({tn / tb:.2f}x raw, {total_adj:.2f}x drift-adjusted > "
                 f"{TOTAL_THRESHOLD}x) — shared-infra regression class"
             )

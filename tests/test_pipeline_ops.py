@@ -1876,6 +1876,69 @@ def test_assignment_jvm_fallbacks_match_arrow_router(spark, monkeypatch):
     assert arrow_flat != arrow_two
 
 
+def test_assign_memo_only_for_file_backed_inputs(spark):
+    """ADVICE r12 medium: two DIFFERENT in-memory corpora share the same
+    expr-id-stripped LocalRelation plan text and an empty file
+    fingerprint, so memoizing them would hand corpus B the persisted
+    assignment of corpus A. Non-file-backed inputs must bypass the memo
+    entirely; the parquet-backed registry path keeps it."""
+    import numpy as np
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import similarity
+    from tests.conftest import SF_DIR
+
+    rng = np.random.RandomState(3)
+    schema = "vec_id long, label string, embedding array<double>"
+
+    def corpus(seed_shift):
+        rows = [
+            (i, f"d{i}", (rng.normal(0, 1, 8) + seed_shift * (i % 3)).tolist())
+            for i in range(24)
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    a, b = corpus(0.0), corpus(5.0)
+    assert similarity._assign_memo_key(a, 4, "flat") is None
+    file_backed = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert similarity._assign_memo_key(file_backed, 4, "flat") is not None
+
+    got_a = similarity.assign_ivf_buckets_scaled(a, 4, persist=True)
+    got_b = similarity.assign_ivf_buckets_scaled(b, 4, persist=True)
+    try:
+        emb_a = {r.vec_id: r.emb for r in got_a.collect()}
+        emb_b = {r.vec_id: r.emb for r in got_b.collect()}
+        # the regression returned corpus A's persisted assignment for B:
+        # identical normalized embeddings row-for-row
+        assert emb_a != emb_b
+    finally:
+        got_a.unpersist()
+        got_b.unpersist()
+
+
+def test_assignment_empty_corpus_returns_empty(spark):
+    """ADVICE r12 low: the empty-codebook fallbacks were unreachable —
+    ``np.array([]).reshape(0, -1)`` raised before them. An empty corpus
+    must yield an empty assignment on both routers, not a ValueError."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import similarity
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, label string, embedding array<double>"
+    )
+    assert similarity.assign_ivf_buckets_scaled(empty, 4).count() == 0
+    assert similarity.assign_ivf_buckets_two_level(empty, 4).count() == 0
+
+
+def test_parquet_row_count_corrupt_footer(tmp_path):
+    """ADVICE r12 low: pyarrow raises ArrowInvalid (not OSError) on a
+    truncated footer — the documented contract is ``None`` for anything
+    unreadable so callers fall back to ``df.count()``."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+
+    (tmp_path / "broken.parquet").write_bytes(b"PAR1 not really parquet")
+    assert schemas.parquet_row_count(str(tmp_path), "broken") is None
+    assert schemas.parquet_row_count(str(tmp_path), "missing") is None
+
+
 def test_near_dup_zero_vector_and_dup_centroids(spark, tmp_path, duck):
     """Post-review hardening of the two-level scale path: (a) an
     all-zero embedding (undefined cosine) is EXCLUDED up front — NULL

@@ -550,16 +550,21 @@ def _collect_normalized_prefix(embeddings: DataFrame, num_centroids: int):
         .select("vec_id", "embedding")
         .collect()
     )
+    # ADVICE r12 low: reshape(0, -1) raises on an empty prefix — return
+    # explicit empty shapes so the callers' empty-codebook fallbacks
+    # (empty-DataFrame for flat, ``None`` book for two-level) stay
+    # reachable for an empty corpus.
+    if not rows:
+        return np.array([], dtype=np.int64), np.zeros((0, EMB_DIM))
     rows.sort(key=lambda r: r.vec_id)
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.array(
         [[float(x) for x in r.embedding] for r in rows], dtype=np.float64
     ).reshape(len(rows), -1)
-    if len(rows):
-        nrm = np.sqrt((mat * mat).sum(axis=1))
-        keep = nrm > 0
-        ids, mat, nrm = ids[keep], mat[keep], nrm[keep]
-        mat = mat / nrm[:, None]
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    keep = nrm > 0
+    ids, mat, nrm = ids[keep], mat[keep], nrm[keep]
+    mat = mat / nrm[:, None]
     return ids, mat
 
 
@@ -600,12 +605,25 @@ _ASSIGN_MEMO: dict[tuple, DataFrame] = {}
 
 
 def _assign_memo_key(embeddings: DataFrame, num_centroids: int, kind: str):
+    """Memo key for a FILE-BACKED embeddings input, else ``None``.
+
+    ADVICE r12 medium: for a non-file-backed DataFrame (createDataFrame /
+    LocalRelation) the expr-id-stripped plan text plus an EMPTY file
+    fingerprint is not an identity — two different in-memory corpora with
+    the same schema would collide and the second ``persist=True`` call
+    would silently return the first corpus's assignment. Memoization is a
+    cross-query reuse optimization for the parquet-backed registry path;
+    anything else simply isn't memoized (callers treat ``None`` as
+    memo-off)."""
     import os
     import re
 
+    files = embeddings.inputFiles()
+    if not files:
+        return None
     plan = embeddings._jdf.queryExecution().logical().toString()
     fingerprint = []
-    for uri in sorted(embeddings.inputFiles()):
+    for uri in sorted(files):
         path = uri[len("file:"):] if uri.startswith("file:") else uri
         try:
             st = os.stat(path)
@@ -700,9 +718,10 @@ def assign_ivf_buckets_scaled(
         return _assign_flat_jvm(embeddings, num_centroids, persist)
     import numpy as np
 
+    memo_key = None
     if persist:
         memo_key = _assign_memo_key(embeddings, num_centroids, "flat")
-        if memo_key in _ASSIGN_MEMO:
+        if memo_key is not None and memo_key in _ASSIGN_MEMO:
             return _ASSIGN_MEMO[memo_key]
 
     fine_ids, fine_mat = _collect_normalized_prefix(embeddings, num_centroids)
@@ -741,7 +760,7 @@ def assign_ivf_buckets_scaled(
         return ids[best_i]
 
     out = _arrow_assign(embeddings, route, persist)
-    if persist:
+    if memo_key is not None:
         _ASSIGN_MEMO[memo_key] = out
     return out
 
@@ -828,9 +847,10 @@ def assign_ivf_buckets_two_level(
 
     if num_centroids > _CODEBOOK_MAX_CELLS // EMB_DIM:
         return _assign_two_level_jvm(embeddings, num_centroids, persist)
+    memo_key = None
     if persist:
         memo_key = _assign_memo_key(embeddings, num_centroids, "two_level")
-        if memo_key in _ASSIGN_MEMO:
+        if memo_key is not None and memo_key in _ASSIGN_MEMO:
             return _ASSIGN_MEMO[memo_key]
     book = _two_level_codebook(embeddings, num_centroids)
     if book is None:
@@ -858,7 +878,7 @@ def assign_ivf_buckets_two_level(
         return out_cent
 
     out = _arrow_assign(embeddings, route, persist)
-    if persist:
+    if memo_key is not None:
         _ASSIGN_MEMO[memo_key] = out
     return out
 

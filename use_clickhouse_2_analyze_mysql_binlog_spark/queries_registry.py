@@ -1879,132 +1879,102 @@ def tokens_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tests/test_driver_window.py::test_changed_this_round_is_fresh derives
 #: the current round from the committed CORRECTNESS files and fails at
 #: next round's start until both constants are re-derived.
-CHANGED_ROUND = 12
+CHANGED_ROUND = 13
 
 CHANGED_THIS_ROUND: list[str] = [
-    # Round 12 — the similarity/embedding family re-plumb (VERDICT r11
-    # next #1, the one `weak`) + the scaled-cosine small-sf shave
-    # (VERDICT r11 next #2, the r11 gate FAIL):
+    # Round 13 — measurement/adjudication round (VERDICT r12 next #1-#6):
+    # the bench-gate min-of-N fix, the sf10 mover adjudications, the
+    # ADVICE hardening (memo-key identity, empty-prefix guard,
+    # parquet_row_count breadth, bench_compare intersection totals) and
+    # the two-level-search recall contract are all zero-plan-change work.
+    # Names are appended here the moment an implementation of a
+    # REGISTERED query actually changes (each costs a re-proof slot —
+    # 3 free this round, see ROTATION BUDGET).
     #
-    # implementation-changed: scaled Arrow/BLAS flat assignment
-    # (assign_ivf_buckets_scaled — L2-normalized, single rounded-dot
-    # scoring, constant bucket size via the metadata-count derivation)
-    # replaces the pinned-16 flat JVM assignment + 3-fold interpreted
-    # HOF cosines; oracles re-mirrored (_ASSIGN_FLAT_SQL):
-    "similarity_ivf_topk_nprobe",
-    "similarity_batch_topk",
-    # implementation-changed: L2-normalized single-dot scoring (oracle
-    # re-mirrored on the normalized e CTE):
-    "similarity_topk_bruteforce",
-    # implementation-changed: Arrow/BLAS sign-bit matmul replaces the
-    # interpreted 32x64 HOF projection; semantics + oracle UNCHANGED:
-    "similarity_lsh_topk",
-    # implementation-changed: K from parquet-footer metadata (raw count
-    # on BOTH engines — ADVICE r11 medium), one-pass Arrow router
-    # replacing the three argmax aggregates, dead persist dropped
-    # (ADVICE r11 #3), floor-form half-away rounding on every engine
-    # (ADVICE r11 #2):
-    "dedup_embedding_cosine",
+    # implementation-changed: ngram-jaccard pair verify batched per
+    # bucket as an Arrow/BLAS-style set-intersection stage (VERDICT r12
+    # next #3 — slowest registry row at sf10); oracle semantics
+    # UNCHANGED:
+    "dedup_ngram_jaccard_staged",
 ]
-# ROTATION BUDGET (round 12): the VERDICT r11 plan assumed the whole
-# similarity family was r10-green ("zero slot cost"), but
-# `similarity_ivf_topk_nprobe`, `similarity_lsh_topk` and
-# `dedup_embedding_cosine` were re-proven in r11 — changing their
-# implementation voids an r11 proof that would otherwise carry them
-# through the r12 window (the similarity_batch_topk rotation lesson).
-# The 45 r10-only-green queries + headline 5 fill the window exactly, so
-# the three re-proof slots are funded by three in-window retirements
-# from the strictly-weaker-twin pattern (COVERAGE.md #7-#9):
-# `daily_counts_pivot` (reshape of the retained 4-key rollup;
-# conditional-agg signal kept by ch_if_combinators_json),
-# `corpus_sample_stratified` (same hash-threshold idiom as the retained
-# corpus_train_test_split), `tokens_per_source_stats` (one-aggregate
-# capacity twin of the retained sequence_pack over the text_token_count
-# primitive). Registry 95 -> 92 (89 oracle-backed + 3 rows-only);
-# window exactly 50 = 3 re-proofs + 42 stale + headline 5.
-# `embedding_kmeans*` are NOT window-funded. Precisely: the two
-# HASH-proven entries execute unchanged code at driver SFs —
-# `embedding_kmeans_assign` (kmeans_assign_report, untouched) and
-# `embedding_kmeans_inertia_check` (booleans off the gate-bounded
-# driver fit's log, untouched; rel_tol absorbs ulps) — so their r11
-# proofs attest exactly what still runs. `embedding_kmeans` itself is
-# ROWS-ONLY by design (no hash contract; 8 rows, schema unchanged) and
-# its profile aggregation DID change (single-pass rollup + Arrow final
-# assignment; bench sf0.1 0.99x, sf10 0.39x) — the driver's rows-only
-# check is insensitive to that change, so window funding would buy no
-# signal; the change is covered by the numpy-reference and
-# distributed==driver tests instead.
-# Round-13 arithmetic: the ~42 r11-only-green queries + headline 5 fill
-# the window with three slots free (this round's three re-proofs
-# re-green in r12); candidates: promote a pre-planned state read
-# (COVERAGE.md similarity section) or fund any implementation swap.
+# ROTATION BUDGET (round 13): 42 queries are green only in
+# CORRECTNESS_r11 (their proof ages out unless re-verified in r13) —
+# that count now includes the three rows-only entries
+# (`embedding_kmeans`, `size_quantiles_approx`,
+# `daily_distinct_gtids_approx`), whose r11 rows-only rows are their
+# only in-window records. 42 stale + headline 5 = 47 priority entries;
+# the remaining 3 window positions fall to definition order (all
+# r12-green, so the 2-round invariant holds for them either way) until
+# a round-13 implementation change claims a slot via
+# CHANGED_THIS_ROUND. Slot ledger this round:
+#   1. `dedup_ngram_jaccard_staged` — verify-stage batching (VERDICT
+#      r12 next #3); its r12 proof is voided, re-proof rides priority
+#      section 1.
+#   2-3. free (pre-planned COVERAGE.md candidates or a second
+#      implementation swap).
 
 DRIVER_WINDOW_PRIORITY = [
-    # -- 1. implementation-changed this round (round 12) with a voided
-    #       r11 proof — no valid driver proof until CORRECTNESS_r12:
-    "dedup_embedding_cosine",
-    "similarity_ivf_topk_nprobe",
-    "similarity_lsh_topk",
-    # -- 2. green only in CORRECTNESS_r10 (rotated out of the r11
-    #       window); their proof ages out of the 2-round invariant
-    #       unless re-verified in r12. Exactly the 45 registry queries
-    #       green in r10 but absent from CORRECTNESS_r11.json's green
-    #       set, minus the three round-12 retirements. Includes the
-    #       implementation-changed `similarity_batch_topk` and
-    #       `similarity_topk_bruteforce` (their re-proofs ride these
-    #       slots at zero cost).
-    "asof_trade_quote",
-    "binlog_gap_report",
-    "ch_agg_states_map_rollup",
-    "ch_dashboard_rollup",
-    "ch_if_combinators_json",
-    "corpus_curate_gopher",
-    "corpus_curate_materialize",
-    "corpus_length_histogram",
-    "corpus_top_bigrams",
-    "corpus_train_test_split",
-    "daily_counts_gapfilled",
-    "daily_counts_moving_avg",
-    "day_over_day_counts",
+    # -- 1. implementation-changed this round (round 13) with a voided
+    #       r12 proof — no valid driver proof until CORRECTNESS_r13:
     "dedup_ngram_jaccard_staged",
-    "event_count_cube",
-    "event_type_decode_dim_join",
-    "gtid_set_operations",
-    "idempotent_window_antijoin",
-    "ingest_transform",
-    "multi_cluster_daily_counts",
-    "multimodal_metadata",
-    "nation_revenue",
-    "nation_top_customer",
-    "pricing_summary",
-    "range_join_maintenance_windows",
-    "retention_filter",
-    "scalar_functions",
-    "session_windows",
-    "similarity_batch_topk",
-    "similarity_topk_bruteforce",
-    "size_mad_per_type",
-    "size_quantiles",
-    "skew_salted_table_profile",
-    "summing_rollup_reaggregate",
-    "text_language_id",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_repetition_score",
-    "text_token_count",
-    "top_revenue_orders",
-    "window_funnel",
-    "windowed_running_size",
+    # -- 2. green only in CORRECTNESS_r11 (rotated out of the r12
+    #       window); their proof ages out of the 2-round invariant
+    #       unless re-verified in r13. Exactly the 42 registry queries
+    #       green in r11 but absent from CORRECTNESS_r12.json's green
+    #       set (includes the three rows-only-by-design entries, whose
+    #       r11 rows-only records are likewise 2 rounds old).
+    "aggregating_rollup_merge",
+    "benchmark_contamination",
+    "ch_agg_states_bitmap_rollup",
+    "ch_agg_states_rollup",
+    "ch_agg_states_tdigest_rollup",
+    "ch_prewhere_profile",
+    "ch_top_event_limit_by",
+    "collapsing_merge_state",
+    "corpus_source_cap",
+    "daily_count_anomalies",
+    "daily_distinct_gtids_approx",
+    "daily_distinct_gtids_approx_check",
+    "daily_event_counts_by_table",
+    "dedup_apply_connected_components",
+    "dedup_apply_minhash",
+    "dedup_connected_components",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh_staged",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_span_crossdoc",
+    "doc_chunks",
+    "doc_fingerprint",
+    "embedding_kmeans",
+    "embedding_kmeans_assign",
+    "embedding_kmeans_inertia_check",
+    "embedding_quantization_error",
+    "language_mixture_weights",
+    "large_order_customers",
+    "line_dedup_staged",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "order_priority_counts",
+    "promo_revenue",
+    "quality_gopher_flags",
+    "replacing_merge_final",
+    "retention_cohorts",
+    "sequence_pack",
+    "size_quantiles_approx",
+    "size_quantiles_approx_check",
     # -- 3. reference-core headline queries (verified every round)
     "transaction_stats",
     "top_transaction_by_size",
     "top_transaction_by_spend_time",
     "top_transaction_by_affected_rows",
     "transaction_result_table",
-    # -- (3 re-proofs + 42 stale + 5 headline = 50 priority entries: the
-    #       window is exactly full. Everything else keeps definition
-    #       order, is r11-green with an unchanged implementation, and
-    #       ages out in r13 — see the ROTATION BUDGET note above.)
+    # -- (1 re-proof + 42 stale + 5 headline = 48 priority entries; the
+    #       2 remaining window positions fall to definition order —
+    #       r12-green queries whose proofs stay valid either way. See
+    #       the ROTATION BUDGET note above.)
 ]
 
 

@@ -173,7 +173,10 @@ def parquet_row_count(sf_dir: str, name: str) -> int | None:
                 if f.endswith(".parquet")
             )
         return pq.ParquetFile(path).metadata.num_rows
-    except OSError:
+    except Exception:
+        # ADVICE r12 low: pyarrow raises ArrowInvalid (NOT an OSError) on
+        # a corrupt/truncated footer; anything unreadable must hit the
+        # documented df.count() fallback, not fail the registry query.
         return None
 
 
