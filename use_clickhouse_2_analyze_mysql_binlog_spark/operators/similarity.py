@@ -305,6 +305,106 @@ LIMIT {k}
 """
 
 
+def ivf_topk_two_level(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    num_centroids: int | None = None,
+    nprobe: int = 1,
+    coarse_probe: int = 1,
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """IVF top-k over the TWO-LEVEL router — the search family's
+    past-the-codebook-gate tier (VERDICT r12 next #4 / missing #2).
+
+    The flat search path (:func:`ivf_topk`) ranks the probe against ALL
+    K fine centroids; with the constant-bucket derivation K grows with
+    the corpus, so flat routing costs N x K dots — quadratic past the
+    ~150M-vector codebook gate. This tier routes corpus AND probe
+    through the coarse-then-fine hierarchy: N x sqrt(K) + N x K/sqrt(K)
+    routing dots, and the probe ranking scans only the fine centroids
+    of the query's ``coarse_probe`` nearest live coarse cells.
+
+    The round-12 recall lesson (routing the corpus two-level while
+    ranking probes FLAT dropped recall@4 0.86 -> 0.60) is honored by
+    construction: the probe descends the same hierarchy with the same
+    rounded-dot + lower-id tie rules as
+    :func:`assign_ivf_buckets_two_level`, so with ``nprobe >= 1`` and
+    ``coarse_probe == 1`` the first probed bucket IS the query's own
+    assigned bucket. Raising either parameter widens the scan
+    monotonically toward the exhaustive limit: ``coarse_probe`` >= the
+    live-cell count and ``nprobe >= K`` reproduces brute force exactly
+    (pinned in tests, like the flat path's ``nprobe = K`` contract).
+
+    Probe ranking runs as DataFrame ops over the tiny centroid tables
+    (K x sqrt(K) rows at most), NOT a driver-side codebook pull, so the
+    same plan works past the gate where the JVM two-level assignment
+    engages. Recall contract vs flat routing is pinned by
+    ``test_two_level_search_recall_contract``."""
+    num_centroids = _resolve_num_centroids(
+        embeddings, num_centroids, corpus_count
+    )
+    assigned = assign_ivf_buckets_two_level(
+        embeddings, num_centroids, persist=True
+    )
+    emb = _with_normalized_embedding(embeddings)
+    n_coarse = coarse_num_centroids(num_centroids)
+    fine = emb.filter(F.col("vec_id") < num_centroids).select(
+        F.col("vec_id").alias("f_id"), F.col("emb").alias("f_emb")
+    )
+    coarse = emb.filter(F.col("vec_id") < n_coarse).select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb")
+    )
+    # fine centroid -> its coarse cell; live cells own >= 1 fine
+    # centroid (identical rules to _assign_two_level_jvm / the Arrow
+    # router — rounded dot, lower c_id on ties)
+    f2c = (
+        fine.crossJoin(F.broadcast(coarse))
+        .groupBy("f_id")
+        .agg(
+            F.max_by(
+                "c_id",
+                F.struct(
+                    _dot6("f_emb", "c_emb").alias("cs"),
+                    (-F.col("c_id")).alias("nc"),
+                ),
+            ).alias("c_id"),
+            F.first("f_emb").alias("f_emb"),
+        )
+    )
+    live_coarse = coarse.join(f2c.select("c_id").distinct(), "c_id")
+    q = assigned.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("emb").alias("q_emb")
+    )
+    # level 1: top-coarse_probe live cells for the query
+    q_cells = (
+        live_coarse.crossJoin(F.broadcast(q))
+        .select("c_id", "q_emb", _dot6("c_emb", "q_emb").alias("c_cos"))
+        .orderBy(F.col("c_cos").desc(), F.col("c_id").asc())
+        .limit(coarse_probe)
+        .select("c_id", "q_emb")
+    )
+    # level 2: top-nprobe fine buckets among those cells' members
+    q_buckets = (
+        f2c.join(F.broadcast(q_cells), "c_id")
+        .select(
+            F.col("f_id").alias("centroid_id"),
+            "q_emb",
+            _dot6("f_emb", "q_emb").alias("f_cos"),
+        )
+        .orderBy(F.col("f_cos").desc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .select("centroid_id", "q_emb")
+    )
+    return (
+        assigned.join(F.broadcast(q_buckets), "centroid_id")
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", _dot6("emb", "q_emb").alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 #: Fixed-batch cap for the batch-kNN query set: production batch kNN has
 #: a FIXED query batch joined against a growing corpus (its cost curve is
 #: linear in corpus size), whereas deriving queries as a corpus FRACTION
