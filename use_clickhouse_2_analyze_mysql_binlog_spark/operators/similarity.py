@@ -405,6 +405,47 @@ def ivf_topk_two_level(
     )
 
 
+def IVF_TOPK_TWO_LEVEL_SQL(
+    query_vec_id: int = 0,
+    k: int = 10,
+    num_centroids: int | None = None,
+    nprobe: int = 1,
+    coarse_probe: int = 1,
+) -> str:
+    """Oracle twin of :func:`ivf_topk_two_level`: the shared two-level
+    ``assigned`` CTE chain (``_ASSIGN2_SQL`` — identical to the near-dup
+    operator's), then the probe descends the SAME hierarchy: top
+    ``coarse_probe`` live coarse cells, top ``nprobe`` fine buckets
+    among those cells' members, single rounded-dot candidate scoring."""
+    return f"""
+WITH {_ASSIGN2_SQL(num_centroids)},
+q AS (SELECT emb AS q_emb FROM assigned WHERE vec_id = {query_vec_id}),
+qc AS (
+  SELECT c_id, q_emb FROM (
+    SELECT lc.c_id, q.q_emb,
+           row_number() OVER (
+             ORDER BY {DOT6_SQL('c_emb', 'q_emb')} DESC, lc.c_id ASC
+           ) AS rn
+    FROM live_coarse lc, q
+  ) WHERE rn <= {coarse_probe}
+),
+qb AS (
+  SELECT f_id AS centroid_id, q_emb FROM (
+    SELECT m.f_id, qc.q_emb,
+           row_number() OVER (
+             ORDER BY {DOT6_SQL('f_emb', 'q_emb')} DESC, m.f_id ASC
+           ) AS rn
+    FROM f2c m JOIN qc ON m.c_id = qc.c_id
+  ) WHERE rn <= {nprobe}
+)
+SELECT vec_id, label, {DOT6_SQL('emb', 'q_emb')} AS cos_sim
+FROM assigned JOIN qb USING (centroid_id)
+WHERE vec_id <> {query_vec_id}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 #: Fixed-batch cap for the batch-kNN query set: production batch kNN has
 #: a FIXED query batch joined against a growing corpus (its cost curve is
 #: linear in corpus size), whereas deriving queries as a corpus FRACTION

@@ -888,6 +888,35 @@ def similarity_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivf_topk_two_level",
+    similarity.IVF_TOPK_TWO_LEVEL_SQL(
+        nprobe=4, coarse_probe=2, num_centroids=None
+    ),
+)
+def similarity_ivf_topk_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 over the TWO-LEVEL router — the search family's
+    past-the-codebook-gate tier promoted to a driver-proven query
+    (round 13, VERDICT r12 next #4 / missing #2).
+
+    Corpus AND probe descend the coarse-then-fine hierarchy with the
+    assignment's exact rounded-dot + lower-id tie rules, so the first
+    probed bucket is the query's own bucket; recall floor and the
+    exhaustive limit (coarse_probe = n_coarse, nprobe = K == brute
+    force) are pinned in tests/test_pipeline_ops.py. Routing cost is
+    N x sqrt(K) + N x K/sqrt(K) dots vs the flat tier's N x K — the
+    documented swap past ~150M vectors, now with its own oracle (the
+    near-dup operator's _ASSIGN2_SQL chain plus the hierarchical probe
+    ranking)."""
+    return similarity.ivf_topk_two_level(
+        schemas.load_table(spark, sf_dir, "embeddings"),
+        nprobe=4,
+        coarse_probe=2,
+        num_centroids=None,
+        corpus_count=schemas.parquet_row_count(sf_dir, "embeddings"),
+    )
+
+
+@register(
     "similarity_batch_topk",
     similarity.IVF_BATCH_TOPK_SQL(num_centroids=None),
 )
@@ -1901,6 +1930,9 @@ CHANGED_THIS_ROUND: list[str] = [
     # VERDICT r12 next #6; sf10 ~42 -> ~26-36 s); ordering/output
     # semantics and oracle UNCHANGED:
     "corpus_top_bigrams",
+    # ADDED this round: the two-level search tier promoted to a
+    # driver-proven query (VERDICT r12 next #4 / missing #2):
+    "similarity_ivf_topk_two_level",
 ]
 # ROTATION BUDGET (round 13): 42 queries are green only in
 # CORRECTNESS_r11 (their proof ages out unless re-verified in r13) —
@@ -1917,14 +1949,17 @@ CHANGED_THIS_ROUND: list[str] = [
 #      priority section 1.
 #   2. `corpus_top_bigrams` — codegen bigram rewrite (VERDICT r12 next
 #      #6); r12 proof voided, re-proof rides priority section 1.
-#   3. free (pre-planned COVERAGE.md candidates or a third
-#      implementation swap).
+#   3. `similarity_ivf_topk_two_level` — NEW query (the two-level
+#      search tier with its own oracle); unproven, rides priority
+#      section 1. Registry 92 -> 93 (90 oracle-backed + 3 rows-only);
+#      window exactly 50 = 3 changed/new + 42 stale + 5 headline.
 
 DRIVER_WINDOW_PRIORITY = [
     # -- 1. implementation-changed this round (round 13) with a voided
     #       r12 proof — no valid driver proof until CORRECTNESS_r13:
     "dedup_ngram_jaccard_staged",
     "corpus_top_bigrams",
+    "similarity_ivf_topk_two_level",
     # -- 2. green only in CORRECTNESS_r11 (rotated out of the r12
     #       window); their proof ages out of the 2-round invariant
     #       unless re-verified in r13. Exactly the 42 registry queries
@@ -1979,10 +2014,9 @@ DRIVER_WINDOW_PRIORITY = [
     "top_transaction_by_spend_time",
     "top_transaction_by_affected_rows",
     "transaction_result_table",
-    # -- (2 re-proofs + 42 stale + 5 headline = 49 priority entries; the
-    #       1 remaining window position falls to definition order —
-    #       an r12-green query whose proof stays valid either way. See
-    #       the ROTATION BUDGET note above.)
+    # -- (2 re-proofs + 1 new + 42 stale + 5 headline = 50 priority
+    #       entries: the window is exactly full. See the ROTATION
+    #       BUDGET note above.)
 ]
 
 
