@@ -68,6 +68,13 @@ WATCHED_QUERIES = [
     # round fixed for the trio above; min-of-2 strips it
     "dedup_simhash",
     "dedup_simhash_pairs",
+    # r13: the two heaviest registry rows with documented in-sweep vs
+    # isolated spreads (cosine 42.8 in-sweep / 25.2 isolated at sf10 in
+    # r12; bigrams 26-36 s across fresh sessions) — every round since
+    # r11 spent adjudication work on one of them; min-of-2 settles the
+    # number at the cost of one extra pass
+    "dedup_embedding_cosine",
+    "corpus_top_bigrams",
 ]
 
 
@@ -112,6 +119,15 @@ def main() -> None:
         t0 = time.perf_counter()
         R.QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Shuffle files die only when their ShuffleDependency is GC'd;
+        # on a big heap consecutive heavy queries can stack ~40 GB of
+        # DEAD spill each before any natural full GC runs (round-13
+        # sf100 probe: three heavy dedup rows filled a 75 GB volume).
+        # After any query heavy enough to have spilled, nudge the JVM so
+        # ContextCleaner reclaims its files before the next row starts.
+        # OUTSIDE the timer — per-query numbers are unaffected.
+        if timings[name] > 5:
+            spark.sparkContext._jvm.System.gc()
 
     # The headline metric and the gated WATCHED set get extra timed
     # passes, keeping the MINIMUM — standard min-of-N benching: the
