@@ -195,9 +195,16 @@ def _doc_hash_sets(
         posting = _shingle_posting(documents)
     # persisted: the exact-Jaccard verify of every LSH variant (all-pairs,
     # incremental, staged) ends in this same groupBy — one cache entry,
-    # posting-sized, reused across the family by plan canonicalization
+    # posting-sized, reused across the family by plan canonicalization.
+    # repartition on the group key first: same scattered-doc_id
+    # partial-agg blowup as minhash_signatures (see the comment there) —
+    # collect_list partials additionally buffer list objects, measured
+    # 23.2 s / 4.7 GB agg spill at sf100 before vs 10.5 s after (the
+    # remaining ~5 GB of transient disk is the narrow repartition
+    # shuffle itself, not agg spill).
     return (
-        posting.groupBy("doc_id")
+        posting.repartition("doc_id")
+        .groupBy("doc_id")
         .agg(F.collect_list("sh").alias("sh_set"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -512,8 +519,23 @@ def minhash_signatures(
         .alias(f"m{i}")
         for i in range(NUM_HASHES)
     ]
+    # Repartition on the GROUP key before the 32-column aggregate
+    # (round-13 sf100 finding): the posting is hash-partitioned on
+    # (doc_id, sh), so doc_ids are scattered across every partition and
+    # each task's PARTIAL-agg hash map grows toward (all docs) x 33
+    # longs — at 5M docs that is ~1.4 GB/task x 32 concurrent tasks,
+    # which overflows the fixed-width agg map into sort-based fallback
+    # and spilled ~45 GB / 120 s for a 1.4 GB result. (count()-only
+    # plans prune the min columns, which is why the defect hid from
+    # quick probes.) Pre-partitioning by doc_id makes each task's
+    # groups disjoint (~40 MB maps), satisfies the aggregate's required
+    # distribution (single full agg, no partial/final split), and costs
+    # one narrow 3-long-column shuffle. After the fix: 10.3 s / 2.6 GB
+    # at sf100, and the downstream apply-connected-components query
+    # drops 325.8 -> 46.2 s with 60 -> 1.9 GB transient disk.
     return (
-        posting.groupBy("doc_id")
+        posting.repartition("doc_id")
+        .groupBy("doc_id")
         .agg(*mins)
         .select(
             "doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")

@@ -1933,6 +1933,16 @@ CHANGED_THIS_ROUND: list[str] = [
     # ADDED this round: the two-level search tier promoted to a
     # driver-proven query (VERDICT r12 next #4 / missing #2):
     "similarity_ivf_topk_two_level",
+    # implementation-changed: group-key repartition before the wide
+    # per-doc aggregates (minhash_signatures 32-min agg, _doc_hash_sets
+    # collect_list) — the sf100 probe caught partial-agg hash maps over
+    # the (doc_id, sh)-scattered posting spilling ~45 GB into sort
+    # fallback; results identical (same groups, same aggregates),
+    # oracles UNCHANGED. All four were already stale-in-window:
+    "dedup_minhash_lsh_staged",
+    "dedup_apply_minhash",
+    "dedup_apply_connected_components",
+    "dedup_incremental",
 ]
 # ROTATION BUDGET (round 13): 42 queries are green only in
 # CORRECTNESS_r11 (their proof ages out unless re-verified in r13) —
