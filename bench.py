@@ -222,6 +222,13 @@ def main() -> None:
         "round": this_round,
         "git_sha": git_sha,
         "headline_passes": 3,
+        # ADVICE r13 low: per-query timing methodology, so bench_compare
+        # can warn when a gated query was min-of-N in one snapshot and
+        # single-pass in the other (min-of-N reads systematically lower;
+        # a methodology transition biases the gated ratio toward PASS).
+        "query_passes": {
+            n: 1 + extra.get(n, 0) for n in timings
+        },
     }
     fnames = ["BENCH_FULL.json"]
     if not only:  # subset runs never overwrite the round snapshot

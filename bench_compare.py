@@ -158,6 +158,22 @@ def main() -> int:
 
     changed = set(R.CHANGED_THIS_ROUND)
 
+    # ADVICE r13 low: a gated query timed min-of-N in one snapshot but
+    # single-pass in the other reads systematically lower on the min-of-N
+    # side — in a methodology-transition round that bias (up to the
+    # documented 1.2-1.3x noise band) leans the gate toward PASS. Warn
+    # per gated query, not just for the headline trio.
+    bp = base.get("query_passes") or {}
+    np_ = new.get("query_passes") or {}
+    for name in sorted(changed):
+        if name in bp and name in np_ and bp[name] != np_[name]:
+            print(
+                f"note: gated query {name} timed with {bp[name]} pass(es) "
+                f"in base vs {np_[name]} in new — ratio biased toward the "
+                "min-of-N side; treat a near-threshold verdict as "
+                "methodology, not code"
+            )
+
     failures: list[str] = []
     rows = []
     for name in sorted(set(base["queries"]) | set(new["queries"])):
@@ -228,14 +244,17 @@ def main() -> int:
     # that query's runtime, loosening the gate; an addition inflates it,
     # tightening it spuriously) — compare totals over the INTERSECTION
     # of query names present in both snapshots instead.
-    shared = set(base.get("queries", {})) & set(new.get("queries", {}))
-    tb = sum(base["queries"][q] for q in shared) if shared else None
-    tn = sum(new["queries"][q] for q in shared) if shared else None
-    if tb and tn:
+    # ADVICE r13 low: distinct name from the drift tuple list above, and
+    # an explicit non-None + tb > 0 guard so a legitimately tiny shared
+    # total can't silently skip the gate via falsy-zero.
+    shared_names = set(base.get("queries", {})) & set(new.get("queries", {}))
+    tb = sum(base["queries"][q] for q in shared_names) if shared_names else None
+    tn = sum(new["queries"][q] for q in shared_names) if shared_names else None
+    if tb is not None and tn is not None and tb > 0:
         total_adj = (tn / tb) / gate_drift
         if total_adj > TOTAL_THRESHOLD:
             failures.append(
-                f"all-query total (over {len(shared)} shared queries): "
+                f"all-query total (over {len(shared_names)} shared queries): "
                 f"{tb:.1f}s -> {tn:.1f}s "
                 f"({tn / tb:.2f}x raw, {total_adj:.2f}x drift-adjusted > "
                 f"{TOTAL_THRESHOLD}x) — shared-infra regression class"
@@ -280,11 +299,16 @@ def main() -> int:
         f"ratio/divisor > {threshold}x OR raw ratio > {hard_cap}x"
     )
     hr = f" ({headline_ratio:.2f}x)" if headline_ratio is not None else ""
+    # ADVICE r13 low: print the shared-intersection totals the backstop
+    # actually gates on, not the stored total_all_queries fields (which
+    # diverge from the gated numbers across a registry rotation).
+    tbs = f"{tb:.1f}" if tb is not None else "-"
+    tns = f"{tn:.1f}" if tn is not None else "-"
     print(
         f"headline trio total: {hb}s -> {hn}s{hr} "
         f"(gates at {HEADLINE_TOTAL_THRESHOLD}x); "
-        f"all-query total: {base.get('total_all_queries')}s -> "
-        f"{new.get('total_all_queries')}s"
+        f"all-query total over {len(shared_names)} shared queries: "
+        f"{tbs}s -> {tns}s (gates at {TOTAL_THRESHOLD}x drift-adjusted)"
     )
     if failures:
         print(

@@ -2006,6 +2006,68 @@ def test_two_level_search_past_gate_matches_arrow(spark, monkeypatch):
     assert len(want) == 10
 
 
+def test_search_gate_dispatch(spark, monkeypatch):
+    """r14 (VERDICT r13 next #4): past the codebook gate the REGISTERED
+    search entry points auto-route through the two-level tier. Pins,
+    both sides of the gate:
+
+    - past gate, ``ivf_topk`` == ``ivf_topk_two_level`` at the gate's
+      coarse_probe, and ``ivf_batch_topk`` == its two-level twin —
+      value-identical delegation;
+    - past gate, NO driver codebook pull: ``_collect_normalized_prefix``
+      is poisoned and the gated plans still build and execute;
+    - below gate, the flat Arrow path (which legitimately pulls the
+      codebook once) is still the one that runs."""
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want_single = [
+        tuple(r)
+        for r in similarity.ivf_topk_two_level(
+            emb, query_vec_id=7, k=10, num_centroids=16, nprobe=4,
+            coarse_probe=similarity._GATE_COARSE_PROBE,
+        ).collect()
+    ]
+    want_batch = [
+        tuple(r)
+        for r in similarity._ivf_batch_topk_two_level(
+            emb, query_mod=50, k=5, num_centroids=16, nprobe=2,
+            coarse_probe=similarity._GATE_COARSE_PROBE,
+        ).collect()
+    ]
+
+    def _poisoned(*a, **k):
+        raise AssertionError(
+            "driver codebook pull on the past-the-gate path"
+        )
+
+    monkeypatch.setattr(similarity, "_CODEBOOK_MAX_CELLS", 0)
+    monkeypatch.setattr(similarity, "_collect_normalized_prefix", _poisoned)
+    got_single = [
+        tuple(r)
+        for r in similarity.ivf_topk(
+            emb, query_vec_id=7, k=10, num_centroids=16, nprobe=4
+        ).collect()
+    ]
+    got_batch = [
+        tuple(r)
+        for r in similarity.ivf_batch_topk(
+            emb, query_mod=50, k=5, num_centroids=16, nprobe=2
+        ).collect()
+    ]
+    assert got_single == want_single and len(want_single) == 10
+    assert got_batch == want_batch and len(want_batch) > 0
+
+    # below the gate the flat Arrow path (codebook pull) runs again:
+    # the poisoned collect must fire at plan-construction time
+    monkeypatch.setattr(similarity, "_CODEBOOK_MAX_CELLS", 8_000_000)
+    similarity._ASSIGN_MEMO.clear()
+    with pytest.raises(AssertionError, match="codebook pull"):
+        similarity.ivf_topk(
+            emb, query_vec_id=7, k=10, num_centroids=16, nprobe=4
+        )
+
+
 def test_assign_memo_only_for_file_backed_inputs(spark):
     """ADVICE r12 medium: two DIFFERENT in-memory corpora share the same
     expr-id-stripped LocalRelation plan text and an empty file

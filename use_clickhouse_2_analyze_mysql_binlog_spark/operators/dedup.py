@@ -268,6 +268,7 @@ def ngram_jaccard_pairs(
     max_df: int | None = DEFAULT_MAX_DF,
     log_dropped: bool = False,
     posting_path: str | None = None,
+    prefix_matches: int = 4,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-3-gram Jaccard similarity.
 
@@ -280,19 +281,46 @@ def ngram_jaccard_pairs(
     map-side-combined aggregation job — off by default so the hot path
     stays single-pass; turn on when tuning ``max_df`` for a new corpus).
 
-    The intersection count is computed *relationally* — posting-list
-    self-join grouped by pair — rather than per-pair array intersection:
-    when the corpus shares many shingles (candidate count ~ all pairs),
-    the relational plan is one shuffle of the posting join instead of a
-    quadratic array crunch.
+    Plan (rewritten r14 — the generalized *prefix filter* from the exact
+    set-similarity-join literature, AllPairs/PPJoin family, extended to
+    require ``m = prefix_matches`` shared prefix tokens):
 
-    Plan shape (rewritten r04; r03's form re-executed the df-filter join
-    subtree from 4 branches — VERDICT r03 #3): the df cap and the per-doc
-    shingle count are WINDOW aggregates in one linear pipeline, so each
-    posting row carries its ``n_sh`` INTO the self-join and no size joins
-    are needed after the intersection. The two self-join sides share one
-    canonical exchange (ReusedExchange) — the filtered posting is computed
-    exactly once.
+    1. **Prefix posting.** Order each document's shingles by the global
+       key ``(df, sh)`` (rarest first — rare shingles have tiny posting
+       lists, so the prefix self-join output collapses) and keep only the
+       first ``n_sh - alpha + m`` of them, where
+       ``alpha = ceil(tl * n_sh)`` and ``tl = threshold - 0.00005`` (the
+       half-up 4-decimal rounding slack). Exactness (pigeonhole): a pair
+       with ``round(jaccard, 4) >= threshold`` has intersection
+       ``i >= tl/(1+tl) * (n_a+n_b) >= tl * max(n_a, n_b)``, hence
+       ``i >= alpha_pair = max(alpha_a, alpha_b)``; its ``k``-th smallest
+       common token (any ``k <= min(m, alpha_pair)``) sits at position
+       ``<= n - i + k <= n - alpha_pair + m`` in BOTH documents, so both
+       extended prefixes contain all ``min(m, alpha_pair)`` smallest
+       common tokens.
+    2. **Candidate stage.** Self-join the prefix posting on ``sh`` with
+       the r13 length filter (``min*(1+tl) >= tl*(n_a+n_b)`` — exact),
+       count shared prefix tokens per pair, and keep pairs with
+       ``cnt >= least(m, greatest(alpha_a, alpha_b))`` (the ``least``
+       guard covers tiny documents whose alpha < m). At threshold 0.5 a
+       true pair shares ~``n/2`` tokens while a noise pair shares ~1, so
+       this collapses candidates to near-dups only (sf1: 9.65M candidate
+       rows -> 3.74M prefix-join rows -> 2,749 survivors vs 2,560 true
+       pairs) — the pair-aggregation exchange, the plan's dominant cost
+       (sf10 ~96.5M rows, sf100 ~1B rows / ~40 GB transient with the r13
+       length filter alone), shrinks ~2.6x in rows and the surviving
+       pair set becomes broadcastable.
+    3. **Verify stage.** Exact intersection for the tiny survivor set:
+       semi-join the df-filtered posting down to surviving documents
+       (broadcast semi-join — the big posting never shuffles), collect
+       per-doc hash-set arrays, and ``array_intersect`` per pair. Every
+       stage-2 drop provably fails the final rounded filter, so the
+       DuckDB oracle (single-stage relational count) needs no mirror.
+
+    The df cap and the per-doc shingle count/rank are WINDOW aggregates in
+    one linear pipeline (r04 shape), so each posting row carries ``n_sh``
+    into the self-join; the two self-join sides share one canonical
+    exchange (ReusedExchange).
 
     ``posting_path`` switches the input to a staged posting written by
     :func:`write_shingle_posting` — the documents table is then never
@@ -315,42 +343,79 @@ def ngram_jaccard_pairs(
         posting = posting.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
         ).filter(F.col("df") <= max_df)
-    sized = posting.withColumn(
-        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    ).select("sh", "doc_id", "n_sh")
+        # global token order for the prefix: rarest-first — tie-broken by
+        # the hash for a total order. The df values are computed on the
+        # pre-cap posting; any deterministic total order is exact.
+        order_cols = [F.col("df"), F.col("sh")]
+    else:
+        order_cols = [F.col("sh")]
+    tl = threshold - 0.00005
+    m = int(prefix_matches)
+    doc_w = Window.partitionBy("doc_id")
+    # alpha = ceil(tl * n_sh); the -1e-9 slack guards the FP-on-integer
+    # boundary (e.g. n = 20000, t = 0.5 -> tl*n = 9999 exactly in reals):
+    # it can only LOWER alpha, i.e. lengthen the prefix — conservative,
+    # never drops a true pair.
+    alpha_of = lambda n: F.ceil(n * tl - 1e-9)  # noqa: E731
+    sized = (
+        posting.withColumn("n_sh", F.count(F.lit(1)).over(doc_w))
+        .withColumn("rank", F.row_number().over(doc_w.orderBy(*order_cols)))
+        .filter(F.col("rank") <= F.col("n_sh") - alpha_of(F.col("n_sh")) + m)
+        .select("sh", "doc_id", "n_sh")
+    )
     a = sized.select(
         "sh", F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
     )
     b = sized.select(
         "sh", F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
     )
-    # Length filter (round 13, the exact set-similarity-join bound):
-    # jaccard = i / (n_a + n_b - i) with i <= min(n_a, n_b), so a pair
-    # can only reach the final ROUNDED threshold when
-    # min * (1 + tl) >= tl * (n_a + n_b), tl = threshold - 0.00005 (the
-    # half-up 4-decimal rounding slack — a pair at the bound with
-    # round(j, 4) == threshold still passes). Applied INSIDE the
-    # self-join stage it prunes candidates BEFORE the pair-aggregation
-    # shuffle — the plan's dominant exchange (sf10: 126.6M -> 96.5M
-    # candidate rows on near-uniform doc lengths; far stronger on real
-    # corpora with skewed lengths). Final-row semantics are unchanged
-    # (every dropped pair provably fails the jaccard filter), so the
-    # DuckDB oracle needs no mirror.
-    tl = threshold - 0.00005
     length_ok = F.least("n_a", "n_b") * (1.0 + tl) >= (
         F.col("n_a") + F.col("n_b")
     ) * tl
-    return (
+    survivors = (
         a.join(b, "sh")
         .filter((F.col("doc_a") < F.col("doc_b")) & length_ok)
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(F.count(F.lit(1)).alias("n_pref"))
+        .filter(
+            F.col("n_pref")
+            >= F.least(
+                F.lit(m),
+                F.greatest(alpha_of(F.col("n_a")), alpha_of(F.col("n_b"))),
+            )
+        )
+        # tiny (near-dups + a sliver of noise); persisted because three
+        # plan branches consume it (the doc semi-filter broadcast and the
+        # two verify joins) — without the persist the candidate stage
+        # would re-execute per branch.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    surv_docs = (
+        survivors.select(F.col("doc_a").alias("doc_id"))
+        .union(survivors.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # exact verify over the df-FILTERED shingle space (same space the
+    # jaccard is defined on): the posting is pruned map-side by the
+    # broadcast survivor-doc set before the collect_list, so the verify
+    # aggregation touches ~|survivors| documents, not the corpus.
+    sets = (
+        posting.select("doc_id", "sh")
+        .join(F.broadcast(surv_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("sh_set"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        survivors.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                4,
+                n_inter / (F.col("n_a") + F.col("n_b") - n_inter), 4
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -243,10 +243,29 @@ def ivf_topk(
     broadcast fuel), and every candidate cosine is a single rounded dot
     fold over the pre-normalized vectors. The assignment persists — it
     is the shared front of the whole search family (single/batch/probe
-    plans reuse it via CacheManager plan-canonical lookup)."""
+    plans reuse it via CacheManager plan-canonical lookup).
+
+    r14 (VERDICT r13 next #4): past the codebook gate
+    (``num_centroids > _CODEBOOK_MAX_CELLS // EMB_DIM``, ~150M vectors
+    at the constant-bucket derivation) this dispatches to
+    :func:`ivf_topk_two_level` — the flat tier's N x K routing dots are
+    quadratic there, while the two-level tier costs ~2 x N x sqrt(K)
+    and its probe descent is pure DataFrame ops (no driver codebook
+    pull; pinned by ``test_search_gate_dispatch``). Below the gate the
+    plan is byte-identical to r12/r13 (hash-stable for the registered
+    driver-SF queries)."""
     num_centroids = _resolve_num_centroids(
         embeddings, num_centroids, corpus_count
     )
+    if num_centroids > _CODEBOOK_MAX_CELLS // EMB_DIM:
+        return ivf_topk_two_level(
+            embeddings,
+            query_vec_id=query_vec_id,
+            k=k,
+            num_centroids=num_centroids,
+            nprobe=nprobe,
+            coarse_probe=_GATE_COARSE_PROBE,
+        )
     assigned = assign_ivf_buckets_scaled(
         embeddings, num_centroids, persist=True
     )
@@ -489,12 +508,27 @@ def ivf_batch_topk(
     - per-query ranking is a ``row_number`` window that Spark executes
       with ``WindowGroupLimit`` on BOTH sides of the exchange: each map
       task forwards at most k rows per query.
+
+    r14 (VERDICT r13 next #4): past the codebook gate this dispatches
+    to :func:`_ivf_batch_topk_two_level` — same hierarchy, tie rules
+    and coarse_probe as the proven single-query two-level tier, probe
+    descent per query as windowed DataFrame ops (no driver codebook
+    pull). Below the gate the plan is byte-identical to r12/r13.
     """
     from pyspark.sql.window import Window
 
     num_centroids = _resolve_num_centroids(
         embeddings, num_centroids, corpus_count
     )
+    if num_centroids > _CODEBOOK_MAX_CELLS // EMB_DIM:
+        return _ivf_batch_topk_two_level(
+            embeddings,
+            query_mod=query_mod,
+            k=k,
+            num_centroids=num_centroids,
+            nprobe=nprobe,
+            coarse_probe=_GATE_COARSE_PROBE,
+        )
     assigned = assign_ivf_buckets_scaled(
         embeddings, num_centroids, persist=True
     )
@@ -564,6 +598,183 @@ qb AS (
              ORDER BY {DOT6_SQL('q_emb', 'f_emb')} DESC, f.f_id ASC
            ) AS rn
     FROM q, fine f
+  ) WHERE rn <= {nprobe}
+),
+knn_scored AS (
+  SELECT qb.q_vec_id, a.vec_id, a.label,
+         {DOT6_SQL('a.emb', 'qb.q_emb')} AS cos_sim
+  FROM assigned a JOIN qb
+    ON a.centroid_id = qb.q_centroid AND a.vec_id <> qb.q_vec_id
+)
+SELECT q_vec_id, vec_id, label, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY q_vec_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM knn_scored
+) WHERE rank <= {k}
+"""
+
+
+def _ivf_batch_topk_two_level(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    num_centroids: int | None = None,
+    nprobe: int = 1,
+    coarse_probe: int = 2,
+) -> DataFrame:
+    """Batch k-NN over the TWO-LEVEL router — :func:`ivf_batch_topk`'s
+    past-the-codebook-gate tier (r14, VERDICT r13 next #4).
+
+    Deliberately mirrors :func:`ivf_topk_two_level`'s hierarchy tables
+    and tie rules line for line (rounded dot, lower-id ties; the f2c
+    construction is duplicated rather than factored so the PROVEN
+    single-query tier's plan stays untouched), and the flat batch tail's
+    scale shapes: probe descent per query runs as windowed DataFrame ops
+    over skinny rows (queries x sqrt(K) then queries x coarse_probe x
+    K/sqrt(K), embeddings re-attached by broadcast join after each rank
+    filter), the corpus side never shuffles, and there is no driver
+    codebook pull anywhere — the same plan works at any K.
+    """
+    from pyspark.sql.window import Window
+
+    assigned = assign_ivf_buckets_two_level(
+        embeddings, num_centroids, persist=True
+    )
+    emb = _with_normalized_embedding(embeddings)
+    n_coarse = coarse_num_centroids(num_centroids)
+    fine = emb.filter(F.col("vec_id") < num_centroids).select(
+        F.col("vec_id").alias("f_id"), F.col("emb").alias("f_emb")
+    )
+    coarse = emb.filter(F.col("vec_id") < n_coarse).select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb")
+    )
+    f2c = (
+        fine.crossJoin(F.broadcast(coarse))
+        .groupBy("f_id")
+        .agg(
+            F.max_by(
+                "c_id",
+                F.struct(
+                    _dot6("f_emb", "c_emb").alias("cs"),
+                    (-F.col("c_id")).alias("nc"),
+                ),
+            ).alias("c_id"),
+            F.first("f_emb").alias("f_emb"),
+        )
+    )
+    live_coarse = coarse.join(f2c.select("c_id").distinct(), "c_id")
+    q = assigned.filter(
+        (F.col("vec_id") % query_mod == 0) & (F.col("vec_id") < QUERY_ID_CAP)
+    ).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("emb").alias("q_emb"),
+    )
+    # level 1 per query: top-coarse_probe live cells (skinny window rows)
+    wc = Window.partitionBy("q_vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("c_id").asc()
+    )
+    q_cells = (
+        q.crossJoin(F.broadcast(live_coarse))
+        .select("q_vec_id", "c_id", _dot6("q_emb", "c_emb").alias("c_cos"))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= coarse_probe)
+        .select("q_vec_id", "c_id")
+        .join(F.broadcast(q), "q_vec_id")
+    )
+    # level 2 per query: top-nprobe fine buckets among those cells
+    wf = Window.partitionBy("q_vec_id").orderBy(
+        F.col("f_cos").desc(), F.col("f_id").asc()
+    )
+    q_buckets = (
+        q_cells.join(F.broadcast(f2c), "c_id")
+        .select("q_vec_id", "f_id", _dot6("q_emb", "f_emb").alias("f_cos"))
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_vec_id", F.col("f_id").alias("q_centroid"))
+        .join(F.broadcast(q), "q_vec_id")
+    )
+    scored = assigned.join(
+        F.broadcast(q_buckets),
+        (F.col("centroid_id") == F.col("q_centroid"))
+        & (F.col("vec_id") != F.col("q_vec_id")),
+    ).select(
+        "q_vec_id", "vec_id", "label", _dot6("emb", "q_emb").alias("cos_sim")
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_vec_id", "vec_id", "label", "cos_sim", "rank")
+    )
+
+
+def ivf_batch_topk_two_level(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    num_centroids: int | None = None,
+    nprobe: int = 1,
+    coarse_probe: int = 2,
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """Public entry for the two-level batch k-NN tier (resolves the
+    scaled centroid derivation, then runs
+    :func:`_ivf_batch_topk_two_level`) — the registered
+    `similarity_batch_topk_two_level` query, with
+    :func:`IVF_BATCH_TOPK_TWO_LEVEL_SQL` as its oracle."""
+    num_centroids = _resolve_num_centroids(
+        embeddings, num_centroids, corpus_count
+    )
+    return _ivf_batch_topk_two_level(
+        embeddings,
+        query_mod=query_mod,
+        k=k,
+        num_centroids=num_centroids,
+        nprobe=nprobe,
+        coarse_probe=coarse_probe,
+    )
+
+
+def IVF_BATCH_TOPK_TWO_LEVEL_SQL(
+    query_mod: int = 50,
+    k: int = 5,
+    num_centroids: int | None = None,
+    nprobe: int = 1,
+    coarse_probe: int = 2,
+) -> str:
+    """Oracle twin of :func:`ivf_batch_topk_two_level`: the shared
+    two-level ``assigned`` CTE chain (``_ASSIGN2_SQL``), then every
+    query descends the hierarchy per-query — top ``coarse_probe`` live
+    coarse cells, top ``nprobe`` fine buckets among those cells'
+    members — with the same rounded-dot + lower-id tie rules, single-dot
+    candidate scoring, per-query rank."""
+    return f"""
+WITH {_ASSIGN2_SQL(num_centroids)},
+q AS (
+  SELECT vec_id AS q_vec_id, emb AS q_emb FROM assigned
+  WHERE vec_id % {query_mod} = 0 AND vec_id < {QUERY_ID_CAP}
+),
+qc AS (
+  SELECT q_vec_id, c_id, q_emb FROM (
+    SELECT q.q_vec_id, lc.c_id, q.q_emb,
+           row_number() OVER (
+             PARTITION BY q.q_vec_id
+             ORDER BY {DOT6_SQL('c_emb', 'q_emb')} DESC, lc.c_id ASC
+           ) AS rn
+    FROM q, live_coarse lc
+  ) WHERE rn <= {coarse_probe}
+),
+qb AS (
+  SELECT q_vec_id, f_id AS q_centroid, q_emb FROM (
+    SELECT qc.q_vec_id, m.f_id, qc.q_emb,
+           row_number() OVER (
+             PARTITION BY qc.q_vec_id
+             ORDER BY {DOT6_SQL('f_emb', 'q_emb')} DESC, m.f_id ASC
+           ) AS rn
+    FROM f2c m JOIN qc ON m.c_id = qc.c_id
   ) WHERE rn <= {nprobe}
 ),
 knn_scored AS (
@@ -669,6 +880,16 @@ def _dot6(a: str, b: str) -> F.Column:
 #: the JVM broadcast-join form below engages unchanged.
 _CODEBOOK_MAX_CELLS = 8_000_000
 
+#: coarse_probe used when the search family auto-dispatches to the
+#: two-level tier past the codebook gate (r14, VERDICT r13 next #4):
+#: matches the registered-and-proven `similarity_ivf_topk_two_level`
+#: configuration (coarse_probe=2 — probing 2 of ~sqrt(K) coarse cells
+#: doubles the level-1 escape hatch over the query's own cell for a
+#: ~2/sqrt(K) scan-fraction cost; the recall contract is pinned at this
+#: setting). Callers wanting a different operating point call
+#: ivf_topk_two_level directly.
+_GATE_COARSE_PROBE = 2
+
 
 def _np_round6(x):
     """Half-away 6-decimal rounding on raw binary doubles — the numpy
@@ -755,29 +976,11 @@ def _assign_memo_key(embeddings: DataFrame, num_centroids: int, kind: str):
     would silently return the first corpus's assignment. Memoization is a
     cross-query reuse optimization for the parquet-backed registry path;
     anything else simply isn't memoized (callers treat ``None`` as
-    memo-off)."""
-    import os
-    import re
+    memo-off). Generic key logic factored to :mod:`.memo` in r14 (the
+    curation family now memoizes its flagged corpus the same way)."""
+    from .memo import df_memo_key
 
-    files = embeddings.inputFiles()
-    if not files:
-        return None
-    plan = embeddings._jdf.queryExecution().logical().toString()
-    fingerprint = []
-    for uri in sorted(files):
-        path = uri[len("file:"):] if uri.startswith("file:") else uri
-        try:
-            st = os.stat(path)
-            fingerprint.append((uri, st.st_size, st.st_mtime_ns))
-        except OSError:
-            fingerprint.append((uri, -1, -1))
-    return (
-        embeddings.sparkSession.sparkContext.applicationId,
-        re.sub(r"#\d+", "", plan),
-        tuple(fingerprint),
-        num_centroids,
-        kind,
-    )
+    return df_memo_key(embeddings, num_centroids, kind)
 
 
 def _arrow_assign(embeddings: DataFrame, route, persist: bool) -> DataFrame:

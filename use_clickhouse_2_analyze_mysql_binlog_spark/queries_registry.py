@@ -935,6 +935,39 @@ def similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_batch_topk_two_level",
+    similarity.IVF_BATCH_TOPK_TWO_LEVEL_SQL(
+        nprobe=2, coarse_probe=2, num_centroids=None
+    ),
+)
+def similarity_batch_topk_two_level(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch k-NN over the TWO-LEVEL router — the past-the-codebook-gate
+    tier of `similarity_batch_topk`, promoted to a driver-proven query
+    (round 14, VERDICT r13 next #4: the gate now auto-dispatches the
+    registered flat entry points to two-level routing past ~150M
+    vectors, so the tier both entry points land on deserves its own
+    oracle proof — this is the batch twin of
+    `similarity_ivf_topk_two_level`).
+
+    Every query descends the coarse-then-fine hierarchy per-query as
+    windowed DataFrame ops over skinny rows (embeddings re-attach by
+    broadcast join after each rank filter — the flat batch query's
+    scale shapes), with the assignment's exact rounded-dot + lower-id
+    tie rules; no driver codebook pull anywhere, so the identical plan
+    serves any K (pinned with the dispatch in
+    ``test_search_gate_dispatch``)."""
+    return similarity.ivf_batch_topk_two_level(
+        schemas.load_table(spark, sf_dir, "embeddings"),
+        nprobe=2,
+        coarse_probe=2,
+        num_centroids=None,
+        corpus_count=schemas.parquet_row_count(sf_dir, "embeddings"),
+    )
+
+
 @register("embedding_kmeans_assign", clustering.KMEANS_ASSIGN_SQL(k=8))
 def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-centroid k-means assignment (zero iterations) — the
@@ -1908,123 +1941,114 @@ def tokens_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tests/test_driver_window.py::test_changed_this_round_is_fresh derives
 #: the current round from the committed CORRECTNESS files and fails at
 #: next round's start until both constants are re-derived.
-CHANGED_ROUND = 13
+CHANGED_ROUND = 14
 
 CHANGED_THIS_ROUND: list[str] = [
-    # Round 13 — measurement/adjudication round (VERDICT r12 next #1-#6):
-    # the bench-gate min-of-N fix, the sf10 mover adjudications, the
-    # ADVICE hardening (memo-key identity, empty-prefix guard,
-    # parquet_row_count breadth, bench_compare intersection totals) and
-    # the two-level-search recall contract are all zero-plan-change work.
-    # Names are appended here the moment an implementation of a
-    # REGISTERED query actually changes (each costs a re-proof slot —
-    # 3 free this round, see ROTATION BUDGET).
+    # Round 14 (VERDICT r13 next #1/#4/#6 + ADVICE r13 medium: this list
+    # must name EVERY registered consumer of a plan-changed operator,
+    # not just the directly-edited queries).
     #
-    # implementation-changed: exact set-similarity length filter
-    # pushed inside the posting self-join (prunes candidates before the
-    # pair-aggregation shuffle, the plan's dominant exchange — VERDICT
-    # r12 next #3); final-row semantics and oracle UNCHANGED:
+    # implementation-changed: generalized prefix filter (m shared
+    # prefix tokens, df-ordered) + tiny-survivor broadcast verify stage
+    # replace the single-stage pair aggregation (VERDICT r13 next #1);
+    # final-row semantics and oracle UNCHANGED (exactness by the
+    # pigeonhole bound, see ngram_jaccard_pairs):
     "dedup_ngram_jaccard_staged",
-    # implementation-changed: bigram materialization off the
-    # interpreted-HOF path (arrays_zip slices + post-aggregate concat —
-    # VERDICT r12 next #6; sf10 ~42 -> ~26-36 s); ordering/output
-    # semantics and oracle UNCHANGED:
-    "corpus_top_bigrams",
-    # ADDED this round: the two-level search tier promoted to a
-    # driver-proven query (VERDICT r12 next #4 / missing #2):
-    "similarity_ivf_topk_two_level",
-    # implementation-changed: group-key repartition before the wide
-    # per-doc aggregates (minhash_signatures 32-min agg, _doc_hash_sets
-    # collect_list) — the sf100 probe caught partial-agg hash maps over
-    # the (doc_id, sh)-scattered posting spilling ~45 GB into sort
-    # fallback; results identical (same groups, same aggregates),
-    # oracles UNCHANGED. All four were already stale-in-window:
-    "dedup_minhash_lsh_staged",
-    "dedup_apply_minhash",
-    "dedup_apply_connected_components",
-    "dedup_incremental",
+    # implementation-changed: both ride the new memoized
+    # `flagged_documents` front door (one tokenize/score scan shared by
+    # the curation family — VERDICT r13 next #6); values and oracles
+    # UNCHANGED (row-local flags commute with every downstream filter).
+    # Both were already stale-in-window (r12-only-green):
+    "corpus_curate_gopher",
+    "corpus_curate_materialize",
+    # implementation-changed: past-the-codebook-gate dispatch to the
+    # two-level tier (VERDICT r13 next #4). Below the gate — every
+    # driver SF — the constructed plan is byte-identical, so their
+    # hashes cannot move; listed because the gate branch touches query
+    # construction. Both already stale-in-window:
+    "similarity_ivf_topk_nprobe",
+    "similarity_batch_topk",
+    # ADDED this round: the two-level BATCH tier promoted to a
+    # driver-proven query with its own oracle (the tier the gate
+    # dispatch lands on):
+    "similarity_batch_topk_two_level",
 ]
-# ROTATION BUDGET (round 13): 42 queries are green only in
-# CORRECTNESS_r11 (their proof ages out unless re-verified in r13) —
-# that count now includes the three rows-only entries
-# (`embedding_kmeans`, `size_quantiles_approx`,
-# `daily_distinct_gtids_approx`), whose r11 rows-only rows are their
-# only in-window records. 42 stale + headline 5 = 47 priority entries;
-# the remaining 3 window positions fall to definition order (all
-# r12-green, so the 2-round invariant holds for them either way) until
-# a round-13 implementation change claims a slot via
-# CHANGED_THIS_ROUND. Slot ledger this round:
-#   1. `dedup_ngram_jaccard_staged` — length-filter candidate pruning
-#      (VERDICT r12 next #3); its r12 proof is voided, re-proof rides
-#      priority section 1.
-#   2. `corpus_top_bigrams` — codegen bigram rewrite (VERDICT r12 next
-#      #6); r12 proof voided, re-proof rides priority section 1.
-#   3. `similarity_ivf_topk_two_level` — NEW query (the two-level
-#      search tier with its own oracle); unproven, rides priority
-#      section 1. Registry 92 -> 93 (90 oracle-backed + 3 rows-only);
-#      window exactly 50 = 3 changed/new + 42 stale + 5 headline.
+# ROTATION BUDGET (round 14): 43 queries are green only in
+# CORRECTNESS_r12 (recomputed from the committed r12/r13 files); that
+# set already contains four of the six CHANGED names above
+# (`corpus_curate_gopher`, `corpus_curate_materialize`,
+# `similarity_ivf_topk_nprobe`, `similarity_batch_topk` — their
+# re-proof slots are free). Slot ledger:
+#   1. `dedup_ngram_jaccard_staged` — prefix-filter rewrite voids its
+#      r13 proof; rides priority section 1.
+#   2. `similarity_batch_topk_two_level` — NEW query, unproven; rides
+#      priority section 1. Registry 93 -> 94 (91 oracle-backed + 3
+#      rows-only); window exactly 50 = 2 changed/new + 43 stale + 5
+#      headline.
 
 DRIVER_WINDOW_PRIORITY = [
-    # -- 1. implementation-changed this round (round 13) with a voided
-    #       r12 proof — no valid driver proof until CORRECTNESS_r13:
+    # -- 1. implementation-changed/new this round (round 14) with a
+    #       voided or missing proof — no valid driver proof until
+    #       CORRECTNESS_r14:
     "dedup_ngram_jaccard_staged",
-    "corpus_top_bigrams",
-    "similarity_ivf_topk_two_level",
-    # -- 2. green only in CORRECTNESS_r11 (rotated out of the r12
+    "similarity_batch_topk_two_level",
+    # -- 2. green only in CORRECTNESS_r12 (rotated out of the r13
     #       window); their proof ages out of the 2-round invariant
-    #       unless re-verified in r13. Exactly the 42 registry queries
-    #       green in r11 but absent from CORRECTNESS_r12.json's green
-    #       set (includes the three rows-only-by-design entries, whose
-    #       r11 rows-only records are likewise 2 rounds old).
-    "aggregating_rollup_merge",
-    "benchmark_contamination",
-    "ch_agg_states_bitmap_rollup",
-    "ch_agg_states_rollup",
-    "ch_agg_states_tdigest_rollup",
-    "ch_prewhere_profile",
-    "ch_top_event_limit_by",
-    "collapsing_merge_state",
-    "corpus_source_cap",
-    "daily_count_anomalies",
-    "daily_distinct_gtids_approx",
-    "daily_distinct_gtids_approx_check",
-    "daily_event_counts_by_table",
-    "dedup_apply_connected_components",
-    "dedup_apply_minhash",
-    "dedup_connected_components",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh_staged",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_span_crossdoc",
-    "doc_chunks",
-    "doc_fingerprint",
-    "embedding_kmeans",
-    "embedding_kmeans_assign",
-    "embedding_kmeans_inertia_check",
-    "embedding_quantization_error",
-    "language_mixture_weights",
-    "large_order_customers",
-    "line_dedup_staged",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "order_priority_counts",
-    "promo_revenue",
-    "quality_gopher_flags",
-    "replacing_merge_final",
-    "retention_cohorts",
-    "sequence_pack",
-    "size_quantiles_approx",
-    "size_quantiles_approx_check",
+    #       unless re-verified in r14. Exactly the 43 registry queries
+    #       green in r12 but absent from CORRECTNESS_r13.json's green
+    #       set. Includes the four remaining CHANGED_THIS_ROUND names
+    #       (curate pair, nprobe/batch flat search), whose re-proof
+    #       slots are therefore free.
+    "asof_trade_quote",
+    "binlog_gap_report",
+    "ch_agg_states_map_rollup",
+    "ch_dashboard_rollup",
+    "ch_if_combinators_json",
+    "corpus_curate_gopher",
+    "corpus_curate_materialize",
+    "corpus_length_histogram",
+    "corpus_train_test_split",
+    "daily_counts_gapfilled",
+    "daily_counts_moving_avg",
+    "day_over_day_counts",
+    "dedup_embedding_cosine",
+    "event_count_cube",
+    "event_type_decode_dim_join",
+    "gtid_set_operations",
+    "idempotent_window_antijoin",
+    "ingest_transform",
+    "multi_cluster_daily_counts",
+    "multimodal_metadata",
+    "nation_revenue",
+    "nation_top_customer",
+    "pricing_summary",
+    "range_join_maintenance_windows",
+    "retention_filter",
+    "scalar_functions",
+    "session_windows",
+    "similarity_batch_topk",
+    "similarity_ivf_topk_nprobe",
+    "similarity_lsh_topk",
+    "similarity_topk_bruteforce",
+    "size_mad_per_type",
+    "size_quantiles",
+    "skew_salted_table_profile",
+    "summing_rollup_reaggregate",
+    "text_language_id",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_repetition_score",
+    "text_token_count",
+    "top_revenue_orders",
+    "window_funnel",
+    "windowed_running_size",
     # -- 3. reference-core headline queries (verified every round)
     "transaction_stats",
     "top_transaction_by_size",
     "top_transaction_by_spend_time",
     "top_transaction_by_affected_rows",
     "transaction_result_table",
-    # -- (2 re-proofs + 1 new + 42 stale + 5 headline = 50 priority
+    # -- (1 re-proof + 1 new + 43 stale + 5 headline = 50 priority
     #       entries: the window is exactly full. See the ROTATION
     #       BUDGET note above.)
 ]

@@ -162,6 +162,7 @@ def parquet_row_count(sf_dir: str, name: str) -> int | None:
     ``df.count()``)."""
     import os
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -173,10 +174,12 @@ def parquet_row_count(sf_dir: str, name: str) -> int | None:
                 if f.endswith(".parquet")
             )
         return pq.ParquetFile(path).metadata.num_rows
-    except Exception:
-        # ADVICE r12 low: pyarrow raises ArrowInvalid (NOT an OSError) on
-        # a corrupt/truncated footer; anything unreadable must hit the
-        # documented df.count() fallback, not fail the registry query.
+    except (OSError, pa.lib.ArrowException):
+        # ADVICE r13 low: catch exactly the unreadable-input classes —
+        # pyarrow raises ArrowInvalid (an ArrowException, NOT an OSError)
+        # on a corrupt/truncated footer, and missing/permission paths
+        # raise OSError. Programming errors still propagate instead of
+        # silently degrading every caller to the df.count() fallback.
         return None
 
 
