@@ -52,6 +52,44 @@ def test_ngram_jaccard_finds_planted(planted_docs):
     assert (0, 3) not in pairs and (1, 3) not in pairs
 
 
+def test_ngram_jaccard_prefix_plan_matches(spark):
+    """r14 size gate: the two-stage prefix-filter plan (df-ordered
+    m-token prefixes + broadcast-verify) and the r13 single-stage plan
+    must be VALUE-IDENTICAL — the gate
+    (``PREFIX_FILTER_MIN_POSTING_ROWS``) picks by posting size, never by
+    semantics. Pinned on the sf0.01 corpus (both orders of magnitude
+    beyond the planted toys: real df spread, tie cases, rounding
+    boundaries), plus the planted corpus incl. the tiny-doc alpha<m
+    guard (two 1-shingle docs sharing their only shingle are found at
+    any m)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    one = sorted(
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, prefix_filter=False
+        ).collect()
+    )
+    two = sorted(
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, prefix_filter=True
+        ).collect()
+    )
+    assert one == two and len(one) > 0
+
+    tiny = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "x y z")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            tiny, threshold=0.5, prefix_filter=True
+        ).collect()
+    }
+    assert got == {(0, 1): 1.0}
+
+
 def test_ngram_jaccard_max_df_caps_boilerplate(spark):
     """A shingle shared by every document (boilerplate) must NOT generate
     quadratic candidates under the default df cap: 150 docs x one common
@@ -2004,6 +2042,118 @@ def test_two_level_search_past_gate_matches_arrow(spark, monkeypatch):
     ]
     assert got == want
     assert len(want) == 10
+
+
+def test_two_level_search_recall_band_realistic_scale(spark, tmp_path):
+    """r14 (VERDICT r13 next #3): the r13 recall contract pins structure
+    on a toy corpus (n=500, K=16, n_coarse=4); nothing pinned the band
+    where coarse pruning actually bites. This builds a REALISTIC-SCALE
+    corpus — 125 interpolation replicas of the sf0.1 vectors (replica r
+    of vec v blends v toward partner (v+r) % n_base with a hash-derived
+    t in [0.3, 0.7], so a query's true neighbors are midpoints whose
+    bucket assignment is genuinely contested) — giving n=250k, K=200,
+    n_coarse=14 under the scaled derivation, and pins the measured band
+    with NON-centroid queries (a centroid query's neighbors co-bucket
+    trivially; that was the toy test's blind spot):
+
+    - monotone in (coarse_probe, nprobe),
+    - measured points: (1,1)=0.275, (2,4)=0.625, (4,16)=0.850 — floors
+      pinned a margin below (deterministic hash corpus + deterministic
+      tie rules; the margin absorbs last-ulp BLAS differences only),
+    - (4,16) within 0.25 of flat routing at nprobe=28 (the toy
+      contract's flat-minus-0.25 floor, carried to this scale),
+    - the exhaustive limit (coarse_probe=n_coarse, nprobe=K) == brute
+      force, ORDERED — at full scan the hierarchy must cost nothing.
+
+    The corpus is written to parquet first: file-backed inputs memoize
+    the two-level assignment, so the six search calls share one
+    assignment pass."""
+    from pyspark.sql import functions as F
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import similarity
+
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n_base = base.count()
+    reps = spark.range(1, 125).select(F.col("id").alias("r"))
+    partner = base.select(
+        F.col("vec_id").alias("p_id"), F.col("embedding").alias("p_emb")
+    )
+    blended = (
+        base.crossJoin(reps)
+        .withColumn("p_id", (F.col("vec_id") + F.col("r")) % n_base)
+        .join(F.broadcast(partner), "p_id")
+        .select(
+            (F.col("r") * 10_000_000 + F.col("vec_id")).alias("vec_id"),
+            F.col("label"),
+            F.expr(
+                "transform(embedding, (x, j) -> x + "
+                "(0.3 + pmod(xxhash64(r * 10000000 + vec_id, 7), 1000)"
+                " / 2500.0) * (p_emb[j] - x))"
+            ).alias("embedding"),
+        )
+    )
+    path = str(tmp_path / "recall_band_corpus")
+    base.select("vec_id", "label", "embedding").unionByName(blended).write.parquet(path)
+    corpus = spark.read.parquet(path)
+    n = corpus.count()
+    K = similarity.scaled_num_centroids(n)
+    assert (n, K, similarity.coarse_num_centroids(K)) == (250_000, 200, 14)
+
+    queries = [500, 701, 1100, 1500]  # deliberately NOT centroids (>= K)
+    brute = {
+        q: {
+            r.vec_id
+            for r in similarity.brute_force_topk(
+                corpus, query_vec_id=q, k=10
+            ).collect()
+        }
+        for q in queries
+    }
+
+    def recall_two(cp, npb):
+        hits = 0
+        for q in queries:
+            got = {
+                r.vec_id
+                for r in similarity.ivf_topk_two_level(
+                    corpus, query_vec_id=q, k=10, num_centroids=K,
+                    nprobe=npb, coarse_probe=cp,
+                ).collect()
+            }
+            hits += len(brute[q] & got)
+        return hits / (10 * len(queries))
+
+    r11_, r24, r4_16 = recall_two(1, 1), recall_two(2, 4), recall_two(4, 16)
+    assert r11_ <= r24 <= r4_16, (r11_, r24, r4_16)
+    assert r11_ >= 0.15 and r24 >= 0.50 and r4_16 >= 0.75, (r11_, r24, r4_16)
+
+    hits = 0
+    for q in queries:
+        got = {
+            r.vec_id
+            for r in similarity.ivf_topk(
+                corpus, query_vec_id=q, k=10, num_centroids=K, nprobe=28
+            ).collect()
+        }
+        hits += len(brute[q] & got)
+    recall_flat28 = hits / (10 * len(queries))
+    assert r4_16 >= recall_flat28 - 0.25, (r4_16, recall_flat28)
+
+    # exhaustive limit at scale: ordered == brute force
+    full = [
+        (r.vec_id, r.cos_sim)
+        for r in similarity.ivf_topk_two_level(
+            corpus, query_vec_id=500, k=10, num_centroids=K, nprobe=K,
+            coarse_probe=14,
+        ).collect()
+    ]
+    brute_ordered = [
+        (r.vec_id, r.cos_sim)
+        for r in similarity.brute_force_topk(
+            corpus, query_vec_id=500, k=10
+        ).collect()
+    ]
+    assert full == brute_ordered
 
 
 def test_search_gate_dispatch(spark, monkeypatch):

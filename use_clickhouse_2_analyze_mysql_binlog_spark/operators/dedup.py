@@ -259,7 +259,40 @@ _PAIR_JACCARD_SQL = """
 #: ONLY share boilerplate are exactly the pairs dedup must not report.
 DEFAULT_MAX_DF = 100
 
+#: Posting-row threshold above which ngram_jaccard_pairs engages the
+#: two-stage prefix-filter plan (r14). The prefix+verify pipeline costs
+#: ~5 extra Spark jobs of fixed overhead (survivor persist, broadcast
+#: build, verify joins) — at sf0.1 that overhead (~1 s) EXCEEDS the
+#: exchange it saves (the r14 sf0.1 bench gate caught it: 1.79 -> 2.80 s
+#: on a 260k-row posting), while at sf10+ the saved pair-aggregation
+#: exchange dominates (26M rows: 19.4 -> 14.7 s; 260M rows: ~250 ->
+#: 130 s). Both plans are exact and value-identical (the size gate is
+#: the same pattern as the similarity codebook gate and the union-find
+#: driver-path gate); staged postings carry the row count in their
+#: parquet footers, so the gate costs zero jobs.
+PREFIX_FILTER_MIN_POSTING_ROWS = 10_000_000
+
 _LOG = __import__("logging").getLogger(__name__)
+
+
+def _staged_posting_rows(spark_path: str) -> int | None:
+    """Exact row count of a staged posting from parquet footer metadata
+    (zero Spark jobs); None when unreadable."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isdir(spark_path):
+            return sum(
+                pq.ParquetFile(os.path.join(spark_path, f)).metadata.num_rows
+                for f in os.listdir(spark_path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(spark_path).metadata.num_rows
+    except (OSError, pa.lib.ArrowException):
+        return None
 
 
 def ngram_jaccard_pairs(
@@ -269,6 +302,7 @@ def ngram_jaccard_pairs(
     log_dropped: bool = False,
     posting_path: str | None = None,
     prefix_matches: int = 4,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-3-gram Jaccard similarity.
 
@@ -322,10 +356,23 @@ def ngram_jaccard_pairs(
     into the self-join; the two self-join sides share one canonical
     exchange (ReusedExchange).
 
+    **Size gate** (``prefix_filter=None``, the default): the two-stage
+    plan engages only when the staged posting's footer row count exceeds
+    :data:`PREFIX_FILTER_MIN_POSTING_ROWS` — below it the r13
+    single-stage plan (length filter + one pair aggregation) wins on
+    fixed overhead; see the constant's comment. Both plans are exact and
+    value-identical (pinned by ``test_ngram_jaccard_prefix_plan_matches``),
+    so the gate never changes results. Pass ``True``/``False`` to force.
+
     ``posting_path`` switches the input to a staged posting written by
     :func:`write_shingle_posting` — the documents table is then never
     scanned.
     """
+    if prefix_filter is None:
+        staged_rows = (
+            _staged_posting_rows(posting_path) if posting_path else None
+        )
+        prefix_filter = (staged_rows or 0) > PREFIX_FILTER_MIN_POSTING_ROWS
     posting = _posting_source(documents, posting_path)
     if max_df is not None:
         if log_dropped:
@@ -357,6 +404,38 @@ def ngram_jaccard_pairs(
     # it can only LOWER alpha, i.e. lengthen the prefix — conservative,
     # never drops a true pair.
     alpha_of = lambda n: F.ceil(n * tl - 1e-9)  # noqa: E731
+    length_ok = F.least("n_a", "n_b") * (1.0 + tl) >= (
+        F.col("n_a") + F.col("n_b")
+    ) * tl
+    if not prefix_filter:
+        # single-stage plan (r13 shape): length-filtered posting
+        # self-join straight into the pair aggregation — fewest jobs,
+        # wins below the size gate.
+        sized1 = posting.withColumn(
+            "n_sh", F.count(F.lit(1)).over(doc_w)
+        ).select("sh", "doc_id", "n_sh")
+        a1 = sized1.select(
+            "sh", F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+        )
+        b1 = sized1.select(
+            "sh", F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+        )
+        return (
+            a1.join(b1, "sh")
+            .filter((F.col("doc_a") < F.col("doc_b")) & length_ok)
+            .groupBy("doc_a", "doc_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                    4,
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     sized = (
         posting.withColumn("n_sh", F.count(F.lit(1)).over(doc_w))
         .withColumn("rank", F.row_number().over(doc_w.orderBy(*order_cols)))
@@ -369,9 +448,6 @@ def ngram_jaccard_pairs(
     b = sized.select(
         "sh", F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
     )
-    length_ok = F.least("n_a", "n_b") * (1.0 + tl) >= (
-        F.col("n_a") + F.col("n_b")
-    ) * tl
     survivors = (
         a.join(b, "sh")
         .filter((F.col("doc_a") < F.col("doc_b")) & length_ok)
