@@ -231,11 +231,24 @@ def main() -> None:
                     )
                     .drop("__r")
                 )
-        # dims copy verbatim; one file per table matches the testdata
-        # layout (schemas.load_table rebalances small scans itself)
-        df.coalesce(max(1, args.replicas // 2)).write.mode(
-            "overwrite"
-        ).parquet(out)
+        # dims copy verbatim. Scaled tables are written SCAN-PARALLEL
+        # (r14): the old ``coalesce(replicas // 2)`` could never raise the
+        # partition count above the source scan's (coalesce only lowers
+        # it), so every scaled table landed as ONE file with ONE row
+        # group — and parquet scans parallelize at row-group granularity,
+        # which made every sf1/sf10 map stage effectively single-threaded
+        # (measured at sf10: documents tokenize 9.4 s on one core vs
+        # 0.6 s over 32 files; the whole r13 sf10 heavy-row list was
+        # scan-bound on this artifact, not on engine code). Real inputs
+        # at the 100 TB scale this audit stands in for arrive as
+        # thousands of files; a replicated scale dir must too — the
+        # replicated tables get ``defaultParallelism`` files, verbatim
+        # copies keep the source layout.
+        if t in ("events", "documents", "embeddings") and args.replicas > 1:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
+        else:
+            df = df.coalesce(max(1, args.replicas // 2))
+        df.write.mode("overwrite").parquet(out)
         n = spark.read.parquet(out).count()
         print(f"{t}: {n} rows -> {out}")
     spark.stop()

@@ -2335,3 +2335,37 @@ def test_near_dup_zero_vector_and_dup_centroids(spark, tmp_path, duck):
     ).replace("FROM embeddings", "FROM ndz_embeddings")
     want = sorted((r[0], r[1]) for r in duck.execute(sql).fetchall())
     assert pairs == want
+
+
+def test_posting_partition_derivation(spark, monkeypatch):
+    """r14: the staged-posting write partition count is derived from the
+    corpus size. At driver-SF sizes it must return EXACTLY the
+    historical constant 8 (staged layouts and downstream pair plans
+    there stay bit-identical — the hash-safety pin the rotation note
+    relies on), and it must grow once the corpus does."""
+    import os as _os
+
+    from tests.conftest import SF_DIR
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark import schemas
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import dedup
+
+    docs = schemas.load_table(spark, SF_DIR, "documents")
+    assert dedup._derive_posting_partitions(docs) == 8
+
+    real_stat = _os.stat
+
+    def fat_stat(path, *a, **kw):
+        st = real_stat(path, *a, **kw)
+
+        class _S:
+            st_size = 80 << 20  # pretend the corpus file is 80 MiB
+
+        _S.st_mtime_ns = st.st_mtime_ns
+        return _S()
+
+    monkeypatch.setattr(_os, "stat", fat_stat)
+    derived = dedup._derive_posting_partitions(docs)
+    cores = spark.sparkContext.defaultParallelism
+    assert derived == min((80 << 20) // (4 << 20), 4 * cores)
+    assert derived > 8 or 4 * cores <= 8

@@ -147,8 +147,36 @@ def _shingle_posting(
     return posting
 
 
+def _derive_posting_partitions(documents: DataFrame) -> int:
+    """Scale-adaptive partition count for the staged posting write
+    (r14, guide §2/§6: derive partitioning from input size, not a
+    constant tuned for one scale).
+
+    The old constant 8 serialized the sort+compress+write of a 26M-row
+    posting onto 8 of 32 local cores (measured sf10: 4.9 s at 8 parts
+    vs 2.8 s at 16) AND fixed the staged file count that every
+    downstream pair query scans (measured sf10: the jaccard pair stage
+    reads 14.1 s from a 32-file posting vs 20.6 s from an 8-file one).
+    Derivation: one partition per ~4 MiB of the backing documents
+    parquet (posting bytes track corpus bytes), floored at 8 — at the
+    driver SFs (<= 11 MB corpora) this returns exactly the historical
+    8, so staged layouts and plans there are unchanged — and capped at
+    4x the cluster's parallelism so a huge corpus on a small cluster
+    still writes bounded-size files.
+    """
+    size = 0
+    try:
+        for uri in documents.inputFiles():
+            p = uri[len("file:"):] if uri.startswith("file:") else uri
+            size += __import__("os").stat(p).st_size
+    except OSError:
+        size = 0
+    cores = documents.sparkSession.sparkContext.defaultParallelism
+    return max(8, min(size // (4 << 20), 4 * cores))
+
+
 def write_shingle_posting(
-    documents: DataFrame, path: str, num_partitions: int = 8
+    documents: DataFrame, path: str, num_partitions: int | None = None
 ) -> None:
     """Materialize the shingle posting as parquet — the staged form of the
     dedup family's shared input.
@@ -167,6 +195,8 @@ def write_shingle_posting(
     and the posting self-join drops its shuffle entirely (same pattern as
     ``plans/storage.py`` bucketed joins).
     """
+    if num_partitions is None:
+        num_partitions = _derive_posting_partitions(documents)
     (
         _shingle_posting(documents)
         .repartition(num_partitions, "sh")
@@ -761,6 +791,17 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # (r14 note: a candidate-doc semi-join prune of the verify stage —
+    # collect_list over only the ~215k/500k docs that appear in a pair —
+    # was prototyped behind the staged-posting size gate and REVERTED:
+    # the saved aggregation (~2.8 s at sf10) was fully consumed by the
+    # extra exchanges it needs (cand persist + distinct + semi + its own
+    # repartition), net 0 to -2 s across clean A/B runs, and it forked
+    # the plan away from the family-shared `_doc_hash_sets` cache. The
+    # jaccard prefix verify keeps the trick because its survivor set is
+    # 4 orders of magnitude smaller than the corpus; LSH candidates are
+    # not.)
+    #
     # Persisted like the shingle posting: the verified pair set is the
     # shared input of the whole downstream family (apply-dedup, connected
     # components, CC-apply all start from the SAME pair plan), and

@@ -299,6 +299,16 @@ def idempotent_window_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     (compute_transaction_info.py:132-142). 'Already computed' here = the
     deterministic half of windows with even epoch//300."""
     stats = transactions.transaction_stats(_binlog(spark, sf_dir))
+    # r14 optimization audit: although this LOOKS like it computes the
+    # full stats aggregate twice, Catalyst already prunes the computed
+    # branch to a keys-only distinct over the raw ts column (no gtid, no
+    # metric functions) AND pushes the broadcast anti-join below the
+    # stats aggregation — the committed plan
+    # (plans/r14/idempotent_window_antijoin_before.txt) shows the build
+    # side as Scan[ts] -> distinct(end_time) and ONE 7-function
+    # HashAggregate above the join. An explicit hand-pruned computed
+    # side was prototyped and produced a byte-identical physical plan,
+    # so it was dropped (no re-proof for a no-op).
     computed = stats.filter(
         (F.unix_timestamp(F.to_timestamp("window_start")) / 300 % 2).cast("int") == 0
     )
@@ -1972,6 +1982,17 @@ CHANGED_THIS_ROUND: list[str] = [
     # driver-proven query with its own oracle (the tier the gate
     # dispatch lands on):
     "similarity_batch_topk_two_level",
+    # NOT listed although their STAGED posting write gained a
+    # scale-adaptive partition derivation (dedup.py
+    # _derive_posting_partitions): at every driver SF the derivation
+    # returns the historical constant 8 (<=11 MB corpora), so the staged
+    # layout, the pair plans and the hashes there are bit-identical —
+    # the same below-the-gate argument as the prefix-filter and
+    # two-level dispatch entries above, pinned by
+    # tests/test_pipeline_ops.py::test_posting_partition_derivation.
+    # (`dedup_ngram_jaccard_staged` is already listed above;
+    # `dedup_minhash_lsh_staged` is r13-green and out-of-window, and its
+    # driver-SF plan is untouched.)
 ]
 # ROTATION BUDGET (round 14): 43 queries are green only in
 # CORRECTNESS_r12 (recomputed from the committed r12/r13 files); that
