@@ -3924,30 +3924,41 @@ def translate(
         def build(a):
             if len(a) != 2:
                 raise ValueError(f"{ch_fn} expects (keys, values) arrays")
+            # r14 optimization (guide §4 class — interpreted HOFs): the
+            # collected entry list is LET-BOUND once per group via the
+            # transform(array(X), __fl -> ...)[1] trick the -Merge
+            # expansions already use, instead of textually inlining the
+            # flatten(collect_list(...)) subtree at every use site.
+            # Higher-order functions run interpreted with no
+            # common-subexpression reuse, so the old shape re-evaluated
+            # the flatten over the collected buffer 2K+1 times per group
+            # (K = distinct keys; the per-key vals subtree twice more).
+            # Measured on the sf10 sumMapState build: 3.77 -> 2.02 s,
+            # results bit-identical (exploded-entries exceptAll = 0).
             flat = (
                 f"flatten(collect_list(zip_with({a[0]}, {a[1]}, "
                 "(__x, __y) -> named_struct('k', __x, 'v', __y))))"
             )
-            keys = (
-                f"array_sort(array_distinct(transform({flat}, "
-                "__e -> __e.k)))"
-            )
+            keys = "array_sort(array_distinct(transform(__fl, __e -> __e.k)))"
             vals = (
-                f"transform(filter({flat}, __e -> __e.k <=> __kk), "
+                "transform(filter(__fl, __e -> __e.k <=> __kk), "
                 "__e -> __e.v)"
             )
             per_key = {
+                # the typed-zero seed needs vals twice — bind it too
                 "sum": (
-                    f"aggregate({vals}, "
-                    f"CAST(0 AS BIGINT) * element_at({vals}, 1), "
-                    "(__s, __v) -> __s + __v)"
+                    f"element_at(transform(array({vals}), __vs -> "
+                    "aggregate(__vs, "
+                    "CAST(0 AS BIGINT) * element_at(__vs, 1), "
+                    "(__s, __v) -> __s + __v)), 1)"
                 ),
                 "min": f"array_min({vals})",
                 "max": f"array_max({vals})",
             }[which]
             return (
+                f"element_at(transform(array({flat}), __fl -> "
                 f"map_from_entries(transform({keys}, __kk -> "
-                f"named_struct('key', __kk, 'value', {per_key})))"
+                f"named_struct('key', __kk, 'value', {per_key})))), 1)"
             )
 
         return build

@@ -1982,6 +1982,15 @@ CHANGED_THIS_ROUND: list[str] = [
     # driver-proven query with its own oracle (the tier the gate
     # dispatch lands on):
     "similarity_batch_topk_two_level",
+    # implementation-changed (optimization pass, interpreted-HOF class):
+    # the translator's map-State expansion now LET-BINDS the collected
+    # entry list once per group instead of re-evaluating the
+    # flatten(collect_list(...)) subtree 2K+1 times (ch_compat
+    # _map_state; measured 3.77 -> 2.02 s on the sf10 state build,
+    # results bit-identical, oracle untouched). The only registered
+    # consumer of a map-State expansion; already stale-in-window
+    # (r12-only-green), so the re-proof slot is free:
+    "ch_agg_states_map_rollup",
     # NOT listed although their STAGED posting write gained a
     # scale-adaptive partition derivation (dedup.py
     # _derive_posting_partitions): at every driver SF the derivation
