@@ -2367,5 +2367,8 @@ def test_posting_partition_derivation(spark, monkeypatch):
     monkeypatch.setattr(_os, "stat", fat_stat)
     derived = dedup._derive_posting_partitions(docs)
     cores = spark.sparkContext.defaultParallelism
-    assert derived == min((80 << 20) // (4 << 20), 4 * cores)
+    # ADVICE r14: assert the FULL formula including the max(8, ...)
+    # floor — on a defaultParallelism==1 box min(20, 4) = 4 but the
+    # function floors at the historical 8.
+    assert derived == max(8, min((80 << 20) // (4 << 20), 4 * cores))
     assert derived > 8 or 4 * cores <= 8

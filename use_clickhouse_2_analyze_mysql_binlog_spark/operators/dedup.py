@@ -169,7 +169,10 @@ def _derive_posting_partitions(documents: DataFrame) -> int:
         for uri in documents.inputFiles():
             p = uri[len("file:"):] if uri.startswith("file:") else uri
             size += __import__("os").stat(p).st_size
-    except OSError:
+    except Exception:  # ADVICE r14: inputFiles() itself can raise
+        # (Py4J/AnalysisException on non-file-backed plans, e.g. the
+        # curated pipeline); fail soft to the historical floor like the
+        # parallelism.py probes rather than crashing the staging write.
         size = 0
     cores = documents.sparkSession.sparkContext.defaultParallelism
     return max(8, min(size // (4 << 20), 4 * cores))

@@ -67,7 +67,18 @@ def rebalance_small_scan(df: DataFrame, target: int | None = None) -> DataFrame:
             files = df.inputFiles()
         except Exception:
             files = []
-        if files and all(f.endswith(".parquet") for f in files):
+        # ADVICE r14: a row group is at least one per file, so when the
+        # file count alone clears the gate the min() below can never
+        # drop current under it — skip the footer scan entirely. This
+        # single length check bounds the driver-side I/O in the
+        # thousands-of-files at-scale regime where the probe must stay
+        # a no-op (the footer loop below opens every footer
+        # sequentially on the driver).
+        if (
+            files
+            and len(files) * 2 <= goal
+            and all(f.endswith(".parquet") for f in files)
+        ):
             groups = _parquet_row_groups(files)
             if groups is not None:
                 current = min(current, groups)

@@ -1951,136 +1951,94 @@ def tokens_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tests/test_driver_window.py::test_changed_this_round_is_fresh derives
 #: the current round from the committed CORRECTNESS files and fails at
 #: next round's start until both constants are re-derived.
-CHANGED_ROUND = 14
+CHANGED_ROUND = 15
 
 CHANGED_THIS_ROUND: list[str] = [
-    # Round 14 (VERDICT r13 next #1/#4/#6 + ADVICE r13 medium: this list
-    # must name EVERY registered consumer of a plan-changed operator,
-    # not just the directly-edited queries).
-    #
-    # implementation-changed: generalized prefix filter (m shared
-    # prefix tokens, df-ordered) + tiny-survivor broadcast verify stage
-    # replace the single-stage pair aggregation (VERDICT r13 next #1);
-    # final-row semantics and oracle UNCHANGED (exactness by the
-    # pigeonhole bound, see ngram_jaccard_pairs):
-    "dedup_ngram_jaccard_staged",
-    # implementation-changed: both ride the new memoized
-    # `flagged_documents` front door (one tokenize/score scan shared by
-    # the curation family — VERDICT r13 next #6); values and oracles
-    # UNCHANGED (row-local flags commute with every downstream filter).
-    # Both were already stale-in-window (r12-only-green):
-    "corpus_curate_gopher",
-    "corpus_curate_materialize",
-    # implementation-changed: past-the-codebook-gate dispatch to the
-    # two-level tier (VERDICT r13 next #4). Below the gate — every
-    # driver SF — the constructed plan is byte-identical, so their
-    # hashes cannot move; listed because the gate branch touches query
-    # construction. Both already stale-in-window:
-    "similarity_ivf_topk_nprobe",
-    "similarity_batch_topk",
-    # ADDED this round: the two-level BATCH tier promoted to a
-    # driver-proven query with its own oracle (the tier the gate
-    # dispatch lands on):
-    "similarity_batch_topk_two_level",
-    # implementation-changed (optimization pass, interpreted-HOF class):
-    # the translator's map-State expansion now LET-BINDS the collected
-    # entry list once per group instead of re-evaluating the
-    # flatten(collect_list(...)) subtree 2K+1 times (ch_compat
-    # _map_state; measured 3.77 -> 2.02 s on the sf10 state build,
-    # results bit-identical, oracle untouched). The only registered
-    # consumer of a map-State expansion; already stale-in-window
-    # (r12-only-green), so the re-proof slot is free:
+    # Round 15 (optimization round 2/2 — VERDICT r14 next #1): the
+    # translator's map-State expansion is structurally rewritten to a
+    # two-level GROUP BY (per-key pre-aggregation subquery) so the
+    # exchange carries partial per-key aggregates instead of collected
+    # row lists; results and oracle UNCHANGED, plan changes at every SF.
+    # The only registered consumer of a map-State expansion; r14-green,
+    # so its re-proof takes the round's one free window slot:
     "ch_agg_states_map_rollup",
-    # NOT listed although their STAGED posting write gained a
-    # scale-adaptive partition derivation (dedup.py
-    # _derive_posting_partitions): at every driver SF the derivation
-    # returns the historical constant 8 (<=11 MB corpora), so the staged
-    # layout, the pair plans and the hashes there are bit-identical —
-    # the same below-the-gate argument as the prefix-filter and
-    # two-level dispatch entries above, pinned by
-    # tests/test_pipeline_ops.py::test_posting_partition_derivation.
-    # (`dedup_ngram_jaccard_staged` is already listed above;
-    # `dedup_minhash_lsh_staged` is r13-green and out-of-window, and its
-    # driver-SF plan is untouched.)
 ]
-# ROTATION BUDGET (round 14): 43 queries are green only in
-# CORRECTNESS_r12 (recomputed from the committed r12/r13 files); that
-# set already contains four of the six CHANGED names above
-# (`corpus_curate_gopher`, `corpus_curate_materialize`,
-# `similarity_ivf_topk_nprobe`, `similarity_batch_topk` — their
-# re-proof slots are free). Slot ledger:
-#   1. `dedup_ngram_jaccard_staged` — prefix-filter rewrite voids its
-#      r13 proof; rides priority section 1.
-#   2. `similarity_batch_topk_two_level` — NEW query, unproven; rides
-#      priority section 1. Registry 93 -> 94 (91 oracle-backed + 3
-#      rows-only); window exactly 50 = 2 changed/new + 43 stale + 5
-#      headline.
+# ROTATION BUDGET (round 15): 44 queries are green only in
+# CORRECTNESS_r13 (recomputed from the committed r13/r14 files); with
+# the 5 headline rows that fills 49 of the 50 window slots, leaving
+# EXACTLY ONE slot for a changed query that is not already stale.
+# Slot ledger:
+#   1. `ch_agg_states_map_rollup` — the -State pre-aggregation rewrite
+#      voids its r14 proof; takes the free slot (window exactly full).
+# Consequence for this optimization round: every other plan-affecting
+# change must either target a query already in the stale set (e.g.
+# `ch_agg_states_tdigest_rollup`, `dedup_minhash_lsh_staged` — free
+# re-proof slots) or sit behind a size gate that keeps driver-SF plans
+# bit-identical (the r14 posting-derivation / two-level-dispatch
+# pattern, pinned by plan-diff tests).
 
 DRIVER_WINDOW_PRIORITY = [
-    # -- 1. implementation-changed/new this round (round 14) with a
-    #       voided or missing proof — no valid driver proof until
-    #       CORRECTNESS_r14:
-    "dedup_ngram_jaccard_staged",
-    "similarity_batch_topk_two_level",
-    # -- 2. green only in CORRECTNESS_r12 (rotated out of the r13
-    #       window); their proof ages out of the 2-round invariant
-    #       unless re-verified in r14. Exactly the 43 registry queries
-    #       green in r12 but absent from CORRECTNESS_r13.json's green
-    #       set. Includes the four remaining CHANGED_THIS_ROUND names
-    #       (curate pair, nprobe/batch flat search), whose re-proof
-    #       slots are therefore free.
-    "asof_trade_quote",
-    "binlog_gap_report",
+    # -- 1. implementation-changed this round (round 15) with a voided
+    #       proof — no valid driver proof until CORRECTNESS_r15:
     "ch_agg_states_map_rollup",
-    "ch_dashboard_rollup",
-    "ch_if_combinators_json",
-    "corpus_curate_gopher",
-    "corpus_curate_materialize",
-    "corpus_length_histogram",
-    "corpus_train_test_split",
-    "daily_counts_gapfilled",
-    "daily_counts_moving_avg",
-    "day_over_day_counts",
-    "dedup_embedding_cosine",
-    "event_count_cube",
-    "event_type_decode_dim_join",
-    "gtid_set_operations",
-    "idempotent_window_antijoin",
-    "ingest_transform",
-    "multi_cluster_daily_counts",
-    "multimodal_metadata",
-    "nation_revenue",
-    "nation_top_customer",
-    "pricing_summary",
-    "range_join_maintenance_windows",
-    "retention_filter",
-    "scalar_functions",
-    "session_windows",
-    "similarity_batch_topk",
-    "similarity_ivf_topk_nprobe",
-    "similarity_lsh_topk",
-    "similarity_topk_bruteforce",
-    "size_mad_per_type",
-    "size_quantiles",
-    "skew_salted_table_profile",
-    "summing_rollup_reaggregate",
-    "text_language_id",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_repetition_score",
-    "text_token_count",
-    "top_revenue_orders",
-    "window_funnel",
-    "windowed_running_size",
+    # -- 2. green only in CORRECTNESS_r13 (rotated out of the r14
+    #       window); their proof ages out of the 2-round invariant
+    #       unless re-verified in r15. Exactly the 44 registry queries
+    #       green in r13 but absent from CORRECTNESS_r14.json's green
+    #       set.
+    "aggregating_rollup_merge",
+    "benchmark_contamination",
+    "ch_agg_states_bitmap_rollup",
+    "ch_agg_states_rollup",
+    "ch_agg_states_tdigest_rollup",
+    "ch_prewhere_profile",
+    "ch_top_event_limit_by",
+    "collapsing_merge_state",
+    "corpus_source_cap",
+    "corpus_top_bigrams",
+    "daily_count_anomalies",
+    "daily_distinct_gtids_approx",
+    "daily_distinct_gtids_approx_check",
+    "daily_event_counts_by_table",
+    "dedup_apply_connected_components",
+    "dedup_apply_minhash",
+    "dedup_connected_components",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh_staged",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_span_crossdoc",
+    "doc_chunks",
+    "doc_fingerprint",
+    "embedding_kmeans",
+    "embedding_kmeans_assign",
+    "embedding_kmeans_inertia_check",
+    "embedding_quantization_error",
+    "language_mixture_weights",
+    "large_order_customers",
+    "line_dedup_staged",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "order_priority_counts",
+    "promo_revenue",
+    "quality_gopher_flags",
+    "replacing_merge_final",
+    "retention_cohorts",
+    "sequence_pack",
+    "similarity_ivf_topk_two_level",
+    "size_quantiles_approx",
+    "size_quantiles_approx_check",
     # -- 3. reference-core headline queries (verified every round)
     "transaction_stats",
     "top_transaction_by_size",
     "top_transaction_by_spend_time",
     "top_transaction_by_affected_rows",
     "transaction_result_table",
-    # -- (1 re-proof + 1 new + 43 stale + 5 headline = 50 priority
-    #       entries: the window is exactly full. See the ROTATION
-    #       BUDGET note above.)
+    # -- (1 re-proof + 44 stale + 5 headline = 50 priority entries:
+    #       the window is exactly full. See the ROTATION BUDGET note
+    #       above.)
 ]
 
 
