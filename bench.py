@@ -77,6 +77,20 @@ WATCHED_QUERIES = [
     "corpus_top_bigrams",
 ]
 
+# r15 (VERDICT r14 next #4): cache tag -> released right after this query
+# (its LAST consumer across the main sweep AND every extra pass —
+# re-derived and pinned by tests/test_bench_cache_release.py). The dedup
+# tags (posting, hash_sets, bands, lsh_pairs, simhash_sig,
+# contamination_join, jaccard_cand) are deliberately ABSENT: their last
+# consumers are the WATCHED min-of-2 passes at the end of the run, and
+# releasing earlier would make those passes rebuild inside the timed
+# region (a methodology change). Everything still tracked is released
+# after the extra passes, before the JSON is written.
+CACHE_RELEASE_AFTER = {
+    "corpus_curate_materialize": ("flagged",),
+    "similarity_ivf_topk_two_level": ("assign",),
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,6 +102,10 @@ def main() -> None:
         dedup,
     )
     from use_clickhouse_2_analyze_mysql_binlog_spark.session import get_spark
+
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators import (
+        cachetrack,
+    )
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -147,6 +165,20 @@ def main() -> None:
         # OUTSIDE the timer — per-query numbers are unaffected.
         if timings[name] > 5:
             spark.sparkContext._jvm.System.gc()
+        # r15 (VERDICT r14 next #4): unpersist a family's shared cache
+        # right after its LAST consumer in the whole run — main sweep
+        # AND the min-of-N extra passes below — so finished families
+        # stop squeezing the execution pool under later heavy rows
+        # (the documented 2-4x in-sweep inflation at sf10). OUTSIDE the
+        # timer; a release can only make later rows recompute, never
+        # change results. The two release points are pinned by
+        # tests/test_bench_cache_release.py, which re-derives each cache
+        # tag's consumer set from the live registry (including the
+        # headline/watched/changed extra passes — the dedup-family tags
+        # stay resident because watched rows re-run at the end, exactly
+        # the r14 methodology).
+        for tag in CACHE_RELEASE_AFTER.get(name, ()):
+            cachetrack.release(tag)
 
     # The headline metric and the gated WATCHED set get extra timed
     # passes, keeping the MINIMUM — standard min-of-N benching: the
@@ -183,6 +215,8 @@ def main() -> None:
             timings[name] = min(
                 timings[name], round(time.perf_counter() - t0, 3)
             )
+    # run over: drop whatever family caches the extra passes kept alive
+    cachetrack.release_all()
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
@@ -193,6 +227,18 @@ def main() -> None:
         sum(timings[n] for n in BENCH_QUERIES if n in timings), 3
     )
     total = round(sum(timings.values()), 3)
+    # r15 (VERDICT r14 next #3): the untimed shared-cache warm-ups are
+    # real work the per-query numbers exclude — surface their total in
+    # the one-line JSON (`wu`) next to `total` so no computation is
+    # absent from the emitted record. `total` itself keeps its exact
+    # historical meaning (sum of per-query times) so round-over-round
+    # comparisons stay valid; cold-session reality for a family is
+    # total-of-family + the relevant warm-up entries, all recorded.
+    # jvm_parquet is excluded: it is JIT/page-cache warm-up of an
+    # unrelated count, not work any query's number should ever contain.
+    warmup_total = round(
+        sum(v for k, v in warmup.items() if k != "jvm_parquet"), 3
+    )
 
     # Full-precision flat record for bench_compare.py / the judge, written
     # twice: the stable name (gitignored — a scratch handle for tools) and
@@ -254,6 +300,9 @@ def main() -> None:
         # exclude; recording their cost here keeps the full snapshot
         # honest about what the warm-up absorbs at each SF.
         "warmup_seconds": warmup,
+        # r15: and their sum (minus the jvm warm-up) as one number, the
+        # same value the one-line JSON emits as `wu`.
+        "warmup_total_seconds": warmup_total,
     }
     fnames = ["BENCH_FULL.json"]
     if not only:  # subset runs never overwrite the round snapshot
@@ -266,7 +315,7 @@ def main() -> None:
     from use_clickhouse_2_analyze_mysql_binlog_spark import benchfmt
 
     print(benchfmt.compact_line(timings, headline_value, total, sf_val,
-          headline_passes=3))
+          headline_passes=3, warmup_total_sec=warmup_total))
     spark.stop()
 
 

@@ -3001,6 +3001,87 @@ FROM (
     assert got == want and len(got) > 0
 
 
+def test_state_two_level_rewrite_fires_and_preserves_values(spark):
+    """r15 (VERDICT r14 next #1): safe-shaped GROUP BY blocks holding
+    map-/histogram-State calls restructure to a two-level GROUP BY (the
+    exchange carries partial per-key aggregates, not collected row
+    lists). Pins (a) WHEN the structural pass fires vs falls back and
+    (b) that the fired path is value-identical to the expression-level
+    expansion on every edge the old fold defined: empty/NULL arrays
+    still emit an EMPTY map for the group, a NULL value poisons the
+    key's sum (acc + NULL), min/max skip NULLs, per-row duplicate keys
+    accumulate, NULL histogram values are skipped."""
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " (1, array(1L, 2L), array(10L, 20L)),"
+        " (1, array(2L), array(5L)),"
+        " (2, array(), array()),"
+        " (3, CAST(NULL AS ARRAY<BIGINT>), CAST(NULL AS ARRAY<BIGINT>)),"
+        " (5, array(1L, 1L), array(3L, 4L)),"
+        " (6, array(9L), array(CAST(NULL AS BIGINT))),"
+        " (6, array(9L), array(2L))"
+        " AS t(g, ks, vs)"
+    ).createOrReplaceTempView("tl_edge_t")
+    new_sql = (
+        "SELECT g, sumMapState(ks, vs) AS sm, minMapState(ks, vs) AS mn,"
+        " maxMapState(ks, vs) AS mx FROM tl_edge_t GROUP BY g"
+    )
+    # the alias-less first item makes the shape unsafe -> fallback
+    old_sql = new_sql.replace(" AS sm", " sm")
+    t_new, t_old = ch_compat.translate(new_sql), ch_compat.translate(old_sql)
+    assert "__msents" in t_new and "LATERAL VIEW OUTER" in t_new, t_new
+    assert "__msents" not in t_old, t_old
+
+    def snap(t, cols=("sm", "mn", "mx")):
+        return {
+            r.g: tuple(
+                None if r[c] is None else tuple(sorted(dict(r[c]).items()))
+                for c in cols
+            )
+            for r in spark.sql(t).collect()
+        }
+
+    got = snap(t_new)
+    assert got == snap(t_old)
+    assert got[2] == ((), (), ())  # empty arrays -> empty map, group kept
+    assert got[3] == ((), (), ())  # NULL arrays -> same
+    assert got[6] == (((9, None),), ((9, 2),), ((9, 2),))  # NULL poisons sum
+
+    # histogram family: the fired path matches the fold on NULL-skipping
+    # and empty groups
+    spark.sql(
+        "SELECT * FROM VALUES (1, 10L), (1, 10L), (1, 20L),"
+        " (2, CAST(NULL AS BIGINT)) AS t(g, x)"
+    ).createOrReplaceTempView("tl_hist_t")
+    for fn in ("quantileState", "quantileTDigestState"):
+        nq = f"SELECT g, {fn}(x) AS qh FROM tl_hist_t GROUP BY g"
+        oq = nq.replace(" AS qh", " qh")
+        tn, to = ch_compat.translate(nq), ch_compat.translate(oq)
+        assert "__msq" in tn and "__msq" not in to, fn
+        assert snap(tn, cols=("qh",)) == snap(to, cols=("qh",)), fn
+
+    # fall-back pins: mixed aggregate kinds, IF-wrapped calls, HAVING,
+    # and non-grouped shapes must NOT restructure
+    for bad in (
+        # mixed with a non-rewritable aggregate
+        "SELECT g, sumMapState(ks, vs) AS sm, count(*) AS n "
+        "FROM tl_edge_t GROUP BY g",
+        # call not a bare top-level item
+        "SELECT g, IF(g = 2, NULL, sumMapState(ks, vs)) AS sm "
+        "FROM tl_edge_t GROUP BY g",
+        # trailing clause after GROUP BY
+        "SELECT g, sumMapState(ks, vs) AS sm FROM tl_edge_t "
+        "GROUP BY g HAVING g > 1",
+        # mixed histogram keys (raw vs quantized)
+        "SELECT g, quantileState(x) AS a, quantileTDigestState(x) AS b "
+        "FROM tl_hist_t GROUP BY g",
+        # global aggregate (no GROUP BY)
+        "SELECT sumMapState(ks, vs) AS sm FROM tl_edge_t",
+    ):
+        tb = ch_compat.translate(bad)
+        assert "__msents" not in tb and "__msq" not in tb, bad
+
+
 def test_round10_advice_fixes_empty_state_merges(spark):
     """ADVICE r09 regressions: a -Merge over a group whose states are all
     NULL (e.g. every source value NULL -> quantileState produced an empty

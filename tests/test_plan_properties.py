@@ -86,15 +86,25 @@ def test_top_bigrams_uses_takeordered(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
-def test_map_state_rollup_two_exchanges_no_joins(spark):
-    # the sumMap two-level read (round 10): partial+final aggregates at
-    # the (event_type, day) state grain, one more pair at the event_type
-    # merge grain — exactly two exchanges, the map fold entirely JVM-side
-    # (no Python eval), the flatten row-local (no join back)
+def test_map_state_rollup_three_exchanges_no_joins(spark):
+    # r15 (VERDICT r14 next #1): the map-State build is a two-level
+    # GROUP BY — partial+final HashAggregate at the (event_type, day,
+    # map key) grain, entry collect at the (event_type, day) state grain
+    # (bounded by key cardinality), one more pair at the event_type merge
+    # grain. Three exchanges, but the first (the only one that sees raw
+    # rows) carries PARTIAL PER-KEY SUMS instead of collected row lists —
+    # no collect_list touches an unbounded row set anymore. Map fold
+    # stays JVM-side (no Python eval), flatten row-local (no join back).
     plan = _plan(spark, "ch_agg_states_map_rollup")
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+    # the raw-row aggregation is a partial+final pair of plain
+    # HashAggregates with a sum — the collect_list aggregates run only
+    # ABOVE it (per-key entries, then state maps)
+    assert "partial_sum" in plan, plan
+    first_agg = plan.split("Exchange hashpartitioning")[-1]
+    assert "collect_list" not in first_agg, plan
 
 
 def test_corpus_curate_two_shuffles_no_joins(spark):

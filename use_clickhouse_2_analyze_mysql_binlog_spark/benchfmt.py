@@ -136,34 +136,39 @@ def compact_line(
     total_sec: float,
     sf,
     headline_passes: int = 1,
+    warmup_total_sec: float | None = None,
 ) -> str:
     """The single stdout JSON line, guaranteed <= TAIL_BUDGET chars.
 
     Positional values (sorted-name order) at ms precision, degrading to
     coarser units only if needed — ms fits a ~300-query registry with room
     to spare; full float seconds live in the BENCH_FULL snapshots.
+
+    ``warmup_total_sec`` (r15, VERDICT r14 next #3) records the untimed
+    shared-cache warm-up work as ``wu`` beside ``total``, so the emitted
+    line accounts for every computation the run performed; ``total``
+    keeps its historical sum-of-per-query meaning.
     """
     snames = sorted(timings_sec)
     for unit in ("ms", "cs", "ds", "s"):
         scale = _UNIT_SCALE[unit]
-        line = json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": round(headline_value_sec, 3),
-                "unit": "sec",
-                "sf": sf,
-                "total": round(total_sec, 2),
-                "qunit": unit,
-                "qn": len(snames),
-                "qsig": name_signature(snames),
-                "hp": headline_passes,
-                "queries": [
-                    int(round(timings_sec[n] * scale)) for n in snames
-                ],
-            },
-            separators=(",", ":"),
-            sort_keys=True,
-        )
+        doc = {
+            "metric": "headline_query_wall_seconds",
+            "value": round(headline_value_sec, 3),
+            "unit": "sec",
+            "sf": sf,
+            "total": round(total_sec, 2),
+            "qunit": unit,
+            "qn": len(snames),
+            "qsig": name_signature(snames),
+            "hp": headline_passes,
+            "queries": [
+                int(round(timings_sec[n] * scale)) for n in snames
+            ],
+        }
+        if warmup_total_sec is not None:
+            doc["wu"] = round(warmup_total_sec, 2)
+        line = json.dumps(doc, separators=(",", ":"), sort_keys=True)
         if len(line) <= TAIL_BUDGET:
             return line
     return line  # overflow even at whole seconds: emit anyway

@@ -678,6 +678,361 @@ def _rewrite_calls(sql: str, name: str, build) -> str:
         pos = s
 
 
+def _log_quantize(x: str) -> str:
+    """The deterministic log quantizer the tdigest/bfloat16 sketch states
+    apply per value: sign * exp(bround(ln|x| * 128) / 128), a
+    value-relative step of e^(1/128) ~ 0.78%; 0/NaN/Inf pass through as
+    their own buckets. Module-level because both the expression-level
+    sketch-state expansion and the two-level structural rewrite key the
+    histogram on this exact text."""
+    return (
+        f"element_at(transform(array(CAST({x} AS DOUBLE)), __q -> "
+        f"CASE WHEN __q = 0 OR isnan(__q) OR "
+        f"abs(__q) = double('Infinity') THEN __q "
+        f"ELSE sign(__q) * exp(bround(ln(abs(__q)) * 128) / 128) "
+        f"END), 1)"
+    )
+
+
+# --------------------------------------------------------------------------
+# -State pre-aggregation structural rewrite (round 15, VERDICT r14 next #1).
+#
+# The expression-level map-/histogram-State expansions ship EVERY source row
+# through the exchange inside a collect_list — unbounded per-group state,
+# the guide-§2/§5 scale hazard (measured at the replicated sf10: the sumMap
+# state build cost 2.02 s let-bound vs 0.56 s as a hand-written two-level
+# GROUP BY). When the enclosing SELECT block has a safe shape, the whole
+# block is restructured so the heavy exchange carries PARTIAL PER-KEY
+# AGGREGATES (partial+final HashAggregate over (group keys, map key) /
+# (group keys, histogram bucket)) and only the final, per-distinct-key
+# entry list — bounded by key cardinality, not row count — is collected.
+#
+# Safe shape (anything else falls back to the expression-level expansion,
+# which stays bit-compatible):
+#   SELECT <key items> , <state calls AS alias> FROM ... GROUP BY <keys>
+# where every non-key select item is a map-State call (all sharing one
+# (keys, values) argument pair) or every one is a histogram-State call
+# (all sharing one value argument after sketch quantization), every key
+# item is a bare identifier or `expr AS name`, the GROUP BY entries all
+# match key items, and nothing (HAVING/ORDER/LIMIT/...) follows the GROUP
+# BY at paren depth 0.
+#
+# Value semantics are preserved exactly (translator tests pin them):
+# - groups whose arrays are all empty/NULL still emit an EMPTY map, via
+#   LATERAL VIEW OUTER explode + a NULL-key marker dropped after the
+#   collect (collect_list skips NULL structs, the group row survives);
+# - sumMap's NULL poisoning (any NULL value for a key -> NULL sum, per
+#   the fold's `acc + NULL` propagation) is reproduced with the
+#   count(*) > count(v) guard; min/max skip NULLs exactly like
+#   array_min/array_max;
+# - the sum element type is widened with the same typed zero
+#   (CAST(0 AS BIGINT) * v) as the fold accumulator. (Documented
+#   narrowing: for decimal values of precision < 17 the declared result
+#   precision is the sum()'s p+10-capped-38 rather than the fold's
+#   21+p-capped-38 — values identical, and no translated consumer
+#   declares decimal map states.)
+# - histogram states bucket-count with count(*) per (keys, value) group;
+#   NULL values form a marker group that is dropped after the collect,
+#   matching collect_list's NULL-skip.
+# --------------------------------------------------------------------------
+
+_MAP_STATE_FNS = ("sumMapState", "minMapState", "maxMapState")
+_SKETCH_STATE_FNS = frozenset(
+    {
+        "quantileTDigestState",
+        "quantileBFloat16State",
+        "quantilesTDigestState",
+        "quantilesBFloat16State",
+    }
+)
+_HIST_STATE_FNS = (
+    "quantilesExactState",
+    "quantilesTimingState",
+    "quantilesTDigestState",
+    "quantilesBFloat16State",
+    "quantilesState",
+    "quantileExactState",
+    "quantileTimingState",
+    "quantileTDigestState",
+    "quantileBFloat16State",
+    "quantileState",
+)
+
+
+def _norm_expr(e: str) -> str:
+    return re.sub(r"\s+", " ", e.strip()).lower()
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split at paren/bracket-depth-0 commas (string literals are masked
+    before any rewrite runs)."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    for c in s:
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    parts.append("".join(cur))
+    return parts
+
+
+def _find_top_level_kw(
+    s: str, kw_pattern: str, start: int = 0
+) -> tuple[int, int] | None:
+    """(start, end) of the first depth-0 match of ``kw_pattern``."""
+    pat = re.compile(kw_pattern, re.IGNORECASE)
+    depth = 0
+    i = start
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(s, i)
+            if m:
+                return (i, m.end())
+        i += 1
+    return None
+
+
+def _enclosing_select_block(sql: str, p: int) -> tuple[int, int] | None:
+    """(start, end) of the innermost SELECT block containing position
+    ``p``: the body of the nearest enclosing ``( SELECT ... )``, else the
+    whole statement when it is itself a top-level SELECT."""
+    stack: list[int] = []
+    for i in range(p):
+        c = sql[i]
+        if c == "(":
+            stack.append(i)
+        elif c == ")" and stack:
+            stack.pop()
+    for open_pos in reversed(stack):
+        j = _skip_ws(sql, open_pos + 1)
+        if sql[j : j + 6].upper() == "SELECT":
+            end = _balanced_paren_end(sql, open_pos)
+            return (open_pos + 1, end - 1)
+    j = _skip_ws(sql, 0)
+    if sql[j : j + 6].upper() == "SELECT":
+        return (j, len(sql))
+    return None
+
+
+def _parse_state_item(it: str) -> dict | None:
+    """Classify one select item as ``fn(args) AS alias`` for a rewritable
+    -State call (optionally parametric ``fn(levels)(args)`` — -State
+    ignores level parameters); None when it is anything else."""
+    m = re.match(
+        r"(" + "|".join(_MAP_STATE_FNS + _HIST_STATE_FNS) + r")\s*\(", it
+    )
+    if m is None:
+        return None
+    fn = m.group(1)
+    parsed = _parse_args(it, m.end())
+    if parsed is None:
+        return None
+    end, args = parsed
+    j = _skip_ws(it, end)
+    if j < len(it) and it[j] == "(":  # parametric: fn(levels)(args)
+        parsed = _parse_args(it, j + 1)
+        if parsed is None:
+            return None
+        end, args = parsed
+    am = re.match(r"(?is)\s+AS\s+(\w+)\s*$", it[end:])
+    if am is None:
+        return None
+    alias = am.group(1)
+    if fn in _MAP_STATE_FNS:
+        if len(args) != 2:
+            return None  # the expression-level expansion raises loudly
+        return {
+            "kind": "map",
+            "which": fn[:3],
+            "key": args[0],
+            "val": args[1],
+            "alias": alias,
+        }
+    if len(args) != 1:
+        return None
+    keyx = _log_quantize(args[0]) if fn in _SKETCH_STATE_FNS else f"({args[0]})"
+    return {"kind": "hist", "key": keyx, "alias": alias}
+
+
+def _item_alias(it: str) -> str | None:
+    """Output name of a non-aggregate select item: a bare (possibly
+    qualified) identifier, or the alias of ``expr AS name``."""
+    if re.fullmatch(r"[\w.]+", it):
+        return it.split(".")[-1]
+    am = re.search(r"(?is)^(.*\S)\s+AS\s+(\w+)\s*$", it)
+    if am is not None:
+        return am.group(2)
+    return None
+
+
+def _two_level_block(block: str) -> str | None:
+    """Rewrite one SELECT block to the two-level pre-aggregated form, or
+    None when the block does not have the safe shape."""
+    m = re.match(r"(?is)\s*SELECT\s+", block)
+    if m is None or re.match(r"(?is)\s*SELECT\s+DISTINCT\b", block):
+        return None
+    sel_start = m.end()
+    fr = _find_top_level_kw(block, r"\bFROM\b", sel_start)
+    if fr is None:
+        return None
+    items = [i.strip() for i in _split_top_level(block[sel_start : fr[0]])]
+    gb = _find_top_level_kw(block, r"\bGROUP\s+BY\b", fr[1])
+    if gb is None:
+        return None
+    from_part = block[fr[1] : gb[0]].strip()
+    gb_tail = block[gb[1] :]
+    if not from_part or _find_top_level_kw(
+        gb_tail,
+        r"\b(HAVING|ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT|WINDOW"
+        r"|DISTRIBUTE\s+BY|SORT\s+BY|CLUSTER\s+BY|QUALIFY"
+        r"|GROUPING\s+SETS|ROLLUP|CUBE|WITH)\b",
+    ):
+        return None
+    # a second top-level GROUP BY after ours would mean a shape this
+    # parser does not understand
+    if _find_top_level_kw(block, r"\bGROUP\s+BY\b", gb[1]) is not None:
+        return None
+    gb_items = [g.strip() for g in _split_top_level(gb_tail)]
+    gb_items = [g.rstrip("; \n\t") for g in gb_items]
+    if not gb_items or not all(gb_items):
+        return None
+
+    key_items: list[tuple[str, str]] = []  # (verbatim item, out name)
+    calls: list[dict] = []
+    order: list[tuple[str, int]] = []  # ("key"|"call", index)
+    for it in items:
+        if not it:
+            return None
+        call = _parse_state_item(it)
+        if call is not None:
+            order.append(("call", len(calls)))
+            calls.append(call)
+            continue
+        alias = _item_alias(it)
+        if alias is None:
+            return None
+        order.append(("key", len(key_items)))
+        key_items.append((it, alias))
+    if not calls or not key_items:
+        return None
+    kinds = {c["kind"] for c in calls}
+    if len(kinds) != 1:
+        return None
+    kind = kinds.pop()
+    if len({_norm_expr(c["key"]) for c in calls}) != 1:
+        return None
+    if kind == "map" and len({_norm_expr(c["val"]) for c in calls}) != 1:
+        return None
+    # BIDIRECTIONAL cover between key items and GROUP BY entries: every
+    # GROUP BY entry must name a key item (so grouping by the key OUTPUT
+    # names is equivalent), and every key item must appear in GROUP BY
+    # (else it is some OTHER aggregate — e.g. groupArrayState — that this
+    # rewrite must not touch: fall back to the expression expansions).
+    gb_norm = {_norm_expr(g) for g in gb_items}
+    covered: set[str] = set()
+    for it, alias in key_items:
+        mine = {alias.lower(), _norm_expr(it)}
+        am = re.search(r"(?is)^(.*\S)\s+AS\s+\w+\s*$", it)
+        if am is not None:
+            mine.add(_norm_expr(am.group(1)))
+        if not mine & gb_norm:
+            return None
+        covered |= mine
+    if not gb_norm <= covered:
+        return None
+
+    key_sel = ", ".join(it for it, _ in key_items)
+    key_out = ", ".join(a for _, a in key_items)
+    out_vals: list[str] = []
+    if kind == "map":
+        ents = (
+            f"zip_with({calls[0]['key']}, {calls[0]['val']}, "
+            "(__msx, __msy) -> named_struct('k', __msx, 'v', __msy))"
+        )
+        inner = f"SELECT {key_sel}, {ents} AS __msents FROM {from_part}"
+        aggs: list[str] = []
+        for i, c in enumerate(calls):
+            agg = {
+                "sum": (
+                    "IF(count(*) > count(__ms.v), NULL, "
+                    "sum(CAST(0 AS BIGINT) * __ms.v + __ms.v))"
+                ),
+                "min": "min(__ms.v)",
+                "max": "max(__ms.v)",
+            }[c["which"]]
+            aggs.append(f"{agg} AS __msv{i}")
+            out_vals.append(
+                "map_from_entries(array_sort(collect_list("
+                "IF(__msk IS NULL, NULL, named_struct('key', __msk, "
+                f"'value', __msv{i}))))) AS {c['alias']}"
+            )
+        mid = (
+            f"SELECT {key_out}, __ms.k AS __msk, {', '.join(aggs)} "
+            f"FROM ({inner}) "
+            "LATERAL VIEW OUTER explode(__msents) __mst AS __ms "
+            f"GROUP BY {key_out}, __ms.k"
+        )
+    else:
+        inner = (
+            f"SELECT {key_sel}, {calls[0]['key']} AS __msq FROM {from_part}"
+        )
+        for c in calls:
+            out_vals.append(
+                "map_from_entries(array_sort(collect_list("
+                "IF(__msq IS NULL, NULL, named_struct('key', __msq, "
+                f"'value', __msc))))) AS {c['alias']}"
+            )
+        mid = (
+            f"SELECT {key_out}, __msq, CAST(count(*) AS BIGINT) AS __msc "
+            f"FROM ({inner}) GROUP BY {key_out}, __msq"
+        )
+    # outer select preserves the original item order (the block may be a
+    # whole statement whose output column order is load-bearing)
+    outer_items = [
+        key_items[i][1] if tag == "key" else out_vals[i]
+        for tag, i in order
+    ]
+    return (
+        f"SELECT {', '.join(outer_items)} FROM ({mid}) GROUP BY {key_out}"
+    )
+
+
+def _rewrite_state_two_level(sql: str) -> str:
+    """Apply :func:`_two_level_block` to every qualifying SELECT block
+    containing a map-/histogram-State call; non-qualifying calls are left
+    for the expression-level expansions."""
+    pos = 0
+    fns = _MAP_STATE_FNS + _HIST_STATE_FNS
+    while True:
+        found: tuple[str, tuple[int, int, list[str]]] | None = None
+        for fn in fns:
+            f = _find_call(sql, fn, pos)
+            if f is not None and (found is None or f[0] < found[1][0]):
+                found = (fn, f)
+        if found is None:
+            return sql
+        blk = _enclosing_select_block(sql, found[1][0])
+        new_block = _two_level_block(sql[blk[0] : blk[1]]) if blk else None
+        if new_block is None:
+            pos = found[1][1]  # leave this call to the fallback expansion
+            continue
+        sql = sql[: blk[0]] + new_block + sql[blk[1] :]
+        pos = blk[0] + len(new_block)
+
+
 # --------------------------------------------------------------------------
 # ANY JOIN strictness (CH: at most ONE right-side match per left row).
 # Translated to a row_number()=1-deduped right side + plain join — CH's
@@ -3996,6 +4351,14 @@ def translate(
 
         return build
 
+    # r15 (VERDICT r14 next #1): safe-shaped GROUP BY blocks holding
+    # map-/histogram-State calls are structurally rewritten to two-level
+    # pre-aggregation FIRST, so the heavy exchange carries partial
+    # per-key aggregates instead of collected row lists; everything the
+    # structural pass declines falls through to the expression-level
+    # expansions below, unchanged.
+    out = _rewrite_state_two_level(out)
+
     for _which, _ch in (("sum", "sumMap"), ("min", "minMap"), ("max", "maxMap")):
         out = _rewrite_calls(
             out, f"{_ch}State", _map_state(_which, f"{_ch}State")
@@ -4133,15 +4496,8 @@ def translate(
     # rationale. Merge and finalize are the shared histogram machinery
     # (a sketch state merges with ITS OWN family only, exactly as in CH
     # where tdigest and plain quantile states are distinct types).
-    def _log_quantize(x):
-        return (
-            f"element_at(transform(array(CAST({x} AS DOUBLE)), __q -> "
-            f"CASE WHEN __q = 0 OR isnan(__q) OR "
-            f"abs(__q) = double('Infinity') THEN __q "
-            f"ELSE sign(__q) * exp(bround(ln(abs(__q)) * 128) / 128) "
-            f"END), 1)"
-        )
-
+    # (_log_quantize is module-level: the two-level structural rewrite
+    # keys sketch histograms on the same expression text.)
     def _sketch_state(params, args):
         if len(args) != 1:
             raise ValueError(

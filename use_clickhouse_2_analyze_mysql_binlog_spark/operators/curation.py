@@ -205,6 +205,12 @@ ORDER BY n DESC, bigram LIMIT {k}
 #: the plan, so CacheManager reuse survives closure-identity drift.
 _FLAGGED_MEMO: dict[tuple, DataFrame] = {}
 
+# a released flagged cache must not be served stale from the memo
+# (cachetrack.release("flagged") clears both)
+from .cachetrack import register_release_hook as _register_release_hook
+
+_register_release_hook("flagged", _FLAGGED_MEMO.clear)
+
 
 def flagged_documents(documents: DataFrame, persist: bool = True) -> DataFrame:
     """``documents`` + quality columns + the Gopher ``gopher_keep`` flag,
@@ -222,8 +228,11 @@ def flagged_documents(documents: DataFrame, persist: bool = True) -> DataFrame:
     """
     from .memo import df_memo_key
 
+    from .cachetrack import touch, track
+
     key = df_memo_key(documents, "flagged") if persist else None
     if key is not None and key in _FLAGGED_MEMO:
+        touch("flagged")
         return _FLAGGED_MEMO[key]
     d = with_quality(documents).withColumn("toks", tokens("text"))
     _, f_words, f_avg, f_stop, f_uniq = _gopher_rules()
@@ -231,7 +240,13 @@ def flagged_documents(documents: DataFrame, persist: bool = True) -> DataFrame:
         "gopher_keep", f_words & f_avg & f_stop & f_uniq
     ).drop("toks")
     if persist:
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        from .cachetrack import cache_level_for
+
+        # DISK_ONLY past the size gate (guide §5): the sf100 flagged
+        # corpus is corpus-sized strings; holding it on-heap during the
+        # build competes with execution memory. Level unchanged below
+        # the gate (every driver SF, sf10).
+        out = track(out.persist(cache_level_for(documents)), "flagged")
     if key is not None:
         _FLAGGED_MEMO[key] = out
     return out
@@ -581,7 +596,13 @@ def benchmark_contamination(
     # persist the JOINED relation (only matched shingle rows — tiny next to
     # the corpus posting): both count branches consume it, and without the
     # persist each branch would re-run the train-side shingle scan
-    joined = train.join(F.broadcast(bench), "sh").persist()
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators.cachetrack import (
+        track,
+    )
+
+    joined = track(
+        train.join(F.broadcast(bench), "sh").persist(), "contamination_join"
+    )
     n_docs = (
         joined.select("bench_doc_id", "train_doc_id")
         .distinct()

@@ -143,7 +143,15 @@ def _shingle_posting(
         # the consumer relies on the per-doc-unique guarantee directly
         posting = posting.distinct()
     if persist:
-        posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
+        from .cachetrack import cache_level_for, track
+
+        # DISK_ONLY past the size gate (guide §5): the sf100 posting
+        # build OOMed the 8 g default heap holding deserialized batches;
+        # below the gate (every driver SF, sf10) the historical
+        # MEMORY_AND_DISK level — and the numbers — are unchanged.
+        posting = track(
+            posting.persist(cache_level_for(documents)), "posting"
+        )
     return posting
 
 
@@ -235,11 +243,16 @@ def _doc_hash_sets(
     # 23.2 s / 4.7 GB agg spill at sf100 before vs 10.5 s after (the
     # remaining ~5 GB of transient disk is the narrow repartition
     # shuffle itself, not agg spill).
-    return (
+    from .cachetrack import cache_level_for, track
+
+    # same DISK_ONLY size gate as the posting cache (this one is
+    # posting-sized too)
+    return track(
         posting.repartition("doc_id")
         .groupBy("doc_id")
         .agg(F.collect_list("sh").alias("sh_set"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(cache_level_for(posting)),
+        "hash_sets",
     )
 
 
@@ -499,6 +512,9 @@ def ngram_jaccard_pairs(
         # would re-execute per branch.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    from .cachetrack import track
+
+    survivors = track(survivors, "jaccard_cand")
     surv_docs = (
         survivors.select(F.col("doc_a").alias("doc_id"))
         .union(survivors.select(F.col("doc_b").alias("doc_id")))
@@ -760,7 +776,9 @@ def _band_buckets(sigs: DataFrame, max_bucket: int | None) -> DataFrame:
     # source of the all-pairs AND incremental LSH variants (incremental
     # filters it into new/old sides) — one small (docs x bands) cache
     # entry, reused by plan canonicalization
-    return bands.persist(StorageLevel.MEMORY_AND_DISK)
+    from .cachetrack import track
+
+    return track(bands.persist(StorageLevel.MEMORY_AND_DISK), "bands")
 
 
 def minhash_lsh_pairs(
@@ -812,11 +830,14 @@ def minhash_lsh_pairs(
     # materializes, the rest reuse instead of re-running the LSH
     # pipeline. Pair tables are near-dup-sized (<< corpus), so the entry
     # is small; at 100 TB the equivalent is staging pairs to a table.
-    return (
+    from .cachetrack import track
+
+    return track(
         _pair_jaccard(cand, _doc_hash_sets(documents, posting))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK),
+        "lsh_pairs",
     )
 
 
@@ -986,11 +1007,14 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     # persisted: the signature table is consumed by the per-doc listing
     # query AND the pigeonhole pair query (plan-canonical reuse, same
     # pattern as the minhash family); one docs-sized long column
-    return (
+    from .cachetrack import track
+
+    return track(
         tok.groupBy("doc_id")
         .agg(*bit_sums)
         .select("doc_id", sim.alias("simhash"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK),
+        "simhash_sig",
     )
 
 

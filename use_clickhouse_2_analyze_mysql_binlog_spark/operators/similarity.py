@@ -174,7 +174,9 @@ def assign_ivf_buckets(embeddings: DataFrame, num_centroids: int = 16) -> DataFr
     # IVF family (single/multi-probe search, embedding near-dup pairs,
     # the index write) — plan-canonical CacheManager reuse, one
     # embeddings-sized entry (same pattern as the dedup family caches)
-    return (
+    from .cachetrack import track
+
+    return track(
         scored.groupBy("vec_id")
         .agg(
             F.max_by(
@@ -185,7 +187,8 @@ def assign_ivf_buckets(embeddings: DataFrame, num_centroids: int = 16) -> DataFr
             F.first("emb").alias("emb"),
         )
         .select("vec_id", "label", "emb", "centroid_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK),
+        "assign",
     )
 
 
@@ -965,6 +968,13 @@ def _two_level_codebook(embeddings: DataFrame, num_centroids: int):
 #: rewrite).
 _ASSIGN_MEMO: dict[tuple, DataFrame] = {}
 
+# a released assignments cache must not be served stale from the memo
+from use_clickhouse_2_analyze_mysql_binlog_spark.operators.cachetrack import (
+    register_release_hook as _register_release_hook,
+)
+
+_register_release_hook("assign", _ASSIGN_MEMO.clear)
+
 
 def _assign_memo_key(embeddings: DataFrame, num_centroids: int, kind: str):
     """Memo key for a FILE-BACKED embeddings input, else ``None``.
@@ -1031,7 +1041,9 @@ def _arrow_assign(embeddings: DataFrame, route, persist: bool) -> DataFrame:
     if persist:
         from pyspark import StorageLevel
 
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        from .cachetrack import track
+
+        out = track(out.persist(StorageLevel.MEMORY_AND_DISK), "assign")
     return out
 
 
@@ -1066,6 +1078,9 @@ def assign_ivf_buckets_scaled(
     if persist:
         memo_key = _assign_memo_key(embeddings, num_centroids, "flat")
         if memo_key is not None and memo_key in _ASSIGN_MEMO:
+            from .cachetrack import touch
+
+            touch("assign")
             return _ASSIGN_MEMO[memo_key]
 
     fine_ids, fine_mat = _collect_normalized_prefix(embeddings, num_centroids)
@@ -1158,7 +1173,9 @@ def _assign_flat_jvm(
     if persist:
         from pyspark import StorageLevel
 
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        from .cachetrack import track
+
+        out = track(out.persist(StorageLevel.MEMORY_AND_DISK), "assign")
     return out
 
 
@@ -1195,6 +1212,9 @@ def assign_ivf_buckets_two_level(
     if persist:
         memo_key = _assign_memo_key(embeddings, num_centroids, "two_level")
         if memo_key is not None and memo_key in _ASSIGN_MEMO:
+            from .cachetrack import touch
+
+            touch("assign")
             return _ASSIGN_MEMO[memo_key]
     book = _two_level_codebook(embeddings, num_centroids)
     if book is None:
@@ -1303,7 +1323,9 @@ def _assign_two_level_jvm(
     if persist:
         from pyspark import StorageLevel
 
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        from .cachetrack import track
+
+        out = track(out.persist(StorageLevel.MEMORY_AND_DISK), "assign")
     return out
 
 
