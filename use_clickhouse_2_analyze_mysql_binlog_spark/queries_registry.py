@@ -1962,6 +1962,23 @@ CHANGED_THIS_ROUND: list[str] = [
     # The only registered consumer of a map-State expansion; r14-green,
     # so its re-proof takes the round's one free window slot:
     "ch_agg_states_map_rollup",
+    # implementation-changed (same rewrite, histogram kind): the
+    # quantile/tdigest-State expansion is pre-aggregated the same way.
+    # Already stale-in-window (r13-only-green), so the re-proof slot is
+    # free:
+    "ch_agg_states_tdigest_rollup",
+    # implementation-changed (guide §2.4 — the r14 §8.2 exchange-count
+    # item): `_band_buckets`' bucket cap is a COUNT window instead of a
+    # groupBy+join back onto the bands (one exchange and no join where
+    # there were four and one; output verified row-identical at sf10,
+    # symmetric diff 0). These five are every registered consumer of
+    # the capped band table; all were already stale-in-window
+    # (r13-only-green), so their re-proof slots are free:
+    "dedup_minhash_lsh_staged",
+    "dedup_apply_minhash",
+    "dedup_incremental",
+    "dedup_connected_components",
+    "dedup_apply_connected_components",
 ]
 # ROTATION BUDGET (round 15): 44 queries are green only in
 # CORRECTNESS_r13 (recomputed from the committed r13/r14 files); with
