@@ -162,8 +162,14 @@ def main() -> None:
         # sf100 probe: three heavy dedup rows filled a 75 GB volume).
         # After any query heavy enough to have spilled, nudge the JVM so
         # ContextCleaner reclaims its files before the next row starts.
-        # OUTSIDE the timer — per-query numbers are unaffected.
-        if timings[name] > 5:
+        # OUTSIDE the timer — per-query numbers are unaffected. r15: the
+        # threshold drops 5 s -> 1 s: at sf100 several multi-second rows
+        # slipped under 5 s (apply-CC reads 5.09 s there), their dead
+        # shuffles/broadcasts stayed live-referenced until the next
+        # natural full GC, and the 8 g default heap OOMed mid-sweep on
+        # accumulated dead state; at sf0.1 this adds a handful of
+        # ~100 ms untimed GCs per sweep.
+        if timings[name] > 1:
             spark.sparkContext._jvm.System.gc()
         # r15 (VERDICT r14 next #4): unpersist a family's shared cache
         # right after its LAST consumer in the whole run — main sweep

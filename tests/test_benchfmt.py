@@ -37,6 +37,23 @@ def test_compact_line_fits_budget_with_realistic_values():
     assert flat == {n: 0.523 for n in NAMES}
 
 
+def test_compact_line_warmup_total_field():
+    """r15 (VERDICT r14 next #3): the untimed shared-cache warm-up total
+    rides the line as `wu` beside `total`; omitted when not supplied
+    (old callers unchanged) and still under the tail budget with it."""
+    timings = {n: 9.999 for n in NAMES}
+    line = benchfmt.compact_line(
+        timings, 49.99, 799.9, 0.1, warmup_total_sec=378.123
+    )
+    assert len(line) <= benchfmt.TAIL_BUDGET
+    doc = json.loads(line)
+    assert doc["wu"] == 378.12
+    assert doc["total"] == 799.9  # unchanged meaning
+    assert "wu" not in json.loads(
+        benchfmt.compact_line(timings, 49.99, 799.9, 0.1)
+    )
+
+
 def test_compact_line_fits_budget_worst_case_four_digit_ms():
     """Every query at 9.999 s (4-digit ms) — must stay under budget with
     headroom for a much larger registry (the round-4 nested-name codec

@@ -114,3 +114,46 @@ def cache_level_for(df: DataFrame):
     if size > CACHE_DISK_ONLY_BYTES:
         return StorageLevel.DISK_ONLY
     return StorageLevel.MEMORY_AND_DISK
+
+
+#: Cached-batch row count for at-scale family caches. Spark's columnar
+#: cache serializer builds each batch ON-HEAP before writing it — even
+#: at DISK_ONLY — sized by spark.sql.inMemoryColumnarStorage.batchSize
+#: (default 10000 rows). For wide complex rows (the per-doc hash-set
+#: arrays: ~hundreds of longs per row; the flagged corpus: full document
+#: text) that is tens of MB of ColumnBuilder buffer PER CONCURRENT TASK,
+#: which is exactly where the r15 sf100 probe OOMed the 8 g default heap
+#: (stack: DefaultCachedBatchSerializer -> ComplexColumnBuilder.build).
+#: 1000-row batches bound the transient build memory ~10x at a small
+#: compression-ratio cost; applied only past the DISK_ONLY gate, so
+#: driver-SF cache layouts are untouched.
+SCALED_CACHE_BATCH_ROWS = 1000
+
+
+def persist_tracked(df: DataFrame, size_src: DataFrame, tag: str) -> DataFrame:
+    """Persist a family-shared cache with the scale-adaptive policy and
+    register it under ``tag``: MEMORY_AND_DISK below the size gate
+    (bit-identical to the historical behavior), DISK_ONLY with
+    bounded-size cached batches past it."""
+    from pyspark import StorageLevel
+
+    level = cache_level_for(size_src)
+    if level != StorageLevel.DISK_ONLY:
+        return track(df.persist(level), tag)
+    spark = df.sparkSession
+    key = "spark.sql.inMemoryColumnarStorage.batchSize"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    # InMemoryRelation captures the batch size at persist() time, so a
+    # set/restore window scopes it to this one cache
+    spark.conf.set(key, str(SCALED_CACHE_BATCH_ROWS))
+    try:
+        out = df.persist(level)
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+    return track(out, tag)

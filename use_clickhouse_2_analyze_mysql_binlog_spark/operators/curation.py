@@ -228,7 +228,7 @@ def flagged_documents(documents: DataFrame, persist: bool = True) -> DataFrame:
     """
     from .memo import df_memo_key
 
-    from .cachetrack import touch, track
+    from .cachetrack import touch
 
     key = df_memo_key(documents, "flagged") if persist else None
     if key is not None and key in _FLAGGED_MEMO:
@@ -240,13 +240,14 @@ def flagged_documents(documents: DataFrame, persist: bool = True) -> DataFrame:
         "gopher_keep", f_words & f_avg & f_stop & f_uniq
     ).drop("toks")
     if persist:
-        from .cachetrack import cache_level_for
+        from .cachetrack import persist_tracked
 
-        # DISK_ONLY past the size gate (guide §5): the sf100 flagged
-        # corpus is corpus-sized strings; holding it on-heap during the
-        # build competes with execution memory. Level unchanged below
-        # the gate (every driver SF, sf10).
-        out = track(out.persist(cache_level_for(documents)), "flagged")
+        # DISK_ONLY + bounded cached batches past the size gate (guide
+        # §5): the sf100 flagged corpus is corpus-sized document text;
+        # holding 10k-row columnar build buffers on-heap competed with
+        # execution memory. Level unchanged below the gate (every
+        # driver SF, sf10).
+        out = persist_tracked(out, documents, "flagged")
     if key is not None:
         _FLAGGED_MEMO[key] = out
     return out
@@ -600,8 +601,13 @@ def benchmark_contamination(
         track,
     )
 
-    joined = track(
-        train.join(F.broadcast(bench), "sh").persist(), "contamination_join"
+    from use_clickhouse_2_analyze_mysql_binlog_spark.operators.cachetrack import (
+        persist_tracked,
+    )
+
+    # matched-shingle rows scale with the corpus: same DISK_ONLY gate
+    joined = persist_tracked(
+        train.join(F.broadcast(bench), "sh"), train, "contamination_join"
     )
     n_docs = (
         joined.select("bench_doc_id", "train_doc_id")

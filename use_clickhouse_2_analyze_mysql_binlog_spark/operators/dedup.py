@@ -143,15 +143,13 @@ def _shingle_posting(
         # the consumer relies on the per-doc-unique guarantee directly
         posting = posting.distinct()
     if persist:
-        from .cachetrack import cache_level_for, track
+        from .cachetrack import persist_tracked
 
-        # DISK_ONLY past the size gate (guide §5): the sf100 posting
-        # build OOMed the 8 g default heap holding deserialized batches;
+        # DISK_ONLY + bounded cached batches past the size gate (guide
+        # §5): the sf100 posting build OOMed the 8 g default heap;
         # below the gate (every driver SF, sf10) the historical
         # MEMORY_AND_DISK level — and the numbers — are unchanged.
-        posting = track(
-            posting.persist(cache_level_for(documents)), "posting"
-        )
+        posting = persist_tracked(posting, documents, "posting")
     return posting
 
 
@@ -243,15 +241,16 @@ def _doc_hash_sets(
     # 23.2 s / 4.7 GB agg spill at sf100 before vs 10.5 s after (the
     # remaining ~5 GB of transient disk is the narrow repartition
     # shuffle itself, not agg spill).
-    from .cachetrack import cache_level_for, track
+    from .cachetrack import persist_tracked
 
-    # same DISK_ONLY size gate as the posting cache (this one is
-    # posting-sized too)
-    return track(
+    # same DISK_ONLY size gate as the posting cache; the hash-set rows
+    # are wide arrays, exactly the shape the bounded cached-batch size
+    # exists for (cachetrack.SCALED_CACHE_BATCH_ROWS)
+    return persist_tracked(
         posting.repartition("doc_id")
         .groupBy("doc_id")
-        .agg(F.collect_list("sh").alias("sh_set"))
-        .persist(cache_level_for(posting)),
+        .agg(F.collect_list("sh").alias("sh_set")),
+        posting,
         "hash_sets",
     )
 
@@ -784,9 +783,12 @@ def _band_buckets(sigs: DataFrame, max_bucket: int | None) -> DataFrame:
     # source of the all-pairs AND incremental LSH variants (incremental
     # filters it into new/old sides) — one small (docs x bands) cache
     # entry, reused by plan canonicalization
-    from .cachetrack import track
+    from .cachetrack import persist_tracked
 
-    return track(bands.persist(StorageLevel.MEMORY_AND_DISK), "bands")
+    # docs x bands rows — corpus-sized: same DISK_ONLY size gate as the
+    # posting cache (r15 sf100 probe at the 8 g default heap: the
+    # MEMORY_AND_DISK band cache was a principal heap resident)
+    return persist_tracked(bands, sigs, "bands")
 
 
 def minhash_lsh_pairs(
@@ -1015,13 +1017,14 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     # persisted: the signature table is consumed by the per-doc listing
     # query AND the pigeonhole pair query (plan-canonical reuse, same
     # pattern as the minhash family); one docs-sized long column
-    from .cachetrack import track
+    from .cachetrack import persist_tracked
 
-    return track(
+    # docs-sized signature table: same DISK_ONLY size gate
+    return persist_tracked(
         tok.groupBy("doc_id")
         .agg(*bit_sums)
-        .select("doc_id", sim.alias("simhash"))
-        .persist(StorageLevel.MEMORY_AND_DISK),
+        .select("doc_id", sim.alias("simhash")),
+        tok,
         "simhash_sig",
     )
 
@@ -1344,7 +1347,7 @@ def write_line_posting(
     documents: DataFrame,
     path: str,
     sep: str = "\n",
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> None:
     """Materialize the exploded line posting as parquet — the staged form
     of ``line_dedup``'s shared input (VERDICT r08 what's-wrong #1: the
@@ -1357,7 +1360,16 @@ def write_line_posting(
     Layout mirrors :func:`write_shingle_posting`: repartitioned + sorted
     by ``lh`` so equal line hashes co-locate and row-group min/max stats
     prune selective probes; on a warehouse deployment ``bucketBy(n,
-    "lh")`` drops the df-join shuffle entirely."""
+    "lh")`` drops the df-join shuffle entirely.
+
+    r15: the partition count derives from the corpus size exactly like
+    :func:`write_shingle_posting` (r14's scale-adaptive derivation —
+    the constant 8 serialized the sf100 line-posting sort+write onto 8
+    of 32 cores and fixed the staged file count every downstream read
+    scans). The floor reproduces the historical 8 at every driver SF,
+    so staged layouts and plans there are bit-identical."""
+    if num_partitions is None:
+        num_partitions = _derive_posting_partitions(documents)
     (
         _line_posting(documents, sep)
         .repartition(num_partitions, "lh")
