@@ -1979,6 +1979,16 @@ CHANGED_THIS_ROUND: list[str] = [
     "dedup_incremental",
     "dedup_connected_components",
     "dedup_apply_connected_components",
+    # NOT listed although `write_line_posting` gained the same
+    # scale-adaptive partition derivation as the shingle posting (r15):
+    # at every driver SF the derivation returns the historical constant
+    # 8, so `line_dedup_staged`'s staged layout and plan there are
+    # bit-identical — the same below-the-gate argument (and the same
+    # derivation function + test pin, test_posting_partition_derivation)
+    # as r14's shingle-posting non-listing. Likewise the DISK_ONLY/
+    # batch-size cache policy (operators/cachetrack.py) is gated on a
+    # 256 MiB backing size no driver SF reaches, so no cache-consumer
+    # plan or layout changes below it.
 ]
 # ROTATION BUDGET (round 15): 44 queries are green only in
 # CORRECTNESS_r13 (recomputed from the committed r13/r14 files); with
